@@ -1,0 +1,167 @@
+"""Text expressions — all native Column expressions (zero Python UDFs).
+
+Everything here stays inside whole-stage codegen: the reference's
+row-wise Python helpers (clean_string at reference usnvc/usnvc.py:493-497,
+display-title branch at usnvc.py:324-332, nation-code split at
+usnvc.py:355-366) are re-expressed as Catalyst expressions, and the
+LLM-pipeline text analyzers (token count, language ID, quality score,
+fingerprint) follow the same rule so they vectorize on a 100 TB corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Word tokenization regex shared by every text operator (and mirrored in
+# the DuckDB oracle SQL): split on any non-alphanumeric run.
+TOKEN_SPLIT_RE = "[^a-zA-Z0-9]+"
+
+
+def clean_string(c: Column | str) -> Column:
+    """Unescape the three HTML entities the reference handles.
+
+    Reference parity: usnvc/usnvc.py:493-497 replaces exactly
+    ``&amp; &lt; &gt;`` (in that order — ``&amp;lt;`` therefore becomes
+    ``<`` after two passes there; chained ``regexp_replace`` reproduces
+    the same order-dependent behavior).
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    out = F.regexp_replace(c, "&amp;", "&")
+    out = F.regexp_replace(out, "&lt;", "<")
+    out = F.regexp_replace(out, "&gt;", ">")
+    return out
+
+
+def display_title(
+    hierarchylevel: Column,
+    classificationcode: Column,
+    colloquialname: Column,
+    translatedname: Column,
+    databasecode: Column,
+) -> Column:
+    """Three-way CASE building a unit display title.
+
+    Reference parity: usnvc/usnvc.py:324-332 (duplicated at 519-527).
+    Upper levels: code + colloquialname + level; Macrogroup/Group:
+    code + translatedname; else databasecode + translatedname.
+    ``concat`` (not concat_ws) matches pandas NaN propagation: any null
+    component nulls the title (SURVEY §7.4.2).
+    """
+    upper = F.concat(classificationcode, F.lit(" "), colloquialname, F.lit(" "), hierarchylevel)
+    mid = F.concat(classificationcode, F.lit(" "), translatedname)
+    low = F.concat(databasecode, F.lit(" "), translatedname)
+    return (
+        F.when(hierarchylevel.isin("Class", "Subclass", "Formation", "Division"), upper)
+        .when(hierarchylevel.isin("Macrogroup", "Group"), mid)
+        .otherwise(low)
+    )
+
+
+def split_flagged_codes(c: Column | str) -> Column:
+    """Split a comma list of codes where a trailing ``?`` flags uncertainty.
+
+    Reference parity: usnvc/usnvc.py:355-366 — ``"US, CA?"`` →
+    ``[{Abbreviation: US, Uncertainty: false}, {Abbreviation: CA, Uncertainty: true}]``.
+    Pure higher-order-function expression; no explode, no UDF.
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    return F.transform(
+        F.split(c, ","),
+        lambda tok: F.struct(
+            F.trim(F.regexp_replace(tok, r"\?", "")).alias("Abbreviation"),
+            F.trim(tok).endswith("?").alias("Uncertainty"),
+        ),
+    )
+
+
+def tokens(c: Column | str, lowercase: bool = True) -> Column:
+    """Tokenize into non-empty alphanumeric word tokens."""
+    c = F.col(c) if isinstance(c, str) else c
+    if lowercase:
+        c = F.lower(c)
+    return F.filter(F.split(c, TOKEN_SPLIT_RE), lambda t: t != F.lit(""))
+
+
+def token_count(c: Column | str) -> Column:
+    """Whitespace/punctuation token count (long)."""
+    return F.size(tokens(c)).cast("long")
+
+
+def word_shingles(toks: Column, n: int = 3, sep: str = "_") -> Column:
+    """Word n-gram shingles from a token array (for MinHash / Jaccard).
+
+    1-indexed ``sequence`` + ``element_at`` so the identical expression
+    is writable in ANSI SQL for the oracle.
+    """
+    limit = F.size(toks) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(limit, F.lit(1))),
+        lambda i: F.concat_ws(sep, *[F.element_at(toks, i + F.lit(k)) for k in range(n)]),
+    )
+    # sequence(1, 0) would infer a descending step — guard short docs.
+    return F.when(limit < 1, F.array().cast("array<string>")).otherwise(grams)
+
+
+def doc_fingerprint(c: Column | str) -> Column:
+    """Deterministic content fingerprint: md5 of the normalized token stream.
+
+    Normalization (lowercase, collapse non-alphanumerics to single
+    spaces) makes the fingerprint robust to whitespace/punctuation noise
+    — the exact-dedup key for a 100 TB corpus (hash once, group on the
+    16-byte digest, never on the raw text).
+    """
+    return F.md5(F.concat_ws(" ", tokens(c)))
+
+
+# Tiny per-language stopword marker sets for the n-gram language-ID
+# heuristic. Deterministic and oracle-expressible: score = number of
+# marker-token hits; pick argmax with a fixed tie order.
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "los", "las", "y", "es"],
+}
+
+
+def lang_id(c: Column | str) -> Column:
+    """Heuristic language ID: argmax of stopword-marker hits.
+
+    Ties break by fixed language order (en, de, fr, es); zero hits
+    everywhere → 'und' (undetermined), mirroring CLD-style outputs.
+    """
+    toks = tokens(c)
+    scores = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(markers)))
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    # Reverse order so earlier languages win ties via later when() override.
+    for lang in reversed(list(_LANG_MARKERS)):
+        out = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def quality_score_cols(c: Column | str) -> dict[str, Column]:
+    """Document quality signals: length, token stats, punct/stopword ratios.
+
+    Returns named columns so callers pick what they need; all are
+    single-pass native expressions over the text column.
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    toks = tokens(c)
+    n_tok = F.size(toks)
+    n_chars = F.length(c)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(_LANG_MARKERS["en"])))
+    n_punct = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tok.cast("long"),
+        "mean_token_len": (
+            F.when(n_tok > 0, F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)).cast("double") / n_tok)
+        ),
+        "punct_ratio": F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(F.lit(0.0)),
+        "stopword_ratio": F.when(n_tok > 0, stop_hits.cast("double") / n_tok).otherwise(F.lit(0.0)),
+    }

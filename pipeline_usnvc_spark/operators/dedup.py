@@ -1,0 +1,189 @@
+"""Deduplication operators for a large text corpus.
+
+Four families, all shuffle-conscious:
+
+  exact        — hash-groupBy on a 16-byte fingerprint (never on raw
+                 text: the shuffle moves digests, not documents).
+  minhash+LSH  — shingle → K minhashes → band signatures → bucket
+                 self-join. The self-join key is (band, signature), so
+                 candidate generation is an equi-join Catalyst can
+                 shuffle-partition; no all-pairs blowup.
+  simhash      — 32-bit near-dup sketch from per-token hash bit votes.
+  n-gram Jaccard — exact pair similarity, restricted to pairs sharing
+                 at least one shingle (inverted-index join), which is
+                 the classic "candidates only" guard at scale.
+
+Hashing is md5-based everywhere so results are engine-portable and
+deterministic (no seed state, no JVM hashCode dependence) — the DuckDB
+correctness oracle reproduces every value bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pipeline_usnvc_spark.functions.text import doc_fingerprint, tokens, word_shingles
+
+
+def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(fingerprint, n_copies, keeper_id): groups of exact duplicates
+    after whitespace/punctuation normalization; keeper = min id."""
+    fp = docs.select(F.col(id_col), doc_fingerprint(text_col).alias("fingerprint"))
+    return fp.groupBy("fingerprint").agg(
+        F.count("*").alias("n_copies"),
+        F.min(id_col).alias("keeper_id"),
+    )
+
+
+def shingle_table(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Exploded (id, shingle) pairs — the inverted-index base."""
+    return docs.select(
+        F.col(id_col),
+        F.explode(word_shingles(tokens(text_col), n=n)).alias("shingle"),
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, seed, minhash) — K independent min-hashes per document.
+
+    Hash family: md5(seed || '|' || shingle); the min over a doc's
+    shingle set estimates Jaccard similarity between documents.
+    Documents with fewer than ``shingle_n`` tokens produce no rows.
+    """
+    sh = shingle_table(docs, id_col, text_col, shingle_n)
+    seeded = sh.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
+        "shingle",
+    )
+    return (
+        seeded.groupBy(id_col, "seed")
+        .agg(F.min(F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle")))).alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, n_shared_bands) candidate near-dup pairs.
+
+    Band signature = ordered concat of the band's minhashes; docs
+    sharing any band signature become candidates. The join key
+    (band, signature) keeps this an equi-join — at 100 TB the bucket
+    join shuffles only (id, band_sig) pairs and AQE splits skewed
+    buckets (e.g., boilerplate-heavy shingle sets).
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
+    band_sig = (
+        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("seed", "minhash"))),
+                    lambda s: s["minhash"],
+                ),
+            ).alias("band_sig")
+        )
+    )
+    a = band_sig.alias("a")
+    b = band_sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """(id, simhash) — per-token 32-bit hashes vote per bit position;
+    bit set where the vote is positive. Token multiplicity counts
+    (frequency-weighted, the standard Charikar construction)."""
+    tok = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    hashed = tok.select(
+        id_col,
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint").alias("h"),
+    )
+    bit = hashed.select(
+        id_col,
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+    )
+    votes = (
+        bit.groupBy(id_col, "bit")
+        .agg(
+            F.sum(
+                F.when(F.expr("(shiftright(h, bit) & 1) = 1"), F.lit(1)).otherwise(F.lit(-1))
+            ).alias("vote")
+        )
+    )
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("vote") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")).otherwise(F.lit(0).cast("bigint"))
+        ).alias("simhash")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for candidate pairs sharing ≥1 shingle.
+
+    Exact Jaccard on distinct shingle sets via inverted-index
+    self-join: |A∩B| from the join, |A|,|B| from per-doc counts.
+    The double division is int/int → IEEE-identical across engines.
+    """
+    sh = shingle_table(docs, id_col, text_col, shingle_n).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

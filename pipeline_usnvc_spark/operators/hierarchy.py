@@ -1,0 +1,136 @@
+"""Hierarchy / graph operators (reference G1-G5).
+
+The reference walks an adjacency list (``unit.parent_id`` →
+``element_global_id``) one row at a time with O(depth) lookups per
+unit (reference usnvc/usnvc.py:500-530). The set-based equivalent is a
+frontier-expansion loop: each round joins the current ancestor
+frontier back to the edge table, extending every node's chain by one
+level simultaneously — O(depth) *joins total*, not per row.
+
+Scale notes:
+  - Each round is one shuffle on the join key; depth is bounded (8 for
+    USNVC, configurable here) so the plan is a short chain.
+  - ``checkpoint_every`` truncates lineage so 100+-round graphs don't
+    build unbounded plans (uses localCheckpoint; on a cluster with a
+    checkpoint dir, ``reliable=True``).
+  - Cycle safety: a cycle in the edges would loop forever in the
+    reference; here ``max_depth`` bounds the loop and rounds that stop
+    producing new rows terminate early (fixpoint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ancestors(
+    edges: DataFrame,
+    id_col: str = "id",
+    parent_col: str = "parent_id",
+    max_depth: int = 32,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Transitive-closure ancestor table.
+
+    Input: adjacency list ``(id, parent_id)`` (parent null for roots).
+    Output: ``(id, ancestor_id, depth)`` — depth 1 is the immediate
+    parent; ordering nearest-first is recoverable by sorting on depth
+    (reference parity: usnvc.py:508-515 accumulates nearest-first).
+    """
+    edges = edges.select(F.col(id_col).alias("id"), F.col(parent_col).alias("parent_id"))
+    # Frontier: (id, ancestor_id) pairs discovered at the current depth.
+    frontier = edges.filter(F.col("parent_id").isNotNull()).select(
+        "id", F.col("parent_id").alias("ancestor_id"), F.lit(1).alias("depth")
+    )
+    closure = frontier
+    depth = 1
+    while depth < max_depth:
+        if frontier.isEmpty():
+            break
+        # Extend: current frontier's ancestor's own parent.
+        nxt = (
+            frontier.alias("f")
+            .join(
+                edges.filter(F.col("parent_id").isNotNull()).alias("e"),
+                F.col("f.ancestor_id") == F.col("e.id"),
+            )
+            .select(
+                F.col("f.id").alias("id"),
+                F.col("e.parent_id").alias("ancestor_id"),
+                (F.col("f.depth") + 1).alias("depth"),
+            )
+        )
+        depth += 1
+        if checkpoint_every and depth % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        frontier = nxt
+        closure = closure.unionByName(frontier)
+    return closure
+
+
+def ancestor_array(
+    edges: DataFrame,
+    id_col: str = "id",
+    parent_col: str = "parent_id",
+    max_depth: int = 32,
+    root_fallback: int | None = None,
+) -> DataFrame:
+    """(id, ancestors: array<id-type>) ordered nearest-ancestor-first.
+
+    ``root_fallback`` reproduces reference G5 (usnvc.py:446-449):
+    nodes with no ancestors get ``[root_fallback]`` instead of empty.
+    """
+    clos = ancestors(edges, id_col, parent_col, max_depth)
+    arr = (
+        clos.groupBy("id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("depth", "ancestor_id"))),
+                lambda s: s["ancestor_id"],
+            ).alias("ancestors")
+        )
+    )
+    out = (
+        edges.select(F.col(id_col).alias("id"))
+        .join(arr, "id", "left")
+    )
+    if root_fallback is not None:
+        out = out.withColumn(
+            "ancestors",
+            F.coalesce(F.col("ancestors"), F.array(F.lit(root_fallback))),
+        )
+    return out
+
+
+def children_agg(
+    edges: DataFrame,
+    id_col: str = "id",
+    parent_col: str = "parent_id",
+    order_by: str | None = None,
+) -> DataFrame:
+    """(parent, children: array) — reference G2 (usnvc.py:505-506, 530)."""
+    order_col = order_by or id_col
+    return (
+        edges.filter(F.col(parent_col).isNotNull())
+        .groupBy(F.col(parent_col).alias("id"))
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct(F.col(order_col).alias("_o"), F.col(id_col).alias("_c")))),
+                lambda s: s["_c"],
+            ).alias("children")
+        )
+    )
+
+
+def descendant_counts(
+    edges: DataFrame,
+    id_col: str = "id",
+    parent_col: str = "parent_id",
+    max_depth: int = 32,
+) -> DataFrame:
+    """(id, n_descendants) via the same closure — subtree sizing."""
+    clos = ancestors(edges, id_col, parent_col, max_depth)
+    return clos.groupBy(F.col("ancestor_id").alias("id")).agg(
+        F.count("*").alias("n_descendants")
+    )

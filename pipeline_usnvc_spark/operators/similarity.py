@@ -1,0 +1,140 @@
+"""Similarity search over an ``array<float>`` embedding column.
+
+Two tiers:
+  brute_force_topk — exact cosine top-k for a (small) query set:
+      broadcast the queries, one pass over the corpus, per-query
+      window top-k. The corpus never shuffles for scoring; the only
+      shuffle is the final top-k aggregation keyed by query id.
+      At 100 TB this is the "scan once, score vectorized" baseline.
+  lsh_topk — random-hyperplane LSH bucketing: vectors hash to a
+      sign-bit bucket; queries only score their own bucket (and
+      optionally neighboring probes). Candidate generation is an
+      equi-join on bucket id — the scale path when the query set is
+      itself large.
+
+Vector math uses sequential-fold native expressions (functions/
+vectors.py): deterministic summation order, so exact oracle parity.
+The hyperplanes are derived deterministically from md5 of
+(plane, dim) — no RNG state, reproducible across engines and runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pipeline_usnvc_spark.functions.vectors import cosine_similarity, to_double_array
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, rank, sim).
+
+    ``queries`` must be small (it is broadcast against the corpus).
+    Deterministic tie-break on neighbor id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("q_vec")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("v_vec")
+    )
+    scored = (
+        v.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("q_vec"), F.col("v_vec")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def _hyperplane(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: component (p, d) is
+    derived from md5(f"{p}:{d}") mapped into [-1, 1). Pure function of
+    (p, d) — identical on every engine/run with no RNG."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16)
+            row.append((h / float(0xFFFFFFFF)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket_ids(
+    vectors: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, bucket) — sign-bit bucket from random hyperplanes.
+
+    The planes ship as literal arrays inside the plan (a few KB) —
+    effectively a broadcast of the quantizer, no driver loop.
+    """
+    planes = _hyperplane(n_planes, dim)
+    v = vectors.select(F.col(id_col), to_double_array(vec_col).alias("v"))
+    bucket = F.lit(0).cast("bigint")
+    for p, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(x) for x in plane])
+        d = F.aggregate(
+            F.zip_with(F.col("v"), plane_col, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(d > 0, F.lit(2**p).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+    return v.select(id_col, bucket.alias("bucket"))
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only same-bucket candidates.
+
+    Returns (query_id, neighbor_id, rank, sim). Recall depends on
+    n_planes; the pytest suite measures recall against brute force.
+    """
+    vb = lsh_bucket_ids(vectors, n_planes, dim, id_col, vec_col).alias("vb")
+    qb = lsh_bucket_ids(queries, n_planes, dim, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("bucket")
+    )
+    v = vectors.select(F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("v_vec"))
+    q = queries.select(F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("q_vec"))
+    cand = (
+        qb.join(vb.withColumnRenamed(id_col, "neighbor_id"), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(v, "neighbor_id")
+        .select("query_id", "neighbor_id", cosine_similarity(F.col("q_vec"), F.col("v_vec")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )

@@ -1,0 +1,18 @@
+"""Query registry package.
+
+Importing this package registers every implemented query into
+``QUERIES`` / ``ORACLES`` (see registry.py). ``__spark_entry__``
+surfaces them to the driver.
+"""
+
+from pipeline_usnvc_spark.plans.registry import QUERIES, ORACLES
+
+# Import for side effect: each module registers its queries.
+from pipeline_usnvc_spark.plans import relational  # noqa: F401
+from pipeline_usnvc_spark.plans import hierarchy_queries  # noqa: F401
+from pipeline_usnvc_spark.plans import text_queries  # noqa: F401
+from pipeline_usnvc_spark.plans import dedup_queries  # noqa: F401
+from pipeline_usnvc_spark.plans import similarity_queries  # noqa: F401
+from pipeline_usnvc_spark.plans import events_queries  # noqa: F401
+
+__all__ = ["QUERIES", "ORACLES"]

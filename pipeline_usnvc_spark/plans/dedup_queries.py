@@ -1,0 +1,141 @@
+"""Deduplication queries over ``documents`` (operators/dedup.py).
+
+The DuckDB oracles restate each pipeline with the same md5-based hash
+family and the same tokenization, so minhash/simhash values match
+bit-for-bit — the checks are exact, not statistical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pipeline_usnvc_spark.operators.dedup import (
+    exact_dedup_groups,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from pipeline_usnvc_spark.plans.registry import query
+from pipeline_usnvc_spark.sources.tables import load_table
+
+_TOKS_SQL = "list_filter(string_split_regex(lower(text), '[^a-zA-Z0-9]+'), t -> t <> '')"
+
+# 3-gram word shingles, 1-indexed (mirrors functions.text.word_shingles)
+_SHINGLES_SQL = f"""
+    SELECT doc_id, unnest(
+        list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                       i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2])
+    ) AS shingle
+    FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+"""
+
+_MINHASH_SQL = f"""
+    SELECT doc_id, CAST(seed AS INT) AS seed,
+           min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS minhash
+    FROM ({_SHINGLES_SQL}) sh
+    CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) seeds
+    GROUP BY doc_id, seed
+"""
+
+
+# ---------------------------------------------------------------------------
+# q50 — exact dedup via normalized fingerprint groupBy.
+# ---------------------------------------------------------------------------
+@query(
+    "q50_exact_dedup",
+    oracle=f"""
+    SELECT md5(array_to_string({_TOKS_SQL}, ' ')) AS fingerprint,
+           count(*) AS n_copies,
+           min(doc_id) AS keeper_id
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q50_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# q51 — MinHash signatures (8 hashes, 3-gram shingles).
+# ---------------------------------------------------------------------------
+@query("q51_minhash_signature", oracle=_MINHASH_SQL)
+def q51_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# q52 — LSH banding → candidate near-dup pairs (2 bands × 4 rows).
+# ---------------------------------------------------------------------------
+@query(
+    "q52_lsh_candidate_pairs",
+    oracle=f"""
+    WITH sig AS ({_MINHASH_SQL}),
+    band_sig AS (
+        SELECT doc_id, seed // 4 AS band,
+               string_agg(minhash, ',' ORDER BY seed) AS bs
+        FROM sig GROUP BY doc_id, seed // 4
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_bands
+    FROM band_sig a JOIN band_sig b
+      ON a.band = b.band AND a.bs = b.bs AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+)
+def q52_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_candidate_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# q53 — SimHash (32-bit, frequency-weighted bit votes).
+# ---------------------------------------------------------------------------
+@query(
+    "q53_simhash",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(toks) AS tok
+        FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+    ),
+    hashed AS (
+        SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h FROM tok
+    ),
+    bits AS (
+        SELECT doc_id, h, unnest(range(0, 32)) AS bit FROM hashed
+    ),
+    votes AS (
+        SELECT doc_id, bit,
+               sum(CASE WHEN ((h >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS vote
+        FROM bits GROUP BY doc_id, bit
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def q53_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# q54 — exact n-gram Jaccard for pairs sharing ≥1 shingle.
+# ---------------------------------------------------------------------------
+@query(
+    "q54_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_SQL})),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) AS jaccard
+    FROM inter
+      JOIN sizes sa ON inter.id_a = sa.doc_id
+      JOIN sizes sb ON inter.id_b = sb.doc_id
+    WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.1
+    """,
+)
+def q54_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.1)

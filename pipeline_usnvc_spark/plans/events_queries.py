@@ -1,0 +1,147 @@
+"""Event-stream queries over ``events`` — the batch expressions of the
+streaming surface (sessionization, tumbling windows, as-of joins).
+The same logic is reusable under Structured Streaming (streaming/),
+where the tumbling window becomes a watermarked groupBy(window(...)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from pipeline_usnvc_spark.plans.registry import query
+from pipeline_usnvc_spark.sources.tables import load_table
+
+
+def _dec(c, scale: int = 2):
+    return (F.col(c) if isinstance(c, str) else c).cast(f"decimal(18,{scale})")
+
+
+# ---------------------------------------------------------------------------
+# q40 — sessionization: a >30-minute gap starts a new session.
+# Classic lag + cumulative-sum-of-boundaries; deterministic order on
+# (ts, event_id).
+# ---------------------------------------------------------------------------
+@query(
+    "q40_sessionize",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts, event_id,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end
+    FROM sessions GROUP BY user_id, session_idx
+    """,
+)
+def q40_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > 1800 * 1_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sess = ev.withColumn("is_new", is_new).withColumn(
+        "session_idx",
+        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return sess.groupBy("user_id", F.col("session_idx").cast("bigint").alias("session_idx")).agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q41 — tumbling-window aggregation (batch form of the streaming
+# windowed count): events per hour per type.
+# ---------------------------------------------------------------------------
+@query(
+    "q41_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q41_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q42 — as-of join (Spark lacks a native one — SURVEY §2.3 notes none
+# in the reference either; this is the canonical scale-path rewrite):
+# each event matched to the latest order of the same user at or before
+# the event time, via union + last_value-ignoring-nulls over a
+# time-ordered window. One shuffle on the key, no range explosion.
+# ---------------------------------------------------------------------------
+@query(
+    "q42_asof_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts, m.o_orderkey AS matched_orderkey
+    FROM events e LEFT JOIN (
+        SELECT event_id, o_orderkey, row_number() OVER (
+                 PARTITION BY event_id ORDER BY o_orderdate DESC, o_orderkey DESC) AS rk
+        FROM events ev JOIN orders o
+          ON ev.user_id = o.o_custkey AND o.o_orderdate <= ev.ts
+    ) m ON e.event_id = m.event_id AND m.rk = 1
+    """,
+)
+def q42_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    # Tag and union both sides on a common (key, time) axis. Order rows
+    # sort before events at the same timestamp (is_event 0 < 1) so an
+    # order dated exactly at the event time matches; ties between
+    # orders resolve to the larger o_orderkey (matching the oracle's
+    # DESC, DESC row_number spec).
+    o = orders.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.col("o_orderkey"),
+    )
+    e = ev.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        "ts",
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("t", "is_event", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = o.unionByName(e).withColumn(
+        "matched_orderkey", F.last("o_orderkey", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("is_event") == 1).select(
+        "event_id", "user_id", "ts", "matched_orderkey"
+    )

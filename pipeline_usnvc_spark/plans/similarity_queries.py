@@ -1,0 +1,102 @@
+"""Similarity-search queries over ``embeddings`` (operators/similarity.py).
+
+The brute-force baseline and the within-label near-dup sweep have
+exact DuckDB oracles: both engines compute the identical IEEE
+double sequence (cast-to-double, sequential left-fold), so cosine
+values hash-match without tolerance. The LSH variant is the scale
+path — approximate by design, so it's a rows-only check here and its
+recall is asserted against brute force in tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipeline_usnvc_spark.functions.vectors import cosine_similarity, to_double_array
+from pipeline_usnvc_spark.operators.similarity import brute_force_topk, lsh_topk
+from pipeline_usnvc_spark.plans.registry import query
+from pipeline_usnvc_spark.sources.tables import load_table
+
+# dot(a,b) with a left fold seeded by the first product — identical to
+# Spark's aggregate(zip_with(...), 0.0, +) because 0.0 + x == x.
+_DOT = "list_reduce(list_transform(range(1, 65), i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+_NORM = "sqrt(list_reduce(list_transform({v}, x -> x * x), (x, y) -> x + y))"
+_COS = f"({_DOT.format(a='qe', b='ve')} / ({_NORM.format(v='qe')} * {_NORM.format(v='ve')}))"
+
+
+# ---------------------------------------------------------------------------
+# q60 — exact cosine top-5 for the query subset vec_id % 100 == 0.
+# ---------------------------------------------------------------------------
+@query(
+    "q60_cosine_topk",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, ve AS qe FROM v WHERE vec_id % 100 = 0),
+    scored AS (
+        SELECT q.query_id, v.vec_id AS neighbor_id, {_COS} AS sim
+        FROM v CROSS JOIN q
+        WHERE v.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q60_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return brute_force_topk(emb, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# q61 — within-label embedding near-duplicates (cosine ≥ 0.9):
+# label acts as the IVF-style coarse partition, so the pair join is an
+# equi-join on label, not an all-pairs cross.
+# ---------------------------------------------------------------------------
+@query(
+    "q61_embedding_near_dup",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        FROM embeddings
+    )
+    SELECT id_a, id_b, sim FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {_DOT.format(a='a.ve', b='b.ve')}
+                 / ({_NORM.format(v='a.ve')} * {_NORM.format(v='b.ve')}) AS sim
+        FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE sim >= 0.9
+    """,
+)
+def q61_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", to_double_array("embedding").alias("ve")
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cosine_similarity(F.col("a.ve"), F.col("b.ve")).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.9)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q62 — LSH-bucketed approximate top-k (rows-only: approximate by
+# design; recall vs brute force asserted in tests/test_similarity.py).
+# ---------------------------------------------------------------------------
+@query("q62_lsh_topk")
+def q62_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return lsh_topk(emb, queries, k=5)

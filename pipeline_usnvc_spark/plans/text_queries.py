@@ -1,0 +1,130 @@
+"""Text-analysis queries over the ``documents`` corpus (LLM-pipeline
+operators: token counting, language ID, quality scoring, document
+fingerprinting). All are native column expressions (functions/text.py)
+— no Python in the hot path — and each has an exact DuckDB oracle that
+re-states the same tokenization and integer/IEEE arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipeline_usnvc_spark.functions.text import (
+    _LANG_MARKERS,
+    doc_fingerprint,
+    lang_id,
+    quality_score_cols,
+    token_count,
+)
+from pipeline_usnvc_spark.plans.registry import query
+from pipeline_usnvc_spark.sources.tables import load_table
+
+# Shared DuckDB fragment: identical tokenization to functions.text.tokens
+_TOKS_SQL = "list_filter(string_split_regex(lower(text), '[^a-zA-Z0-9]+'), t -> t <> '')"
+
+
+# ---------------------------------------------------------------------------
+# q30 — token counting.
+# ---------------------------------------------------------------------------
+@query(
+    "q30_token_count",
+    oracle=f"""
+    SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+)
+def q30_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", token_count("text").alias("n_tokens"))
+
+
+# ---------------------------------------------------------------------------
+# q31 — language ID: argmax of stopword-marker hits with fixed tie
+# order (en > de > fr > es), 'und' when no marker hits at all.
+# ---------------------------------------------------------------------------
+def _lang_score_sql(markers: list[str]) -> str:
+    quoted = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter(toks, t -> t IN ({quoted})))"
+
+
+_L = {lang: _lang_score_sql(m) for lang, m in _LANG_MARKERS.items()}
+
+@query(
+    "q31_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang AS labeled_lang,
+           CASE
+             WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+             WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+             WHEN s_fr > 0 AND s_fr >= s_es THEN 'fr'
+             WHEN s_es > 0 THEN 'es'
+             ELSE 'und'
+           END AS detected_lang
+    FROM (
+        SELECT doc_id, lang,
+               {_L['en']} AS s_en, {_L['de']} AS s_de, {_L['fr']} AS s_fr, {_L['es']} AS s_es
+        FROM (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents)
+    )
+    """,
+)
+def q31_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        lang_id("text").alias("detected_lang"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q32 — quality scoring: length/token/punctuation/stopword signals.
+# All ratios are int/int → double (IEEE-identical in both engines).
+# ---------------------------------------------------------------------------
+@query(
+    "q32_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CASE WHEN len(toks) > 0
+                THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+           END AS mean_token_len,
+           CASE WHEN length(text) > 0
+                THEN CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+                ELSE 0.0 END AS punct_ratio,
+           CASE WHEN len(toks) > 0
+                THEN CAST({_L['en']} AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+                ELSE 0.0 END AS stopword_ratio
+    FROM (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
+    """,
+)
+def q32_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cols = quality_score_cols("text")
+    # Match the oracle's IEEE ops exactly: ratios are cast-to-double
+    # divisions of exact integers.
+    return docs.select(
+        "doc_id",
+        cols["n_chars"].alias("n_chars"),
+        cols["n_tokens"].alias("n_tokens"),
+        cols["mean_token_len"].alias("mean_token_len"),
+        cols["punct_ratio"].alias("punct_ratio"),
+        cols["stopword_ratio"].alias("stopword_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q33 — document fingerprint: md5 over the normalized token stream
+# (the exact-dedup key; scale note in functions/text.py).
+# ---------------------------------------------------------------------------
+@query(
+    "q33_fingerprint",
+    oracle=f"""
+    SELECT doc_id, md5(array_to_string({_TOKS_SQL}, ' ')) AS fingerprint
+    FROM documents
+    """,
+)
+def q33_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint("text").alias("fingerprint"))

@@ -1,0 +1,65 @@
+"""Parquet test-table loaders.
+
+The harness provides a TPC-H-ish star schema plus ``events`` (keyed
+stream), ``documents`` (text corpus) and ``embeddings`` (vector
+table) at several scale factors. Loaders are thin on purpose: the
+parquet source already gives Catalyst column pruning + predicate
+pushdown + partition-sized splits; adding caching or repartitioning
+here would pessimize the common case. 100 TB posture: parquet scans
+split by ``spark.sql.files.maxPartitionBytes`` (default 128 MB) —
+the same loader serves a 1000-executor cluster unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Dimension-sized tables that should always broadcast in joins: at any
+# scale factor these stay tiny relative to the facts.
+DIM_TABLES = {"region", "nation", "supplier", "part"}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Timestamp semantics must not depend on the caller's session: pin
+    # UTC (runtime conf) so parquet timestamps read/compare identically
+    # everywhere, including against the UTC-naive DuckDB oracle.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        return _load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's
+    parquet reader rejects. Read nanos as long (legacy conf) and
+    convert to a microsecond timestamp — lossless for this data (the
+    generator emits whole microseconds) and aligned with DuckDB's
+    microsecond TIMESTAMP in the oracle."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view for the SQL API."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
