@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (computes every
+row, writes nothing) so timings measure the full plan, not a
+count-only shortcut.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+# The headline set: one per operator family (join/agg, nesting,
+# window, hierarchy closure, sessionization, as-of, dedup exact,
+# minhash, simhash, vector topk) + the flagship document assembly.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_top_revenue_orders",
+    "q05_nest_orders_per_customer",
+    "q12_window_topk",
+    "q20_hierarchy_ancestors",
+    "q40_sessionize",
+    "q42_asof_join",
+    "q50_exact_dedup",
+    "q51_minhash_signature",
+    "q53_simhash",
+    "q60_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+
+    from pipeline_usnvc_spark.session import get_spark
+    from pipeline_usnvc_spark.plans import QUERIES
+    from pipeline_usnvc_spark.plans.flagship import customer_documents
+
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus) * 2,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    # Warm the JVM/code paths once with a trivial action.
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    t_total0 = time.perf_counter()
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        run(QUERIES[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    run(customer_documents(spark, sf_dir))
+    timings["flagship_documents"] = round(time.perf_counter() - t0, 3)
+    total = round(time.perf_counter() - t_total0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -91,16 +91,20 @@ def token_count(c: Column | str) -> Column:
 def word_shingles(toks: Column, n: int = 3, sep: str = "_") -> Column:
     """Word n-gram shingles from a token array (for MinHash / Jaccard).
 
-    1-indexed ``sequence`` + ``element_at`` so the identical expression
-    is writable in ANSI SQL for the oracle.
+    Built as ``zip_with`` over n shifted ``slice``s of the token array
+    rather than per-index ``element_at`` lookups: element_at inside a
+    transform lambda re-evaluates the (inline) token expression per
+    element — measured 33x slower at sf0.1. Slices evaluate it n times
+    per row, and arrays shorter than n yield empty slices (no guard
+    needed). Semantics identical to the 1-indexed formulation mirrored
+    in the DuckDB oracle SQL.
     """
-    limit = F.size(toks) - F.lit(n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(limit, F.lit(1))),
-        lambda i: F.concat_ws(sep, *[F.element_at(toks, i + F.lit(k)) for k in range(n)]),
-    )
-    # sequence(1, 0) would infer a descending step — guard short docs.
-    return F.when(limit < 1, F.array().cast("array<string>")).otherwise(grams)
+    length = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    slices = [F.slice(toks, k + 1, length) for k in range(n)]
+    acc = slices[-1]
+    for k in range(n - 2, -1, -1):
+        acc = F.zip_with(slices[k], acc, lambda a, b: F.concat_ws(sep, a, b))
+    return acc
 
 
 def doc_fingerprint(c: Column | str) -> Column:
