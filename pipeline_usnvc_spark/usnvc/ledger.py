@@ -1,0 +1,85 @@
+"""Change ledger + validated JSON sink (reference S3/S6).
+
+The reference logs one change event per row per stage through a
+harness callback (usnvc.py:24-28, 55-57, 74-77) and sends each
+document through a draft-07-validated sink (README.md:35-45). The
+Spark equivalents: per-change-type accumulators (cheap cluster-wide
+counters), an events side-DataFrame written alongside the output, and
+a final-select validation with a quarantine channel instead of a
+per-row schema validator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class ChangeLedger:
+    """Named counters backed by Spark accumulators."""
+
+    def __init__(self, spark: SparkSession):
+        self._spark = spark
+        self._counters: dict[str, object] = {}
+
+    def counter(self, name: str):
+        if name not in self._counters:
+            self._counters[name] = self._spark.sparkContext.accumulator(0)
+        return self._counters[name]
+
+    def counts(self) -> dict[str, int]:
+        return {k: v.value for k, v in self._counters.items()}
+
+
+def change_events(
+    docs: DataFrame,
+    change_name: str,
+    change_desc: str,
+    fn: str,
+    id_col: str = "row_id",
+) -> DataFrame:
+    """One ledger event per document, mirroring the reference's
+    log_change_event(change_id, name, desc, fn, source, result)."""
+    return docs.select(
+        F.col(id_col).alias("change_id"),
+        F.lit(change_name).alias("change_name"),
+        F.lit(change_desc).alias("change_desc"),
+        F.lit(fn).alias("fn"),
+        F.lit("usnvc_source").alias("source"),
+        F.lit("document_emitted").alias("result"),
+    )
+
+
+def write_documents(
+    docs: DataFrame,
+    out_dir: str,
+    quarantine_dir: str | None = None,
+    ledger: ChangeLedger | None = None,
+) -> None:
+    """Validated envelope sink: ``{"source_data": <doc>, "row_id": <id>}``
+    one JSON object per line. Rows failing the envelope contract
+    (null/empty id or doc) go to the quarantine path instead of
+    failing the job — the scalable version of the reference harness's
+    per-row schema rejection."""
+    ok = F.col("row_id").isNotNull() & F.col("source_data").isNotNull() & (F.col("source_data") != "")
+    line = F.concat(
+        F.lit('{"source_data": '),
+        F.col("source_data"),
+        F.lit(', "row_id": "'),
+        F.col("row_id"),
+        F.lit('"}'),
+    )
+    valid = docs.filter(ok)
+    if ledger is not None:
+        counter = ledger.counter("documents_written")
+
+        def _count(row):
+            counter.add(1)
+
+        valid.foreach(_count)
+    valid.select(line.alias("value")).write.mode("overwrite").text(out_dir)
+    if quarantine_dir is not None:
+        docs.filter(~ok).select(
+            F.coalesce(F.col("row_id"), F.lit("<null>")).alias("row_id"),
+            F.coalesce(F.col("source_data"), F.lit("")).alias("source_data"),
+        ).write.mode("overwrite").json(quarantine_dir)
