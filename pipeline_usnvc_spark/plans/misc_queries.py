@@ -1,0 +1,194 @@
+"""Additional operator families beyond the reference's surface —
+free Catalyst built-ins a user of this engine gets (SURVEY §2.4's
+"not present in reference" row): semi/anti joins, cube, unpivot,
+date arithmetic, exact + approximate distinct counting, and the
+multimodal/streaming entries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipeline_usnvc_spark.plans.registry import query
+from pipeline_usnvc_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# q15 — semi/anti joins (EXISTS / NOT EXISTS).
+# ---------------------------------------------------------------------------
+@query(
+    "q15_semi_anti_join",
+    oracle="""
+    SELECT c_custkey, 'has_orders' AS status FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT c_custkey, 'no_orders' AS status FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def q15_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    has = cust.join(orders, "c_custkey", "left_semi").select(
+        "c_custkey", F.lit("has_orders").alias("status")
+    )
+    hasnt = cust.join(orders, "c_custkey", "left_anti").select(
+        "c_custkey", F.lit("no_orders").alias("status")
+    )
+    return has.unionByName(hasnt)
+
+
+# ---------------------------------------------------------------------------
+# q16 — cube with grouping-flag decode.
+# ---------------------------------------------------------------------------
+@query(
+    "q16_cube",
+    oracle="""
+    SELECT coalesce(l_returnflag, '<all>') AS rflag,
+           coalesce(l_linestatus, '<all>') AS lstatus,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q16_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("rflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("lstatus"),
+            "n",
+            "qty",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q17 — unpivot (wide → long) via stack.
+# ---------------------------------------------------------------------------
+@query(
+    "q17_unpivot",
+    oracle="""
+    SELECT p_partkey, 'retailprice' AS measure, CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS value FROM part
+    UNION ALL
+    SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
+    """,
+)
+def q17_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.expr(
+            "stack(2, 'retailprice', cast(cast(p_retailprice as decimal(18,2)) as double),"
+            " 'size', cast(p_size as double)) as (measure, value)"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q18 — date arithmetic: truncation, extraction, day diffs.
+# ---------------------------------------------------------------------------
+@query(
+    "q18_date_arith",
+    oracle="""
+    SELECT o_orderkey,
+           date_trunc('month', o_orderdate) AS order_month,
+           CAST(extract(year FROM o_orderdate) AS INT) AS order_year,
+           CAST(extract(month FROM o_orderdate) AS INT) AS order_month_num,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01') AS INT) AS days_to_2002
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q18_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month_num"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("int")
+        .alias("days_to_2002"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q19 — exact distinct counting (countDistinct; the approximate
+# variant is q71, rows-only by nature).
+# ---------------------------------------------------------------------------
+@query(
+    "q19_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q19_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q70 — multimodal plumbing (rows-only: decode is stubbed; the batch
+# shape/schema contract is asserted in tests/test_multimodal.py).
+# ---------------------------------------------------------------------------
+@query("q70_multimodal_features")
+def q70_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.multimodal import (
+        extract_features,
+        synthesize_binary_column,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(synthesize_binary_column(docs))
+
+
+# ---------------------------------------------------------------------------
+# q71 — approximate distinct (HLL; rows-only: approximate by design,
+# bounds asserted in tests).
+# ---------------------------------------------------------------------------
+@query("q71_approx_count_distinct")
+def q71_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q80 — streaming tumbling-window counts driven to completion through
+# the memory sink; complete-mode output equals the batch aggregation,
+# so it oracles against plain SQL.
+# ---------------------------------------------------------------------------
+@query(
+    "q80_streaming_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q80_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.streaming.pipeline import (
+        hourly_counts,
+        read_event_stream,
+        run_stream_to_memory,
+    )
+
+    stream = read_event_stream(spark, sf_dir)
+    return run_stream_to_memory(hourly_counts(stream), "q80_streaming_hourly")

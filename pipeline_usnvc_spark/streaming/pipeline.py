@@ -1,0 +1,90 @@
+"""Structured Streaming surface.
+
+The reference's AWS stage fan-out (README.md:14-33) is batch, but its
+shape — rows arriving as keyed messages, per-row docs emitted — maps
+to Structured Streaming: file/queue source → the same declarative
+transformations → sink via foreachBatch. Everything here reuses the
+batch expressions; only the source/sink wiring differs, which is the
+point of building the batch plans declaratively.
+
+Local testing uses the file source + memory sink with
+``processAllAvailable()`` so a bounded parquet directory drives the
+stream to completion synchronously. At scale the same code points at
+a Kafka source and a transactional ``foreachBatch`` sink; watermarks
+bound state for late data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+EVENTS_SCHEMA = "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table. The parquet stores
+    ``ts`` as TIMESTAMP(NANOS) (read as long under the legacy conf,
+    converted to a microsecond timestamp — same as the batch loader)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # The file source requires a directory: point at sf_dir and select
+    # the events file with a glob filter.
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling-window aggregation — the streaming form of
+    plans/events_queries.q41 (same grouping keys and aggregates)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_stream_to_memory(
+    agg: DataFrame, query_name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drive a bounded stream to completion through the memory sink and
+    return the final result as a batch DataFrame."""
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return agg.sparkSession.table(query_name)
+
+
+def stream_documents_foreach_batch(
+    docs_builder, out_dir: str, spark: SparkSession, source_stream: DataFrame
+):
+    """Streaming doc emission: each micro-batch runs the same batch
+    assembly and appends envelopes — the scalable stand-in for the
+    reference's per-row stage-2 worker (usnvc.py:68-81)."""
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        docs_builder(batch_df).write.mode("append").json(f"{out_dir}/epoch={epoch_id}")
+
+    return source_stream.writeStream.foreachBatch(_sink).trigger(availableNow=True)

@@ -1,0 +1,61 @@
+"""Multimodal plumbing + approximate-op sanity tests (the rows-only
+queries' real assertions live here, since they can't oracle)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_multimodal_batch_shape(spark, sf_dir):
+    from pipeline_usnvc_spark.operators.multimodal import (
+        extract_features,
+        synthesize_binary_column,
+    )
+    from pipeline_usnvc_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_media = synthesize_binary_column(docs)
+    # schema contract: binary payload + typed metadata struct
+    assert dict(with_media.dtypes)["media"] == "binary"
+    feats = extract_features(with_media)
+    rows = feats.collect()
+    assert len(rows) == docs.count()
+    for r in rows[:20]:
+        assert len(r["features"]) == 16
+        assert abs(sum(r["features"]) - 1.0) < 1e-6  # normalized histogram
+        assert r["n_bytes"] > 0
+
+
+def test_multimodal_deterministic(spark, sf_dir):
+    from pipeline_usnvc_spark.plans import QUERIES
+
+    a = QUERIES["q70_multimodal_features"](spark, sf_dir).orderBy("doc_id").limit(5).collect()
+    b = QUERIES["q70_multimodal_features"](spark, sf_dir).orderBy("doc_id").limit(5).collect()
+    assert a == b
+
+
+def test_approx_count_distinct_bounds(spark, sf_dir):
+    from pipeline_usnvc_spark.plans import QUERIES
+
+    rows = QUERIES["q71_approx_count_distinct"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # HLL++ default rsd 5% — allow 3x slack for tiny cardinalities
+        assert abs(r["approx_parts"] - r["exact_parts"]) <= max(5, 0.15 * r["exact_parts"])
+
+
+def test_lsh_recall_vs_bruteforce(spark, sf_dir):
+    from pipeline_usnvc_spark.operators.similarity import brute_force_topk, lsh_topk
+    from pipeline_usnvc_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    approx = lsh_topk(emb, queries, k=5, n_planes=4).collect()
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    # 4 hyperplanes on 64-dim random embeddings: expect moderate recall,
+    # assert it's meaningfully above chance (5/499 ≈ 1%).
+    assert recall >= 0.2, f"LSH recall {recall} too low"
