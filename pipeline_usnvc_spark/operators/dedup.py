@@ -36,11 +36,22 @@ def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to default parallelism when the source arrives in
+    fewer partitions than cores (tiny local files → 1 split → the
+    md5-heavy map side would run single-threaded). At scale the scan
+    already yields ≥cores splits and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def shingle_table(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
     """Exploded (id, shingle) pairs — the inverted-index base."""
-    return docs.select(
+    return _spread(docs).select(
         F.col(id_col),
         F.explode(word_shingles(tokens(text_col), n=n)).alias("shingle"),
     )
@@ -125,7 +136,7 @@ def simhash(
     """(id, simhash) — per-token 32-bit hashes vote per bit position;
     bit set where the vote is positive. Token multiplicity counts
     (frequency-weighted, the standard Charikar construction)."""
-    tok = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    tok = _spread(docs).select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
     hashed = tok.select(
         id_col,
         F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint").alias("h"),
