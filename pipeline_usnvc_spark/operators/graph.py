@@ -1,0 +1,52 @@
+"""Connected components over a pair graph (dedup clustering).
+
+After candidate generation (LSH) and verification (Jaccard), near-dup
+pairs form a graph whose components are the duplicate clusters; one
+keeper per component survives. This is the HashMin label-propagation
+algorithm: every node starts labeled with itself, each round adopts
+the min label among itself and its neighbors, fixpoint in O(component
+diameter) rounds — each round one join + one aggregation, the
+standard formulation for billion-edge graphs (no driver-side state,
+lineage checkpointed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``;
+    component = min node id reachable (undirected)."""
+    sym = (
+        edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+        .unionByName(edges.select(F.col(dst).alias("x"), F.col(src).alias("y")))
+        .distinct()
+    )
+    labels = sym.select(F.col("x").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for i in range(max_iter):
+        neighbor_labels = (
+            sym.join(labels.withColumnRenamed("node", "y"), "y")
+            .select(F.col("x").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        if new_labels.exceptAll(labels).isEmpty():
+            labels = new_labels
+            break
+        labels = new_labels
+    return labels.select("node", F.col("label").alias("component"))
