@@ -174,6 +174,22 @@ def q71_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the memory sink; complete-mode output equals the batch aggregation,
 # so it oracles against plain SQL.
 # ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+# q81 — custom stateful streaming operator (applyInPandasWithState
+# sessionization; rows-only: emits only closed sessions, equivalence
+# to batch asserted in tests/test_streaming.py).
+# ---------------------------------------------------------------------------
+@query("q81_stateful_sessionize")
+def q81_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.streaming.pipeline import read_event_stream, run_stream_to_memory
+    from pipeline_usnvc_spark.streaming.stateful import streaming_sessionize
+
+    stream = read_event_stream(spark, sf_dir)
+    return run_stream_to_memory(
+        streaming_sessionize(stream), "q81_stateful_sessionize", output_mode="append"
+    )
+
+
 @query(
     "q80_streaming_hourly",
     oracle="""

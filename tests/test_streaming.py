@@ -1,0 +1,67 @@
+"""Streaming surface tests: windowed-agg batch equivalence is covered
+by the q80 oracle; here the custom stateful sessionizer is checked
+against the batch sessionization on the same data."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_stateful_sessionize_matches_batch(spark, sf_dir):
+    from pipeline_usnvc_spark.plans import QUERIES
+    from pipeline_usnvc_spark.streaming.pipeline import read_event_stream, run_stream_to_memory
+    from pipeline_usnvc_spark.streaming.stateful import streaming_sessionize
+
+    stream = read_event_stream(spark, sf_dir)
+    emitted = run_stream_to_memory(
+        streaming_sessionize(stream), "stateful_sessions", output_mode="append"
+    ).collect()
+
+    batch = QUERIES["q40_sessionize"](spark, sf_dir).collect()
+    # The stream only emits CLOSED sessions: batch minus each user's
+    # final (still-open-at-drain) session.
+    last_sid = {}
+    for r in batch:
+        last_sid[r["user_id"]] = max(last_sid.get(r["user_id"], 0), r["session_idx"])
+    expected = {
+        (r["user_id"], r["session_idx"], r["n_events"], r["session_start"], r["session_end"])
+        for r in batch
+        if r["session_idx"] != last_sid[r["user_id"]]
+    }
+    got = {
+        (r["user_id"], r["session_idx"], r["n_events"], r["session_start"], r["session_end"])
+        for r in emitted
+    }
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_foreach_batch_doc_emission(spark, sf_dir, tmp_path):
+    import json
+
+    from pipeline_usnvc_spark.streaming.pipeline import (
+        read_event_stream,
+        stream_documents_foreach_batch,
+    )
+
+    def builder(batch_df):
+        return batch_df.groupBy("user_id").agg(F.count("*").alias("n")).select(
+            F.col("user_id").cast("string").alias("row_id"),
+            F.to_json(F.struct("user_id", "n")).alias("source_data"),
+        )
+
+    out = tmp_path / "stream_docs"
+    q = stream_documents_foreach_batch(
+        builder, str(out), spark, read_event_stream(spark, sf_dir)
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    files = list(out.rglob("part-*.json")) + list(out.rglob("part-*"))
+    lines = []
+    for p in files:
+        if p.is_file() and "crc" not in p.name:
+            lines += [l for l in p.read_text().splitlines() if l]
+    docs = [json.loads(l) for l in lines]
+    assert docs and all(set(d) == {"row_id", "source_data"} for d in docs)
