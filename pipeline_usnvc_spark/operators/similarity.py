@@ -102,6 +102,112 @@ def lsh_bucket_ids(
     return v.select(id_col, bucket.alias("bucket"))
 
 
+def kmeans_centroids(
+    vectors: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means for the IVF coarse quantizer.
+
+    Init: the k lowest-id vectors (deterministic, no RNG). Each
+    iteration: assign (map-side, centroids as plan literals) → update
+    (one shuffle: per-(cluster, dim) mean) → collect k×dim floats to
+    the driver. The collect is O(k·dim) — a few KB — which is the
+    legitimate driver-side footprint of a coarse quantizer; the
+    corpus itself never leaves the executors.
+    """
+    v = vectors.select(F.col(id_col), to_double_array(vec_col).alias("v"))
+    centroids = [
+        [float(x) for x in r["v"]]
+        for r in v.orderBy(id_col).limit(k).collect()
+    ]
+    for _ in range(iters):
+        assigned = v.withColumn("c", _nearest_centroid(F.col("v"), centroids))
+        per_dim = (
+            assigned.select("c", F.posexplode("v").alias("pos", "x"))
+            .groupBy("c", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = {}
+        for r in per_dim:
+            new.setdefault(r["c"], {})[r["pos"]] = r["m"]
+        centroids = [
+            [new[c][p] for p in sorted(new[c])] if c in new else centroids[c]
+            for c in range(k)
+        ]
+    return centroids
+
+
+def _nearest_centroid(v: Column, centroids: list[list[float]]) -> Column:
+    """Index of the nearest centroid (squared L2), as a plan-literal
+    expression — no shuffle, no UDF. Argmin via array_min over
+    (dist, idx) structs: linear expression size (a chained
+    when(d<best_d) formulation embeds the previous best twice per step
+    → exponential tree → analyzer hang at k=16)."""
+    structs = []
+    for i, c in enumerate(centroids):
+        c_col = F.array(*[F.lit(x) for x in c])
+        d = F.aggregate(
+            F.zip_with(v, c_col, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        structs.append(F.struct(d.alias("d"), F.lit(i).alias("cell")))
+    return F.array_min(F.array(*structs))["cell"]
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    kmeans_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus partitioned by nearest centroid;
+    each query scores only its ``nprobe`` nearest cells.
+
+    The candidate join is an equi-join on cell id — at 100 TB the
+    corpus is bucketed/partitioned by cell once and each query reads
+    nprobe/n_centroids of it. Recall tunes with nprobe.
+    """
+    centroids = kmeans_centroids(vectors, n_centroids, kmeans_iters, id_col, vec_col)
+    v = vectors.select(F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("v_vec"))
+    v_cells = v.withColumn("cell", _nearest_centroid(F.col("v_vec"), centroids))
+    q = queries.select(F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("q_vec"))
+    # Each query probes its nprobe nearest cells (rank the centroid
+    # distances with the same literal expressions).
+    probe_structs = []
+    for i, c in enumerate(centroids):
+        c_col = F.array(*[F.lit(x) for x in c])
+        d = F.aggregate(
+            F.zip_with(F.col("q_vec"), c_col, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        probe_structs.append(F.struct(d.alias("d"), F.lit(i).alias("cell")))
+    probes = F.transform(
+        F.slice(F.array_sort(F.array(*probe_structs)), 1, nprobe), lambda s: s["cell"]
+    )
+    q_cells = q.withColumn("cell", F.explode(probes))
+    scored = (
+        q_cells.join(v_cells, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine_similarity(F.col("q_vec"), F.col("v_vec")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
 def lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -93,10 +93,23 @@ def q61_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q62 — LSH-bucketed approximate top-k (rows-only: approximate by
-# design; recall vs brute force asserted in tests/test_similarity.py).
+# design; recall vs brute force asserted in tests/test_multimodal.py).
 # ---------------------------------------------------------------------------
 @query("q62_lsh_topk")
 def q62_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return lsh_topk(emb, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# q63 — IVF approximate top-k with a learned k-means coarse quantizer
+# (rows-only; recall vs brute force asserted in tests).
+# ---------------------------------------------------------------------------
+@query("q63_ivf_topk")
+def q63_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return ivf_topk(emb, queries, k=5)

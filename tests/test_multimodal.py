@@ -59,3 +59,18 @@ def test_lsh_recall_vs_bruteforce(spark, sf_dir):
     # 4 hyperplanes on 64-dim random embeddings: expect moderate recall,
     # assert it's meaningfully above chance (5/499 ≈ 1%).
     assert recall >= 0.2, f"LSH recall {recall} too low"
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    from pipeline_usnvc_spark.operators.similarity import brute_force_topk, ivf_topk
+    from pipeline_usnvc_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    approx = ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=4).collect()
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    # probing half the cells should recover a majority of true neighbors
+    assert recall >= 0.5, f"IVF recall {recall} too low"
