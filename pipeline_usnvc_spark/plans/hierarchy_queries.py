@@ -55,6 +55,46 @@ def q20_hierarchy_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q25 — the same ancestor closure through Spark 4's SQL recursion
+# (WITH RECURSIVE): the declarative alternative to the iterative
+# frontier loop — one logical plan, Catalyst owns the iteration.
+# ---------------------------------------------------------------------------
+@query(
+    "q25_recursive_cte",
+    oracle=f"""
+    WITH RECURSIVE edges AS ({_EDGES_SQL}),
+    anc AS (
+        SELECT id, parent_id AS ancestor_id, 1 AS depth FROM edges WHERE parent_id IS NOT NULL
+        UNION ALL
+        SELECT a.id, e.parent_id AS ancestor_id, a.depth + 1
+        FROM anc a JOIN edges e ON a.ancestor_id = e.id
+        WHERE e.parent_id IS NOT NULL
+    )
+    SELECT id, ancestor_id, depth FROM anc
+    """,
+)
+def q25_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("q25_customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE edges AS (
+            SELECT c_custkey AS id,
+                   CASE WHEN c_custkey >= 10 THEN CAST(floor(c_custkey / 10) AS BIGINT) END AS parent_id
+            FROM q25_customer
+        ),
+        anc AS (
+            SELECT id, parent_id AS ancestor_id, 1 AS depth FROM edges WHERE parent_id IS NOT NULL
+            UNION ALL
+            SELECT a.id, e.parent_id AS ancestor_id, a.depth + 1
+            FROM anc a JOIN edges e ON a.ancestor_id = e.id
+            WHERE e.parent_id IS NOT NULL
+        )
+        SELECT id, ancestor_id, depth FROM anc
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # q21 — immediate-children aggregation (G2) as a canonical string.
 # ---------------------------------------------------------------------------
 @query(

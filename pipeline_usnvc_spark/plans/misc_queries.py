@@ -142,6 +142,30 @@ def q19_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q26 — JSON functions (reference E9: the stage hand-off serializes
+# rows to JSON and parses them back): from_json with an explicit
+# schema, to_json re-serialization, null on absent key.
+# ---------------------------------------------------------------------------
+@query(
+    "q26_json_roundtrip",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           CASE WHEN json_extract(props, '$.missing') IS NULL THEN true ELSE false END AS missing_is_null
+    FROM events
+    """,
+)
+def q26_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k bigint, missing string")
+    return ev.select(
+        "event_id",
+        parsed["k"].alias("k"),
+        parsed["missing"].isNull().alias("missing_is_null"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q70 — multimodal plumbing (rows-only: decode is stubbed; the batch
 # shape/schema contract is asserted in tests/test_multimodal.py).
 # ---------------------------------------------------------------------------
