@@ -92,6 +92,54 @@ def q41_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q45 — range join (Spark lacks a native one): orders placed within
+# 90 days AFTER another order by the same customer, via bucket
+# expansion (operators/rangejoin.py) instead of a nested-loop
+# inequality join. Oracle states the plain inequality join.
+# ---------------------------------------------------------------------------
+@query(
+    "q45_range_join",
+    oracle="""
+    SELECT a.o_custkey AS custkey,
+           a.o_orderkey AS base_order,
+           b.o_orderkey AS followup_order,
+           CAST(date_diff('day', a.o_orderdate, b.o_orderdate) AS INT) AS gap_days
+    FROM orders a JOIN orders b
+      ON a.o_custkey = b.o_custkey
+     AND b.o_orderdate >= a.o_orderdate
+     AND b.o_orderdate < a.o_orderdate + INTERVAL 90 DAY
+     AND a.o_orderkey <> b.o_orderkey
+    """,
+)
+def q45_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.rangejoin import range_join_buckets
+
+    orders = load_table(spark, sf_dir, "orders")
+    points = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("followup_order"),
+        F.col("o_orderdate").alias("p_date"),
+    )
+    intervals = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("base_order"),
+        F.col("o_orderdate").alias("i_date"),
+    )
+    joined = range_join_buckets(
+        points, intervals, key="custkey", point_ts="p_date",
+        interval_start="i_date", interval_days=90, bucket_days=30,
+    )
+    return joined.filter(F.col("base_order") != F.col("followup_order")).select(
+        "custkey",
+        "base_order",
+        "followup_order",
+        F.datediff(F.col("p_date").cast("date"), F.col("i_date").cast("date"))
+        .cast("int")
+        .alias("gap_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q42 — as-of join (Spark lacks a native one — SURVEY §2.3 notes none
 # in the reference either; this is the canonical scale-path rewrite):
 # each event matched to the latest order of the same user at or before
