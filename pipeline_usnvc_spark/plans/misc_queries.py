@@ -142,6 +142,30 @@ def q19_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q46 — exact percentiles (continuous interpolation): Spark
+# `percentile` and DuckDB `quantile_cont` share the definition and
+# match bit-for-bit (verified empirically before registering).
+# ---------------------------------------------------------------------------
+@query(
+    "q46_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS p50_qty,
+           quantile_cont(l_quantity, 0.9) AS p90_qty,
+           quantile_cont(l_extendedprice, 0.25) AS p25_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q46_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("p50_qty"),
+        F.percentile("l_quantity", 0.9).alias("p90_qty"),
+        F.percentile("l_extendedprice", 0.25).alias("p25_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q26 — JSON functions (reference E9: the stage hand-off serializes
 # rows to JSON and parses them back): from_json with an explicit
 # schema, to_json re-serialization, null on absent key.
