@@ -1,0 +1,106 @@
+"""Property-based tests (SURVEY §5.3): engine expressions checked
+against plain-Python reference semantics on generated inputs, and
+structural invariants of the hierarchy closure on random forests.
+
+Spark round-trips are batched: hypothesis generates the cases, one
+DataFrame evaluates them all, properties assert per-row.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from pipeline_usnvc_spark.functions.text import clean_string, split_flagged_codes, tokens, word_shingles
+
+
+def _py_clean(s: str) -> str:
+    for x, y in [("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">")]:
+        s = s.replace(x, y)
+    return s
+
+
+def _py_tokens(s: str) -> list[str]:
+    return [t for t in re.split(r"[^a-zA-Z0-9]+", s.lower()) if t]
+
+
+# strings assembled from fragments so entity sequences appear often
+TEXT = st.lists(
+    st.sampled_from(list("abcXYZ012 ,?&;<>\t_-") + ["&amp;", "&lt;", "&gt;", "amp;"]),
+    min_size=0,
+    max_size=25,
+).map("".join)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=20))
+def test_clean_string_matches_reference_semantics(spark, cases):
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    out = df.select("s", clean_string(F.col("s")).alias("c")).collect()
+    for r in out:
+        assert r["c"] == _py_clean(r["s"]), r["s"]
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=20))
+def test_tokens_and_shingles_match_python(spark, cases):
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    out = df.select(
+        "s",
+        tokens("s").alias("toks"),
+        word_shingles(tokens("s"), n=3).alias("sh"),
+    ).collect()
+    for r in out:
+        expect_toks = _py_tokens(r["s"])
+        assert list(r["toks"]) == expect_toks, r["s"]
+        expect_sh = [
+            "_".join(expect_toks[i : i + 3]) for i in range(len(expect_toks) - 2)
+        ]
+        assert list(r["sh"]) == expect_sh, r["s"]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["US", "CA", "MX", "XX"]), st.booleans(), st.booleans()),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_split_flagged_codes_property(spark, spec):
+    # build "US, CA?, MX" style lists with optional leading spaces
+    raw = ",".join((" " if lead else "") + code + ("?" if unc else "") for code, unc, lead in spec)
+    df = spark.createDataFrame([(raw,)], "s string")
+    out = df.select(F.explode(split_flagged_codes(F.col("s"))).alias("f")).collect()
+    assert len(out) == len(spec)
+    for r, (code, unc, _lead) in zip(out, spec):
+        assert r["f"]["Abbreviation"] == code
+        assert r["f"]["Uncertainty"] == unc
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.integers(min_value=2, max_value=25), st.integers(min_value=2, max_value=5), st.randoms())
+def test_ancestor_closure_on_random_forest(spark, n, fanout, rnd):
+    from pipeline_usnvc_spark.operators.hierarchy import ancestors
+
+    # random forest: node i's parent is a random earlier node (or root)
+    parents = {}
+    for i in range(n):
+        parents[i] = None if (i == 0 or rnd.random() < 0.2) else rnd.randrange(0, i)
+    edges = spark.createDataFrame(
+        [(i, parents[i]) for i in range(n)], "id bigint, parent_id bigint"
+    )
+    rows = ancestors(edges, "id", "parent_id", max_depth=n + 1).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["id"], {})[r["depth"]] = r["ancestor_id"]
+    for i in range(n):
+        chain = []
+        p = parents[i]
+        while p is not None:
+            chain.append(p)
+            p = parents[p]
+        expect = {d + 1: a for d, a in enumerate(chain)}
+        assert got.get(i, {}) == expect, f"node {i}"
