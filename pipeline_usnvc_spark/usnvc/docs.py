@@ -121,9 +121,8 @@ def build_documents(silver: dict[str, DataFrame], run_timestamp: str | None = No
     obs_parents = _all_cols_struct(silver["obsoleteParents"], "obsoleteparentcode")
 
     # --- hierarchy (G1-G3): closure once for all units ---------------
-    edges = units.select("element_global_id", "parent_id", *[c for c in _HIER_COLS[2:]])
     clos = ancestor_closure(
-        edges.select(F.col("element_global_id").alias("id"), F.col("parent_id")),
+        units.select(F.col("element_global_id").alias("id"), F.col("parent_id")),
         "id",
         "parent_id",
         max_depth=16,
