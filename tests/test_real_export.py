@@ -1,0 +1,52 @@
+"""Schema validation against the real USNVC v2.02 export shipped with
+the reference (16 of 18 files; unit/unitDescription are stripped
+blobs). Headers must match the declared StructTypes column-for-column
+and row counts must match SURVEY §1.3's census — this pins the ingest
+layer to the actual data format, not just the synthetic fixture.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+
+EXPORT_DIR = Path("/root/reference/USNVC v2.02 export 2018-03")
+
+# SURVEY §1.3 census (data rows, excluding header)
+EXPECTED_ROWS = {
+    "d_classif_confidence": 5,
+    "UnitXReference": 74842,
+    "reference": 6874,
+    "unitPredecessor": 30,
+    "unitObsoleteName": 922,
+    "unitObsoleteParent": 34,
+    "UnitXSubnation": 32872,
+    "d_curr_presence_absence": 3,
+    "d_dist_confidence": 7,
+    "d_subnation": 78,
+    "UnitXEcoregionUsfs1994": 46441,
+    "d_usfs_ecoregion1994": 771,
+    "UnitXEcoregionUsfs2007": 16759,
+    "d_usfs_ecoregion2007": 1506,
+    "d_occurrence_status": 6,
+    "UnitXSimilarUnit": 11978,
+}
+
+
+@pytest.mark.skipif(not EXPORT_DIR.exists(), reason="real export not available")
+def test_real_export_headers_and_counts(spark):
+    from pipeline_usnvc_spark.sources.delimited import read_delimited
+    from pipeline_usnvc_spark.usnvc.schemas import EXPORT_SCHEMAS
+
+    spark.conf.set("spark.sql.caseSensitive", "true")
+    for name, expected in EXPECTED_ROWS.items():
+        path = EXPORT_DIR / f"{name}.txt"
+        header = path.read_text(encoding="ISO-8859-1").split("\n", 1)[0].split("\t")
+        schema = EXPORT_SCHEMAS[name]
+        assert header == [f.name for f in schema.fields], name
+        df = read_delimited(spark, str(path), schema)
+        assert df.count() == expected, name
+        # key column parses non-null on every row
+        key = schema.fields[0].name
+        assert df.filter(df[key].isNull()).count() == 0, name
