@@ -142,6 +142,80 @@ def q19_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q47 — fuzzy string matching (edit distance): near-identical part
+# names among a bounded subset — the string-similarity leg of the
+# dedup toolbox (exact int distances, engine-portable).
+# ---------------------------------------------------------------------------
+@query(
+    "q47_levenshtein_pairs",
+    oracle="""
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+    FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+    WHERE a.p_partkey < 100 AND b.p_partkey < 100
+      AND levenshtein(a.p_name, b.p_name) <= 8
+    """,
+)
+def q47_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 100)
+    a = part.select(F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"))
+    b = part.select(F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"))
+    return (
+        a.join(b, F.col("key_a") < F.col("key_b"))
+        .select(
+            "key_a",
+            "key_b",
+            F.levenshtein("name_a", "name_b").cast("int").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 8)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q48 — null-semantics torture: count(col) vs count(*), aggregates
+# over all-null groups, null-safe equality — the SQL-standard corners
+# both engines must agree on.
+# ---------------------------------------------------------------------------
+@query(
+    "q48_null_semantics",
+    oracle="""
+    WITH e AS (
+        SELECT event_type,
+               CASE WHEN value > 50 THEN CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) END AS v,
+               CASE WHEN user_id % 5 = 0 THEN NULL ELSE user_id END AS u
+        FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_rows,
+           CAST(count(v) AS BIGINT) AS n_nonnull,
+           CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+           CASE WHEN count(v) > 0
+                THEN CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(v) AS DOUBLE)
+           END AS avg_v,
+           CAST(count(DISTINCT u) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN u IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_users
+    FROM e GROUP BY event_type
+    """,
+)
+def q48_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.when(F.col("value") > 50, F.col("value").cast("decimal(18,2)").cast("double"))
+    u = F.when(F.col("user_id") % 5 == 0, F.lit(None)).otherwise(F.col("user_id"))
+    e = ev.select("event_type", v.alias("v"), u.alias("u"))
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.count("v").alias("n_nonnull"),
+        F.sum(F.col("v").cast("decimal(18,2)")).cast("double").alias("sum_v"),
+        F.when(
+            F.count("v") > 0,
+            F.sum(F.col("v").cast("decimal(18,2)")).cast("double") / F.count("v").cast("double"),
+        ).alias("avg_v"),
+        F.countDistinct("u").alias("n_users"),
+        F.sum(F.when(F.col("u").isNull(), 1).otherwise(0)).cast("bigint").alias("n_null_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q46 — exact percentiles (continuous interpolation): Spark
 # `percentile` and DuckDB `quantile_cont` share the definition and
 # match bit-for-bit (verified empirically before registering).
