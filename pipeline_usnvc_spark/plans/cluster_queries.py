@@ -74,6 +74,66 @@ def q55_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q56 — the full dedup pipeline verdict: exact stage (fingerprint
+# keeper) then near stage (Jaccard components on exact survivors).
+# survivor_id is the one-hop dedup target (exact keeper, or component
+# min for near-dups, or self). Exact SQL oracle composes the same
+# stages.
+# ---------------------------------------------------------------------------
+@query(
+    "q56_dedup_pipeline",
+    oracle=f"""
+    WITH RECURSIVE fp AS (
+        SELECT doc_id, md5(array_to_string({_TOKS_SQL}, ' ')) AS fp FROM documents
+    ),
+    keeper AS (SELECT fp, min(doc_id) AS exact_keeper FROM fp GROUP BY fp),
+    exact AS (
+        SELECT fp.doc_id, k.exact_keeper, fp.doc_id = k.exact_keeper AS is_exact_keeper
+        FROM fp JOIN keeper k ON fp.fp = k.fp
+    ),
+    survivors AS (SELECT doc_id FROM exact WHERE is_exact_keeper),
+    sh AS (
+        SELECT DISTINCT s.doc_id, t.shingle
+        FROM ({_SHINGLES_SQL}) t JOIN survivors s ON t.doc_id = s.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON inter.id_a = sa.doc_id
+          JOIN sizes sb ON inter.id_b = sb.doc_id
+        WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS x, id_b AS y FROM pairs UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach (x, y) AS (
+        SELECT x, y FROM edges
+        UNION
+        SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+    ),
+    comp AS (SELECT x AS doc_id, least(x, min(y)) AS component FROM reach GROUP BY x)
+    SELECT e.doc_id,
+           CASE WHEN NOT e.is_exact_keeper THEN 'exact_dup'
+                WHEN c.component IS NOT NULL AND c.component <> e.doc_id THEN 'near_dup'
+                ELSE 'kept' END AS verdict,
+           CASE WHEN NOT e.is_exact_keeper THEN e.exact_keeper
+                WHEN c.component IS NOT NULL THEN c.component
+                ELSE e.doc_id END AS survivor_id
+    FROM exact e LEFT JOIN comp c ON e.doc_id = c.doc_id
+    """,
+)
+def q56_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.dedup_pipeline import dedup_corpus
+
+    return dedup_corpus(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # q35 — tf-idf top-3 terms per document. Scores are rounded to 6
 # decimals BEFORE ranking so ordering is deterministic and identical
 # across engines (ln() can differ in the last ulp between libms; at
