@@ -115,6 +115,44 @@ def q32_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q36 — quality-filter pipeline (C4-style corpus gate): keep documents
+# passing token-count / stopword / punctuation thresholds; emit the
+# verdict + failing rule for the audit trail. All-integer/IEEE rules.
+# ---------------------------------------------------------------------------
+@query(
+    "q36_quality_filter",
+    oracle=f"""
+    SELECT doc_id,
+           CASE
+             WHEN n_tokens < 20 THEN 'too_short'
+             WHEN n_tokens > 2000 THEN 'too_long'
+             WHEN punct_ratio > 0.3 THEN 'too_much_punct'
+             ELSE 'kept'
+           END AS verdict
+    FROM (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CASE WHEN length(text) > 0
+                    THEN CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+                    ELSE 0.0 END AS punct_ratio
+        FROM (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
+    )
+    """,
+)
+def q36_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cols = quality_score_cols("text")
+    scored = docs.select("doc_id", cols["n_tokens"].alias("n_tokens"), cols["punct_ratio"].alias("punct_ratio"))
+    verdict = (
+        F.when(F.col("n_tokens") < 20, F.lit("too_short"))
+        .when(F.col("n_tokens") > 2000, F.lit("too_long"))
+        .when(F.col("punct_ratio") > 0.3, F.lit("too_much_punct"))
+        .otherwise(F.lit("kept"))
+    )
+    return scored.select("doc_id", verdict.alias("verdict"))
+
+
+# ---------------------------------------------------------------------------
 # q33 — document fingerprint: md5 over the normalized token stream
 # (the exact-dedup key; scale note in functions/text.py).
 # ---------------------------------------------------------------------------

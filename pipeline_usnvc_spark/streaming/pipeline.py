@@ -77,6 +77,16 @@ def run_stream_to_memory(
     return agg.sparkSession.table(query_name)
 
 
+def streaming_dedup(docs_stream: DataFrame, text_col: str = "text") -> DataFrame:
+    """In-flight exact dedup: fingerprint each arriving document and
+    dropDuplicates on the digest. State holds one 16-byte digest per
+    distinct document ever seen (bounded with a watermark column at
+    scale); duplicates never reach the sink."""
+    from pipeline_usnvc_spark.functions.text import doc_fingerprint
+
+    return docs_stream.withColumn("fp", doc_fingerprint(text_col)).dropDuplicates(["fp"])
+
+
 def stream_documents_foreach_batch(
     docs_builder, out_dir: str, spark: SparkSession, source_stream: DataFrame
 ):

@@ -36,6 +36,29 @@ def test_stateful_sessionize_matches_batch(spark, sf_dir):
     assert len(got) > 0
 
 
+def test_streaming_dedup_drops_duplicates(spark, sf_dir):
+    from pipeline_usnvc_spark.streaming.pipeline import run_stream_to_memory, streaming_dedup
+
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    out = run_stream_to_memory(
+        streaming_dedup(stream), "stream_dedup", output_mode="append"
+    )
+    n_stream = out.count()
+    # batch ground truth: distinct fingerprints
+    from pipeline_usnvc_spark.functions.text import doc_fingerprint
+    from pipeline_usnvc_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_batch = docs.select(doc_fingerprint("text").alias("fp")).distinct().count()
+    assert n_stream == n_batch
+
+
 def test_foreach_batch_doc_emission(spark, sf_dir, tmp_path):
     import json
 
