@@ -1,0 +1,107 @@
+"""Function-surface gauntlets: broad per-function parity packed into
+two oracle-checked queries — the scalar string/math surface and the
+array/higher-order surface. Each output column is one function
+family; a mismatch pinpoints the exact function that diverged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipeline_usnvc_spark.plans.registry import query
+from pipeline_usnvc_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# q49 — scalar string/math gauntlet.
+# ---------------------------------------------------------------------------
+@query(
+    "q49_scalar_gauntlet",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS up,
+           lower(p_brand) AS lo,
+           substring(p_name, 3, 5) AS sub,
+           trim('  ' || p_type || ' ') AS trimmed,
+           lpad(CAST(p_size AS VARCHAR), 5, '0') AS padded,
+           CAST(strpos(p_name, 'a') AS INT) AS pos_a,
+           CAST(length(p_type) AS INT) AS type_len,
+           CAST(abs(p_size - 25) AS INT) AS abs_diff,
+           CAST(ceil(p_retailprice / 100) AS BIGINT) AS price_ceil,
+           CAST(floor(p_retailprice / 100) AS BIGINT) AS price_floor,
+           CAST(p_size % 7 AS INT) AS size_mod,
+           CAST(greatest(p_size, 10) AS INT) AS g10,
+           CAST(least(p_size, 40) AS INT) AS l40,
+           coalesce(nullif(p_brand, 'Brand#1'), '<b1>') AS brand_or,
+           reverse(p_brand) AS rev,
+           repeat(p_brand, 2) AS rep,
+           translate(p_type, 'aeiou', 'AEIOU') AS xlat,
+           concat_ws('|', p_brand, p_type) AS joined
+    FROM part
+    """,
+)
+def q49_scalar_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up"),
+        F.lower("p_brand").alias("lo"),
+        F.substring("p_name", 3, 5).alias("sub"),
+        F.trim(F.concat(F.lit("  "), F.col("p_type"), F.lit(" "))).alias("trimmed"),
+        F.lpad(F.col("p_size").cast("string"), 5, "0").alias("padded"),
+        F.instr(F.col("p_name"), "a").cast("int").alias("pos_a"),
+        F.length("p_type").cast("int").alias("type_len"),
+        F.abs(F.col("p_size") - 25).cast("int").alias("abs_diff"),
+        F.ceil(F.col("p_retailprice") / 100).cast("bigint").alias("price_ceil"),
+        F.floor(F.col("p_retailprice") / 100).cast("bigint").alias("price_floor"),
+        (F.col("p_size") % 7).cast("int").alias("size_mod"),
+        F.greatest(F.col("p_size"), F.lit(10)).cast("int").alias("g10"),
+        F.least(F.col("p_size"), F.lit(40)).cast("int").alias("l40"),
+        F.coalesce(F.nullif(F.col("p_brand"), F.lit("Brand#1")), F.lit("<b1>")).alias("brand_or"),
+        F.reverse("p_brand").alias("rev"),
+        F.repeat("p_brand", 2).alias("rep"),
+        F.translate(F.col("p_type"), "aeiou", "AEIOU").alias("xlat"),
+        F.concat_ws("|", "p_brand", "p_type").alias("joined"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q58 — array / higher-order gauntlet (arrays surfaced as canonical
+# strings so the comparison is representation-stable).
+# ---------------------------------------------------------------------------
+@query(
+    "q58_array_gauntlet",
+    oracle="""
+    SELECT doc_id,
+           array_to_string(list_sort(toks), ',') AS sorted_toks,
+           array_to_string(list_sort(list_distinct(toks)), ',') AS distinct_toks,
+           array_to_string(toks[1:3], ',') AS first3,
+           CAST(len(toks) AS INT) AS n,
+           CASE WHEN list_contains(toks, 'spark') THEN true ELSE false END AS has_spark,
+           array_to_string(list_transform(toks[1:5], t -> upper(t)), ',') AS upper5,
+           array_to_string(list_filter(toks, t -> length(t) > 4), ',') AS long_toks,
+           CAST(list_reduce(list_prepend(0, list_transform(toks, t -> length(t))), (a, b) -> a + b) AS BIGINT) AS total_len
+    FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-zA-Z0-9]+'), t -> t <> '') AS toks
+        FROM documents
+    )
+    """,
+)
+def q58_array_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", tokens("text").alias("toks"))
+    return d.select(
+        "doc_id",
+        F.concat_ws(",", F.sort_array("toks")).alias("sorted_toks"),
+        F.concat_ws(",", F.sort_array(F.array_distinct("toks"))).alias("distinct_toks"),
+        F.concat_ws(",", F.slice("toks", 1, 3)).alias("first3"),
+        F.size("toks").cast("int").alias("n"),
+        F.array_contains("toks", "spark").alias("has_spark"),
+        F.concat_ws(",", F.transform(F.slice("toks", 1, 5), lambda t: F.upper(t))).alias("upper5"),
+        F.concat_ws(",", F.filter("toks", lambda t: F.length(t) > 4)).alias("long_toks"),
+        F.aggregate("toks", F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)).alias("total_len"),
+    )
