@@ -24,12 +24,19 @@ def read_delimited(
     encoding: str = "ISO-8859-1",
     header: bool = True,
     mode: str = "PERMISSIVE",
+    multiline: bool = False,
 ) -> DataFrame:
     """Schema'd delimited-text scan (reference S2, usnvc.py:109-118).
 
     ``mode=PERMISSIVE`` keeps malformed rows as nulls rather than
     failing the job; callers that need a quarantine channel add a
     ``_corrupt_record`` column to the schema.
+
+    ``multiline`` parses quoted fields containing embedded newlines
+    (pandas' default behavior, needed for rich-text columns) at the
+    cost of file splittability — each file becomes one input split,
+    so reserve it for tables whose values actually span lines and
+    keep large bridge/fact files line-oriented and splittable.
     """
     return (
         spark.read.options(
@@ -37,7 +44,7 @@ def read_delimited(
             encoding=encoding,
             header=str(header).lower(),
             mode=mode,
-            # Multi-line quoted fields appear in rich-text columns.
+            multiLine=str(multiline).lower(),
             quote='"',
             escape='"',
         )

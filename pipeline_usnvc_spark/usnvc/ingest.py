@@ -31,8 +31,17 @@ def read_export(spark: SparkSession, export_dir: str) -> dict[str, DataFrame]:
     into nested records like pandas merge keeps them (SURVEY §7.4.4).
     """
     spark.conf.set("spark.sql.caseSensitive", "true")
+    # Rich-text tables may carry quoted embedded newlines (pandas
+    # parses those by default); they get multiline parsing. The large
+    # bridge files stay line-oriented and splittable.
+    multiline_tables = {"unit", "unitDescription"}
     return {
-        name: read_delimited(spark, f"{export_dir}/{name}.txt", schema)
+        name: read_delimited(
+            spark,
+            f"{export_dir}/{name}.txt",
+            schema,
+            multiline=name in multiline_tables,
+        )
         for name, schema in EXPORT_SCHEMAS.items()
     }
 
