@@ -153,6 +153,38 @@ def q36_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q37 — deterministic train/eval split: hash-based assignment
+# (md5-derived bucket 0-99 → 80/10/10) is reproducible across runs and
+# engines, unlike Bernoulli sampling — the way a training pipeline
+# pins its splits. Keyed on the content fingerprint, not the id, so
+# exact duplicates land in the same split (no train/eval leakage).
+# ---------------------------------------------------------------------------
+@query(
+    "q37_train_eval_split",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(md5(array_to_string({_TOKS_SQL}, ' '))), 1, 8) AS BIGINT) % 100 AS bucket
+        FROM documents
+    )
+    """,
+)
+def q37_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(doc_fingerprint("text")), 1, 8), 16, 10).cast("bigint") % 100
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select("doc_id", split.alias("split"))
+
+
+# ---------------------------------------------------------------------------
 # q33 — document fingerprint: md5 over the normalized token stream
 # (the exact-dedup key; scale note in functions/text.py).
 # ---------------------------------------------------------------------------
