@@ -1,0 +1,127 @@
+"""Change-data-capture / funnel patterns: MERGE-less SCD2 versioning
+(anti-join + union + window — the guide's canonical emulation when no
+Delta/Iceberg table format is on the classpath) and ordered-sequence
+funnel analysis over sessionized events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from pipeline_usnvc_spark.plans.registry import query
+from pipeline_usnvc_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# q90 — SCD2 history: a deterministic update set (every 10th order
+# flips status and gains 100) versioned against the base — version 1
+# rows closed by the update, version 2 rows current. No MERGE INTO
+# needed: union of (closed old rows) + (updated rows) + (untouched).
+# ---------------------------------------------------------------------------
+@query(
+    "q90_scd2_history",
+    oracle="""
+    WITH updates AS (
+        SELECT o_orderkey, 'X' AS new_status,
+               CAST(CAST(o_totalprice + 100 AS DECIMAL(18,2)) AS DOUBLE) AS new_price
+        FROM orders WHERE o_orderkey % 10 = 0
+    )
+    SELECT o.o_orderkey, 1 AS version, o.o_orderstatus AS status,
+           CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+           CASE WHEN u.o_orderkey IS NULL THEN true ELSE false END AS is_current
+    FROM orders o LEFT JOIN updates u ON o.o_orderkey = u.o_orderkey
+    UNION ALL
+    SELECT o_orderkey, 2 AS version, new_status AS status, new_price AS price, true AS is_current
+    FROM updates
+    """,
+)
+def q90_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    updates = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("new_status"),
+        (F.col("o_totalprice") + 100).cast("decimal(18,2)").cast("double").alias("new_price"),
+    )
+    v1 = orders.join(updates.select("o_orderkey", F.lit(True).alias("_upd")), "o_orderkey", "left").select(
+        "o_orderkey",
+        F.lit(1).alias("version"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("price"),
+        F.coalesce(~F.col("_upd"), F.lit(True)).alias("is_current"),
+    )
+    v2 = updates.select(
+        "o_orderkey",
+        F.lit(2).alias("version"),
+        F.col("new_status").alias("status"),
+        F.col("new_price").alias("price"),
+        F.lit(True).alias("is_current"),
+    )
+    return v1.unionByName(v2)
+
+
+# ---------------------------------------------------------------------------
+# q91 — funnel analysis: the ordered event-type path of each session
+# (sessionization as in q40) and how many sessions reach a purchase
+# after a click.
+# ---------------------------------------------------------------------------
+@query(
+    "q91_session_funnel",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        FROM flagged
+    ),
+    paths AS (
+        SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM sessions GROUP BY user_id, session_idx
+    )
+    SELECT user_id, session_idx, path,
+           CASE WHEN path LIKE '%click%purchase%' THEN true ELSE false END AS converted
+    FROM paths
+    """,
+)
+def q91_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > 1800 * 1_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sess = ev.withColumn(
+        "session_idx",
+        F.sum(is_new).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).cast("bigint"),
+    )
+    paths = (
+        sess.groupBy("user_id", "session_idx")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.struct("ts", "event_id").alias("_o"), F.col("event_type").alias("_t")))
+                    ),
+                    lambda s: s["_t"],
+                ),
+            ).alias("path")
+        )
+    )
+    return paths.select(
+        "user_id",
+        "session_idx",
+        "path",
+        F.col("path").rlike("click.*purchase").alias("converted"),
+    )
