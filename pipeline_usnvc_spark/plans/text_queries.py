@@ -153,6 +153,51 @@ def q36_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q38 — per-source corpus statistics: token Shannon entropy (diversity
+# signal for source weighting). Probabilities are exact int ratios;
+# ln() results rounded to 6 dp before the (order-insensitive) sum —
+# summation runs over DISTINCT terms via a deterministic formulation:
+# entropy = ln(N) - sum(c*ln(c))/N, each ln rounded, both engines
+# computing the identical rounded values.
+# ---------------------------------------------------------------------------
+@query(
+    "q38_source_entropy",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, unnest({_TOKS_SQL}) AS term FROM documents
+    ),
+    counts AS (SELECT source, term, count(*) AS c FROM tok GROUP BY source, term),
+    totals AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY source)
+    SELECT c.source,
+           t.n AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct_terms,
+           round(ln(CAST(t.n AS DOUBLE)) - sum(round(CAST(c.c AS DOUBLE) * ln(CAST(c.c AS DOUBLE)), 6)) / CAST(t.n AS DOUBLE), 4) AS entropy
+    FROM counts c JOIN totals t ON c.source = t.source
+    GROUP BY c.source, t.n
+    """,
+)
+def q38_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens("text")).alias("term"))
+    counts = tok.groupBy("source", "term").agg(F.count("*").alias("c"))
+    totals = counts.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    joined = counts.join(totals, "source")
+    return joined.groupBy("source", "n").agg(
+        F.count("*").cast("bigint").alias("n_distinct_terms"),
+        F.round(
+            F.log(F.col("n").cast("double"))
+            - F.sum(F.round(F.col("c").cast("double") * F.log(F.col("c").cast("double")), 6))
+            / F.col("n").cast("double"),
+            4,
+        ).alias("entropy"),
+    ).select(
+        "source", F.col("n").alias("n_tokens"), "n_distinct_terms", "entropy"
+    )
+
+
+# ---------------------------------------------------------------------------
 # q37 — deterministic train/eval split: hash-based assignment
 # (md5-derived bucket 0-99 → 80/10/10) is reproducible across runs and
 # engines, unlike Bernoulli sampling — the way a training pipeline

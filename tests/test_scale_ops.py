@@ -28,6 +28,34 @@ def test_salted_join_equals_direct(spark, sf_dir):
     assert direct == salted
 
 
+def test_doc_pipeline_survives_parent_cycle(spark, tmp_path):
+    # Corrupt data with a parent cycle would hang the reference's
+    # while-loop walk (usnvc.py:511-515); the closure's depth bound
+    # must keep the doc pipeline terminating and emitting every unit.
+    import json
+
+    from tests.usnvc_fixture import TABLES, write_fixture
+    from pipeline_usnvc_spark.usnvc.ingest import build_silver, read_export
+    from pipeline_usnvc_spark.usnvc.docs import build_documents
+
+    export = write_fixture(tmp_path / "cyclic")
+    unit_cols, unit_rows = TABLES["unit"]
+    rows = [list(r) for r in unit_rows]
+    for r in rows:
+        if r[0] == "100":
+            r[1] = "114"  # root 100 now points at its own descendant
+    path = export / "unit.txt"
+    path.write_text(
+        "\n".join(["\t".join(unit_cols)] + ["\t".join(r) for r in rows]) + "\n",
+        encoding="ISO-8859-1",
+    )
+    docs = build_documents(build_silver(read_export(spark, str(export))), "2026-01-01T00:00:00")
+    rows_out = {r["row_id"]: json.loads(r["source_data"]) for r in docs.collect()}
+    # every unit still emits exactly once; cyclic ancestors are bounded
+    assert {k for k in rows_out if k != "0"} == {"100", "110", "111", "112", "113", "114", "200", "210"}
+    assert len(rows_out["114"]["ancestors"]) <= 16 * 2
+
+
 def test_hierarchy_closure_cycle_safety(spark):
     # A cycle would hang the reference's while-loop; the closure's
     # max_depth bound must terminate and not blow up.
