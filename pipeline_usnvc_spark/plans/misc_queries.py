@@ -142,6 +142,40 @@ def q19_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q27 — subquery surface through the SQL API: correlated EXISTS,
+# NOT IN, and a scalar subquery in one statement (Catalyst rewrites
+# them to semi/anti joins — same plans as q15's DataFrame forms).
+# ---------------------------------------------------------------------------
+@query(
+    "q27_subqueries_sql",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment,
+           CASE WHEN EXISTS (SELECT 1 FROM orders o
+                             WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+                THEN 'big_spender' ELSE 'regular' END AS tier,
+           CAST(c.c_acctbal > (SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) FROM customer c2) AS BOOLEAN) AS above_avg_bal
+    FROM customer c
+    WHERE c.c_custkey NOT IN (SELECT s.s_suppkey FROM supplier s)
+    """,
+)
+def q27_subqueries_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("q27_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("q27_orders")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("q27_supplier")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment,
+               CASE WHEN EXISTS (SELECT 1 FROM q27_orders o
+                                 WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+                    THEN 'big_spender' ELSE 'regular' END AS tier,
+               CAST(c.c_acctbal > (SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) FROM q27_customer c2) AS BOOLEAN) AS above_avg_bal
+        FROM q27_customer c
+        WHERE c.c_custkey NOT IN (SELECT s.s_suppkey FROM q27_supplier s)
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # q47 — fuzzy string matching (edit distance): near-identical part
 # names among a bounded subset — the string-similarity leg of the
 # dedup toolbox (exact int distances, engine-portable).
