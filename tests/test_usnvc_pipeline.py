@@ -156,6 +156,18 @@ def test_cached_hierarchy_display_order_from_confidence_dim(docs_by_id):
     assert self_rec["DISPLAY_ORDER"] == "1"  # confidence id 1 → display order 1
 
 
+def test_observed_write_metrics(spark, export_dir, tmp_path, docs_by_id):
+    from pipeline_usnvc_spark.usnvc.ingest import build_silver, read_export
+    from pipeline_usnvc_spark.usnvc.docs import build_documents
+    from pipeline_usnvc_spark.usnvc.ledger import observed_write
+
+    docs = build_documents(build_silver(read_export(spark, export_dir)), "2026-01-01T00:00:00")
+    metrics = observed_write(docs, str(tmp_path / "obs_out"))
+    assert metrics["n_docs"] == len(UNIT_IDS) + 1
+    assert metrics["n_null_ids"] == 0
+    assert metrics["payload_bytes"] > 1000
+
+
 def test_sink_roundtrip(spark, export_dir, tmp_path, docs_by_id):
     from pipeline_usnvc_spark.usnvc.ingest import build_silver, read_export
     from pipeline_usnvc_spark.usnvc.docs import build_documents
