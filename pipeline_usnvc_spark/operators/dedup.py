@@ -167,14 +167,30 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.1,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for candidate pairs sharing ≥1 shingle.
 
     Exact Jaccard on distinct shingle sets via inverted-index
     self-join: |A∩B| from the join, |A|,|B| from per-doc counts.
     The double division is int/int → IEEE-identical across engines.
+
+    ``max_doc_freq`` drops shingles appearing in more than that many
+    documents BEFORE the self-join — the stop-shingle cap that bounds
+    join fan-out at corpus scale (a boilerplate shingle shared by 1M
+    docs would otherwise produce 10^12 candidate rows). This changes
+    the Jaccard denominator (capped shingles leave both sets), so it
+    is an approximation knob: None = exact.
     """
     sh = shingle_table(docs, id_col, text_col, shingle_n).distinct()
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

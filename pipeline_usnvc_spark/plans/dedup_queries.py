@@ -117,6 +117,56 @@ def q53_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q57 — span-level dedup: fixed 20-token chunks hashed and grouped —
+# finds boilerplate/duplicated spans ACROSS documents even when whole
+# documents differ (the paragraph-granularity pass of a corpus dedup).
+# ---------------------------------------------------------------------------
+@query(
+    "q57_span_dedup",
+    oracle=f"""
+    WITH chunks AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, CAST(ceil(len(toks) / 20.0) AS BIGINT) + 1),
+                                     i -> md5(array_to_string(toks[(i-1)*20+1 : i*20], ' ')))) AS chunk_hash
+        FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+        WHERE len(toks) > 0
+    )
+    SELECT chunk_hash,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           count(*) AS n_occurrences
+    FROM chunks GROUP BY chunk_hash
+    HAVING count(DISTINCT doc_id) > 1
+    """,
+)
+def q57_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pipeline_usnvc_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("toks")).filter(F.size("toks") > 0)
+    n_chunks = F.ceil(F.size("toks") / 20.0).cast("bigint")
+    chunk = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1).cast("bigint"), n_chunks),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice("toks", ((i - 1) * 20 + 1).cast("int"), F.lit(20)))
+                ),
+            )
+        ).alias("chunk_hash"),
+    )
+    return (
+        chunk.groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
 # q54 — exact n-gram Jaccard for pairs sharing ≥1 shingle.
 # ---------------------------------------------------------------------------
 @query(

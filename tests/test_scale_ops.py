@@ -56,6 +56,20 @@ def test_doc_pipeline_survives_parent_cycle(spark, tmp_path):
     assert len(rows_out["114"]["ancestors"]) <= 16 * 2
 
 
+def test_jaccard_doc_freq_cap(spark, sf_dir):
+    # a cap higher than any shingle's doc frequency is a no-op; a tiny
+    # cap prunes candidates (the 100TB fan-out bound).
+    from pipeline_usnvc_spark.operators.dedup import ngram_jaccard_pairs
+    from pipeline_usnvc_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(docs, threshold=0.1)
+    capped_loose = ngram_jaccard_pairs(docs, threshold=0.1, max_doc_freq=10_000_000)
+    assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, capped_loose.collect()))
+    capped_tight = ngram_jaccard_pairs(docs, threshold=0.1, max_doc_freq=1)
+    assert capped_tight.count() <= exact.count()
+
+
 def test_hierarchy_closure_cycle_safety(spark):
     # A cycle would hang the reference's while-loop; the closure's
     # max_depth bound must terminate and not blow up.
