@@ -32,11 +32,14 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    metric: str = "cosine",
 ) -> DataFrame:
-    """Exact cosine top-k: (query_id, neighbor_id, rank, sim).
+    """Exact top-k: (query_id, neighbor_id, rank, sim).
 
     ``queries`` must be small (it is broadcast against the corpus).
-    Deterministic tie-break on neighbor id.
+    Deterministic tie-break on neighbor id. ``metric`` is ``cosine``
+    (descending similarity) or ``l2`` (ascending squared distance,
+    reported negated in ``sim`` so the rank ordering reads the same).
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("q_vec")
@@ -44,13 +47,19 @@ def brute_force_topk(
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("v_vec")
     )
+    if metric == "cosine":
+        score = cosine_similarity(F.col("q_vec"), F.col("v_vec"))
+    elif metric == "l2":
+        score = -F.aggregate(
+            F.zip_with(F.col("q_vec"), F.col("v_vec"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
     scored = (
         v.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_similarity(F.col("q_vec"), F.col("v_vec")).alias("sim"),
-        )
+        .select("query_id", "neighbor_id", score.alias("sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -205,6 +214,198 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def _bucket_and_margins(
+    df: DataFrame,
+    planes: list[list[float]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, v, bucket, margins) — sign-bit bucket plus the signed
+    distance to every hyperplane. ``margins[p]`` near zero means the
+    vector sits close to plane p's boundary, i.e. flipping bit p is the
+    most promising extra probe (classic multi-probe LSH, Lv et al.
+    VLDB'07)."""
+    v = df.select(F.col(id_col), to_double_array(vec_col).alias("v"))
+    bucket = F.lit(0).cast("bigint")
+    margin_cols = []
+    for p, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(x) for x in plane])
+        d = F.aggregate(
+            F.zip_with(F.col("v"), plane_col, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(d > 0, F.lit(2**p).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        margin_cols.append(d)
+    return v.select(
+        id_col,
+        "v",
+        bucket.alias("bucket"),
+        F.array(*margin_cols).alias("margins"),
+    )
+
+
+def multiprobe_lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe LSH top-k: each query probes its own bucket plus the
+    ``nprobe - 1`` buckets reached by flipping the sign bits with the
+    smallest |margin| (the planes it sits closest to). Recovers most of
+    the recall lost to bucket-boundary splits without adding planes —
+    the candidate join stays an equi-join on bucket id, with candidate
+    volume multiplied by nprobe instead of the corpus being re-hashed.
+
+    At 100 TB: the corpus-side bucket table is computed once (and can
+    be bucketed-by on write); only the tiny query side explodes
+    nprobe ways before the join.
+    """
+    planes = _hyperplane(n_planes, 64)
+    vb = _bucket_and_margins(vectors, planes, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "bucket", F.col("v").alias("v_vec")
+    )
+    qb = _bucket_and_margins(queries, planes, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), "bucket", "margins", F.col("v").alias("q_vec")
+    )
+    # Rank planes by |margin| ascending; probe buckets = self + flips of
+    # the (nprobe-1) closest planes. All plan-literal expressions.
+    ranked_flips = F.transform(
+        F.array_sort(
+            F.transform(
+                F.col("margins"),
+                lambda m, i: F.struct(
+                    F.abs(m).alias("am"),
+                    F.pow(F.lit(2.0), i.cast("double")).cast("bigint").alias("mask"),
+                ),
+            )
+        ),
+        lambda s: s["mask"],
+    )
+    probe_buckets = F.concat(
+        F.array(F.col("bucket")),
+        F.transform(
+            F.slice(ranked_flips, 1, nprobe - 1),
+            lambda mask: F.col("bucket").bitwiseXOR(mask),
+        ),
+    )
+    q_probes = qb.select(
+        "query_id", "q_vec", F.explode(probe_buckets).alias("bucket")
+    )
+    scored = (
+        q_probes.join(vb, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("q_vec"), F.col("v_vec")).alias("sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def pq_codebooks(
+    vectors: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: the vector space is split into
+    ``m`` contiguous subspaces of dim/m dims; each gets its own k-means
+    codebook of ``ksub`` centroids (Jégou et al., TPAMI'11). Learned
+    with the same deterministic Lloyd's iterations as the IVF coarse
+    quantizer — subspace training runs on sliced columns, the corpus
+    never leaves the executors."""
+    dsub = dim // m
+    books = []
+    for j in range(m):
+        sub = vectors.select(
+            F.col(id_col),
+            F.slice(to_double_array(vec_col), j * dsub + 1, dsub).alias("sub"),
+        )
+        books.append(kmeans_centroids(sub, k=ksub, iters=iters, id_col=id_col, vec_col="sub"))
+    return books
+
+
+def pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 16,
+    ksub: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ approximate top-k by asymmetric distance (ADC):
+    (query_id, neighbor_id, rank, approx_dist).
+
+    The corpus is encoded once into ``m`` byte-sized codes (m=16 bytes
+    per vector vs 256 bytes of raw float32 — the 100 TB story: the
+    scored representation is ~16× smaller than the embeddings, so the
+    scan is ~16× cheaper and the codes table fits where the raw
+    vectors never would). Each query builds an m×ksub distance table
+    (plan-literal folds); scoring is ``m`` array lookups + adds per
+    candidate — no per-candidate vector math at all.
+    """
+    dsub = dim // m
+    books = pq_codebooks(vectors, m, ksub, iters, dim, id_col, vec_col)
+    # Encode corpus: nearest sub-centroid index per subspace.
+    v = vectors.select(F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("v"))
+    code_cols = [
+        _nearest_centroid(F.slice(F.col("v"), j * dsub + 1, dsub), books[j]).alias(f"c{j}")
+        for j in range(m)
+    ]
+    v_codes = v.select("neighbor_id", *code_cols)
+    # Query-side ADC tables: distance from the query subvector to every
+    # sub-centroid, one literal array per subspace.
+    q = queries.select(F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("q"))
+    dtable_cols = []
+    for j in range(m):
+        qsub = F.slice(F.col("q"), j * dsub + 1, dsub)
+        dists = []
+        for c in books[j]:
+            c_col = F.array(*[F.lit(x) for x in c])
+            dists.append(
+                F.aggregate(
+                    F.zip_with(qsub, c_col, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+        dtable_cols.append(F.array(*dists).alias(f"t{j}"))
+    q_tables = q.select("query_id", *dtable_cols)
+    approx = sum(
+        F.element_at(F.col(f"t{j}"), F.col(f"c{j}").cast("int") + 1) for j in range(m)
+    )
+    scored = (
+        v_codes.join(F.broadcast(q_tables), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", approx.alias("approx_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("approx_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "approx_dist")
     )
 
 

@@ -113,3 +113,31 @@ def q63_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return ivf_topk(emb, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# q64 — multi-probe LSH top-k: probe own bucket plus flips of the
+# closest hyperplanes (rows-only; recall vs single-probe asserted in
+# tests/test_multimodal.py).
+# ---------------------------------------------------------------------------
+@query("q64_multiprobe_lsh_topk")
+def q64_multiprobe_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.similarity import multiprobe_lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return multiprobe_lsh_topk(emb, queries, k=5, n_planes=4, nprobe=5)
+
+
+# ---------------------------------------------------------------------------
+# q65 — product-quantization top-k by asymmetric distance: corpus
+# encoded to m=4 sub-codes, queries score via per-subspace distance
+# tables (rows-only; recall vs exact L2 asserted in tests).
+# ---------------------------------------------------------------------------
+@query("q65_pq_topk")
+def q65_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return pq_topk(emb, queries, k=5)
