@@ -105,3 +105,38 @@ def q58_array_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", F.filter("toks", lambda t: F.length(t) > 4)).alias("long_toks"),
         F.aggregate("toks", F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)).alias("total_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q59 — regexp gauntlet: extract / extract-all / replace-all / match /
+# count / split / split_part on the ASCII `part` columns. One column
+# per function family — a hash mismatch pinpoints the divergent one.
+# (Spark regexp_replace is replace-all by default; DuckDB needs the
+# 'g' flag — that asymmetry is exactly what the oracle pins down.)
+# ---------------------------------------------------------------------------
+@query(
+    "q59_regexp_gauntlet",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+           regexp_extract_all(p_name, '[a-z]+') AS all_words,
+           regexp_replace(p_type, '[aeiou]', '*', 'g') AS starred,
+           regexp_matches(p_name, 'a') AS has_a,
+           CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INT) AS n_vowels,
+           split_part(p_type, ' ', 1) AS first_token,
+           string_split(p_type, ' ') AS tokens
+    FROM part
+    """,
+)
+def q59_regexp_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.regexp_extract_all("p_name", F.lit("[a-z]+"), 0).alias("all_words"),
+        F.regexp_replace("p_type", "[aeiou]", "*").alias("starred"),
+        F.col("p_name").rlike("a").alias("has_a"),
+        F.regexp_count("p_name", F.lit("[aeiou]")).cast("int").alias("n_vowels"),
+        F.substring_index("p_type", " ", 1).alias("first_token"),
+        F.split("p_type", " ").alias("tokens"),
+    )

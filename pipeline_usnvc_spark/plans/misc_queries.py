@@ -364,3 +364,39 @@ def q80_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = read_event_stream(spark, sf_dir)
     return run_stream_to_memory(hourly_counts(stream), "q80_streaming_hourly")
+
+
+# ---------------------------------------------------------------------------
+# q29 — full outer join: daily order counts vs daily event counts.
+# The two fact tables cover different date ranges, so both sides
+# contribute unmatched rows — exercises null-producing outer sides in
+# one plan (SortMergeJoin FullOuter; no broadcast for full outer).
+# ---------------------------------------------------------------------------
+@query(
+    "q29_full_outer_join",
+    oracle="""
+    WITH o AS (
+        SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n_orders
+        FROM orders GROUP BY 1
+    ),
+    e AS (
+        SELECT CAST(ts AS DATE) AS d, count(*) AS n_events
+        FROM events GROUP BY 1
+    )
+    SELECT strftime(coalesce(o.d, e.d), '%Y-%m-%d') AS d,
+           o.n_orders AS n_orders, e.n_events AS n_events
+    FROM o FULL OUTER JOIN e ON o.d = e.d
+    """,
+)
+def q29_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    o = orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.count("*").alias("n_orders")
+    )
+    e = events.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count("*").alias("n_events")
+    )
+    return o.join(e, "d", "full_outer").select(
+        F.date_format("d", "yyyy-MM-dd").alias("d"), "n_orders", "n_events"
+    )

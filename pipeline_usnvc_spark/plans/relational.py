@@ -433,3 +433,38 @@ def q14_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "status",
         *[F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c) for c in ("high", "medium", "low")],
     )
+
+
+# ---------------------------------------------------------------------------
+# q28 — GROUPING SETS with grouping() indicators: three explicit
+# aggregation levels in one pass (Expand + single shuffle — at scale
+# this beats three separate groupBys unioned, which would scan the
+# fact table three times).
+# ---------------------------------------------------------------------------
+@query(
+    "q28_grouping_sets",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           CAST(grouping(o_orderstatus) AS INT) AS g_status,
+           CAST(grouping(o_orderstatus, o_orderpriority) AS INT) AS gid,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def q28_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("q28_orders")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS gid,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM q28_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """
+    )

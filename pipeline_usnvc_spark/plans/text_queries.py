@@ -243,3 +243,36 @@ def q37_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q33_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# q39 — deterministic stratified sampling: per-language keep rates
+# (upsample low-resource languages), keyed on md5(doc_id) so the
+# sample is reproducible across runs/engines — the set-based stand-in
+# for sampleBy() that a training-data pipeline can re-run idempotently
+# at 100 TB (no RNG state, embarrassingly parallel, no shuffle).
+# ---------------------------------------------------------------------------
+_STRATA_RATES = {"en": 10, "fr": 30, "de": 50, "es": 70, "zh": 100}
+
+
+@query(
+    "q39_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket
+        FROM documents
+    )
+    WHERE bucket < CASE lang {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _STRATA_RATES.items())} ELSE 0 END
+    """,
+)
+def q39_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("bigint")
+        % 100
+    )
+    rate = F.lit(0)
+    for lang, pct in _STRATA_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)
+    return docs.filter(bucket < rate).select("doc_id", "lang")
