@@ -400,3 +400,52 @@ def q29_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.join(e, "d", "full_outer").select(
         F.date_format("d", "yyyy-MM-dd").alias("d"), "n_orders", "n_events"
     )
+
+
+# ---------------------------------------------------------------------------
+# q82 — incremental view maintenance: the events table is replayed as
+# a 3-micro-batch file stream whose foreachBatch upserts a bucketed,
+# versioned parquet latest-state store (streaming/ivm.py). The
+# returned DataFrame is the store's final materialized view — and it
+# hash-matches the one-shot batch argmax oracle exactly, which is the
+# IVM contract: incremental == recompute.
+# ---------------------------------------------------------------------------
+@query(
+    "q82_incremental_upsert",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q82_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pipeline_usnvc_spark.streaming.ivm import LatestStateStore
+
+    events = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="ivm_q82_")
+    src, state, ckpt = f"{tmp}/src", f"{tmp}/state", f"{tmp}/ckpt"
+    os.makedirs(src)
+    # Three deterministic slices → three micro-batches (one file each).
+    for i in range(3):
+        slice_dir = f"{tmp}/slice{i}"
+        events.filter(F.col("event_id") % 3 == i).coalesce(1).write.parquet(slice_dir)
+        part = glob.glob(f"{slice_dir}/part-*.parquet")[0]
+        os.rename(part, f"{src}/slice{i}.parquet")
+        shutil.rmtree(slice_dir)
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    store = LatestStateStore(state, key_col="user_id", seq_cols=["ts", "event_id"])
+    q = store.sink(stream).option("checkpointLocation", ckpt).start()
+    q.awaitTermination()
+    return store.read_state(spark)

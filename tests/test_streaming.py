@@ -88,3 +88,56 @@ def test_foreach_batch_doc_emission(spark, sf_dir, tmp_path):
             lines += [l for l in p.read_text().splitlines() if l]
     docs = [json.loads(l) for l in lines]
     assert docs and all(set(d) == {"row_id", "source_data"} for d in docs)
+
+
+def test_ivm_stream_equals_batch_recompute(spark, sf_dir):
+    """The q82 contract run directly: incremental upserts across
+    micro-batches produce exactly the batch argmax state."""
+    from pipeline_usnvc_spark.plans import QUERIES
+    from pipeline_usnvc_spark.sources.tables import load_table
+    from pipeline_usnvc_spark.streaming.ivm import batch_latest_state
+
+    state = QUERIES["q82_incremental_upsert"](spark, sf_dir)
+    expected = batch_latest_state(
+        load_table(spark, sf_dir, "events"), "user_id", ["ts", "event_id"]
+    )
+    got = sorted(map(tuple, state.select(sorted(state.columns)).collect()))
+    want = sorted(map(tuple, expected.select(sorted(expected.columns)).collect()))
+    assert got == want
+    assert len(got) > 0
+
+
+def test_ivm_partial_bucket_rewrite(spark, sf_dir, tmp_path):
+    """Bucket-aligned batches must rewrite only their own buckets: the
+    manifest ends up pointing different buckets at different epochs."""
+    import json
+
+    from pyspark.sql import functions as F
+    from pipeline_usnvc_spark.sources.tables import load_table
+    from pipeline_usnvc_spark.streaming.ivm import LatestStateStore, batch_latest_state
+
+    events = load_table(spark, sf_dir, "events")
+    store = LatestStateStore(str(tmp_path / "state"), "user_id", ["ts", "event_id"], n_buckets=8)
+    bucket = F.pmod(F.xxhash64(F.col("user_id")), F.lit(8)).cast("int")
+    # epoch 0: all buckets; epoch 1: only buckets 0-3; epoch 2: only bucket 0
+    store.upsert(events.filter(F.col("event_id") % 2 == 0), epoch_id=0)
+    store.upsert(
+        events.filter((F.col("event_id") % 2 == 1) & (bucket <= 3)), epoch_id=1
+    )
+    store.upsert(
+        events.filter((F.col("event_id") % 2 == 1) & (bucket == 0)), epoch_id=2
+    )
+    manifest = json.loads((tmp_path / "state" / "_MANIFEST.json").read_text())
+    assert manifest["0"] == "epoch=2"
+    assert all(manifest[str(b)] == "epoch=1" for b in (1, 2, 3))
+    assert all(manifest[str(b)] == "epoch=0" for b in (4, 5, 6, 7))
+    # and the merged view is still exactly the batch recompute over
+    # everything that was ever upserted
+    upserted = events.filter(
+        (F.col("event_id") % 2 == 0) | (bucket <= 3)
+    )
+    expected = batch_latest_state(upserted, "user_id", ["ts", "event_id"])
+    state = store.read_state(spark)
+    got = sorted(map(tuple, state.select(sorted(state.columns)).collect()))
+    want = sorted(map(tuple, expected.select(sorted(expected.columns)).collect()))
+    assert got == want
