@@ -285,3 +285,19 @@ def test_reference_parity(docs_by_id, export_dir):
         with pytest.raises((TypeError, AttributeError)):
             ref.process_usnvc(export_dir, context, {"index": 0, "row": row.to_json()})
         assert crashing in docs_by_id
+
+
+# ---------------------------------------------------------------------------
+# Golden-file snapshot: the fixture docs compared against a checked-in
+# JSON snapshot (tests/golden/usnvc_docs.json). Unlike the live
+# reference parity test above, this guards regressions even where
+# /root/reference is unavailable, and pins the exact emitted bytes
+# (key set, nesting, entity handling, ordering) reviewed at check-in.
+# ---------------------------------------------------------------------------
+def test_golden_docs_snapshot(docs_by_id):
+    golden_path = Path(__file__).parent / "golden" / "usnvc_docs.json"
+    golden = json.loads(golden_path.read_text())
+    assert set(docs_by_id) == set(golden)
+    for row_id, want in golden.items():
+        got = docs_by_id[row_id]
+        assert got == want, f"doc {row_id} diverged from golden snapshot"
