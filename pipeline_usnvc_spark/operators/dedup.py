@@ -141,24 +141,25 @@ def simhash(
         id_col,
         F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint").alias("h"),
     )
-    bit = hashed.select(
-        id_col,
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-    )
-    votes = (
-        bit.groupBy(id_col, "bit")
-        .agg(
-            F.sum(
-                F.when(F.expr("(shiftright(h, bit) & 1) = 1"), F.lit(1)).otherwise(F.lit(-1))
-            ).alias("vote")
-        )
-    )
-    return votes.groupBy(id_col).agg(
+    # All ``bits`` votes as independent aggregate expressions in ONE
+    # groupBy: no bits× row explosion and a single shuffle (the
+    # exploded two-shuffle formulation was 3× slower at sf0.1 and
+    # multiplies shuffle volume by ``bits`` at 100 TB). Partial
+    # aggregation makes the map side emit one 32-long row per doc.
+    votes = [
         F.sum(
-            F.when(F.col("vote") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")).otherwise(F.lit(0).cast("bigint"))
-        ).alias("simhash")
-    )
+            F.when(F.expr(f"(shiftright(h, {b}) & 1) = 1"), F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    per_doc = hashed.groupBy(id_col).agg(*votes)
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sim = term if sim is None else sim + term
+    return per_doc.select(id_col, sim.alias("simhash"))
 
 
 def ngram_jaccard_pairs(
@@ -191,6 +192,12 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(rare, "shingle")
+    # The three consumers of ``sh`` (both self-join sides + sizes)
+    # share Catalyst's ReusedExchange, so the shingle table shuffles
+    # once. Measured against a join-free postings/explode formulation
+    # at sf0.1: self-join 3.3s vs postings 3.4-3.7s — the hash join
+    # beats per-row quadratic array explosion, and AQE handles hot
+    # shingle buckets; keep the simpler plan.
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
