@@ -21,7 +21,6 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
-    checkpoint_every: int = 5,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``;
     component = min node id reachable (undirected)."""
@@ -35,22 +34,32 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = sym.select(F.col("x").alias("node")).distinct().withColumn(
-        "label", F.col("node")
+    # Seed with min(self, neighbors): exactly round 1 of HashMin, but
+    # folded into initialization so the loop starts one hop ahead.
+    labels = (
+        sym.select(F.col("x").alias("node"), F.col("y").alias("label"))
+        .unionByName(sym.select(F.col("x").alias("node"), F.col("x").alias("label")))
+        .groupBy("node")
+        .agg(F.min("label").alias("label"))
+        .localCheckpoint(eager=True)
     )
-    prev_sum = None
-    for i in range(max_iter):
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
         neighbor_labels = (
             sym.join(labels.withColumnRenamed("node", "y"), "y")
             .select(F.col("x").alias("node"), "label")
         )
+        # Eager checkpoint EVERY round: the fixpoint probe below is a
+        # separate action, and an unmaterialized round would make it
+        # (and every later round) replay the whole lineage since the
+        # last checkpoint — quadratic re-execution between checkpoints.
+        # One checkpoint per round keeps each round O(|E|) exactly.
         new_labels = (
             labels.unionByName(neighbor_labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
         )
-        if checkpoint_every and (i + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
         # Labels only ever decrease under min-propagation, so an
         # unchanged sum is an exact fixpoint test — one scalar agg per
         # round instead of a two-sided exceptAll shuffle.
