@@ -141,3 +141,37 @@ def q65_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return pq_topk(emb, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# q66 — Arrow-batched exact cosine top-k: the BLAS scale path for the
+# same answer as q60. Similarities round to 6 dp BEFORE ranking on
+# BOTH engines, so pairwise (numpy) vs sequential (fold) summation
+# order cannot perturb the order — exact oracle, no tolerance.
+# ---------------------------------------------------------------------------
+@query(
+    "q66_cosine_topk_arrow",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, ve AS qe FROM v WHERE vec_id % 100 = 0),
+    scored AS (
+        SELECT q.query_id, v.vec_id AS neighbor_id, round({_COS}, 6) AS sim
+        FROM v CROSS JOIN q
+        WHERE v.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q66_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.similarity import batched_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return batched_cosine_topk(emb, queries, k=5)
