@@ -37,6 +37,7 @@ HEADLINE = [
     "q51_minhash_signature",
     "q53_simhash",
     "q60_cosine_topk",
+    "q66_cosine_topk_arrow",
     "q35_tfidf_topk",
     "q56_dedup_pipeline",
     "q91_session_funnel",

@@ -1,0 +1,78 @@
+"""Data-layout sinks: range-sorted parquet and small-file compaction.
+
+At 100 TB the dominant query cost is the scan, and the scan cost is
+set by LAYOUT, not by the query: parquet keeps per-row-group min/max
+stats, so a table written range-partitioned and sorted on its filter
+column lets the reader skip every file/row-group whose range misses
+the predicate. These two sinks are the write-side half of predicate
+pushdown:
+
+  write_range_sorted — global range partitioning (repartitionByRange
+      samples the key distribution, so skew produces balanced ranges,
+      unlike hash-mod buckets) + sortWithinPartitions. Result: files
+      with pairwise-disjoint key ranges and sorted row groups —
+      min/max pruning is maximally selective and the sort also makes
+      downstream merge-joins and as-of lookups cheap.
+  compact_small_files — bin-pack a directory of small files into
+      ~target-sized outputs. Streaming/foreachBatch sinks accrete
+      tiny files; a million 1 MB files costs more in scheduler and
+      open() overhead than the data itself. Size is measured through
+      Hadoop's FileSystem so it works on any supported scheme, not
+      just file://.
+
+The reference's only sink is one JSON file per document
+(usnvc.py:560-571) — the small-file problem at its theoretical
+maximum; this module is the scale-correct replacement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    range_cols: list[str],
+    sort_cols: list[str] | None = None,
+    num_ranges: int = 8,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Write ``df`` as parquet with disjoint per-file key ranges.
+
+    ``sort_cols`` extends the within-file ordering beyond the range
+    key (e.g., range by date, sort by (date, key) for unique order).
+    """
+    out = df.repartitionByRange(num_ranges, *[F.col(c) for c in range_cols])
+    order = [F.col(c) for c in (range_cols + (sort_cols or []))]
+    out = out.sortWithinPartitions(*order)
+    writer = out.write.mode("overwrite")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)
+
+
+def directory_bytes(spark: SparkSession, path: str) -> int:
+    """Total data bytes under ``path`` via Hadoop FileSystem (works on
+    any configured scheme, not just local paths)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return int(fs.getContentSummary(hpath).getLength())
+
+
+def compact_small_files(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite ``in_path`` parquet into ceil(size/target) files at
+    ``out_path``; returns the output file count. Uses coalesce (no
+    shuffle) — compaction only narrows partitioning, and preserving
+    existing per-file ordering is exactly what we want."""
+    total = directory_bytes(spark, in_path)
+    n = max(1, -(-total // target_file_bytes))
+    spark.read.parquet(in_path).coalesce(n).write.mode("overwrite").parquet(out_path)
+    return n

@@ -125,3 +125,57 @@ def q91_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "path",
         F.col("path").rlike("click.*purchase").alias("converted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q92 — table reconciliation (operators/diff.table_diff): diff the
+# orders snapshot against a deterministically perturbed rerun —
+# %97 keys dropped (removed), %10 keys repriced (changed), %53 keys
+# re-keyed high (added). Unchanged rows are omitted, so the diff
+# output stays tiny next to the inputs at 100 TB.
+# ---------------------------------------------------------------------------
+@query(
+    "q92_table_diff",
+    oracle="""
+    WITH new_snap AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT o_orderkey + 100000000 AS o_orderkey, 'N' AS o_orderstatus, 1.0 AS o_totalprice
+        FROM orders WHERE o_orderkey % 53 = 0
+    )
+    SELECT o_orderkey, change FROM (
+        SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                    WHEN n.o_orderkey IS NULL THEN 'removed'
+                    WHEN NOT (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+                              AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
+                    THEN 'changed' END AS change
+        FROM orders o FULL OUTER JOIN new_snap n ON o.o_orderkey = n.o_orderkey
+    ) WHERE change IS NOT NULL
+    """,
+)
+def q92_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.diff import table_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    mutated = orders.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(F.col("o_orderkey") % 10 == 0, F.col("o_totalprice") + 100.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    appended = orders.filter(F.col("o_orderkey") % 53 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(1.0).alias("o_totalprice"),
+    )
+    new_snap = mutated.unionByName(appended)
+    return table_diff(
+        orders, new_snap, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )

@@ -140,3 +140,79 @@ def q59_regexp_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring_index("p_type", " ", 1).alias("first_token"),
         F.split("p_type", " ").alias("tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q67 — window-function gauntlet: ranking, offsets with defaults,
+# distribution functions, nth_value, and explicit ROWS / RANGE frames,
+# one column per function so a mismatch pinpoints the divergence.
+# Partition ordering is (o_orderdate, o_orderkey) — unique, so every
+# window result is deterministic. Running money sums go through
+# decimal(18,2) on both engines (the suite-wide exact-sum trick).
+# ---------------------------------------------------------------------------
+@query(
+    "q67_window_gauntlet",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(row_number() OVER w AS INT) AS rn,
+           CAST(rank() OVER w AS INT) AS rnk,
+           CAST(dense_rank() OVER w AS INT) AS drnk,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd,
+           lead(o_orderkey, 1) OVER w AS next_ok,
+           lag(o_orderkey, 2, CAST(-1 AS BIGINT)) OVER w AS prev2_ok,
+           nth_value(o_orderkey, 2) OVER w AS second_ok,
+           first_value(o_orderkey) OVER w AS first_ok,
+           last_value(o_orderkey) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS last_ok,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS run3_total,
+           CAST(count(*) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderkey
+               RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_key_range,
+           max(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS max_total
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q67_window_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    w_run3 = w.rowsBetween(-2, W.currentRow)
+    w_range = (
+        W.partitionBy("o_custkey").orderBy("o_orderkey").rangeBetween(-1000, W.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.lead("o_orderkey", 1).over(w).alias("next_ok"),
+        F.lag("o_orderkey", 2, -1).over(w).alias("prev2_ok"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_ok"),
+        F.first_value("o_orderkey").over(w).alias("first_ok"),
+        F.last_value("o_orderkey").over(w_full).alias("last_ok"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w_run3)
+        .cast("double")
+        .alias("run3_total"),
+        F.count(F.lit(1)).over(w_range).alias("n_key_range"),
+        F.max("o_totalprice").over(w_full).alias("max_total"),
+    )
