@@ -98,3 +98,20 @@ def stream_documents_foreach_batch(
         docs_builder(batch_df).write.mode("append").json(f"{out_dir}/epoch={epoch_id}")
 
     return source_stream.writeStream.foreachBatch(_sink).trigger(availableNow=True)
+
+
+def streaming_dedup_within_watermark(
+    events: DataFrame, key_cols: list[str], watermark: str = "1 hour"
+) -> DataFrame:
+    """Exact in-flight dedup with BOUNDED state: duplicates of a key
+    are dropped while it stays inside the event-time watermark, and
+    the key's state is evicted once the watermark passes it.
+
+    This is the 100 TB form of ``streaming_dedup``: plain
+    dropDuplicates holds every key ever seen (state grows with the
+    corpus); dropDuplicatesWithinWatermark holds only the tail of the
+    stream, which is the right contract when duplicates arrive close
+    together (retries, at-least-once sources, replayed batches).
+    Requires an event-time column already named ``ts``.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(key_cols)

@@ -141,3 +141,26 @@ def test_ivm_partial_bucket_rewrite(spark, sf_dir, tmp_path):
     got = sorted(map(tuple, state.select(sorted(state.columns)).collect()))
     want = sorted(map(tuple, expected.select(sorted(expected.columns)).collect()))
     assert got == want
+
+
+def test_dedup_within_watermark_matches_batch_distinct(spark, sf_dir):
+    """Duplicated stream (every event sent twice) deduped on event_id
+    with watermark-bounded state == batch distinct, since all
+    duplicates here arrive within the watermark."""
+    from pipeline_usnvc_spark.sources.tables import load_table
+    from pipeline_usnvc_spark.streaming.pipeline import (
+        read_event_stream,
+        run_stream_to_memory,
+        streaming_dedup_within_watermark,
+    )
+
+    stream = read_event_stream(spark, sf_dir)
+    doubled = stream.union(stream)
+    out = run_stream_to_memory(
+        streaming_dedup_within_watermark(doubled, ["event_id"], watermark="1 hour"),
+        "stream_dedup_wm",
+        output_mode="append",
+    )
+    n_batch = load_table(spark, sf_dir, "events").select("event_id").distinct().count()
+    assert out.select("event_id").distinct().count() == n_batch
+    assert out.count() == n_batch
