@@ -276,3 +276,43 @@ def q39_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     for lang, pct in _STRATA_RATES.items():
         rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)
     return docs.filter(bucket < rate).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# q68 — token-count estimators: whitespace tokens and a BPE-ish
+# GPT-2-style pre-tokenizer regex (runs of letters / digits /
+# punctuation, each absorbing one leading space). Both RE2 (DuckDB)
+# and Java regex (Spark) use leftmost-first alternation, so the match
+# sequences are identical. chars_per_token is one double division of
+# identical operands — bit-equal, no rounding needed.
+# ---------------------------------------------------------------------------
+_BPE_RE = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \\t\\n]+"
+
+
+@query(
+    "q68_bpe_token_estimate",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS n_bpe_tokens,
+           CAST(length(text) AS DOUBLE)
+             / CAST(greatest(len(regexp_extract_all(text, '{_BPE_RE}')), 1) AS DOUBLE) AS chars_per_token
+    FROM documents
+    """,
+)
+def q68_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all("text", F.lit(_BPE_RE.replace("\\t", "\t").replace("\\n", "\n")), F.lit(0))
+    n_bpe = F.size(bpe).cast("bigint")
+    n_ws = F.size(
+        F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))
+    ).cast("bigint")
+    return docs.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        (
+            F.length("text").cast("double")
+            / F.greatest(n_bpe, F.lit(1).cast("bigint")).cast("double")
+        ).alias("chars_per_token"),
+    )
