@@ -34,8 +34,18 @@ def dedup_corpus(
     (itself when kept)."""
     fp = docs.select(F.col(id_col), doc_fingerprint(text_col).alias("fp"))
     keeper_per_fp = fp.groupBy("fp").agg(F.min(id_col).alias("exact_keeper"))
-    exact = fp.join(keeper_per_fp, "fp").select(
-        id_col, "exact_keeper", (F.col(id_col) == F.col("exact_keeper")).alias("is_exact_keeper")
+    # Materialized once: both the survivor filter (feeding the near
+    # stage) and the final verdict consume this, and the fingerprint
+    # is an md5 over the FULL text — the one map-side expression worth
+    # never computing twice.
+    exact = (
+        fp.join(keeper_per_fp, "fp")
+        .select(
+            id_col,
+            "exact_keeper",
+            (F.col(id_col) == F.col("exact_keeper")).alias("is_exact_keeper"),
+        )
+        .localCheckpoint(eager=True)
     )
 
     survivors = docs.join(
