@@ -56,6 +56,28 @@ def main() -> None:
     run(f"minhash @ {mult}x documents", minhash_signatures(docs_n))
     run(f"simhash @ {mult}x documents", simhash(docs_n))
 
+    from pipeline_usnvc_spark.operators.diff import table_diff
+    from pipeline_usnvc_spark.operators.similarity import batched_cosine_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    emb_n = emb
+    for i in range(mult - 1):
+        emb_n = emb_n.unionByName(emb.withColumn("vec_id", F.col("vec_id") + F.lit((i + 1) * 1_000_000)))
+    emb_n = emb_n.repartition(64)
+    run(
+        f"batched cosine topk @ {mult}x embeddings",
+        batched_cosine_topk(emb_n, emb.filter(F.col("vec_id") % 100 == 0), k=5),
+    )
+
+    mutated = li_n.withColumn(
+        "l_quantity",
+        F.when(F.col("l_orderkey") % 11 == 0, F.col("l_quantity") + 1).otherwise(F.col("l_quantity")),
+    ).filter(F.col("l_orderkey") % 97 != 0)
+    run(
+        f"table diff @ {mult}x lineitem",
+        table_diff(li_n, mutated, ["l_orderkey", "l_linenumber"], ["l_quantity"]),
+    )
+
 
 if __name__ == "__main__":
     main()
