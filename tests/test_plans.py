@@ -60,3 +60,40 @@ def test_asof_join_single_shuffle(spark, sf_dir):
     plan = _plan(spark, "q42_asof_join", sf_dir)
     assert plan.count("Exchange") <= 3, "as-of join grew extra shuffles"
     assert "CartesianProduct" not in plan
+
+
+def test_arrow_topk_partial_reduction(spark, sf_dir):
+    # q66: the matmul scorer consumes the scan DIRECTLY (no exchange
+    # below it — the corpus never shuffles for scoring), and Spark
+    # adds a Partial WindowGroupLimit before the single merge
+    # exchange, so only local top-k rows cross the wire.
+    import re
+
+    plan = _plan(spark, "q66_cosine_topk_arrow", sf_dir)
+    assert re.search(r"MapInPandas \(\d+\)\s*\n\s*\+- Scan parquet", plan), (
+        "corpus shuffled before scoring"
+    )
+    assert "row_number(), 5, Partial" in plan, "partial top-k pushdown missing"
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_simhash_single_shuffle(spark, sf_dir):
+    # One aggregation shuffle on doc_id (votes are aggregate
+    # expressions, not an exploded bit dimension) plus the deliberate
+    # spread repartition for tiny local files — nothing else.
+    import re
+
+    plan = _plan(spark, "q53_simhash", sf_dir)
+    kinds = [
+        m.group(1)
+        for m in re.finditer(r"Arguments: (hashpartitioning|RoundRobinPartitioning)", plan)
+    ]
+    assert kinds.count("hashpartitioning") == 1, "simhash regressed to multi-shuffle"
+    assert "partial_sum" in plan, "map-side combine missing"
+
+
+def test_table_diff_single_join_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, "q92_table_diff", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FullOuter" in plan
