@@ -316,3 +316,44 @@ def q68_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(n_bpe, F.lit(1).cast("bigint")).cast("double")
         ).alias("chars_per_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q69 — deterministic weighted priority sample: top-10 docs per lang
+# by priority u/w, where u is a 32-bit md5-derived uniform and
+# w = n_chars (longer docs proportionally likelier). The training-mix
+# primitive: reproducible across engines and runs (no RNG state), one
+# IEEE double division so both engines rank identical values. Larger
+# weight → smaller expected priority → selected.
+# ---------------------------------------------------------------------------
+@query(
+    "q69_weighted_sample",
+    oracle="""
+    SELECT doc_id, lang, priority FROM (
+        SELECT doc_id, lang,
+               CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)
+                 / CAST(greatest(n_chars, 1) AS DOUBLE) AS priority,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)
+                              / CAST(greatest(n_chars, 1) AS DOUBLE), doc_id
+               ) AS rk
+        FROM documents
+    ) WHERE rk <= 10
+    """,
+)
+def q69_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ).cast("double")
+    priority = u / F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    w = W.partitionBy("lang").orderBy("priority", "doc_id")
+    return (
+        docs.select("doc_id", "lang", priority.alias("priority"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("doc_id", "lang", "priority")
+    )
