@@ -71,14 +71,26 @@ def minhash_signatures(
     Documents with fewer than ``shingle_n`` tokens produce no rows.
     """
     sh = shingle_table(docs, id_col, text_col, shingle_n)
-    seeded = sh.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
-        "shingle",
+    # All K mins as aggregate expressions in ONE groupBy on the doc id
+    # (same shape as simhash): no K× row explosion, the K md5s stay in
+    # whole-stage codegen, and partial aggregation means one K-wide
+    # row per doc leaves the map side instead of K×shingles rows.
+    # Measured 1.4x over the explode(seed)+groupBy(doc,seed) form at
+    # 10x sf0.1 (the K md5s dominate and are unavoidable either way);
+    # values are identical (same hash family, same min).
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"m{s}")
+        for s in range(num_hashes)
+    ]
+    per_doc = sh.groupBy(id_col).agg(*mins)
+    seeds = F.array(
+        *[
+            F.struct(F.lit(s).alias("seed"), F.col(f"m{s}").alias("minhash"))
+            for s in range(num_hashes)
+        ]
     )
-    return (
-        seeded.groupBy(id_col, "seed")
-        .agg(F.min(F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle")))).alias("minhash"))
+    return per_doc.select(id_col, F.explode(seeds).alias("x")).select(
+        id_col, F.col("x.seed").alias("seed"), F.col("x.minhash").alias("minhash")
     )
 
 
