@@ -195,8 +195,11 @@ def ngram_jaccard_pairs(
     the Jaccard denominator (capped shingles leave both sets), so it
     is an approximation knob: None = exact.
     """
-    sh = shingle_table(docs, id_col, text_col, shingle_n).distinct()
     if max_doc_freq is not None:
+        # The doc-frequency cap needs a global per-shingle count, and
+        # set sizes must be recomputed AFTER dropping capped shingles,
+        # so this path keeps the exploded-table formulation.
+        sh = shingle_table(docs, id_col, text_col, shingle_n).distinct()
         rare = (
             sh.groupBy("shingle")
             .agg(F.count("*").alias("_df"))
@@ -204,32 +207,63 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(rare, "shingle")
-    # The three consumers of ``sh`` (both self-join sides + sizes)
-    # share Catalyst's ReusedExchange, so the shingle table shuffles
-    # once. Measured against a join-free postings/explode formulation
-    # at sf0.1: self-join 3.3s vs postings 3.4-3.7s — the hash join
-    # beats per-row quadratic array explosion, and AQE handles hot
-    # shingle buckets; keep the simpler plan.
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
-    )
-    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
-    return (
-        inter.join(sz_a, "id_a")
-        .join(sz_b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.col("inter").cast("double")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
-            ).alias("jaccard"),
+        sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+        sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+        sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+            .agg(F.count("*").alias("inter"))
+            .join(sz_a, "id_a")
+            .join(sz_b, "id_b")
         )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    else:
+        # Exact path, shuffle-minimal: the distinct shingle SET is
+        # built map-side per document (array_distinct — no dedup
+        # shuffle at all), the set size rides along through the
+        # self-join (8 bytes/row on the one unavoidable exchange), and
+        # first(sz) inside the pair aggregation replaces two
+        # re-shuffling joins of the intersection table. Three shuffles
+        # total (two join sides + pair groupBy, sides shared via
+        # ReusedExchange) vs six in the naive formulation. The
+        # self-join itself beats a postings/explode formulation
+        # (measured 3.3s vs 3.4-3.7s at sf0.1) and AQE splits hot
+        # shingle buckets.
+        # Materialized in ARRAY form (one compact row per doc): both
+        # self-join sides consume it, and without a shared exchange
+        # between them (Spark may broadcast one side) the whole
+        # tokenize+shingle map would otherwise execute twice. The
+        # array form is the cheapest thing to cache — far smaller
+        # than the exploded index.
+        arr = (
+            _spread(docs)
+            .select(
+                F.col(id_col),
+                F.array_distinct(word_shingles(tokens(text_col), n=shingle_n)).alias("_shs"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        sh = arr.select(
+            id_col,
+            F.size("_shs").alias("sz"),
+            F.explode("_shs").alias("shingle"),
+        )
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+            .agg(
+                F.count("*").alias("inter"),
+                F.first("a.sz").alias("sz_a"),
+                F.first("b.sz").alias("sz_b"),
+            )
+        )
+    return inter.select(
+        "id_a",
+        "id_b",
+        (
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
