@@ -70,27 +70,35 @@ def minhash_signatures(
     shingle set estimates Jaccard similarity between documents.
     Documents with fewer than ``shingle_n`` tokens produce no rows.
     """
-    sh = shingle_table(docs, id_col, text_col, shingle_n)
-    # All K mins as aggregate expressions in ONE groupBy on the doc id
-    # (same shape as simhash): no K× row explosion, the K md5s stay in
-    # whole-stage codegen, and partial aggregation means one K-wide
-    # row per doc leaves the map side instead of K×shingles rows.
-    # Measured 1.4x over the explode(seed)+groupBy(doc,seed) form at
-    # 10x sf0.1 (the K md5s dominate and are unavoidable either way);
-    # values are identical (same hash family, same min).
+    # Fully map-side — ZERO shuffle: min over a multiset equals min
+    # over the set, so each signature is array_min over the in-row
+    # shingle array, no explode and no aggregation. The shingle array
+    # is projected in its own select so CollapseProject keeps it
+    # evaluated once, not once per seed (it only inlines cheap
+    # expressions). Rows whose docs have < shingle_n tokens yield an
+    # empty array → null minhash → dropped, matching the exploded
+    # formulation's "no rows" semantics.
+    arr = _spread(docs).select(
+        F.col(id_col),
+        word_shingles(tokens(text_col), n=shingle_n).alias("_shs"),
+    )
     mins = [
-        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"m{s}")
+        F.array_min(
+            F.transform("_shs", lambda x: F.md5(F.concat(F.lit(f"{s}|"), x)))
+        ).alias(f"m{s}")
         for s in range(num_hashes)
     ]
-    per_doc = sh.groupBy(id_col).agg(*mins)
+    per_doc = arr.select(id_col, *mins)
     seeds = F.array(
         *[
             F.struct(F.lit(s).alias("seed"), F.col(f"m{s}").alias("minhash"))
             for s in range(num_hashes)
         ]
     )
-    return per_doc.select(id_col, F.explode(seeds).alias("x")).select(
-        id_col, F.col("x.seed").alias("seed"), F.col("x.minhash").alias("minhash")
+    return (
+        per_doc.select(id_col, F.explode(seeds).alias("x"))
+        .select(id_col, F.col("x.seed").alias("seed"), F.col("x.minhash").alias("minhash"))
+        .filter(F.col("minhash").isNotNull())
     )
 
 
