@@ -104,3 +104,52 @@ def test_ancestor_closure_on_random_forest(spark, n, fanout, rnd):
             p = parents[p]
         expect = {d + 1: a for d, a in enumerate(chain)}
         assert got.get(i, {}) == expect, f"node {i}"
+
+
+# ---------------------------------------------------------------------------
+# table_diff: checked against a plain-Python dict diff on generated
+# keyed tables (including null values, which the operator must treat
+# null-safely on both keys and compared columns).
+# ---------------------------------------------------------------------------
+_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),
+        st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+    ),
+    min_size=0,
+    max_size=12,
+    unique_by=lambda t: t[0],
+)
+
+
+def _py_diff(old, new):
+    o, n = dict(old), dict(new)
+    out = {}
+    for k in o.keys() | n.keys():
+        if k not in o:
+            out[k] = "added"
+        elif k not in n:
+            out[k] = "removed"
+        elif o[k] != n[k]:
+            out[k] = "changed"
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(_ROWS, _ROWS)
+def test_table_diff_matches_python_dict_diff(spark, old_rows, new_rows):
+    from pipeline_usnvc_spark.operators.diff import table_diff
+
+    schema = "k bigint, v bigint"
+    old = spark.createDataFrame(old_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+    got = {r["k"]: r["change"] for r in table_diff(old, new, ["k"]).collect()}
+    assert got == _py_diff(old_rows, new_rows)
+
+
+def test_table_diff_self_is_empty(spark, sf_dir):
+    from pipeline_usnvc_spark.operators.diff import table_diff
+    from pipeline_usnvc_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    assert table_diff(orders, orders, ["o_orderkey"]).count() == 0
