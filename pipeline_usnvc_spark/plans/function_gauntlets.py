@@ -216,3 +216,52 @@ def q67_window_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w_range).alias("n_key_range"),
         F.max("o_totalprice").over(w_full).alias("max_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q72 — datetime gauntlet over the (UTC-pinned) events timeline:
+# field extraction, ISO day-of-week/week-of-year, truncation,
+# month-end clamping (last_day, +3 months), day arithmetic, and the
+# microsecond epoch round-trip. Spark weekday()+1 == DuckDB isodow;
+# add_months month-end clamping matches interval addition.
+# ---------------------------------------------------------------------------
+@query(
+    "q72_datetime_gauntlet",
+    oracle="""
+    SELECT event_id,
+           CAST(year(ts) AS INT) AS y,
+           CAST(month(ts) AS INT) AS mo,
+           CAST(day(ts) AS INT) AS d,
+           CAST(hour(ts) AS INT) AS h,
+           CAST(minute(ts) AS INT) AS mi,
+           CAST(second(ts) AS INT) AS s,
+           CAST(dayofyear(ts) AS INT) AS doy,
+           CAST(isodow(ts) AS INT) AS iso_dow,
+           CAST(weekofyear(ts) AS INT) AS wk,
+           date_trunc('month', ts) AS trunc_month,
+           strftime(last_day(ts), '%Y-%m-%d') AS ld,
+           strftime(CAST(CAST(ts AS DATE) + INTERVAL 3 MONTH AS DATE), '%Y-%m-%d') AS am3,
+           CAST(date_diff('day', CAST(ts AS DATE), DATE '1995-06-17') AS INT) AS dd,
+           epoch_us(ts) AS us
+    FROM events
+    """,
+)
+def q72_datetime_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.month("ts").alias("mo"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.minute("ts").alias("mi"),
+        F.second("ts").alias("s"),
+        F.dayofyear("ts").alias("doy"),
+        (F.weekday("ts") + 1).alias("iso_dow"),
+        F.weekofyear("ts").alias("wk"),
+        F.date_trunc("month", "ts").alias("trunc_month"),
+        F.date_format(F.last_day("ts"), "yyyy-MM-dd").alias("ld"),
+        F.date_format(F.add_months(F.col("ts").cast("date"), 3), "yyyy-MM-dd").alias("am3"),
+        F.datediff(F.lit("1995-06-17").cast("date"), F.col("ts").cast("date")).alias("dd"),
+        F.unix_micros("ts").alias("us"),
+    )
