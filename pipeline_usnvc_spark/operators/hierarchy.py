@@ -10,7 +10,7 @@ level simultaneously — O(depth) *joins total*, not per row.
 Scale notes:
   - Each round is one shuffle on the join key; depth is bounded (8 for
     USNVC, configurable here) so the plan is a short chain.
-  - ``checkpoint_every`` truncates lineage so 100+-round graphs don't
+  - per-round eager checkpoints truncate lineage so 100+-round graphs don't
     build unbounded plans (uses localCheckpoint; on a cluster with a
     checkpoint dir, ``reliable=True``).
   - Cycle safety: a cycle in the edges would loop forever in the
@@ -29,7 +29,6 @@ def ancestors(
     id_col: str = "id",
     parent_col: str = "parent_id",
     max_depth: int = 32,
-    checkpoint_every: int = 8,
     materialize_edges: bool = True,
 ) -> DataFrame:
     """Transitive-closure ancestor table.
@@ -56,7 +55,13 @@ def ancestors(
     while depth < max_depth:
         if frontier.isEmpty():
             break
-        # Extend: current frontier's ancestor's own parent.
+        # Extend: current frontier's ancestor's own parent. Each
+        # round is eagerly checkpointed: the isEmpty() probe is an
+        # action EVERY round and the final closure union replays
+        # every frontier again, so an unmaterialized round would be
+        # re-executed O(depth) times — quadratic join work. With the
+        # checkpoint, each join runs exactly once and both the probe
+        # and the union read cached blocks (frontiers only shrink).
         nxt = (
             frontier.alias("f")
             .join(
@@ -68,10 +73,9 @@ def ancestors(
                 F.col("e.parent_id").alias("ancestor_id"),
                 (F.col("f.depth") + 1).alias("depth"),
             )
+            .localCheckpoint(eager=True)
         )
         depth += 1
-        if checkpoint_every and depth % checkpoint_every == 0:
-            nxt = nxt.localCheckpoint(eager=True)
         frontier = nxt
         closure = closure.unionByName(frontier)
     return closure
