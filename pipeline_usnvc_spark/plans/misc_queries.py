@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pipeline_usnvc_spark.plans.registry import query
+from pipeline_usnvc_spark.plans.text_queries import _TOKS_SQL
 from pipeline_usnvc_spark.sources.tables import load_table
 
 
@@ -449,3 +450,30 @@ def q82_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = store.sink(stream).option("checkpointLocation", ckpt).start()
     q.awaitTermination()
     return store.read_state(spark)
+
+
+# ---------------------------------------------------------------------------
+# q73 — positional explode (LATERAL VIEW posexplode): token stream
+# with in-document ordinality, the base shape for positional n-gram /
+# co-occurrence work. Oracle reproduces 0-based positions via a
+# struct-packed range transform (DuckDB's unnest has no ordinality
+# form that guarantees order across engines).
+# ---------------------------------------------------------------------------
+@query(
+    "q73_posexplode_tokens",
+    oracle=f"""
+    SELECT doc_id, CAST(x.pos AS INT) AS pos, x.tok AS tok FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) + 1),
+                                     i -> struct_pack(pos := i - 1, tok := toks[i]))) AS x
+        FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+    )
+    """,
+)
+def q73_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
+    )

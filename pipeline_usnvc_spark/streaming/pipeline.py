@@ -115,3 +115,49 @@ def streaming_dedup_within_watermark(
     Requires an event-time column already named ``ts``.
     """
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
+def stream_stream_attribution_join(
+    events: DataFrame, window: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase attributed to every
+    click by the same user within the preceding ``window``.
+
+    Both sides carry a watermark and the join has a bounded time
+    range, so the state store holds only ``window + watermark`` of
+    each stream — the canonical Structured Streaming attribution
+    shape. State eviction: a buffered click can stop matching once
+    the purchase-side watermark passes click_ts + window.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("amount"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {window}")),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "amount",
+    )

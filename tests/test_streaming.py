@@ -164,3 +164,43 @@ def test_dedup_within_watermark_matches_batch_distinct(spark, sf_dir):
     n_batch = load_table(spark, sf_dir, "events").select("event_id").distinct().count()
     assert out.select("event_id").distinct().count() == n_batch
     assert out.count() == n_batch
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """Stream-stream interval join (watermarked both sides) == the
+    same join run as a batch query on the bounded input."""
+    from pyspark.sql import functions as F
+
+    from pipeline_usnvc_spark.sources.tables import load_table
+    from pipeline_usnvc_spark.streaming.pipeline import (
+        read_event_stream,
+        run_stream_to_memory,
+        stream_stream_attribution_join,
+    )
+
+    stream = read_event_stream(spark, sf_dir)
+    got = run_stream_to_memory(
+        stream_stream_attribution_join(stream), "ss_join", output_mode="append"
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    expected = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 minutes")),
+    )
+    exp = {(r["click_id"], r["purchase_id"]) for r in expected.collect()}
+    act = {(r["click_id"], r["purchase_id"]) for r in got.collect()}
+    assert act == exp
+    assert len(act) > 0
