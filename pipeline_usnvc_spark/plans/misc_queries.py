@@ -477,3 +477,22 @@ def q73_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
     )
+
+
+# ---------------------------------------------------------------------------
+# q74 — salted two-phase aggregation over the (deliberately skewed,
+# 5-value) event_type key. Salting changes the PLAN, never the
+# result: the oracle is the plain one-phase groupBy, and the partial
+# (key, salt) stage bounds any single reducer at ~1/16 of a hot key.
+# ---------------------------------------------------------------------------
+@query(
+    "q74_salted_agg",
+    oracle="""
+    SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+    """,
+)
+def q74_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.skew import salted_count
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_count(ev, "event_type", salt_buckets=16)
