@@ -301,3 +301,37 @@ def test_golden_docs_snapshot(docs_by_id):
     for row_id, want in golden.items():
         got = docs_by_id[row_id]
         assert got == want, f"doc {row_id} diverged from golden snapshot"
+
+
+def test_cli_end_to_end(export_dir, tmp_path):
+    """python -m pipeline_usnvc_spark runs the full pipeline and
+    writes one valid envelope per unit (+ root)."""
+    import json
+    import subprocess
+    import sys
+
+    out = tmp_path / "docs_out"
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "pipeline_usnvc_spark",
+            "--export-dir", export_dir,
+            "--out", str(out),
+            "--run-timestamp", "2026-01-01T00:00:00",
+            "--master", "local[4]",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = []
+    for f in out.glob("part-*"):
+        lines += [l for l in f.read_text().splitlines() if l.strip()]
+    docs = [json.loads(l) for l in lines]
+    assert len(docs) > 0
+    ids = {d["row_id"] for d in docs}
+    assert "0" in ids  # synthesized root
+    for d in docs:
+        assert set(d) == {"source_data", "row_id"}
+        if d["row_id"] != "0":  # root doc synthesizes its own identifiers
+            assert d["source_data"]["Identifiers"]["element_global_id"] == int(d["row_id"])
