@@ -265,3 +265,45 @@ def q72_datetime_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.lit("1995-06-17").cast("date"), F.col("ts").cast("date")).alias("dd"),
         F.unix_micros("ts").alias("us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q75 — map-type gauntlet: construction, extraction, keys/values,
+# concat, and key-membership. Values are surfaced as scalars/joined
+# strings in deterministic (sorted-key) order so the comparison is
+# representation-stable; DuckDB's map extract returns a single-element
+# list, unwrapped with [1].
+# ---------------------------------------------------------------------------
+@query(
+    "q75_map_gauntlet",
+    oracle="""
+    SELECT doc_id,
+           m['lang'][1] AS v_lang,
+           array_to_string(list_sort(map_keys(m)), ',') AS ks,
+           array_to_string(list_transform(list_sort(map_keys(m)), k -> m[k][1]), ',') AS vs,
+           CAST(cardinality(m) AS INT) AS n,
+           map_concat(m, map(['x'], ['y']))['x'][1] AS extended_x,
+           list_contains(map_keys(m), 'lang') AS has_lang,
+           list_contains(map_keys(m), 'zzz') AS has_zzz
+    FROM (SELECT doc_id, map(['lang', 'src'], [lang, source]) AS m FROM documents)
+    """,
+)
+def q75_map_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    m = F.create_map(F.lit("lang"), F.col("lang"), F.lit("src"), F.col("source"))
+    d = docs.select("doc_id", m.alias("m"))
+    sorted_keys = F.array_sort(F.map_keys(F.col("m")))
+    return d.select(
+        "doc_id",
+        F.element_at("m", F.lit("lang")).alias("v_lang"),
+        F.array_join(sorted_keys, ",").alias("ks"),
+        F.array_join(
+            F.transform(sorted_keys, lambda k: F.element_at(F.col("m"), k)), ","
+        ).alias("vs"),
+        F.size("m").alias("n"),
+        F.element_at(
+            F.map_concat(F.col("m"), F.create_map(F.lit("x"), F.lit("y"))), F.lit("x")
+        ).alias("extended_x"),
+        F.map_contains_key("m", "lang").alias("has_lang"),
+        F.map_contains_key("m", "zzz").alias("has_zzz"),
+    )
