@@ -307,3 +307,36 @@ def q75_map_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.map_contains_key("m", "lang").alias("has_lang"),
         F.map_contains_key("m", "zzz").alias("has_zzz"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q76 — error-safe (try_*) gauntlet: failed casts and guarded
+# arithmetic yield null instead of failing the job — the semantics a
+# 100 TB pipeline needs for dirty inputs. DuckDB expresses the same
+# contract via TRY_CAST and explicit zero guards.
+# ---------------------------------------------------------------------------
+@query(
+    "q76_trycast_gauntlet",
+    oracle="""
+    SELECT o_orderkey,
+           TRY_CAST(o_orderstatus AS INT) AS bad_int,
+           TRY_CAST(CAST(o_orderkey AS VARCHAR) AS INT) AS good_int,
+           CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                ELSE o_totalprice / CAST(o_orderkey % 3 AS DOUBLE) END AS guarded_div,
+           (CAST(split_part(o_orderpriority, '-', 1) AS VARCHAR)) AS prio_code,
+           list_extract(string_split(o_orderpriority, '-'), 5) AS missing_elem
+    FROM orders
+    """,
+)
+def q76_trycast_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderstatus").try_cast("int").alias("bad_int"),
+        F.col("o_orderkey").cast("string").try_cast("int").alias("good_int"),
+        F.try_divide(
+            "o_totalprice", (F.col("o_orderkey") % 3).cast("double")
+        ).alias("guarded_div"),
+        F.split_part("o_orderpriority", F.lit("-"), F.lit(1)).alias("prio_code"),
+        F.try_element_at(F.split("o_orderpriority", "-"), F.lit(5)).alias("missing_elem"),
+    )
