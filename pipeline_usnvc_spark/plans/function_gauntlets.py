@@ -340,3 +340,40 @@ def q76_trycast_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split_part("o_orderpriority", F.lit("-"), F.lit(1)).alias("prio_code"),
         F.try_element_at(F.split("o_orderpriority", "-"), F.lit(5)).alias("missing_elem"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q77 — statistical aggregate gauntlet per return flag: sample/pop
+# stddev + variance, correlation, covariance, and exact median.
+# Engines use different single-pass algorithms (Welford-style vs
+# sum-of-squares), so results are rounded to 6 dp on both sides —
+# agreement at 6 dp across grouping keys is the portability contract,
+# same rationale as the tf-idf rounding.
+# ---------------------------------------------------------------------------
+@query(
+    "q77_stats_gauntlet",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 6) AS sd_s,
+           round(stddev_pop(l_quantity), 6) AS sd_p,
+           round(var_samp(l_quantity), 6) AS var_s,
+           round(var_pop(l_quantity), 6) AS var_p,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qe,
+           round(covar_samp(l_quantity, l_extendedprice), 6) AS cov_s,
+           round(covar_pop(l_quantity, l_extendedprice), 6) AS cov_p,
+           round(median(l_quantity), 6) AS med_q
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q77_stats_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_s"),
+        F.round(F.stddev_pop("l_quantity"), 6).alias("sd_p"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_s"),
+        F.round(F.var_pop("l_quantity"), 6).alias("var_p"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qe"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias("cov_s"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 6).alias("cov_p"),
+        F.round(F.median("l_quantity"), 6).alias("med_q"),
+    )
