@@ -377,3 +377,45 @@ def q77_stats_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_pop("l_quantity", "l_extendedprice"), 6).alias("cov_p"),
         F.round(F.median("l_quantity"), 6).alias("med_q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q78 — conditional & bitwise aggregate gauntlet: count_if (FILTER),
+# bool_and/bool_or, deterministic max_by/min_by (the by-key is
+# unique per group), filtered decimal-exact sums, and the bit_and /
+# bit_or / bit_xor aggregate family.
+# ---------------------------------------------------------------------------
+@query(
+    "q78_conditional_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_high,
+           bool_and(l_quantity > 0) AS all_pos,
+           bool_or(l_extendedprice > 50000) AS any_big,
+           max_by(l_partkey, l_orderkey * 10 + l_linenumber) AS latest_part,
+           min_by(l_partkey, l_orderkey * 10 + l_linenumber) AS earliest_part,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) FILTER (WHERE l_quantity > 25) AS DOUBLE) AS rev_high,
+           bit_and(l_linenumber) AS ln_and,
+           bit_or(l_linenumber) AS ln_or,
+           bit_xor(l_linenumber) AS ln_xor
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q78_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    seq = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_quantity") > 25).alias("n_high"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_pos"),
+        F.bool_or(F.col("l_extendedprice") > 50000).alias("any_big"),
+        F.max_by("l_partkey", seq).alias("latest_part"),
+        F.min_by("l_partkey", seq).alias("earliest_part"),
+        F.sum(
+            F.when(F.col("l_quantity") > 25, F.col("l_extendedprice").cast("decimal(18,2)"))
+        )
+        .cast("double")
+        .alias("rev_high"),
+        F.bit_and("l_linenumber").alias("ln_and"),
+        F.bit_or("l_linenumber").alias("ln_or"),
+        F.bit_xor("l_linenumber").alias("ln_xor"),
+    )
