@@ -193,3 +193,41 @@ def q42_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.filter(F.col("is_event") == 1).select(
         "event_id", "user_id", "ts", "matched_orderkey"
     )
+
+
+# ---------------------------------------------------------------------------
+# q79 — dense hourly rollup with gap fill (operators/timeseries):
+# every (event_type, hour) bucket present, zero counts in gaps, and
+# an ignore-nulls forward fill of the hourly total. The spine is
+# |keys| x |hours| regardless of event volume.
+# ---------------------------------------------------------------------------
+@query(
+    "q79_gap_fill",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS tv
+        FROM events GROUP BY 1, 2
+    ),
+    b AS (SELECT min(hour) AS mn, max(hour) AS mx FROM hourly),
+    keys AS (SELECT DISTINCT event_type FROM events),
+    spine AS (
+        SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour
+        FROM keys, b
+    )
+    SELECT s.event_type, s.hour,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n_events,
+           h.tv AS total_value,
+           last_value(h.tv IGNORE NULLS) OVER (
+               PARTITION BY s.event_type ORDER BY s.hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS ffill_total
+    FROM spine s LEFT JOIN hourly h
+      ON s.event_type = h.event_type AND s.hour = h.hour
+    """,
+)
+def q79_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.timeseries import hourly_gap_fill
+
+    return hourly_gap_fill(load_table(spark, sf_dir, "events"))
