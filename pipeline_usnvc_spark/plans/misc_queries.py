@@ -496,3 +496,27 @@ def q74_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return salted_count(ev, "event_type", salt_buckets=16)
+
+
+# ---------------------------------------------------------------------------
+# q83 — watermark-bounded streaming dedup (rows-only: stateful
+# streaming; batch-distinct equality asserted in test_streaming).
+# A doubled event stream deduped on event_id with
+# dropDuplicatesWithinWatermark — state holds only the stream's
+# event-time tail, the at-least-once-source contract.
+# ---------------------------------------------------------------------------
+@query("q83_stream_dedup_watermark")
+def q83_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.streaming.pipeline import (
+        read_event_stream,
+        run_stream_to_memory,
+        streaming_dedup_within_watermark,
+    )
+
+    stream = read_event_stream(spark, sf_dir)
+    doubled = stream.union(stream)
+    return run_stream_to_memory(
+        streaming_dedup_within_watermark(doubled, ["event_id"], watermark="1 hour"),
+        "q83_stream_dedup",
+        output_mode="append",
+    )
