@@ -392,8 +392,8 @@ def q77_stats_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_high,
            bool_and(l_quantity > 0) AS all_pos,
            bool_or(l_extendedprice > 50000) AS any_big,
-           max_by(l_partkey, l_orderkey * 10 + l_linenumber) AS latest_part,
-           min_by(l_partkey, l_orderkey * 10 + l_linenumber) AS earliest_part,
+           max_by(l_partkey, (l_orderkey * 10 + l_linenumber) * 10000000 + l_partkey) AS latest_part,
+           min_by(l_partkey, (l_orderkey * 10 + l_linenumber) * 10000000 + l_partkey) AS earliest_part,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) FILTER (WHERE l_quantity > 25) AS DOUBLE) AS rev_high,
            bit_and(l_linenumber) AS ln_and,
            bit_or(l_linenumber) AS ln_or,
@@ -403,7 +403,10 @@ def q77_stats_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q78_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    seq = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    # (orderkey, linenumber) pairs can collide in the synthetic data,
+    # so l_partkey folds into the by-key: any remaining tie implies an
+    # equal result, making the argmin/argmax engine-deterministic.
+    seq = (F.col("l_orderkey") * 10 + F.col("l_linenumber")) * 10000000 + F.col("l_partkey")
     return li.groupBy("l_returnflag").agg(
         F.count_if(F.col("l_quantity") > 25).alias("n_high"),
         F.bool_and(F.col("l_quantity") > 0).alias("all_pos"),
