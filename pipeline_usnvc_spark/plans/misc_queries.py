@@ -520,3 +520,55 @@ def q83_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q83_stream_dedup",
         output_mode="append",
     )
+
+
+# ---------------------------------------------------------------------------
+# q84 — JSON path extraction: nested object + array paths, array
+# length, and absent-path null. The document is constructed in-query
+# (deterministic per row) on each engine, then extracted with path
+# expressions — only the extraction results are compared, so JSON
+# serialization differences (key order, float formatting) cannot leak
+# into the gate.
+# ---------------------------------------------------------------------------
+@query(
+    "q84_json_path",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(j, '$.u') AS BIGINT) AS u,
+           json_extract_string(j, '$.meta.t') AS t,
+           CAST(json_extract(j, '$.arr[1]') AS BIGINT) AS second_elem,
+           CAST(json_array_length(json_extract(j, '$.arr')) AS INT) AS n_arr,
+           CASE WHEN json_extract(j, '$.nope') IS NULL THEN true ELSE false END AS absent_is_null
+    FROM (
+        SELECT event_id,
+               to_json(struct_pack(
+                   u := user_id,
+                   meta := struct_pack(t := event_type),
+                   arr := [event_id, user_id, event_id + user_id]
+               )) AS j
+        FROM events
+    )
+    """,
+)
+def q84_json_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    j = F.to_json(
+        F.struct(
+            F.col("user_id").alias("u"),
+            F.struct(F.col("event_type").alias("t")).alias("meta"),
+            F.array(
+                F.col("event_id"),
+                F.col("user_id"),
+                F.col("event_id") + F.col("user_id"),
+            ).alias("arr"),
+        )
+    )
+    d = ev.select("event_id", j.alias("j"))
+    return d.select(
+        "event_id",
+        F.get_json_object("j", "$.u").cast("bigint").alias("u"),
+        F.get_json_object("j", "$.meta.t").alias("t"),
+        F.get_json_object("j", "$.arr[1]").cast("bigint").alias("second_elem"),
+        F.json_array_length(F.get_json_object("j", "$.arr")).alias("n_arr"),
+        F.get_json_object("j", "$.nope").isNull().alias("absent_is_null"),
+    )
