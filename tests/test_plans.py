@@ -97,3 +97,21 @@ def test_table_diff_single_join_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "FullOuter" in plan
+
+
+def test_flagship_documents_plan(spark, sf_dir):
+    # The document assembly must stay broadcast-only: every dimension
+    # and nest side is small relative to the fact table, so the plan
+    # has no sort-merge join, no cartesian, and a single exchange
+    # (the nest aggregation).
+    import re
+
+    from pipeline_usnvc_spark.plans.flagship import customer_documents
+
+    df = customer_documents(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "CartesianProduct" not in plan
+    assert not re.findall(r"\(\d+\) SortMergeJoin", plan), "dim join fell out of broadcast"
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
