@@ -179,3 +179,51 @@ def q92_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_diff(
         orders, new_snap, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
     )
+
+
+# ---------------------------------------------------------------------------
+# q93 — MERGE INTO emulation (operators/merge.merge_upsert): a
+# deterministic source (every 7th order repriced, plus new high keys)
+# upserted into orders; matched keys take the source row, new keys
+# insert, the rest carry over. The oracle composes the same anti-join
+# + union in SQL.
+# ---------------------------------------------------------------------------
+@query(
+    "q93_merge_upsert",
+    oracle="""
+    WITH src AS (
+        SELECT o_orderkey, 'U' AS o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 50 AS DOUBLE) AS o_totalprice
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey + 900000000, 'I' AS o_orderstatus, 1.5 AS o_totalprice
+        FROM orders WHERE o_orderkey % 101 = 0
+    )
+    SELECT o_orderkey, o_orderstatus,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+    FROM orders t WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM src
+    """,
+)
+def q93_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.merge import merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("o_totalprice"),
+    )
+    src = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice").cast("decimal(18,2)") + 50).cast("double").alias("o_totalprice"),
+    ).unionByName(
+        orders.filter(F.col("o_orderkey") % 101 == 0).select(
+            (F.col("o_orderkey") + 900000000).alias("o_orderkey"),
+            F.lit("I").alias("o_orderstatus"),
+            F.lit(1.5).alias("o_totalprice"),
+        )
+    )
+    return merge_upsert(target, src, ["o_orderkey"])

@@ -572,3 +572,54 @@ def q84_json_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.json_array_length(F.get_json_object("j", "$.arr")).alias("n_arr"),
         F.get_json_object("j", "$.nope").isNull().alias("absent_is_null"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q85 — approximate percentiles (rows-only: sketch-based by design;
+# error vs the exact q46 quantiles is bounded in tests). The scale
+# path for quantiles: a mergeable sketch per partition instead of a
+# full sort.
+# ---------------------------------------------------------------------------
+@query("q85_approx_percentiles")
+def q85_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75, 0.95], 10000).alias("approx_q"),
+        F.count("*").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q86 — null-safe join (<=> / IS NOT DISTINCT FROM): clerk pairs
+# where a derived nullable attribute matches null-safely, so
+# null == null pairs up instead of dropping out.
+# ---------------------------------------------------------------------------
+@query(
+    "q86_null_safe_join",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderstatus END AS grp
+        FROM orders WHERE o_orderkey <= 500
+    )
+    SELECT a.o_orderkey AS key_a, b.o_orderkey AS key_b, a.grp
+    FROM t a JOIN t b
+      ON a.grp IS NOT DISTINCT FROM b.grp AND a.o_orderkey < b.o_orderkey
+    """,
+)
+def q86_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    t = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None)).otherwise(F.col("o_orderstatus")).alias("grp"),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    return a.join(
+        b,
+        F.col("a.grp").eqNullSafe(F.col("b.grp"))
+        & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+    ).select(
+        F.col("a.o_orderkey").alias("key_a"),
+        F.col("b.o_orderkey").alias("key_b"),
+        F.col("a.grp").alias("grp"),
+    )

@@ -80,3 +80,28 @@ def test_hierarchy_closure_cycle_safety(spark):
     )
     out = ancestors(edges, "id", "parent_id", max_depth=10)
     assert out.count() == 30  # 3 nodes x 10 depths, bounded
+
+
+def test_approx_percentiles_within_bound(spark, sf_dir):
+    """Sketch quantiles land within 2% relative error of exact ones
+    at accuracy=10000 on this data."""
+    from pyspark.sql import functions as F
+
+    from pipeline_usnvc_spark.plans import QUERIES
+    from pipeline_usnvc_spark.sources.tables import load_table
+
+    approx = {
+        r["l_returnflag"]: r["approx_q"]
+        for r in QUERIES["q85_approx_percentiles"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["qs"]
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95))").alias("qs"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, qs in approx.items():
+        for got, want in zip(qs, exact[flag]):
+            assert abs(got - want) / want < 0.02, (flag, got, want)
