@@ -275,3 +275,93 @@ def ngram_jaccard_pairs(
             / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
         ).alias("jaccard"),
     ).filter(F.col("jaccard") >= threshold)
+
+
+def prefix_filter_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.4,
+    shingle_n: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for all pairs with set Jaccard ≥ t over
+    word tokens (``shingle_n=None``) or word n-gram shingles, found
+    via PPJoin-style prefix filtering — the scale path past the full
+    inverted-index join.
+
+    Completeness argument (why no pair is missed): order every token
+    set by one global total order; if J(x, y) ≥ t then x and y share
+    at least one token among the first ``|s| - ceil(t*|s|) + 1``
+    tokens of each set. So the candidate join only indexes each
+    document's *prefix* under that order. We order by ascending corpus
+    document frequency (token string as tie-break), which puts the
+    RAREST tokens in the prefix — candidate fan-out per token stays
+    small even on boilerplate-heavy corpora, unlike the full index
+    where one stop-token shared by every doc produces O(n^2) pairs.
+
+    Float hygiene: ``ceil(t*sz)`` and the size filter both subtract a
+    1e-9 slack so binary-rounding of ``t*sz`` (0.4*5 = 2.0000000000000004)
+    can only ENLARGE the prefix / candidate set, never shrink it —
+    pruning stays conservative, the exact verify stage decides.
+
+    Verification joins candidates back to the (array-form, one row per
+    doc) token sets and computes exact ``|A∩B| / (|A|+|B|-|A∩B|)``;
+    the int/int double division is IEEE-identical across engines, so
+    the result hash-matches a brute-force oracle.
+    """
+    t = F.lit(threshold)
+    elems = tokens(text_col) if shingle_n is None else word_shingles(tokens(text_col), n=shingle_n)
+    arr = (
+        _spread(docs)
+        .select(
+            F.col(id_col),
+            F.array_distinct(elems).alias("_toks"),
+        )
+        .withColumn("sz", F.size("_toks"))
+        .localCheckpoint(eager=True)
+    )
+    exploded = arr.select(id_col, "sz", F.explode("_toks").alias("tok"))
+    freq = exploded.groupBy("tok").agg(F.count("*").alias("_df"))
+    # Global order = (document frequency asc, token asc); prefix =
+    # first sz - ceil(t*sz) + 1 tokens under that order.
+    plen = (F.col("sz") - F.ceil(t * F.col("sz") - F.lit(1e-9)) + 1).cast("int")
+    prefix = (
+        exploded.join(freq, "tok")
+        .groupBy(id_col, "sz")
+        .agg(F.array_sort(F.collect_list(F.struct("_df", "tok"))).alias("_ord"))
+        .select(
+            id_col,
+            "sz",
+            F.explode(
+                F.transform(F.slice("_ord", F.lit(1), plen), lambda s: s["tok"])
+            ).alias("tok"),
+        )
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            # Length filter: J ≥ t forces min(|x|,|y|) ≥ t*max(|x|,|y|).
+            & (F.least("a.sz", "b.sz").cast("double") >= t * F.greatest("a.sz", "b.sz") - F.lit(1e-9)),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    ta = arr.select(F.col(id_col).alias("id_a"), F.col("_toks").alias("_ta"), F.col("sz").alias("sz_a"))
+    tb = arr.select(F.col(id_col).alias("id_b"), F.col("_toks").alias("_tb"), F.col("sz").alias("sz_b"))
+    inter = F.size(F.array_intersect("_ta", "_tb"))
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                inter.cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - inter).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -189,3 +189,42 @@ def q57_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q54_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.1)
+
+
+# ---------------------------------------------------------------------------
+# q94 — prefix-filtered set-similarity self-join (PPJoin-lite) on
+# 3-gram shingle sets: the scale path for exact Jaccard. The oracle
+# is the BRUTE-FORCE inverted-index join — identical output proves
+# the prefix filter is lossless at this threshold, which is the whole
+# point of the technique: at 100 TB the full index joins on every
+# shingle (one boilerplate shingle shared by 1M docs = 10^12
+# candidates), the prefix join only on each doc's rarest few
+# shingles. (Shingle sets, not word tokens: the synthetic corpus has
+# a ~30-word vocabulary, so token-set Jaccard is degenerately high —
+# 86% of all pairs clear 0.4 — while shingle similarity isolates the
+# planted near-duplicates.)
+# ---------------------------------------------------------------------------
+@query(
+    "q94_prefix_filter_jaccard",
+    oracle=f"""
+    WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_SQL})),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) AS jaccard
+    FROM inter
+      JOIN sizes sa ON inter.id_a = sa.doc_id
+      JOIN sizes sb ON inter.id_b = sb.doc_id
+    WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.2
+    """,
+)
+def q94_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    return prefix_filter_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.2, shingle_n=3
+    )

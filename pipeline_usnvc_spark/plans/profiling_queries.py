@@ -1,0 +1,162 @@
+"""Data-quality and profiling operators — the audit layer a
+large-scale ingest pipeline runs before anything else touches the
+data: referential-integrity checks across the star schema's FK edges,
+distribution histograms, and a one-pass column profile (null counts /
+cardinalities / extrema).
+
+All three are single-scan-per-table shapes: the FK audit is one left
+join + aggregate per edge (dimension sides broadcast), the histogram
+is one groupBy over a derived bucket key, the profile is ONE
+aggregate pass producing every per-column metric at once and a
+``stack`` to long form (no per-column re-scan — at 100 TB a profile
+that scans once per column is 5x the IO of one that scans once).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pipeline_usnvc_spark.plans.registry import query
+from pipeline_usnvc_spark.sources.tables import DIM_TABLES, load_table
+
+
+# ---------------------------------------------------------------------------
+# q87 — referential-integrity audit: orphan-FK detection on four
+# edges of the star schema. Each edge is fact ⟕ distinct(dim-keys)
+# (dims broadcast; fact-to-fact edges shuffle and AQE sizes them) with
+# the orphan count and distinct orphan-key count folded into one
+# aggregate — the anti-join formulation would need a second pass for
+# the total row count.
+# ---------------------------------------------------------------------------
+_FK_EDGES = [
+    ("lineitem.l_orderkey->orders.o_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part.p_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("orders.o_custkey->customer.c_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation.n_nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+]
+
+
+def _fk_edge_sql(edge: str, fact: str, fk: str, dim: str, dk: str) -> str:
+    return f"""
+    SELECT '{edge}' AS edge, count(*) AS n_rows,
+           CAST(sum(CASE WHEN d.{dk} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+           CAST(count(DISTINCT CASE WHEN d.{dk} IS NULL THEN f.{fk} END) AS BIGINT) AS n_orphan_keys
+    FROM {fact} f LEFT JOIN (SELECT DISTINCT {dk} FROM {dim}) d ON f.{fk} = d.{dk}
+    """
+
+
+@query(
+    "q87_fk_orphan_audit",
+    oracle=" UNION ALL ".join(_fk_edge_sql(*e) for e in _FK_EDGES),
+)
+def q87_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def edge_stats(edge: str, fact: str, fk: str, dim: str, dk: str) -> DataFrame:
+        f = load_table(spark, sf_dir, fact).select(F.col(fk).alias("_k"))
+        keys = load_table(spark, sf_dir, dim).select(F.col(dk).alias("_k")).distinct()
+        if dim in DIM_TABLES:
+            keys = F.broadcast(keys)
+        hit = keys.withColumn("_hit", F.lit(1))
+        return (
+            f.join(hit, "_k", "left")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_orphans"),
+                F.countDistinct(F.when(F.col("_hit").isNull(), F.col("_k")))
+                .cast("bigint")
+                .alias("n_orphan_keys"),
+            )
+            .select(F.lit(edge).alias("edge"), "n_rows", "n_orphans", "n_orphan_keys")
+        )
+
+    return reduce(DataFrame.unionByName, (edge_stats(*e) for e in _FK_EDGES))
+
+
+# ---------------------------------------------------------------------------
+# q88 — fixed-width histogram of l_extendedprice (width 5000, last
+# bucket open-ended at 100k): one groupBy on the derived bucket, then
+# a global window for the share-of-total. bucket*5000.0 and the
+# count/total division are IEEE-exact in both engines; floor(x/w) on
+# identical doubles is engine-portable.
+# ---------------------------------------------------------------------------
+@query(
+    "q88_price_histogram",
+    oracle="""
+    WITH h AS (
+        SELECT CAST(least(floor(l_extendedprice / 5000.0), 20) AS INT) AS bucket,
+               count(*) AS n
+        FROM lineitem GROUP BY 1
+    )
+    SELECT bucket, bucket * 5000.0 AS bucket_lo, n,
+           CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE) AS pct
+    FROM h
+    """,
+)
+def q88_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = F.least(F.floor(F.col("l_extendedprice") / F.lit(5000.0)), F.lit(20)).cast("int")
+    hist = li.groupBy(bucket.alias("bucket")).agg(F.count("*").alias("n"))
+    total = F.sum("n").over(Window.partitionBy())
+    return hist.select(
+        "bucket",
+        (F.col("bucket") * F.lit(5000.0)).alias("bucket_lo"),
+        "n",
+        (F.col("n").cast("double") / total.cast("double")).alias("pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q95 — one-pass column profile of ``orders``: every metric for every
+# profiled column computed in a SINGLE aggregate (Catalyst plans the
+# multi-countDistinct via one Expand — still one scan), then stacked
+# to (column, n_rows, n_null, n_distinct, min_s, max_s) long form.
+# Extrema are surfaced as strings — numerics through DECIMAL(18,2) so
+# both engines render identically.
+# ---------------------------------------------------------------------------
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice"]
+
+
+def _profile_col_sql(c: str) -> str:
+    val = f"CAST({c} AS DECIMAL(18,2))" if c == "o_totalprice" else c
+    return f"""
+    SELECT '{c}' AS col_name, count(*) AS n_rows,
+           count(*) - count({c}) AS n_null,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(min({val}) AS VARCHAR) AS min_s,
+           CAST(max({val}) AS VARCHAR) AS max_s
+    FROM orders
+    """
+
+
+@query(
+    "q95_column_profile",
+    oracle=" UNION ALL ".join(_profile_col_sql(c) for c in _PROFILE_COLS),
+)
+def q95_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+
+    def val(c: str) -> F.Column:
+        return F.col(c).cast("decimal(18,2)") if c == "o_totalprice" else F.col(c)
+
+    aggs = [F.count("*").alias("nr")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"cnt_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(val(c)).cast("string").alias(f"mn_{c}"),
+            F.max(val(c)).cast("string").alias(f"mx_{c}"),
+        ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nr, nr - cnt_{c}, nd_{c}, mn_{c}, mx_{c}" for c in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args})"
+            " as (col_name, n_rows, n_null, n_distinct, min_s, max_s)"
+        )
+    )

@@ -357,3 +357,117 @@ def q69_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 10)
         .select("doc_id", "lang", "priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q89 — BM25 relevance ranking of the corpus against a fixed query
+# (terms: spark, window, join, vector, stream; k1=1.2, b=0.75) — the
+# classic retrieval scorer a training-data pipeline uses for
+# quality/topicality filtering. Shape: one per-doc projection (tf per
+# term + doc length), ONE global aggregate for corpus stats (N,
+# avg dl, per-term df) broadcast back, then a pure map-side score —
+# no per-term shuffle, no join per query term. Scores are round()ed
+# to 6dp BEFORE ranking (ln() differs in the last ulp across libm
+# implementations; everything else — divisions, fixed-order sums —
+# is IEEE-identical), making the rank and the emitted score exact
+# across engines.
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ["spark", "window", "join", "vector", "stream"]
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_oracle() -> str:
+    tf_defs = ",\n               ".join(
+        f"len(list_filter(toks, t -> t = '{w}')) AS tf_{w}" for w in _BM25_TERMS
+    )
+    df_defs = ", ".join(
+        f"CAST(sum(CASE WHEN tf_{w} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{w}"
+        for w in _BM25_TERMS
+    )
+    terms = " + ".join(
+        f"ln(1 + (n_docs - df_{w} + 0.5) / (df_{w} + 0.5))"
+        f" * (CAST(tf_{w} AS DOUBLE) * 2.2)"
+        f" / (CAST(tf_{w} AS DOUBLE) + 1.2 * (1 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))"
+        for w in _BM25_TERMS
+    )
+    return f"""
+    WITH perdoc AS (
+        SELECT doc_id, len(toks) AS dl,
+               {tf_defs}
+        FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+    ),
+    stats AS (
+        SELECT count(*) AS n_docs,
+               CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+               {df_defs}
+        FROM perdoc
+    )
+    SELECT doc_id, score_r6,
+           CAST(row_number() OVER (ORDER BY score_r6 DESC, doc_id) AS INT) AS rnk
+    FROM (
+        SELECT doc_id, round({terms}, 6) AS score_r6
+        FROM perdoc CROSS JOIN stats
+    )
+    WHERE score_r6 > 0
+    """
+
+
+@query("q89_bm25_rank", oracle=_bm25_oracle())
+def q89_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+    from operator import add
+
+    from pyspark.sql import Window
+
+    from pipeline_usnvc_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("toks"))
+
+    def tf_col(w: str):
+        # NB: the lambda must take exactly one parameter — F.filter
+        # passes (element, index) to two-parameter lambdas, so a
+        # `w=w` default capture would be overwritten by the index.
+        return F.size(F.filter("toks", lambda t: t == F.lit(w))).alias(f"tf_{w}")
+
+    perdoc = toks.select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        *[tf_col(w) for w in _BM25_TERMS],
+    )
+    stats = perdoc.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*").cast("double")).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{w}") > 0).cast("int")).alias(f"df_{w}")
+            for w in _BM25_TERMS
+        ],
+    )
+
+    def term_score(w: str):
+        tf = F.col(f"tf_{w}").cast("double")
+        idf = F.log(
+            F.lit(1)
+            + (F.col("n_docs") - F.col(f"df_{w}") + F.lit(0.5)) / (F.col(f"df_{w}") + F.lit(0.5))
+        )
+        norm = F.lit(1) - F.lit(_BM25_B) + F.lit(_BM25_B) * (
+            F.col("dl").cast("double") / F.col("avgdl")
+        )
+        return idf * (tf * F.lit(_BM25_K1 + 1)) / (tf + F.lit(_BM25_K1) * norm)
+
+    scored = (
+        perdoc.crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(reduce(add, (term_score(w) for w in _BM25_TERMS)), 6).alias("score_r6"),
+        )
+        .filter(F.col("score_r6") > 0)
+    )
+    return scored.select(
+        "doc_id",
+        "score_r6",
+        F.row_number()
+        .over(Window.orderBy(F.col("score_r6").desc(), "doc_id"))
+        .cast("int")
+        .alias("rnk"),
+    )
