@@ -1,0 +1,35 @@
+"""Lineage materialization for iterative operators.
+
+Every fixpoint loop in this engine (hierarchy closure, HashMin
+connected components, the dedup pipeline's pair graph) must cut
+lineage each round, or round N replays rounds 1..N-1 — quadratic
+re-execution. Locally ``localCheckpoint`` (executor block manager) is
+the cheapest cut. On a real cluster it is NOT fault-tolerant: losing
+an executor loses the checkpointed blocks and the job cannot recompute
+them (lineage was truncated). There, a *reliable* checkpoint to a
+shared filesystem (``sparkContext.setCheckpointDir`` on HDFS/S3) is
+the correct materialization.
+
+``materialize`` picks automatically: if the session has a checkpoint
+dir configured it uses the reliable path, otherwise localCheckpoint.
+Cluster deployments opt in with one line (or the
+``SPARK_GRAFT_CHECKPOINT_DIR`` env var honored by ``get_spark``) and
+every iterative operator in the engine switches over.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Cut ``df``'s lineage by materializing it.
+
+    Reliable ``checkpoint()`` when the SparkContext has a checkpoint
+    dir (survives executor loss — required for long fixpoint loops on
+    preemptible clusters), ``localCheckpoint()`` otherwise.
+    """
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir():
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pipeline_usnvc_spark.functions.text import doc_fingerprint, tokens, word_shingles
+from pipeline_usnvc_spark.operators.checkpoint import materialize
 
 
 def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -189,6 +190,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.1,
     max_doc_freq: int | None = None,
+    int_hash: bool = False,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for candidate pairs sharing ≥1 shingle.
 
@@ -202,6 +204,14 @@ def ngram_jaccard_pairs(
     docs would otherwise produce 10^12 candidate rows). This changes
     the Jaccard denominator (capped shingles leave both sets), so it
     is an approximation knob: None = exact.
+
+    ``int_hash`` replaces each shingle string (~25 bytes + string
+    compare) with its 60-bit md5-prefix hash (8-byte long) BEFORE the
+    self-join — the shuffle-bytes compaction for 100 TB corpora where
+    exchange volume, not CPU, dominates. Collision probability at 60
+    bits is ~n²/2^61 per doc pair's shingles — vanishingly below the
+    threshold granularity — and the oracle applies the identical hash,
+    so the check stays exact.
     """
     if max_doc_freq is not None:
         # The doc-frequency cap needs a global per-shingle count, and
@@ -244,13 +254,22 @@ def ngram_jaccard_pairs(
         # tokenize+shingle map would otherwise execute twice. The
         # array form is the cheapest thing to cache — far smaller
         # than the exploded index.
+        shs = word_shingles(tokens(text_col), n=shingle_n)
+        if int_hash:
+            # 60-bit hash (15 hex digits < 2^63, no sign issues),
+            # applied map-side so only longs ever hit the exchange.
+            # array_distinct AFTER hashing: a (negligible) collision
+            # merges set elements identically in engine and oracle.
+            shs = F.transform(
+                shs, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+            )
         arr = (
             _spread(docs)
             .select(
                 F.col(id_col),
-                F.array_distinct(word_shingles(tokens(text_col), n=shingle_n)).alias("_shs"),
+                F.array_distinct(shs).alias("_shs"),
             )
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         sh = arr.select(
             id_col,
@@ -318,7 +337,7 @@ def prefix_filter_jaccard_pairs(
             F.array_distinct(elems).alias("_toks"),
         )
         .withColumn("sz", F.size("_toks"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     exploded = arr.select(id_col, "sz", F.explode("_toks").alias("tok"))
     freq = exploded.groupBy("tok").agg(F.count("*").alias("_df"))

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pipeline_usnvc_spark.functions.text import doc_fingerprint
+from pipeline_usnvc_spark.operators.checkpoint import materialize
 from pipeline_usnvc_spark.operators.dedup import ngram_jaccard_pairs
 from pipeline_usnvc_spark.operators.graph import connected_components
 
@@ -45,7 +46,7 @@ def dedup_corpus(
             "exact_keeper",
             (F.col(id_col) == F.col("exact_keeper")).alias("is_exact_keeper"),
         )
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
 
     survivors = docs.join(

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pipeline_usnvc_spark.operators.checkpoint import materialize
+
 
 def connected_components(
     edges: DataFrame,
@@ -32,7 +34,7 @@ def connected_components(
         edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
         .unionByName(edges.select(F.col(dst).alias("x"), F.col(src).alias("y")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     # Seed with min(self, neighbors): exactly round 1 of HashMin, but
     # folded into initialization so the loop starts one hop ahead.
@@ -41,7 +43,7 @@ def connected_components(
         .unionByName(sym.select(F.col("x").alias("node"), F.col("x").alias("label")))
         .groupBy("node")
         .agg(F.min("label").alias("label"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
@@ -58,7 +60,7 @@ def connected_components(
             labels.unionByName(neighbor_labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         # Labels only ever decrease under min-propagation, so an
         # unchanged sum is an exact fixpoint test — one scalar agg per

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pipeline_usnvc_spark.operators.checkpoint import materialize
+
 
 def ancestors(
     edges: DataFrame,
@@ -45,7 +47,7 @@ def ancestors(
     """
     edges = edges.select(F.col(id_col).alias("id"), F.col(parent_col).alias("parent_id"))
     if materialize_edges:
-        edges = edges.localCheckpoint(eager=True)
+        edges = edges.transform(materialize)
     # Frontier: (id, ancestor_id) pairs discovered at the current depth.
     frontier = edges.filter(F.col("parent_id").isNotNull()).select(
         "id", F.col("parent_id").alias("ancestor_id"), F.lit(1).alias("depth")
@@ -73,7 +75,7 @@ def ancestors(
                 F.col("e.parent_id").alias("ancestor_id"),
                 (F.col("f.depth") + 1).alias("depth"),
             )
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         depth += 1
         frontier = nxt

@@ -1,0 +1,69 @@
+"""Exact global ranking without a single-partition sort.
+
+``Window.orderBy(...)`` with no partitionBy collapses the whole table
+into ONE task — the classic scale cliff (fine at sf0.01, dead at
+100 TB). The two-phase formulation here is the standard distributed
+fix (TeraSort-style):
+
+  1. ``repartitionByRange`` on the order key — ranges are disjoint and
+     ordered by partition id, so global order = (partition id, local
+     order).
+  2. per-partition ``row_number`` (parallel, no cross-partition data).
+  3. a tiny per-partition row-count table → cumulative offsets
+     (#partitions rows — driver/broadcast scale), broadcast-joined
+     back: global_rank = offset + local row_number.
+
+Range boundaries come from Spark's reservoir sampling; wherever the
+cuts land, ranks are exact because ranges never overlap. One full
+shuffle (the range exchange) — same as any sort — but parallel
+everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_global_rank(
+    df: DataFrame,
+    *order_cols: str | Column,
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``rank_col`` = exact 1-based global row_number under
+    ``order_cols`` (must be a total order — include a unique
+    tie-breaker; with ties row_number is nondeterministic).
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    ranged = (
+        df.repartitionByRange(num_partitions, *cols)
+        if num_partitions
+        else df.repartitionByRange(*cols)
+    )
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    local = with_pid.withColumn(
+        "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy(*cols))
+    )
+    # (#partitions)-row side table: cumulative count of rows in all
+    # preceding ranges. The unpartitioned window here is fine — it
+    # runs over partition COUNTS, not data rows.
+    offsets = (
+        with_pid.groupBy("_pid")
+        .agg(F.count("*").alias("_n"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(rank_col, (F.col("_lrn") + F.col("_off")).cast("bigint"))
+        .drop("_pid", "_lrn", "_off")
+    )

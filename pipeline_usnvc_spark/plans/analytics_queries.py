@@ -1,0 +1,193 @@
+"""Distributed-analytics queries: exact global ranking (equi-depth
+histogram), graph triangle counting, Pareto skyline, and the
+shuffle-compacted Jaccard join.
+
+Each pairs a scale-aware Spark formulation (two-phase rank/sweep, no
+single-partition sorts, integer-hashed join keys) with a brute-force
+DuckDB oracle — identical output proves the distributed algorithm is
+lossless, which is the point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipeline_usnvc_spark.plans.dedup_queries import _SHINGLES_SQL
+from pipeline_usnvc_spark.plans.registry import query
+from pipeline_usnvc_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# q96 — equi-depth histogram of lineitem prices via EXACT global rank.
+# A bare Window.orderBy would funnel the table through one task; the
+# operators/rank.py two-phase formulation (range shuffle + local
+# row_number + broadcast offsets) keeps every stage parallel. Ties on
+# price are interchangeable across the bucket boundary, so every
+# aggregate below is deterministic at any sf.
+# ---------------------------------------------------------------------------
+@query(
+    "q96_equidepth_histogram",
+    oracle="""
+    WITH ranked AS (
+        SELECT l_extendedprice,
+               row_number() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS r,
+               count(*) OVER () AS n
+        FROM lineitem
+    )
+    SELECT ((r - 1) * 8) // n + 1 AS bucket,
+           count(*) AS n_rows,
+           min(l_extendedprice) AS lo,
+           max(l_extendedprice) AS hi,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS bucket_revenue
+    FROM ranked GROUP BY 1
+    """,
+)
+def q96_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.rank import with_global_rank
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    ranked = with_global_rank(
+        li, "l_extendedprice", "l_orderkey", "l_linenumber", rank_col="r"
+    )
+    total = li.groupBy().agg(F.count("*").alias("n"))
+    return (
+        ranked.join(F.broadcast(total))
+        # integer div on both sides: no float rounding at boundaries
+        .withColumn("bucket", F.expr("(r - 1) * 8 div n + 1"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("bucket_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q97 — triangle counting on the co-purchase graph (parts appearing in
+# the same order ≥2 times). The support filter is the real-world guard
+# that keeps edge count (and the wedge join) bounded; AQE handles the
+# residual skew on hub parts. Per-node triangle participation makes a
+# richer check than one global count.
+# ---------------------------------------------------------------------------
+@query(
+    "q97_triangle_count",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    tri AS (
+        SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+        FROM edges e1
+        JOIN edges e2 ON e1.pb = e2.pa
+        JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    )
+    SELECT node, count(*) AS n_triangles FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    ) GROUP BY node
+    """,
+)
+def q97_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    op = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count("*").alias("_support"))
+        .filter(F.col("_support") >= 2)
+        .select("pa", "pb")
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.pb") == F.col("e2.pa"))
+        .join(e3, (F.col("e3.pa") == F.col("e1.pa")) & (F.col("e3.pb") == F.col("e2.pb")))
+        .select(F.col("e1.pa").alias("a"), F.col("e1.pb").alias("b"), F.col("e2.pb").alias("c"))
+    )
+    nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return nodes.groupBy("node").agg(F.count("*").alias("n_triangles"))
+
+
+# ---------------------------------------------------------------------------
+# q98 — Pareto skyline of part on (minimize retail price, minimize
+# size). Spark runs the O(n log n) distributed sweep
+# (operators/skyline.py); the oracle is the O(n^2) NOT EXISTS
+# domination anti-join. Identical rows prove the sweep exact.
+# ---------------------------------------------------------------------------
+@query(
+    "q98_skyline",
+    oracle="""
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size)
+    )
+    """,
+)
+def q98_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.skyline import skyline_2d
+
+    part = load_table(spark, sf_dir, "part")
+    front = skyline_2d(part, "p_retailprice", "p_size")
+    return part.join(front, ["p_retailprice", "p_size"]).select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q99 — exact shingle-set Jaccard with 60-bit INTEGER shingle keys
+# (ROADMAP: shuffle-bytes compaction). Same pairs as the string-keyed
+# q54/q94 path at threshold 0.2; the inverted-index self-join
+# exchanges 8-byte longs instead of ~25-byte strings — the win at
+# 100 TB where the pair-join shuffle dominates. Oracle hashes
+# identically, so the comparison stays bit-exact.
+# ---------------------------------------------------------------------------
+@query(
+    "q99_int_shingle_jaccard",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id,
+               CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS shingle
+        FROM ({_SHINGLES_SQL})
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) AS jaccard
+    FROM inter
+      JOIN sizes sa ON inter.id_a = sa.doc_id
+      JOIN sizes sb ON inter.id_b = sb.doc_id
+    WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.2
+    """,
+)
+def q99_int_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.2, int_hash=True
+    )

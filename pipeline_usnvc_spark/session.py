@@ -58,4 +58,10 @@ def get_spark(
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Reliable-checkpoint opt-in for iterative operators (see
+    # operators/checkpoint.py): point at HDFS/S3 on a cluster so
+    # fixpoint loops survive executor loss; unset = localCheckpoint.
+    ckpt_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ckpt_dir and not spark.sparkContext.getCheckpointDir():
+        spark.sparkContext.setCheckpointDir(ckpt_dir)
     return spark

@@ -105,3 +105,67 @@ def test_approx_percentiles_within_bound(spark, sf_dir):
     for flag, qs in approx.items():
         for got, want in zip(qs, exact[flag]):
             assert abs(got - want) / want < 0.02, (flag, got, want)
+
+
+def test_reliable_checkpoint_path(spark, tmp_path):
+    """With a checkpoint dir configured, iterative operators use
+    reliable checkpoint() (cluster fault-tolerance posture) and
+    produce identical results."""
+    from pipeline_usnvc_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20)], "src bigint, dst bigint"
+    )
+    want = {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20)}
+    sc = spark.sparkContext
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        got = {
+            (r["node"], r["component"])
+            for r in connected_components(edges).collect()
+        }
+        # the reliable path actually wrote RDD checkpoint files
+        assert any((tmp_path / "ckpt").rglob("*"))
+    finally:
+        # session is shared: restore localCheckpoint behavior
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
+    assert got == want
+
+
+def test_global_rank_exact(spark):
+    """Two-phase rank == single-partition row_number on a total order."""
+    import random
+
+    from pipeline_usnvc_spark.operators.rank import with_global_rank
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(0, 1000)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "id bigint, v bigint")
+    got = {
+        r["id"]: r["rank"]
+        for r in with_global_rank(df, "v", "id", num_partitions=16).collect()
+    }
+    want = {
+        i: r + 1
+        for r, (i, _) in enumerate(sorted(rows, key=lambda t: (t[1], t[0])))
+    }
+    assert got == want
+
+
+def test_skyline_edge_cases(spark):
+    """Duplicate points, ties on one axis, single-point domination."""
+    from pipeline_usnvc_spark.operators.skyline import skyline_2d
+
+    pts = [
+        (1.0, 10),  # skyline (cheapest)
+        (1.0, 10),  # exact duplicate: still one skyline point
+        (2.0, 5),   # skyline (tradeoff)
+        (2.0, 7),   # dominated by (2.0, 5): tie on x, worse y
+        (3.0, 5),   # dominated by (2.0, 5): tie on y, worse x
+        (0.5, 20),  # skyline
+        (4.0, 4),   # skyline
+        (5.0, 9),   # dominated by (2.0, 5)
+    ]
+    df = spark.createDataFrame(pts, "x double, y int")
+    got = {(r["x"], r["y"]) for r in skyline_2d(df, "x", "y").collect()}
+    assert got == {(1.0, 10), (2.0, 5), (0.5, 20), (4.0, 4)}
