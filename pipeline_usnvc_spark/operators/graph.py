@@ -71,3 +71,58 @@ def connected_components(
             break
         prev_sum = cur_sum
     return labels.select("node", F.col("label").alias("component"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """(node, rank) after ``iterations`` rounds of damped PageRank on
+    the directed edge list (parallel edges collapse to one).
+
+    Standard distributed formulation: each round is one join (rank →
+    out-edges) + one aggregation (sum of contributions per target) —
+    the same two-shuffle round GraphX/Pregel executes, with map-side
+    partial aggregation on the contribution sum. Dangling nodes (no
+    out-edges) keep rank mass via the damping teleport only, matching
+    the classic simplified recurrence:
+
+        rank(v) = (1 - d) + d * sum(rank(u) / out_deg(u), u -> v)
+
+    Ranks are doubles; cross-partition sum order makes low bits
+    run-dependent, so this is a rows-only/property-tested operator
+    (no bit-exact SQL oracle).
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .transform(materialize)
+    )
+    out_deg = e.groupBy("u").agg(F.count("*").alias("deg"))
+    # (u, v, deg) — static per run; materialized once, joined per round.
+    adj = e.join(out_deg, "u").transform(materialize)
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    for _ in range(iterations):
+        contribs = (
+            adj.join(ranks.withColumnRenamed("node", "u"), "u")
+            .select(F.col("v").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .transform(materialize)
+        )
+    return ranks

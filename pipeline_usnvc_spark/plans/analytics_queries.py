@@ -191,3 +191,42 @@ def q99_int_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"), threshold=0.2, int_hash=True
     )
+
+
+# ---------------------------------------------------------------------------
+# q100 — mergeable distinct-count sketches (Datasketches HLL). The
+# 100 TB story: sketches aggregate map-side and MERGE across
+# partitions/days (register-wise max — associative, order-free), so a
+# year of daily sketches rolls up without rescanning raw data.
+# Estimates are approximate → rows-only check; the pytest property
+# asserts union-of-group-sketches == direct whole-table sketch and
+# <3% error vs exact counts.
+# ---------------------------------------------------------------------------
+@query("q100_hll_mergeable_distinct")
+def q100_hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"), F.count("*").alias("n_events")
+    )
+    return per_type.select(
+        "event_type",
+        "n_events",
+        F.hll_sketch_estimate("sk").cast("bigint").alias("approx_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q101 — PageRank over the supplier→part supply graph (10 damped
+# rounds; operators/graph.pagerank). Float contribution sums are
+# partition-order dependent → rows-only; the pytest property checks
+# mass conservation and hub ordering.
+# ---------------------------------------------------------------------------
+@query("q101_pagerank")
+def q101_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    return pagerank(edges, iterations=10)

@@ -115,3 +115,23 @@ def test_flagship_documents_plan(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert not re.findall(r"\(\d+\) SortMergeJoin", plan), "dim join fell out of broadcast"
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+
+
+def test_global_rank_has_no_single_partition_sort(spark, sf_dir):
+    # q96's rank must come from rangepartitioning + per-partition
+    # window, never a SinglePartition global window (the scale cliff).
+    plan = _plan(spark, "q96_equidepth_histogram", sf_dir)
+    assert "rangepartitioning" in plan.lower(), "rank lost its range exchange"
+    # the only unpartitioned window allowed is over the tiny
+    # per-partition count table; the data-path window is keyed by _pid
+    assert "Window" in plan
+    assert "partitionBy=[_pid" in plan.replace(" ", "") or "[_pid" in plan, plan[:500]
+
+
+def test_skyline_is_sweep_not_theta_join(spark, sf_dir):
+    # q98 must run the range-partitioned sweep — no O(n^2) nested-loop
+    # domination join (that formulation is the oracle's job).
+    plan = _plan(spark, "q98_skyline", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" in plan.lower()

@@ -169,3 +169,50 @@ def test_skyline_edge_cases(spark):
     df = spark.createDataFrame(pts, "x double, y int")
     got = {(r["x"], r["y"]) for r in skyline_2d(df, "x", "y").collect()}
     assert got == {(1.0, 10), (2.0, 5), (0.5, 20), (4.0, 4)}
+
+
+def test_hll_sketches_merge_losslessly(spark, sf_dir):
+    """Union of per-group sketches == one whole-table sketch (exact
+    register equality ⇒ equal estimates), and estimates land within
+    3% of exact distinct counts."""
+    from pyspark.sql import functions as F
+
+    from pipeline_usnvc_spark.plans import QUERIES
+    from pipeline_usnvc_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    merged = (
+        ev.groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0]["est"]
+    )
+    direct = ev.agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")).collect()[0]["est"]
+    assert merged == direct
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["q100_hll_mergeable_distinct"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    assert set(approx) == set(exact)
+    for k in exact:
+        assert abs(approx[k] - exact[k]) / exact[k] < 0.03, (k, approx[k], exact[k])
+
+
+def test_pagerank_properties(spark):
+    """Mass conservation (no dangling loss on this graph) and hub
+    dominance on a constructed graph."""
+    from pipeline_usnvc_spark.operators.graph import pagerank
+
+    # star: everyone links to 0; 0 links back to 1
+    edges = [(i, 0) for i in range(1, 6)] + [(0, 1)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    ranks = {r["node"]: r["rank"] for r in pagerank(df, iterations=20).collect()}
+    # every node has out-degree >= 1 -> total mass == n nodes
+    assert abs(sum(ranks.values()) - 6.0) < 1e-6
+    assert ranks[0] == max(ranks.values())
+    assert ranks[1] > ranks[2]  # 0's endorsement beats leaf baseline
+    assert abs(ranks[2] - ranks[5]) < 1e-12  # symmetric leaves tie
