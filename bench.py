@@ -41,6 +41,10 @@ HEADLINE = [
     "q35_tfidf_topk",
     "q56_dedup_pipeline",
     "q91_session_funnel",
+    "q96_equidepth_histogram",
+    "q98_skyline",
+    "q99_int_shingle_jaccard",
+    "q102_lateral_topk",
 ]
 
 

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from pipeline_usnvc_spark.operators.checkpoint import materialize
+
 
 def with_global_rank(
     df: DataFrame,
@@ -41,7 +43,12 @@ def with_global_rank(
         if num_partitions
         else df.repartitionByRange(*cols)
     )
-    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    # Materialized ONCE: both consumers below (the per-partition
+    # window and the offsets table) would otherwise re-execute the
+    # range exchange — and repartitionByRange re-SAMPLES its child per
+    # execution, so without this the input is scanned 3x (sample +
+    # 2 consumers x their own sample). Measured 6 parquet scans -> 1.
+    with_pid = materialize(ranged.withColumn("_pid", F.spark_partition_id()))
     local = with_pid.withColumn(
         "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy(*cols))
     )

@@ -25,12 +25,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pipeline_usnvc_spark.operators.checkpoint import materialize
+
 
 def skyline_2d(df: DataFrame, x: str, y: str) -> DataFrame:
     """Distinct (x, y) points on the minimize-(x, y) Pareto frontier."""
     pts = df.select(x, y).distinct()
-    ranged = pts.repartitionByRange(F.col(x), F.col(y)).withColumn(
-        "_pid", F.spark_partition_id()
+    # materialized once: the sweep and the carry table both consume it,
+    # and repartitionByRange re-samples its child per execution
+    ranged = materialize(
+        pts.repartitionByRange(F.col(x), F.col(y)).withColumn(
+            "_pid", F.spark_partition_id()
+        )
     )
     w = (
         Window.partitionBy("_pid")

@@ -52,7 +52,9 @@ def q96_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = with_global_rank(
         li, "l_extendedprice", "l_orderkey", "l_linenumber", rank_col="r"
     )
-    total = li.groupBy().agg(F.count("*").alias("n"))
+    # total row count from the (materialized) ranked table itself —
+    # max(rank) — instead of a second parquet scan of lineitem
+    total = ranked.groupBy().agg(F.max("r").alias("n"))
     return (
         ranked.join(F.broadcast(total))
         # integer div on both sides: no float rounding at boundaries
@@ -230,3 +232,36 @@ def q101_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
     )
     return pagerank(edges, iterations=10)
+
+
+# ---------------------------------------------------------------------------
+# q102 — correlated LATERAL subquery join: per-customer top-2 orders.
+# Catalyst rewrites the lateral limit into a ranked window under
+# DomainJoin — no per-row re-execution — while DuckDB executes the
+# same ANSI construct natively. The per-group LIMIT needs a total
+# order (o_totalprice DESC, o_orderkey) to be engine-portable.
+# ---------------------------------------------------------------------------
+@query(
+    "q102_lateral_topk",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment, l.o_orderkey, l.o_totalprice
+    FROM customer c, LATERAL (
+        SELECT o.o_orderkey, o.o_totalprice
+        FROM orders o WHERE o.o_custkey = c.c_custkey
+        ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 2
+    ) l
+    """,
+)
+def q102_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("q102_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("q102_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment, l.o_orderkey, l.o_totalprice
+        FROM q102_customer c, LATERAL (
+            SELECT o.o_orderkey, o.o_totalprice
+            FROM q102_orders o WHERE o.o_custkey = c.c_custkey
+            ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 2
+        ) l
+        """
+    )

@@ -231,3 +231,49 @@ def q79_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_usnvc_spark.operators.timeseries import hourly_gap_fill
 
     return hourly_gap_fill(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# q103 — NATIVE session windows (F.session_window): the built-in
+# dynamic-gap operator behind streaming sessionization, exercised in
+# batch where it is oracle-able. Semantics differ from q40's manual
+# lag+cumsum on the boundary: a gap of EXACTLY 30 min closes the
+# native session (window end is exclusive), so the oracle flags
+# `>= 1800s`, and session_end is last-event + gap by definition.
+# ---------------------------------------------------------------------------
+@query(
+    "q103_native_session_window",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('microsecond', lag(ts) OVER w, ts) >= 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def q103_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -117,9 +117,15 @@ def test_flagship_documents_plan(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
 
 
-def test_global_rank_has_no_single_partition_sort(spark, sf_dir):
+def test_global_rank_has_no_single_partition_sort(spark, sf_dir, monkeypatch):
     # q96's rank must come from rangepartitioning + per-partition
     # window, never a SinglePartition global window (the scale cliff).
+    # materialize() is stubbed to identity so the full logical plan
+    # stays visible (the production path checkpoints mid-plan, which
+    # hides everything upstream from explain).
+    import pipeline_usnvc_spark.operators.rank as rank_mod
+
+    monkeypatch.setattr(rank_mod, "materialize", lambda df, eager=True: df)
     plan = _plan(spark, "q96_equidepth_histogram", sf_dir)
     assert "rangepartitioning" in plan.lower(), "rank lost its range exchange"
     # the only unpartitioned window allowed is over the tiny
@@ -128,9 +134,12 @@ def test_global_rank_has_no_single_partition_sort(spark, sf_dir):
     assert "partitionBy=[_pid" in plan.replace(" ", "") or "[_pid" in plan, plan[:500]
 
 
-def test_skyline_is_sweep_not_theta_join(spark, sf_dir):
+def test_skyline_is_sweep_not_theta_join(spark, sf_dir, monkeypatch):
     # q98 must run the range-partitioned sweep — no O(n^2) nested-loop
     # domination join (that formulation is the oracle's job).
+    import pipeline_usnvc_spark.operators.skyline as sky_mod
+
+    monkeypatch.setattr(sky_mod, "materialize", lambda df, eager=True: df)
     plan = _plan(spark, "q98_skyline", sf_dir)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
