@@ -277,3 +277,79 @@ def q103_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q104 — growth accounting: per-day new users and the cumulative
+# total. The standard scalable shape: min(ts) per user (one shuffle,
+# map-side partial min), then a day-level rollup whose cumulative sum
+# runs over the tiny per-day table — the unpartitioned window touches
+# #days rows, never event rows.
+# ---------------------------------------------------------------------------
+@query(
+    "q104_growth_accounting",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+    ),
+    daily AS (
+        SELECT strftime(d0, '%Y-%m-%d') AS day, count(*) AS new_users
+        FROM first_seen GROUP BY d0
+    )
+    SELECT day, new_users,
+           sum(new_users) OVER (ORDER BY day
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumulative_users
+    FROM daily
+    """,
+)
+def q104_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    daily = first_seen.groupBy(
+        F.date_format("d0", "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.withColumn("cumulative_users", F.sum("new_users").over(w))
+
+
+# ---------------------------------------------------------------------------
+# q105 — cohort retention: users grouped by first-active week, matrix
+# of how many are active k weeks later. Two shuffles total (first-seen
+# per user, then cohort x offset rollup of the user-week activity
+# joined to its cohort); the per-user join broadcasts nothing and
+# stays key-partitioned on user_id.
+# ---------------------------------------------------------------------------
+@query(
+    "q105_retention_cohorts",
+    oracle="""
+    WITH user_weeks AS (
+        SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS DATE)) AS wk FROM events
+    ),
+    cohorts AS (
+        SELECT user_id, min(wk) AS cohort_wk FROM user_weeks GROUP BY user_id
+    )
+    SELECT strftime(c.cohort_wk, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('week', c.cohort_wk, u.wk) AS BIGINT) AS weeks_later,
+           count(*) AS active_users
+    FROM user_weeks u JOIN cohorts c USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q105_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    user_weeks = ev.select(
+        "user_id", F.date_trunc("week", F.to_date("ts")).cast("date").alias("wk")
+    ).distinct()
+    cohorts = user_weeks.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        user_weeks.join(cohorts, "user_id")
+        .groupBy(
+            F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("wk"), F.col("cohort_wk")) / 7)
+            .cast("bigint")
+            .alias("weeks_later"),
+        )
+        .agg(F.count("*").alias("active_users"))
+    )
