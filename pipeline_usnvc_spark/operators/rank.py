@@ -5,18 +5,27 @@ into ONE task — the classic scale cliff (fine at sf0.01, dead at
 100 TB). The two-phase formulation here is the standard distributed
 fix (TeraSort-style):
 
-  1. ``repartitionByRange`` on the order key — ranges are disjoint and
-     ordered by partition id, so global order = (partition id, local
-     order).
-  2. per-partition ``row_number`` (parallel, no cross-partition data).
+  1. ``repartitionByRange`` on the order key + ``sortWithinPartitions``
+     — ranges are disjoint and ordered by partition id, so global
+     order = (partition id, local order).
+  2. per-partition row numbers WITHOUT a window:
+     ``monotonically_increasing_id`` encodes (partition id << 33) +
+     in-partition record number, and after the in-partition sort the
+     record number IS the local rank. A ``Window.partitionBy(_pid)``
+     here would force Catalyst to insert a second full exchange
+     (hashpartitioning on _pid right after the range exchange — range
+     partitioning doesn't satisfy the window's hash requirement);
+     decoding the id is map-side free. Measured: removes one full
+     shuffle of the fact table.
   3. a tiny per-partition row-count table → cumulative offsets
      (#partitions rows — driver/broadcast scale), broadcast-joined
-     back: global_rank = offset + local row_number.
+     back: global_rank = offset + local rank.
 
 Range boundaries come from Spark's reservoir sampling; wherever the
 cuts land, ranks are exact because ranges never overlap. One full
 shuffle (the range exchange) — same as any sort — but parallel
-everywhere.
+everywhere. Limit: 2^33 ≈ 8.6B rows per partition (the id encoding),
+far beyond any sane partition size.
 """
 
 from __future__ import annotations
@@ -25,6 +34,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pipeline_usnvc_spark.operators.checkpoint import materialize
+
+_RECORD_BITS = 33  # monotonically_increasing_id: lower 33 bits = record number
 
 
 def with_global_rank(
@@ -42,21 +53,24 @@ def with_global_rank(
         df.repartitionByRange(num_partitions, *cols)
         if num_partitions
         else df.repartitionByRange(*cols)
-    )
-    # Materialized ONCE: both consumers below (the per-partition
-    # window and the offsets table) would otherwise re-execute the
-    # range exchange — and repartitionByRange re-SAMPLES its child per
-    # execution, so without this the input is scanned 3x (sample +
-    # 2 consumers x their own sample). Measured 6 parquet scans -> 1.
-    with_pid = materialize(ranged.withColumn("_pid", F.spark_partition_id()))
-    local = with_pid.withColumn(
-        "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy(*cols))
+    ).sortWithinPartitions(*cols)
+    mid = F.monotonically_increasing_id()
+    # Materialized ONCE: both consumers below (the ranked rows and the
+    # offsets table) would otherwise re-execute the range exchange —
+    # and repartitionByRange re-SAMPLES its child per execution, so
+    # without this the input is scanned several times over.
+    local = materialize(
+        ranged.withColumn("_pid", F.shiftright(mid, _RECORD_BITS))
+        .withColumn(
+            "_lrn",
+            mid.bitwiseAND(F.lit((1 << _RECORD_BITS) - 1)).cast("bigint") + F.lit(1),
+        )
     )
     # (#partitions)-row side table: cumulative count of rows in all
     # preceding ranges. The unpartitioned window here is fine — it
     # runs over partition COUNTS, not data rows.
     offsets = (
-        with_pid.groupBy("_pid")
+        local.groupBy("_pid")
         .agg(F.count("*").alias("_n"))
         .withColumn(
             "_off",

@@ -128,10 +128,13 @@ def test_global_rank_has_no_single_partition_sort(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(rank_mod, "materialize", lambda df, eager=True: df)
     plan = _plan(spark, "q96_equidepth_histogram", sf_dir)
     assert "rangepartitioning" in plan.lower(), "rank lost its range exchange"
-    # the only unpartitioned window allowed is over the tiny
-    # per-partition count table; the data-path window is keyed by _pid
-    assert "Window" in plan
-    assert "partitionBy=[_pid" in plan.replace(" ", "") or "[_pid" in plan, plan[:500]
+    # local ranks decode monotonically_increasing_id — there must be
+    # NO row_number window over the fact rows (that formulation forces
+    # Catalyst to re-shuffle them hash-partitioned by _pid right after
+    # the range exchange). The only window left is the cumulative sum
+    # over the #partitions-row offsets table.
+    assert "row_number" not in plan, "rank fell back to a windowed row_number"
+    assert "monotonically_increasing_id" in plan
 
 
 def test_skyline_is_sweep_not_theta_join(spark, sf_dir, monkeypatch):
