@@ -471,3 +471,49 @@ def q89_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("rnk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q106 — reciprocal-rank fusion (RRF, k=60): the standard hybrid-
+# retrieval combiner (lexical BM25 ranking fused with a second signal
+# — here a length prior ranked by the scalable two-phase global rank,
+# not a single-partition window). Scores are 1/(60+rank) sums of
+# identically-ordered IEEE divisions → bit-exact vs the oracle. No
+# final row_number: distinct rank pairs can collide in double space,
+# so the fused ordering is left to the consumer.
+# ---------------------------------------------------------------------------
+@query(
+    "q106_rrf_hybrid_rank",
+    oracle=f"""
+    WITH bm25 AS ({_bm25_oracle()}),
+    len_rank AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS INT) AS rnk
+        FROM documents
+    )
+    SELECT COALESCE(b.doc_id, l.doc_id) AS doc_id,
+           b.rnk AS bm25_rank,
+           l.rnk AS len_rank,
+           COALESCE(1.0 / (60 + b.rnk), 0.0) + COALESCE(1.0 / (60 + l.rnk), 0.0) AS rrf_score
+    FROM bm25 b FULL OUTER JOIN len_rank l ON b.doc_id = l.doc_id
+    """,
+)
+def q106_rrf_hybrid_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.rank import with_global_rank
+
+    bm25 = q89_bm25_rank(spark, sf_dir).select(
+        "doc_id", F.col("rnk").alias("bm25_rank")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    lenr = with_global_rank(
+        docs, F.col("n_chars").desc(), F.col("doc_id"), rank_col="len_rank"
+    ).select("doc_id", F.col("len_rank").cast("int").alias("len_rank"))
+    return bm25.join(lenr, "doc_id", "full").select(
+        "doc_id",
+        "bm25_rank",
+        "len_rank",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("bm25_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("len_rank")), F.lit(0.0))
+        ).alias("rrf_score"),
+    )
