@@ -86,3 +86,58 @@ def test_compact_small_files(spark, sf_dir, tmp_path):
     n_files = len(glob.glob(os.path.join(compacted, "*.parquet")))
     assert n_files == n_out <= 3
     assert spark.read.parquet(compacted).count() == orders.count()
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from pyspark.sql import functions as F
+
+    from pipeline_usnvc_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame([(0b101, 0b011)], "x int, y int")
+    [row] = df.select(zorder_key("x", "y", bits=3).alias("z")).collect()
+    # x bits at even positions, y at odd:
+    # x=101 -> positions 0,2,4 = 1,0,1; y=011 -> positions 1,3,5 = 1,1,0
+    # z = 0b011011
+    assert row["z"] == 0b011011
+
+
+def test_zordered_layout_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    """A Z-ordered file layout must let BOTH single-dimension range
+    predicates skip most files (a single-column sort only prunes its
+    own column)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from pipeline_usnvc_spark.operators.layout import write_zordered
+    from pipeline_usnvc_spark.sources.tables import load_table
+
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_size", "p_retailprice")
+    # bucket price to int codes < 2^16 (p_size already small ints)
+    coded = part.withColumn("_price_code", (F.col("p_retailprice") / 64).cast("int"))
+    out = str(tmp_path / "zorder")
+    write_zordered(coded, out, "p_size", "_price_code", bits=16, num_files=8)
+
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    assert len(files) >= 4
+
+    def files_with_match(pred) -> int:
+        n = 0
+        for f in files:
+            stats = spark.read.parquet(f).agg(
+                F.min("p_size"), F.max("p_size"),
+                F.min("_price_code"), F.max("_price_code"),
+            ).collect()[0]
+            lo_s, hi_s, lo_p, hi_p = stats
+            if pred(lo_s, hi_s, lo_p, hi_p):
+                n += 1
+        return n
+
+    # a narrow p_size slice and a narrow price slice must each be
+    # satisfiable from a strict subset of files (min/max skipping)
+    sz = files_with_match(lambda ls, hs, lp, hp: ls <= 3 <= hs)
+    pr = files_with_match(lambda ls, hs, lp, hp: lp <= 2 <= hp)
+    assert sz < len(files), "p_size slice hits every file — no skipping"
+    assert pr < len(files), "price slice hits every file — no skipping"
+    # and the data round-trips completely
+    assert spark.read.parquet(out).count() == part.count()
