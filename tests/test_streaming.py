@@ -204,3 +204,48 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     act = {(r["click_id"], r["purchase_id"]) for r in got.collect()}
     assert act == exp
     assert len(act) > 0
+
+
+def test_streaming_session_window_matches_batch(spark, sf_dir):
+    """Native session_window in a streaming aggregation (with
+    watermark) emits the same closed sessions as the batch q103 —
+    modulo each user's final session, which stays open at drain."""
+    from pipeline_usnvc_spark.plans import QUERIES
+    from pipeline_usnvc_spark.streaming.pipeline import read_event_stream, run_stream_to_memory
+
+    stream = read_event_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    emitted = run_stream_to_memory(agg, "native_sessions", output_mode="append").collect()
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in emitted
+    }
+    batch = QUERIES["q103_native_session_window"](spark, sf_dir).collect()
+    last_end = {}
+    for r in batch:
+        u = r["user_id"]
+        if u not in last_end or r["session_end"] > last_end[u]:
+            last_end[u] = r["session_end"]
+    expected_closed = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in batch
+        if r["session_end"] != last_end[r["user_id"]]
+    }
+    # append mode emits only watermark-closed windows; everything it
+    # emits must be a real batch session, and it must cover all but
+    # the final (open) session of each user
+    assert got <= {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"]) for r in batch
+    }
+    assert expected_closed <= got
+    assert len(got) > 0
