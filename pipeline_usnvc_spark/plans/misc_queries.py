@@ -623,3 +623,37 @@ def q86_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.o_orderkey").alias("key_b"),
         F.col("a.grp").alias("grp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q107 — VARIANT shredding (Spark 4 semi-structured type): parse the
+# JSON props column ONCE into the binary variant encoding, then do
+# typed extraction. At scale this is the difference between one parse
+# + O(1) typed reads and re-parsing the JSON string per accessed
+# field (q84's get_json_object path); the rollup arithmetic is all
+# integer, so the check is exact.
+# ---------------------------------------------------------------------------
+@query(
+    "q107_variant_extract",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+           max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q107_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
