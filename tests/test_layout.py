@@ -141,3 +141,30 @@ def test_zordered_layout_prunes_both_dimensions(spark, sf_dir, tmp_path):
     assert pr < len(files), "price slice hits every file — no skipping"
     # and the data round-trips completely
     assert spark.read.parquet(out).count() == part.count()
+
+
+def test_hive_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """partitionBy writes hive-style dirs; a reader filter on the
+    partition column must become a PartitionFilter (no data files of
+    other partitions touched), not a post-scan filter."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from pipeline_usnvc_spark.sources.tables import load_table
+
+    out = str(tmp_path / "by_type")
+    ev = load_table(spark, sf_dir, "events")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(out)
+    types = [d.rsplit("=", 1)[-1] for d in glob.glob(f"{out}/event_type=*")]
+    assert len(types) >= 3
+
+    picked = sorted(types)[0]
+    df = spark.read.parquet(out).filter(F.col("event_type") == picked)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert f"PartitionFilters: [isnotnull(event_type" in plan
+    # count matches the unpartitioned source
+    want = ev.filter(F.col("event_type") == picked).count()
+    assert df.count() == want
