@@ -657,3 +657,46 @@ def q107_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q108 — Python UDTF surface (Spark 4 user-defined TABLE function,
+# lateral-joined): sentence splitting with positions. This is an API-
+# surface demonstration — the engine's design rule keeps row-at-a-time
+# Python OFF hot paths (everything q01-q107 is native or Arrow), and
+# this same split is expressible with split+posexplode; the UDTF form
+# exists to prove the lateral table-function integration works. The
+# strip character set is pinned to ' \n\t' on both sides so the
+# comparison is exact.
+# ---------------------------------------------------------------------------
+@query(
+    "q108_udtf_sentence_split",
+    oracle="""
+    SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+           trim(parts[i], ' ' || chr(10) || chr(9)) AS sentence
+    FROM (
+        SELECT doc_id, string_split(text, '.') AS parts FROM documents
+    ), LATERAL (SELECT unnest(range(1, len(parts) + 1)) AS i)
+    WHERE trim(parts[i], ' ' || chr(10) || chr(9)) <> ''
+    """,
+)
+def q108_udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, sentence string")
+    class SplitSentences:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, piece in enumerate(text.split(".")):
+                cleaned = piece.strip(" \n\t")
+                if cleaned:
+                    yield i, cleaned
+
+    name = "q108_split_sentences"
+    spark.udtf.register(name, SplitSentences)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("q108_documents")
+    return spark.sql(
+        f"SELECT d.doc_id, s.pos, s.sentence "
+        f"FROM q108_documents d, LATERAL {name}(d.text) s"
+    )
