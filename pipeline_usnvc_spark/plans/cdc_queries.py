@@ -227,3 +227,69 @@ def q93_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merge_upsert(target, src, ["o_orderkey"])
+
+
+# ---------------------------------------------------------------------------
+# q109 — point-in-time (PIT) join against an SCD2 dimension: each
+# event picks the dimension version valid AT its timestamp. The dim
+# is derived deterministically (every user upgrades basic -> pro 7
+# days after their first event), so the oracle can state the truth as
+# a closed-form CASE — while the Spark side runs the REAL machinery:
+# a single-shuffle union + last(ignorenulls) window as-of, the same
+# pattern q42 uses, with version rows sorting before events at equal
+# timestamps so a version effective exactly at the event time wins.
+# Completely different formulations agreeing is the strongest kind of
+# check.
+# ---------------------------------------------------------------------------
+@query(
+    "q109_scd2_point_in_time",
+    oracle="""
+    WITH t0 AS (SELECT user_id, min(ts) AS t0 FROM events GROUP BY user_id)
+    SELECT e.event_type,
+           CASE WHEN e.ts < t0.t0 + INTERVAL 7 DAY THEN 'basic' ELSE 'pro' END AS tier,
+           count(*) AS n_events,
+           CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN t0 USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q109_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    t0 = ev.groupBy("user_id").agg(F.min("ts").alias("_t0"))
+    dim = t0.select(
+        "user_id",
+        F.lit("1970-01-01 00:00:00").cast("timestamp").alias("ts"),
+        F.lit(0).alias("_is_event"),
+        F.lit("basic").alias("_tier"),
+    ).unionByName(
+        t0.select(
+            "user_id",
+            (F.col("_t0") + F.expr("INTERVAL 7 DAYS")).alias("ts"),
+            F.lit(0).alias("_is_event"),
+            F.lit("pro").alias("_tier"),
+        )
+    )
+    tagged = ev.select(
+        "user_id", "ts", F.lit(1).alias("_is_event"), F.lit(None).cast("string").alias("_tier"),
+        "event_type", "value",
+    ).unionByName(
+        dim.select(
+            "user_id", "ts", "_is_event", "_tier",
+            F.lit(None).cast("string").alias("event_type"),
+            F.lit(None).cast("double").alias("value"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "_is_event")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pit = tagged.withColumn("tier", F.last("_tier", ignorenulls=True).over(w)).filter(
+        F.col("_is_event") == 1
+    )
+    return pit.groupBy("event_type", "tier").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
