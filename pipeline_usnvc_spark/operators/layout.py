@@ -128,3 +128,28 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(out_path)
     )
+
+
+def quantile_codes(df, col, bits: int = 16, code_col: str | None = None):
+    """Replace ``col`` with a density-balanced integer code in
+    [0, 2^bits): equal-POPULATION buckets from the exact global rank
+    (two-phase, no single-task sort). Skewed dimensions fed raw into
+    ``zorder_key`` waste most of the curve on empty key space; coding
+    by quantile first gives every curve cell the same row density, so
+    Z-ordered files stay balanced whatever the distribution.
+    Deterministic given a prior total order on (col, tiebreak omitted:
+    equal values may split across adjacent codes, which cannot unbalance
+    buckets by more than the tie count).
+    """
+    from pyspark.sql import functions as F
+
+    from pipeline_usnvc_spark.operators.rank import with_global_rank
+
+    code_col = code_col or f"{col}_code"
+    ranked = with_global_rank(df, col, rank_col="_qr")
+    total = ranked.groupBy().agg(F.max("_qr").alias("_qn"))
+    return (
+        ranked.join(F.broadcast(total))
+        .withColumn(code_col, F.expr(f"(_qr - 1) * {1 << bits} div _qn").cast("int"))
+        .drop("_qr", "_qn")
+    )

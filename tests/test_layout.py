@@ -168,3 +168,24 @@ def test_hive_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     # count matches the unpartitioned source
     want = ev.filter(F.col("event_type") == picked).count()
     assert df.count() == want
+
+
+def test_quantile_codes_balance_skewed_dimension(spark):
+    """A power-law column raw-coded would pile most rows into a few
+    Z-cells; quantile codes give near-equal bucket populations."""
+    from pyspark.sql import functions as F
+
+    from pipeline_usnvc_spark.operators.layout import quantile_codes
+
+    # heavy skew: value = 2^(i mod 20), thousands of collisions
+    df = spark.range(20000).select(
+        F.col("id"), F.pow(F.lit(2.0), (F.col("id") % 20).cast("double")).alias("v")
+    )
+    coded = quantile_codes(df, "v", bits=3)  # 8 buckets
+    sizes = [
+        r["n"]
+        for r in coded.groupBy("v_code").agg(F.count("*").alias("n")).collect()
+    ]
+    assert len(sizes) == 8
+    assert max(sizes) - min(sizes) <= 20000 // 20 + 1  # within one tie-group
+    assert sum(sizes) == 20000
