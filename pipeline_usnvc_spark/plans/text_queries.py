@@ -517,3 +517,76 @@ def q106_rrf_hybrid_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("len_rank")), F.lit(0.0))
         ).alias("rrf_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q110 — train/eval contamination: for every eval-split document, the
+# fraction of its distinct 3-gram shingles that also occur in ANY
+# train-split document (the benchmark-leakage check an LLM data
+# pipeline runs before training). Split assignment reuses q37's
+# fingerprint-hash rule; the overlap is a semi-join per (doc, shingle)
+# against the distinct train shingle set — one shuffle each side,
+# never a doc x doc comparison.
+# ---------------------------------------------------------------------------
+from pipeline_usnvc_spark.plans.dedup_queries import _SHINGLES_SQL  # noqa: E402
+
+
+@query(
+    "q110_contamination",
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(md5(array_to_string({_TOKS_SQL}, ' '))), 1, 8) AS BIGINT) % 100 AS bucket
+        FROM documents
+    ),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_SQL})),
+    train_sh AS (
+        SELECT DISTINCT shingle FROM sh JOIN bucketed USING (doc_id) WHERE bucket < 80
+    ),
+    eval_sh AS (
+        SELECT sh.doc_id, sh.shingle FROM sh JOIN bucketed USING (doc_id) WHERE bucket >= 80
+    ),
+    hits AS (
+        SELECT doc_id, count(*) AS n_contaminated
+        FROM eval_sh WHERE shingle IN (SELECT shingle FROM train_sh)
+        GROUP BY doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_shingles FROM eval_sh GROUP BY doc_id)
+    SELECT s.doc_id, s.n_shingles,
+           COALESCE(h.n_contaminated, 0) AS n_contaminated,
+           CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / CAST(s.n_shingles AS DOUBLE) AS contamination
+    FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+    """,
+)
+def q110_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.functions.text import doc_fingerprint, tokens, word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(doc_fingerprint("text")), 1, 8), 16, 10).cast("bigint") % 100
+    )
+    sh = (
+        docs.withColumn("_bucket", bucket)
+        .select(
+            "doc_id",
+            "_bucket",
+            F.explode(F.array_distinct(word_shingles(tokens("text"), n=3))).alias("shingle"),
+        )
+    )
+    train_sh = sh.filter(F.col("_bucket") < 80).select("shingle").distinct()
+    eval_sh = sh.filter(F.col("_bucket") >= 80).select("doc_id", "shingle")
+    sizes = eval_sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        eval_sh.join(train_sh, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return sizes.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        (
+            F.coalesce("n_contaminated", F.lit(0)).cast("double")
+            / F.col("n_shingles").cast("double")
+        ).alias("contamination"),
+    )
