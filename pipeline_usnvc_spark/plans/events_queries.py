@@ -353,3 +353,51 @@ def q105_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("active_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q112 — time-weighted average (hypertable-style continuous-signal
+# rollup): each observation holds until the next one, so its weight is
+# the gap to the successor (last observation per user carries no
+# weight). One window pass (lead over the user's time-ordered stream)
+# + one grouped aggregation — a single shuffle on user_id serves both,
+# since the groupBy key equals the window partition key and Catalyst
+# reuses the exchange. Weighted sums stay decimal-exact (value at 2dp
+# x integer microseconds) until the final double division.
+# ---------------------------------------------------------------------------
+@query(
+    "q112_time_weighted_avg",
+    oracle="""
+    WITH stepped AS (
+        SELECT user_id, value, epoch_us(ts) AS t_us,
+               lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_us
+        FROM events
+    )
+    SELECT user_id,
+           count(*) AS n_intervals,
+           CAST(sum(next_us - t_us) AS BIGINT) AS span_us,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(next_us - t_us AS DECIMAL(18,0))) AS DOUBLE)
+                 / CAST(sum(next_us - t_us) AS DOUBLE), 6) AS twa_value
+    FROM stepped WHERE next_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def q112_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = ev.select(
+        "user_id",
+        "value",
+        F.unix_micros("ts").alias("t_us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("next_us"),
+    ).filter(F.col("next_us").isNotNull())
+    dt = F.col("next_us") - F.col("t_us")
+    return stepped.groupBy("user_id").agg(
+        F.count("*").alias("n_intervals"),
+        F.sum(dt).alias("span_us"),
+        F.round(
+            F.sum(_dec("value") * dt.cast("decimal(18,0)")).cast("double")
+            / F.sum(dt).cast("double"),
+            6,
+        ).alias("twa_value"),
+    )

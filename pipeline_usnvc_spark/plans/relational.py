@@ -468,3 +468,46 @@ def q28_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q111 — global-threshold aggregation (TPC-H Q11 shape): keep the
+# parts whose revenue exceeds a fixed fraction of GLOBAL revenue.
+# Scale pattern: the global total is a 1-row aggregate of the already-
+# computed per-part sums; Catalyst broadcasts it (BroadcastNestedLoop
+# on a single row), so the fact table is scanned once, shuffled once
+# on l_partkey, and the threshold is applied map-side after the
+# broadcast — no second full-table pass, no driver collect().
+# ---------------------------------------------------------------------------
+@query(
+    "q111_global_share",
+    oracle="""
+    WITH per_part AS (
+        SELECT l_partkey,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+        FROM lineitem GROUP BY l_partkey
+    ),
+    total AS (SELECT sum(rev) AS total_rev FROM per_part)
+    SELECT p.l_partkey,
+           CAST(p.rev AS DOUBLE) AS part_rev,
+           round(CAST(p.rev AS DOUBLE) / CAST(t.total_rev AS DOUBLE), 9) AS share
+    FROM per_part p CROSS JOIN total t
+    WHERE CAST(p.rev AS DOUBLE) > 0.001 * CAST(t.total_rev AS DOUBLE)
+    """,
+)
+def q111_global_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    )
+    per_part = li.groupBy("l_partkey").agg(rev.alias("rev"))
+    total = per_part.agg(F.sum("rev").alias("total_rev"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("rev").cast("double") > 0.001 * F.col("total_rev").cast("double"))
+        .select(
+            "l_partkey",
+            F.col("rev").cast("double").alias("part_rev"),
+            F.round(F.col("rev").cast("double") / F.col("total_rev").cast("double"), 9).alias("share"),
+        )
+    )

@@ -16,6 +16,7 @@ from pipeline_usnvc_spark.functions.text import (
     lang_id,
     quality_score_cols,
     token_count,
+    tokens,
 )
 from pipeline_usnvc_spark.plans.registry import query
 from pipeline_usnvc_spark.sources.tables import load_table
@@ -590,3 +591,20 @@ def q110_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_shingles").cast("double")
         ).alias("contamination"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q113 — Misra-Gries heavy hitters over document tokens (rows-only:
+# the sketch is deterministic but order-of-encounter dependent, so no
+# SQL oracle; tests/test_scale_ops.py asserts the MG guarantee —
+# exact top tokens are always present with estimates within n/(k+1)
+# of truth). Scale path for "most frequent tokens in a 100 TB corpus":
+# k counters per partition instead of a distinct-key shuffle.
+# ---------------------------------------------------------------------------
+@query("q113_heavy_hitters")
+def q113_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.sketches import misra_gries_heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens("text")).alias("token"))
+    return misra_gries_heavy_hitters(tok, "token", k=256, top_n=20)

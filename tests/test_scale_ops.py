@@ -216,3 +216,35 @@ def test_pagerank_properties(spark):
     assert ranks[0] == max(ranks.values())
     assert ranks[1] > ranks[2]  # 0's endorsement beats leaf baseline
     assert abs(ranks[2] - ranks[5]) < 1e-12  # symmetric leaves tie
+
+
+def test_misra_gries_guarantee(spark, sf_dir):
+    """MG contract: every token with true count > n/(k+1) appears in
+    the sketch, and every estimate is a lower bound within n/(k+1) of
+    the exact count."""
+    from pipeline_usnvc_spark.functions.text import tokens
+    from pipeline_usnvc_spark.operators.sketches import misra_gries_heavy_hitters
+
+    k = 256
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens("text")).alias("token"))
+    exact = {
+        r["token"]: r["n"]
+        for r in tok.groupBy("token").agg(F.count("*").alias("n")).collect()
+    }
+    n_total = sum(exact.values())
+    bound = n_total / (k + 1)
+
+    est = {
+        r["token"]: r["est_count"]
+        for r in misra_gries_heavy_hitters(tok, "token", k=k, top_n=20).collect()
+    }
+    assert est, "sketch returned no candidates"
+    for t, e in est.items():
+        assert e <= exact[t], f"{t}: estimate {e} above exact {exact[t]}"
+        assert e >= exact[t] - bound, f"{t}: estimate {e} below bound"
+
+    top_exact = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    must_appear = [t for t, c in top_exact if c > bound]
+    missing = [t for t in must_appear if t not in est]
+    assert not missing, f"guaranteed heavy hitters missing: {missing}"
