@@ -169,3 +169,21 @@ def quality_score_cols(c: Column | str) -> dict[str, Column]:
         "punct_ratio": F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(F.lit(0.0)),
         "stopword_ratio": F.when(n_tok > 0, stop_hits.cast("double") / n_tok).otherwise(F.lit(0.0)),
     }
+
+
+# PII surface (portable Java-regex/RE2 subset so the same patterns run
+# in Spark and the DuckDB oracle).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b555-0[0-9]+\b"
+
+
+def redact_pii(c: Column | str) -> Column:
+    """Replace emails/phone numbers with typed placeholder tags.
+
+    Chained native regexp_replace — stays inside whole-stage codegen
+    (no Python in the loop), which is the redaction hot path for a
+    100 TB corpus scrub.
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    out = F.regexp_replace(c, EMAIL_RE, "[EMAIL]")
+    return F.regexp_replace(out, PHONE_RE, "[PHONE]")

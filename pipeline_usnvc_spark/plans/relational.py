@@ -473,11 +473,13 @@ def q28_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q111 — global-threshold aggregation (TPC-H Q11 shape): keep the
 # parts whose revenue exceeds a fixed fraction of GLOBAL revenue.
-# Scale pattern: the global total is a 1-row aggregate of the already-
-# computed per-part sums; Catalyst broadcasts it (BroadcastNestedLoop
-# on a single row), so the fact table is scanned once, shuffled once
-# on l_partkey, and the threshold is applied map-side after the
-# broadcast — no second full-table pass, no driver collect().
+# Scale pattern: the global total is a 1-row aggregate of the per-part
+# sums, broadcast back (BroadcastNestedLoopJoin on a single row) so
+# the threshold applies without a driver collect(). The per-part
+# aggregation subtree appears twice in the logical plan, but AQE's
+# exchange reuse dedupes it at runtime (ReusedExchange — asserted in
+# tests/test_plans.py), so the fact table is scanned and shuffled
+# once.
 # ---------------------------------------------------------------------------
 @query(
     "q111_global_share",

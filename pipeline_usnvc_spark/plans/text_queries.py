@@ -608,3 +608,90 @@ def q113_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(F.explode(tokens("text")).alias("token"))
     return misra_gries_heavy_hitters(tok, "token", k=256, top_n=20)
+
+
+# ---------------------------------------------------------------------------
+# q114 — PII detection + redaction (training-data scrub). The synthetic
+# tables carry no PII, so the query first synthesizes a contact string
+# from customer fields — with the *identical* expression in the DuckDB
+# oracle — then counts and redacts emails/phones with portable regexes.
+# The detection/redaction surface is what's under test; it runs with
+# real (nonzero) matches and stays hash-exact.
+# ---------------------------------------------------------------------------
+@query(
+    "q114_pii_redact",
+    oracle="""
+    WITH contacts AS (
+        SELECT c_custkey,
+               c_name || ' <user' || CAST(c_custkey AS VARCHAR) || '@example.com> call 555-0'
+                      || CAST(c_custkey % 1000 AS VARCHAR) AS contact
+        FROM customer
+    )
+    SELECT c_custkey,
+           CAST(len(regexp_extract_all(contact, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(contact, '\\b555-0[0-9]+\\b')) AS INT) AS n_phones,
+           regexp_replace(regexp_replace(contact, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                          '\\b555-0[0-9]+\\b', '[PHONE]', 'g') AS redacted
+    FROM contacts
+    """,
+)
+def q114_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.functions.text import EMAIL_RE, PHONE_RE, redact_pii
+
+    cust = load_table(spark, sf_dir, "customer")
+    contact = F.concat(
+        F.col("c_name"),
+        F.lit(" <user"),
+        F.col("c_custkey").cast("string"),
+        F.lit("@example.com> call 555-0"),
+        (F.col("c_custkey") % 1000).cast("string"),
+    )
+    return cust.select(
+        "c_custkey",
+        F.regexp_count(contact, F.lit(EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count(contact, F.lit(PHONE_RE)).cast("int").alias("n_phones"),
+        redact_pii(contact).alias("redacted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q115 — repetition signals (Gopher/RefinedWeb-style quality filters):
+# distinct-token ratio and duplicate-bigram fraction per document.
+# All native array ops (split/filter/slice/zip_with/array_distinct) —
+# one scan, zero shuffle, codegen end-to-end.
+# ---------------------------------------------------------------------------
+@query(
+    "q115_repetition_stats",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS l
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, l,
+               list_transform(range(1, len(l)), i -> l[i] || '_' || l[i + 1]) AS g
+        FROM toks WHERE len(l) >= 2
+    )
+    SELECT doc_id,
+           CAST(len(l) AS BIGINT) AS n_tokens,
+           round(CAST(len(list_distinct(l)) AS DOUBLE) / CAST(len(l) AS DOUBLE), 6) AS distinct_token_ratio,
+           round(CAST(len(g) - len(list_distinct(g)) AS DOUBLE) / CAST(len(g) AS DOUBLE), 6) AS dup_bigram_ratio
+    FROM grams
+    """,
+)
+def q115_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.functions.text import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    out = docs.select("doc_id", toks.alias("l")).filter(F.size("l") >= 2)
+    grams = word_shingles(F.col("l"), 2)
+    n = F.size("l").cast("double")
+    ng = F.size(grams).cast("double")
+    return out.select(
+        "doc_id",
+        F.size("l").cast("long").alias("n_tokens"),
+        F.round(F.size(F.array_distinct("l")).cast("double") / n, 6).alias("distinct_token_ratio"),
+        F.round((ng - F.size(F.array_distinct(grams)).cast("double")) / ng, 6).alias("dup_bigram_ratio"),
+    )

@@ -147,3 +147,31 @@ def test_skyline_is_sweep_not_theta_join(spark, sf_dir, monkeypatch):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "rangepartitioning" in plan.lower()
+
+
+def test_global_share_reuses_aggregation_exchange(spark, sf_dir):
+    """q111 references the per-part aggregation twice (threshold side +
+    global-total side); AQE must dedupe via ReusedExchange so the fact
+    table is only scanned/shuffled once at runtime."""
+    df = QUERIES["q111_global_share"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row broadcast, not a shuffle join
+
+
+def test_time_weighted_avg_single_exchange(spark, sf_dir):
+    """q112's window partition key equals its groupBy key: exactly one
+    hash exchange (plus no extra sort-based exchange) in the plan."""
+    plan = _plan(spark, "q112_time_weighted_avg", sf_dir)
+    tree = plan.split("\n\n")[0]  # tree section only; details repeat node names
+    assert tree.count("Exchange") == 1
+    assert tree.count("Scan parquet") == 1
+
+
+def test_repetition_stats_zero_shuffle(spark, sf_dir):
+    """q115 is pure per-row array math: no Exchange at all."""
+    tree = _plan(spark, "q115_repetition_stats", sf_dir).split("\n\n")[0]
+    assert "Exchange" not in tree
+    assert "Scan parquet" in tree
