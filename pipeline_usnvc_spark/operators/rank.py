@@ -88,3 +88,88 @@ def with_global_rank(
         .withColumn(rank_col, (F.col("_lrn") + F.col("_off")).cast("bigint"))
         .drop("_pid", "_lrn", "_off")
     )
+
+
+def with_global_cumsum(
+    df: DataFrame,
+    value_col: str,
+    *order_cols: str | Column,
+    cumsum_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``cumsum_col`` = exact inclusive global running sum of
+    ``value_col`` under the total order ``order_cols`` — the
+    distributed prefix-sum.
+
+    Same shape as :func:`with_global_rank`: one range exchange, then
+    strictly map-side work. The in-partition running sum can't be
+    decoded from monotonically_increasing_id (it's a sum, not a
+    count), and a ``Window.partitionBy(pid)`` would re-shuffle the
+    range-partitioned rows (hash exchange on pid), so the local scan
+    is an Arrow ``mapInPandas`` pass: vectorized ``cumsum`` per batch
+    plus a scalar carry across batches — zero extra shuffle, O(batch)
+    memory. Per-partition totals (#partitions rows) become broadcast
+    offsets exactly as in the rank path.
+
+    Exact for integral values; for floats the result is deterministic
+    for a fixed partitioning but associates additions per-partition
+    (as any distributed float sum does).
+    """
+    import pandas as pd
+    from collections.abc import Iterator
+
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    ranged = (
+        df.repartitionByRange(num_partitions, *cols)
+        if num_partitions
+        else df.repartitionByRange(*cols)
+    ).sortWithinPartitions(*cols)
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    value_type = dict(df.dtypes)[value_col]
+    is_float = value_type in ("float", "double")
+    sum_type = "double" if is_float else "long"
+    # Copy the fields — StructType.add mutates in place, and the input
+    # DataFrame's cached schema object must not grow a ghost column.
+    out_schema = StructType(
+        list(with_pid.schema.fields)
+        + [StructField("_lcs", DoubleType() if is_float else LongType())]
+    )
+
+    def local_cumsum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry = 0
+        for pdf in batches:
+            c = pdf[value_col].cumsum() + carry
+            if len(c):
+                carry = c.iloc[-1]
+            out = pdf.copy()
+            out["_lcs"] = c
+            yield out
+
+    # Materialized once: the offsets table and the joined result would
+    # otherwise both re-execute the range exchange (and
+    # repartitionByRange re-samples its child per consumer).
+    local = materialize(with_pid.mapInPandas(local_cumsum, schema=out_schema))
+    # Partition totals from the values themselves (NOT max(_lcs),
+    # which only equals the last running sum when values are >= 0).
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.sum(value_col).cast(sum_type).alias("_ptot"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_ptot").over(
+                    Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast(sum_type),
+            ),
+        )
+        .select("_pid", "_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(cumsum_col, (F.col("_lcs") + F.col("_off")).cast(sum_type))
+        .drop("_pid", "_lcs", "_off")
+    )

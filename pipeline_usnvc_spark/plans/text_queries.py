@@ -695,3 +695,50 @@ def q115_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.size(F.array_distinct("l")).cast("double") / n, 6).alias("distinct_token_ratio"),
         F.round((ng - F.size(F.array_distinct(grams)).cast("double")) / ng, 6).alias("dup_bigram_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q116 — training-sequence packing: give every document its global
+# token offset in the doc_id-ordered corpus stream, then the first/
+# last 512-token training sequence it lands in (documents span
+# sequence boundaries, as in GPT-style packing). The global offset is
+# a distributed prefix-sum (operators/rank.with_global_cumsum): one
+# range exchange + Arrow in-partition cumsum + broadcast offsets —
+# never a single-partition window (asserted in tests/test_plans.py).
+# ---------------------------------------------------------------------------
+@query(
+    "q116_sequence_packing",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        FROM t WHERE n_tokens > 0
+    )
+    SELECT doc_id, n_tokens,
+           cum - n_tokens AS offset_start,
+           (cum - n_tokens) // 512 AS seq_first,
+           (cum - 1) // 512 AS seq_last
+    FROM c
+    """,
+)
+def q116_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.rank import with_global_cumsum
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", token_count("text").alias("n_tokens")).filter(
+        F.col("n_tokens") > 0
+    )
+    cum = with_global_cumsum(toks, "n_tokens", "doc_id", cumsum_col="cum")
+    start = F.col("cum") - F.col("n_tokens")
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        start.alias("offset_start"),
+        F.floor(start / 512).cast("bigint").alias("seq_first"),
+        F.floor((F.col("cum") - 1) / 512).cast("bigint").alias("seq_last"),
+    )

@@ -175,3 +175,17 @@ def test_repetition_stats_zero_shuffle(spark, sf_dir):
     tree = _plan(spark, "q115_repetition_stats", sf_dir).split("\n\n")[0]
     assert "Exchange" not in tree
     assert "Scan parquet" in tree
+
+
+def test_sequence_packing_no_single_partition_window(spark, sf_dir, monkeypatch):
+    """q116's prefix-sum must be the range-exchange + mapInPandas +
+    broadcast-offsets shape; the only unpartitioned window allowed is
+    the one over the #partitions-row offsets table (which sits behind
+    a broadcast, not over fact rows)."""
+    import pipeline_usnvc_spark.operators.rank as rank_mod
+
+    monkeypatch.setattr(rank_mod, "materialize", lambda df, eager=True: df)
+    plan = _plan(spark, "q116_sequence_packing", sf_dir)
+    assert "rangepartitioning" in plan.lower(), "prefix-sum lost its range exchange"
+    assert "MapInPandas" in plan
+    assert "BroadcastExchange" in plan  # offsets join side

@@ -248,3 +248,21 @@ def test_misra_gries_guarantee(spark, sf_dir):
     must_appear = [t for t, c in top_exact if c > bound]
     missing = [t for t in must_appear if t not in est]
     assert not missing, f"guaranteed heavy hitters missing: {missing}"
+
+
+def test_global_cumsum_exact(spark):
+    """with_global_cumsum == driver-side sequential prefix sum, across
+    many partitions, including negative values (partition totals must
+    come from the values, not max of the running sum)."""
+    from pipeline_usnvc_spark.operators.rank import with_global_cumsum
+
+    vals = [(i, (7 * i) % 13 - 6) for i in range(500)]
+    df = spark.createDataFrame(vals, "k long, v long").repartition(16)
+    got = {
+        r["k"]: r["cum"]
+        for r in with_global_cumsum(df, "v", "k", cumsum_col="cum", num_partitions=8).collect()
+    }
+    run = 0
+    for k, v in vals:
+        run += v
+        assert got[k] == run, f"k={k}: {got[k]} != {run}"
