@@ -23,9 +23,22 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
+    local_threshold: int = 1_000_000,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``;
-    component = min node id reachable (undirected)."""
+    component = min node id reachable (undirected).
+
+    Size-adaptive: when the (symmetrized, distinct) edge set fits
+    under ``local_threshold``, the components are solved with a
+    driver-side union-find instead of the iterative HashMin loop —
+    after LSH + Jaccard verification the duplicate-pair graph is
+    usually tiny relative to the corpus (hundreds of edges at sf0.1),
+    and each distributed round costs a fixed join+agg+checkpoint
+    latency that dwarfs a millisecond local solve. The count that
+    picks the path reads the already-materialized edge set, and the
+    distributed fixpoint loop remains the path for genuinely large
+    graphs (billions of edges never hit the driver). Results are
+    identical by construction (min reachable id either way)."""
     # Materialize the symmetrized edge set ONCE: every round joins
     # against it, and without this the entire upstream pipeline
     # (e.g., shingle index + Jaccard verification) re-executes per
@@ -36,6 +49,8 @@ def connected_components(
         .distinct()
         .transform(materialize)
     )
+    if sym.count() <= local_threshold:
+        return _local_components(sym)
     # Seed with min(self, neighbors): exactly round 1 of HashMin, but
     # folded into initialization so the loop starts one hop ahead.
     labels = (
@@ -71,6 +86,45 @@ def connected_components(
             break
         prev_sum = cur_sum
     return labels.select("node", F.col("label").alias("component"))
+
+
+def _local_components(sym: DataFrame) -> DataFrame:
+    """Driver union-find over a small symmetrized edge set; returns the
+    same (node, component=min reachable id) frame as the HashMin loop."""
+    from pyspark.sql.types import StructField, StructType
+
+    node_type = sym.schema["x"].dataType
+    parent: dict = {}
+
+    def find(a):
+        root = a
+        while parent[root] != root:
+            root = parent[root]
+        while parent[a] != root:  # path compression
+            parent[a], a = root, parent[a]
+        return root
+
+    # collect(), not toLocalIterator(): the latter schedules one job
+    # per partition serially (64 round-trips at our shuffle width);
+    # the edge count is already bounded by local_threshold.
+    for x, y in sym.select("x", "y").collect():
+        parent.setdefault(x, x)
+        parent.setdefault(y, y)
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[ry] = rx
+
+    comp_min: dict = {}
+    for n in parent:
+        r = find(n)
+        m = comp_min.get(r)
+        if m is None or n < m:
+            comp_min[r] = n
+    rows = [(n, comp_min[find(n)]) for n in parent]
+    schema = StructType(
+        [StructField("node", node_type), StructField("component", node_type)]
+    )
+    return sym.sparkSession.createDataFrame(rows, schema)
 
 
 def pagerank(

@@ -266,3 +266,25 @@ def test_global_cumsum_exact(spark):
     for k, v in vals:
         run += v
         assert got[k] == run, f"k={k}: {got[k]} != {run}"
+
+
+def test_cc_local_and_distributed_paths_agree(spark):
+    """connected_components picks a driver union-find under the edge
+    threshold; both paths must produce identical (node, min-id) labels
+    — including chains (diameter > 1) and self-loops."""
+    from pipeline_usnvc_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(5, 4), (4, 3), (3, 2), (2, 1), (10, 11), (11, 12), (20, 20), (7, 8)],
+        "src bigint, dst bigint",
+    )
+    want = {
+        (r["node"], r["component"])
+        for r in connected_components(edges, local_threshold=0).collect()
+    }
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(edges, local_threshold=10**6).collect()
+    }
+    assert got == want
+    assert (5, 1) in got and (12, 10) in got and (20, 20) in got and (8, 7) in got
