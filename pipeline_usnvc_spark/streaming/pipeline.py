@@ -161,3 +161,20 @@ def stream_stream_attribution_join(
         "purchase_ts",
         "amount",
     )
+
+
+def stream_static_enrich(
+    events: DataFrame, users: DataFrame, value_threshold: float = 0.0
+) -> DataFrame:
+    """Stream-static join: enrich the event stream with a static
+    dimension (broadcast — the static side is planned per micro-batch
+    as an ordinary batch join, so the dimension broadcast is free and
+    no state store is involved). The standard shape for decorating a
+    100 TB/day event firehose with slowly-changing reference data;
+    the static side re-reads its source each batch, picking up
+    appended files without restart."""
+    return (
+        events.filter(F.col("value") > value_threshold)
+        .join(F.broadcast(users), "user_id")
+        .select("event_id", "user_id", "event_type", "value", "segment")
+    )

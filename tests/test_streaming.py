@@ -249,3 +249,38 @@ def test_streaming_session_window_matches_batch(spark, sf_dir):
     }
     assert expected_closed <= got
     assert len(got) > 0
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir):
+    """Stream-static broadcast enrichment == the same join as batch;
+    no watermark/state needed (static side planned per micro-batch)."""
+    from pyspark.sql import functions as F
+
+    from pipeline_usnvc_spark.sources.tables import load_table
+    from pipeline_usnvc_spark.streaming.pipeline import (
+        read_event_stream,
+        run_stream_to_memory,
+        stream_static_enrich,
+    )
+
+    ev_batch = load_table(spark, sf_dir, "events")
+    users = (
+        ev_batch.select("user_id")
+        .distinct()
+        .withColumn(
+            "segment",
+            F.when(F.col("user_id") % 3 == 0, "a").otherwise("b"),
+        )
+    )
+
+    stream = read_event_stream(spark, sf_dir)
+    got = run_stream_to_memory(
+        stream_static_enrich(stream, users, value_threshold=50.0),
+        "ss_enrich",
+        output_mode="append",
+    )
+    expected = stream_static_enrich(ev_batch, users, value_threshold=50.0)
+    exp = {(r["event_id"], r["segment"]) for r in expected.collect()}
+    act = {(r["event_id"], r["segment"]) for r in got.collect()}
+    assert act == exp
+    assert len(act) > 0
