@@ -742,3 +742,67 @@ def q116_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(start / 512).cast("bigint").alias("seq_first"),
         F.floor((F.col("cum") - 1) / 512).cast("bigint").alias("seq_last"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q117 — temperature-based source mixing (GPT-3/DoReMi-style data
+# mixture): sample a 1000-doc training mix where source s contributes
+# proportionally to n_s^0.5 (alpha=0.5 upweights small sources).
+# Targets are computed in INTEGER arithmetic (w = round(sqrt(n)*1e6)
+# as bigint, tgt = 1000*w // sum(w)) so no float-summation-order can
+# flip a floor() at the boundary; the per-source pick is the first
+# tgt docs under a deterministic md5 order. The global weight total
+# is a 1-row broadcast (same pattern as q111). At 100 TB the
+# row_number-per-source window would hash-partition on a handful of
+# source keys; the scale path replaces it with a per-source hash
+# threshold (take doc where hash < quantile), trading exact counts
+# for a skew-free map-side filter — documented, not needed at test
+# scale.
+# ---------------------------------------------------------------------------
+@query(
+    "q117_source_mixture",
+    oracle="""
+    WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    weights AS (
+        SELECT source, CAST(round(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS w
+        FROM counts
+    ),
+    tot AS (SELECT CAST(sum(w) AS BIGINT) AS z FROM weights),
+    targets AS (SELECT source, (1000 * w) // z AS tgt FROM weights CROSS JOIN tot),
+    ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents
+    )
+    SELECT r.doc_id, r.source, CAST(r.rk AS BIGINT) AS rk
+    FROM ranked r JOIN targets t ON r.source = t.source
+    WHERE r.rk <= t.tgt
+    """,
+)
+def q117_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    weights = (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "source",
+            F.round(F.sqrt(F.col("n").cast("double")) * 1000000).cast("long").alias("w"),
+        )
+    )
+    total = weights.agg(F.sum("w").cast("long").alias("z"))
+    # Integral `div`, not `/`+cast: the latter routes through a double
+    # and can land one off at a near-integer quotient; DuckDB's `//`
+    # is exact bigint division.
+    targets = weights.crossJoin(F.broadcast(total)).select(
+        "source", F.expr("CAST((1000 * w) DIV z AS LONG)").alias("tgt")
+    )
+    w = W.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    ranked = docs.select(
+        "doc_id", "source", F.row_number().over(w).cast("long").alias("rk")
+    )
+    return ranked.join(F.broadcast(targets), "source").filter(
+        F.col("rk") <= F.col("tgt")
+    ).select("doc_id", "source", "rk")
