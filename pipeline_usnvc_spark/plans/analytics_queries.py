@@ -265,3 +265,74 @@ def q102_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) l
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q120 — bounded BFS reachability (hop distance ≤ 4) over the
+# co-purchase part graph, from the smallest part key. Iterative
+# frontier expansion: each round joins only the current frontier
+# against the edge list (shuffle keyed on the join key), anti-joins
+# the visited set, and materializes the new level to cut lineage —
+# the same reliable-checkpoint discipline as connected components.
+# Oracle is a depth-bounded recursive CTE. At 100 TB the edge list is
+# the scale risk (same-order pair blowup); it is built once, deduped,
+# and reused across all rounds.
+# ---------------------------------------------------------------------------
+@query(
+    "q120_bfs_reachability",
+    oracle="""
+    WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    bfs (node, dist) AS (
+        SELECT (SELECT min(l_partkey) FROM lineitem) AS node, 0 AS dist
+        UNION
+        SELECT e.dst, bfs.dist + 1
+        FROM bfs JOIN edges e ON e.src = bfs.node
+        WHERE bfs.dist < 4
+    )
+    SELECT node AS part_id, CAST(min(dist) AS INT) AS hops
+    FROM bfs GROUP BY node
+    """,
+)
+def q120_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    from pipeline_usnvc_spark.operators.checkpoint import materialize
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = materialize(
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    seed = li.agg(F.min("l_partkey").alias("node")).select(
+        "node", F.lit(0).cast("int").alias("dist")
+    )
+    schema = StructType(
+        [StructField("node", LongType()), StructField("dist", IntegerType())]
+    )
+    visited = materialize(spark.createDataFrame(seed.collect(), schema))
+    frontier = visited
+    for depth in range(1, 5):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(depth).cast("int"))
+        )
+        frontier = materialize(nxt)
+        if not frontier.take(1):
+            break
+        visited = materialize(visited.unionByName(frontier))
+    return visited.select(F.col("node").alias("part_id"), F.col("dist").alias("hops"))

@@ -401,3 +401,161 @@ def q112_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("twa_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q118 — maximum concurrency via an interval boundary sweep: each event
+# occupies [ts, ts + floor(value*1e6) us); +1/-1 boundary deltas are
+# pre-aggregated per (event_type, t) so the window cumsum runs over the
+# collapsed boundary set, then max per type. One shuffle on event_type;
+# the groupBy after the window reuses the window's exchange. At 100 TB
+# the sweep parallelizes across types; a single global key would route
+# through the distributed prefix-sum operator (q116 shape) instead.
+# ---------------------------------------------------------------------------
+@query(
+    "q118_max_concurrency",
+    oracle="""
+    WITH iv AS (
+        SELECT event_type, epoch_us(ts) AS s,
+               epoch_us(ts) + CAST(floor(value * 1000000.0) AS BIGINT) AS e
+        FROM events
+    ),
+    b AS (
+        SELECT event_type, s AS t, 1 AS delta FROM iv
+        UNION ALL
+        SELECT event_type, e AS t, -1 AS delta FROM iv
+    ),
+    g AS (SELECT event_type, t, sum(delta) AS net FROM b GROUP BY 1, 2),
+    c AS (
+        SELECT event_type, t,
+               sum(net) OVER (PARTITION BY event_type ORDER BY t
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+        FROM g
+    )
+    SELECT event_type, CAST(max(conc) AS BIGINT) AS max_concurrent,
+           count(*) AS n_boundaries
+    FROM c GROUP BY event_type
+    """,
+)
+def q118_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = F.unix_micros("ts")
+    e = s + F.floor(F.col("value") * F.lit(1000000.0)).cast("long")
+    iv = ev.select("event_type", s.alias("s"), e.alias("e"))
+    bounds = iv.select("event_type", F.col("s").alias("t"), F.lit(1).alias("delta")).unionByName(
+        iv.select("event_type", F.col("e").alias("t"), F.lit(-1).alias("delta"))
+    )
+    net = bounds.groupBy("event_type", "t").agg(F.sum("delta").alias("net"))
+    w = W.partitionBy("event_type").orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    swept = net.withColumn("conc", F.sum("net").over(w))
+    return swept.groupBy("event_type").agg(
+        F.max("conc").cast("bigint").alias("max_concurrent"),
+        F.count("*").alias("n_boundaries"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q121 — Markov transition matrix over per-user event sequences:
+# lag() builds bigrams, one grouped count, and the per-prev row
+# normalization is a window over the (small) transition matrix itself
+# — no second shuffle of the event stream. n/n as double is
+# IEEE-identical in both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "q121_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS next_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    t AS (
+        SELECT prev_type, next_type, count(*) AS n_trans
+        FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n_trans,
+           CAST(n_trans AS DOUBLE)
+               / CAST(sum(n_trans) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+    FROM t
+    """,
+)
+def q121_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("prev_type", "next_type").agg(F.count("*").alias("n_trans"))
+    return trans.withColumn(
+        "p",
+        F.col("n_trans").cast("double")
+        / F.sum("n_trans").over(W.partitionBy("prev_type")).cast("double"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q122 — interval-union coverage per user (total busy time): classic
+# island detection — running max of interval ends, a gap starts a new
+# island, islands aggregate to (max(e) - min(s)). All integer-micros
+# arithmetic, exact in both engines. One shuffle on user_id; both
+# windows and the island groupBy share that partitioning.
+# ---------------------------------------------------------------------------
+@query(
+    "q122_interval_coverage",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, event_id, epoch_us(ts) AS s,
+               epoch_us(ts) + CAST(floor(value * 1000000.0) AS BIGINT) AS e
+        FROM events
+    ),
+    m AS (
+        SELECT user_id, event_id, s, e,
+               max(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        FROM iv
+    ),
+    f AS (
+        SELECT user_id, event_id, s, e,
+               CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END AS new_island
+        FROM m
+    ),
+    i AS (
+        SELECT user_id, s, e,
+               sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM f
+    ),
+    isl AS (
+        SELECT user_id, island, max(e) - min(s) AS covered
+        FROM i GROUP BY user_id, island
+    )
+    SELECT user_id, sum(covered) AS covered_us, count(*) AS n_islands
+    FROM isl GROUP BY user_id
+    """,
+)
+def q122_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = F.unix_micros("ts")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        s.alias("s"),
+        (s + F.floor(F.col("value") * F.lit(1000000.0)).cast("long")).alias("e"),
+    )
+    w = W.partitionBy("user_id").orderBy("s", "e", "event_id")
+    flagged = iv.withColumn(
+        "prev_max", F.max("e").over(w.rowsBetween(W.unboundedPreceding, -1))
+    ).withColumn(
+        "new_island",
+        F.when(F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max")), 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island", F.sum("new_island").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    )
+    per_island = islands.groupBy("user_id", "island").agg(
+        (F.max("e") - F.min("s")).alias("covered")
+    )
+    return per_island.groupBy("user_id").agg(
+        F.sum("covered").alias("covered_us"), F.count("*").alias("n_islands")
+    )

@@ -160,3 +160,59 @@ def q95_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as (col_name, n_rows, n_null, n_distinct, min_s, max_s)"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q119 — robust outlier profiling per source: median + MAD (median
+# absolute deviation), then a 3-MAD outlier count. Exact percentiles
+# shuffle once per aggregation here; the per-source medians are tiny
+# and broadcast back. At 100 TB swap the exact percentile for
+# approx_percentile (q85 pattern) — the plan shape is unchanged.
+# Group sizes are odd/even the same way in both engines, and midpoint
+# interpolation ((a+b)/2) is IEEE-identical.
+# ---------------------------------------------------------------------------
+@query(
+    "q119_mad_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT source, median(n_chars) AS med_chars FROM documents GROUP BY source
+    ),
+    dev AS (
+        SELECT d.source, m.med_chars,
+               abs(CAST(d.n_chars AS DOUBLE) - m.med_chars) AS dev
+        FROM documents d JOIN med m ON d.source = m.source
+    ),
+    st AS (
+        SELECT source, min(med_chars) AS med_chars, median(dev) AS mad_chars
+        FROM dev GROUP BY source
+    )
+    SELECT dev.source, st.med_chars, st.mad_chars,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN dev.dev > 3.0 * st.mad_chars THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers
+    FROM dev JOIN st ON dev.source = st.source
+    GROUP BY dev.source, st.med_chars, st.mad_chars
+    """,
+)
+def q119_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    med = docs.groupBy("source").agg(F.percentile("n_chars", 0.5).alias("med_chars"))
+    dev = docs.join(F.broadcast(med), "source").select(
+        "source",
+        "med_chars",
+        F.abs(F.col("n_chars").cast("double") - F.col("med_chars")).alias("dev"),
+    )
+    stats = dev.groupBy("source").agg(
+        F.min("med_chars").alias("med_chars"), F.percentile("dev", 0.5).alias("mad_chars")
+    )
+    return (
+        dev.drop("med_chars")
+        .join(F.broadcast(stats), "source")
+        .groupBy("source", "med_chars", "mad_chars")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("dev") > 3.0 * F.col("mad_chars"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )

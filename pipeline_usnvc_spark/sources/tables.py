@@ -43,16 +43,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's
-    parquet reader rejects. Read nanos as long (legacy conf) and
-    convert to a microsecond timestamp — lossless for this data (the
-    generator emits whole microseconds) and aligned with DuckDB's
-    microsecond TIMESTAMP in the oracle."""
+    """Normalize ``ts`` to a microsecond TIMESTAMP regardless of how the
+    generator encoded it. Older exports used TIMESTAMP(NANOS), which
+    Spark's parquet reader only accepts as long (legacy conf); newer
+    exports use plain ``timestamp[us]`` (read as TIMESTAMP_NTZ). Both
+    land on the same UTC wall-clock values as DuckDB's naive TIMESTAMP
+    in the oracle (session TZ is pinned UTC above)."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(df.schema["ts"].dataType, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -20,24 +20,35 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-EVENTS_SCHEMA = "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
-
-
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events table. The parquet stores
-    ``ts`` as TIMESTAMP(NANOS) (read as long under the legacy conf,
-    converted to a microsecond timestamp — same as the batch loader)."""
+    """File-source stream over the events table, normalizing ``ts`` to
+    a microsecond TIMESTAMP. The stream schema must be declared up
+    front, so sniff the parquet footer via a batch read (handles both
+    the legacy TIMESTAMP(NANOS)-as-long encoding and plain
+    timestamp[us] — same as the batch loader)."""
+    from pyspark.sql.types import LongType
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ts_is_long = isinstance(
+        spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType, LongType
+    )
+    ts_decl = "bigint" if ts_is_long else "timestamp_ntz"
+    schema = (
+        "event_id bigint, ts %s, user_id bigint, event_type string, value double, props string"
+        % ts_decl
+    )
     # The file source requires a directory: point at sf_dir and select
     # the events file with a glob filter.
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_long:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def hourly_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
