@@ -21,5 +21,6 @@ from pipeline_usnvc_spark.plans import function_gauntlets  # noqa: F401
 from pipeline_usnvc_spark.plans import cdc_queries  # noqa: F401
 from pipeline_usnvc_spark.plans import profiling_queries  # noqa: F401
 from pipeline_usnvc_spark.plans import analytics_queries  # noqa: F401
+from pipeline_usnvc_spark.plans import tpch_queries  # noqa: F401
 
 __all__ = ["QUERIES", "ORACLES"]

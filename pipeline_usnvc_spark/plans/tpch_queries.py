@@ -1,0 +1,367 @@
+"""Classic TPC-H join-graph shapes (Q8/Q17/Q18/Q20/Q21/Q22) adapted
+to the test schema — the decision-support query surface a user of the
+reference's relational layer would expect (SURVEY §2.3-2.4 join/agg
+families taken to their hard cases: correlated scalar subqueries,
+HAVING semi-joins, multi-predicate EXISTS/NOT-EXISTS, dual-role
+dimension joins).
+
+Scale notes (each query's docstring says why the chosen plan survives
+a 1000-executor / 100 TB run):
+
+- Correlated per-group averages are computed with a *window over the
+  group key* (one exchange; the same shuffle serves the correlation
+  and the filter) instead of a self-join against a re-aggregated
+  copy (two scans + two shuffles of the fact table).
+- EXISTS / NOT EXISTS over the same grouping key are collapsed into
+  one conditional aggregation per key — Spark shuffles the fact
+  table once, instead of N self-joins (the classic Q21 plan, which
+  shuffles lineitem three times).
+- Scalar global aggregates join via ``F.broadcast`` (1-row
+  BroadcastNestedLoopJoin), never a driver collect.
+- Absolute thresholds are chosen on SF-invariant distributions
+  (per-order quantity, ship-minus-order lag), so the queries stay
+  selective-but-nonempty at any scale factor.
+
+Float determinism follows the repo rule: exact decimal(18,2)
+arithmetic until the final cast to double; ratios are double/double
+divisions of decimal-exact sums (IEEE-identical in Spark and DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pipeline_usnvc_spark.plans.registry import query
+from pipeline_usnvc_spark.sources.tables import load_table
+
+
+def _dec(c, scale: int = 2):
+    return (F.col(c) if isinstance(c, str) else c).cast(f"decimal(18,{scale})")
+
+
+_REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+
+
+def _rev_col() -> F.Column:
+    return _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+
+
+# ---------------------------------------------------------------------------
+# q124 — TPC-H Q17 shape: revenue from unusually-small-quantity line
+# items of one brand, where "unusually small" is relative to the
+# part's own average quantity (correlated scalar subquery).
+#
+# Spark plan: broadcast the filtered part dim into lineitem (semi-
+# join reduction BEFORE any shuffle — only ~1/25 of lineitem rows
+# survive), then ONE hash exchange on l_partkey serves both the
+# per-part average (unbounded window) and the correlated filter.
+# The textbook self-join formulation scans and shuffles lineitem
+# twice; this plan does each once.
+# ---------------------------------------------------------------------------
+@query(
+    "q124_small_qty_revenue",
+    oracle=f"""
+    WITH per_part AS (
+        SELECT l.l_partkey, l.l_quantity, l.l_extendedprice,
+               CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l.l_partkey) AS DOUBLE)
+                 / CAST(count(*) OVER (PARTITION BY l.l_partkey) AS DOUBLE) AS avg_qty
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#13'
+    )
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+           count(*) AS n_small_lines
+    FROM per_part
+    WHERE l_quantity < 0.5 * avg_qty
+    """,
+)
+def q124_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    w = Window.partitionBy("l_partkey")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    with_avg = joined.withColumn(
+        "avg_qty",
+        F.sum(_dec("l_quantity")).over(w).cast("double") / F.count("*").over(w).cast("double"),
+    )
+    return with_avg.filter(F.col("l_quantity") < 0.5 * F.col("avg_qty")).agg(
+        (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly"),
+        F.count("*").alias("n_small_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q125 — TPC-H Q18 shape: large-volume orders (HAVING-filtered agg
+# used as a semi-join into the orders/customer join graph).
+#
+# Spark plan: lineitem aggregates once on its natural key; the
+# HAVING filter shrinks the result by ~100x BEFORE it reaches the
+# joins, and AQE turns the orders join into a broadcast at runtime.
+# The per-order total rides along from the agg — no re-aggregation
+# after the joins. Threshold 250 sits at the ~p99 of the per-order
+# quantity distribution, which does not change with scale factor.
+# ---------------------------------------------------------------------------
+@query(
+    "q125_large_volume_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
+           t.total_qty
+    FROM (
+        SELECT l_orderkey,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250
+    ) t
+    JOIN orders o ON o.o_orderkey = t.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q125_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty_dec"))
+        .filter(F.col("qty_dec") > 250)
+        .select("l_orderkey", F.col("qty_dec").cast("double").alias("total_qty"))
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            _dec("o_totalprice").cast("double").alias("total_price"),
+            "total_qty",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q126 — TPC-H Q20 shape: suppliers who moved an outsized share of a
+# part family ("widget" parts), threshold relative to the average
+# supplier so the query is scale-free.
+#
+# Spark plan: part dim filter broadcasts into lineitem (scan-side
+# reduction), one exchange on l_suppkey for the per-supplier sums,
+# the 1-row global average broadcasts back, and the surviving
+# supplier keys (tiny) broadcast-semi-join into the supplier dim.
+# Nothing large is shuffled twice.
+# ---------------------------------------------------------------------------
+@query(
+    "q126_top_part_family_suppliers",
+    oracle="""
+    WITH supp_qty AS (
+        SELECT l.l_suppkey,
+               CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS family_qty
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_name LIKE '%widget%'
+        GROUP BY l.l_suppkey
+    ),
+    avg_qty AS (
+        SELECT CAST(sum(CAST(family_qty AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_qty
+        FROM supp_qty
+    )
+    SELECT s.s_suppkey, s.s_name, q.family_qty
+    FROM supp_qty q
+    CROSS JOIN avg_qty a
+    JOIN supplier s ON s.s_suppkey = q.l_suppkey
+    WHERE q.family_qty > 1.1 * a.mean_qty
+    """,
+)
+def q126_top_part_family_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    supp_qty = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("family_qty"))
+    )
+    mean_qty = supp_qty.agg(
+        (F.sum(_dec("family_qty")).cast("double") / F.count("*").cast("double")).alias("mean_qty")
+    )
+    return (
+        supp_qty.crossJoin(F.broadcast(mean_qty))
+        .filter(F.col("family_qty") > 1.1 * F.col("mean_qty"))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "family_qty")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q127 — TPC-H Q21 shape: suppliers who were the SOLE late shipper in
+# a multi-supplier order ("late" = shipped >700 days after the order
+# date; the lag distribution is SF-invariant, p90 ≈ 1400 days).
+#
+# The textbook formulation is lineitem self-joined twice (EXISTS +
+# NOT EXISTS) — three shuffles of the fact table. Spark-first: both
+# existentials are per-order set properties, so ONE groupBy on
+# l_orderkey computes (distinct suppliers, distinct late suppliers,
+# the late supplier id when unique) via conditional aggregation;
+# lineitem is scanned and shuffled exactly once, then the tiny
+# qualifying set broadcast-joins into supplier.
+# ---------------------------------------------------------------------------
+@query(
+    "q127_sole_late_supplier",
+    oracle="""
+    WITH per_order AS (
+        SELECT l.l_orderkey,
+               count(DISTINCT l.l_suppkey) AS n_supp,
+               count(DISTINCT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 700 DAY
+                                   THEN l.l_suppkey END) AS n_late,
+               max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 700 DAY
+                        THEN l.l_suppkey END) AS late_supp
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY l.l_orderkey
+    )
+    SELECT s.s_suppkey, s.s_name, count(*) AS numwait
+    FROM per_order p
+    JOIN supplier s ON s.s_suppkey = p.late_supp
+    WHERE p.n_supp > 1 AND p.n_late = 1
+    GROUP BY s.s_suppkey, s.s_name
+    """,
+)
+def q127_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = load_table(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 700 DAYS")
+    per_order = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    return (
+        per_order.join(F.broadcast(supp), per_order.late_supp == supp.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q128 — TPC-H Q22 shape: per-segment stats over rich-but-inactive
+# customers — balance above the positive-balance average (scalar
+# subquery, broadcast) and no recent order (NOT EXISTS, left-anti).
+#
+# Spark plan: the scalar average is a 1-row broadcast; the anti-join
+# side is pre-filtered (only recent orders) and pre-projected to the
+# join key, so the anti-join shuffles the minimum possible; AQE
+# broadcasts it when small. Final agg groups on the low-cardinality
+# segment.
+# ---------------------------------------------------------------------------
+@query(
+    "q128_rich_inactive_customers",
+    oracle="""
+    WITH pos_avg AS (
+        SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_bal
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_mktsegment, count(*) AS numcust,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer c
+    CROSS JOIN pos_avg a
+    WHERE c.c_acctbal > a.avg_bal
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q128_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    pos_avg = cust.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count("*").cast("double")).alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(pos_avg))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q129 — TPC-H Q8 shape: one nation's market share, per year, within
+# one customer region. The nation dim joins in TWO roles (customer
+# nation restricts the market; supplier nation is the share target).
+#
+# Spark plan: all dims (nation twice, supplier) broadcast; customer
+# is the only shuffle join (on o_custkey), and the region filter on
+# the customer side cuts that shuffle ~1/5 before the exchange. The
+# share is a conditional decimal sum over the same groupBy — no
+# second pass.
+# ---------------------------------------------------------------------------
+@query(
+    "q129_nation_market_share",
+    oracle=f"""
+    SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+           CAST(CAST(sum(CASE WHEN ns.n_name = 'NATION_7' THEN {_REV}
+                              ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                / CAST(sum({_REV}) AS DOUBLE) AS DOUBLE) AS mkt_share,
+           CAST(sum({_REV}) AS DOUBLE) AS total_revenue
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+    WHERE nc.n_regionkey = 0
+    GROUP BY year(o.o_orderdate)
+    """,
+)
+def q129_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nc = nation.filter(F.col("n_regionkey") == 0).select(
+        F.col("n_nationkey").alias("nc_nationkey")
+    )
+    ns = nation.select(
+        F.col("n_nationkey").alias("ns_nationkey"), F.col("n_name").alias("supp_nation")
+    )
+    market_cust = cust.join(F.broadcast(nc), cust.c_nationkey == F.col("nc_nationkey")).select(
+        "c_custkey"
+    )
+    rev = _rev_col()
+    target_rev = F.when(F.col("supp_nation") == "NATION_7", rev).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(market_cust, orders.o_custkey == market_cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(ns), supp.s_nationkey == F.col("ns_nationkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (F.sum(target_rev).cast("double") / F.sum(rev).cast("double")).alias("mkt_share"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+    )
