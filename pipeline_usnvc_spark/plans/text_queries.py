@@ -806,3 +806,125 @@ def q117_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.join(F.broadcast(targets), "source").filter(
         F.col("rk") <= F.col("tgt")
     ).select("doc_id", "source", "rk")
+
+
+# ---------------------------------------------------------------------------
+# q130 — per-source boilerplate removal (CCNet-style): drop tokens
+# whose document frequency within their source exceeds 80% of that
+# source's documents, and reassemble the surviving text in original
+# token order. Documents that are pure boilerplate disappear.
+#
+# Scale shape: the doc-frequency table is distinct (source, token,
+# doc) → groupBy (source, token) — one shuffle of the exploded
+# corpus with map-side partial aggregation. The per-source document
+# counts are a tiny dimension joined by broadcast. Reassembly
+# re-groups by doc_id with a sorted positional collect — the second
+# and last shuffle; nothing is exploded twice. At 100 TB the
+# boilerplate set per source is vocabulary-bounded (≪ corpus), so
+# the anti-join side stays broadcastable under AQE.
+# ---------------------------------------------------------------------------
+@query(
+    "q130_boilerplate_removal",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source,
+               unnest(string_split(text, ' ')) AS token,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ),
+    df AS (
+        SELECT source, token, count(DISTINCT doc_id) AS doc_freq
+        FROM toks GROUP BY source, token
+    ),
+    src AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    boiler AS (
+        SELECT d.source, d.token
+        FROM df d JOIN src s ON s.source = d.source
+        WHERE d.doc_freq > 0.8 * s.n_docs
+    )
+    SELECT t.doc_id, t.source,
+           string_agg(t.token, ' ' ORDER BY t.pos) AS clean_text,
+           count(*) AS n_kept
+    FROM toks t
+    LEFT JOIN boiler b ON b.source = t.source AND b.token = t.token
+    WHERE b.token IS NULL
+    GROUP BY t.doc_id, t.source
+    """,
+)
+def q130_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+    doc_freq = toks.groupBy("source", "token").agg(
+        F.countDistinct("doc_id").alias("doc_freq")
+    )
+    src_docs = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    boiler = doc_freq.join(F.broadcast(src_docs), "source").filter(
+        F.col("doc_freq") > 0.8 * F.col("n_docs")
+    ).select("source", "token")
+    return (
+        toks.join(F.broadcast(boiler), ["source", "token"], "left_anti")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                    lambda s: s.token,
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count("*").alias("n_kept"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q131 — vocabulary coverage: the top-100 corpus tokens with their
+# frequency rank and cumulative share of all token occurrences (the
+# curve a tokenizer-vocabulary builder reads off).
+#
+# Scale shape: one shuffle aggregates token counts (map-side
+# combine does most of the work — vocabulary ≪ corpus); the top-100
+# is a distributed TakeOrderedAndProject, NOT a full sort; only the
+# 100 surviving rows pass through the single-partition running-sum
+# window, and the grand total joins as a 1-row broadcast.
+# ---------------------------------------------------------------------------
+@query(
+    "q131_vocab_coverage",
+    oracle=f"""
+    WITH counts AS (
+        SELECT t.token, count(*) AS cnt
+        FROM (SELECT unnest({_TOKS_SQL}) AS token FROM documents) t
+        GROUP BY t.token
+    ),
+    tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM counts),
+    top AS (SELECT token, cnt FROM counts ORDER BY cnt DESC, token LIMIT 100)
+    SELECT token, cnt,
+           CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INT) AS vocab_rank,
+           CAST(sum(cnt) OVER (ORDER BY cnt DESC, token ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / t.total AS cum_share
+    FROM top CROSS JOIN tot t
+    """,
+)
+def q131_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").cast("double").alias("total"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(100)
+    w = (
+        Window.orderBy(F.desc("cnt"), F.asc("token"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return top.crossJoin(F.broadcast(total)).select(
+        "token",
+        "cnt",
+        F.row_number().over(w).cast("int").alias("vocab_rank"),
+        (F.sum("cnt").over(w).cast("double") / F.col("total")).alias("cum_share"),
+    )
