@@ -189,3 +189,38 @@ def test_sequence_packing_no_single_partition_window(spark, sf_dir, monkeypatch)
     assert "rangepartitioning" in plan.lower(), "prefix-sum lost its range exchange"
     assert "MapInPandas" in plan
     assert "BroadcastExchange" in plan  # offsets join side
+
+
+def test_small_qty_revenue_single_fact_pass(spark, sf_dir):
+    # q124 (TPC-H Q17 shape): lineitem must be scanned ONCE (the
+    # window supplies the correlated per-part average — no self-join
+    # against a re-aggregated copy) and the part dim must broadcast.
+    plan = _plan(spark, "q124_small_qty_revenue", sf_dir)
+    # formatted explain prints each scan twice (tree + detail node)
+    assert plan.count("Scan parquet") == 4, "expected exactly lineitem + part scans"
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sole_late_supplier_single_fact_shuffle(spark, sf_dir):
+    # q127 (TPC-H Q21 shape): the EXISTS/NOT-EXISTS pair collapses
+    # into one conditional aggregation — lineitem appears once, with
+    # no self-joins.
+    plan = _plan(spark, "q127_sole_late_supplier", sf_dir)
+    assert plan.count("Scan parquet") == 6, "expected lineitem + orders + supplier scans only"
+    assert "CartesianProduct" not in plan
+
+
+def test_nation_market_share_only_customer_shuffles(spark, sf_dir):
+    # q129 (TPC-H Q8 shape): nation (twice), supplier broadcast; no
+    # cartesian from the dual-role nation dim.
+    plan = _plan(spark, "q129_nation_market_share", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_vocab_coverage_topk_not_full_sort(spark, sf_dir):
+    # q131: the top-100 must be a distributed TakeOrderedAndProject;
+    # only the 100 survivors may hit the single-partition window.
+    plan = _plan(spark, "q131_vocab_coverage", sf_dir)
+    assert "TakeOrderedAndProject" in plan
