@@ -34,8 +34,9 @@ def connected_components(
     after LSH + Jaccard verification the duplicate-pair graph is
     usually tiny relative to the corpus (hundreds of edges at sf0.1),
     and each distributed round costs a fixed join+agg+checkpoint
-    latency that dwarfs a millisecond local solve. The count that
-    picks the path reads the already-materialized edge set, and the
+    latency that dwarfs a millisecond local solve. A single bounded
+    head() probe on the materialized edge set both picks the path and
+    supplies the local solver's rows, and the
     distributed fixpoint loop remains the path for genuinely large
     graphs (billions of edges never hit the driver). Results are
     identical by construction (min reachable id either way)."""
@@ -49,8 +50,13 @@ def connected_components(
         .distinct()
         .transform(materialize)
     )
-    if sym.count() <= local_threshold:
-        return _local_components(sym)
+    # One probe decides the path AND feeds the local solve: head(N+1)
+    # over the just-materialized blocks replaces a count() job plus a
+    # separate collect() job. Exactly threshold+1 rows cross the
+    # driver boundary in the worst case before falling back.
+    probe = sym.head(local_threshold + 1)
+    if len(probe) <= local_threshold:
+        return _local_components(sym, probe)
     # Seed with min(self, neighbors): exactly round 1 of HashMin, but
     # folded into initialization so the loop starts one hop ahead.
     labels = (
@@ -88,9 +94,10 @@ def connected_components(
     return labels.select("node", F.col("label").alias("component"))
 
 
-def _local_components(sym: DataFrame) -> DataFrame:
-    """Driver union-find over a small symmetrized edge set; returns the
-    same (node, component=min reachable id) frame as the HashMin loop."""
+def _local_components(sym: DataFrame, rows) -> DataFrame:
+    """Driver union-find over a small symmetrized edge set (already
+    collected by the caller's path probe); returns the same
+    (node, component=min reachable id) frame as the HashMin loop."""
     from pyspark.sql.types import StructField, StructType
 
     node_type = sym.schema["x"].dataType
@@ -104,10 +111,10 @@ def _local_components(sym: DataFrame) -> DataFrame:
             parent[a], a = root, parent[a]
         return root
 
-    # collect(), not toLocalIterator(): the latter schedules one job
-    # per partition serially (64 round-trips at our shuffle width);
-    # the edge count is already bounded by local_threshold.
-    for x, y in sym.select("x", "y").collect():
+    # The caller already collected the (bounded) edge rows while
+    # probing which path to take — no second job here. collect-style
+    # bulk fetch, not toLocalIterator (one serial job per partition).
+    for x, y in rows:
         parent.setdefault(x, x)
         parent.setdefault(y, y)
         rx, ry = find(x), find(y)
