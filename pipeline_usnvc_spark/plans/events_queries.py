@@ -559,3 +559,64 @@ def q122_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_island.groupBy("user_id").agg(
         F.sum("covered").alias("covered_us"), F.count("*").alias("n_islands")
     )
+
+
+# ---------------------------------------------------------------------------
+# q133 — sliding-window z-score anomaly detection: each event scored
+# against the mean/stddev of its user's trailing 20 events. The
+# variance is assembled from decimal-exact sum and sum-of-squares
+# ((ss - s²/n)/(n-1)), so Spark and DuckDB run byte-identical IEEE
+# arithmetic — no reliance on either engine's stddev_samp kernel.
+#
+# Scale shape: one hash exchange on user_id serves the single window
+# (sort within partition); the frame is ROWS-bounded so state per key
+# is O(20). No second pass, no self-join.
+# ---------------------------------------------------------------------------
+@query(
+    "q133_sliding_zscore",
+    oracle="""
+    WITH w AS (
+        SELECT event_id, user_id, value,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) OVER win AS DOUBLE) AS s,
+               CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) OVER win AS DOUBLE) AS ss,
+               count(*) OVER win AS n
+        FROM events
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ),
+    z AS (
+        SELECT event_id, user_id, value,
+               (value - s / n) / sqrt((ss - s * s / n) / (n - 1)) AS zs
+        FROM w
+        WHERE n = 20 AND (ss - s * s / n) > 0
+    )
+    SELECT event_id, user_id, value, round(zs, 6) AS zscore
+    FROM z
+    WHERE abs(zs) > 2.5
+    """,
+)
+def q133_sliding_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    win = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, W.currentRow)
+    )
+    dec = F.col("value").cast("decimal(18,6)")
+    w = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.sum(dec).over(win).cast("double").alias("s"),
+        F.sum(dec * dec).over(win).cast("double").alias("ss"),
+        F.count("*").over(win).alias("n"),
+    )
+    zs = (F.col("value") - F.col("s") / F.col("n")) / F.sqrt(
+        (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    )
+    return (
+        w.filter((F.col("n") == 20) & (F.col("ss") - F.col("s") * F.col("s") / F.col("n") > 0))
+        .select("event_id", "user_id", "value", zs.alias("zs"))
+        .filter(F.abs(F.col("zs")) > 2.5)
+        .select("event_id", "user_id", "value", F.round("zs", 6).alias("zscore"))
+    )

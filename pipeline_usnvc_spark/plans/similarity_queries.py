@@ -175,3 +175,31 @@ def q66_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return batched_cosine_topk(emb, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# q132 — k-means cluster assignment: the IVF coarse quantizer exposed
+# as a first-class clustering operator (deterministic Lloyd's, lowest-
+# id init, no RNG). Rows-only: float centroid means make bit-exact
+# SQL replication impractical; determinism + SSE-descent are asserted
+# in tests/test_scale_ops.py instead.
+#
+# Scale shape: centroids live in the plan as literals (a few KB), so
+# assignment is a map-only expression over the corpus — zero shuffle,
+# zero UDF; each Lloyd's round is one shuffle (per-(cluster,dim)
+# partial means) + an O(k·dim) driver collect.
+# ---------------------------------------------------------------------------
+@query("q132_kmeans_clusters")
+def q132_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.similarity import (
+        _nearest_centroid,
+        kmeans_centroids,
+    )
+    from pipeline_usnvc_spark.functions.vectors import to_double_array
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = kmeans_centroids(emb, k=8, iters=4)
+    return emb.select(
+        "vec_id",
+        _nearest_centroid(to_double_array("embedding"), centroids).alias("cluster"),
+    )

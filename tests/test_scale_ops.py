@@ -288,3 +288,36 @@ def test_cc_local_and_distributed_paths_agree(spark):
     }
     assert got == want
     assert (5, 1) in got and (12, 10) in got and (20, 20) in got and (8, 7) in got
+
+
+def test_kmeans_deterministic_and_descending(spark, sf_dir):
+    # Lloyd's with lowest-id init must be run-to-run deterministic,
+    # and within-cluster SSE must be non-increasing in the iteration
+    # count (monotone descent is the algorithm's defining invariant).
+    from pipeline_usnvc_spark.functions.vectors import to_double_array
+    from pipeline_usnvc_spark.operators.similarity import (
+        _nearest_centroid,
+        kmeans_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def sse(iters: int) -> float:
+        cents = kmeans_centroids(emb, k=8, iters=iters)
+        v = to_double_array("embedding")
+        dists = [
+            F.aggregate(
+                F.zip_with(v, F.array(*[F.lit(x) for x in c]), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in cents
+        ]
+        return emb.select(F.least(*dists).alias("d")).agg(F.sum("d")).collect()[0][0]
+
+    s1, s2, s4 = sse(1), sse(2), sse(4)
+    assert s1 >= s2 >= s4, (s1, s2, s4)
+
+    a = kmeans_centroids(emb, k=8, iters=3)
+    b = kmeans_centroids(emb, k=8, iters=3)
+    assert a == b, "k-means must be deterministic (no RNG, fixed init)"
