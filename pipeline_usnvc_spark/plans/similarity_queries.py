@@ -203,3 +203,49 @@ def q132_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         _nearest_centroid(to_double_array("embedding"), centroids).alias("cluster"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q135 — int8 embedding quantization: per-dimension min/max scaling of
+# the corpus embeddings to 0..255 codes (the storage-compression pass
+# before an ANN index ships to serving). Output is the exploded
+# (vec_id, pos, q8) form so the byte codes are engine-comparable.
+#
+# Scale shape: ONE explode pass feeds a per-dimension min/max
+# aggregation (dim-bounded — tiny) that broadcast-joins back into the
+# same exploded view; quantization is a map-side double expression.
+# No driver collect, no second corpus scan (AQE reuses the exchange).
+# ---------------------------------------------------------------------------
+@query(
+    "q135_int8_quantize",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id,
+               CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+    ),
+    stats AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM e GROUP BY pos)
+    SELECT e.vec_id, e.pos,
+           CAST(round(255 * (e.x - s.mn) / (s.mx - s.mn), 0) AS INT) AS q8
+    FROM e JOIN stats s ON s.pos = e.pos
+    WHERE s.mx > s.mn
+    """,
+)
+def q135_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "x")
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "x")
+    stats = e.groupBy("pos").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    return (
+        e.join(F.broadcast(stats), "pos")
+        .filter(F.col("mx") > F.col("mn"))
+        .select(
+            "vec_id",
+            "pos",
+            F.round(255 * (F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn")), 0)
+            .cast("int")
+            .alias("q8"),
+        )
+    )

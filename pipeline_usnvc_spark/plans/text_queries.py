@@ -928,3 +928,60 @@ def q131_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("int").alias("vocab_rank"),
         (F.sum("cnt").over(w).cast("double") / F.col("total")).alias("cum_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q134 — bigram language-model counts: corpus-wide bigram frequencies
+# with conditional probability P(w2 | w1) — the estimation pass of a
+# count-based LM (and the PMI numerator for collocation mining).
+#
+# Scale shape: bigrams explode map-side (zip of the token array with
+# its tail — no self-join); ONE shuffle on (w1, w2) counts them; the
+# per-w1 totals come from a window over the already-aggregated bigram
+# table partitioned by w1 — vocabulary²-bounded, ≪ corpus. The
+# conditional probability is an integer/integer double division,
+# IEEE-identical in both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "q134_bigram_lm",
+    oracle=f"""
+    WITH toks AS (SELECT {_TOKS_SQL} AS l FROM documents),
+    bigrams AS (
+        SELECT t.w1, t.w2
+        FROM toks, LATERAL (
+            SELECT unnest(l[1:len(l)-1]) AS w1, unnest(l[2:len(l)]) AS w2
+        ) t
+    ),
+    counts AS (SELECT w1, w2, count(*) AS cnt FROM bigrams GROUP BY w1, w2),
+    probs AS (
+        -- window BEFORE the frequency cut: P(w2|w1) conditions on the
+        -- full bigram mass, not just the frequent survivors
+        SELECT w1, w2, cnt,
+               CAST(cnt AS DOUBLE) / CAST(sum(cnt) OVER (PARTITION BY w1) AS DOUBLE) AS p_cond
+        FROM counts
+    )
+    SELECT w1, w2, cnt, p_cond FROM probs WHERE cnt >= 5
+    """,
+)
+def q134_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(tokens("text").alias("l"))
+    bigrams = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice("l", 1, F.greatest(F.size("l") - 1, F.lit(0))),
+                F.slice("l", 2, F.greatest(F.size("l") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    counts = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("cnt"))
+    w1_total = Window.partitionBy("w1")
+    return counts.select(
+        "w1",
+        "w2",
+        "cnt",
+        (F.col("cnt").cast("double") / F.sum("cnt").over(w1_total).cast("double")).alias("p_cond"),
+    ).filter(F.col("cnt") >= 5)
