@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pipeline_usnvc_spark.functions.text import tokens
 from pipeline_usnvc_spark.plans.dedup_queries import _SHINGLES_SQL
 from pipeline_usnvc_spark.plans.registry import query
 from pipeline_usnvc_spark.sources.tables import load_table
@@ -336,3 +337,80 @@ def q120_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         visited = materialize(visited.unionByName(frontier))
     return visited.select(F.col("node").alias("part_id"), F.col("dist").alias("hops"))
+
+
+# ---------------------------------------------------------------------------
+# q140 — Count-Min sketch: a (d=4, w=1024) CM sketch over the corpus
+# token stream, then point estimates for every token whose true count
+# is ≥ 50. Estimates are deterministic (md5-derived bucket hashes, the
+# engine-portable idiom from q37), so unlike most sketches this one is
+# oracle-EXACT — DuckDB builds the identical sketch and reads the same
+# min-of-d-counters, overestimates included.
+#
+# Scale shape: the sketch is an additive groupBy — map-side partial
+# aggregation reduces every partition to ≤ d·w counter rows, so the
+# shuffle is O(d·w·partitions) no matter the corpus size, and sketches
+# of disjoint corpus splits merge by addition (the mergeability that
+# makes CM the streaming/windowed counterpart of exact counts). The
+# probe join broadcasts the d·w-row sketch.
+# ---------------------------------------------------------------------------
+_CM_D, _CM_W = 4, 1024
+
+
+def _cm_bucket_sql(token_expr: str, i_expr: str) -> str:
+    return (
+        f"CAST('0x' || substr(md5({token_expr} || ':' || CAST({i_expr} AS VARCHAR)), 1, 8) AS BIGINT) % {_CM_W}"
+    )
+
+
+@query(
+    "q140_count_min",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-zA-Z0-9]+'), t -> t <> '')) AS token
+        FROM documents
+    ),
+    rows_i AS (SELECT i FROM range({_CM_D}) t(i)),
+    sketch AS (
+        SELECT r.i, {_cm_bucket_sql('tok.token', 'r.i')} AS bucket, count(*) AS c
+        FROM tok CROSS JOIN rows_i r
+        GROUP BY r.i, {_cm_bucket_sql('tok.token', 'r.i')}
+    ),
+    truec AS (SELECT token, count(*) AS true_cnt FROM tok GROUP BY token),
+    probes AS (SELECT token, true_cnt FROM truec WHERE true_cnt >= 50)
+    SELECT p.token, p.true_cnt, min(s.c) AS cm_est
+    FROM probes p
+    CROSS JOIN rows_i r
+    JOIN sketch s ON s.i = r.i AND s.bucket = {_cm_bucket_sql('p.token', 'r.i')}
+    GROUP BY p.token, p.true_cnt
+    """,
+)
+def q140_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens("text")).alias("token"))
+    rows_i = spark.range(_CM_D).select(F.col("id").cast("int").alias("i"))
+
+    def bucket(token_col, i_col):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(token_col, F.lit(":"), i_col.cast("string"))), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % _CM_W
+        )
+
+    sketch = (
+        tok.crossJoin(F.broadcast(rows_i))
+        .groupBy("i", bucket(F.col("token"), F.col("i")).alias("bucket"))
+        .agg(F.count("*").alias("c"))
+    )
+    truec = tok.groupBy("token").agg(F.count("*").alias("true_cnt"))
+    probes = truec.filter(F.col("true_cnt") >= 50)
+    return (
+        probes.crossJoin(F.broadcast(rows_i))
+        .withColumn("bucket", bucket(F.col("token"), F.col("i")))
+        .join(F.broadcast(sketch), ["i", "bucket"])
+        .groupBy("token", "true_cnt")
+        .agg(F.min("c").alias("cm_est"))
+    )

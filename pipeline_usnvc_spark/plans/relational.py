@@ -69,13 +69,13 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN o_totalprice > 100000 THEN 'big' ELSE 'small' END AS size_class,
            CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_2dp
     FROM orders
-    WHERE o_orderstatus IS NOT NULL AND o_orderpriority = 'high'
+    WHERE o_orderstatus IS NOT NULL AND o_orderpriority IN ('1-URGENT', '2-HIGH')
     """,
 )
 def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return (
-        orders.filter(F.col("o_orderstatus").isNotNull() & (F.col("o_orderpriority") == "high"))
+        orders.filter(F.col("o_orderstatus").isNotNull() & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
         .select(
             "o_orderkey",
             "o_orderstatus",
@@ -244,8 +244,8 @@ def q07_clean_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q08_display_title",
     oracle="""
     SELECT o_orderkey,
-           CASE WHEN o_orderpriority IN ('high') THEN o_orderpriority || ' ' || o_orderstatus || ' priority'
-                WHEN o_orderpriority IN ('medium') THEN o_orderpriority || ' ' || o_orderstatus
+           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN o_orderpriority || ' ' || o_orderstatus || ' priority'
+                WHEN o_orderpriority IN ('3-MEDIUM') THEN o_orderpriority || ' ' || o_orderstatus
                 ELSE 'routine ' || o_orderstatus END AS title
     FROM orders
     """,
@@ -254,8 +254,8 @@ def q08_display_title(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     p, s = F.col("o_orderpriority"), F.col("o_orderstatus")
     title = (
-        F.when(p.isin("high"), F.concat(p, F.lit(" "), s, F.lit(" priority")))
-        .when(p.isin("medium"), F.concat(p, F.lit(" "), s))
+        F.when(p.isin("1-URGENT", "2-HIGH"), F.concat(p, F.lit(" "), s, F.lit(" priority")))
+        .when(p.isin("3-MEDIUM"), F.concat(p, F.lit(" "), s))
         .otherwise(F.concat(F.lit("routine "), s))
     )
     return orders.select("o_orderkey", title.alias("title"))
@@ -416,9 +416,9 @@ def q13_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q14_pivot",
     oracle="""
     SELECT o_orderstatus AS status,
-           CAST(coalesce(sum(CASE WHEN o_orderpriority = 'high' THEN 1 END), 0) AS BIGINT) AS high,
-           CAST(coalesce(sum(CASE WHEN o_orderpriority = 'medium' THEN 1 END), 0) AS BIGINT) AS medium,
-           CAST(coalesce(sum(CASE WHEN o_orderpriority = 'low' THEN 1 END), 0) AS BIGINT) AS low
+           CAST(coalesce(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END), 0) AS BIGINT) AS urgent,
+           CAST(coalesce(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END), 0) AS BIGINT) AS high,
+           CAST(coalesce(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END), 0) AS BIGINT) AS low
     FROM orders GROUP BY o_orderstatus
     """,
 )
@@ -426,12 +426,15 @@ def q14_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     pv = (
         orders.groupBy(F.col("o_orderstatus").alias("status"))
-        .pivot("o_orderpriority", ["high", "medium", "low"])
+        .pivot("o_orderpriority", ["1-URGENT", "2-HIGH", "5-LOW"])
         .count()
     )
     return pv.select(
         "status",
-        *[F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c) for c in ("high", "medium", "low")],
+        *[
+            F.coalesce(F.col(f"`{src}`"), F.lit(0)).cast("bigint").alias(dst)
+            for src, dst in [("1-URGENT", "urgent"), ("2-HIGH", "high"), ("5-LOW", "low")]
+        ],
     )
 
 

@@ -365,3 +365,172 @@ def q129_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(rev).cast("double").alias("total_revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q136 — TPC-H Q5 shape: local-commerce revenue per nation within one
+# region and year — supplier and customer must share a nation, so the
+# nation dim constrains BOTH sides of the join graph.
+#
+# Spark plan: nation(region-filtered) and supplier broadcast; the
+# s_nationkey = c_nationkey equality rides on the supplier broadcast
+# join as an extra condition — no extra shuffle. orders/customer are
+# the only exchanges; the year filter pushes into the orders scan.
+# ---------------------------------------------------------------------------
+@query(
+    "q136_local_commerce_revenue",
+    oracle=f"""
+    SELECT n.n_name,
+           CAST(sum({_REV}) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'AMERICA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q136_local_commerce_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (supp.s_nationkey == cust.c_nationkey),
+        )
+        .join(F.broadcast(n), cust.c_nationkey == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(_rev_col()).cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q137 — TPC-H Q10 shape: top-20 customers by returned-goods revenue
+# in a quarter. The LIMIT is a deterministic distributed top-k
+# (TakeOrderedAndProject) keyed (revenue DESC, c_custkey) — exact
+# decimal revenue makes the sort tie-free across engines.
+# ---------------------------------------------------------------------------
+@query(
+    "q137_returned_top_customers",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(sum({_REV}) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-07-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q137_returned_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_rev_col()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q138 — TPC-H Q12 shape: urgent-vs-routine order counts per return
+# flag over a ship-year — the two-conditional-sums-per-group pattern,
+# one fact exchange, priority decode inline (no dimension needed).
+# ---------------------------------------------------------------------------
+@query(
+    "q138_priority_by_returnflag",
+    oracle="""
+    SELECT l.l_returnflag,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS urgent_lines,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS routine_lines
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l.l_returnflag
+    """,
+)
+def q138_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("urgent_lines"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).alias("routine_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q139 — TPC-H Q19 shape: revenue under an OR of brand/size/quantity
+# conjunctions. The disjunction lives in the JOIN condition; Catalyst
+# extracts the common p_partkey equality so it stays a broadcast hash
+# join with the residual OR as a post-join filter — never a cartesian.
+# ---------------------------------------------------------------------------
+@query(
+    "q139_disjunctive_revenue",
+    oracle=f"""
+    SELECT CAST(sum({_REV}) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#25' AND p.p_size BETWEEN 20 AND 50 AND l.l_quantity BETWEEN 25 AND 50)
+    """,
+)
+def q139_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cond = (
+        ((part.p_brand == "Brand#13") & part.p_size.between(1, 15) & li.l_quantity.between(1, 20))
+        | ((part.p_brand == "Brand#22") & part.p_size.between(10, 30) & li.l_quantity.between(10, 30))
+        | ((part.p_brand == "Brand#25") & part.p_size.between(20, 50) & li.l_quantity.between(25, 50))
+    )
+    return (
+        li.join(F.broadcast(part), (li.l_partkey == part.p_partkey) & cond)
+        .agg(
+            F.sum(_rev_col()).cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )

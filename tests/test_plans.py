@@ -33,7 +33,7 @@ def test_dim_joins_broadcast(spark, sf_dir, name):
     "name,expected_filters",
     [
         ("q01_pricing_summary", ["LessThanOrEqual(l_shipdate"]),
-        ("q02_filter_project", ["EqualTo(o_orderpriority,high)", "IsNotNull(o_orderstatus)"]),
+        ("q02_filter_project", ["In(o_orderpriority, [1-URGENT,2-HIGH])", "IsNotNull(o_orderstatus)"]),
     ],
 )
 def test_filters_pushed_to_scan(spark, sf_dir, name, expected_filters):

@@ -321,3 +321,26 @@ def test_kmeans_deterministic_and_descending(spark, sf_dir):
     a = kmeans_centroids(emb, k=8, iters=3)
     b = kmeans_centroids(emb, k=8, iters=3)
     assert a == b, "k-means must be deterministic (no RNG, fixed init)"
+
+
+def test_count_min_guarantees(spark, sf_dir):
+    # CM invariants: never under-estimates; overestimate bounded by
+    # e/w * N with probability 1-(1/e)^d — deterministic hashes make
+    # this reproducible, so assert the bound outright at test scale.
+    import math
+
+    from pipeline_usnvc_spark.plans import QUERIES
+
+    pdf = QUERIES["q140_count_min"](spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    assert (pdf.cm_est >= pdf.true_cnt).all(), "CM must never underestimate"
+    docs = load_table(spark, sf_dir, "documents")
+    from pipeline_usnvc_spark.functions.text import tokens
+
+    n_tokens = docs.select(F.explode(tokens("text")).alias("t")).count()
+    bound = math.e / 1024 * n_tokens
+    assert ((pdf.cm_est - pdf.true_cnt) <= bound).all(), (
+        pdf.cm_est.max(),
+        pdf.true_cnt.max(),
+        bound,
+    )
