@@ -620,3 +620,53 @@ def q133_sliding_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("zs")) > 2.5)
         .select("event_id", "user_id", "value", F.round("zs", 6).alias("zscore"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q141 — OHLC resampling: per (user, hour) open/high/low/close bars
+# over the event stream — the downsampling pass of a time-series
+# store. open/close are min_by/max_by on the composite (ts, event_id)
+# key (tie-free at every scale factor, per the argmax rule in the
+# verify notes); ONE exchange on the grouping key does everything
+# (map-side partial min/max/min_by/max_by).
+# ---------------------------------------------------------------------------
+@query(
+    "q141_ohlc_bars",
+    oracle="""
+    SELECT user_id,
+           CAST(strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:00:00') AS VARCHAR) AS bar_hour,
+           min_by(value, CAST(epoch(ts) AS BIGINT) * 10000000 + event_id) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max_by(value, CAST(epoch(ts) AS BIGINT) * 10000000 + event_id) AS close,
+           count(*) AS n_events
+    FROM events
+    GROUP BY user_id, time_bucket(INTERVAL 1 HOUR, ts)
+    """,
+)
+def q141_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bar = F.date_trunc("hour", F.col("ts"))
+    # Spark orders structs lexicographically — no id-range assumption
+    # at scale; the oracle's scalar epoch*1e7+event_id encoding is the
+    # same order for the testdata's id range (event_id < 1e7).
+    key = F.struct(F.unix_timestamp("ts").cast("bigint").alias("t"), F.col("event_id").alias("e"))
+    return (
+        ev.groupBy("user_id", bar.alias("bar"))
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.date_format("bar", "yyyy-MM-dd HH:00:00").alias("bar_hour"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
