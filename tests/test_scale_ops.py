@@ -344,3 +344,43 @@ def test_count_min_guarantees(spark, sf_dir):
         pdf.true_cnt.max(),
         bound,
     )
+
+
+def test_count_min_sketches_merge_additively(spark, sf_dir):
+    # The CM sketch of a corpus must equal the counter-wise SUM of the
+    # sketches of any partition of that corpus — the mergeability that
+    # lets executors sketch independently and combine, and streaming
+    # microbatches fold into a running sketch.
+    from pipeline_usnvc_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    rows_i = spark.range(4).select(F.col("id").cast("int").alias("i"))
+
+    def bucket(token_col, i_col):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(token_col, F.lit(":"), i_col.cast("string"))), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 1024
+        )
+
+    def sketch(df):
+        return (
+            df.crossJoin(F.broadcast(rows_i))
+            .groupBy("i", bucket(F.col("token"), F.col("i")).alias("bucket"))
+            .agg(F.count("*").alias("c"))
+        )
+
+    full = sketch(tok)
+    half_a = sketch(tok.filter(F.col("doc_id") % 2 == 0))
+    half_b = sketch(tok.filter(F.col("doc_id") % 2 == 1))
+    merged = (
+        half_a.unionByName(half_b)
+        .groupBy("i", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    assert full.exceptAll(merged).count() == 0
+    assert merged.exceptAll(full).count() == 0
