@@ -224,3 +224,27 @@ def test_vocab_coverage_topk_not_full_sort(spark, sf_dir):
     # only the 100 survivors may hit the single-partition window.
     plan = _plan(spark, "q131_vocab_coverage", sf_dir)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_returned_top_customers_is_topk_single_exchange(spark, sf_dir):
+    # q137 (TPC-H Q10 shape): distributed top-20, not a global sort,
+    # and the whole join graph rides one exchange (dims broadcast).
+    plan = _plan(spark, "q137_returned_top_customers", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_count_min_probe_join_broadcasts(spark, sf_dir):
+    # q140: the d*w-row sketch must broadcast into the probe join;
+    # the token stream itself is never sort-merge-joined.
+    plan = _plan(spark, "q140_count_min", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_local_commerce_all_dims_broadcast(spark, sf_dir):
+    # q136 (TPC-H Q5 shape): nation/region/supplier broadcast; the
+    # dual-sided nation constraint must not degrade to cartesian.
+    plan = _plan(spark, "q136_local_commerce_revenue", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
