@@ -1,0 +1,75 @@
+"""JSON-lines source with corrupt-record quarantine and evolved-schema
+reads.
+
+The reference validates documents against a JSON envelope on the way
+OUT (usnvc/ledger); a production corpus also arrives as JSONL on the
+way IN — crawler dumps, API exports — where two failure modes matter
+at 100 TB:
+
+  * corrupt lines (truncated writes, interleaved logs) must quarantine,
+    not kill the job or silently vanish;
+  * schema drift across files (a field added mid-crawl) must surface
+    as a union schema, not pick whichever file was listed first.
+
+Spark-first: PERMISSIVE mode with ``columnNameOfCorruptRecord`` keeps
+parsing on the JVM scan (no Python in the hot path); the quarantine
+split reuses ONE cached pass. Schema-drifted parquet uses
+``mergeSchema`` on the same principle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Read JSONL at ``path`` → (good_rows, quarantine).
+
+    ``good_rows`` carries the declared/inferred schema; ``quarantine``
+    is (raw_line) for every line that failed to parse. With an explicit
+    ``schema`` the scan is single-pass (no inference job) — the right
+    call at scale; inference samples the data with an extra pass.
+    """
+    if schema is not None:
+        read_schema = StructType(
+            list(schema.fields) + [StructField(CORRUPT_COL, __import__("pyspark").sql.types.StringType())]
+        )
+        df = (
+            spark.read.schema(read_schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", CORRUPT_COL)
+            .json(path)
+        )
+    else:
+        df = (
+            spark.read.option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", CORRUPT_COL)
+            .json(path)
+        )
+    if CORRUPT_COL not in df.columns:
+        # every line parsed — Spark drops the corrupt column entirely
+        return df, spark.createDataFrame([], "raw_line string")
+    # One cached pass feeds both splits (scan once, not twice).
+    df = df.cache()
+    good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    quarantine = (
+        df.filter(F.col(CORRUPT_COL).isNotNull())
+        .select(F.col(CORRUPT_COL).alias("raw_line"))
+    )
+    return good, quarantine
+
+
+def read_parquet_evolved(spark: SparkSession, *paths: str) -> DataFrame:
+    """Read parquet files whose schemas drifted (columns added over
+    time): ``mergeSchema`` unions field sets; missing columns surface
+    as nulls. Footer-merge cost is per-file metadata only — the data
+    pages are untouched, so this scales to large file counts."""
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
