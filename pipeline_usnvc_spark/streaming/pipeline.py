@@ -189,3 +189,22 @@ def stream_static_enrich(
         .join(F.broadcast(users), "user_id")
         .select("event_id", "user_id", "event_type", "value", "segment")
     )
+
+
+def idempotent_foreach_batch(out_dir: str):
+    """An exactly-once-under-retries foreachBatch file sink.
+
+    Structured Streaming guarantees at-least-once foreachBatch
+    invocation: after a failure the SAME epoch re-runs, so a naive
+    ``mode("append")`` duplicates every row of the retried batch. The
+    standard fix is batch-id-keyed idempotent writes: each epoch
+    OVERWRITES its own ``epoch=N`` directory, so a replay converges to
+    the same files instead of doubling them (the pattern Delta/Iceberg
+    implement with txn ids; plain parquet gets it from per-epoch
+    overwrite semantics). Returns the sink fn for ``foreachBatch``.
+    """
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+
+    return _sink

@@ -284,3 +284,19 @@ def test_stream_static_join_matches_batch(spark, sf_dir):
     act = {(r["event_id"], r["segment"]) for r in got.collect()}
     assert act == exp
     assert len(act) > 0
+
+
+def test_foreach_batch_retry_is_idempotent(spark, tmp_path):
+    # Simulate Structured Streaming's at-least-once foreachBatch
+    # contract: the same epoch delivered twice (retry after failure)
+    # must not duplicate rows in the sink.
+    from pipeline_usnvc_spark.streaming.pipeline import idempotent_foreach_batch
+
+    out = str(tmp_path / "sink")
+    sink = idempotent_foreach_batch(out)
+    batch = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    sink(batch, 0)
+    sink(batch, 0)  # retry of epoch 0
+    sink(spark.createDataFrame([(3, "c")], "id long, v string"), 1)
+    got = sorted(r.id for r in spark.read.parquet(f"{out}/epoch=0", f"{out}/epoch=1").collect())
+    assert got == [1, 2, 3], got
