@@ -414,3 +414,74 @@ def q140_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token", "true_cnt")
         .agg(F.min("c").alias("cm_est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q142 — grouped least-squares trend: per-user slope/intercept of
+# event value over time, from the five sufficient statistics
+# (n, Σx, Σy, Σxy, Σx²) — the map-side-combinable way to fit millions
+# of tiny regressions in ONE shuffle (what regr_slope does
+# internally). Exactness recipe: x = whole seconds since the user's
+# first event (bigint), y = floor(value·1000) milli-units (bigint) —
+# every sum is integer/decimal-exact in both engines, and the final
+# slope/intercept arithmetic is identical IEEE double ops. Spark's
+# unix_timestamp truncates fractional seconds; the oracle mirrors it
+# with floor(epoch(ts)).
+# ---------------------------------------------------------------------------
+@query(
+    "q142_trend_regression",
+    oracle="""
+    WITH base AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT)
+                 - min(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id) AS xs,
+               CAST(floor(value * 1000) AS BIGINT) AS ys
+        FROM events
+    ),
+    stats AS (
+        SELECT user_id,
+               count(*) AS n,
+               CAST(sum(CAST(xs AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(ys AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(xs AS DECIMAL(19,0)) * CAST(ys AS DECIMAL(19,0))) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(xs AS DECIMAL(19,0)) * CAST(xs AS DECIMAL(19,0))) AS DOUBLE) AS sxx
+        FROM base
+        GROUP BY user_id
+    )
+    SELECT user_id, n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx) * 3600.0 / 1000.0, 9) AS slope_per_hour,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n / 1000.0, 9) AS intercept
+    FROM stats
+    WHERE n >= 10 AND (n * sxx - sx * sx) > 0
+    """,
+)
+def q142_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts").cast("bigint")
+    x0 = F.min(epoch).over(Window.partitionBy("user_id"))
+    base = ev.select(
+        "user_id",
+        (epoch - x0).alias("xs"),
+        F.floor(F.col("value") * 1000).cast("bigint").alias("ys"),
+    )
+    dx, dy = F.col("xs").cast("decimal(19,0)"), F.col("ys").cast("decimal(19,0)")
+    stats = base.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("xs").cast("decimal(38,0)")).cast("double").alias("sx"),
+        F.sum(F.col("ys").cast("decimal(38,0)")).cast("double").alias("sy"),
+        F.sum(dx * dy).cast("double").alias("sxy"),
+        F.sum(dx * dx).cast("double").alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return (
+        stats.filter((n >= 10) & (n * sxx - sx * sx > 0))
+        .select(
+            "user_id",
+            "n",
+            F.round(slope * 3600.0 / 1000.0, 9).alias("slope_per_hour"),
+            F.round((sy - slope * sx) / n / 1000.0, 9).alias("intercept"),
+        )
+    )

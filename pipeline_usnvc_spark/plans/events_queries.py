@@ -635,10 +635,10 @@ def q133_sliding_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            CAST(strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:00:00') AS VARCHAR) AS bar_hour,
-           min_by(value, CAST(epoch(ts) AS BIGINT) * 10000000 + event_id) AS open,
+           min_by(value, CAST(floor(epoch(ts)) AS BIGINT) * 10000000 + event_id) AS open,
            max(value) AS high,
            min(value) AS low,
-           max_by(value, CAST(epoch(ts) AS BIGINT) * 10000000 + event_id) AS close,
+           max_by(value, CAST(floor(epoch(ts)) AS BIGINT) * 10000000 + event_id) AS close,
            count(*) AS n_events
     FROM events
     GROUP BY user_id, time_bucket(INTERVAL 1 HOUR, ts)
@@ -648,8 +648,10 @@ def q141_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     bar = F.date_trunc("hour", F.col("ts"))
     # Spark orders structs lexicographically — no id-range assumption
-    # at scale; the oracle's scalar epoch*1e7+event_id encoding is the
-    # same order for the testdata's id range (event_id < 1e7).
+    # at scale; the oracle's scalar floor(epoch)*1e7+event_id encoding
+    # is the same order for the testdata's id range (event_id < 1e7).
+    # floor() in the oracle mirrors unix_timestamp's truncation of the
+    # fractional seconds every event carries (argmax-key rule).
     key = F.struct(F.unix_timestamp("ts").cast("bigint").alias("t"), F.col("event_id").alias("e"))
     return (
         ev.groupBy("user_id", bar.alias("bar"))
