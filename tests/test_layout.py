@@ -8,6 +8,7 @@ import os
 
 import pyarrow.parquet as pq
 import pytest
+from pyspark.sql import functions as F
 
 from pipeline_usnvc_spark.operators.layout import (
     compact_small_files,
@@ -189,3 +190,44 @@ def test_quantile_codes_balance_skewed_dimension(spark):
     assert len(sizes) == 8
     assert max(sizes) - min(sizes) <= 20000 // 20 + 1  # within one tie-group
     assert sum(sizes) == 20000
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    # The co-located-join contract: two tables bucketed 8-ways on the
+    # join key must sort-merge-join with ZERO Exchange operators —
+    # bucket metadata replaces the shuffle. This is the layout that
+    # makes repeated fact-to-fact joins affordable at 100 TB.
+    import uuid
+
+    from pipeline_usnvc_spark.operators.skew import write_bucketed
+    from pipeline_usnvc_spark.sources.tables import load_table
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        suffix = uuid.uuid4().hex[:8]
+        orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+        write_bucketed(orders, f"b_orders_{suffix}", "o_orderkey", num_buckets=8)
+        write_bucketed(li, f"b_lineitem_{suffix}", "l_orderkey", num_buckets=8)
+        bo = spark.table(f"b_orders_{suffix}")
+        bl = spark.table(f"b_lineitem_{suffix}")
+        joined = bo.join(bl, bo.o_orderkey == bl.l_orderkey)
+        plan = joined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        assert "SortMergeJoin" in plan
+        # and it actually computes the right thing
+        expected = (
+            load_table(spark, sf_dir, "orders")
+            .join(
+                load_table(spark, sf_dir, "lineitem"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .count()
+        )
+        assert joined.count() == expected
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql(f"DROP TABLE IF EXISTS b_orders_{suffix}")
+        spark.sql(f"DROP TABLE IF EXISTS b_lineitem_{suffix}")
