@@ -33,3 +33,28 @@ def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
     if sc.getCheckpointDir():
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)
+
+
+def fan_out(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
+    """Size-adaptive read-side parallelization.
+
+    Parquet splits at ROW-GROUP granularity: a small file written as
+    one row group scans as ONE task no matter the cluster size, so a
+    compute-heavy map stage (shingling, md5, vector scoring) runs
+    single-threaded. When the source arrives with fewer partitions
+    than ``min_fraction``× the session's default parallelism, insert
+    one round-robin repartition of the RAW rows (cheap — the data is
+    by definition small relative to the cluster) so the expensive
+    expressions above it parallelize.
+
+    At 100 TB this is a NO-OP: real inputs arrive with thousands of
+    row groups/files, the partition count exceeds the threshold, and
+    the plan keeps its zero-extra-shuffle shape (plan regressions
+    assert that shape with this helper stubbed to identity, the same
+    convention as ``materialize``).
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(1, int(target * min_fraction)):
+        return df.repartition(target)
+    return df

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pipeline_usnvc_spark.functions.text import doc_fingerprint, tokens, word_shingles
-from pipeline_usnvc_spark.operators.checkpoint import materialize
+from pipeline_usnvc_spark.operators.checkpoint import fan_out, materialize
 
 
 def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -37,15 +37,9 @@ def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     )
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Repartition up to default parallelism when the source arrives in
-    fewer partitions than cores (tiny local files → 1 split → the
-    md5-heavy map side would run single-threaded). At scale the scan
-    already yields ≥cores splits and this is a no-op."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+# Size-adaptive read-side parallelization (no-op at scale); canonical
+# implementation lives next to materialize in operators/checkpoint.
+_spread = fan_out
 
 
 def shingle_table(
