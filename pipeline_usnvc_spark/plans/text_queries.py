@@ -985,3 +985,66 @@ def q134_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         (F.col("cnt").cast("double") / F.sum("cnt").over(w1_total).cast("double")).alias("p_cond"),
     ).filter(F.col("cnt") >= 5)
+
+
+# ---------------------------------------------------------------------------
+# q147 — bigram-LM surprisal: each document scored by its average
+# negative log-probability under the corpus's own bigram model — the
+# count-based stand-in for model-perplexity quality filtering (docs
+# with high surprisal are off-distribution). Determinism recipe from
+# q38: every log is ln(integer count) — identical in both engines —
+# per-term values round to 6 dp before summation and the final score
+# to 4 dp, so double addition order cannot surface.
+#
+# Scale shape: doc bigrams explode map-side (zip, no self-join); the
+# bigram stats table is vocabulary²-bounded ≪ corpus and broadcasts
+# back into the exploded stream; one exchange groups scores per doc.
+# ---------------------------------------------------------------------------
+@query(
+    "q147_lm_surprisal",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS l FROM documents),
+    bigrams AS (
+        SELECT doc_id, t.w1, t.w2
+        FROM toks, LATERAL (
+            SELECT unnest(l[1:len(l)-1]) AS w1, unnest(l[2:len(l)]) AS w2
+        ) t
+    ),
+    stats AS (SELECT w1, w2, count(*) AS cnt FROM bigrams GROUP BY w1, w2),
+    w1_tot AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS tot FROM stats GROUP BY w1)
+    SELECT b.doc_id,
+           count(*) AS n_bigrams,
+           round(sum(round(ln(CAST(t.tot AS DOUBLE)) - ln(CAST(s.cnt AS DOUBLE)), 6)) / count(*), 4) AS avg_surprisal
+    FROM bigrams b
+    JOIN stats s ON s.w1 = b.w1 AND s.w2 = b.w2
+    JOIN w1_tot t ON t.w1 = b.w1
+    GROUP BY b.doc_id
+    """,
+)
+def q147_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("l"))
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("l", 1, F.greatest(F.size("l") - 1, F.lit(0))),
+                F.slice("l", 2, F.greatest(F.size("l") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    stats = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("cnt"))
+    w1_tot = stats.groupBy("w1").agg(F.sum("cnt").cast("bigint").alias("tot"))
+    surprisal = F.round(
+        F.log(F.col("tot").cast("double")) - F.log(F.col("cnt").cast("double")), 6
+    )
+    return (
+        bigrams.join(F.broadcast(stats), ["w1", "w2"])
+        .join(F.broadcast(w1_tot), "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.sum(surprisal) / F.count("*"), 4).alias("avg_surprisal"),
+        )
+    )
