@@ -1048,3 +1048,49 @@ def q147_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(surprisal) / F.count("*"), 4).alias("avg_surprisal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q148 — sliding-window document chunking (size=32 tokens, stride=24,
+# 25% overlap): the RAG/embedding-prep operator that turns a corpus
+# into retrievable passages with stable (doc_id, chunk_id) identity.
+#
+# Scale shape: entirely map-side — chunk starts come from a sequence
+# expression over the in-row token array (no self-join, no explode of
+# single tokens, only one row per CHUNK), so the operator is a pure
+# narrow transformation; whatever partitioning the corpus arrives
+# with is preserved.
+# ---------------------------------------------------------------------------
+@query(
+    "q148_chunk_documents",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS l FROM documents),
+    starts AS (
+        SELECT doc_id, l, unnest(range(0, len(l), 24)) AS start
+        FROM toks WHERE len(l) > 0
+    )
+    SELECT doc_id,
+           CAST(start / 24 AS INT) AS chunk_id,
+           array_to_string(l[start + 1 : start + 32], ' ') AS chunk_text,
+           CAST(len(l[start + 1 : start + 32]) AS INT) AS chunk_len
+    FROM starts
+    """,
+)
+def q148_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    size, stride = 32, 24
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("l")).filter(F.size("l") > 0)
+    starts = toks.select(
+        "doc_id",
+        "l",
+        F.explode(
+            F.sequence(F.lit(0), F.size("l") - 1, F.lit(stride))
+        ).alias("start"),
+    )
+    chunk = F.slice("l", F.col("start") + 1, size)
+    return starts.select(
+        "doc_id",
+        (F.col("start") / stride).cast("int").alias("chunk_id"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("int").alias("chunk_len"),
+    )
