@@ -1094,3 +1094,75 @@ def q148_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(chunk, " ").alias("chunk_text"),
         F.size(chunk).cast("int").alias("chunk_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q149 — distinctive terms per source: add-one-smoothed log-odds of
+# each term's rate inside a source vs the rest of the corpus, top-5
+# per source — the corpus-drift / source-characterization report.
+# Every log is ln(integer) (counts with +1 smoothing), so the q38
+# determinism recipe applies end-to-end.
+#
+# Scale shape: one shuffle for (source, term) counts; term totals and
+# source totals are vocabulary- and source-bounded broadcasts; the
+# top-5 window runs on the counts table (vocab-bounded), never the
+# token stream.
+# ---------------------------------------------------------------------------
+@query(
+    "q149_distinctive_terms",
+    oracle=f"""
+    WITH tok AS (SELECT source, unnest({_TOKS_SQL}) AS term FROM documents),
+    st AS (SELECT source, term, count(*) AS c FROM tok GROUP BY source, term),
+    term_tot AS (SELECT term, CAST(sum(c) AS BIGINT) AS tc FROM st GROUP BY term),
+    src_tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS sc FROM st GROUP BY source),
+    all_tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM st),
+    scored AS (
+        SELECT st.source, st.term, st.c,
+               round(
+                 (ln(CAST(st.c + 1 AS DOUBLE)) - ln(CAST(s.sc + 1 AS DOUBLE)))
+                 - (ln(CAST(t.tc - st.c + 1 AS DOUBLE)) - ln(CAST(a.n - s.sc + 1 AS DOUBLE))),
+               6) AS log_odds
+        FROM st
+        JOIN term_tot t ON t.term = st.term
+        JOIN src_tot s ON s.source = st.source
+        CROSS JOIN all_tot a
+    )
+    SELECT source, term, c, log_odds
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY source ORDER BY log_odds DESC, term) AS rk
+        FROM scored
+    )
+    WHERE rk <= 5
+    """,
+)
+def q149_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens("text")).alias("term"))
+    st = tok.groupBy("source", "term").agg(F.count("*").alias("c"))
+    term_tot = st.groupBy("term").agg(F.sum("c").cast("bigint").alias("tc"))
+    src_tot = st.groupBy("source").agg(F.sum("c").cast("bigint").alias("sc"))
+    all_tot = st.agg(F.sum("c").cast("bigint").alias("n"))
+    ln = lambda col: F.log(col.cast("double"))  # noqa: E731
+    scored = (
+        st.join(F.broadcast(term_tot), "term")
+        .join(F.broadcast(src_tot), "source")
+        .crossJoin(F.broadcast(all_tot))
+        .select(
+            "source",
+            "term",
+            "c",
+            F.round(
+                (ln(F.col("c") + 1) - ln(F.col("sc") + 1))
+                - (ln(F.col("tc") - F.col("c") + 1) - ln(F.col("n") - F.col("sc") + 1)),
+                6,
+            ).alias("log_odds"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("log_odds"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("source", "term", "c", "log_odds")
+    )
