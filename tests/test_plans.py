@@ -248,3 +248,12 @@ def test_local_commerce_all_dims_broadcast(spark, sf_dir):
     plan = _plan(spark, "q136_local_commerce_revenue", sf_dir)
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_chunking_is_narrow_zero_exchange(spark, sf_dir):
+    # q148: sliding-window chunking must be a pure narrow
+    # transformation — no Exchange anywhere in the plan.
+    import re
+
+    plan = _plan(spark, "q148_chunk_documents", sf_dir)
+    assert not re.search(r"\(\d+\) Exchange", plan), "chunking must not shuffle"
