@@ -700,3 +700,52 @@ def q108_udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT d.doc_id, s.pos, s.sentence "
         f"FROM q108_documents d, LATERAL {name}(d.text) s"
     )
+
+
+# ---------------------------------------------------------------------------
+# q150 — salted skew join over the (5-value, deliberately skewed)
+# event_type key: the big side salts its rows, the small side
+# replicates across all salt values, the join runs on (key, salt).
+# Salting changes the PLAN, never the result — the oracle is the
+# plain equi-join aggregate. This is the manual fallback when a hot
+# key exceeds what AQE's skew split handles and the small side is too
+# big to broadcast whole but fine to replicate 8x.
+# ---------------------------------------------------------------------------
+@query(
+    "q150_salted_join",
+    oracle="""
+    SELECT e.event_type, t.type_group, count(*) AS n,
+           CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events e
+    JOIN (
+        SELECT 'click' AS event_type, 'engagement' AS type_group UNION ALL
+        SELECT 'view', 'engagement' UNION ALL
+        SELECT 'purchase', 'conversion' UNION ALL
+        SELECT 'signup', 'conversion' UNION ALL
+        SELECT 'error', 'ops'
+    ) t ON t.event_type = e.event_type
+    GROUP BY e.event_type, t.type_group
+    """,
+)
+def q150_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [
+            ("click", "engagement"),
+            ("view", "engagement"),
+            ("purchase", "conversion"),
+            ("signup", "conversion"),
+            ("error", "ops"),
+        ],
+        "event_type string, type_group string",
+    )
+    return (
+        salted_join(ev, dim, "event_type", salt_buckets=8)
+        .groupBy("event_type", "type_group")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+    )

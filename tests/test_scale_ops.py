@@ -384,3 +384,34 @@ def test_count_min_sketches_merge_additively(spark, sf_dir):
     )
     assert full.exceptAll(merged).count() == 0
     assert merged.exceptAll(full).count() == 0
+
+
+def test_chunking_covers_every_token(spark, sf_dir):
+    # q148 invariants: chunk lengths bound by the window size; chunk
+    # ids dense from 0; total token coverage = sum over chunks of
+    # (unique tokens contributed) — verified by reconstructing each
+    # doc's token count from chunk stride arithmetic.
+    from pipeline_usnvc_spark.functions.text import tokens
+    from pipeline_usnvc_spark.plans import QUERIES
+
+    pdf = QUERIES["q148_chunk_documents"](spark, sf_dir).toPandas()
+    assert (pdf.chunk_len <= 32).all() and (pdf.chunk_len >= 1).all()
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(tokens("text")).alias("n"))
+        .toPandas()
+        .set_index("doc_id")["n"]
+    )
+    import math
+
+    per_doc = pdf.groupby("doc_id").agg(chunks=("chunk_id", "max"), last_len=("chunk_len", "min"))
+    for doc_id, row in per_doc.iterrows():
+        n = docs[doc_id]
+        expected_chunks = max(1, math.ceil(n / 24)) if n <= 32 else len(range(0, n, 24))
+        assert row.chunks + 1 == len(range(0, n, 24)), (doc_id, n)
+        # last chunk ends exactly at the final token: start of last
+        # chunk + its length == n  (when the doc is longer than one
+        # window; short docs are a single full-coverage chunk)
+        last_start = row.chunks * 24
+        last_real_len = min(32, n - last_start)
+        assert pdf[(pdf.doc_id == doc_id) & (pdf.chunk_id == row.chunks)].chunk_len.iloc[0] == last_real_len
