@@ -257,3 +257,12 @@ def test_chunking_is_narrow_zero_exchange(spark, sf_dir):
 
     plan = _plan(spark, "q148_chunk_documents", sf_dir)
     assert not re.search(r"\(\d+\) Exchange", plan), "chunking must not shuffle"
+
+
+def test_tpch_date_filters_reach_scan(spark, sf_dir):
+    # q136: the order-year range must push into the parquet scan as
+    # timestamp bounds (partition-pruning surrogate at 100 TB).
+    plan = _plan(spark, "q136_local_commerce_revenue", sf_dir)
+    assert "GreaterThanOrEqual(o_orderdate,1996-01-01" in plan
+    assert "LessThan(o_orderdate,1997-01-01" in plan
+    assert "EqualTo(r_name,AMERICA)" in plan
