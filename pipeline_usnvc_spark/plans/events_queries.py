@@ -672,3 +672,59 @@ def q141_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q151 — FORWARD as-of join: each event matched to the EARLIEST order
+# of the same user STRICTLY AFTER the event time (the "next action"
+# attribution direction; q42 is the backward variant). Same union +
+# window rewrite, mirrored: orders at the exact event timestamp sort
+# BEFORE the event row, so the forward-looking first() only sees
+# strictly-later orders. One shuffle on the key, no range explosion.
+# ---------------------------------------------------------------------------
+@query(
+    "q151_asof_forward",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts, m.o_orderkey AS next_orderkey
+    FROM events e LEFT JOIN (
+        SELECT event_id, o_orderkey, row_number() OVER (
+                 PARTITION BY event_id ORDER BY o_orderdate ASC, o_orderkey ASC) AS rk
+        FROM events ev JOIN orders o
+          ON ev.user_id = o.o_custkey AND o.o_orderdate > ev.ts
+    ) m ON e.event_id = m.event_id AND m.rk = 1
+    """,
+)
+def q151_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    # Sort axis (t, is_sort, o_orderkey): orders carry is_sort=0 so a
+    # same-timestamp order lands BEFORE the event row and is excluded
+    # from the forward frame (strict '>'); ties between same-date
+    # orders resolve to the smallest o_orderkey (oracle's ASC, ASC).
+    o = orders.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_sort"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.col("o_orderkey"),
+    )
+    e = ev.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_sort"),
+        "event_id",
+        "ts",
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("t", "is_sort", "o_orderkey")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    merged = o.unionByName(e).withColumn(
+        "next_orderkey", F.first("o_orderkey", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("is_sort") == 1).select(
+        "event_id", "user_id", "ts", "next_orderkey"
+    )
