@@ -728,3 +728,36 @@ def q151_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.filter(F.col("is_sort") == 1).select(
         "event_id", "user_id", "ts", "next_orderkey"
     )
+
+
+# ---------------------------------------------------------------------------
+# q152 — grouped mode: each user's most frequent event type (ties →
+# lexicographically smallest type, so the argmax is total-ordered and
+# engine-stable). The mode runs on the (user, type) counts table —
+# 5 rows per user — never the event stream; the counts shuffle does
+# the heavy lifting with map-side partial aggregation.
+# ---------------------------------------------------------------------------
+@query(
+    "q152_user_mode",
+    oracle="""
+    SELECT user_id, event_type AS modal_type, c AS n_events
+    FROM (
+        SELECT user_id, event_type, c,
+               row_number() OVER (PARTITION BY user_id ORDER BY c DESC, event_type ASC) AS rk
+        FROM (
+            SELECT user_id, event_type, count(*) AS c
+            FROM events GROUP BY user_id, event_type
+        )
+    )
+    WHERE rk = 1
+    """,
+)
+def q152_user_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    w = W.partitionBy("user_id").orderBy(F.desc("c"), F.asc("event_type"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", F.col("event_type").alias("modal_type"), F.col("c").alias("n_events"))
+    )
