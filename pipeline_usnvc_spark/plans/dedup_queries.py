@@ -8,6 +8,7 @@ bit-for-bit — the checks are exact, not statistical.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from pipeline_usnvc_spark.operators.dedup import (
     exact_dedup_groups,
@@ -227,4 +228,59 @@ def q94_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return prefix_filter_jaccard_pairs(
         load_table(spark, sf_dir, "documents"), threshold=0.2, shingle_n=3
+    )
+
+
+# ---------------------------------------------------------------------------
+# q153 — cross-source duplication matrix: for every ordered source
+# pair, how many verified near-dup pairs (3-gram Jaccard ≥ 0.1) link
+# a document of one source to the other — the corpus-forensics report
+# that surfaces which feeds copy from which (and how much of each
+# source is internal duplication, on the diagonal).
+#
+# Scale shape: reuses the verified-pair path (inverted shingle index,
+# candidates only); the matrix aggregation joins the tiny pair set to
+# the doc→source map twice (broadcast at any realistic source count)
+# and groups on |sources|² keys.
+# ---------------------------------------------------------------------------
+@query(
+    "q153_cross_source_dups",
+    oracle=f"""
+    WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_SQL})),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM inter
+          JOIN sizes sa ON inter.id_a = sa.doc_id
+          JOIN sizes sb ON inter.id_b = sb.doc_id
+        WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.1
+    )
+    SELECT least(da.source, db.source) AS source_x,
+           greatest(da.source, db.source) AS source_y,
+           count(*) AS n_dup_pairs
+    FROM pairs
+      JOIN documents da ON da.doc_id = pairs.id_a
+      JOIN documents db ON db.doc_id = pairs.id_b
+    GROUP BY least(da.source, db.source), greatest(da.source, db.source)
+    """,
+)
+def q153_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.1).select("id_a", "id_b")
+    src = docs.select("doc_id", "source")
+    a = src.withColumnRenamed("doc_id", "id_a").withColumnRenamed("source", "src_a")
+    b = src.withColumnRenamed("doc_id", "id_b").withColumnRenamed("source", "src_b")
+    return (
+        pairs.join(F.broadcast(a), "id_a")
+        .join(F.broadcast(b), "id_b")
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_x"),
+            F.greatest("src_a", "src_b").alias("source_y"),
+        )
+        .agg(F.count("*").alias("n_dup_pairs"))
     )
