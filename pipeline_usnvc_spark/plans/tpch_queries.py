@@ -695,3 +695,114 @@ def q146_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("nation", F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(F.sum(profit).cast("double").alias("profit"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q154 — TPC-H Q6: the forecasting-revenue-change scan — pure
+# filter + aggregate, no join. Every predicate (date range, discount
+# band, quantity cap) must push into the parquet scan; the plan is a
+# single scan → partial agg → 1-row final agg.
+# ---------------------------------------------------------------------------
+@query(
+    "q154_forecast_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q154_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q155 — TPC-H Q14: promotion revenue share in a month — conditional
+# decimal sum over the part-type dimension, double/double division of
+# exact sums at the end. Part dim broadcasts.
+# ---------------------------------------------------------------------------
+@query(
+    "q155_promo_share",
+    oracle=f"""
+    SELECT CAST(100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN {_REV}
+                                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                / CAST(sum({_REV}) AS DOUBLE) AS DOUBLE) AS promo_share_pct,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-03-01' AND l.l_shipdate < TIMESTAMP '1997-04-01'
+    """,
+)
+def q155_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _rev_col()
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,2)"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (F.lit(100.0) * F.sum(promo).cast("double") / F.sum(rev).cast("double")).alias(
+                "promo_share_pct"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q156 — TPC-H Q15: top supplier(s) by quarterly revenue — a scalar
+# max over an aggregate, joined back by equality (ties all surface,
+# exactly the view-based original's semantics). The 1-row max
+# broadcasts; the per-supplier aggregate is computed once (AQE reuses
+# the exchange for both consumers).
+# ---------------------------------------------------------------------------
+@query(
+    "q156_top_supplier",
+    oracle=f"""
+    WITH revenue0 AS (
+        SELECT l_suppkey AS supplier_no, sum({_REV}) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey
+    ),
+    mx AS (SELECT max(total_rev) AS m FROM revenue0)
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_revenue
+    FROM revenue0 r
+    CROSS JOIN mx
+    JOIN supplier s ON s.s_suppkey = r.supplier_no
+    WHERE r.total_rev = mx.m
+    """,
+)
+def q156_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    rev0 = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_rev_col()).alias("total_rev")
+    )
+    mx = rev0.agg(F.max("total_rev").alias("m"))
+    return (
+        rev0.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("m"))
+        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue"))
+    )
