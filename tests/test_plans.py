@@ -266,3 +266,17 @@ def test_tpch_date_filters_reach_scan(spark, sf_dir):
     assert "GreaterThanOrEqual(o_orderdate,1996-01-01" in plan
     assert "LessThan(o_orderdate,1997-01-01" in plan
     assert "EqualTo(r_name,AMERICA)" in plan
+
+
+def test_forecast_revenue_all_predicates_pushed(spark, sf_dir):
+    # q154 (TPC-H Q6): date range, discount band and quantity cap must
+    # ALL reach the parquet scan — the query is nothing but pushdown.
+    plan = _plan(spark, "q154_forecast_revenue", sf_dir)
+    for frag in [
+        "GreaterThanOrEqual(l_shipdate,1997-01-01",
+        "LessThan(l_shipdate,1998-01-01",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ]:
+        assert frag in plan, f"{frag} not pushed to scan"
