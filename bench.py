@@ -98,6 +98,27 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+
+    # Regression tracking vs the previous round's recorded bench
+    # (BENCH_r{N}.json at the repo root): name any query > 1.5x its
+    # prior time. Comparison only holds at the same scale factor.
+    regressions: dict[str, dict[str, float]] = {}
+    baseline_round = None
+    baselines = sorted(
+        REPO.glob("BENCH_r*.json"), key=lambda p: int(p.stem.split("_r")[-1])
+    )
+    if baselines:
+        try:
+            prev = json.loads(baselines[-1].read_text()).get("parsed", {})
+            if prev.get("sf") == sf_val:
+                baseline_round = baselines[-1].stem
+                for name, sec in timings.items():
+                    old = prev.get("queries", {}).get(name)
+                    if old and sec > 1.5 * old:
+                        regressions[name] = {"prev_sec": old, "now_sec": sec}
+        except (json.JSONDecodeError, OSError):
+            pass
+
     print(
         json.dumps(
             {
@@ -106,6 +127,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "baseline": baseline_round,
+                "regressions": regressions,
             }
         )
     )

@@ -34,12 +34,12 @@ def connected_components(
     after LSH + Jaccard verification the duplicate-pair graph is
     usually tiny relative to the corpus (hundreds of edges at sf0.1),
     and each distributed round costs a fixed join+agg+checkpoint
-    latency that dwarfs a millisecond local solve. A single bounded
-    head() probe on the materialized edge set both picks the path and
-    supplies the local solver's rows, and the
-    distributed fixpoint loop remains the path for genuinely large
-    graphs (billions of edges never hit the driver). Results are
-    identical by construction (min reachable id either way)."""
+    latency that dwarfs a millisecond local solve. A limit+count
+    probe on the materialized edge set picks the path at O(1) driver
+    memory; edge rows are collected only when the local path wins, so
+    the distributed fixpoint loop remains the path for genuinely
+    large graphs (billions of edges never hit the driver). Results
+    are identical by construction (min reachable id either way)."""
     # Materialize the symmetrized edge set ONCE: every round joins
     # against it, and without this the entire upstream pipeline
     # (e.g., shingle index + Jaccard verification) re-executes per
@@ -50,13 +50,14 @@ def connected_components(
         .distinct()
         .transform(materialize)
     )
-    # One probe decides the path AND feeds the local solve: head(N+1)
-    # over the just-materialized blocks replaces a count() job plus a
-    # separate collect() job. Exactly threshold+1 rows cross the
-    # driver boundary in the worst case before falling back.
-    probe = sym.head(local_threshold + 1)
-    if len(probe) <= local_threshold:
-        return _local_components(sym, probe)
+    # Two-step gate: a limit+count probe decides the path with O(1)
+    # driver memory — rows are only collected once the local path is
+    # actually chosen, so a billion-edge graph never ships
+    # threshold+1 rows to the driver just to learn it's big. Both
+    # jobs re-read the already-materialized blocks, so the local path
+    # pays one extra cheap scan, not a recompute.
+    if sym.limit(local_threshold + 1).count() <= local_threshold:
+        return _local_components(sym, sym.collect())
     # Seed with min(self, neighbors): exactly round 1 of HashMin, but
     # folded into initialization so the loop starts one hop ahead.
     labels = (
@@ -95,9 +96,10 @@ def connected_components(
 
 
 def _local_components(sym: DataFrame, rows) -> DataFrame:
-    """Driver union-find over a small symmetrized edge set (already
-    collected by the caller's path probe); returns the same
-    (node, component=min reachable id) frame as the HashMin loop."""
+    """Driver union-find over a small symmetrized edge set (collected
+    by the caller only after the count gate chose this path); returns
+    the same (node, component=min reachable id) frame as the HashMin
+    loop."""
     from pyspark.sql.types import StructField, StructType
 
     node_type = sym.schema["x"].dataType
@@ -111,9 +113,8 @@ def _local_components(sym: DataFrame, rows) -> DataFrame:
             parent[a], a = root, parent[a]
         return root
 
-    # The caller already collected the (bounded) edge rows while
-    # probing which path to take — no second job here. collect-style
-    # bulk fetch, not toLocalIterator (one serial job per partition).
+    # collect-style bulk fetch, not toLocalIterator (one serial job
+    # per partition); bounded by the caller's count gate.
     for x, y in rows:
         parent.setdefault(x, x)
         parent.setdefault(y, y)

@@ -23,10 +23,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # Output schema of the feature extractor: fixed-width feature vector +
-# dimensions, keyed by the source id.
+# dimensions, keyed by the source id. ``feature_kind`` names the
+# extractor that produced the vector so downstream consumers (and the
+# q70 result itself) can never mistake stub features for real ones.
 FEATURES_SCHEMA = (
-    "doc_id bigint, width int, height int, n_bytes bigint, features array<float>"
+    "doc_id bigint, width int, height int, n_bytes bigint, "
+    "feature_kind string, features array<float>"
 )
+
+# The ONLY extractor available in this container (no media libraries):
+# a 16-bin byte histogram. A real deployment registers e.g.
+# 'pil_resnet_embed' here and swaps _decode_stub.
+STUB_FEATURE_KIND = "stub_byte_histogram"
 
 
 def synthesize_binary_column(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -63,22 +71,46 @@ def _decode_stub(buf: bytes, width: int, height: int) -> list[float]:
 def extract_features(docs_with_media: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over the binary column via
     mapInPandas: one python worker pass per partition, vectorized
-    columns in/out, no shuffle (map-side only)."""
+    columns in/out, no shuffle (map-side only).
+
+    Every output row carries ``feature_kind = 'stub_byte_histogram'``
+    — the decode step is a STUB in this container (see module
+    docstring); the column is the contract that keeps stub vectors
+    from masquerading as real embeddings downstream.
+
+    Metadata contract (enforced per batch, job fails fast on breach —
+    a malformed ingest must quarantine upstream, not produce garbage
+    features): width/height positive, n_bytes == len(media), media
+    non-null whenever metadata is present.
+    """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = [
-                _decode_stub(buf, w, h)
-                for buf, w, h in zip(
-                    pdf["media"], pdf["media_meta_width"], pdf["media_meta_height"]
+            w = pdf["media_meta_width"]
+            h = pdf["media_meta_height"]
+            nb = pdf["media_meta_n_bytes"]
+            if w.isna().any() or h.isna().any() or (w <= 0).any() or (h <= 0).any():
+                bad = pdf.loc[w.isna() | h.isna() | (w <= 0) | (h <= 0), "doc_id"]
+                raise ValueError(
+                    f"multimodal metadata breach: non-positive/null dims for doc_ids {bad.tolist()[:5]}"
                 )
+            actual = pdf["media"].map(lambda b: -1 if b is None else len(b))
+            if (actual != nb).any():
+                bad = pdf.loc[actual != nb, "doc_id"]
+                raise ValueError(
+                    f"multimodal metadata breach: n_bytes != len(media) for doc_ids {bad.tolist()[:5]}"
+                )
+            feats = [
+                _decode_stub(buf, wi, hi)
+                for buf, wi, hi in zip(pdf["media"], w, h)
             ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "width": pdf["media_meta_width"],
-                    "height": pdf["media_meta_height"],
-                    "n_bytes": pdf["media_meta_n_bytes"],
+                    "width": w,
+                    "height": h,
+                    "n_bytes": nb,
+                    "feature_kind": STUB_FEATURE_KIND,
                     "features": feats,
                 }
             )

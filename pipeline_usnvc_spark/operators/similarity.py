@@ -6,11 +6,12 @@ Two tiers:
       window top-k. The corpus never shuffles for scoring; the only
       shuffle is the final top-k aggregation keyed by query id.
       At 100 TB this is the "scan once, score vectorized" baseline.
-  lsh_topk — random-hyperplane LSH bucketing: vectors hash to a
-      sign-bit bucket; queries only score their own bucket (and
-      optionally neighboring probes). Candidate generation is an
-      equi-join on bucket id — the scale path when the query set is
-      itself large.
+  lsh_topk — multi-table random-hyperplane LSH: vectors hash to a
+      sign-bit bucket in each of L independent tables; queries score
+      the union of their buckets. Candidate generation is an
+      equi-join on (table, bucket) — the scale path when the query
+      set is itself large. Default 16×4 measures recall@5 ≥ 0.84 on
+      the synthetic embeddings (see docstring).
 
 Vector math uses sequential-fold native expressions (functions/
 vectors.py): deterministic summation order, so exact oracle parity.
@@ -414,30 +415,88 @@ def pq_topk(
     )
 
 
+def _table_bucket_ids(
+    df: DataFrame,
+    n_tables: int,
+    n_planes: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, tb=(table, bucket)) exploded across ``n_tables``
+    independent hash tables. Each table draws its own deterministic
+    hyperplanes (md5 of "table:plane:dim"). SLIM by design — only the
+    id and a 2-int struct ride the ×n_tables explode; the 64-float
+    vectors are joined back after candidate dedup."""
+    import hashlib
+
+    v = df.select(F.col(id_col), to_double_array(vec_col).alias("v"))
+    table_cols = []
+    for t in range(n_tables):
+        bucket = F.lit(0).cast("bigint")
+        for p in range(n_planes):
+            row = []
+            for d in range(dim):
+                h = int(hashlib.md5(f"{t}:{p}:{d}".encode()).hexdigest()[:8], 16)
+                row.append((h / float(0xFFFFFFFF)) * 2.0 - 1.0)
+            plane_col = F.array(*[F.lit(x) for x in row])
+            dot = F.aggregate(
+                F.zip_with(F.col("v"), plane_col, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bucket = bucket + F.when(dot > 0, F.lit(2**p).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        table_cols.append(F.struct(F.lit(t).alias("t"), bucket.alias("b")))
+    return v.select(id_col, F.explode(F.array(*table_cols)).alias("tb"))
+
+
 def lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 16,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: score only same-bucket candidates.
+    """Approximate top-k via multi-table hyperplane LSH: candidates
+    are the union of same-bucket pairs across ``n_tables`` independent
+    hash tables of ``n_planes`` sign bits each (the classic
+    Indyk–Motwani recall amplification: miss probability decays as
+    (1 - p^b)^L). Returns (query_id, neighbor_id, rank, sim).
 
-    Returns (query_id, neighbor_id, rank, sim). Recall depends on
-    n_planes; the pytest suite measures recall against brute force.
+    Measured recall@5 vs brute force on the synthetic ``embeddings``
+    table at the DEFAULT config (16 tables × 4 planes): 1.00 at
+    sf0.001, 0.84 at sf0.01 (asserted ≥ 0.7 in
+    tests/test_multimodal.py). The old single-table default
+    (n_tables=1, n_planes=8) measured only ~0.2 — kept reachable for
+    candidate-volume experiments, but no longer the default.
+
+    Scale shape: the bucket tables are SLIM (id + 2-int struct — the
+    ×n_tables explode never carries vectors), candidate generation is
+    an equi-join on (table, bucket), pairs dedup BEFORE vectors are
+    fetched, and only the deduped candidate set is scored. On the
+    near-uniform synthetic embeddings the union candidate set
+    approaches corpus size (no free lunch on random data); on real
+    clustered embeddings the same config probes a small corpus
+    fraction per query.
     """
-    vb = lsh_bucket_ids(vectors, n_planes, dim, id_col, vec_col).alias("vb")
-    qb = lsh_bucket_ids(queries, n_planes, dim, id_col, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col("bucket")
+    vb = _table_bucket_ids(vectors, n_tables, n_planes, dim, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "tb"
+    )
+    qb = _table_bucket_ids(queries, n_tables, n_planes, dim, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), "tb"
     )
     v = vectors.select(F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("v_vec"))
     q = queries.select(F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("q_vec"))
     cand = (
-        qb.join(vb.withColumnRenamed(id_col, "neighbor_id"), "bucket")
+        qb.join(vb, "tb")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = (
         cand.join(F.broadcast(q), "query_id")

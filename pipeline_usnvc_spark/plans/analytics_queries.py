@@ -82,7 +82,11 @@ def q96_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q97_triangle_count",
     oracle="""
-    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    WITH op_all AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    op AS (
+        SELECT l_orderkey, l_partkey FROM op_all
+        QUALIFY row_number() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) <= 32
+    ),
     edges AS (
         SELECT a.l_partkey AS pa, b.l_partkey AS pb
         FROM op a JOIN op b
@@ -103,7 +107,17 @@ def q96_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q97_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     op = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    # Same basket cap as q120's copurchase_edges (inert on TPC-H's ≤7
+    # items/order; bounds the quadratic self-join on a skewed catalog).
+    w = Window.partitionBy("l_orderkey").orderBy("l_partkey")
+    op = (
+        op.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= _BFS_MAX_ITEMS_PER_KEY)
+        .drop("_rn")
+    )
     a, b = op.alias("a"), op.alias("b")
     edges = (
         a.join(
@@ -276,13 +290,57 @@ def q102_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the visited set, and materializes the new level to cut lineage —
 # the same reliable-checkpoint discipline as connected components.
 # Oracle is a depth-bounded recursive CTE. At 100 TB the edge list is
-# the scale risk (same-order pair blowup); it is built once, deduped,
-# and reused across all rounds.
+# the scale risk: the same-order self-join is QUADRATIC in
+# items-per-order, so the basket is capped at _BFS_MAX_ITEMS_PER_KEY
+# items (lowest part keys win — deterministic) BEFORE the self-join,
+# identically on both engines. TPC-H baskets are bounded (≤ 7) so the
+# cap is inert on testdata; on a skewed real catalog it bounds edge
+# fan-out at cap² per order (same stop-shingle discipline as
+# ngram_jaccard_pairs' max_doc_freq). Bounded fan-out asserted on a
+# skewed fixture in tests/test_scale_ops.py.
 # ---------------------------------------------------------------------------
+_BFS_MAX_ITEMS_PER_KEY = 32
+
+
+def copurchase_edges(
+    op: DataFrame,
+    key: str = "l_orderkey",
+    item: str = "l_partkey",
+    max_items_per_key: int = _BFS_MAX_ITEMS_PER_KEY,
+) -> DataFrame:
+    """Distinct co-occurrence edges (src, dst) from a (key, item)
+    table, with the per-key basket capped at ``max_items_per_key``
+    (lowest item ids win) BEFORE the quadratic self-join. The cap
+    window shuffles on the same key as the join, so AQE reuses the
+    exchange — bounding fan-out costs no extra shuffle."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(item)
+    capped = (
+        op.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_items_per_key)
+        .drop("_rn")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{key}") == F.col(f"b.{key}"))
+            & (F.col(f"a.{item}") != F.col(f"b.{item}")),
+        )
+        .select(F.col(f"a.{item}").alias("src"), F.col(f"b.{item}").alias("dst"))
+        .distinct()
+    )
+
+
 @query(
     "q120_bfs_reachability",
     oracle="""
-    WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    WITH RECURSIVE op_all AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    op AS (
+        SELECT l_orderkey, l_partkey FROM op_all
+        QUALIFY row_number() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) <= 32
+    ),
     edges AS (
         SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
         FROM op a JOIN op b
@@ -306,16 +364,7 @@ def q120_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     op = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
-    edges = materialize(
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-        .distinct()
-    )
+    edges = materialize(copurchase_edges(op))
     seed = li.agg(F.min("l_partkey").alias("node")).select(
         "node", F.lit(0).cast("int").alias("dist")
     )

@@ -1,0 +1,263 @@
+"""Corpus-curation queries: the selection/reporting layer of an LLM
+training-data pipeline (quality-aware dedup keepers, cross-document
+novelty, tokenizer fertility, temperature-balanced source mixing,
+dup-rate reporting, outlier winsorization).
+
+All six are oracle-exact: integer counts + single cast-to-double
+divisions, md5-derived keys, and deterministic tie orders; the two
+that touch libm (pow / percentile interpolation) round to 6 dp on
+BOTH engines before comparison (the round-before-rank discipline from
+q35/q66).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pipeline_usnvc_spark.functions.text import (
+    doc_fingerprint,
+    token_count,
+    tokens,
+    word_shingles,
+)
+from pipeline_usnvc_spark.plans.registry import query
+from pipeline_usnvc_spark.sources.tables import load_table
+
+_TOKS_SQL = "list_filter(string_split_regex(lower(text), '[^a-zA-Z0-9]+'), t -> t <> '')"
+
+_FP_SQL = f"md5(list_aggregate({_TOKS_SQL}, 'string_agg', ' '))"
+
+_SHINGLES_SQL = f"""
+    SELECT doc_id, unnest(
+        list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                       i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2])
+    ) AS shingle
+    FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q157 — quality-aware dedup keeper: within each exact-duplicate
+# cluster (normalized-token md5), keep the doc with the MOST tokens
+# (tie: lowest doc_id) instead of the arbitrary min-id keeper — the
+# curation rule that retains the best-formatted copy of a boilerplate
+# family. Scale shape: one groupBy on the 16-byte digest; raw text
+# never shuffles; the keeper choice is a window row_number inside the
+# digest partition (same single exchange).
+# ---------------------------------------------------------------------------
+@query(
+    "q157_quality_keeper",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, {_FP_SQL} AS fp, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    ranked AS (
+        SELECT fp, doc_id, n_tokens,
+               row_number() OVER (PARTITION BY fp ORDER BY n_tokens DESC, doc_id) AS rn,
+               count(*) OVER (PARTITION BY fp) AS cluster_size
+        FROM scored
+    )
+    SELECT fp, doc_id AS keeper_id, n_tokens AS keeper_tokens,
+           CAST(cluster_size AS BIGINT) AS cluster_size
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q157_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        doc_fingerprint("text").alias("fp"),
+        token_count("text").alias("n_tokens"),
+    )
+    w = Window.partitionBy("fp").orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+    wc = Window.partitionBy("fp")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("cluster_size", F.count("*").over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "fp",
+            F.col("doc_id").alias("keeper_id"),
+            F.col("n_tokens").alias("keeper_tokens"),
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q158 — tokenizer fertility per source: tokens emitted per character
+# (the budget number that converts a corpus size in bytes into a
+# token count). Integer sums, one double division — exact parity.
+# One exchange (groupBy source) with map-side partials.
+# ---------------------------------------------------------------------------
+@query(
+    "q158_token_fertility",
+    oracle=f"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len({_TOKS_SQL})) AS BIGINT) AS total_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(sum(len({_TOKS_SQL})) AS DOUBLE) / CAST(sum(length(text)) AS DOUBLE)
+               AS tokens_per_char
+    FROM documents GROUP BY source
+    """,
+)
+def q158_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source", token_count("text").alias("toks"), F.length("text").alias("chars")
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("toks").alias("total_tokens"),
+        F.sum("chars").alias("total_chars"),
+        (
+            F.sum("toks").cast("double") / F.sum("chars").cast("double")
+        ).alias("tokens_per_char"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q159 — per-type winsorization of the event value stream: clamp to
+# the exact [p05, p95] band of each event_type (outlier damping before
+# aggregate statistics). Exact interpolated percentiles on both
+# engines (Spark percentile == DuckDB quantile_cont); the clamped
+# output rounds to 6 dp so last-ulp interpolation differences cannot
+# surface. Scale shape: percentile agg is one exchange on event_type
+# (tiny output), broadcast back onto the stream — the fact table
+# never shuffles.
+# ---------------------------------------------------------------------------
+@query(
+    "q159_winsorize_values",
+    oracle="""
+    WITH bands AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS lo,
+               quantile_cont(value, 0.95) AS hi
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round(least(greatest(e.value, b.lo), b.hi), 6) AS winsorized
+    FROM events e JOIN bands b USING (event_type)
+    """,
+)
+def q159_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bands = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    return ev.join(F.broadcast(bands), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round(F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")), 6).alias(
+            "winsorized"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q160 — cross-document novelty: the fraction of a doc's distinct
+# 3-gram shingles not seen in any LOWER-id document (stream-order
+# novelty — the marginal-information score used to prioritize fresh
+# content). Scale shape: ONE shuffle on shingle computes first-seen
+# via a window min (no second join back); the per-doc ratio is a
+# groupBy on doc_id. No pairwise comparisons anywhere.
+# ---------------------------------------------------------------------------
+@query(
+    "q160_novelty_score",
+    oracle=f"""
+    WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_SQL})),
+    firsts AS (
+        SELECT doc_id, shingle,
+               min(doc_id) OVER (PARTITION BY shingle) AS first_seen
+        FROM sh
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN first_seen = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           CAST(sum(CASE WHEN first_seen = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS novelty
+    FROM firsts GROUP BY doc_id
+    """,
+)
+def q160_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", F.explode(word_shingles(tokens("text"))).alias("shingle"))
+        .distinct()
+    )
+    w = Window.partitionBy("shingle")
+    firsts = sh.withColumn("first_seen", F.min("doc_id").over(w))
+    novel = F.when(F.col("first_seen") == F.col("doc_id"), 1).otherwise(0)
+    return firsts.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(novel).alias("n_novel"),
+        (F.sum(novel).cast("double") / F.count("*").cast("double")).alias("novelty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q161 — temperature-balanced source mixture: sampling weights
+# w_s ∝ n_s^α (α = 0.3) normalized over sources — the standard
+# up-weighting of small high-quality sources when composing a
+# training mix. pow is libm: shares round to 6 dp on both engines.
+# Driver-free: the normalizing sum rides a broadcast single-row
+# aggregate (crossJoin of a 1-row frame), not a collect.
+# ---------------------------------------------------------------------------
+@query(
+    "q161_temperature_mix",
+    oracle="""
+    WITH counts AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source),
+    powed AS (SELECT source, n_docs, pow(CAST(n_docs AS DOUBLE), 0.3) AS w FROM counts)
+    SELECT source, n_docs,
+           round(w / (SELECT sum(w) FROM powed), 6) AS mix_share
+    FROM powed
+    """,
+)
+def q161_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    powed = counts.withColumn("w", F.pow(F.col("n_docs").cast("double"), F.lit(0.3)))
+    total = powed.agg(F.sum("w").alias("w_total"))
+    return (
+        powed.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("w") / F.col("w_total"), 6).alias("mix_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q162 — per-source duplication report: exact-dup rate from the
+# normalized fingerprint (the corpus-health dashboard number that
+# decides which sources need aggressive dedup). One exchange on
+# (source); distinct digests via count(DISTINCT md5) with partial
+# aggregation — raw text never shuffles.
+# ---------------------------------------------------------------------------
+@query(
+    "q162_dup_rate_report",
+    oracle=f"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT {_FP_SQL}) AS BIGINT) AS n_distinct,
+           CAST(count(*) - count(DISTINCT {_FP_SQL}) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS dup_rate
+    FROM documents GROUP BY source
+    """,
+)
+def q162_dup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("source", doc_fingerprint("text").alias("fp"))
+    return fp.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("fp").alias("n_distinct"),
+        (
+            (F.count("*") - F.countDistinct("fp")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("dup_rate"),
+    )

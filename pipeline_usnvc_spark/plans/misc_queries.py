@@ -299,8 +299,13 @@ def q26_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q70 — multimodal plumbing (rows-only: decode is stubbed; the batch
-# shape/schema contract is asserted in tests/test_multimodal.py).
+# q70 — multimodal plumbing (rows-only). The decode step is a STUB —
+# every result row says so via feature_kind='stub_byte_histogram';
+# the "features" are a 16-bin byte histogram, NOT real image
+# features (no media libraries in this container). The Spark-side
+# contract — schema, Arrow batch shape, map-side-only plan, metadata
+# validation that fails fast on breach — is real and asserted in
+# tests/test_multimodal.py.
 # ---------------------------------------------------------------------------
 @query("q70_multimodal_features")
 def q70_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -37,6 +37,14 @@ def read_jsonl(
     is (raw_line) for every line that failed to parse. With an explicit
     ``schema`` the scan is single-pass (no inference job) — the right
     call at scale; inference samples the data with an extra pass.
+
+    Storage contract: ``quarantine`` is eagerly materialized (corrupt
+    lines are rare by design, so the checkpoint is small) through a
+    TRANSIENT cache that is unpersisted before returning;
+    ``good_rows`` stays a lazy plan that re-scans the files when
+    consumed. No session-lifetime pinned storage — at corpus scale
+    that beats holding the full parsed frame cached with nobody
+    owning the unpersist.
     """
     if schema is not None:
         read_schema = StructType(
@@ -57,13 +65,20 @@ def read_jsonl(
     if CORRUPT_COL not in df.columns:
         # every line parsed — Spark drops the corrupt column entirely
         return df, spark.createDataFrame([], "raw_line string")
-    # One cached pass feeds both splits (scan once, not twice).
+    # Spark refuses to query only `_corrupt_record` straight off the
+    # raw scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the documented
+    # workaround is a cache. Cache TRANSIENTLY: materialize the
+    # (small) quarantine split through it, then unpersist at once, so
+    # the parsed corpus is never pinned for the session lifetime
+    # (previous version leaked the cache — ADVICE r1).
     df = df.cache()
     good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     quarantine = (
         df.filter(F.col(CORRUPT_COL).isNotNull())
         .select(F.col(CORRUPT_COL).alias("raw_line"))
+        .localCheckpoint(eager=True)
     )
+    df.unpersist()
     return good, quarantine
 
 

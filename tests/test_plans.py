@@ -280,3 +280,70 @@ def test_forecast_revenue_all_predicates_pushed(spark, sf_dir):
         "LessThan(l_quantity,24.0)",
     ]:
         assert frag in plan, f"{frag} not pushed to scan"
+
+
+def test_ohlc_argmax_key_invariant(spark):
+    # q141's DuckDB oracle encodes the argmax key as
+    # floor(epoch(ts))*1e7 + event_id, which matches Spark's
+    # (unix_timestamp, event_id) struct order ONLY while event_id
+    # stays below 1e7 and timestamps stay post-1970. Assert the
+    # invariant on every generated scale factor so a testdata refresh
+    # cannot silently break oracle parity (ADVICE r1).
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from pipeline_usnvc_spark.sources.tables import load_table
+
+    for sf in sorted(Path("/root/testdata").glob("sf*")):
+        if not (sf / "events.parquet").exists():
+            continue
+        ev = load_table(spark, str(sf), "events")
+        row = ev.agg(
+            F.max("event_id").alias("max_id"),
+            F.min(F.unix_timestamp("ts")).alias("min_epoch"),
+        ).first()
+        assert row["max_id"] < 10_000_000, f"{sf}: event_id reached 1e7"
+        assert row["min_epoch"] >= 0, f"{sf}: pre-1970 timestamp"
+
+
+def test_aqe_skew_join_split(spark):
+    # The engine's stated answer to hot keys at 100 TB is AQE skew
+    # splitting (operators/dedup.py LSH note). Prove it fires: build a
+    # join where one key holds half the left side, lower the skew
+    # thresholds, execute the JOIN'S OWN QueryExecution (round-1
+    # attempt inspected a derived count() plan — always
+    # isFinalPlan=false), and assert the adaptive plan rewrote the
+    # skewed partition (VERDICT r1 item 4 / ROADMAP item 2).
+    from pyspark.sql import functions as F
+
+    overrides = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 2 == 0, 0).otherwise(F.col("id") % 1000).alias("k"),
+            F.lpad(F.col("id").cast("string"), 64, "x").alias("pad"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), F.col("id").alias("v")
+        )
+        j = left.join(right, "k").select(F.length("pad").alias("lp"))
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan, plan
+        assert "AQEShuffleRead coalesced and skewed" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

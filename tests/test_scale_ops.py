@@ -402,12 +402,9 @@ def test_chunking_covers_every_token(spark, sf_dir):
         .toPandas()
         .set_index("doc_id")["n"]
     )
-    import math
-
-    per_doc = pdf.groupby("doc_id").agg(chunks=("chunk_id", "max"), last_len=("chunk_len", "min"))
+    per_doc = pdf.groupby("doc_id").agg(chunks=("chunk_id", "max"))
     for doc_id, row in per_doc.iterrows():
         n = docs[doc_id]
-        expected_chunks = max(1, math.ceil(n / 24)) if n <= 32 else len(range(0, n, 24))
         assert row.chunks + 1 == len(range(0, n, 24)), (doc_id, n)
         # last chunk ends exactly at the final token: start of last
         # chunk + its length == n  (when the doc is longer than one
@@ -415,3 +412,18 @@ def test_chunking_covers_every_token(spark, sf_dir):
         last_start = row.chunks * 24
         last_real_len = min(32, n - last_start)
         assert pdf[(pdf.doc_id == doc_id) & (pdf.chunk_id == row.chunks)].chunk_len.iloc[0] == last_real_len
+
+
+def test_copurchase_edge_cap_bounds_fanout(spark):
+    # VERDICT r1 item 5: one hot order with 500 items must not emit
+    # 500x499 edges — the per-key cap bounds it at cap*(cap-1), and
+    # the kept items are the deterministic lowest ids.
+    from pipeline_usnvc_spark.plans.analytics_queries import copurchase_edges
+
+    hot = [(1, i) for i in range(500)] + [(2, 900), (2, 901)]
+    op = spark.createDataFrame(hot, "l_orderkey bigint, l_partkey bigint")
+    edges = copurchase_edges(op, max_items_per_key=8).collect()
+    from_hot = [e for e in edges if e.src < 900]
+    assert len(from_hot) == 8 * 7, f"fan-out not bounded: {len(from_hot)}"
+    assert {e.src for e in from_hot} == set(range(8))  # lowest ids win
+    assert len([e for e in edges if e.src >= 900]) == 2  # small keys intact

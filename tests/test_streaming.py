@@ -300,3 +300,65 @@ def test_foreach_batch_retry_is_idempotent(spark, tmp_path):
     sink(spark.createDataFrame([(3, "c")], "id long, v string"), 1)
     got = sorted(r.id for r in spark.read.parquet(f"{out}/epoch=0", f"{out}/epoch=1").collect())
     assert got == [1, 2, 3], got
+
+
+def test_kafka_options_resolution():
+    # Config surface only — no broker in this sandbox (ROADMAP item).
+    import pytest
+
+    from pipeline_usnvc_spark.sources.kafka import resolve_kafka_options
+
+    opts = resolve_kafka_options(
+        "broker1:9092,broker2:9092",
+        topic="events",
+        starting_offsets="latest",
+        max_offsets_per_trigger=1_000_000,
+        extra_options={"kafka.security.protocol": "SASL_SSL"},
+    )
+    assert opts == {
+        "kafka.bootstrap.servers": "broker1:9092,broker2:9092",
+        "subscribe": "events",
+        "startingOffsets": "latest",
+        "failOnDataLoss": "false",
+        "maxOffsetsPerTrigger": "1000000",
+        "kafka.security.protocol": "SASL_SSL",
+    }
+    # JSON offset maps pass validation; junk does not
+    resolve_kafka_options("b:9092", topic="t", starting_offsets='{"t":{"0":42}}')
+    with pytest.raises(ValueError, match="starting_offsets"):
+        resolve_kafka_options("b:9092", topic="t", starting_offsets="yesterday")
+    # subscription modes are mutually exclusive and mandatory
+    with pytest.raises(ValueError, match="exactly one"):
+        resolve_kafka_options("b:9092", topic="t", topic_pattern="t.*")
+    with pytest.raises(ValueError, match="exactly one"):
+        resolve_kafka_options("b:9092")
+    with pytest.raises(ValueError, match="collides"):
+        resolve_kafka_options("b:9092", topic="t", extra_options={"subscribe": "x"})
+
+
+def test_kafka_envelope_decode(spark):
+    # The decode path is pure column expressions over the documented
+    # Kafka wire schema — testable on a batch frame; the live stream
+    # shares the exact same expressions.
+    import datetime
+
+    from pipeline_usnvc_spark.sources.kafka import (
+        KAFKA_WIRE_SCHEMA,
+        decode_kafka_envelope,
+    )
+
+    ts = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        (None, b'{"event_id": 1, "user_id": 7, "value": 2.5}', "events", 0, 100, ts, 0),
+        (None, b"NOT JSON", "events", 0, 101, ts, 0),
+        (None, None, "events", 1, 102, ts, 0),  # tombstone
+    ]
+    raw = spark.createDataFrame(rows, KAFKA_WIRE_SCHEMA)
+    out = decode_kafka_envelope(
+        raw, "event_id bigint, user_id bigint, value double"
+    ).orderBy("offset")
+    got = out.collect()
+    assert [r["event_id"] for r in got] == [1, None, None]
+    assert [r["_corrupt"] for r in got] == [False, True, False]
+    assert [r["offset"] for r in got] == [100, 101, 102]
+    assert got[0]["value"] == 2.5 and got[0]["user_id"] == 7
