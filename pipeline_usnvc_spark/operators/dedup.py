@@ -290,6 +290,63 @@ def ngram_jaccard_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(id_a, id_b, cont_a_in_b, cont_b_in_a) for pairs where either
+    direction's shingle containment |A∩B|/|A| reaches ``threshold``.
+
+    Containment catches what Jaccard structurally cannot: a short
+    document embedded verbatim in a much longer one (quotation,
+    boilerplate wrapper, page-in-crawl-dump) has tiny Jaccard —
+    |A∩B|/|A∪B| is diluted by the big doc — but containment of the
+    small side ≈ 1. The training-data dedup rule "drop docs mostly
+    contained in another" needs this directional score.
+
+    Same shuffle-minimal shape as the exact Jaccard path: map-side
+    distinct shingle arrays (set size rides the exchange as 8 bytes),
+    inverted-index equi-join on shingle, one pair aggregation. The
+    int/int → double divisions are IEEE-identical across engines.
+    """
+    arr = (
+        _spread(docs)
+        .select(
+            F.col(id_col),
+            F.array_distinct(word_shingles(tokens(text_col), n=shingle_n)).alias("_shs"),
+        )
+        .transform(materialize)
+    )
+    sh = arr.select(
+        id_col, F.size("_shs").alias("sz"), F.explode("_shs").alias("shingle")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(
+            F.count("*").alias("inter"),
+            F.first("a.sz").alias("sz_a"),
+            F.first("b.sz").alias("sz_b"),
+        )
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (F.col("inter").cast("double") / F.col("sz_a").cast("double")).alias("cont_a_in_b"),
+        (F.col("inter").cast("double") / F.col("sz_b").cast("double")).alias("cont_b_in_a"),
+    ).filter(
+        (F.col("cont_a_in_b") >= threshold) | (F.col("cont_b_in_a") >= threshold)
+    )
+
+
 def prefix_filter_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -415,6 +415,23 @@ def pq_topk(
     )
 
 
+def _multitable_planes(n_tables: int, n_planes: int, dim: int):
+    """(n_tables*n_planes, dim) float64 matrix of deterministic
+    hyperplanes — component (t, p, d) from md5(f"{t}:{p}:{d}") mapped
+    into [-1, 1). Pure function of the indices, no RNG."""
+    import hashlib
+
+    import numpy as np
+
+    P = np.empty((n_tables * n_planes, dim), dtype=np.float64)
+    for t in range(n_tables):
+        for p in range(n_planes):
+            for d in range(dim):
+                h = int(hashlib.md5(f"{t}:{p}:{d}".encode()).hexdigest()[:8], 16)
+                P[t * n_planes + p, d] = (h / float(0xFFFFFFFF)) * 2.0 - 1.0
+    return P
+
+
 def _table_bucket_ids(
     df: DataFrame,
     n_tables: int,
@@ -424,32 +441,47 @@ def _table_bucket_ids(
     vec_col: str,
 ) -> DataFrame:
     """(id, tb=(table, bucket)) exploded across ``n_tables``
-    independent hash tables. Each table draws its own deterministic
-    hyperplanes (md5 of "table:plane:dim"). SLIM by design — only the
-    id and a 2-int struct ride the ×n_tables explode; the 64-float
-    vectors are joined back after candidate dedup."""
-    import hashlib
+    independent hash tables, computed as ONE ``V @ P.T`` matmul per
+    Arrow batch inside mapInPandas. SLIM by design — only the id and
+    a 2-int struct ride the ×n_tables explode; vectors are joined
+    back after candidate dedup.
 
-    v = df.select(F.col(id_col), to_double_array(vec_col).alias("v"))
-    table_cols = []
-    for t in range(n_tables):
-        bucket = F.lit(0).cast("bigint")
-        for p in range(n_planes):
-            row = []
-            for d in range(dim):
-                h = int(hashlib.md5(f"{t}:{p}:{d}".encode()).hexdigest()[:8], 16)
-                row.append((h / float(0xFFFFFFFF)) * 2.0 - 1.0)
-            plane_col = F.array(*[F.lit(x) for x in row])
-            dot = F.aggregate(
-                F.zip_with(F.col("v"), plane_col, lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+    The earlier native formulation (n_tables·n_planes literal-array
+    fold expressions) spent ~10 s on 500 rows at 24×4 — Catalyst
+    interprets higher-order lambdas per element, so 96 folds × 64
+    dims of plan-literal arithmetic dominated. The BLAS batch is
+    milliseconds for the same rows and keeps the operator map-side
+    (no shuffle; same q66 Arrow-scale-path discipline). Sign
+    boundaries may differ from a sequential fold in the last ulp —
+    irrelevant for an approximate bucketing whose recall is measured
+    downstream.
+    """
+    import numpy as np
+    import pandas as pd
+
+    planes_T = _multitable_planes(n_tables, n_planes, dim).T.copy()
+    pows = np.power(2, np.arange(n_planes), dtype=np.int64)
+
+    def batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            bits = (V @ planes_T) > 0  # (n, n_tables*n_planes)
+            B = bits.reshape(len(pdf), n_tables, n_planes) @ pows  # (n, n_tables)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), n_tables),
+                    "t": np.tile(np.arange(n_tables, dtype=np.int32), n),
+                    "b": B.reshape(-1),
+                }
             )
-            bucket = bucket + F.when(dot > 0, F.lit(2**p).cast("bigint")).otherwise(
-                F.lit(0).cast("bigint")
-            )
-        table_cols.append(F.struct(F.lit(t).alias("t"), bucket.alias("b")))
-    return v.select(id_col, F.explode(F.array(*table_cols)).alias("tb"))
+
+    flat = df.select(F.col(id_col), to_double_array(vec_col).alias("_v"))
+    id_type = flat.schema[id_col].dataType.simpleString()
+    out = flat.mapInPandas(batches, schema=f"{id_col} {id_type}, t int, b bigint")
+    return out.select(id_col, F.struct("t", "b").alias("tb"))
 
 
 def lsh_topk(
@@ -509,6 +541,75 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )
+
+
+def embedding_near_dup_lsh(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 4,
+    n_tables: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b, sim) for pairs with cosine ≥ ``threshold``,
+    candidates blocked by multi-table hyperplane LSH — the
+    embedding-space near-duplicate detector when no blocking key
+    (label/source) exists.
+
+    High-similarity pairs are exactly where sign-bit LSH is strong:
+    at sim ≥ 0.9 the per-plane collision probability is 1 − θ/π ≈
+    0.86, so a 4-bit table catches ≈ 54% and 16 tables miss < 10⁻⁵
+    of true pairs. Even down at the synthetic corpus's near-dup band
+    (sim ≥ 0.4, p ≈ 0.63) measured recall vs the exact all-pairs
+    sweep is 0.92 with 16 tables and 1.00 with 24, zero false
+    positives (verify is exact) — tests/test_multimodal.py.
+    Candidate generation is an equi-join on (table, bucket) over
+    SLIM rows; the corpus never cross-joins.
+    """
+    import numpy as np
+    import pandas as pd
+
+    b = _table_bucket_ids(vectors, n_tables, n_planes, dim, id_col, vec_col)
+    ba, bb = b.alias("ba"), b.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.tb") == F.col("bb.tb"))
+            & (F.col(f"ba.{id_col}") < F.col(f"bb.{id_col}")),
+        )
+        .select(
+            F.col(f"ba.{id_col}").alias("id_a"), F.col(f"bb.{id_col}").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    v = vectors.select(F.col(id_col), to_double_array(vec_col).alias("v"))
+    va = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    vb = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    paired = cand.join(va, "id_a").join(vb, "id_b")
+
+    # Verify in Arrow batches: one vectorized cosine per batch instead
+    # of an interpreted 64-dim fold per pair (the fold formulation
+    # dominated q164's runtime once buckets went BLAS).
+    def score(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            A = np.stack(pdf["va"].to_numpy()).astype(np.float64)
+            B = np.stack(pdf["vb"].to_numpy()).astype(np.float64)
+            sims = (A * B).sum(axis=1) / (
+                np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            )
+            keep = sims >= threshold
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy()[keep],
+                    "id_b": pdf["id_b"].to_numpy()[keep],
+                    "sim": sims[keep],
+                }
+            )
+
+    return paired.mapInPandas(score, schema="id_a bigint, id_b bigint, sim double")
 
 
 def batched_cosine_topk(

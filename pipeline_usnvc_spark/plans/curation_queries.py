@@ -261,3 +261,36 @@ def q162_dup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*").cast("double")
         ).alias("dup_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q163 — containment dedup pairs: |A∩B|/|A| per direction, flagged
+# when either reaches 0.5 — the "short doc embedded in long doc"
+# detector that Jaccard dilutes away (operators/dedup.containment_pairs).
+# Same inverted-index equi-join scale shape as q54/q99.
+# ---------------------------------------------------------------------------
+@query(
+    "q163_containment_pairs",
+    oracle=f"""
+    WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_SQL})),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(inter AS DOUBLE) / CAST(sa.sz AS DOUBLE) AS cont_a_in_b,
+           CAST(inter AS DOUBLE) / CAST(sb.sz AS DOUBLE) AS cont_b_in_a
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(inter AS DOUBLE) / CAST(sa.sz AS DOUBLE) >= 0.5
+       OR CAST(inter AS DOUBLE) / CAST(sb.sz AS DOUBLE) >= 0.5
+    """,
+)
+def q163_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(docs, threshold=0.5)

