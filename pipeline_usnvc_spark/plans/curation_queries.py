@@ -294,3 +294,296 @@ def q163_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return containment_pairs(docs, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# q165 — per-source quota cap: keep at most K documents per source,
+# chosen by a deterministic md5-derived shuffle order (the "cap any
+# single domain at N pages" rule that stops one crawl host from
+# dominating a training mix). Reproducible across engines and runs —
+# no RNG state, the hash IS the sample. Scale shape: one exchange
+# (window partitioned by source); raw text never moves, only
+# (doc_id, source, 32-hex digest).
+# ---------------------------------------------------------------------------
+_QUOTA_K = 10
+
+
+@query(
+    "q165_source_quota_cap",
+    oracle=f"""
+    SELECT doc_id, source, CAST(rk AS BIGINT) AS quota_rank
+    FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    ) WHERE rk <= {_QUOTA_K}
+    """,
+)
+def q165_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("quota_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("quota_rank") <= _QUOTA_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q166 — temperature-quota fill: materialize the q161 mixture. Each
+# source's quota is floor(BUDGET * share_s) (share_s ∝ n_s^0.3,
+# rounded to 6 dp — the one libm value, same discipline as q161),
+# filled by the deterministic md5 rank from q165. This is the actual
+# "compose the training mix" step, not just its weight report.
+# Scale shape: quotas are a |sources|-row broadcast; the fact side
+# pays exactly one exchange for the per-source window.
+# ---------------------------------------------------------------------------
+_MIX_BUDGET = 200
+
+
+@query(
+    "q166_temperature_quota_fill",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+    ),
+    powed AS (
+        SELECT source, n_docs, pow(CAST(n_docs AS DOUBLE), 0.3) AS w FROM counts
+    ),
+    quotas AS (
+        SELECT source,
+               greatest(1, CAST(floor({_MIX_BUDGET} * round(w / (SELECT sum(w) FROM powed), 6)) AS BIGINT)) AS quota
+        FROM powed
+    ),
+    ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    )
+    SELECT r.doc_id, r.source, CAST(r.rk AS BIGINT) AS quota_rank, q.quota
+    FROM ranked r JOIN quotas q USING (source)
+    WHERE r.rk <= q.quota
+    """,
+)
+def q166_temperature_quota_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    powed = counts.withColumn("w", F.pow(F.col("n_docs").cast("double"), F.lit(0.3)))
+    total = powed.agg(F.sum("w").alias("w_total"))
+    quotas = (
+        powed.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            F.greatest(
+                F.lit(1).cast("bigint"),
+                F.floor(
+                    F.lit(_MIX_BUDGET) * F.round(F.col("w") / F.col("w_total"), 6)
+                ).cast("bigint"),
+            ).alias("quota"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = docs.select("doc_id", "source").withColumn(
+        "quota_rank", F.row_number().over(w).cast("bigint")
+    )
+    return ranked.join(F.broadcast(quotas), "source").filter(
+        F.col("quota_rank") <= F.col("quota")
+    ).select("doc_id", "source", "quota_rank", "quota")
+
+
+# ---------------------------------------------------------------------------
+# q167 — global curriculum position: every document's exact 1-based
+# position in the easy→hard order (mean token length ascending — the
+# curriculum/annealing sort that schedules short simple text first).
+# Scale shape: NO single-partition sort — operators/rank.with_global_rank
+# decodes local ranks from monotonically_increasing_id over a range
+# exchange, so the global order costs one repartitionByRange.
+# ---------------------------------------------------------------------------
+@query(
+    "q167_curriculum_rank",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) > 0
+                    THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                         / CAST(len(toks) AS DOUBLE)
+                    ELSE 0.0 END AS difficulty
+        FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-zA-Z0-9]+'), t -> t <> '') AS toks
+              FROM documents)
+    )
+    SELECT doc_id, difficulty,
+           CAST(row_number() OVER (ORDER BY difficulty, doc_id) AS BIGINT) AS curriculum_pos
+    FROM scored
+    """,
+)
+def q167_curriculum_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.rank import with_global_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    difficulty = F.when(
+        F.size(toks) > 0,
+        F.aggregate(toks, F.lit(0).cast("bigint"), lambda a, t: a + F.length(t)).cast(
+            "double"
+        )
+        / F.size(toks).cast("double"),
+    ).otherwise(F.lit(0.0))
+    scored = docs.select("doc_id", difficulty.alias("difficulty"))
+    ranked = with_global_rank(
+        scored, "difficulty", "doc_id", rank_col="curriculum_pos"
+    )
+    return ranked.select(
+        "doc_id", "difficulty", F.col("curriculum_pos").cast("bigint").alias("curriculum_pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q168 — Zipf fit per source: least-squares slope of ln(freq) vs
+# ln(rank) over each source's top-100 terms. Natural-language text
+# sits near slope ≈ -1; templated/boilerplate sources flatten — a
+# corpus-health fingerprint. Determinism: every ln() takes an integer
+# input (rank / count) so both engines produce the identical double
+# (q38/q147 discipline); products round to 6 dp before the ≤100-term
+# sum and the slope to 4 dp, so addition order cannot surface.
+# Scale shape: term counts are one exchange; the per-source window
+# ranks the vocabulary table (≪ corpus, Heaps' law), never documents.
+# ---------------------------------------------------------------------------
+@query(
+    "q168_zipf_fit",
+    oracle=f"""
+    WITH toks AS (SELECT source, unnest({_TOKS_SQL}) AS term FROM documents),
+    tc AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2),
+    ranked AS (
+        SELECT source, c,
+               row_number() OVER (PARTITION BY source ORDER BY c DESC, term) AS rk
+        FROM tc
+    ),
+    pts AS (
+        SELECT source,
+               round(ln(CAST(rk AS DOUBLE)), 6) AS x,
+               round(ln(CAST(c AS DOUBLE)), 6) AS y
+        FROM ranked WHERE rk <= 100
+    ),
+    stats AS (
+        SELECT source, count(*) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(round(x * y, 6)) AS sxy, sum(round(x * x, 6)) AS sxx
+        FROM pts GROUP BY source
+    )
+    SELECT source, CAST(n AS BIGINT) AS n_terms,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope
+    FROM stats WHERE n >= 10
+    """,
+)
+def q168_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select("source", F.explode(tokens("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("term"))
+    pts = (
+        tc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 100)
+        .select(
+            "source",
+            F.round(F.log(F.col("rk").cast("double")), 6).alias("x"),
+            F.round(F.log(F.col("c").cast("double")), 6).alias("y"),
+        )
+    )
+    stats = pts.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 6)).alias("sxy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 6)).alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    return stats.filter(n >= 10).select(
+        "source",
+        n.cast("bigint").alias("n_terms"),
+        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4).alias("zipf_slope"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q172 — near-dup threshold sweep: how many pairs / how many distinct
+# documents a Jaccard dedup pass would flag at each candidate
+# threshold — the report that picks the dedup operating point before
+# committing to a full pass. Reuses the q99 inverted-index pair table
+# (computed ONCE at the loosest threshold); the sweep itself is a
+# 4-row broadcast joined against the pair table, so the marginal cost
+# per threshold is an in-memory filter, not a recompute.
+# ---------------------------------------------------------------------------
+_SWEEP_THRESHOLDS = (0.2, 0.4, 0.6, 0.8)
+
+
+@query(
+    "q172_neardup_threshold_sweep",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id,
+               CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS shingle
+        FROM ({_SHINGLES_SQL})
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b,
+               CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) AS sim
+        FROM inter
+          JOIN sizes sa ON inter.id_a = sa.doc_id
+          JOIN sizes sb ON inter.id_b = sb.doc_id
+    ),
+    th AS (SELECT unnest([{', '.join(f'CAST({t} AS DOUBLE)' for t in _SWEEP_THRESHOLDS)}]) AS threshold),
+    sweep AS (
+        SELECT th.threshold, p.id_a, p.id_b
+        FROM pairs p JOIN th ON p.sim >= th.threshold
+    ),
+    np AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs FROM sweep GROUP BY 1),
+    nd AS (
+        SELECT threshold, CAST(count(DISTINCT d) AS BIGINT) AS n_docs_flagged
+        FROM (SELECT threshold, unnest([id_a, id_b]) AS d FROM sweep)
+        GROUP BY 1
+    )
+    SELECT threshold, n_pairs, n_docs_flagged FROM np JOIN nd USING (threshold)
+    """,
+)
+def q172_neardup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=min(_SWEEP_THRESHOLDS), int_hash=True)
+    th = F.explode(
+        F.array(*[F.lit(t).cast("double") for t in _SWEEP_THRESHOLDS])
+    ).alias("threshold")
+    sweep = pairs.select(th, "id_a", "id_b", "jaccard").filter(
+        F.col("jaccard") >= F.col("threshold")
+    )
+    # Single aggregation pass: exploding both endpoints doubles each
+    # pair exactly once, so n_pairs = rows/2 and the flagged-doc count
+    # is a distinct over the same exploded stream — the pair join runs
+    # ONCE (two separate aggs would re-execute it per branch).
+    return (
+        sweep.select("threshold", F.explode(F.array("id_a", "id_b")).alias("d"))
+        .groupBy("threshold")
+        .agg(
+            (F.count("*") / 2).cast("bigint").alias("n_pairs"),
+            F.countDistinct("d").cast("bigint").alias("n_docs_flagged"),
+        )
+    )
