@@ -587,3 +587,21 @@ def q172_neardup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("d").cast("bigint").alias("n_docs_flagged"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q171 — BPE merge training (rows-only: iterative, not SQL-
+# expressible). Learns the top-5 corpus merges from the word-frequency
+# table (operators/bpe.py) — the tokenizer-training step of an LLM
+# data pipeline. Driver traffic is 1 row per round; each round is one
+# exchange over the vocabulary table (≪ corpus by Heaps' law).
+# Verified in tests/test_bpe.py: round-1 argmax equals the DuckDB
+# weighted pair count, the greedy fold matches hand-computed merges
+# (including overlapping runs), replayed merges reconcile the total
+# symbol-count decrease, and training is deterministic.
+# ---------------------------------------------------------------------------
+@query("q171_bpe_merge_train")
+def q171_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.bpe import train_bpe
+
+    return train_bpe(load_table(spark, sf_dir, "documents"), n_merges=5)

@@ -270,3 +270,219 @@ def q164_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_near_dup_lsh(emb, threshold=0.4, n_tables=24)
+
+
+# ---------------------------------------------------------------------------
+# q169 — label-centroid similarity matrix: mean embedding per label,
+# then pairwise cosine between the 10 centroids — the class-confusion
+# diagnostic (labels whose centroids cosine-overlap are candidates for
+# merging or re-labelling). Determinism: components are fixed-point
+# floor(x·1e7) BIGINTs summed as decimals (q142 discipline), means are
+# the identical double division on both engines, and the cosine is
+# the usual sequential fold. Cosine is scale-invariant, so centroids
+# stay in fixed-point units (no 1e-7 rescale needed).
+# Scale shape: one exchange on (label, dim) with map-side partials;
+# everything after runs on a |labels|×|dims| table ≪ corpus, and the
+# pairwise step is a broadcast self-join of |labels| rows.
+# ---------------------------------------------------------------------------
+_CENT_DOT = "list_reduce(list_transform(range(1, 65), i -> a.ce[i] * b.ce[i]), (x, y) -> x + y)"
+_CENT_NORM = "sqrt(list_reduce(list_transform({v}, x -> x * x), (x, y) -> x + y))"
+
+
+@query(
+    "q169_label_centroid_sim",
+    oracle=f"""
+    WITH comps AS (
+        SELECT label, dim,
+               CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT) AS q
+        FROM (
+            SELECT label, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS dim
+            FROM embeddings
+        )
+    ),
+    means AS (
+        SELECT label, dim,
+               CAST(sum(CAST(q AS DECIMAL(38,0))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m
+        FROM comps GROUP BY label, dim
+    ),
+    cents AS (
+        SELECT label, list(m ORDER BY dim) AS ce FROM means GROUP BY label
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           {_CENT_DOT}
+             / ({_CENT_NORM.format(v='a.ce')} * {_CENT_NORM.format(v='b.ce')}) AS sim
+    FROM cents a JOIN cents b ON a.label < b.label
+    """,
+)
+def q169_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = emb.select(
+        "label", F.posexplode(to_double_array("embedding")).alias("pos", "x")
+    ).select(
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        F.floor(F.col("x") * 10000000).alias("q"),
+    )
+    means = comps.groupBy("label", "dim").agg(
+        (
+            F.sum(F.col("q").cast("decimal(38,0)")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("m")
+    )
+    cents = means.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+        ).alias("ce")
+    )
+    a, b = cents.alias("a"), cents.alias("b")
+    return (
+        a.join(F.broadcast(b), F.col("a.label") < F.col("b.label"))
+        .select(
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+            cosine_similarity(F.col("a.ce"), F.col("b.ce")).alias("sim"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q170 — Matryoshka truncation audit: for each query vector, how much
+# of the exact 64-dim top-5 survives when retrieval runs on the first
+# 16 dimensions only (the truncate-the-embedding cost/quality dial).
+# Both rankings are exact brute force over identical IEEE doubles, so
+# the overlap count is oracle-exact — this is an *audit of an
+# approximation*, not an approximation itself.
+# Scale shape: two broadcast-scored corpus passes (no corpus shuffle)
+# + a join of two k·|queries|-row top-k tables.
+# ---------------------------------------------------------------------------
+_DOT16 = "list_reduce(list_transform(range(1, 17), i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+_NORM16 = "sqrt(list_reduce(list_transform({v}[1:16], x -> x * x), (x, y) -> x + y))"
+
+
+@query(
+    "q170_matryoshka_overlap",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, ve AS qe FROM v WHERE vec_id % 100 = 0),
+    full_top AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, v.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {_COS} DESC, v.vec_id
+                   ) AS rank
+            FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id
+        ) WHERE rank <= 5
+    ),
+    trunc_top AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, v.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {_DOT16.format(a='qe', b='ve')}
+                                / ({_NORM16.format(v='qe')} * {_NORM16.format(v='ve')}) DESC,
+                                v.vec_id
+                   ) AS rank
+            FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id
+        ) WHERE rank <= 5
+    )
+    SELECT f.query_id,
+           CAST(count(t.neighbor_id) AS BIGINT) AS n_overlap,
+           CAST(count(t.neighbor_id) AS DOUBLE) / 5.0 AS overlap_at_5
+    FROM full_top f
+    LEFT JOIN trunc_top t
+      ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+    GROUP BY f.query_id
+    """,
+)
+def q170_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    full_top = brute_force_topk(emb, emb.filter(F.col("vec_id") % 100 == 0), k=5)
+    emb16 = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    trunc_top = brute_force_topk(
+        emb16, emb16.filter(F.col("vec_id") % 100 == 0), k=5
+    )
+    f = full_top.select("query_id", "neighbor_id")
+    t = trunc_top.select(
+        F.col("query_id").alias("t_qid"), F.col("neighbor_id").alias("t_nid")
+    )
+    joined = f.join(
+        t, (F.col("query_id") == F.col("t_qid")) & (F.col("neighbor_id") == F.col("t_nid")), "left"
+    )
+    return joined.groupBy("query_id").agg(
+        F.count("t_nid").cast("bigint").alias("n_overlap"),
+        (F.count("t_nid").cast("double") / F.lit(5.0)).alias("overlap_at_5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q173 — per-dimension corpus statistics (n / mean / population std /
+# min / max for each of the 64 dimensions): the normalization /
+# whitening-diagnostics table computed before scaling embeddings or
+# choosing quantization ranges. Fixed-point floor(x·1e7) BIGINTs with
+# decimal sums make every aggregate exact; the mean/std finalization
+# is the identical double expression on both engines (q142
+# discipline), so no rounding tolerance is needed anywhere.
+# Scale shape: ONE exchange on dim (64 keys) with map-side partials —
+# the posexplode fan-out (64× rows) never shuffles raw; only 64
+# partial-aggregate rows per task cross the wire.
+# ---------------------------------------------------------------------------
+@query(
+    "q173_embedding_dim_stats",
+    oracle="""
+    WITH comps AS (
+        SELECT dim, CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT) AS q
+        FROM (
+            SELECT unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS dim
+            FROM embeddings
+        )
+    ),
+    agg AS (
+        SELECT dim,
+               count(*) AS n,
+               CAST(sum(CAST(q AS DECIMAL(38,0))) AS DOUBLE) AS s,
+               CAST(sum(CAST(q AS DECIMAL(19,0)) * CAST(q AS DECIMAL(19,0))) AS DOUBLE) AS sq,
+               min(q) AS mn, max(q) AS mx
+        FROM comps GROUP BY dim
+    )
+    SELECT CAST(dim AS BIGINT) AS dim, CAST(n AS BIGINT) AS n,
+           s / CAST(n AS DOUBLE) / 10000000.0 AS mean,
+           sqrt(sq / CAST(n AS DOUBLE) - (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE))) / 10000000.0 AS std_pop,
+           CAST(mn AS DOUBLE) / 10000000.0 AS min_val,
+           CAST(mx AS DOUBLE) / 10000000.0 AS max_val
+    FROM agg
+    """,
+)
+def q173_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = emb.select(
+        F.posexplode(to_double_array("embedding")).alias("pos", "x")
+    ).select(
+        (F.col("pos") + 1).cast("bigint").alias("dim"),
+        F.floor(F.col("x") * 10000000).alias("q"),
+    )
+    dq = F.col("q").cast("decimal(19,0)")
+    agg = comps.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("q").cast("decimal(38,0)")).cast("double").alias("s"),
+        F.sum(dq * dq).cast("double").alias("sq"),
+        F.min("q").alias("mn"),
+        F.max("q").alias("mx"),
+    )
+    n_d = F.col("n").cast("double")
+    mean_q = F.col("s") / n_d
+    return agg.select(
+        "dim",
+        F.col("n").cast("bigint").alias("n"),
+        (mean_q / F.lit(10000000.0)).alias("mean"),
+        (
+            F.sqrt(F.col("sq") / n_d - mean_q * mean_q) / F.lit(10000000.0)
+        ).alias("std_pop"),
+        (F.col("mn").cast("double") / F.lit(10000000.0)).alias("min_val"),
+        (F.col("mx").cast("double") / F.lit(10000000.0)).alias("max_val"),
+    )

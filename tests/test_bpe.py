@@ -1,0 +1,132 @@
+"""BPE merge training (operators/bpe.py) — correctness of the greedy
+fold, round-1 argmax parity vs DuckDB, symbol-count reconciliation,
+and determinism. The query itself (q171) is rows-only: the training
+loop is iterative and has no SQL equivalent."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from pipeline_usnvc_spark.operators.bpe import (
+    adjacent_pair_counts,
+    merge_pair,
+    train_bpe,
+    word_symbol_table,
+)
+
+_TOKS_SQL = "list_filter(string_split_regex(lower(text), '[^a-zA-Z0-9]+'), t -> t <> '')"
+
+
+def _apply(spark, seq: list[str], left: str, right: str) -> list[str]:
+    df = spark.createDataFrame([(seq,)], "syms: array<string>")
+    return df.select(merge_pair(F.col("syms"), left, right).alias("m")).head()["m"]
+
+
+def test_merge_fold_basic(spark):
+    assert _apply(spark, ["a", "b", "c"], "a", "b") == ["ab", "c"]
+    assert _apply(spark, ["c", "a", "b"], "a", "b") == ["c", "ab"]
+    assert _apply(spark, ["a", "b", "a", "b"], "a", "b") == ["ab", "ab"]
+
+
+def test_merge_fold_overlapping_run(spark):
+    # Greedy leftmost non-overlapping: "a a a" with (a, a) -> [aa, a].
+    assert _apply(spark, ["a", "a", "a"], "a", "a") == ["aa", "a"]
+    assert _apply(spark, ["a", "a", "a", "a"], "a", "a") == ["aa", "aa"]
+
+
+def test_merge_fold_no_match_and_edges(spark):
+    assert _apply(spark, ["x", "y"], "a", "b") == ["x", "y"]
+    assert _apply(spark, ["a"], "a", "b") == ["a"]
+    assert _apply(spark, [], "a", "b") == []
+
+
+def test_round1_argmax_matches_duckdb(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = train_bpe(docs, n_merges=1).collect()
+    assert len(merges) == 1
+    got = merges[0]
+    expect = duckdb.sql(
+        f"""
+        WITH words AS (
+            SELECT word, count(*) AS cnt FROM (
+                SELECT unnest({_TOKS_SQL}) AS word
+                FROM '{sf_dir}/documents.parquet'
+            ) GROUP BY word
+        ),
+        pairs AS (
+            SELECT word[i:i] AS l, word[i+1:i+1] AS r, cnt
+            FROM words, unnest(range(1, length(word))) AS t(i)
+        )
+        SELECT l, r, CAST(sum(cnt) AS BIGINT) AS n FROM pairs
+        GROUP BY l, r ORDER BY n DESC, l || chr(0) || r LIMIT 1
+        """
+    ).fetchone()
+    assert (got["left"], got["right"], got["pair_count"]) == expect
+
+
+def test_symbol_count_reconciliation(spark, sf_dir):
+    """Replaying each learned merge shrinks the weighted symbol count
+    by exactly the number of merged-symbol occurrences it created, and
+    that number is within the greedy bounds [ceil(n/2), n] of the
+    reported pair_count."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = train_bpe(docs, n_merges=3).collect()
+    assert merges, "expected at least one merge on the corpus"
+    syms = word_symbol_table(docs)
+
+    def weighted_len(df):
+        return df.select(
+            F.sum(F.size("syms") * F.col("cnt")).alias("s")
+        ).head()["s"]
+
+    for m in merges:
+        before = weighted_len(syms)
+        syms = syms.select(
+            merge_pair(F.col("syms"), m["left"], m["right"]).alias("syms"), "cnt"
+        ).localCheckpoint()
+        after = weighted_len(syms)
+        occurrences = syms.select(
+            F.sum(
+                F.size(F.filter("syms", lambda s: s == F.lit(m["merged"])))
+                * F.col("cnt")
+            ).alias("o")
+        ).head()["o"]
+        assert before - after == occurrences
+        assert (m["pair_count"] + 1) // 2 <= occurrences <= m["pair_count"]
+
+
+def test_training_deterministic(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = [tuple(r) for r in train_bpe(docs, n_merges=3).collect()]
+    b = [tuple(r) for r in train_bpe(docs, n_merges=3).collect()]
+    assert a == b
+    rounds = [r[0] for r in a]
+    assert rounds == sorted(rounds)
+
+
+def test_merged_pair_no_longer_adjacent(spark, sf_dir):
+    """After applying round 1's merge, the (left, right) adjacency
+    count is limited to what greedy overlap legitimately leaves
+    (zero unless left == right or chains re-create it)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = train_bpe(docs, n_merges=1).collect()
+    m = merges[0]
+    syms = word_symbol_table(docs)
+    merged_syms = syms.select(
+        merge_pair(F.col("syms"), m["left"], m["right"]).alias("syms"), "cnt"
+    )
+    pair_key = m["left"] + "\x00" + m["right"]
+    remaining = (
+        adjacent_pair_counts(merged_syms)
+        .filter(F.col("pair") == pair_key)
+        .collect()
+    )
+    if m["left"] != m["right"]:
+        assert remaining == [] or remaining[0]["n"] < m["pair_count"]
+    else:
+        # (x, x) on an odd run leaves one trailing x that can pair
+        # with a following fresh x only across merge boundaries —
+        # still strictly fewer than before.
+        assert remaining == [] or remaining[0]["n"] < m["pair_count"]
