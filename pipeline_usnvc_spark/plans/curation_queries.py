@@ -204,8 +204,10 @@ def q160_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # w_s ∝ n_s^α (α = 0.3) normalized over sources — the standard
 # up-weighting of small high-quality sources when composing a
 # training mix. pow is libm: shares round to 6 dp on both engines.
-# Driver-free: the normalizing sum rides a broadcast single-row
-# aggregate (crossJoin of a 1-row frame), not a collect.
+# Driver-free AND single-scan: the normalizing sum is an unpartitioned
+# window over the already-aggregated |sources|-row frame — a
+# crossJoin(broadcast(powed.agg(...))) would re-execute the count
+# subtree and scan the corpus a second time (proven in test_plans).
 # ---------------------------------------------------------------------------
 @query(
     "q161_temperature_mix",
@@ -221,14 +223,11 @@ def q161_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
     powed = counts.withColumn("w", F.pow(F.col("n_docs").cast("double"), F.lit(0.3)))
-    total = powed.agg(F.sum("w").alias("w_total"))
-    return (
-        powed.crossJoin(F.broadcast(total))
-        .select(
-            "source",
-            "n_docs",
-            F.round(F.col("w") / F.col("w_total"), 6).alias("mix_share"),
-        )
+    w_total = F.sum("w").over(Window.partitionBy())
+    return powed.select(
+        "source",
+        "n_docs",
+        F.round(F.col("w") / w_total, 6).alias("mix_share"),
     )
 
 
@@ -377,18 +376,18 @@ def q166_temperature_quota_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
     powed = counts.withColumn("w", F.pow(F.col("n_docs").cast("double"), F.lit(0.3)))
-    total = powed.agg(F.sum("w").alias("w_total"))
-    quotas = (
-        powed.crossJoin(F.broadcast(total))
-        .select(
-            "source",
-            F.greatest(
-                F.lit(1).cast("bigint"),
-                F.floor(
-                    F.lit(_MIX_BUDGET) * F.round(F.col("w") / F.col("w_total"), 6)
-                ).cast("bigint"),
-            ).alias("quota"),
-        )
+    # Normalizing sum as an unpartitioned window over the |sources|-row
+    # aggregate — NOT crossJoin(broadcast(powed.agg(...))), which would
+    # re-execute the count subtree and scan the corpus twice.
+    w_total = F.sum("w").over(Window.partitionBy())
+    quotas = powed.select(
+        "source",
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.floor(F.lit(_MIX_BUDGET) * F.round(F.col("w") / w_total, 6)).cast(
+                "bigint"
+            ),
+        ).alias("quota"),
     )
     w = Window.partitionBy("source").orderBy(
         F.md5(F.col("doc_id").cast("string")), F.col("doc_id")

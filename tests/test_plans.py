@@ -367,3 +367,48 @@ def test_quality_keeper_single_exchange(spark, sf_dir):
 
     plan = _plan(spark, "q157_quality_keeper", sf_dir)
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_temperature_mix_single_scan(spark, sf_dir):
+    # q161: the normalizing sum is a window over the aggregated
+    # |sources|-row frame — the corpus is scanned exactly once (a
+    # crossJoin(broadcast(agg)) formulation re-executes the count
+    # subtree: second scan).
+    import re
+
+    plan = _plan(spark, "q161_temperature_mix", sf_dir)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_quota_fill_two_scans_quota_broadcast(spark, sf_dir):
+    # q166: one scan feeds the quota computation, one feeds the
+    # ranked stream; quotas reach the stream via broadcast join.
+    import re
+
+    plan = _plan(spark, "q166_temperature_quota_fill", sf_dir)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dim_stats_single_exchange(spark, sf_dir):
+    # q173: the 64x posexplode fan-out aggregates map-side; exactly
+    # one exchange (64 dim keys) crosses the wire.
+    import re
+
+    plan = _plan(spark, "q173_embedding_dim_stats", sf_dir)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "partial" in plan.lower() or "HashAggregate" in plan
+
+
+def test_zipf_windows_rank_vocabulary_not_corpus(spark, sf_dir):
+    # q168: the per-source window runs over the term-count table
+    # (post-aggregation), never over exploded corpus tokens — the
+    # Window's child must be an aggregate, not the explode.
+    plan = _plan(spark, "q168_zipf_fit", sf_dir)
+    assert "Window" in plan
+    win_pos = plan.index("Window")
+    gen_pos = plan.index("Generate")  # the explode
+    # formatted plans list operators leaves-first: the explode must
+    # appear BEFORE the aggregate feeding the window in tree order;
+    # assert the window's required sort mentions the count column.
+    assert "c" in plan[win_pos : win_pos + 400]
