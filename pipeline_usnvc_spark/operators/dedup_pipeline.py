@@ -70,3 +70,94 @@ def dedup_corpus(
         )
     )
     return verdict
+
+
+def curate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+    min_tokens: int = 20,
+    max_tokens: int = 2000,
+    max_punct_ratio: float = 0.3,
+    jaccard_threshold: float = 0.8,
+    quota: int = 15,
+) -> DataFrame:
+    """End-to-end curation gate with a full audit trail: every input
+    document labelled with the stage that dropped it (or ``kept``).
+
+    Stages, in order — each runs only on the previous stage's
+    survivors, so the expensive shingle self-join sees the
+    post-exact-dedup corpus:
+
+    1. ``quality`` — C4-style rules (token count band, punctuation
+       ratio), map-side only;
+    2. ``exact_dup`` — normalized-fingerprint keeper (most tokens,
+       tie lowest id): one exchange on the 16-byte digest;
+    3. ``near_dup`` — single-pass anti-join rule: drop the higher id
+       of any Jaccard ≥ ``jaccard_threshold`` pair (int-hashed
+       inverted-index join; NOT transitive closure — the iterative
+       connected-components variant is ``dedup_corpus``);
+    4. ``quota`` — deterministic md5-rank cap per source.
+
+    Deterministic end-to-end (md5-derived orders, integer
+    arithmetic): SQL-expressible, hence oracle-exact in q174.
+    """
+    from pyspark.sql import Window
+
+    from pipeline_usnvc_spark.functions.text import tokens
+
+    toks = tokens(text_col)
+    punct = F.when(
+        F.length(text_col) > 0,
+        (
+            F.length(text_col)
+            - F.length(F.regexp_replace(text_col, r"[^\w\s]", ""))
+        ).cast("double")
+        / F.length(text_col).cast("double"),
+    ).otherwise(F.lit(0.0))
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        F.col(text_col).alias("text"),
+        doc_fingerprint(text_col).alias("fp"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        punct.alias("punct_ratio"),
+    ).withColumn(
+        "q_fail",
+        (F.col("n_tokens") < min_tokens)
+        | (F.col("n_tokens") > max_tokens)
+        | (F.col("punct_ratio") > max_punct_ratio),
+    )
+    w = Window.partitionBy("fp").orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+    keepers = (
+        staged.filter(~F.col("q_fail"))
+        .withColumn("rn", F.row_number().over(w))
+        .select("doc_id", "rn")
+    )
+    s2 = staged.join(
+        keepers.filter(F.col("rn") == 1).select("doc_id"), "doc_id"
+    ).select("doc_id", "source", "text")
+    pairs = ngram_jaccard_pairs(s2, threshold=jaccard_threshold, int_hash=True)
+    near_dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    s3 = s2.join(near_dropped, "doc_id", "left_anti").select("doc_id", "source")
+    wq = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    quota_ranked = s3.withColumn("rk", F.row_number().over(wq)).select("doc_id", "rk")
+    flags = (
+        staged.select("doc_id", "source", "q_fail")
+        .join(keepers.withColumnRenamed("rn", "k_rn"), "doc_id", "left")
+        .join(near_dropped.withColumn("nd", F.lit(True)), "doc_id", "left")
+        .join(quota_ranked, "doc_id", "left")
+    )
+    return flags.select(
+        "doc_id",
+        "source",
+        F.when(F.col("q_fail"), F.lit("quality"))
+        .when(F.col("k_rn").isNotNull() & (F.col("k_rn") > 1), F.lit("exact_dup"))
+        .when(F.col("nd").isNotNull(), F.lit("near_dup"))
+        .when(F.col("rk") > quota, F.lit("quota"))
+        .otherwise(F.lit("kept"))
+        .alias("drop_stage"),
+    )

@@ -604,3 +604,110 @@ def q171_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_usnvc_spark.operators.bpe import train_bpe
 
     return train_bpe(load_table(spark, sf_dir, "documents"), n_merges=5)
+
+
+# ---------------------------------------------------------------------------
+# q174 — END-TO-END curation pipeline with audit trail: the composed
+# training-data gate a user actually runs, with every document
+# accounted for:
+#
+#   quality (C4-style rules, q36) → exact-dup keeper (q157 rule)
+#   → single-pass near-dup drop (Jaccard ≥ 0.8 among survivors,
+#     keep-lowest-id) → per-source quota (md5 rank ≤ 15)
+#
+# Output is the full per-document audit: (doc_id, source, drop_stage
+# ∈ quality|exact_dup|near_dup|quota|kept). Deliberately SQL-
+# expressible end-to-end (oracle-exact): the near-dup stage here is
+# the single-pass anti-join rule (drop any doc that is the higher id
+# of a ≥0.8 pair) — NOT transitive closure; the full connected-
+# components variant is q56's territory and is approximate only in
+# that it iterates. Scale shape: each stage is one exchange on its
+# own key (fp / shingle / source); later stages only process earlier
+# survivors, so the expensive shingle join runs on the post-exact-
+# dedup corpus (the 30x stress in SCALE.md shows why that ordering
+# matters); the drop-lists rejoin the document spine on doc_id.
+# ---------------------------------------------------------------------------
+_CURATE_JACCARD = 0.8
+_CURATE_QUOTA = 15
+
+
+@query(
+    "q174_curation_pipeline",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, source,
+               {_FP_SQL} AS fp,
+               CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+               CASE WHEN length(text) > 0
+                    THEN CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+                    ELSE 0.0 END AS punct_ratio
+        FROM documents
+    ),
+    staged AS (
+        SELECT *,
+               CASE WHEN n_tokens < 20 OR n_tokens > 2000 OR punct_ratio > 0.3
+                    THEN 'quality' END AS q_fail
+        FROM base
+    ),
+    keepers AS (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY fp ORDER BY n_tokens DESC, doc_id) AS rn
+        FROM staged WHERE q_fail IS NULL
+    ),
+    s2 AS (
+        SELECT s.doc_id, s.source FROM staged s JOIN keepers k ON s.doc_id = k.doc_id
+        WHERE k.rn = 1
+    ),
+    sh AS (
+        SELECT DISTINCT g.doc_id,
+               CAST('0x' || substr(md5(g.shingle), 1, 15) AS BIGINT) AS shingle
+        FROM ({_SHINGLES_SQL}) g JOIN s2 ON g.doc_id = s2.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    near_dropped AS (
+        SELECT DISTINCT b.doc_id AS doc_id FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ) p
+        JOIN sizes sa ON p.id_a = sa.doc_id
+        JOIN sizes sb ON p.id_b = sb.doc_id
+        JOIN (SELECT doc_id FROM s2) b ON p.id_b = b.doc_id
+        WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE)
+              >= {_CURATE_JACCARD}
+    ),
+    s3 AS (
+        SELECT s2.doc_id, s2.source FROM s2
+        WHERE s2.doc_id NOT IN (SELECT doc_id FROM near_dropped)
+    ),
+    quota_ranked AS (
+        SELECT doc_id,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM s3
+    )
+    SELECT b.doc_id, b.source,
+           CASE
+             WHEN s.q_fail IS NOT NULL THEN 'quality'
+             WHEN k.rn IS NOT NULL AND k.rn > 1 THEN 'exact_dup'
+             WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+             WHEN qr.rk > {_CURATE_QUOTA} THEN 'quota'
+             ELSE 'kept'
+           END AS drop_stage
+    FROM base b
+    JOIN staged s ON b.doc_id = s.doc_id
+    LEFT JOIN keepers k ON b.doc_id = k.doc_id
+    LEFT JOIN near_dropped nd ON b.doc_id = nd.doc_id
+    LEFT JOIN quota_ranked qr ON b.doc_id = qr.doc_id
+    """,
+)
+def q174_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.dedup_pipeline import curate
+
+    return curate(
+        load_table(spark, sf_dir, "documents"),
+        jaccard_threshold=_CURATE_JACCARD,
+        quota=_CURATE_QUOTA,
+    )

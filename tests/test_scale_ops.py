@@ -427,3 +427,39 @@ def test_copurchase_edge_cap_bounds_fanout(spark):
     assert len(from_hot) == 8 * 7, f"fan-out not bounded: {len(from_hot)}"
     assert {e.src for e in from_hot} == set(range(8))  # lowest ids win
     assert len([e for e in edges if e.src >= 900]) == 2  # small keys intact
+
+
+def test_curate_exercises_every_stage(spark):
+    """The synthetic corpus has no exact fingerprint duplicates at
+    small SFs, so the exact_dup branch is exercised here with planted
+    documents covering all five outcomes."""
+    from pipeline_usnvc_spark.operators.dedup_pipeline import curate
+
+    base = " ".join(f"base{j}" for j in range(30))  # 30 distinct tokens, 28 shingles
+    near = base + " one two three"  # J = 28/31 ≈ 0.90 vs base
+    rows = [
+        # (doc_id, source, text)
+        (1, "s1", base),                      # kept (keeper of fp family)
+        (2, "s1", base + "  "),               # exact_dup: same normalized fp,
+                                              # same token count, higher id
+        (3, "s1", near),                      # near_dup of doc 1 (J >= 0.8)
+        (4, "s1", "short text"),              # quality: < 20 tokens
+        (5, "s2", "punct " * 20 + "!!!???!!!" * 50),  # quality: punct ratio
+    ] + [
+        (10 + i, "s3", f"w{i} " + " ".join(f"tok{i}x{j}" for j in range(25)))
+        for i in range(4)                     # distinct docs: quota cap at 3
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: long, source: string, text: string")
+    out = {
+        r["doc_id"]: r["drop_stage"]
+        for r in curate(docs, jaccard_threshold=0.8, quota=3).collect()
+    }
+    assert out[1] == "kept"
+    assert out[2] == "exact_dup"
+    assert out[3] == "near_dup"
+    assert out[4] == "quality"
+    assert out[5] == "quality"
+    s3_stages = sorted(out[10 + i] for i in range(4))
+    assert s3_stages == ["kept", "kept", "kept", "quota"]
+    # every input accounted for
+    assert len(out) == len(rows)
