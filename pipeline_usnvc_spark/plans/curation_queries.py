@@ -711,3 +711,151 @@ def q174_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         jaccard_threshold=_CURATE_JACCARD,
         quota=_CURATE_QUOTA,
     )
+
+
+# ---------------------------------------------------------------------------
+# q175 — feature hashing (the "hashing trick", Weinberger et al.
+# 2009): project every document's bag-of-words into a fixed 16-bucket
+# signed feature space using md5-derived bucket + sign — model-free
+# featurization that needs no vocabulary table and therefore no
+# global state at 100 TB. Output is the SPARSE (doc_id, dim, value)
+# form — the natural distributed representation (dense assembly is a
+# per-doc collect_list away when a consumer wants arrays).
+# All-integer arithmetic: oracle-exact.
+# Scale shape: explode → one exchange on (doc_id, dim) with map-side
+# partials; no joins, no global structures.
+# ---------------------------------------------------------------------------
+_FH_DIMS = 16
+
+
+@query(
+    "q175_feature_hashing",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) % {_FH_DIMS} AS dim,
+               CASE WHEN CAST('0x' || substr(md5(token), 9, 1) AS BIGINT) % 2 = 0
+                    THEN 1 ELSE -1 END AS sign
+        FROM tok
+    )
+    SELECT doc_id, dim, CAST(sum(sign) AS BIGINT) AS value
+    FROM hashed GROUP BY doc_id, dim
+    HAVING sum(sign) <> 0
+    """,
+)
+def q175_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    md5 = F.md5("token")
+    dim = F.conv(F.substring(md5, 1, 8), 16, 10).cast("bigint") % _FH_DIMS
+    sign = F.when(
+        F.conv(F.substring(md5, 9, 1), 16, 10).cast("bigint") % 2 == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    return (
+        tok.select("doc_id", dim.alias("dim"), sign.alias("sign"))
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("sign").cast("bigint").alias("value"))
+        .filter(F.col("value") != 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q176 — data-driven LSH parameter planner: for each (bands, rows)
+# split of a 128-hash MinHash budget, the expected recall at the
+# near-dup band (J ≥ 0.8) and the expected false-candidate load,
+# evaluated against THIS corpus's observed pair-similarity
+# distribution (the q99 pair table), not a textbook S-curve alone —
+# "measure, don't guess" applied to choosing b×r before a full LSH
+# pass. Detection probability p = 1-(1-J^r)^b per pair; libm pow
+# rounds to 6 dp before the (small) sums, final figures to 4 dp
+# (q38/q168 discipline). Scale shape: the pair table is computed once
+# (inverted-index join); the 4-row parameter grid broadcasts.
+# ---------------------------------------------------------------------------
+_LSH_GRID = ((4, 32), (8, 16), (16, 8), (32, 4))
+_LSH_TARGET_J = 0.8
+
+
+@query(
+    "q176_lsh_parameter_plan",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id,
+               CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS shingle
+        FROM ({_SHINGLES_SQL})
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) AS j
+        FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ) p
+        JOIN sizes sa ON p.id_a = sa.doc_id
+        JOIN sizes sb ON p.id_b = sb.doc_id
+        WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.1
+    ),
+    grid AS (
+        SELECT unnest([{', '.join(str(b) for b, _ in _LSH_GRID)}]) AS bands,
+               unnest([{', '.join(str(r) for _, r in _LSH_GRID)}]) AS rows_per_band
+    ),
+    scored AS (
+        SELECT g.bands, g.rows_per_band, p.j,
+               round(1 - pow(1 - pow(p.j, g.rows_per_band), g.bands), 6) AS p_detect
+        FROM pairs p CROSS JOIN grid g
+    )
+    SELECT CAST(bands AS INT) AS bands,
+           CAST(rows_per_band AS INT) AS rows_per_band,
+           CAST(count(CASE WHEN j >= {_LSH_TARGET_J} THEN 1 END) AS BIGINT) AS n_target_pairs,
+           round(sum(CASE WHEN j >= {_LSH_TARGET_J} THEN p_detect END)
+                 / count(CASE WHEN j >= {_LSH_TARGET_J} THEN 1 END), 4) AS expected_recall,
+           round(coalesce(sum(CASE WHEN j < {_LSH_TARGET_J} THEN p_detect END), 0), 4)
+               AS expected_false_candidates
+    FROM scored GROUP BY bands, rows_per_band
+    """,
+)
+def q176_lsh_parameter_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.1, int_hash=True).select(
+        F.col("jaccard").alias("j")
+    )
+    grid = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("bands"), F.lit(r).alias("rows_per_band")
+                )
+                for b, r in _LSH_GRID
+            ]
+        )
+    ).alias("g")
+    scored = pairs.select("j", grid).select(
+        F.col("g.bands").alias("bands"),
+        F.col("g.rows_per_band").alias("rows_per_band"),
+        "j",
+        F.round(
+            F.lit(1)
+            - F.pow(
+                F.lit(1) - F.pow(F.col("j"), F.col("g.rows_per_band").cast("double")),
+                F.col("g.bands").cast("double"),
+            ),
+            6,
+        ).alias("p_detect"),
+    )
+    is_target = F.col("j") >= _LSH_TARGET_J
+    return scored.groupBy("bands", "rows_per_band").agg(
+        F.count(F.when(is_target, 1)).cast("bigint").alias("n_target_pairs"),
+        F.round(
+            F.sum(F.when(is_target, F.col("p_detect")))
+            / F.count(F.when(is_target, 1)),
+            4,
+        ).alias("expected_recall"),
+        F.round(
+            F.coalesce(F.sum(F.when(~is_target, F.col("p_detect"))), F.lit(0.0)), 4
+        ).alias("expected_false_candidates"),
+    )

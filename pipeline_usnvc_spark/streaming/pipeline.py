@@ -208,3 +208,57 @@ def idempotent_foreach_batch(out_dir: str):
         batch_df.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
 
     return _sink
+
+
+def incremental_dedup_ledger(out_dir: str, text_col: str = "text"):
+    """Cross-batch exact dedup against an all-time fingerprint ledger.
+
+    The production ingestion shape: every microbatch of newly crawled
+    documents is deduplicated (a) within the batch (min-id keeper per
+    normalized fingerprint) and (b) against EVERYTHING already
+    accepted, then appended. Returns a ``foreachBatch`` sink writing
+
+    - ``{out}/docs/epoch=N``   — first-seen documents of epoch N
+    - ``{out}/ledger/epoch=N`` — their (fp) rows
+
+    Idempotent under Structured Streaming's at-least-once foreachBatch
+    contract: each epoch overwrites its OWN partition, and the
+    anti-join reads only ledger epochs STRICTLY BELOW the current one
+    — a retried epoch therefore cannot see its own half-written
+    output and converges to identical files.
+
+    100 TB shape: the ledger holds 16-byte digests, not text (~1/1000
+    of corpus bytes); the anti-join is fp-keyed — bucket both sides by
+    fp (operators/layout) to make it shuffle-free as the ledger grows.
+    """
+    from pipeline_usnvc_spark.functions.text import doc_fingerprint
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("fp").orderBy("doc_id")
+        batch = (
+            batch_df.withColumn("fp", doc_fingerprint(text_col))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        from pyspark.errors import AnalysisException
+
+        try:
+            ledger = spark.read.parquet(f"{out_dir}/ledger").filter(
+                F.col("epoch") < F.lit(epoch_id)
+            )
+            fresh = batch.join(ledger.select("fp"), "fp", "left_anti")
+        except AnalysisException:
+            fresh = batch  # no ledger yet: everything is first-seen
+        fresh = fresh.localCheckpoint()  # both writes below reuse one pass
+        fresh.drop("fp").write.mode("overwrite").parquet(
+            f"{out_dir}/docs/epoch={epoch_id}"
+        )
+        fresh.select("fp").write.mode("overwrite").parquet(
+            f"{out_dir}/ledger/epoch={epoch_id}"
+        )
+
+    return _sink

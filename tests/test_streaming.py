@@ -362,3 +362,31 @@ def test_kafka_envelope_decode(spark):
     assert [r["_corrupt"] for r in got] == [False, True, False]
     assert [r["offset"] for r in got] == [100, 101, 102]
     assert got[0]["value"] == 2.5 and got[0]["user_id"] == 7
+
+
+def test_incremental_dedup_ledger(spark, tmp_path):
+    """Cross-batch exact dedup: later epochs drop docs whose
+    fingerprint any earlier epoch accepted; a retried epoch converges
+    to identical output (at-least-once safety)."""
+    from pipeline_usnvc_spark.streaming.pipeline import incremental_dedup_ledger
+
+    out = str(tmp_path / "led")
+    sink = incremental_dedup_ledger(out)
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id: long, text: string")
+
+    sink(mk([(1, "alpha beta gamma"), (2, "delta epsilon zeta"),
+             (3, "alpha  BETA gamma")]), 0)  # 3 normalizes to fp of 1
+    docs0 = spark.read.parquet(f"{out}/docs/epoch=0")
+    assert sorted(r["doc_id"] for r in docs0.collect()) == [1, 2]
+
+    sink(mk([(4, "delta epsilon zeta"), (5, "eta theta iota")]), 1)
+    docs1 = spark.read.parquet(f"{out}/docs/epoch=1")
+    assert [r["doc_id"] for r in docs1.collect()] == [5]  # 4 dups epoch 0
+
+    # retry epoch 1 (same batch re-delivered): output unchanged, no dup rows
+    sink(mk([(4, "delta epsilon zeta"), (5, "eta theta iota")]), 1)
+    docs1b = spark.read.parquet(f"{out}/docs/epoch=1")
+    assert [r["doc_id"] for r in docs1b.collect()] == [5]
+    ledger = spark.read.parquet(f"{out}/ledger")
+    assert ledger.count() == 3  # one fp row per accepted doc
+    assert ledger.select("fp").distinct().count() == 3
