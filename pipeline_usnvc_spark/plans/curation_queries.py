@@ -1,13 +1,16 @@
-"""Corpus-curation queries: the selection/reporting layer of an LLM
-training-data pipeline (quality-aware dedup keepers, cross-document
-novelty, tokenizer fertility, temperature-balanced source mixing,
-dup-rate reporting, outlier winsorization).
+"""Corpus-curation queries: the selection layer of an LLM
+training-data pipeline — dedup keepers, novelty/fertility/dup-rate
+reporting, temperature source mixing and quota fills, curriculum
+ordering, Zipf corpus-health fits, BPE tokenizer training, feature
+hashing, an LSH parameter planner, and the composed end-to-end
+curation gate (q174).
 
-All six are oracle-exact: integer counts + single cast-to-double
-divisions, md5-derived keys, and deterministic tie orders; the two
-that touch libm (pow / percentile interpolation) round to 6 dp on
-BOTH engines before comparison (the round-before-rank discipline from
-q35/q66).
+All are oracle-exact except q171 (iterative BPE, rows-only +
+property-tested): integer counts + single cast-to-double divisions,
+md5-derived keys, and deterministic tie orders; anything touching
+libm (pow / ln / percentile interpolation) rounds to 6 dp on BOTH
+engines before summation and 4 dp at the end (the round-before-rank
+discipline from q35/q66).
 """
 
 from __future__ import annotations
