@@ -1,0 +1,119 @@
+"""Source/format widening: the custom Python DataSource (Spark 4
+``pyspark.sql.datasource`` API), ORC roundtrip, and the binaryFile
+source feeding the multimodal plumbing."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+
+def _make_corpus(tmp_path, texts):
+    d = tmp_path / "corpus"
+    (d / "sub").mkdir(parents=True)
+    paths = []
+    for i, txt in enumerate(texts):
+        p = (d / "sub" / f"doc{i}.txt") if i % 2 else (d / f"doc{i}.txt")
+        p.write_text(txt)
+        paths.append(str(p))
+    (d / "ignored.bin").write_text("x")
+    return str(d)
+
+
+def test_textcorpus_datasource_reads_tree(spark, tmp_path):
+    from pipeline_usnvc_spark.sources.corpus_source import TextCorpusDataSource
+
+    spark.dataSource.register(TextCorpusDataSource)
+    d = _make_corpus(tmp_path, ["hello world", "foo bar baz", "third doc here"])
+    df = (
+        spark.read.format("textcorpus")
+        .option("path", d)
+        .option("partitions", "2")
+        .load()
+    )
+    rows = sorted(df.collect(), key=lambda r: r["doc_id"])
+    assert [r["doc_id"] for r in rows] == [0, 1, 2]
+    assert all(r["n_chars"] == len(r["text"]) for r in rows)
+    # stable ids: sorted-path order, independent of partition count
+    df1 = (
+        spark.read.format("textcorpus")
+        .option("path", d)
+        .option("partitions", "1")
+        .load()
+    )
+    assert {(r["doc_id"], r["path"]) for r in df1.collect()} == {
+        (r["doc_id"], r["path"]) for r in rows
+    }
+    # composes with the engine: fingerprints computable straight off it
+    from pipeline_usnvc_spark.functions.text import doc_fingerprint
+
+    assert df.select(doc_fingerprint("text")).distinct().count() == 3
+
+
+def test_textcorpus_requires_path(spark):
+    from pipeline_usnvc_spark.sources.corpus_source import TextCorpusDataSource
+
+    spark.dataSource.register(TextCorpusDataSource)
+    import pytest
+
+    with pytest.raises(Exception, match="path"):
+        spark.read.format("textcorpus").load().collect()
+
+
+def test_orc_roundtrip_preserves_documents(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "docs_orc")
+    docs.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert back.schema == docs.schema
+    assert back.count() == docs.count()
+    a = docs.agg(F.sum(F.crc32(F.concat_ws("|", "doc_id", "text"))).alias("h")).head()["h"]
+    b = back.agg(F.sum(F.crc32(F.concat_ws("|", "doc_id", "text"))).alias("h")).head()["h"]
+    assert a == b
+
+
+def test_orc_predicate_pushdown(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "docs_orc2")
+    docs.write.mode("overwrite").orc(out)
+    df = spark.read.orc(out).filter(F.col("doc_id") < 10).select("doc_id")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PushedFilters" in plan and "LessThan(doc_id,10)" in plan, plan
+    assert "ReadSchema: struct<doc_id:bigint>" in plan, plan
+
+
+def test_binaryfile_source_feeds_multimodal(spark, tmp_path):
+    """binaryFile is the ingest path for opaque media blobs: read
+    files as (path, content binary), attach typed metadata, and run
+    the multimodal Arrow extraction over them."""
+    d = tmp_path / "blobs"
+    d.mkdir()
+    payloads = {f"img{i}.jpg": bytes([i]) * (16 + i) for i in range(3)}
+    for name, blob in payloads.items():
+        (d / name).write_bytes(blob)
+    raw = spark.read.format("binaryFile").option("pathGlobFilter", "*.jpg").load(str(d))
+    assert raw.count() == 3
+    assert {f.name for f in raw.schema.fields} >= {"path", "content", "length"}
+    media = raw.select(
+        F.crc32(F.col("path")).cast("bigint").alias("doc_id"),
+        F.element_at(F.split("path", "/"), -1).alias("name"),
+        F.col("content").alias("media"),
+        F.struct(
+            F.lit("image/jpeg").alias("mime"),
+            F.lit(4).cast("int").alias("width"),
+            F.lit(4).cast("int").alias("height"),
+            F.col("length").cast("bigint").alias("n_bytes"),
+        ).alias("media_meta"),
+    )
+    from pipeline_usnvc_spark.operators.multimodal import extract_features
+
+    name_by_id = {r["doc_id"]: r["name"] for r in media.collect()}
+    feats = extract_features(media.drop("name"))
+    rows = {name_by_id[r["doc_id"]]: r for r in feats.collect()}
+    assert set(rows) == set(payloads)
+    for name, blob in payloads.items():
+        assert rows[name]["n_bytes"] == len(blob)
+        assert rows[name]["feature_kind"] == "stub_byte_histogram"
