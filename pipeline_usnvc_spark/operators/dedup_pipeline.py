@@ -168,3 +168,28 @@ def curate(
         .otherwise(F.lit("kept"))
         .alias("drop_stage"),
     )
+
+
+def curate_observed(docs: DataFrame, **kwargs):
+    """``curate`` plus production observability: per-stage drop counts
+    collected via ``DataFrame.observe`` — the metrics ride the SAME
+    job as the output (no second action, no extra scan), the pattern
+    for pipeline health dashboards at scale.
+
+    Returns ``(df, observation)``; read ``observation.get`` AFTER an
+    action on ``df``.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("curate")
+    stage_count = lambda s: F.count(F.when(F.col("drop_stage") == s, 1)).alias(s)
+    df = curate(docs, **kwargs).observe(
+        obs,
+        F.count(F.lit(1)).alias("total"),
+        stage_count("kept"),
+        stage_count("quality"),
+        stage_count("exact_dup"),
+        stage_count("near_dup"),
+        stage_count("quota"),
+    )
+    return df, obs
