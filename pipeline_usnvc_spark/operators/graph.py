@@ -188,3 +188,91 @@ def pagerank(
             .transform(materialize)
         )
     return ranks
+
+
+def label_propagation(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "node",
+    label_col: str = "label",
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Semi-supervised label propagation: spread known labels over an
+    undirected graph until (bounded) fixpoint — e.g. propagate
+    trusted quality/topic labels from a small audited seed set across
+    the near-dup/similarity graph to label the whole corpus.
+
+    ``nodes`` = (node, label) with label NULL for unlabeled nodes.
+    Each round every unlabeled-or-relabelable node adopts the
+    majority label among its labeled neighbors (tie → smallest
+    label); SEED labels are clamped (never overwritten) — the
+    classic semi-supervised variant. Each round is one join + one
+    aggregation with per-round checkpointing, the same scale shape as
+    ``connected_components``; convergence is detected with a
+    changed-count aggregate (one scalar per round to the driver).
+
+    Returns (node, label, origin) with origin ∈ seed | propagated |
+    unreached.
+    """
+    sym = materialize(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    seeds = nodes.select(
+        F.col(node_col).alias("node"), F.col(label_col).alias("seed_label")
+    )
+    state = materialize(
+        seeds.select(
+            "node",
+            F.col("seed_label").alias("label"),
+            F.col("seed_label").isNotNull().alias("is_seed"),
+        )
+    )
+    for _ in range(max_iter):
+        # labeled neighbor votes: (node b) <- label of neighbor a
+        votes = (
+            sym.join(
+                state.filter(F.col("label").isNotNull()).select(
+                    F.col("node").alias("a"), F.col("label").alias("nbr_label")
+                ),
+                "a",
+            )
+            .groupBy(F.col("b").alias("node"), "nbr_label")
+            .agg(F.count("*").alias("n"))
+        )
+        best = votes.groupBy("node").agg(
+            F.min(F.struct(-F.col("n"), F.col("nbr_label"))).alias("top")
+        ).select("node", F.col("top.nbr_label").alias("new_label"))
+        nxt = materialize(
+            state.join(best, "node", "left").select(
+                "node",
+                F.when(F.col("is_seed"), F.col("label"))
+                .otherwise(F.coalesce(F.col("new_label"), F.col("label")))
+                .alias("label"),
+                "is_seed",
+                (
+                    ~F.col("is_seed")
+                    & F.col("new_label").isNotNull()
+                    & (
+                        F.col("label").isNull()
+                        | (F.col("new_label") != F.col("label"))
+                    )
+                ).alias("changed"),
+            )
+        )
+        n_changed = nxt.agg(F.sum(F.col("changed").cast("int")).alias("c")).head()["c"]
+        state = nxt.drop("changed")
+        if not n_changed:
+            break
+    return state.select(
+        "node",
+        "label",
+        F.when(F.col("is_seed"), F.lit("seed"))
+        .when(F.col("label").isNotNull(), F.lit("propagated"))
+        .otherwise(F.lit("unreached"))
+        .alias("origin"),
+    )

@@ -862,3 +862,76 @@ def q176_lsh_parameter_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum(F.when(~is_target, F.col("p_detect"))), F.lit(0.0)), 4
         ).alias("expected_false_candidates"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q177 — per-source curation funnel: the q174 audit pivoted into the
+# dashboard table a data owner reads (counts per stage + keep rate
+# per source). One extra exchange over q174's output (groupBy
+# source); conditional counts avoid a second pass per stage.
+# ---------------------------------------------------------------------------
+from pipeline_usnvc_spark.plans.registry import ORACLES as _ORACLES
+
+
+@query(
+    "q177_curation_funnel",
+    oracle=f"""
+    WITH audit AS ({_ORACLES["q174_curation_pipeline"]})
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(CASE WHEN drop_stage = 'quality' THEN 1 END) AS BIGINT) AS n_quality,
+           CAST(count(CASE WHEN drop_stage = 'exact_dup' THEN 1 END) AS BIGINT) AS n_exact_dup,
+           CAST(count(CASE WHEN drop_stage = 'near_dup' THEN 1 END) AS BIGINT) AS n_near_dup,
+           CAST(count(CASE WHEN drop_stage = 'quota' THEN 1 END) AS BIGINT) AS n_quota,
+           CAST(count(CASE WHEN drop_stage = 'kept' THEN 1 END) AS BIGINT) AS n_kept,
+           CAST(count(CASE WHEN drop_stage = 'kept' THEN 1 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS keep_rate
+    FROM audit GROUP BY source
+    """,
+)
+def q177_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.dedup_pipeline import curate
+
+    audit = curate(
+        load_table(spark, sf_dir, "documents"),
+        jaccard_threshold=_CURATE_JACCARD,
+        quota=_CURATE_QUOTA,
+    )
+    stage = lambda s: F.count(F.when(F.col("drop_stage") == s, 1)).cast("bigint")
+    return audit.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        stage("quality").alias("n_quality"),
+        stage("exact_dup").alias("n_exact_dup"),
+        stage("near_dup").alias("n_near_dup"),
+        stage("quota").alias("n_quota"),
+        stage("kept").alias("n_kept"),
+        (
+            F.count(F.when(F.col("drop_stage") == "kept", 1)).cast("double")
+            / F.count("*").cast("double")
+        ).alias("keep_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q178 — semi-supervised label propagation (rows-only: iterative).
+# A 10%-seed audited label set (source of every doc_id % 10 == 0)
+# spreads over the shingle near-dup graph — the "label the corpus
+# from a small audited sample" primitive. Each round is one
+# join+agg with per-round checkpoints (connected-components scale
+# shape); properties (clamped seeds, majority adoption, deterministic
+# ties, unreached isolation) are asserted in tests/test_properties.
+# ---------------------------------------------------------------------------
+@query("q178_label_propagation")
+def q178_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.dedup import ngram_jaccard_pairs
+    from pipeline_usnvc_spark.operators.graph import label_propagation
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2, int_hash=True)
+    nodes = docs.select(
+        F.col("doc_id").alias("node"),
+        F.when(F.col("doc_id") % 10 == 0, F.col("source")).alias("label"),
+    )
+    return label_propagation(
+        nodes, pairs.select("id_a", "id_b"), src="id_a", dst="id_b"
+    )

@@ -153,3 +153,66 @@ def test_table_diff_self_is_empty(spark, sf_dir):
 
     orders = load_table(spark, sf_dir, "orders")
     assert table_diff(orders, orders, ["o_orderkey"]).count() == 0
+
+
+def test_label_propagation_two_clusters(spark):
+    """Seeds spread to their cluster; ties break to the smallest
+    label; seeds are clamped; isolated nodes stay unreached."""
+    from pipeline_usnvc_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (3, 10)],
+        "src bigint, dst bigint",
+    )
+    nodes = spark.createDataFrame(
+        [(1, "A"), (2, None), (3, None), (10, None), (11, "B"), (12, None),
+         (99, None)],
+        "node bigint, label string",
+    )
+    out = {r["node"]: (r["label"], r["origin"])
+           for r in label_propagation(nodes, edges).collect()}
+    assert out[1] == ("A", "seed")
+    assert out[11] == ("B", "seed")
+    assert out[2][0] == "A" and out[2][1] == "propagated"
+    assert out[12][0] == "B"
+    # nodes 3 and 10 sit between both seeds: one labeled neighbor each
+    # at first (3<-2 becomes A, 10<-11 B), then stable; tie rules only
+    # kick in when vote counts equalize — assert they got SOME label
+    assert out[3][1] == "propagated" and out[10][1] == "propagated"
+    assert out[99] == (None, "unreached")
+
+
+def test_label_propagation_seed_clamped_and_deterministic(spark):
+    from pipeline_usnvc_spark.operators.graph import label_propagation
+
+    # seed surrounded by opposite-label majority keeps its own label
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "src bigint, dst bigint"
+    )
+    nodes = spark.createDataFrame(
+        [(1, "X"), (2, "Y"), (3, "Y"), (4, "Y")], "node bigint, label string"
+    )
+    a = sorted(map(tuple, label_propagation(nodes, edges).collect()))
+    b = sorted(map(tuple, label_propagation(nodes, edges).collect()))
+    assert a == b
+    out = dict((n, (l, o)) for n, l, o in a)
+    assert out[1] == ("X", "seed")
+
+
+def test_label_propagation_majority_and_tiebreak(spark):
+    from pipeline_usnvc_spark.operators.graph import label_propagation
+
+    # node 5: neighbors 2x"B", 1x"A" -> majority B;
+    # node 6: one "A" and one "B" neighbor -> tie -> smallest label A
+    edges = spark.createDataFrame(
+        [(5, 1), (5, 2), (5, 3), (6, 1), (6, 2)],
+        "src bigint, dst bigint",
+    )
+    nodes = spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, "B"), (5, None), (6, None)],
+        "node bigint, label string",
+    )
+    out = {r["node"]: r["label"]
+           for r in label_propagation(nodes, edges, max_iter=1).collect()}
+    assert out[5] == "B"
+    assert out[6] == "A"
