@@ -754,3 +754,28 @@ def q150_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q179 — streaming running term counts (applyInPandasWithState;
+# rows-only: update-mode emission order is stream-dependent; totals
+# proven ≡ batch groupBy in tests/test_streaming.py). State is one
+# bigint per distinct term — vocabulary-sized, not stream-sized.
+# ---------------------------------------------------------------------------
+@query("q179_streaming_term_counts")
+def q179_streaming_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.streaming.pipeline import run_stream_to_memory
+    from pipeline_usnvc_spark.streaming.stateful import streaming_term_counts
+
+    docs_stream = (
+        spark.readStream.schema(
+            "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        )
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    return run_stream_to_memory(
+        streaming_term_counts(docs_stream), "q179_streaming_term_counts",
+        output_mode="update",
+    )

@@ -21,6 +21,7 @@ from typing import Any, Iterator, Tuple
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = (
@@ -76,5 +77,44 @@ def streaming_sessionize(events: DataFrame) -> DataFrame:
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+TERM_OUTPUT_SCHEMA = "term string, total bigint, batch_delta bigint"
+TERM_STATE_SCHEMA = "total bigint"
+
+
+def _term_count_group(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (term,) = key
+    delta = int(sum(len(pdf) for pdf in pdfs))
+    total = (state.get[0] if state.exists else 0) + delta
+    state.update((total,))
+    yield pd.DataFrame({"term": [term], "total": [total], "batch_delta": [delta]})
+
+
+def streaming_term_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Running corpus term counts over a document stream: the
+    vocabulary-statistics feed (fertility, coverage, drift dashboards)
+    maintained incrementally instead of recomputed per batch.
+
+    Tokens explode map-side; state is ONE bigint per distinct term
+    (vocabulary-sized ≪ stream, Heaps' law), updated via
+    ``applyInPandasWithState`` and emitted as (term, running total,
+    this-batch delta) in update mode. Arrow-batched like the
+    sessionizer — no per-row Python.
+    """
+    from pipeline_usnvc_spark.functions.text import tokens as tokenize
+
+    toks = docs.select(F.explode(tokenize(text_col)).alias("term"))
+    return toks.groupBy("term").applyInPandasWithState(
+        _term_count_group,
+        outputStructType=TERM_OUTPUT_SCHEMA,
+        stateStructType=TERM_STATE_SCHEMA,
+        outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -390,3 +390,39 @@ def test_incremental_dedup_ledger(spark, tmp_path):
     ledger = spark.read.parquet(f"{out}/ledger")
     assert ledger.count() == 3  # one fp row per accepted doc
     assert ledger.select("fp").distinct().count() == 3
+
+
+def test_streaming_term_counts_match_batch(spark, sf_dir):
+    """Running stateful term totals after draining the stream equal a
+    batch groupBy count over the same corpus."""
+    from pipeline_usnvc_spark.functions.text import tokens
+    from pipeline_usnvc_spark.streaming.pipeline import run_stream_to_memory
+    from pipeline_usnvc_spark.streaming.stateful import streaming_term_counts
+
+    docs_stream = (
+        spark.readStream.schema(
+            "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        )
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    emitted = run_stream_to_memory(
+        streaming_term_counts(docs_stream), "term_counts", output_mode="update"
+    ).collect()
+    # update mode may emit a term several times across batches: the
+    # LAST total per term is the running value
+    final = {}
+    for r in emitted:
+        final[r["term"]] = r["total"]
+
+    batch = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .count()
+    )
+    want = {r["term"]: r["count"] for r in batch.collect()}
+    assert final == want
+    # deltas within one drained run sum to the totals
+    assert sum(r["batch_delta"] for r in emitted) == sum(want.values())
