@@ -761,3 +761,48 @@ def q152_user_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("user_id", F.col("event_type").alias("modal_type"), F.col("c").alias("n_events"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q181 — per-user EWMA (α = 0.2) of the event value stream, computed
+# as a sequential left fold over each user's time-ordered values —
+# the deterministic-summation discipline from the cosine operators
+# applied to a recursive statistic (EWMA has no closed associative
+# form, so a fold IS the correct formulation; per-user event counts
+# are bounded, and the collect_list stays inside the user's
+# partition). Identical IEEE sequence on both engines; round 6 on
+# output.
+# ---------------------------------------------------------------------------
+@query(
+    "q181_ewma_user_value",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, list(value ORDER BY ts, event_id) AS vs,
+               count(*) AS n
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           round(list_reduce(vs, (acc, x) -> acc * 0.8 + 0.2 * x), 6) AS ewma
+    FROM ordered
+    """,
+)
+def q181_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ordered = ev.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))),
+            lambda s: s["value"],
+        ).alias("vs"),
+        F.count("*").alias("n_events"),
+    )
+    # list_reduce seeds with the first element; mirror with slice+fold
+    fold = F.aggregate(
+        F.slice(F.col("vs"), 2, F.greatest(F.size("vs") - 1, F.lit(0))),
+        F.element_at(F.col("vs"), 1),
+        lambda acc, x: acc * F.lit(0.8) + F.lit(0.2) * x,
+    )
+    return ordered.select(
+        "user_id",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round(fold, 6).alias("ewma"),
+    )
