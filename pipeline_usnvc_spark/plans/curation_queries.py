@@ -165,9 +165,14 @@ def q159_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q160 — cross-document novelty: the fraction of a doc's distinct
 # 3-gram shingles not seen in any LOWER-id document (stream-order
 # novelty — the marginal-information score used to prioritize fresh
-# content). Scale shape: ONE shuffle on shingle computes first-seen
-# via a window min (no second join back); the per-doc ratio is a
-# groupBy on doc_id. No pairwise comparisons anywhere.
+# content). Scale shape: NO window, NO join-back — n_novel per doc is
+# just groupBy(first_seen).count() over the (shingle → min doc_id)
+# aggregate, and n_shingles is a doc-keyed count; every exchange has
+# map-side partial aggregation, so a boilerplate shingle shared by 1M
+# docs combines to one row per map task instead of hot-spotting a
+# window partition (the round-1 window-min formulation had no partial
+# agg and shuffled the full (doc, shingle) stream by shingle).
+# No pairwise comparisons anywhere.
 # ---------------------------------------------------------------------------
 @query(
     "q160_novelty_score",
@@ -192,13 +197,21 @@ def q160_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.explode(word_shingles(tokens("text"))).alias("shingle"))
         .distinct()
     )
-    w = Window.partitionBy("shingle")
-    firsts = sh.withColumn("first_seen", F.min("doc_id").over(w))
-    novel = F.when(F.col("first_seen") == F.col("doc_id"), 1).otherwise(0)
-    return firsts.groupBy("doc_id").agg(
-        F.count("*").alias("n_shingles"),
-        F.sum(novel).alias("n_novel"),
-        (F.sum(novel).cast("double") / F.count("*").cast("double")).alias("novelty"),
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    novel_counts = (
+        sh.groupBy("shingle")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_novel"))
+    )
+    return sizes.join(novel_counts, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce(F.col("n_novel"), F.lit(0)).cast("bigint").alias("n_novel"),
+        (
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("double")
+            / F.col("n_shingles").cast("double")
+        ).alias("novelty"),
     )
 
 
