@@ -173,3 +173,45 @@ def with_global_cumsum(
         .withColumn(cumsum_col, (F.col("_lcs") + F.col("_off")).cast(sum_type))
         .drop("_pid", "_lcs", "_off")
     )
+
+
+def grouped_topk(
+    df: DataFrame,
+    group_cols: list[str] | str,
+    order_cols: list[Column | str],
+    k: int,
+    rank_col: str = "rank",
+    n_salt: int = 16,
+) -> DataFrame:
+    """Exact top-k rows per group under a total order, without ever
+    materializing a whole group in one window partition.
+
+    A plain ``Window.partitionBy(group)`` ranks a billion-row hot
+    group in ONE task (the classic skew OOM). This is the standard
+    two-stage refinement instead:
+
+    1. rank within (group, salt) — salt derived from the ordering
+       key's hash, so every salted partition is bounded at ~|group|/S
+       — and keep each bucket's local top-k;
+    2. final rank over the ≤ k·S survivors per group — a bounded
+       window no matter how hot the group is.
+
+    Stage-1 pruning is sound because a row outside its bucket's local
+    top-k is beaten by k rows of the same group and can never make
+    the global top-k. ``order_cols`` must be a total order (include a
+    tie-breaker) for the output ranks to be deterministic.
+    """
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    salt = F.abs(F.hash(*cols)) % n_salt
+    w_local = Window.partitionBy(*group_cols, "_salt").orderBy(*cols)
+    w_final = Window.partitionBy(*group_cols).orderBy(*cols)
+    return (
+        df.withColumn("_salt", salt)
+        .withColumn("_lrk", F.row_number().over(w_local))
+        .filter(F.col("_lrk") <= k)
+        .withColumn(rank_col, F.row_number().over(w_final))
+        .filter(F.col(rank_col) <= k)
+        .drop("_salt", "_lrk")
+    )

@@ -338,14 +338,21 @@ _QUOTA_K = 10
     """,
 )
 def q165_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.rank import grouped_topk
+
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    # Two-stage salted top-k: a hot source never lands in one window
+    # partition (operators/rank.grouped_topk; plan test asserts the
+    # bounded second stage).
+    topk = grouped_topk(
+        docs.select("doc_id", "source"),
+        "source",
+        [F.md5(F.col("doc_id").cast("string")), F.col("doc_id")],
+        k=_QUOTA_K,
+        rank_col="quota_rank",
     )
-    return (
-        docs.select("doc_id", "source")
-        .withColumn("quota_rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("quota_rank") <= _QUOTA_K)
+    return topk.select(
+        "doc_id", "source", F.col("quota_rank").cast("bigint").alias("quota_rank")
     )
 
 
@@ -405,12 +412,17 @@ def q166_temperature_quota_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("quota"),
     )
-    w = Window.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
-    )
-    ranked = docs.select("doc_id", "source").withColumn(
-        "quota_rank", F.row_number().over(w).cast("bigint")
-    )
+    from pipeline_usnvc_spark.operators.rank import grouped_topk
+
+    # Per-source quotas never exceed the budget, so the salted top-k
+    # prunes to BUDGET survivors per source before the exact filter.
+    ranked = grouped_topk(
+        docs.select("doc_id", "source"),
+        "source",
+        [F.md5(F.col("doc_id").cast("string")), F.col("doc_id")],
+        k=_MIX_BUDGET,
+        rank_col="quota_rank",
+    ).withColumn("quota_rank", F.col("quota_rank").cast("bigint"))
     return ranked.join(F.broadcast(quotas), "source").filter(
         F.col("quota_rank") <= F.col("quota")
     ).select("doc_id", "source", "quota_rank", "quota")

@@ -478,3 +478,43 @@ def test_curate_observed_metrics_match_output(spark, sf_dir):
     assert m["total"] == sum(truth.values())
     for stage in ("kept", "quality", "exact_dup", "near_dup", "quota"):
         assert m[stage] == truth.get(stage, 0), stage
+
+
+def test_grouped_topk_equals_plain_window(spark):
+    """Two-stage salted top-k == single-window top-k on a skewed
+    fixture (one group holds 90% of rows)."""
+    import random
+
+    from pyspark.sql import Window
+    from pipeline_usnvc_spark.operators.rank import grouped_topk
+
+    rng = random.Random(11)
+    rows = [("hot", rng.randint(0, 10**9), i) for i in range(9000)] + [
+        (f"g{i%7}", rng.randint(0, 10**9), 9000 + i) for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "g string, v bigint, id bigint")
+    got = {
+        (r["g"], r["id"], r["rank"])
+        for r in grouped_topk(df, "g", ["v", "id"], k=25).collect()
+    }
+    w = Window.partitionBy("g").orderBy("v", "id")
+    want = {
+        (r["g"], r["id"], r["rank"])
+        for r in df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 25)
+        .collect()
+    }
+    assert got == want and len(got) == 25 + 7 * 25
+
+
+def test_grouped_topk_two_stage_plan(spark, sf_dir):
+    """q165's plan must contain BOTH window stages (salted local +
+    bounded final) — the skew-safe shape, not one giant partition."""
+    from pipeline_usnvc_spark.plans import QUERIES
+
+    df = QUERIES["q165_source_quota_cap"](spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert plan.count("Window") >= 2, plan
+    assert "_salt" in plan, plan
