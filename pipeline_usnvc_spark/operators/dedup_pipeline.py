@@ -136,25 +136,41 @@ def curate(
         | (F.col("n_tokens") > max_tokens)
         | (F.col("punct_ratio") > max_punct_ratio),
     )
-    w = Window.partitionBy("fp").orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+    # Keeper per fingerprint as a partial-aggregating struct-argmax
+    # (most tokens, tie lowest id) — skew-immune: a cluster holding
+    # 90% of the corpus reduces map-side instead of hot-spotting a
+    # window partition (same reasoning as q157/q160).
     keepers = (
         staged.filter(~F.col("q_fail"))
-        .withColumn("rn", F.row_number().over(w))
-        .select("doc_id", "rn")
+        .groupBy("fp")
+        .agg(
+            F.max(F.struct(F.col("n_tokens"), (-F.col("doc_id")).alias("neg_id")))
+            .alias("top")
+        )
+        .select("fp", (-F.col("top.neg_id")).alias("keeper_id"))
     )
-    s2 = staged.join(
-        keepers.filter(F.col("rn") == 1).select("doc_id"), "doc_id"
-    ).select("doc_id", "source", "text")
+    s2 = (
+        staged.join(keepers, "fp")
+        .filter(F.col("doc_id") == F.col("keeper_id"))
+        .select("doc_id", "source", "text")
+    )
     pairs = ngram_jaccard_pairs(s2, threshold=jaccard_threshold, int_hash=True)
     near_dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     s3 = s2.join(near_dropped, "doc_id", "left_anti").select("doc_id", "source")
-    wq = Window.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
-    )
-    quota_ranked = s3.withColumn("rk", F.row_number().over(wq)).select("doc_id", "rk")
+    from pipeline_usnvc_spark.operators.rank import grouped_topk
+
+    # Salted two-stage rank bounds the per-source window even when one
+    # source dominates the corpus (operators/rank.grouped_topk).
+    quota_ranked = grouped_topk(
+        s3,
+        "source",
+        [F.md5(F.col("doc_id").cast("string")), F.col("doc_id")],
+        k=quota,
+        rank_col="rk",
+    ).select("doc_id", "rk")
     flags = (
-        staged.select("doc_id", "source", "q_fail")
-        .join(keepers.withColumnRenamed("rn", "k_rn"), "doc_id", "left")
+        staged.select("doc_id", "source", "fp", "q_fail")
+        .join(keepers, "fp", "left")
         .join(near_dropped.withColumn("nd", F.lit(True)), "doc_id", "left")
         .join(quota_ranked, "doc_id", "left")
     )
@@ -162,9 +178,14 @@ def curate(
         "doc_id",
         "source",
         F.when(F.col("q_fail"), F.lit("quality"))
-        .when(F.col("k_rn").isNotNull() & (F.col("k_rn") > 1), F.lit("exact_dup"))
+        .when(
+            F.col("keeper_id").isNotNull() & (F.col("doc_id") != F.col("keeper_id")),
+            F.lit("exact_dup"),
+        )
         .when(F.col("nd").isNotNull(), F.lit("near_dup"))
-        .when(F.col("rk") > quota, F.lit("quota"))
+        # reaching here the doc is an s3 survivor; grouped_topk only
+        # emits ranks <= quota, so a NULL rank means beyond-quota
+        .when(F.col("rk").isNull(), F.lit("quota"))
         .otherwise(F.lit("kept"))
         .alias("drop_stage"),
     )

@@ -45,9 +45,13 @@ _SHINGLES_SQL = f"""
 # cluster (normalized-token md5), keep the doc with the MOST tokens
 # (tie: lowest doc_id) instead of the arbitrary min-id keeper — the
 # curation rule that retains the best-formatted copy of a boilerplate
-# family. Scale shape: one groupBy on the 16-byte digest; raw text
-# never shuffles; the keeper choice is a window row_number inside the
-# digest partition (same single exchange).
+# family. Scale shape: ONE groupBy on the 16-byte digest with
+# map-side partial aggregation — the keeper is a struct-max
+# (n_tokens, -doc_id) argmax computed in the combiner, so a
+# pathological cluster holding 90% of the corpus still reduces
+# map-side instead of hot-spotting a window partition (session-2
+# rewrite of the round-1 window formulation; same q160 reasoning).
+# Raw text never shuffles.
 # ---------------------------------------------------------------------------
 @query(
     "q157_quality_keeper",
@@ -74,18 +78,14 @@ def q157_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_fingerprint("text").alias("fp"),
         token_count("text").alias("n_tokens"),
     )
-    w = Window.partitionBy("fp").orderBy(F.desc("n_tokens"), F.asc("doc_id"))
-    wc = Window.partitionBy("fp")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .withColumn("cluster_size", F.count("*").over(wc))
-        .filter(F.col("rn") == 1)
-        .select(
-            "fp",
-            F.col("doc_id").alias("keeper_id"),
-            F.col("n_tokens").alias("keeper_tokens"),
-            F.col("cluster_size").cast("bigint").alias("cluster_size"),
-        )
+    top = F.max(F.struct(F.col("n_tokens"), (-F.col("doc_id")).alias("neg_id")))
+    return scored.groupBy("fp").agg(
+        top.alias("top"), F.count("*").cast("bigint").alias("cluster_size")
+    ).select(
+        "fp",
+        (-F.col("top.neg_id")).alias("keeper_id"),
+        F.col("top.n_tokens").alias("keeper_tokens"),
+        "cluster_size",
     )
 
 

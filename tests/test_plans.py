@@ -361,12 +361,15 @@ def test_winsorize_fact_never_shuffles(spark, sf_dir):
 
 
 def test_quality_keeper_single_exchange(spark, sf_dir):
-    # q157: both windows (row_number + cluster count) share the fp
-    # partition key — one exchange serves them both.
+    # q157: one partial-aggregating groupBy on fp — a single exchange,
+    # with the keeper argmax computed in the map-side combiner (no
+    # Window operator anywhere in the plan).
     import re
 
     plan = _plan(spark, "q157_quality_keeper", sf_dir)
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Window" not in plan
+    assert "partial_max" in plan or "partial" in plan.lower()
 
 
 def test_temperature_mix_single_scan(spark, sf_dir):
