@@ -157,17 +157,17 @@ def curate(
     pairs = ngram_jaccard_pairs(s2, threshold=jaccard_threshold, int_hash=True)
     near_dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     s3 = s2.join(near_dropped, "doc_id", "left_anti").select("doc_id", "source")
-    from pipeline_usnvc_spark.operators.rank import grouped_topk
-
-    # Salted two-stage rank bounds the per-source window even when one
-    # source dominates the corpus (operators/rank.grouped_topk).
-    quota_ranked = grouped_topk(
-        s3,
-        "source",
-        [F.md5(F.col("doc_id").cast("string")), F.col("doc_id")],
-        k=quota,
-        rank_col="rk",
-    ).select("doc_id", "rk")
+    # row_number()<=k windows prune map-side via Spark's
+    # WindowGroupLimit rewrite (see q165), so a hot source never
+    # floods one partition here either.
+    wq = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    quota_ranked = (
+        s3.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= quota)
+        .select("doc_id", "rk")
+    )
     flags = (
         staged.select("doc_id", "source", "fp", "q_fail")
         .join(keepers, "fp", "left")
@@ -183,8 +183,8 @@ def curate(
             F.lit("exact_dup"),
         )
         .when(F.col("nd").isNotNull(), F.lit("near_dup"))
-        # reaching here the doc is an s3 survivor; grouped_topk only
-        # emits ranks <= quota, so a NULL rank means beyond-quota
+        # reaching here the doc is an s3 survivor; quota_ranked only
+        # carries ranks <= quota, so a NULL rank means beyond-quota
         .when(F.col("rk").isNull(), F.lit("quota"))
         .otherwise(F.lit("kept"))
         .alias("drop_stage"),

@@ -186,9 +186,17 @@ def grouped_topk(
     """Exact top-k rows per group under a total order, without ever
     materializing a whole group in one window partition.
 
-    A plain ``Window.partitionBy(group)`` ranks a billion-row hot
-    group in ONE task (the classic skew OOM). This is the standard
-    two-stage refinement instead:
+    NOTE: for the plain ``row_number().over(...) <= k`` pattern Spark
+    already rewrites the window into ``WindowGroupLimit`` with a
+    PARTIAL stage before the exchange (map-side top-k pruning —
+    asserted in test_scale_ops), so prefer the single window there.
+    Reach for this operator when the rewrite can't apply: the k is
+    per-group (joined in after ranking), the rank feeds further
+    window functions, or the engine/version lacks the rewrite.
+
+    A plain ``Window.partitionBy(group)`` without that rewrite ranks
+    a billion-row hot group in ONE task (the classic skew OOM). This
+    is the standard two-stage refinement instead:
 
     1. rank within (group, salt) — salt derived from the ordering
        key's hash, so every salted partition is bounded at ~|group|/S

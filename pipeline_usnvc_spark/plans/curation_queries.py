@@ -338,21 +338,20 @@ _QUOTA_K = 10
     """,
 )
 def q165_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pipeline_usnvc_spark.operators.rank import grouped_topk
-
     docs = load_table(spark, sf_dir, "documents")
-    # Two-stage salted top-k: a hot source never lands in one window
-    # partition (operators/rank.grouped_topk; plan test asserts the
-    # bounded second stage).
-    topk = grouped_topk(
-        docs.select("doc_id", "source"),
-        "source",
-        [F.md5(F.col("doc_id").cast("string")), F.col("doc_id")],
-        k=_QUOTA_K,
-        rank_col="quota_rank",
+    # Hot-source safety comes free: Spark rewrites row_number()<=k
+    # into WindowGroupLimit(Partial) BEFORE the exchange, so each map
+    # task pre-prunes to its local top-k per source and at most
+    # k·tasks rows per source ever shuffle (asserted in test_plans;
+    # operators/rank.grouped_topk is the manual fallback for
+    # rank patterns the rewrite can't match).
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
     )
-    return topk.select(
-        "doc_id", "source", F.col("quota_rank").cast("bigint").alias("quota_rank")
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("quota_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("quota_rank") <= _QUOTA_K)
     )
 
 
@@ -412,17 +411,17 @@ def q166_temperature_quota_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("quota"),
     )
-    from pipeline_usnvc_spark.operators.rank import grouped_topk
-
-    # Per-source quotas never exceed the budget, so the salted top-k
-    # prunes to BUDGET survivors per source before the exact filter.
-    ranked = grouped_topk(
-        docs.select("doc_id", "source"),
-        "source",
-        [F.md5(F.col("doc_id").cast("string")), F.col("doc_id")],
-        k=_MIX_BUDGET,
-        rank_col="quota_rank",
-    ).withColumn("quota_rank", F.col("quota_rank").cast("bigint"))
+    # Quotas never exceed the budget, so ranks prune at BUDGET
+    # map-side (WindowGroupLimit, see q165) before the exact
+    # per-source quota filter.
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = (
+        docs.select("doc_id", "source")
+        .withColumn("quota_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("quota_rank") <= _MIX_BUDGET)
+    )
     return ranked.join(F.broadcast(quotas), "source").filter(
         F.col("quota_rank") <= F.col("quota")
     ).select("doc_id", "source", "quota_rank", "quota")

@@ -507,14 +507,15 @@ def test_grouped_topk_equals_plain_window(spark):
     assert got == want and len(got) == 25 + 7 * 25
 
 
-def test_grouped_topk_two_stage_plan(spark, sf_dir):
-    """q165's plan must contain BOTH window stages (salted local +
-    bounded final) — the skew-safe shape, not one giant partition."""
+def test_quota_window_prunes_map_side(spark, sf_dir):
+    """q165's row_number()<=k window must be rewritten by Spark into
+    WindowGroupLimit with a PARTIAL stage BEFORE the exchange — each
+    map task pre-prunes to its local top-k per source, so a hot
+    source shuffles at most k rows per task (the built-in version of
+    the salted two-stage in operators/rank.grouped_topk)."""
     from pipeline_usnvc_spark.plans import QUERIES
 
     df = QUERIES["q165_source_quota_cap"](spark, sf_dir)
-    plan = df._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    )
-    assert plan.count("Window") >= 2, plan
-    assert "_salt" in plan, plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan, plan
