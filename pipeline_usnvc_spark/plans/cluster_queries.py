@@ -93,7 +93,8 @@ def q55_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     survivors AS (SELECT doc_id FROM exact WHERE is_exact_keeper),
     sh AS (
-        SELECT DISTINCT s.doc_id, t.shingle
+        SELECT DISTINCT s.doc_id,
+               CAST('0x' || substr(md5(t.shingle), 1, 15) AS BIGINT) AS shingle
         FROM ({_SHINGLES_SQL}) t JOIN survivors s ON t.doc_id = s.doc_id
     ),
     sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
