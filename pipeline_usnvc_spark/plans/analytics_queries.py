@@ -534,3 +534,42 @@ def q142_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((sy - slope * sx) / n / 1000.0, 9).alias("intercept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q183 — bitmap-accelerated exact distinct counts (Spark 3.5+ bitmap
+# aggregates): the two-level (group, bitmap_bucket) formulation — one
+# RoaringBitmap-style fixed 4 KB bitmap per (group, 32768-value
+# bucket) constructed map-side, counts summed per group. EXACT (not a
+# sketch), so the oracle is plain COUNT(DISTINCT); at 100 TB this is
+# the dense-int-key distinct strategy where per-bucket bitmaps merge
+# associatively in the combiner and the shuffle carries bitmaps, not
+# values (the same pattern warehouses use for user-id distincts).
+# ---------------------------------------------------------------------------
+@query(
+    "q183_bitmap_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q183_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def bitmap_distinct(col: str, alias: str) -> DataFrame:
+        inner = li.groupBy(
+            "l_returnflag", F.expr(f"bitmap_bucket_number({col})").alias("_b")
+        ).agg(
+            F.expr(
+                f"bitmap_count(bitmap_construct_agg(bitmap_bit_position({col})))"
+            ).alias("_c")
+        )
+        return inner.groupBy("l_returnflag").agg(
+            F.sum("_c").cast("bigint").alias(alias)
+        )
+
+    return bitmap_distinct("l_partkey", "n_parts").join(
+        bitmap_distinct("l_suppkey", "n_supps"), "l_returnflag"
+    )
