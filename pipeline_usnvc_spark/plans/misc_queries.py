@@ -779,3 +779,45 @@ def q179_streaming_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_term_counts(docs_stream), "q179_streaming_term_counts",
         output_mode="update",
     )
+
+
+# ---------------------------------------------------------------------------
+# q184 — XML surface (from_xml + xpath, Spark 4 built-ins): serialize
+# part rows to XML, parse them back with a declared schema, and
+# extract one field via XPath — the ingest shape for XML feeds
+# (sitemaps, API exports). The oracle computes the same values
+# straight from the columns, so the round-trip is oracle-exact:
+# any parser deviation (type coercion, whitespace, escaping) breaks
+# the hash. Narrow map-side plan; no shuffle at all.
+# ---------------------------------------------------------------------------
+@query(
+    "q184_xml_roundtrip",
+    oracle="""
+    SELECT p_partkey,
+           p_name AS parsed_name,
+           CAST(p_size AS BIGINT) AS parsed_size,
+           p_name AS xpath_name
+    FROM part WHERE p_partkey % 7 = 0
+    """,
+)
+def q184_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 7 == 0)
+    xml = part.select(
+        "p_partkey",
+        F.concat(
+            F.lit("<part><name>"), F.col("p_name"),
+            F.lit("</name><size>"), F.col("p_size"),
+            F.lit("</size></part>"),
+        ).alias("x"),
+    )
+    parsed = xml.select(
+        "p_partkey",
+        F.from_xml("x", "name STRING, size BIGINT").alias("p"),
+        F.xpath_string("x", F.lit("/part/name")).alias("xpath_name"),
+    )
+    return parsed.select(
+        "p_partkey",
+        F.col("p.name").alias("parsed_name"),
+        F.col("p.size").alias("parsed_size"),
+        "xpath_name",
+    )
