@@ -216,3 +216,52 @@ def test_label_propagation_majority_and_tiebreak(spark):
            for r in label_propagation(nodes, edges, max_iter=1).collect()}
     assert out[5] == "B"
     assert out[6] == "A"
+
+
+def _py_greedy_merge(seq, left, right):
+    out, carry = [], None
+    for s in seq:
+        if carry is not None and carry == left and s == right:
+            out.append(left + right)
+            carry = None
+        else:
+            if carry is not None:
+                out.append(carry)
+            carry = s
+    if carry is not None:
+        out.append(carry)
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(st.sampled_from(["a", "b", "c", "ab"]), max_size=10),
+            st.sampled_from(["a", "b", "ab"]),
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_bpe_merge_fold_matches_python(spark, cases):
+    """The native greedy-merge fold agrees with the reference Python
+    implementation on arbitrary symbol sequences, including
+    overlapping runs and merged-symbol inputs."""
+    from pipeline_usnvc_spark.operators.bpe import merge_pair
+
+    rows = [(i, seq, l, r) for i, (seq, l, r) in enumerate(cases)]
+    df = spark.createDataFrame(
+        rows, "i long, syms array<string>, l string, r string"
+    )
+    # one Spark job for the whole batch: apply each case's own pair
+    out = {}
+    for l, r in {(l, r) for _, _, l, r in rows}:
+        sub = df.filter((F.col("l") == l) & (F.col("r") == r))
+        for row in sub.select(
+            "i", merge_pair(F.col("syms"), l, r).alias("m")
+        ).collect():
+            out[row["i"]] = list(row["m"])
+    for i, (seq, l, r) in enumerate(cases):
+        assert out[i] == _py_greedy_merge(seq, l, r), (seq, l, r)
