@@ -366,3 +366,58 @@ def q182_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(check("documents.doc_id unique+nonnull", doc_ids))
         .unionByName(check("events.ts nonnull", ts_nn))
     )
+
+
+# ---------------------------------------------------------------------------
+# q185 — join-key skew audit: for each candidate shuffle key, the
+# heaviest value's share and its ratio to the mean group size — the
+# diagnostic run BEFORE choosing join/agg strategies (ratio >> 1 →
+# salting / AQE skew-join territory; operators/skew.py). One
+# partial-aggregating groupBy per key; the per-key argmax is a
+# struct-max in the combiner (no window, same q157 discipline).
+# Integer counts + identical double divisions: oracle-exact.
+# ---------------------------------------------------------------------------
+_SKEW_KEYS = (
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"),
+    ("orders", "o_custkey"),
+    ("documents", "source"),
+    ("events", "user_id"),
+)
+
+
+@query(
+    "q185_join_key_skew_audit",
+    oracle=" UNION ALL ".join(
+        f"""
+    (WITH g AS (SELECT CAST({col} AS VARCHAR) AS k, count(*) AS n
+                FROM {tbl} GROUP BY {col})
+    SELECT '{tbl}.{col}' AS key_col,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(max(n) AS BIGINT) AS max_group,
+           CAST(max(n) AS DOUBLE) / (CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+               AS skew_ratio
+    FROM g)
+    """
+        for tbl, col in _SKEW_KEYS
+    ),
+)
+def q185_join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for tbl, col in _SKEW_KEYS:
+        df = load_table(spark, sf_dir, tbl)
+        g = df.groupBy(F.col(col).cast("string").alias("k")).agg(
+            F.count("*").alias("n")
+        )
+        agg = g.agg(
+            F.count("*").cast("bigint").alias("n_groups"),
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.max("n").cast("bigint").alias("max_group"),
+            (
+                F.max("n").cast("double")
+                / (F.sum("n").cast("double") / F.count("*").cast("double"))
+            ).alias("skew_ratio"),
+        ).select(F.lit(f"{tbl}.{col}").alias("key_col"), "*")
+        out = agg if out is None else out.unionByName(agg)
+    return out
