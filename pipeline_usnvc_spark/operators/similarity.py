@@ -104,6 +104,7 @@ def lsh_bucket_ids(
     effectively a broadcast of the quantizer, no driver loop.
     """
     planes = _hyperplane(n_planes, dim)
+    id_type = vectors.schema[id_col].dataType.simpleString()
     v = vectors.select(F.col(id_col), to_double_array(vec_col).alias("v"))
     bucket = F.lit(0).cast("bigint")
     for p, plane in enumerate(planes):
@@ -133,6 +134,7 @@ def kmeans_centroids(
     legitimate driver-side footprint of a coarse quantizer; the
     corpus itself never leaves the executors.
     """
+    id_type = vectors.schema[id_col].dataType.simpleString()
     v = vectors.select(F.col(id_col), to_double_array(vec_col).alias("v"))
     centroids = [
         [float(x) for x in r["v"]]
@@ -583,6 +585,7 @@ def embedding_near_dup_lsh(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    id_type = vectors.schema[id_col].dataType.simpleString()
     v = vectors.select(F.col(id_col), to_double_array(vec_col).alias("v"))
     va = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
     vb = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
@@ -609,7 +612,9 @@ def embedding_near_dup_lsh(
                 }
             )
 
-    return paired.mapInPandas(score, schema="id_a bigint, id_b bigint, sim double")
+    return paired.mapInPandas(
+        score, schema=f"id_a {id_type}, id_b {id_type}, sim double"
+    )
 
 
 def batched_cosine_topk(

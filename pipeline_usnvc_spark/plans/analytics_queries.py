@@ -72,6 +72,26 @@ def q96_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-key basket cap shared by the co-purchase graph builders (q97,
+# q120/copurchase_edges): keep the lowest-id max_items per key before
+# any quadratic same-key self-join. The window shuffles on the same
+# key as the join, so AQE reuses the exchange — bounding fan-out
+# costs no extra shuffle. The SAME constant is interpolated into both
+# oracles so engine and oracle can never drift apart.
+_BFS_MAX_ITEMS_PER_KEY = 32
+
+
+def cap_items_per_key(op, key: str, item: str, max_items: int):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(item)
+    return (
+        op.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_items)
+        .drop("_rn")
+    )
+
+
 # ---------------------------------------------------------------------------
 # q97 — triangle counting on the co-purchase graph (parts appearing in
 # the same order ≥2 times). The support filter is the real-world guard
@@ -81,11 +101,11 @@ def q96_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "q97_triangle_count",
-    oracle="""
+    oracle=f"""
     WITH op_all AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     op AS (
         SELECT l_orderkey, l_partkey FROM op_all
-        QUALIFY row_number() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) <= 32
+        QUALIFY row_number() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) <= {_BFS_MAX_ITEMS_PER_KEY}
     ),
     edges AS (
         SELECT a.l_partkey AS pa, b.l_partkey AS pb
@@ -107,17 +127,8 @@ def q96_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q97_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     op = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    # Same basket cap as q120's copurchase_edges (inert on TPC-H's ≤7
-    # items/order; bounds the quadratic self-join on a skewed catalog).
-    w = Window.partitionBy("l_orderkey").orderBy("l_partkey")
-    op = (
-        op.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= _BFS_MAX_ITEMS_PER_KEY)
-        .drop("_rn")
-    )
+    op = cap_items_per_key(op, "l_orderkey", "l_partkey", _BFS_MAX_ITEMS_PER_KEY)
     a, b = op.alias("a"), op.alias("b")
     edges = (
         a.join(
@@ -291,15 +302,13 @@ def q102_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the same reliable-checkpoint discipline as connected components.
 # Oracle is a depth-bounded recursive CTE. At 100 TB the edge list is
 # the scale risk: the same-order self-join is QUADRATIC in
-# items-per-order, so the basket is capped at _BFS_MAX_ITEMS_PER_KEY
-# items (lowest part keys win — deterministic) BEFORE the self-join,
-# identically on both engines. TPC-H baskets are bounded (≤ 7) so the
-# cap is inert on testdata; on a skewed real catalog it bounds edge
-# fan-out at cap² per order (same stop-shingle discipline as
-# ngram_jaccard_pairs' max_doc_freq). Bounded fan-out asserted on a
-# skewed fixture in tests/test_scale_ops.py.
+# items-per-order, so the basket is capped (cap_items_per_key, shared
+# with q97) BEFORE the self-join, identically on both engines. TPC-H
+# baskets are bounded (≤ 7) so the cap is inert on testdata; on a
+# skewed real catalog it bounds edge fan-out at cap² per order (same
+# stop-shingle discipline as ngram_jaccard_pairs' max_doc_freq).
+# Bounded fan-out asserted on a skewed fixture in tests/test_scale_ops.
 # ---------------------------------------------------------------------------
-_BFS_MAX_ITEMS_PER_KEY = 32
 
 
 def copurchase_edges(
@@ -315,12 +324,7 @@ def copurchase_edges(
     exchange — bounding fan-out costs no extra shuffle."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(key).orderBy(item)
-    capped = (
-        op.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= max_items_per_key)
-        .drop("_rn")
-    )
+    capped = cap_items_per_key(op, key, item, max_items_per_key)
     a, b = capped.alias("a"), capped.alias("b")
     return (
         a.join(
@@ -335,11 +339,11 @@ def copurchase_edges(
 
 @query(
     "q120_bfs_reachability",
-    oracle="""
+    oracle=f"""
     WITH RECURSIVE op_all AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     op AS (
         SELECT l_orderkey, l_partkey FROM op_all
-        QUALIFY row_number() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) <= 32
+        QUALIFY row_number() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) <= {_BFS_MAX_ITEMS_PER_KEY}
     ),
     edges AS (
         SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst

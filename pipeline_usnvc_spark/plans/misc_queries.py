@@ -802,10 +802,21 @@ def q179_streaming_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q184_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 7 == 0)
+    # Entity-escape the embedded string (& first) so a name containing
+    # markup characters still round-trips — from_xml decodes the
+    # entities back, keeping the oracle (raw p_name) exact on ANY data,
+    # not just the inert synthetic names.
+    esc = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("p_name", "&", "&amp;"), "<", "&lt;"
+        ),
+        ">",
+        "&gt;",
+    )
     xml = part.select(
         "p_partkey",
         F.concat(
-            F.lit("<part><name>"), F.col("p_name"),
+            F.lit("<part><name>"), esc,
             F.lit("</name><size>"), F.col("p_size"),
             F.lit("</size></part>"),
         ).alias("x"),

@@ -334,8 +334,12 @@ def q182_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniq_cust = cust.agg(
         (F.count("*") - F.countDistinct("c_custkey")).alias("n_violations")
     )
+    # NULL probe keys are excluded to match the oracle's NOT IN
+    # three-valued logic (a NULL FK is a nonnull-check's business, not
+    # a referential violation).
     fk = (
-        orders.join(
+        orders.filter(F.col("o_custkey").isNotNull())
+        .join(
             F.broadcast(cust.select(F.col("c_custkey").alias("o_custkey"))),
             "o_custkey",
             "left_anti",

@@ -107,16 +107,22 @@ def decode_kafka_envelope(raw: DataFrame, value_schema: str) -> DataFrame:
         parse_schema,
         {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
     )
+    # Kafka metadata rides under a kafka_ prefix so a payload field
+    # named "topic"/"partition"/"offset" can never collide with it
+    # (duplicate-name frames break every downstream reference).
     return raw.select(
         parsed.dropFields("_corrupt_record").alias("event"),
         (F.col("value").isNotNull() & parsed["_corrupt_record"].isNotNull()).alias(
             "_corrupt"
         ),
-        "topic",
-        "partition",
-        "offset",
+        F.col("topic").alias("kafka_topic"),
+        F.col("partition").alias("kafka_partition"),
+        F.col("offset").alias("kafka_offset"),
         F.col("timestamp").alias("kafka_ts"),
-    ).select("event.*", "_corrupt", "topic", "partition", "offset", "kafka_ts")
+    ).select(
+        "event.*", "_corrupt", "kafka_topic", "kafka_partition",
+        "kafka_offset", "kafka_ts",
+    )
 
 
 def read_kafka_stream(

@@ -247,12 +247,22 @@ def incremental_dedup_ledger(out_dir: str, text_col: str = "text"):
         from pyspark.errors import AnalysisException
 
         try:
-            ledger = spark.read.parquet(f"{out_dir}/ledger").filter(
-                F.col("epoch") < F.lit(epoch_id)
-            )
-            fresh = batch.join(ledger.select("fp"), "fp", "left_anti")
-        except AnalysisException:
+            ledger = spark.read.parquet(f"{out_dir}/ledger")
+        except AnalysisException as e:
+            # ONLY the first-epoch missing-path case may fall back —
+            # an unreadable or wrongly-shaped ledger must fail loudly,
+            # not silently re-admit every historical duplicate.
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
+            ledger = None
+        if ledger is None:
             fresh = batch  # no ledger yet: everything is first-seen
+        else:
+            fresh = batch.join(
+                ledger.filter(F.col("epoch") < F.lit(epoch_id)).select("fp"),
+                "fp",
+                "left_anti",
+            )
         fresh = fresh.localCheckpoint()  # both writes below reuse one pass
         fresh.drop("fp").write.mode("overwrite").parquet(
             f"{out_dir}/docs/epoch={epoch_id}"

@@ -404,14 +404,18 @@ def test_dim_stats_single_exchange(spark, sf_dir):
 
 
 def test_zipf_windows_rank_vocabulary_not_corpus(spark, sf_dir):
-    # q168: the per-source window runs over the term-count table
-    # (post-aggregation), never over exploded corpus tokens — the
-    # Window's child must be an aggregate, not the explode.
-    plan = _plan(spark, "q168_zipf_fit", sf_dir)
-    assert "Window" in plan
-    win_pos = plan.index("Window")
-    gen_pos = plan.index("Generate")  # the explode
-    # formatted plans list operators leaves-first: the explode must
-    # appear BEFORE the aggregate feeding the window in tree order;
-    # assert the window's required sort mentions the count column.
-    assert "c" in plan[win_pos : win_pos + 400]
+    # q168: the per-source window ranks the term-count table
+    # (post-aggregation), never the exploded corpus token stream. In
+    # the top-down executedPlan tree the Window must sit ABOVE an
+    # Aggregate which sits above the Generate (explode); a regression
+    # that windows the raw token stream has no aggregate in between.
+    from pipeline_usnvc_spark.plans import QUERIES
+
+    plan = QUERIES["q168_zipf_fit"](spark, sf_dir)._jdf.queryExecution()         .executedPlan().toString()
+    win, gen = plan.index("Window"), plan.index("Generate")
+    assert win < gen, "window must be above the explode in the tree"
+    between = plan[win:gen]
+    assert "Aggregate" in between, (
+        "no aggregate between Window and Generate — window would rank "
+        "the exploded corpus stream\n" + plan[:2000]
+    )

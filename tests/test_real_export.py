@@ -62,11 +62,19 @@ def test_unit_tables_missing_from_snapshot():
     if not blobs.exists():
         pytest.skip("reference snapshot not available")
     stripped = set(blobs.read_text().split())
+    present = [
+        stem for stem in ("unit", "unitDescription")
+        if (EXPORT_DIR / f"{stem}.txt").exists()
+    ]
+    assert not present, (
+        f"{present} present in the export — drop the fixture reconstruction "
+        "and run the pipeline on the real blobs"
+    )
+    # both stems must actually be the documented stripped blobs
     for stem in ("unit", "unitDescription"):
-        if (EXPORT_DIR / f"{stem}.txt").exists():
-            pytest.fail(f"{stem}.txt present — drop the fixture reconstruction")
-        pytest.skip(
-            f"{stem}.txt stripped from reference snapshot "
-            "(.MISSING_LARGE_BLOBS) — end-to-end fidelity verified on "
-            "reconstructed fixtures + 16 real tables instead"
-        )
+        assert any(stem in b for b in stripped), (stem, stripped)
+    pytest.skip(
+        "unit.txt + unitDescription.txt stripped from reference snapshot "
+        "(.MISSING_LARGE_BLOBS) — end-to-end fidelity verified on "
+        "reconstructed fixtures + 16 real tables instead"
+    )

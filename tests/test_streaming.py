@@ -356,12 +356,18 @@ def test_kafka_envelope_decode(spark):
     raw = spark.createDataFrame(rows, KAFKA_WIRE_SCHEMA)
     out = decode_kafka_envelope(
         raw, "event_id bigint, user_id bigint, value double"
-    ).orderBy("offset")
+    ).orderBy("kafka_offset")
     got = out.collect()
     assert [r["event_id"] for r in got] == [1, None, None]
     assert [r["_corrupt"] for r in got] == [False, True, False]
-    assert [r["offset"] for r in got] == [100, 101, 102]
+    assert [r["kafka_offset"] for r in got] == [100, 101, 102]
     assert got[0]["value"] == 2.5 and got[0]["user_id"] == 7
+    # a payload field named "topic" must not collide with the
+    # prefixed kafka metadata columns
+    collide = decode_kafka_envelope(raw, "topic string, event_id bigint")
+    assert collide.columns.count("topic") == 1
+    assert "kafka_topic" in collide.columns
+    collide.select("topic", "kafka_topic").collect()  # unambiguous
 
 
 def test_incremental_dedup_ledger(spark, tmp_path):
