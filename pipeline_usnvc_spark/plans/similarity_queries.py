@@ -486,3 +486,62 @@ def q173_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("mn").cast("double") / F.lit(10000000.0)).alias("min_val"),
         (F.col("mx").cast("double") / F.lit(10000000.0)).alias("max_val"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q186 — FILTERED vector search over the curated corpus: exact top-3
+# neighbors per query, restricted to documents the q174 curation gate
+# kept — the "filtered ANN" shape every retrieval stack needs
+# (search only what survived dedup/quality/quota). Composition
+# showcase: the keep-set is the curate() audit filtered to 'kept',
+# semi-joined into the corpus BEFORE scoring, so dropped documents
+# never cost a single dot product. Brute force + identical fold
+# arithmetic → oracle-exact (the oracle embeds the full q174 SQL).
+# ---------------------------------------------------------------------------
+def _q186_oracle() -> str:
+    # ensure q174's oracle is registered regardless of plans/__init__
+    # import order (curation_queries has no import cycle back here)
+    from pipeline_usnvc_spark.plans import curation_queries  # noqa: F401
+    from pipeline_usnvc_spark.plans.registry import ORACLES
+
+    return f"""
+    WITH audit AS ({ORACLES["q174_curation_pipeline"]}),
+    kept AS (SELECT doc_id FROM audit WHERE drop_stage = 'kept'),
+    v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        FROM embeddings JOIN kept ON embeddings.vec_id = kept.doc_id
+    ),
+    q AS (
+        SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+        FROM embeddings WHERE vec_id % 100 = 0
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim
+    FROM (
+        SELECT q.query_id, v.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY q.query_id ORDER BY {_COS} DESC, v.vec_id
+               ) AS rank,
+               {_COS} AS sim
+        FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id
+    ) WHERE rank <= 3
+    """
+
+
+@query("q186_filtered_vector_search", oracle=_q186_oracle())
+def q186_filtered_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.dedup_pipeline import curate
+    from pipeline_usnvc_spark.plans.curation_queries import (
+        _CURATE_JACCARD,
+        _CURATE_QUOTA,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = (
+        curate(docs, jaccard_threshold=_CURATE_JACCARD, quota=_CURATE_QUOTA)
+        .filter(F.col("drop_stage") == "kept")
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.join(kept, "vec_id", "left_semi")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return brute_force_topk(corpus, queries, k=3)
