@@ -959,3 +959,74 @@ def q178_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(
         nodes, pairs.select("id_a", "id_b"), src="id_a", dst="id_b"
     )
+
+
+# ---------------------------------------------------------------------------
+# q187 — decontaminated train/eval split (the GPT-3/Pile discipline
+# as a TRANSFORM, where q110 is the report): hash-split 80/20, then
+# DROP any train document sharing ≥1 distinct 3-gram shingle with the
+# eval set. Output assigns every doc a split ∈ train | eval |
+# dropped_contaminated. Scale shape: the eval shingle set is the
+# small side (20% of docs, distinct shingles only) of a left_semi
+# join against train shingles — one shingle-keyed exchange; no
+# pairwise work; deterministic md5 split (no RNG state). On this
+# tiny-vocabulary synthetic corpus 3-gram overlap is dense (most
+# train docs drop); production uses 13-grams, which only changes the
+# word_shingles n — the plan shape is identical.
+# ---------------------------------------------------------------------------
+@query(
+    "q187_decontaminated_split",
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(md5(array_to_string({_TOKS_SQL}, ' '))), 1, 8) AS BIGINT) % 100 AS bucket
+        FROM documents
+    ),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_SQL})),
+    eval_sh AS (
+        SELECT DISTINCT shingle FROM sh JOIN bucketed USING (doc_id)
+        WHERE bucket >= 80
+    ),
+    contaminated AS (
+        SELECT DISTINCT sh.doc_id FROM sh
+        JOIN bucketed USING (doc_id)
+        WHERE bucket < 80 AND shingle IN (SELECT shingle FROM eval_sh)
+    )
+    SELECT b.doc_id,
+           CASE WHEN b.bucket >= 80 THEN 'eval'
+                WHEN c.doc_id IS NOT NULL THEN 'dropped_contaminated'
+                ELSE 'train' END AS split
+    FROM bucketed b LEFT JOIN contaminated c ON b.doc_id = c.doc_id
+    """,
+)
+def q187_decontaminated_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(doc_fingerprint("text")), 1, 8), 16, 10).cast("bigint")
+        % 100
+    )
+    bucketed = docs.select("doc_id", "text", bucket.alias("bucket"))
+    sh = bucketed.select(
+        "doc_id",
+        "bucket",
+        F.explode(F.array_distinct(word_shingles(tokens("text")))).alias("shingle"),
+    )
+    eval_sh = sh.filter(F.col("bucket") >= 80).select("shingle").distinct()
+    contaminated = (
+        sh.filter(F.col("bucket") < 80)
+        .join(eval_sh, "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_c", F.lit(True))
+    )
+    return (
+        bucketed.select("doc_id", "bucket")
+        .join(contaminated, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("bucket") >= 80, F.lit("eval"))
+            .when(F.col("_c").isNotNull(), F.lit("dropped_contaminated"))
+            .otherwise(F.lit("train"))
+            .alias("split"),
+        )
+    )

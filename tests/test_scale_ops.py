@@ -519,3 +519,34 @@ def test_quota_window_prunes_map_side(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
     assert "Partial" in plan, plan
+
+
+def test_degenerate_inputs_do_not_crash(spark):
+    """Empty/singleton corpora flow through the heavyweight operators
+    without special-casing by the caller."""
+    from pipeline_usnvc_spark.operators.bpe import train_bpe
+    from pipeline_usnvc_spark.operators.dedup_pipeline import curate
+    from pipeline_usnvc_spark.operators.graph import label_propagation
+
+    empty = spark.createDataFrame([], "doc_id: long, source: string, text: string")
+    assert curate(empty).count() == 0
+    assert train_bpe(empty).count() == 0  # no pairs -> zero merges
+
+    one = spark.createDataFrame(
+        [(1, "s", "alpha beta gamma delta " * 10)],
+        "doc_id: long, source: string, text: string",
+    )
+    out = curate(one).collect()
+    assert len(out) == 1 and out[0]["drop_stage"] == "kept"
+
+    # single-char words have no adjacent pairs: training yields nothing
+    chars = spark.createDataFrame(
+        [(1, "s", "a b c a b c")], "doc_id: long, source: string, text: string"
+    )
+    assert train_bpe(chars).count() == 0
+
+    # label propagation with no edges: seeds stay, others unreached
+    nodes = spark.createDataFrame([(1, "A"), (2, None)], "node bigint, label string")
+    edges = spark.createDataFrame([], "src bigint, dst bigint")
+    got = {r["node"]: r["origin"] for r in label_propagation(nodes, edges).collect()}
+    assert got == {1: "seed", 2: "unreached"}
