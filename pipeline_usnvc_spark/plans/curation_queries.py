@@ -1030,3 +1030,47 @@ def q187_decontaminated_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("split"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q188 — token-budget accounting: how many documents AND tokens each
+# curation stage removes, and what survives for training — the number
+# a pretraining run is actually planned around (token budget, not doc
+# count). One join of the q174 audit back onto per-doc token counts +
+# one groupBy; oracle embeds the q174 SQL, so the report is
+# oracle-exact end-to-end.
+# ---------------------------------------------------------------------------
+@query(
+    "q188_token_budget_report",
+    oracle=f"""
+    WITH audit AS ({_ORACLES["q174_curation_pipeline"]}),
+    toks AS (
+        SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens FROM documents
+    )
+    SELECT a.drop_stage,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(t.n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(t.n_tokens) AS DOUBLE)
+               / (SELECT CAST(sum(n_tokens) AS DOUBLE) FROM toks) AS token_share
+    FROM audit a JOIN toks t ON a.doc_id = t.doc_id
+    GROUP BY a.drop_stage
+    """,
+)
+def q188_token_budget_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.dedup_pipeline import curate
+
+    docs = load_table(spark, sf_dir, "documents")
+    audit = curate(docs, jaccard_threshold=_CURATE_JACCARD, quota=_CURATE_QUOTA)
+    toks = docs.select("doc_id", token_count("text").alias("n_tokens"))
+    joined = audit.join(toks, "doc_id")
+    per_stage = joined.groupBy("drop_stage").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    return per_stage.select(
+        "drop_stage",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / total.cast("double")).alias("token_share"),
+    )
