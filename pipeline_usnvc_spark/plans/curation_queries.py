@@ -1074,3 +1074,89 @@ def q188_token_budget_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         (F.col("n_tokens").cast("double") / total.cast("double")).alias("token_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q189 — near-dup pair diagnostics: for every Jaccard ≥ 0.5 pair, the
+# full similarity picture in one row — Jaccard, both containment
+# directions, and the size ratio — the triage table a curator reads
+# to decide between "true duplicate", "subset/boilerplate embed", and
+# "coincidental overlap". ONE inverted-index pass produces all four
+# numbers (the intersection count and both set sizes are already on
+# the pair row); int/int divisions → oracle-exact.
+# ---------------------------------------------------------------------------
+@query(
+    "q189_neardup_pair_diagnostics",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id,
+               CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS shingle
+        FROM ({_SHINGLES_SQL})
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) AS jaccard,
+           CAST(n_inter AS DOUBLE) / CAST(sa.sz AS DOUBLE) AS cont_a_in_b,
+           CAST(n_inter AS DOUBLE) / CAST(sb.sz AS DOUBLE) AS cont_b_in_a,
+           CAST(least(sa.sz, sb.sz) AS DOUBLE) / CAST(greatest(sa.sz, sb.sz) AS DOUBLE)
+               AS size_ratio
+    FROM inter
+      JOIN sizes sa ON inter.id_a = sa.doc_id
+      JOIN sizes sb ON inter.id_b = sb.doc_id
+    WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.5
+    """,
+)
+def q189_neardup_pair_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(word_shingles(tokens("text")))).alias("s"),
+        )
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint").alias(
+                "shingle"
+            ),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("szb"))
+    j = inter.join(sa, "id_a").join(sb, "id_b")
+    jac = F.col("n_inter").cast("double") / (
+        F.col("sza") + F.col("szb") - F.col("n_inter")
+    ).cast("double")
+    return j.select(
+        "id_a",
+        "id_b",
+        jac.alias("jaccard"),
+        (F.col("n_inter").cast("double") / F.col("sza").cast("double")).alias(
+            "cont_a_in_b"
+        ),
+        (F.col("n_inter").cast("double") / F.col("szb").cast("double")).alias(
+            "cont_b_in_a"
+        ),
+        (
+            F.least("sza", "szb").cast("double")
+            / F.greatest("sza", "szb").cast("double")
+        ).alias("size_ratio"),
+    ).filter(jac >= 0.5)

@@ -419,3 +419,18 @@ def test_zipf_windows_rank_vocabulary_not_corpus(spark, sf_dir):
         "no aggregate between Window and Generate — window would rank "
         "the exploded corpus stream\n" + plan[:2000]
     )
+
+
+def test_curation_pipeline_plan_shape(spark, sf_dir):
+    # q174: no cartesian/nested-loop anywhere; the quota stage's
+    # WindowGroupLimit partial prune is present; the corpus scan count
+    # stays bounded (stage recompute is deliberate map-side work, but
+    # a regression that doubles consumers shows up here).
+    import re
+
+    plan = _plan(spark, "q174_curation_pipeline", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("WindowGroupLimit") >= 1
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans <= 6, f"documents scanned {n_scans}x - consumer regression"
