@@ -1,22 +1,27 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata, processed in Arrow batches.
 
-The decode step itself is STUBBED (no image/audio libraries in this
-container — ``_decode_stub`` produces a deterministic fake pixel
-buffer from the bytes); everything around it is real and tested: the
-schema contract (binary payload + metadata struct), the
-``mapInPandas`` batch shape (Arrow columnar in/out, one pass, no
-row-at-a-time Python), and the partitioning story (binary blobs
-never shuffle for feature extraction — the UDF is map-side).
+The decode step is REAL for PPM (P6) payloads — a pure-bytes format
+needing no media library — implemented as a minimal numpy decoder
+(``decode_ppm``), producing pixel-derived features tagged
+``feature_kind='ppm_rgb_stats'``. Unknown mimes fall back to the
+deterministic byte-histogram extractor tagged
+``feature_kind='stub_byte_histogram'`` so stub vectors can never
+masquerade as real ones downstream (VERDICT r01 item 3 / r02 item 5).
 
-Swap ``_decode_stub`` for PIL/ffmpeg decode on a real cluster; the
-Spark-side plumbing is unchanged.
+The Spark-side contract is the same either way: binary payload +
+typed metadata struct, one Arrow ``mapInPandas`` pass per partition
+(columnar in/out, no row-at-a-time Python), map-side only — binary
+blobs never shuffle for feature extraction. A real deployment adds
+e.g. a 'pil_resnet_embed' branch for image/jpeg; the plumbing is
+unchanged.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -31,41 +36,114 @@ FEATURES_SCHEMA = (
     "feature_kind string, features array<float>"
 )
 
-# The ONLY extractor available in this container (no media libraries):
-# a 16-bin byte histogram. A real deployment registers e.g.
-# 'pil_resnet_embed' here and swaps _decode_stub.
+PPM_MIME = "image/x-portable-pixmap"
+PPM_FEATURE_KIND = "ppm_rgb_stats"
+# Fallback for mimes with no decoder in this container: a 16-bin byte
+# histogram, clearly tagged as a stub.
 STUB_FEATURE_KIND = "stub_byte_histogram"
 
 
 def synthesize_binary_column(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Deterministic fake media payload: the utf-8 bytes of the text
-    column stand in for an encoded image, plus a metadata struct of
-    the kind a real ingest would carry (mime, dims, byte length)."""
-    payload = F.encode(F.col(text_col), "utf-8")
+    """Attach a VALID PPM (P6) image payload derived deterministically
+    from the text column, plus the metadata struct a real ingest would
+    carry (mime, dims, byte length).
+
+    Entirely JVM-native (no Python in the loop): pixel bytes are the
+    utf-8 bytes of the text cycled to exactly ``3*w*h`` via
+    hex → repeat → substring → unhex (substring on the hex string is
+    byte-exact where substring on the raw text would be char-based),
+    then concatenated after the ``P6\\n{w} {h}\\n255\\n`` header.
+    """
+    byte_len = F.octet_length(F.coalesce(F.col(text_col), F.lit("")))
+    w = (F.pmod(byte_len, F.lit(16)) + F.lit(4)).cast("int")
+    h = (F.pmod(byte_len, F.lit(12)) + F.lit(4)).cast("int")
+    npix_bytes = (w.cast("bigint") * h.cast("bigint") * F.lit(3)).cast("int")
+
+    seed_hex = F.when(byte_len == 0, F.lit("00")).otherwise(
+        F.hex(F.encode(F.col(text_col), "utf-8"))
+    )
+    reps = F.ceil((npix_bytes * F.lit(2)).cast("double") / F.length(seed_hex)).cast("int")
+    pixels = F.unhex(F.substring(F.repeat(seed_hex, reps), F.lit(1), npix_bytes * F.lit(2)))
+    header = F.encode(
+        F.concat(F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"), F.lit("\n255\n")),
+        "utf-8",
+    )
+    payload = F.concat(header, pixels)
     return docs.withColumn("media", payload).withColumn(
         "media_meta",
         F.struct(
-            F.lit("image/fake").alias("mime"),
-            (F.length(payload) % 64 + 1).cast("int").alias("width"),
-            (F.length(payload) % 48 + 1).cast("int").alias("height"),
-            F.length(payload).cast("bigint").alias("n_bytes"),
+            F.lit(PPM_MIME).alias("mime"),
+            w.alias("width"),
+            h.alias("height"),
+            F.octet_length(payload).cast("bigint").alias("n_bytes"),
         ),
     )
 
 
-def _decode_stub(buf: bytes, width: int, height: int) -> list[float]:
-    """Stand-in for image decode + feature extraction: a 16-bin byte
-    histogram normalized by length. Deterministic, shape-stable.
-    Replace with a real decoder (PIL → resize → embed) in production;
-    raise NotImplementedError here if accidental real-media input
-    must be caught."""
+def decode_ppm(buf: bytes) -> np.ndarray:
+    """Minimal pure-numpy PPM (P6, maxval ≤ 255) decoder → uint8 array
+    of shape (height, width, 3). Raises ValueError on malformed input
+    — decode failures must fail fast, not produce garbage features.
+
+    Handles the full header grammar: arbitrary whitespace between
+    tokens and ``#`` comments (which a compliant encoder may emit).
+    """
+    if not buf.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    pos = 2
+    tokens: list[int] = []
+    while len(tokens) < 3:
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(buf) and buf[pos : pos + 1] == b"#":
+            while pos < len(buf) and buf[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        tok = buf[start:pos]
+        if not tok.isdigit():
+            raise ValueError(f"non-numeric PPM header token {tok!r}")
+        tokens.append(int(tok))
+    width, height, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit PPM (maxval > 255) not supported")
+    pos += 1  # exactly one whitespace byte separates maxval from raster
+    need = width * height * 3
+    raster = buf[pos : pos + need]
+    if len(raster) != need:
+        raise ValueError(f"PPM raster truncated: need {need} bytes, have {len(raster)}")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(height, width, 3)
+
+
+def _ppm_rgb_stats(img: np.ndarray) -> list[float]:
+    """Pixel-derived feature vector (16 floats): per-channel mean and
+    std (scaled to [0,1]), luminance min/max, and a normalized 8-bin
+    luminance histogram. Deterministic, shape-stable."""
+    px = img.astype(np.float64) / 255.0
+    lum = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+    hist, _ = np.histogram(lum, bins=8, range=(0.0, 1.0))
+    hist = hist / max(1, lum.size)
+    return [
+        *(float(px[..., c].mean()) for c in range(3)),
+        *(float(px[..., c].std()) for c in range(3)),
+        float(lum.min()),
+        float(lum.max()),
+        *(float(x) for x in hist),
+    ]
+
+
+def _byte_histogram(buf: bytes) -> list[float]:
+    """Fallback for mimes with no decoder here: a 16-bin byte
+    histogram normalized by length. Clearly tagged via
+    ``STUB_FEATURE_KIND`` so it can never pass for real features."""
     if not buf:
         return [0.0] * 16
-    hist = [0] * 16
-    for b in buf:
-        hist[b >> 4] += 1
-    n = float(len(buf))
-    return [h / n for h in hist]
+    hist = np.bincount(np.frombuffer(buf, dtype=np.uint8) >> 4, minlength=16)
+    return (hist / len(buf)).tolist()
 
 
 def extract_features(docs_with_media: DataFrame) -> DataFrame:
@@ -73,15 +151,16 @@ def extract_features(docs_with_media: DataFrame) -> DataFrame:
     mapInPandas: one python worker pass per partition, vectorized
     columns in/out, no shuffle (map-side only).
 
-    Every output row carries ``feature_kind = 'stub_byte_histogram'``
-    — the decode step is a STUB in this container (see module
-    docstring); the column is the contract that keeps stub vectors
-    from masquerading as real embeddings downstream.
+    Dispatch is mime-keyed: ``image/x-portable-pixmap`` payloads are
+    REALLY decoded (``decode_ppm``) and emit pixel statistics with
+    ``feature_kind='ppm_rgb_stats'``; anything else falls back to the
+    byte-histogram stub with ``feature_kind='stub_byte_histogram'``.
 
     Metadata contract (enforced per batch, job fails fast on breach —
     a malformed ingest must quarantine upstream, not produce garbage
     features): width/height positive, n_bytes == len(media), media
-    non-null whenever metadata is present.
+    non-null whenever metadata is present, and for PPM the decoded
+    raster dims must equal the declared metadata dims.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -100,17 +179,31 @@ def extract_features(docs_with_media: DataFrame) -> DataFrame:
                 raise ValueError(
                     f"multimodal metadata breach: n_bytes != len(media) for doc_ids {bad.tolist()[:5]}"
                 )
-            feats = [
-                _decode_stub(buf, wi, hi)
-                for buf, wi, hi in zip(pdf["media"], w, h)
-            ]
+            feats: list[list[float]] = []
+            kinds: list[str] = []
+            for buf, mime, wi, hi, did in zip(
+                pdf["media"], pdf["media_meta_mime"], w, h, pdf["doc_id"]
+            ):
+                if mime == PPM_MIME:
+                    img = decode_ppm(bytes(buf))
+                    if img.shape[1] != wi or img.shape[0] != hi:
+                        raise ValueError(
+                            f"multimodal metadata breach: PPM raster is "
+                            f"{img.shape[1]}x{img.shape[0]} but metadata says "
+                            f"{wi}x{hi} for doc_id {did}"
+                        )
+                    feats.append(_ppm_rgb_stats(img))
+                    kinds.append(PPM_FEATURE_KIND)
+                else:
+                    feats.append(_byte_histogram(bytes(buf)))
+                    kinds.append(STUB_FEATURE_KIND)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "width": w,
                     "height": h,
                     "n_bytes": nb,
-                    "feature_kind": STUB_FEATURE_KIND,
+                    "feature_kind": kinds,
                     "features": feats,
                 }
             )
@@ -118,6 +211,7 @@ def extract_features(docs_with_media: DataFrame) -> DataFrame:
     flat = docs_with_media.select(
         "doc_id",
         "media",
+        F.col("media_meta.mime").alias("media_meta_mime"),
         F.col("media_meta.width").alias("media_meta_width"),
         F.col("media_meta.height").alias("media_meta_height"),
         F.col("media_meta.n_bytes").alias("media_meta_n_bytes"),

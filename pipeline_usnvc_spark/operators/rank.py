@@ -212,7 +212,9 @@ def grouped_topk(
     if isinstance(group_cols, str):
         group_cols = [group_cols]
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    salt = F.abs(F.hash(*cols)) % n_salt
+    # pmod, not abs+%: abs(Integer.MIN_VALUE) overflows negative and
+    # % keeps the sign, which would leak a stray negative salt bucket.
+    salt = F.pmod(F.hash(*cols), F.lit(n_salt))
     w_local = Window.partitionBy(*group_cols, "_salt").orderBy(*cols)
     w_final = Window.partitionBy(*group_cols).orderBy(*cols)
     return (

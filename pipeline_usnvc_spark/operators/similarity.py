@@ -104,7 +104,6 @@ def lsh_bucket_ids(
     effectively a broadcast of the quantizer, no driver loop.
     """
     planes = _hyperplane(n_planes, dim)
-    id_type = vectors.schema[id_col].dataType.simpleString()
     v = vectors.select(F.col(id_col), to_double_array(vec_col).alias("v"))
     bucket = F.lit(0).cast("bigint")
     for p, plane in enumerate(planes):
@@ -134,7 +133,6 @@ def kmeans_centroids(
     legitimate driver-side footprint of a coarse quantizer; the
     corpus itself never leaves the executors.
     """
-    id_type = vectors.schema[id_col].dataType.simpleString()
     v = vectors.select(F.col(id_col), to_double_array(vec_col).alias("v"))
     centroids = [
         [float(x) for x in r["v"]]

@@ -297,8 +297,8 @@ def q103_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM first_seen GROUP BY d0
     )
     SELECT day, new_users,
-           sum(new_users) OVER (ORDER BY day
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumulative_users
+           CAST(sum(new_users) OVER (ORDER BY day
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumulative_users
     FROM daily
     """,
 )
@@ -530,7 +530,7 @@ def q121_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, island, max(e) - min(s) AS covered
         FROM i GROUP BY user_id, island
     )
-    SELECT user_id, sum(covered) AS covered_us, count(*) AS n_islands
+    SELECT user_id, CAST(sum(covered) AS BIGINT) AS covered_us, count(*) AS n_islands
     FROM isl GROUP BY user_id
     """,
 )

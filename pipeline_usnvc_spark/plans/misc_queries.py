@@ -299,12 +299,14 @@ def q26_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q70 — multimodal plumbing (rows-only). The decode step is a STUB —
-# every result row says so via feature_kind='stub_byte_histogram';
-# the "features" are a 16-bin byte histogram, NOT real image
-# features (no media libraries in this container). The Spark-side
-# contract — schema, Arrow batch shape, map-side-only plan, metadata
-# validation that fails fast on breach — is real and asserted in
+# q70 — multimodal plumbing (rows-only). The synthesized payloads are
+# REAL PPM (P6) images (pixel bytes = the text's utf-8 bytes cycled,
+# built JVM-native) and the decode step is a REAL pure-numpy PPM
+# decoder — every result row carries feature_kind='ppm_rgb_stats'
+# with pixel-derived statistics. Non-PPM mimes fall back to the
+# clearly-tagged 'stub_byte_histogram' extractor (no jpeg/audio libs
+# in this container). Schema, Arrow batch shape, map-side-only plan,
+# and fail-fast metadata validation are asserted in
 # tests/test_multimodal.py.
 # ---------------------------------------------------------------------------
 @query("q70_multimodal_features")
@@ -643,7 +645,7 @@ def q86_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n_events,
-           sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
            max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
     FROM events GROUP BY event_type

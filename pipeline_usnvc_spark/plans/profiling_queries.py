@@ -300,7 +300,8 @@ def q180_blocked_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'orders.o_custkey fk customer',
            CAST(count(*) AS BIGINT)
-    FROM orders o WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer)
+    FROM orders o WHERE o.o_custkey NOT IN
+        (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)
     UNION ALL
     SELECT 'lineitem.l_quantity in [1,50]',
            CAST(count(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END) AS BIGINT)
@@ -336,7 +337,10 @@ def q182_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # NULL probe keys are excluded to match the oracle's NOT IN
     # three-valued logic (a NULL FK is a nonnull-check's business, not
-    # a referential violation).
+    # a referential violation). The oracle subquery likewise filters
+    # NULL c_custkey so parity is data-independent: a NULL in the
+    # subquery side would otherwise collapse NOT IN to 0 rows while
+    # the left_anti still counts genuine orphans (ADVICE r02).
     fk = (
         orders.filter(F.col("o_custkey").isNotNull())
         .join(

@@ -55,9 +55,11 @@ def q60_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q61 — within-label embedding near-duplicates (cosine ≥ 0.9):
-# label acts as the IVF-style coarse partition, so the pair join is an
-# equi-join on label, not an all-pairs cross.
+# q61 — within-label embedding near-duplicates (cosine ≥ 0.4 — the
+# synthetic corpus's measured near-dup band; 0.9 found zero pairs at
+# sf0.01, making the driver's r02 green row vacuous — VERDICT r02
+# item 3). Label acts as the IVF-style coarse partition, so the pair
+# join is an equi-join on label, not an all-pairs cross.
 # ---------------------------------------------------------------------------
 @query(
     "q61_embedding_near_dup",
@@ -71,7 +73,7 @@ def q60_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                {_DOT.format(a='a.ve', b='b.ve')}
                  / ({_NORM.format(v='a.ve')} * {_NORM.format(v='b.ve')}) AS sim
         FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-    ) WHERE sim >= 0.9
+    ) WHERE sim >= 0.4
     """,
 )
 def q61_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -87,7 +89,7 @@ def q61_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("id_b"),
             cosine_similarity(F.col("a.ve"), F.col("b.ve")).alias("sim"),
         )
-        .filter(F.col("sim") >= 0.9)
+        .filter(F.col("sim") >= 0.4)
     )
 
 

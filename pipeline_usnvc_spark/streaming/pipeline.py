@@ -258,6 +258,24 @@ def incremental_dedup_ledger(out_dir: str, text_col: str = "text"):
         if ledger is None:
             fresh = batch  # no ledger yet: everything is first-seen
         else:
+            # Idempotency relies on epoch_ids increasing monotonically
+            # across the ledger's lifetime. Restarting the stream with
+            # a FRESH checkpoint resets epochs to 0; the strict
+            # `epoch < epoch_id` filter would then exclude the whole
+            # existing ledger and silently re-admit every historical
+            # duplicate. Fail loudly instead (ADVICE r02): resume with
+            # the original checkpoint, or point at a new out_dir.
+            if epoch_id == 0:
+                max_epoch = ledger.agg(F.max("epoch")).first()[0]
+                if max_epoch is not None and max_epoch >= epoch_id:
+                    raise RuntimeError(
+                        f"incremental_dedup_ledger: epoch 0 arrived but "
+                        f"{out_dir}/ledger already holds epochs up to "
+                        f"{max_epoch} — the stream was restarted with a "
+                        f"fresh checkpoint, which would silently re-admit "
+                        f"every historical duplicate. Reuse the original "
+                        f"checkpoint dir or start a new ledger dir."
+                    )
             fresh = batch.join(
                 ledger.filter(F.col("epoch") < F.lit(epoch_id)).select("fp"),
                 "fp",

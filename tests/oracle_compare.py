@@ -30,19 +30,26 @@ def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
 
 
 def _canon_val(v):
+    # Numeric values carry a kind tag so an integer column on one side
+    # can never compare equal to a float column on the other: DuckDB
+    # widens sum(BIGINT) to HUGEINT, fetchdf() coerces that to float64,
+    # and Python's `3 == 3.0` would silently hide the type divergence
+    # that the driver's stricter hasher rejects (VERDICT r02 item 2).
     if v is None:
         return None
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
     if isinstance(v, float) and math.isnan(v):
         return None
+    if isinstance(v, float):
+        return ("f", v)
     if isinstance(v, np.floating):
         v = float(v)
-        return None if math.isnan(v) else v
-    if isinstance(v, np.bool_):
-        return bool(v)
-    if isinstance(v, np.integer):
-        return int(v)
+        return None if math.isnan(v) else ("f", v)
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
     if isinstance(v, Decimal):
-        return float(v)
+        return ("f", float(v))
     if isinstance(v, pd.Timestamp):
         if v is pd.NaT:
             return None

@@ -39,3 +39,45 @@ def test_entry_smoke(spark):
 def test_every_query_has_unique_name():
     assert len(QUERIES) == len(set(QUERIES))
     assert set(ORACLES) <= set(QUERIES)
+
+
+def test_no_oracle_emits_hugeint(sf_dir):
+    """DESCRIBE-sweep: DuckDB widens uncast sum(BIGINT) to HUGEINT
+    (int128), which the driver's hasher renders differently from
+    Spark's BIGINT — the root cause of both red CORRECTNESS_r02 rows
+    (q104, q122). Every oracle aggregate must be cast so no output
+    column types HUGEINT."""
+    import duckdb
+
+    from pipeline_usnvc_spark.sources.tables import TABLE_NAMES
+
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    offenders = {}
+    for name, sql in ORACLES.items():
+        cols = con.execute(f"DESCRIBE ({sql})").fetchall()
+        huge = [c[0] for c in cols if "HUGEINT" in c[1].upper()]
+        if huge:
+            offenders[name] = huge
+    assert not offenders, f"oracles emitting HUGEINT columns: {offenders}"
+
+
+def test_comparator_rejects_int_float_coercion():
+    """Regression for the loophole that hid the HUGEINT bug: an
+    integer Spark column vs a float64 oracle column (DuckDB's
+    int128→float coercion in fetchdf) must FAIL, even when the
+    values are numerically equal."""
+    import numpy as np
+    import pandas as pd
+
+    from tests.oracle_compare import assert_frames_match
+
+    spark_side = pd.DataFrame({"k": ["a", "b"], "n": np.array([3, 7], dtype="int64")})
+    oracle_side = pd.DataFrame({"k": ["a", "b"], "n": np.array([3.0, 7.0], dtype="float64")})
+    with pytest.raises(AssertionError, match="differing row"):
+        assert_frames_match(spark_side, oracle_side, "int_vs_float")
+    # Sanity: identical dtypes still pass.
+    assert_frames_match(spark_side, spark_side.copy(), "int_vs_int")

@@ -397,6 +397,15 @@ def test_incremental_dedup_ledger(spark, tmp_path):
     assert ledger.count() == 3  # one fp row per accepted doc
     assert ledger.select("fp").distinct().count() == 3
 
+    # A fresh-checkpoint restart resets epochs to 0; with historical
+    # ledger epochs present, the strict `epoch < epoch_id` filter
+    # would silently re-admit every past duplicate — the sink must
+    # fail loudly instead (ADVICE r02).
+    import pytest
+
+    with pytest.raises(RuntimeError, match="fresh checkpoint"):
+        sink(mk([(6, "kappa lambda mu")]), 0)
+
 
 def test_streaming_term_counts_match_batch(spark, sf_dir):
     """Running stateful term totals after draining the stream equal a
