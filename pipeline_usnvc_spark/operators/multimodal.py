@@ -146,6 +146,64 @@ def _byte_histogram(buf: bytes) -> list[float]:
     return (hist / len(buf)).tolist()
 
 
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize (pixel-center sampling) — the standard
+    downsample for thumbnail/feature grids, pure numpy indexing so it
+    stays vectorized inside the Arrow batch."""
+    h, w = img.shape[0], img.shape[1]
+    rows = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64), h - 1)
+    cols = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64), w - 1)
+    return img[rows][:, cols]
+
+
+def thumbnail_features(docs_with_media: DataFrame, grid: int = 4) -> DataFrame:
+    """Decode → nearest-neighbor resize to a ``grid``×``grid``
+    thumbnail → per-cell luminance grid (row-major, grid² floats in
+    [0,1]). The classic coarse visual fingerprint (pHash's front
+    half) — REAL pixel work end-to-end for PPM payloads.
+
+    Same Arrow ``mapInPandas`` map-side-only shape as
+    ``extract_features``: blobs never shuffle; output rows are
+    doc_id + grid² floats. Non-PPM mimes fail fast — a resize of
+    undecodable bytes is meaningless, and silent fallbacks are how
+    stub vectors leak into feature stores.
+    """
+
+    schema = "doc_id bigint, width int, height int, feature_kind string, features array<float>"
+    kind = f"ppm_thumb_lum_{grid}x{grid}"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats: list[list[float]] = []
+            for buf, mime, did in zip(pdf["media"], pdf["media_meta_mime"], pdf["doc_id"]):
+                if mime != PPM_MIME:
+                    raise ValueError(
+                        f"thumbnail_features: no decoder for mime {mime!r} (doc_id {did})"
+                    )
+                img = decode_ppm(bytes(buf))
+                thumb = resize_nearest(img, grid, grid).astype(np.float64) / 255.0
+                lum = 0.299 * thumb[..., 0] + 0.587 * thumb[..., 1] + 0.114 * thumb[..., 2]
+                feats.append([float(x) for x in lum.ravel()])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pdf["media_meta_width"],
+                    "height": pdf["media_meta_height"],
+                    "feature_kind": kind,
+                    "features": feats,
+                }
+            )
+
+    flat = docs_with_media.select(
+        "doc_id",
+        "media",
+        F.col("media_meta.mime").alias("media_meta_mime"),
+        F.col("media_meta.width").alias("media_meta_width"),
+        F.col("media_meta.height").alias("media_meta_height"),
+    )
+    return flat.mapInPandas(batches, schema=schema)
+
+
 def extract_features(docs_with_media: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over the binary column via
     mapInPandas: one python worker pass per partition, vectorized

@@ -577,3 +577,97 @@ def q183_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bitmap_distinct("l_partkey", "n_parts").join(
         bitmap_distinct("l_suppkey", "n_supps"), "l_returnflag"
     )
+
+
+# ---------------------------------------------------------------------------
+# q198 — KMV (k-minimum-values) distinct-count sketch per source over
+# the token vocabulary, k=32: keep the k smallest 60-bit md5 hashes
+# of the distinct tokens; estimate distinct = (k-1) / (h_k / 2^60).
+# The KMV estimator (Bar-Yossef et al. 2002) is mergeable by
+# min-merging hash sets — the union-merge identity is property-tested
+# in tests/test_scale_ops.py, and q100 gives the HLL counterpart.
+# Deterministic md5 hashing makes the ESTIMATE itself oracle-exact;
+# the exact distinct count and signed relative error ride along, so
+# the result doubles as an accuracy report.
+#
+# Scale: per-(source, token) distinct first (map-side combine), then
+# a size-k top-k per source — the shuffle carries one hash per
+# distinct token, never documents; state per source is k longs.
+# ---------------------------------------------------------------------------
+@query(
+    "q198_kmv_distinct",
+    oracle="""
+    WITH toks AS (
+        SELECT DISTINCT source, tok
+        FROM (
+            SELECT source,
+                   unnest(list_filter(string_split_regex(lower(text), '[^a-zA-Z0-9]+'),
+                                      t -> t <> '')) AS tok
+            FROM documents
+        )
+    ),
+    hashed AS (
+        SELECT source, tok, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+        FROM toks
+    ),
+    kept AS (
+        SELECT source, h,
+               row_number() OVER (PARTITION BY source ORDER BY h, tok) AS rk,
+               count(*) OVER (PARTITION BY source) AS n_exact
+        FROM hashed
+    )
+    SELECT source,
+           CAST(max(n_exact) AS BIGINT) AS exact_distinct,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CASE WHEN max(n_exact) < 32 THEN CAST(max(n_exact) AS DOUBLE)
+                ELSE 31.0 / (CAST(max(CASE WHEN rk = 32 THEN h END) AS DOUBLE)
+                             / 1152921504606846976.0)
+           END AS est_distinct,
+           (CASE WHEN max(n_exact) < 32 THEN CAST(max(n_exact) AS DOUBLE)
+                 ELSE 31.0 / (CAST(max(CASE WHEN rk = 32 THEN h END) AS DOUBLE)
+                              / 1152921504606846976.0)
+            END - CAST(max(n_exact) AS DOUBLE)) / CAST(max(n_exact) AS DOUBLE) AS rel_err
+    FROM kept WHERE rk <= 32
+    GROUP BY source
+    """,
+)
+def q198_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("source", F.explode(tokens("text")).alias("tok"))
+        .distinct()
+    )
+    hashed = toks.select(
+        "source",
+        "tok",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    w_rk = Window.partitionBy("source").orderBy("h", "tok")
+    w_all = Window.partitionBy("source")
+    kept = hashed.select(
+        "source",
+        "h",
+        F.row_number().over(w_rk).alias("rk"),
+        F.count("*").over(w_all).alias("n_exact"),
+    ).filter(F.col("rk") <= 32)
+    TWO60 = 1152921504606846976.0
+    agg = kept.groupBy("source").agg(
+        F.max("n_exact").cast("bigint").alias("exact_distinct"),
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.max(F.when(F.col("rk") == 32, F.col("h"))).alias("h_k"),
+    )
+    est = F.when(
+        F.col("exact_distinct") < 32, F.col("exact_distinct").cast("double")
+    ).otherwise(F.lit(31.0) / (F.col("h_k").cast("double") / F.lit(TWO60)))
+    return agg.select(
+        "source",
+        "exact_distinct",
+        "n_kept",
+        est.alias("est_distinct"),
+        (
+            (est - F.col("exact_distinct").cast("double"))
+            / F.col("exact_distinct").cast("double")
+        ).alias("rel_err"),
+    )

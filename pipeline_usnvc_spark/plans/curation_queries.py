@@ -1160,3 +1160,59 @@ def q189_neardup_pair_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame
             / F.greatest("sza", "szb").cast("double")
         ).alias("size_ratio"),
     ).filter(jac >= 0.5)
+
+
+# ---------------------------------------------------------------------------
+# q197 — training-shard packing: assign every document to one of 8
+# shards balancing TOKEN load (big docs spread round-robin by
+# size-descending rank), then report each shard's doc count, token
+# sum, and load ratio vs the ideal 1/8 share — the writer-side step
+# that keeps downstream training-data files evenly sized.
+#
+# Scale: the global size-descending row_number uses the two-phase
+# range-exchange rank (operators/rank.with_global_rank, the q96
+# machinery) — no single-partition window; the load ratio reads the
+# grand total from a window over the 8-row aggregate, not a
+# crossJoin(broadcast(agg)) re-scan.
+# ---------------------------------------------------------------------------
+@query(
+    "q197_shard_pack",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, n_tokens,
+               row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rn
+        FROM sized
+    ),
+    shards AS (
+        SELECT CAST((rn - 1) % 8 AS INT) AS shard,
+               count(*) AS n_docs, sum(n_tokens) AS shard_tokens
+        FROM ranked GROUP BY (rn - 1) % 8
+    )
+    SELECT shard, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(shard_tokens AS BIGINT) AS shard_tokens,
+           CAST(shard_tokens AS DOUBLE)
+             / (CAST(sum(shard_tokens) OVER () AS DOUBLE) / 8.0) AS load_ratio
+    FROM shards
+    """,
+)
+def q197_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.rank import with_global_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select("doc_id", token_count("text").alias("n_tokens"))
+    ranked = with_global_rank(sized, F.desc("n_tokens"), "doc_id", rank_col="rn")
+    shards = ranked.groupBy(
+        ((F.col("rn") - 1) % 8).cast("int").alias("shard")
+    ).agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("shard_tokens"))
+    grand = F.sum("shard_tokens").over(Window.partitionBy())
+    return shards.select(
+        "shard",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("shard_tokens").cast("bigint").alias("shard_tokens"),
+        (
+            F.col("shard_tokens").cast("double") / (grand.cast("double") / F.lit(8.0))
+        ).alias("load_ratio"),
+    )

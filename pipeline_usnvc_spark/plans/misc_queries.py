@@ -834,3 +834,22 @@ def q184_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.size").alias("parsed_size"),
         "xpath_name",
     )
+
+
+# ---------------------------------------------------------------------------
+# q199 — multimodal thumbnail grid (rows-only: binary decode is not
+# SQL-expressible). Decodes the synthesized PPM payloads for real,
+# nearest-neighbor-resizes to 4×4, and emits the per-cell luminance
+# grid — the coarse visual fingerprint (pHash front half). Decode and
+# resize correctness are byte-exactly asserted against a hand-built
+# image in tests/test_multimodal.py.
+# ---------------------------------------------------------------------------
+@query("q199_thumbnail_grid")
+def q199_thumbnail_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.multimodal import (
+        synthesize_binary_column,
+        thumbnail_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return thumbnail_features(synthesize_binary_column(docs), grid=4)

@@ -547,3 +547,168 @@ def q186_filtered_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.join(kept, "vec_id", "left_semi")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return brute_force_topk(corpus, queries, k=3)
+
+
+# ---------------------------------------------------------------------------
+# q195 — hard-negative mining for contrastive training: for each
+# query vector, the top-3 most-similar vectors with a DIFFERENT
+# label (high-similarity wrong-class examples are the negatives that
+# sharpen an embedding model). Same broadcast-scoring shape as q60 —
+# the corpus never shuffles; the label inequality rides the join
+# condition so same-class pairs are never scored.
+# ---------------------------------------------------------------------------
+@query(
+    "q195_hard_negatives",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, label AS qlabel, ve AS qe FROM v WHERE vec_id % 100 = 0)
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim,
+           CAST(neighbor_label AS INT) AS neighbor_label
+    FROM (
+        SELECT q.query_id, v.vec_id AS neighbor_id, v.label AS neighbor_label,
+               row_number() OVER (
+                   PARTITION BY q.query_id ORDER BY {_COS} DESC, v.vec_id
+               ) AS rank,
+               {_COS} AS sim
+        FROM v JOIN q ON v.label <> q.qlabel
+    ) WHERE rank <= 3
+    """,
+)
+def q195_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", to_double_array("embedding").alias("ve")
+    )
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("ve").alias("qe"),
+    )
+    scored = emb.join(F.broadcast(q), F.col("label") != F.col("qlabel")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        cosine_similarity(F.col("qe"), F.col("ve")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            "sim",
+            F.col("neighbor_label").cast("int").alias("neighbor_label"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q196 — top-20 most-correlated embedding-dimension pairs (|Pearson|):
+# the redundancy audit run before dimensionality reduction. Components
+# are quantized to ints (floor(x*1e7), the q173 pattern), so every Σ
+# (per-dim and per-pair) is decimal-EXACT and Pearson — which is
+# scale-invariant, so quantization cancels — is one identical float
+# expression on both sides.
+#
+# Scale: the relational form explodes each vector into d(d-1)/2 = 2016
+# pair rows, but groupBy partial aggregation combines them map-side,
+# so the shuffle carries only 2016 groups × a few sums regardless of
+# corpus size. (At very large d, switch to the q66-style Arrow X^T X
+# accumulator; at d=64 the explode+combine is simpler and exact.)
+# ---------------------------------------------------------------------------
+@query(
+    "q196_dim_correlation",
+    oracle="""
+    WITH comps AS (
+        SELECT vec_id, dim, CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT) AS q
+        FROM (
+            SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS dim
+            FROM embeddings
+        )
+    ),
+    dim_stats AS (
+        SELECT dim, count(*) AS n,
+               sum(CAST(q AS DECIMAL(38,0))) AS s,
+               sum(CAST(q AS DECIMAL(19,0)) * CAST(q AS DECIMAL(19,0))) AS ss
+        FROM comps GROUP BY dim
+    ),
+    pair_stats AS (
+        SELECT a.dim AS di, b.dim AS dj,
+               sum(CAST(a.q AS DECIMAL(19,0)) * CAST(b.q AS DECIMAL(19,0))) AS sxy
+        FROM comps a JOIN comps b ON a.vec_id = b.vec_id AND a.dim < b.dim
+        GROUP BY a.dim, b.dim
+    ),
+    corr AS (
+        SELECT CAST(p.di AS INT) AS dim_i, CAST(p.dj AS INT) AS dim_j,
+               (CAST(i.n AS DOUBLE) * CAST(p.sxy AS DOUBLE)
+                - CAST(i.s AS DOUBLE) * CAST(j.s AS DOUBLE))
+               / (sqrt(CAST(i.n AS DOUBLE) * CAST(i.ss AS DOUBLE)
+                       - CAST(i.s AS DOUBLE) * CAST(i.s AS DOUBLE))
+                  * sqrt(CAST(j.n AS DOUBLE) * CAST(j.ss AS DOUBLE)
+                         - CAST(j.s AS DOUBLE) * CAST(j.s AS DOUBLE))) AS pearson
+        FROM pair_stats p
+        JOIN dim_stats i ON i.dim = p.di
+        JOIN dim_stats j ON j.dim = p.dj
+    )
+    SELECT dim_i, dim_j, pearson
+    FROM (
+        SELECT *, row_number() OVER (ORDER BY abs(pearson) DESC, dim_i, dim_j) AS rk
+        FROM corr
+    ) WHERE rk <= 20
+    """,
+)
+def q196_dim_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = emb.select(
+        "vec_id", F.posexplode(to_double_array("embedding")).alias("pos", "x")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("dim"),
+        F.floor(F.col("x") * 10000000).alias("q"),
+    )
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    dim_stats = comps.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("q").cast("decimal(38,0)")).alias("s"),
+        F.sum(d19("q") * d19("q")).alias("ss"),
+    )
+    a = comps.alias("a")
+    b = comps.alias("b")
+    pair_stats = (
+        a.join(b, (F.col("a.vec_id") == F.col("b.vec_id")) & (F.col("a.dim") < F.col("b.dim")))
+        .groupBy(F.col("a.dim").alias("di"), F.col("b.dim").alias("dj"))
+        .agg(F.sum(F.col("a.q").cast("decimal(19,0)") * F.col("b.q").cast("decimal(19,0)")).alias("sxy"))
+    )
+    i = dim_stats.alias("i")
+    j = dim_stats.alias("j")
+    joined = (
+        pair_stats.join(F.broadcast(i), F.col("i.dim") == F.col("di"))
+        .join(F.broadcast(j), F.col("j.dim") == F.col("dj"))
+    )
+    nd = F.col("i.n").cast("double")
+    pearson = (
+        nd * F.col("sxy").cast("double")
+        - F.col("i.s").cast("double") * F.col("j.s").cast("double")
+    ) / (
+        F.sqrt(nd * F.col("i.ss").cast("double") - F.col("i.s").cast("double") * F.col("i.s").cast("double"))
+        * F.sqrt(
+            F.col("j.n").cast("double") * F.col("j.ss").cast("double")
+            - F.col("j.s").cast("double") * F.col("j.s").cast("double")
+        )
+    )
+    corr = joined.select(
+        F.col("di").cast("int").alias("dim_i"),
+        F.col("dj").cast("int").alias("dim_j"),
+        pearson.alias("pearson"),
+    )
+    w = Window.orderBy(F.desc(F.abs(F.col("pearson"))), "dim_i", "dim_j")
+    return corr.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 20).drop("rk")

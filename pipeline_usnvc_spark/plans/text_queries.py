@@ -1166,3 +1166,79 @@ def q149_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("source", "term", "c", "log_odds")
     )
+
+
+# ---------------------------------------------------------------------------
+# q200 — term co-occurrence PMI over the top-50 df terms: pointwise
+# mutual information ln(N·c_ab / (c_a·c_b)) for term pairs sharing a
+# document, support ≥ 5, top-30 pairs. The collocation-mining shape
+# (phrase detection à la word2vec preprocessing) with the standard
+# scale guard: the pair join runs on the VOCABULARY-CAPPED doc-term
+# table (≤ 50 terms/doc after the cap), so the candidate space is
+# bounded by docs × C(50,2), never vocab². Every ln() argument is an
+# exact-integer-valued double (the q38/q147 precedent) and outputs
+# round to 6dp.
+# ---------------------------------------------------------------------------
+@query(
+    "q200_pmi_cooccurrence",
+    oracle=f"""
+    WITH doc_terms AS (
+        SELECT DISTINCT doc_id, tok
+        FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents)
+    ),
+    df AS (SELECT tok, count(*) AS df FROM doc_terms GROUP BY tok),
+    top50 AS (
+        SELECT tok, df FROM (
+            SELECT *, row_number() OVER (ORDER BY df DESC, tok) AS rk FROM df
+        ) WHERE rk <= 50
+    ),
+    capped AS (
+        SELECT dt.doc_id, dt.tok, t.df
+        FROM doc_terms dt JOIN top50 t ON t.tok = dt.tok
+    ),
+    pairs AS (
+        SELECT a.tok AS term_a, b.tok AS term_b,
+               max(a.df) AS c_a, max(b.df) AS c_b, count(*) AS c_ab
+        FROM capped a JOIN capped b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY a.tok, b.tok
+        HAVING count(*) >= 5
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT term_a, term_b, CAST(c_ab AS BIGINT) AS c_ab,
+           round(ln(CAST(c_ab * n_docs AS DOUBLE)) - ln(CAST(c_a * c_b AS DOUBLE)), 6) AS pmi
+    FROM (
+        SELECT p.*, n.n_docs,
+               row_number() OVER (
+                   ORDER BY round(ln(CAST(c_ab * n_docs AS DOUBLE)) - ln(CAST(c_a * c_b AS DOUBLE)), 6) DESC,
+                            term_a, term_b) AS rk
+        FROM pairs p, n
+    ) WHERE rk <= 30
+    """,
+)
+def q200_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    doc_terms = docs.select("doc_id", F.explode(tokens("text")).alias("tok")).distinct()
+    df = doc_terms.groupBy("tok").agg(F.count("*").alias("df"))
+    top50 = df.orderBy(F.desc("df"), "tok").limit(50)
+    capped = doc_terms.join(F.broadcast(top50), "tok").select("doc_id", "tok", "df")
+    a = capped.alias("a")
+    b = capped.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.tok") < F.col("b.tok")))
+        .groupBy(F.col("a.tok").alias("term_a"), F.col("b.tok").alias("term_b"))
+        .agg(F.max("a.df").alias("c_a"), F.max("b.df").alias("c_b"), F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    n = docs.agg(F.count("*").alias("n_docs"))
+    pmi = F.round(
+        F.log((F.col("c_ab") * F.col("n_docs")).cast("double"))
+        - F.log((F.col("c_a") * F.col("c_b")).cast("double")),
+        6,
+    )
+    scored = pairs.crossJoin(F.broadcast(n)).select(
+        "term_a", "term_b", F.col("c_ab").cast("bigint").alias("c_ab"), pmi.alias("pmi")
+    )
+    w = Window.orderBy(F.desc("pmi"), "term_a", "term_b")
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 30).drop("rk")

@@ -125,6 +125,58 @@ def test_multimodal_rejects_malformed_metadata(spark):
         extract_features(lying_n_bytes).collect()
 
 
+def test_thumbnail_resize_correctness(spark):
+    """resize_nearest picks pixel-center nearest neighbors; the
+    luminance grid from thumbnail_features must match a hand-computed
+    numpy reference on a crafted 4x8 image downsampled to 4x4."""
+    import numpy as np
+
+    from pipeline_usnvc_spark.operators.multimodal import (
+        decode_ppm,
+        resize_nearest,
+        thumbnail_features,
+    )
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(4, 8, 3), dtype=np.uint8)
+    # pixel-center sampling: rows map to themselves (4→4), cols 8→4
+    # pick centers at x = (i+0.5)*2 → indices 1, 3, 5, 7
+    expect = img[:, [1, 3, 5, 7]]
+    assert (resize_nearest(img, 4, 4) == expect).all()
+
+    buf = b"P6\n8 4\n255\n" + img.tobytes()
+    assert (decode_ppm(buf) == img).all()
+    df = spark.createDataFrame(
+        [(1, bytearray(buf))], "doc_id bigint, media binary"
+    ).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("image/x-portable-pixmap").alias("mime"),
+            F.lit(8).cast("int").alias("width"),
+            F.lit(4).cast("int").alias("height"),
+            F.lit(len(buf)).cast("bigint").alias("n_bytes"),
+        ),
+    )
+    row = thumbnail_features(df, grid=4).collect()[0]
+    assert row["feature_kind"] == "ppm_thumb_lum_4x4"
+    t = expect.astype(np.float64) / 255.0
+    lum = 0.299 * t[..., 0] + 0.587 * t[..., 1] + 0.114 * t[..., 2]
+    assert np.allclose(row["features"], lum.ravel(), atol=1e-6)
+
+    # non-PPM mimes must fail fast, not silently emit garbage
+    bad = df.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("image/jpeg").alias("mime"),
+            F.lit(8).cast("int").alias("width"),
+            F.lit(4).cast("int").alias("height"),
+            F.lit(len(buf)).cast("bigint").alias("n_bytes"),
+        ),
+    )
+    with pytest.raises(Exception, match="no decoder for mime"):
+        thumbnail_features(bad).collect()
+
+
 def test_multimodal_deterministic(spark, sf_dir):
     from pipeline_usnvc_spark.plans import QUERIES
 

@@ -434,3 +434,40 @@ def test_curation_pipeline_plan_shape(spark, sf_dir):
     assert plan.count("WindowGroupLimit") >= 1
     n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
     assert n_scans <= 6, f"documents scanned {n_scans}x - consumer regression"
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """Hive-partitioned fact + filtered dim join must trigger DPP: the
+    fact scan carries a dynamicpruning subquery on the partition
+    column, so at 100 TB only the partitions matching the dim filter
+    are read — the partition-layout counterpart to static pushdown."""
+    from pyspark.sql import functions as F
+
+    from pipeline_usnvc_spark.sources.tables import load_table
+
+    fact_dir = str(tmp_path / "events_by_type")
+    ev = load_table(spark, sf_dir, "events")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(fact_dir)
+
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("is_hot", F.col("event_type").isin("click", "view"))
+    )
+    fact = spark.read.parquet(fact_dir)
+    joined = fact.join(dim.filter("is_hot"), "event_type").groupBy("event_type").count()
+
+    plan = joined._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "dynamicpruning" in plan.lower(), f"no DPP in plan:\n{plan[:2000]}"
+    # correctness: pruned result equals the unpruned filter
+    expect = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("event_type")
+        .count()
+        .collect()
+    )
+    assert sorted((r["event_type"], r["count"]) for r in joined.collect()) == sorted(
+        (r["event_type"], r["count"]) for r in expect
+    )

@@ -550,3 +550,32 @@ def test_degenerate_inputs_do_not_crash(spark):
     edges = spark.createDataFrame([], "src bigint, dst bigint")
     got = {r["node"]: r["origin"] for r in label_propagation(nodes, edges).collect()}
     assert got == {1: "seed", 2: "unreached"}
+
+
+def test_kmv_sketches_merge_losslessly(spark, sf_dir):
+    """KMV mergeability (the q198 scale contract): min-merging two
+    per-group k-min hash sets and re-taking the k smallest must equal
+    the sketch built directly over the union — so per-partition /
+    per-source sketches can combine without rescanning tokens."""
+    from pipeline_usnvc_spark.functions.text import tokens
+    from pipeline_usnvc_spark.sources.tables import load_table
+
+    K = 32
+    docs = load_table(spark, sf_dir, "documents")
+    half = F.when(F.col("doc_id") % 2 == 0, "a").otherwise("b")
+    toks = (
+        docs.select(half.alias("grp"), F.explode(tokens("text")).alias("tok"))
+        .distinct()
+        .select(
+            "grp", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("h")
+        )
+        .distinct()
+    )
+    per_group = {
+        r["grp"]: sorted(x["h"] for x in rows)
+        for r in toks.select("grp").distinct().collect()
+        for rows in [toks.filter(F.col("grp") == r["grp"]).collect()]
+    }
+    merged = sorted(set(per_group.get("a", [])[:K]) | set(per_group.get("b", [])[:K]))[:K]
+    direct = sorted(set(per_group.get("a", [])) | set(per_group.get("b", [])))[:K]
+    assert merged == direct
