@@ -4,6 +4,7 @@ against the batch sessionization on the same data."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -401,8 +402,6 @@ def test_incremental_dedup_ledger(spark, tmp_path):
     # ledger epochs present, the strict `epoch < epoch_id` filter
     # would silently re-admit every past duplicate — the sink must
     # fail loudly instead (ADVICE r02).
-    import pytest
-
     with pytest.raises(RuntimeError, match="fresh checkpoint"):
         sink(mk([(6, "kappa lambda mu")]), 0)
 
@@ -441,3 +440,58 @@ def test_streaming_term_counts_match_batch(spark, sf_dir):
     assert final == want
     # deltas within one drained run sum to the totals
     assert sum(r["batch_delta"] for r in emitted) == sum(want.values())
+
+
+def test_transform_with_state_user_stats_match_batch(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas: running per-user stats after
+    draining the stream equal the batch groupBy over the same events.
+    State arithmetic is integer cents, so equality is exact.
+
+    Container boundary: the transformWithState state protocol speaks
+    protobuf (pyspark/sql/streaming/proto/StateMessage_pb2) and this
+    container has no google.protobuf — the operator is implemented
+    and the API path exercised up to the worker handshake, but the
+    end-to-end run needs protobuf (skip mirrors the Kafka/Avro
+    deferrals in ROADMAP.md)."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state protocol requires protobuf (absent here)",
+    )
+    from pipeline_usnvc_spark.streaming.pipeline import (
+        read_event_stream,
+        run_stream_to_memory,
+    )
+    from pipeline_usnvc_spark.streaming.stateful import streaming_user_stats
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        emitted = run_stream_to_memory(
+            streaming_user_stats(read_event_stream(spark, sf_dir)),
+            "user_stats_tws",
+            output_mode="update",
+        ).collect()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    final = {}
+    for r in emitted:  # update mode: last emission per user wins
+        final[r["user_id"]] = (r["n_events"], r["total_cents"], r["max_cents"])
+
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", F.round(F.col("value") * 100).cast("long").alias("cents"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("cents").alias("total"),
+            F.max("cents").alias("mx"),
+        )
+    )
+    want = {r["user_id"]: (r["n"], r["total"], r["mx"]) for r in batch.collect()}
+    assert final == want
