@@ -806,3 +806,132 @@ def q181_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("bigint").alias("n_events"),
         F.round(fold, 6).alias("ewma"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q201 — last-touch marketing attribution: each purchase credits the
+# user's most recent click/view within the preceding 7 days; report
+# attributed purchases + revenue per touch type (plus the 'none'
+# bucket). The as-of-join application (q42 is the generic operator):
+# purchases × touches is a user-keyed range join, the per-purchase
+# winner is a struct-argmax (max_by on the (ts, event_id) total
+# order — no hot window partitions), and revenue sums are
+# decimal-exact cents.
+# ---------------------------------------------------------------------------
+@query(
+    "q201_last_touch_attribution",
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+        SELECT user_id, ts, event_id, event_type FROM events
+        WHERE event_type IN ('click', 'view')
+    ),
+    attributed AS (
+        SELECT event_id, value, touch_type FROM (
+            SELECT p.event_id, p.value, t.event_type AS touch_type,
+                   row_number() OVER (PARTITION BY p.event_id
+                                      ORDER BY t.ts DESC, t.event_id DESC) AS rk
+            FROM purchases p
+            LEFT JOIN touches t
+              ON t.user_id = p.user_id
+             AND t.ts < p.ts
+             AND t.ts >= p.ts - INTERVAL 7 DAY
+        ) WHERE rk = 1
+    )
+    SELECT coalesce(touch_type, 'none') AS touch_type,
+           count(*) AS n_purchases,
+           CAST(sum(CAST(floor(value * 100) AS DECIMAL(38,0))) AS DOUBLE) / 100.0
+             AS attributed_revenue
+    FROM attributed GROUP BY coalesce(touch_type, 'none')
+    """,
+)
+def q201_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_eid"),
+        F.col("event_type").alias("t_type"),
+    )
+    joined = purchases.join(
+        touches,
+        (F.col("t_user") == F.col("user_id"))
+        & (F.col("t_ts") < F.col("ts"))
+        & (F.col("t_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAY")),
+        "left",
+    )
+    attributed = joined.groupBy("event_id", "value").agg(
+        F.max_by("t_type", F.struct("t_ts", "t_eid")).alias("touch_type")
+    )
+    return attributed.groupBy(
+        F.coalesce("touch_type", F.lit("none")).alias("touch_type")
+    ).agg(
+        F.count("*").alias("n_purchases"),
+        (
+            F.sum(F.floor(F.col("value") * 100).cast("decimal(38,0)")).cast("double")
+            / F.lit(100.0)
+        ).alias("attributed_revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q202 — per-user burstiness: coefficient of variation of
+# inter-arrival gaps (CV ≈ 1 for a Poisson user, ≫ 1 for bursty
+# bots/batch jobs — the traffic-shape triage stat). Gaps are exact
+# microsecond integers (lag over the per-user order), moments are
+# decimal-exact sums, and the final mean/CV is one identical float
+# expression per row. Users need ≥ 10 gaps to report.
+# ---------------------------------------------------------------------------
+@query(
+    "q202_interarrival_burstiness",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id,
+               CAST(epoch_us(ts) AS BIGINT)
+                 - lag(CAST(epoch_us(ts) AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM events
+    ),
+    gaps AS (SELECT user_id, gap_us FROM ordered WHERE gap_us IS NOT NULL),
+    agg AS (
+        SELECT user_id, count(*) AS n,
+               CAST(sum(CAST(gap_us AS DECIMAL(38,0))) AS DOUBLE) AS s,
+               CAST(sum(CAST(gap_us AS DECIMAL(19,0)) * CAST(gap_us AS DECIMAL(19,0))) AS DOUBLE) AS ss
+        FROM gaps GROUP BY user_id
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+           s / CAST(n AS DOUBLE) AS mean_gap_us,
+           sqrt(ss / CAST(n AS DOUBLE) - (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE)))
+             / (s / CAST(n AS DOUBLE)) AS cv
+    FROM agg WHERE n >= 10
+    """,
+)
+def q202_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select("user_id", (us - F.lag(us).over(w)).alias("gap_us"))
+        .filter(F.col("gap_us").isNotNull())
+    )
+    g19 = F.col("gap_us").cast("decimal(19,0)")
+    agg = gaps.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("gap_us").cast("decimal(38,0)")).cast("double").alias("s"),
+        F.sum(g19 * g19).cast("double").alias("ss"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s") / nd
+    return agg.filter(F.col("n") >= 10).select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_gaps"),
+        mean.alias("mean_gap_us"),
+        (F.sqrt(F.col("ss") / nd - mean * mean) / mean).alias("cv"),
+    )

@@ -95,3 +95,78 @@ class TextCorpusDataSource(DataSource):
 
     def reader(self, schema: StructType) -> TextCorpusReader:
         return TextCorpusReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> "TextCorpusStreamReader":
+        # Streaming variant defined below (directory-tailing source).
+        return TextCorpusStreamReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Streaming variant (Spark 4 SimpleDataSourceStreamReader): tail the
+# corpus directory — each microbatch picks up files that arrived
+# since the last offset. The crawler-drop ingestion shape: writers
+# drop finished .txt files into the tree; the stream emits each
+# exactly once (offset = count of processed files in sorted order,
+# replayable via readBetweenOffsets for recovery).
+#
+# The Simple reader API reads on the DRIVER — appropriate here
+# because each microbatch is the handful of newly arrived files, not
+# the whole corpus (Spark buffers the batch to executors itself; for
+# huge per-batch volumes the partition-planning streamReader API is
+# the upgrade path).
+# ---------------------------------------------------------------------------
+from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+
+class TextCorpusStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("textcorpus: option 'path' is required")
+        self.suffix = options.get("suffix", ".txt")
+        self.encoding = options.get("encoding", "utf-8")
+
+    def _listing(self) -> list[str]:
+        names: list[str] = []
+        for dirpath, _dirnames, filenames in os.walk(self.root):
+            for fn in filenames:
+                if fn.endswith(self.suffix):
+                    names.append(os.path.join(dirpath, fn))
+        names.sort()
+        return names
+
+    def _rows(self, files: list[tuple[int, str]]) -> list[tuple]:
+        # Materialized list, not a generator: the streaming runner
+        # shallow-copies its prefetch cache entries (datasource
+        # internal getCache), and generators can't be copied. Each
+        # batch is the handful of newly arrived files, so the list is
+        # small by construction.
+        out: list[tuple] = []
+        for doc_id, path in files:
+            try:
+                with open(path, encoding=self.encoding, errors="replace") as f:
+                    text = f.read()
+                out.append((doc_id, path, text, len(text)))
+            except OSError:
+                out.append((doc_id, path, None, None))
+        return out
+
+    def initialOffset(self) -> dict:
+        return {"n_files": 0}
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        names = self._listing()
+        lo = start["n_files"]
+        new = list(enumerate(names))[lo:]
+        return iter(self._rows(new)), {"n_files": len(names)}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        # Deterministic replay for recovery: the sorted listing pins
+        # doc_ids, so re-reading a committed range yields identical
+        # rows as long as files are append-only (the contract a
+        # crawler-drop directory satisfies).
+        names = self._listing()
+        return iter(self._rows(list(enumerate(names))[start["n_files"] : end["n_files"]]))
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up: offsets are derived from the listing

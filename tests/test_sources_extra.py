@@ -117,3 +117,39 @@ def test_binaryfile_source_feeds_multimodal(spark, tmp_path):
     for name, blob in payloads.items():
         assert rows[name]["n_bytes"] == len(blob)
         assert rows[name]["feature_kind"] == "stub_byte_histogram"
+
+
+def test_textcorpus_streaming_tails_directory(spark, tmp_path):
+    """Spark 4 SimpleDataSourceStreamReader: files dropped into the
+    tree between microbatches arrive exactly once, with the same
+    sorted-order doc_ids the batch reader assigns."""
+    from pipeline_usnvc_spark.sources.corpus_source import TextCorpusDataSource
+
+    spark.dataSource.register(TextCorpusDataSource)
+    d = tmp_path / "tail"
+    d.mkdir()
+    (d / "a.txt").write_text("first doc")
+    (d / "b.txt").write_text("second doc")
+
+    stream = spark.readStream.format("textcorpus").option("path", str(d)).load()
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("corpus_tail")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = {r["path"]: r["doc_id"] for r in spark.table("corpus_tail").collect()}
+        assert got1 == {str(d / "a.txt"): 0, str(d / "b.txt"): 1}
+
+        # drop a new file AFTER the tail: next batch emits only it
+        (d / "c.txt").write_text("third doc arrives later")
+        q.processAllAvailable()
+        rows = spark.table("corpus_tail").collect()
+        assert len(rows) == 3  # a and b are NOT re-emitted
+        got2 = {r["path"]: (r["doc_id"], r["n_chars"]) for r in rows}
+        assert got2[str(d / "c.txt")] == (2, len("third doc arrives later"))
+    finally:
+        q.stop()
