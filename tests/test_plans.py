@@ -471,3 +471,64 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     assert sorted((r["event_type"], r["count"]) for r in joined.collect()) == sorted(
         (r["event_type"], r["count"]) for r in expect
     )
+
+
+def test_drift_monitors_aggregate_before_window(spark, sf_dir):
+    # q191/q193: the cumulative windows run over the per-(type, value)
+    # / per-(type, day) AGGREGATE, never the raw event stream — in the
+    # executed tree every Window sits above an Aggregate.
+    from pipeline_usnvc_spark.plans import QUERIES
+
+    for name in ("q191_ks_drift", "q193_cusum_changepoint"):
+        plan = (
+            QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Window" in plan, name
+        win = plan.index("Window")
+        assert "Aggregate" in plan[win:], (
+            f"{name}: no aggregate below the window — it would rank raw events"
+        )
+
+
+def test_psi_bounds_broadcast_not_recomputed(spark, sf_dir):
+    # q190: the global min/max bounds and the per-type totals are tiny
+    # aggregates that must reach the binned stream via broadcast.
+    plan = _plan(spark, "q190_psi_drift", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_dim_correlation_pairs_combine_map_side(spark, sf_dir):
+    # q196: the d(d-1)/2 pair explosion must partially aggregate
+    # map-side — the exchange carries 2016 groups, not 2016 rows per
+    # vector. partial_sum in the plan below the exchange proves it.
+    plan = _plan(spark, "q196_dim_correlation", sf_dir)
+    assert "partial_sum" in plan, plan[:3000]
+
+
+def test_attribution_no_window_on_fact(spark, sf_dir):
+    # q201: the per-purchase winner is a struct-argmax (max_by)
+    # groupBy with map-side partials — no Window operator anywhere
+    # (a row_number form would sort every purchase's touch fan-out
+    # inside hot user partitions).
+    plan = _plan(spark, "q201_last_touch_attribution", sf_dir)
+    assert "Window" not in plan, plan[:3000]
+    assert "partial_max_by" in plan or "max_by" in plan, plan[:3000]
+
+
+def test_kmv_shuffles_hashes_not_documents(spark, sf_dir):
+    # q198: the exchange after tokenization carries (source, tok/h)
+    # distinct rows — the documents' text column must be pruned out
+    # before any exchange (ReadSchema shows only text+source read,
+    # and the post-exchange schema is hash-sized).
+    plan = _plan(spark, "q198_kmv_distinct", sf_dir)
+    assert "ReadSchema" in plan
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(m.group(1).split(",")) <= {
+        "source:string",
+        "text:string",
+    }, m.group(1) if m else plan[:1500]
