@@ -1242,3 +1242,64 @@ def q200_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.desc("pmi"), "term_a", "term_b")
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 30).drop("rk")
+
+
+# ---------------------------------------------------------------------------
+# q203 — model-based quality scoring: a linear classifier (the
+# fastText/CCNet-style quality model shape) over the engineered
+# features — logit = w·(ln(1+tokens), mean_token_len, punct_ratio,
+# stopword_ratio) + b, score = sigmoid(logit), keep at score ≥ 0.5.
+# Weights are fixed constants standing in for trained ones; the point
+# is the SHAPE: model scoring is one narrow map-side expression over
+# the corpus (zero shuffles, zero UDFs), so it costs one scan at any
+# corpus size. ln/exp outputs round to 6dp (JVM-vs-libm ulp).
+# ---------------------------------------------------------------------------
+@query(
+    "q203_quality_logit",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id,
+               ln(1.0 + CAST(len(toks) AS DOUBLE)) AS f_len,
+               CASE WHEN len(toks) > 0
+                    THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+                    ELSE 0.0 END AS f_tok,
+               CASE WHEN length(text) > 0
+                    THEN CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+                    ELSE 0.0 END AS f_punct,
+               CASE WHEN len(toks) > 0
+                    THEN CAST({_L['en']} AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+                    ELSE 0.0 END AS f_stop
+        FROM (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
+    ),
+    scored AS (
+        SELECT doc_id,
+               0.8 * f_len + 0.5 * f_tok - 4.0 * f_punct + 2.0 * f_stop - 3.5 AS logit
+        FROM feats
+    )
+    SELECT doc_id, round(logit, 6) AS logit,
+           round(1.0 / (1.0 + exp(-logit)), 6) AS score,
+           CAST(1.0 / (1.0 + exp(-logit)) >= 0.5 AS BOOLEAN) AS keep
+    FROM scored
+    """,
+)
+def q203_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cols = quality_score_cols("text")
+    f_len = F.log(F.lit(1.0) + cols["n_tokens"].cast("double"))
+    logit = (
+        F.lit(0.8) * f_len
+        + F.lit(0.5) * F.coalesce(cols["mean_token_len"], F.lit(0.0))
+        - F.lit(4.0) * cols["punct_ratio"]
+        + F.lit(2.0) * cols["stopword_ratio"]
+        - F.lit(3.5)
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("logit")))
+    return (
+        docs.select("doc_id", logit.alias("logit"))
+        .select(
+            "doc_id",
+            F.round("logit", 6).alias("logit"),
+            F.round(score, 6).alias("score"),
+            (score >= F.lit(0.5)).alias("keep"),
+        )
+    )
