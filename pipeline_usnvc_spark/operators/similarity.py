@@ -692,3 +692,52 @@ def batched_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )
+
+
+def gram_matrix_quantized(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    quant: int = 10_000_000,
+) -> DataFrame:
+    """Exact upper-triangle Gram matrix Σ qᵢ·qⱼ over the quantized
+    components (q = floor(x·quant)) — the X^T X accumulator that is
+    q196's scale path for large d: instead of exploding each vector
+    into d(d-1)/2 pair rows, every Arrow batch accumulates one d×d
+    int64 partial product matrix and emits d(d+1)/2 rows PER
+    PARTITION; the only shuffle carries (#partitions × d²/2) rows
+    regardless of corpus size.
+
+    Partial products accumulate in int64 (safe up to ~9e18: with
+    quant=1e7 each product is ≤ 1e14, so ~90k rows per partition at
+    worst-case components — far above Arrow batch sizes); the
+    cross-partition reduction sums as DECIMAL(38,0), so the result is
+    EXACT and equals the relational pair-explode formulation
+    bit-for-bit (asserted in tests/test_scale_ops.py).
+
+    Returns (dim_i, dim_j, sxy) with 1-based dims, dim_i <= dim_j —
+    diagonal included (the per-dim second moments), so one pass
+    yields everything Pearson needs.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def partials(it):
+        acc: np.ndarray | None = None
+        for pdf in it:
+            mat = np.stack(pdf["v"].to_numpy())  # rows × d, float64
+            q = np.floor(mat * quant).astype(np.int64)
+            g = q.T @ q  # d × d int64
+            acc = g if acc is None else acc + g
+        if acc is None:
+            return
+        d = acc.shape[0]
+        iu, ju = np.triu_indices(d)
+        yield pd.DataFrame(
+            {"dim_i": iu + 1, "dim_j": ju + 1, "part_sxy": acc[iu, ju]}
+        )
+
+    v = vectors.select(to_double_array(vec_col).alias("v"))
+    parts = v.mapInPandas(partials, schema="dim_i int, dim_j int, part_sxy long")
+    return parts.groupBy("dim_i", "dim_j").agg(
+        F.sum(F.col("part_sxy").cast("decimal(38,0)")).alias("sxy")
+    )

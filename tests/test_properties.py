@@ -265,3 +265,51 @@ def test_bpe_merge_fold_matches_python(spark, cases):
             out[row["i"]] = list(row["m"])
     for i, (seq, l, r) in enumerate(cases):
         assert out[i] == _py_greedy_merge(seq, l, r), (seq, l, r)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_ppm_encode_decode_roundtrip(w, h, seed):
+    """decode_ppm inverts a straightforward P6 encoding for arbitrary
+    dims and pixel bytes, including whitespace/comment header forms."""
+    import numpy as np
+
+    from pipeline_usnvc_spark.operators.multimodal import decode_ppm
+
+    rng = np.random.RandomState(seed % (2**31))
+    img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    plain = b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+    commented = b"P6 # c\n# full line\n %d\t%d # dims\n255\n" % (w, h) + img.tobytes()
+    for buf in (plain, commented):
+        out = decode_ppm(buf)
+        assert out.shape == (h, w, 3)
+        assert out.tobytes() == img.tobytes()
+
+
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    ow=st.integers(min_value=1, max_value=8),
+    oh=st.integers(min_value=1, max_value=8),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_resize_nearest_properties(w, h, ow, oh, seed):
+    """Every output pixel of resize_nearest is some input pixel
+    (nearest-neighbor never invents values); identity resize is the
+    identity; output shape is exact."""
+    import numpy as np
+
+    from pipeline_usnvc_spark.operators.multimodal import resize_nearest
+
+    rng = np.random.RandomState(seed % (2**31))
+    img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = resize_nearest(img, oh, ow)
+    assert out.shape == (oh, ow, 3)
+    in_pixels = {tuple(p) for p in img.reshape(-1, 3)}
+    assert all(tuple(p) in in_pixels for p in out.reshape(-1, 3))
+    assert (resize_nearest(img, h, w) == img).all()

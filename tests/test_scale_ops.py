@@ -579,3 +579,39 @@ def test_kmv_sketches_merge_losslessly(spark, sf_dir):
     merged = sorted(set(per_group.get("a", [])[:K]) | set(per_group.get("b", [])[:K]))[:K]
     direct = sorted(set(per_group.get("a", [])) | set(per_group.get("b", [])))[:K]
     assert merged == direct
+
+
+def test_gram_matrix_equals_pair_explode(spark, sf_dir):
+    """The Arrow X^T X accumulator (q196's large-d scale path) must
+    equal the relational pair-explode formulation EXACTLY — both sum
+    the same quantized integer products, one as an in-batch int64
+    matrix, the other as a decimal groupBy."""
+    from pipeline_usnvc_spark.functions.vectors import to_double_array
+    from pipeline_usnvc_spark.operators.similarity import gram_matrix_quantized
+    from pipeline_usnvc_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    gram = {
+        (r["dim_i"], r["dim_j"]): int(r["sxy"])
+        for r in gram_matrix_quantized(emb).collect()
+    }
+
+    comps = emb.select(
+        "vec_id", F.posexplode(to_double_array("embedding")).alias("pos", "x")
+    ).select(
+        "vec_id", (F.col("pos") + 1).alias("dim"), F.floor(F.col("x") * 10000000).alias("q")
+    )
+    a, b = comps.alias("a"), comps.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.vec_id") == F.col("b.vec_id")) & (F.col("a.dim") <= F.col("b.dim")))
+        .groupBy(F.col("a.dim").alias("di"), F.col("b.dim").alias("dj"))
+        .agg(
+            F.sum(
+                F.col("a.q").cast("decimal(19,0)") * F.col("b.q").cast("decimal(19,0)")
+            ).alias("sxy")
+        )
+    )
+    want = {(r["di"], r["dj"]): int(r["sxy"]) for r in pairs.collect()}
+    assert gram == want
+    d = max(j for _, j in gram)
+    assert len(gram) == d * (d + 1) // 2  # full upper triangle incl. diagonal
