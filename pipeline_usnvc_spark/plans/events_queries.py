@@ -935,3 +935,106 @@ def q202_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean.alias("mean_gap_us"),
         (F.sqrt(F.col("ss") / nd - mean * mean) / mean).alias("cv"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q204 — quantile transform (per-type rank normalization): map each
+# event's value to its exact empirical CDF position within its
+# event_type — the standard feature-preprocessing step (sklearn's
+# QuantileTransformer) as one set-based pass. Ranks come from a
+# per-(type, value) aggregate + cumulative window (never a raw-event
+# window), so the sort input is distinct-value-sized; the output
+# joins back by (type, value) broadcast.
+# ---------------------------------------------------------------------------
+@query(
+    "q204_quantile_transform",
+    oracle="""
+    WITH per_value AS (
+        SELECT event_type, value, count(*) AS c
+        FROM events GROUP BY event_type, value
+    ),
+    ranked AS (
+        SELECT event_type, value,
+               sum(c) OVER (PARTITION BY event_type ORDER BY value
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(c) OVER (PARTITION BY event_type) AS n
+        FROM per_value
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           CAST(r.cum AS DOUBLE) / CAST(r.n AS DOUBLE) AS q_pos
+    FROM events e JOIN ranked r
+      ON r.event_type = e.event_type AND r.value = e.value
+    """,
+)
+def q204_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    per_value = ev.groupBy("event_type", "value").agg(F.count("*").alias("c"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = per_value.select(
+        "event_type",
+        "value",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    return ev.join(F.broadcast(ranked), ["event_type", "value"]).select(
+        "event_id",
+        "event_type",
+        "value",
+        (F.col("cum").cast("double") / F.col("n").cast("double")).alias("q_pos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q205 — rolling active users (the DAU/WAU "stickiness" metric):
+# distinct users in the trailing 7-day window per day. Events first
+# collapse to the (user, day) grain — the only exchange that scales
+# with data — then the 7× day-spine fan-out and distinct count run on
+# the tiny user-day table. DAU rides along for the stickiness ratio.
+# ---------------------------------------------------------------------------
+@query(
+    "q205_rolling_active_users",
+    oracle="""
+    WITH user_days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    spine AS (SELECT DISTINCT day FROM user_days),
+    rolling AS (
+        SELECT s.day, count(DISTINCT u.user_id) AS wau
+        FROM spine s JOIN user_days u
+          ON u.day <= s.day AND u.day >= s.day - INTERVAL 6 DAY
+        GROUP BY s.day
+    ),
+    daily AS (SELECT day, count(*) AS dau FROM user_days GROUP BY day)
+    SELECT strftime(r.day, '%Y-%m-%d') AS day,
+           CAST(d.dau AS BIGINT) AS dau,
+           CAST(r.wau AS BIGINT) AS wau,
+           CAST(d.dau AS DOUBLE) / CAST(r.wau AS DOUBLE) AS stickiness
+    FROM rolling r JOIN daily d ON d.day = r.day
+    """,
+)
+def q205_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    user_days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    spine = user_days.select("day").distinct().select(F.col("day").alias("s_day"))
+    rolling = (
+        spine.join(
+            user_days,
+            (F.col("day") <= F.col("s_day"))
+            & (F.col("day") >= F.date_sub(F.col("s_day"), 6)),
+        )
+        .groupBy("s_day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    daily = user_days.groupBy("day").agg(F.count("*").alias("dau"))
+    return rolling.join(daily, F.col("day") == F.col("s_day")).select(
+        F.date_format("s_day", "yyyy-MM-dd").alias("day"),
+        F.col("dau").cast("bigint").alias("dau"),
+        F.col("wau").cast("bigint").alias("wau"),
+        (F.col("dau").cast("double") / F.col("wau").cast("double")).alias("stickiness"),
+    )
