@@ -290,3 +290,82 @@ def incremental_dedup_ledger(out_dir: str, text_col: str = "text"):
         )
 
     return _sink
+
+
+def streaming_psi_monitor(
+    events: DataFrame,
+    reference: DataFrame,
+    n_bins: int = 10,
+):
+    """Streaming drift monitor: Population Stability Index of the
+    arriving value distribution against a STATIC reference histogram
+    (the q190 statistic, incrementalized).
+
+    Structured Streaming allows ONE stateful aggregation per query, so
+    the split is: the STREAM maintains the per-(type, bin) histogram
+    (map-side binning + incremental state merge per microbatch — the
+    only part that scales with data); the returned ``finish`` callable
+    turns any snapshot of that histogram into the per-bin PSI report
+    as a tiny batch computation (joins against the frozen reference
+    proportions, broadcast). Same smoothed per-bin contract as q190,
+    so the batch query is the drained stream's correctness oracle
+    (asserted in tests/test_streaming.py).
+
+    Returns (cur_counts_stream, finish).
+    """
+    bounds = reference.agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx")
+    ).first()
+    mn, mx = float(bounds["mn"]), float(bounds["mx"])
+    span = mx - mn
+
+    def binned(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "bin",
+            F.least(
+                F.floor(((F.col("value") - F.lit(mn)) / F.lit(span)) * F.lit(float(n_bins))),
+                F.lit(n_bins - 1).cast("bigint"),
+            ).cast("int"),
+        )
+
+    ref_counts = (
+        binned(reference)
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").alias("c_ref"))
+    )
+    ref_totals = ref_counts.groupBy("event_type").agg(F.sum("c_ref").alias("n_ref"))
+
+    cur_counts_stream = (
+        binned(events)
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").alias("c_cur"))
+    )
+
+    smooth = F.lit(0.5) * F.lit(float(n_bins))
+
+    def finish(cur_counts: DataFrame) -> DataFrame:
+        cur_totals = cur_counts.groupBy("event_type").agg(
+            F.sum("c_cur").alias("n_cur")
+        )
+        joined = (
+            cur_counts.join(F.broadcast(ref_counts), ["event_type", "bin"], "full")
+            .withColumn("c_ref", F.coalesce("c_ref", F.lit(0)))
+            .withColumn("c_cur", F.coalesce("c_cur", F.lit(0)))
+            .join(F.broadcast(ref_totals), "event_type")
+            .join(F.broadcast(cur_totals), "event_type")
+        )
+        p_ref = (F.col("c_ref").cast("double") + F.lit(0.5)) / (
+            F.col("n_ref").cast("double") + smooth
+        )
+        p_cur = (F.col("c_cur").cast("double") + F.lit(0.5)) / (
+            F.col("n_cur").cast("double") + smooth
+        )
+        return joined.select(
+            "event_type",
+            "bin",
+            F.col("c_ref").cast("bigint").alias("c_ref"),
+            F.col("c_cur").cast("bigint").alias("c_cur"),
+            F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
+        )
+
+    return cur_counts_stream, finish

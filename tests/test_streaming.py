@@ -495,3 +495,43 @@ def test_transform_with_state_user_stats_match_batch(spark, sf_dir):
     )
     want = {r["user_id"]: (r["n"], r["total"], r["mx"]) for r in batch.collect()}
     assert final == want
+
+
+def test_streaming_psi_matches_batch(spark, sf_dir):
+    """The drained streaming histogram, finished into the PSI report,
+    equals the same statistic computed fully in batch over identical
+    reference/current slices."""
+    from pipeline_usnvc_spark.sources.tables import load_table
+    from pipeline_usnvc_spark.streaming.pipeline import (
+        read_event_stream,
+        run_stream_to_memory,
+        streaming_psi_monitor,
+    )
+
+    reference = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-16").cast("timestamp")
+    )
+    stream = read_event_stream(spark, sf_dir).filter(
+        F.col("ts") >= F.lit("2024-01-16").cast("timestamp")
+    )
+    cur_counts_stream, finish = streaming_psi_monitor(stream, reference)
+    snapshot = run_stream_to_memory(
+        cur_counts_stream, "psi_hist", output_mode="complete"
+    )
+    got = {
+        (r["event_type"], r["bin"]): (r["c_ref"], r["c_cur"], r["psi_term"])
+        for r in finish(snapshot).collect()
+    }
+
+    # batch ground truth: identical computation on the batch frames
+    current = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") >= F.lit("2024-01-16").cast("timestamp")
+    )
+    _, batch_finish = streaming_psi_monitor(current, reference)
+    cur_counts_batch = streaming_psi_monitor(current, reference)[0]
+    want = {
+        (r["event_type"], r["bin"]): (r["c_ref"], r["c_cur"], r["psi_term"])
+        for r in batch_finish(cur_counts_batch).collect()
+    }
+    assert got == want
+    assert len(got) > 0
