@@ -1,0 +1,187 @@
+"""One-call training-corpus preparation: the composed product surface
+a pretraining data engineer actually runs, chaining the individually
+oracle-verified operators end-to-end:
+
+    curate (quality -> exact dedup -> near dedup -> source quota)
+      -> decontaminated train/eval split (GPT-3/Pile discipline)
+        -> token-balanced shard packing
+          -> sharded parquet writer + JSON stats manifest
+
+Every stage is the same code the per-operator queries verify (q174
+curation gate, q187 decontamination, q197 shard packing), so the
+composition inherits their correctness; what this module adds is the
+wiring, the writer layout, and the manifest a training job consumes.
+
+Scale posture: no stage introduces a new shuffle class — curate's
+audit is reused for the manifest via one groupBy; the split is one
+shingle-keyed semi-join; packing is the two-phase global rank; the
+writer partitions by (split, shard) so a 1000-executor run writes
+all shards concurrently.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pipeline_usnvc_spark.functions.text import (
+    doc_fingerprint,
+    token_count,
+    tokens,
+    word_shingles,
+)
+from pipeline_usnvc_spark.operators.dedup_pipeline import curate
+from pipeline_usnvc_spark.operators.rank import with_global_rank
+
+
+def decontaminated_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_pct: int = 20,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, split) with split ∈ train | eval | dropped_contaminated:
+    deterministic md5 bucket split, then drop any train document
+    sharing ≥1 distinct n-gram shingle with the eval set (the q187
+    transform as a reusable operator — one shingle-keyed semi-join,
+    no pairwise work). Production uses n=13; the plan is identical."""
+    bucket = (
+        F.conv(F.substring(F.md5(doc_fingerprint(text_col)), 1, 8), 16, 10).cast("bigint")
+        % 100
+    )
+    bucketed = docs.select(F.col(id_col), F.col(text_col), bucket.alias("bucket"))
+    sh = bucketed.select(
+        id_col,
+        "bucket",
+        F.explode(F.array_distinct(word_shingles(tokens(text_col), n=shingle_n))).alias(
+            "shingle"
+        ),
+    )
+    cut = 100 - eval_pct
+    eval_sh = sh.filter(F.col("bucket") >= cut).select("shingle").distinct()
+    contaminated = (
+        sh.filter(F.col("bucket") < cut)
+        .join(eval_sh, "shingle", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("_c", F.lit(True))
+    )
+    return (
+        bucketed.select(id_col, "bucket")
+        .join(contaminated, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("bucket") >= cut, F.lit("eval"))
+            .when(F.col("_c").isNotNull(), F.lit("dropped_contaminated"))
+            .otherwise(F.lit("train"))
+            .alias("split"),
+        )
+    )
+
+
+def label_and_shard(
+    docs: DataFrame,
+    n_shards: int = 8,
+    eval_pct: int = 20,
+    audit: DataFrame | None = None,
+    **curate_kwargs,
+) -> DataFrame:
+    """The pipeline's logical plan without the writer: every KEPT
+    document labelled (doc_id, text, source, n_tokens, split, shard)
+    — shard assigned only to train rows (token-balanced round-robin
+    via the two-phase global rank), null for eval/contaminated.
+    SQL-expressible end-to-end, so q206 oracle-verifies this exact
+    composition. Pass a precomputed ``audit`` to avoid re-running the
+    curation gate when the caller already has it."""
+    if audit is None:
+        audit = curate(docs, **curate_kwargs)
+    kept = (
+        docs.join(audit.select("doc_id", "drop_stage"), "doc_id")
+        .filter(F.col("drop_stage") == "kept")
+        .select("doc_id", "text", "source", token_count("text").alias("n_tokens"))
+    )
+    split = decontaminated_split(kept, eval_pct=eval_pct)
+    labelled = kept.join(split, "doc_id")
+    train = labelled.filter(F.col("split") == "train")
+    ranked = with_global_rank(train, F.desc("n_tokens"), "doc_id", rank_col="_rn")
+    sharded = ranked.withColumn(
+        "shard", ((F.col("_rn") - 1) % n_shards).cast("int")
+    ).drop("_rn")
+    rest = labelled.filter(F.col("split") != "train").withColumn(
+        "shard", F.lit(None).cast("int")
+    )
+    return sharded.unionByName(rest)
+
+
+def prepare_training_data(
+    docs: DataFrame,
+    out_dir: str,
+    n_shards: int = 8,
+    eval_pct: int = 20,
+    **curate_kwargs,
+) -> dict:
+    """Run the full preparation pipeline and write the corpus.
+
+    Layout::
+
+        {out}/train/shard=K/*.parquet   (token-balanced shards)
+        {out}/eval/*.parquet
+        {out}/manifest.json             (stage/token accounting)
+
+    Returns the manifest dict. Deterministic end-to-end (md5 orders,
+    no RNG): re-running on the same input writes identical content.
+    """
+    audit = curate(docs, **curate_kwargs)
+
+    sized = docs.join(audit.select("doc_id", "drop_stage"), "doc_id").select(
+        "doc_id", "text", "source", token_count("text").alias("n_tokens"), "drop_stage"
+    )
+    # One pass for the per-stage accounting (docs + tokens).
+    stage_stats = {
+        r["drop_stage"]: {"docs": r["docs"], "tokens": r["tokens"]}
+        for r in sized.groupBy("drop_stage")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_tokens").cast("long").alias("tokens"),
+        )
+        .collect()
+    }
+
+    labelled = label_and_shard(
+        docs, n_shards=n_shards, eval_pct=eval_pct, audit=audit, **curate_kwargs
+    ).localCheckpoint()  # two writes + two stat passes below reuse one run
+
+    sharded = labelled.filter(F.col("split") == "train").drop("split")
+    evald = labelled.filter(F.col("split") == "eval").drop("split", "shard")
+
+    sharded.write.partitionBy("shard").mode("overwrite").parquet(f"{out_dir}/train")
+    evald.write.mode("overwrite").parquet(f"{out_dir}/eval")
+
+    shard_stats = {
+        int(r["shard"]): {"docs": r["docs"], "tokens": r["tokens"]}
+        for r in sharded.groupBy("shard")
+        .agg(F.count("*").alias("docs"), F.sum("n_tokens").cast("long").alias("tokens"))
+        .collect()
+    }
+    split_stats = {
+        r["split"]: r["n"]
+        for r in labelled.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+
+    manifest = {
+        "input_docs": sum(v["docs"] for v in stage_stats.values()),
+        "stages": stage_stats,
+        "split": split_stats,
+        "train_shards": shard_stats,
+        "eval_docs": split_stats.get("eval", 0),
+        "n_shards": n_shards,
+        "eval_pct": eval_pct,
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    with open(f"{out_dir}/manifest.json", "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    return manifest

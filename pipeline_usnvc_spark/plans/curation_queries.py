@@ -1216,3 +1216,73 @@ def q197_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("shard_tokens").cast("double") / (grand.cast("double") / F.lit(8.0))
         ).alias("load_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q206 — the COMPOSED preparation pipeline (pipelines/prepare.py
+# label_and_shard) as one oracle-verified query: curation gate →
+# decontaminated 80/20 split → token-balanced 4-shard packing. The
+# oracle embeds the full q174 SQL and the q187/q197 fragments, so the
+# end-to-end product path (what prepare_training_data writes) is
+# externally hash-checked, not just unit-tested.
+# ---------------------------------------------------------------------------
+def _q206_oracle() -> str:
+    from pipeline_usnvc_spark.plans.registry import ORACLES
+
+    q174 = ORACLES["q174_curation_pipeline"]
+    return f"""
+    WITH audit AS ({q174}),
+    kept AS (
+        SELECT d.doc_id
+        FROM documents d JOIN audit a ON a.doc_id = d.doc_id
+        WHERE a.drop_stage = 'kept'
+    ),
+    bucketed AS (
+        SELECT d.doc_id,
+               CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+               CAST('0x' || substr(md5({_FP_SQL}), 1, 8) AS BIGINT) % 100 AS bucket
+        FROM documents d JOIN kept USING (doc_id)
+    ),
+    sh AS (
+        SELECT DISTINCT g.doc_id, g.shingle
+        FROM ({_SHINGLES_SQL}) g JOIN kept k ON g.doc_id = k.doc_id
+    ),
+    eval_sh AS (
+        SELECT DISTINCT shingle FROM sh JOIN bucketed USING (doc_id)
+        WHERE bucket >= 80
+    ),
+    contaminated AS (
+        SELECT DISTINCT sh.doc_id FROM sh
+        JOIN bucketed USING (doc_id)
+        WHERE bucket < 80 AND shingle IN (SELECT shingle FROM eval_sh)
+    ),
+    labelled AS (
+        SELECT b.doc_id, b.n_tokens,
+               CASE WHEN b.bucket >= 80 THEN 'eval'
+                    WHEN c.doc_id IS NOT NULL THEN 'dropped_contaminated'
+                    ELSE 'train' END AS split
+        FROM bucketed b LEFT JOIN contaminated c ON b.doc_id = c.doc_id
+    ),
+    ranked AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rn
+        FROM labelled WHERE split = 'train'
+    )
+    SELECT l.doc_id, l.split, l.n_tokens,
+           CAST((r.rn - 1) % 4 AS INT) AS shard
+    FROM labelled l LEFT JOIN ranked r ON r.doc_id = l.doc_id
+    """
+
+
+@query("q206_prepare_corpus", oracle=_q206_oracle())
+def q206_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.pipelines.prepare import label_and_shard
+
+    docs = load_table(spark, sf_dir, "documents")
+    return label_and_shard(
+        docs,
+        n_shards=4,
+        eval_pct=20,
+        jaccard_threshold=_CURATE_JACCARD,
+        quota=_CURATE_QUOTA,
+    ).select("doc_id", "split", "n_tokens", "shard")
