@@ -982,7 +982,10 @@ def q204_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").over(w_cum).alias("cum"),
         F.sum("c").over(Window.partitionBy("event_type")).alias("n"),
     )
-    return ev.join(F.broadcast(ranked), ["event_type", "value"]).select(
+    # No broadcast hint: with continuous values the distinct-value
+    # table is event-sized, so the join must stay shuffle-based (AQE
+    # broadcasts it anyway when values are low-cardinality).
+    return ev.join(ranked, ["event_type", "value"]).select(
         "event_id",
         "event_type",
         "value",
