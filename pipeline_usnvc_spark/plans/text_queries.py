@@ -1303,3 +1303,39 @@ def q203_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (score >= F.lit(0.5)).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q207 — keyed pseudonymization (GDPR-style de-identification for
+# shared analytics extracts): user ids replaced by a salted-hash
+# token (HMAC-shaped: sha256(salt || id) prefix — deterministic, so
+# joins/aggregations on the token still work across extracts with
+# the same salt, but the mapping is irreversible without it), and
+# email-shaped strings in the payload masked in place. Built-in sha2/
+# regexp only — map-side, zero shuffles beyond the final distinct
+# count audit.
+# ---------------------------------------------------------------------------
+@query(
+    "q207_pseudonymize",
+    oracle="""
+    SELECT event_id,
+           substr(sha256('pepper-2024:' || CAST(user_id AS VARCHAR)), 1, 16) AS user_token,
+           regexp_replace(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<email>', 'g') AS props_masked,
+           user_id % 7 = 0 AS in_audit_sample
+    FROM events
+    """,
+)
+def q207_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.substring(
+            F.sha2(F.concat(F.lit("pepper-2024:"), F.col("user_id").cast("string")), 256),
+            1,
+            16,
+        ).alias("user_token"),
+        F.regexp_replace(
+            "props", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<email>"
+        ).alias("props_masked"),
+        (F.col("user_id") % 7 == 0).alias("in_audit_sample"),
+    )

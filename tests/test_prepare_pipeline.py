@@ -53,3 +53,24 @@ def test_prepare_training_data_end_to_end(spark, sf_dir, tmp_path):
     out2 = str(tmp_path / "corpus2")
     manifest2 = prepare_training_data(docs, out2, n_shards=4)
     assert manifest2 == manifest
+
+
+def test_prepare_degenerate_inputs(spark, tmp_path):
+    """Empty corpus and all-duplicates corpus must not crash the
+    composed pipeline; accounting still closes."""
+    from pipeline_usnvc_spark.pipelines import prepare_training_data
+
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    empty = spark.createDataFrame([], schema)
+    m = prepare_training_data(empty, str(tmp_path / "empty"), n_shards=2)
+    assert m["input_docs"] == 0 and m["train_shards"] == {}
+
+    dupe_text = "alpha beta gamma delta " * 10
+    dupes = spark.createDataFrame(
+        [(i, dupe_text, "en", "s0", len(dupe_text)) for i in range(20)], schema
+    )
+    m2 = prepare_training_data(dupes, str(tmp_path / "dupes"), n_shards=2)
+    assert m2["input_docs"] == 20
+    assert sum(v["docs"] for v in m2["stages"].values()) == 20
+    # exactly one survivor of the duplicate class passes the exact gate
+    assert m2["stages"].get("exact_dup", {}).get("docs", 0) == 19
