@@ -1041,3 +1041,107 @@ def q205_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("wau").cast("bigint").alias("wau"),
         (F.col("dau").cast("double") / F.col("wau").cast("double")).alias("stickiness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q208 — strict sequential conversion funnel: first view → first
+# click AFTER that view → first purchase AFTER that click, each step
+# within 7 days of the previous (the cross-session product funnel;
+# q91 is the within-session variant). Three user-grain argmins —
+# every join is user-keyed on pre-aggregated one-row-per-user frames,
+# so the fact table is scanned once per step and nothing bigger than
+# (user, ts) ever shuffles.
+# ---------------------------------------------------------------------------
+@query(
+    "q208_conversion_funnel",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS v_ts FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS c_ts
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.v_ts
+          AND e.ts <= v.v_ts + INTERVAL 7 DAY
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS p_ts
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+          AND e.ts <= c.c_ts + INTERVAL 7 DAY
+        GROUP BY e.user_id
+    ),
+    counts AS (
+        SELECT (SELECT count(*) FROM v) AS n_view,
+               (SELECT count(*) FROM c) AS n_click,
+               (SELECT count(*) FROM p) AS n_purchase
+    )
+    SELECT step, n_users, conv_from_prev, conv_from_first FROM (
+        SELECT 1 AS ord, 'view' AS step, CAST(n_view AS BIGINT) AS n_users,
+               1.0 AS conv_from_prev, 1.0 AS conv_from_first FROM counts
+        UNION ALL
+        SELECT 2, 'click', CAST(n_click AS BIGINT),
+               CAST(n_click AS DOUBLE) / CAST(n_view AS DOUBLE),
+               CAST(n_click AS DOUBLE) / CAST(n_view AS DOUBLE) FROM counts
+        UNION ALL
+        SELECT 3, 'purchase', CAST(n_purchase AS BIGINT),
+               CAST(n_purchase AS DOUBLE) / CAST(n_click AS DOUBLE),
+               CAST(n_purchase AS DOUBLE) / CAST(n_view AS DOUBLE) FROM counts
+    ) ORDER BY ord
+    """,
+)
+def q208_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_after(step_type: str, prev: DataFrame, prev_ts: str, out_ts: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == step_type)
+        return (
+            e.join(prev, "user_id")
+            .filter(
+                (F.col("ts") > F.col(prev_ts))
+                & (F.col("ts") <= F.col(prev_ts) + F.expr("INTERVAL 7 DAY"))
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_ts))
+        )
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = first_after("click", v, "v_ts", "c_ts")
+    p = first_after("purchase", c, "c_ts", "p_ts")
+
+    counts = (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase")))
+    )  # three 1-row aggregates — the only thing crossing the driver boundary is the final 3-row result
+    nv = F.col("n_view").cast("double")
+    nc = F.col("n_click").cast("double")
+    np_ = F.col("n_purchase").cast("double")
+    steps = counts.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("ord"), F.lit("view").alias("step"),
+                    F.col("n_view").cast("bigint").alias("n_users"),
+                    F.lit(1.0).alias("conv_from_prev"), F.lit(1.0).alias("conv_from_first"),
+                ),
+                F.struct(
+                    F.lit(2).alias("ord"), F.lit("click").alias("step"),
+                    F.col("n_click").cast("bigint").alias("n_users"),
+                    (nc / nv).alias("conv_from_prev"), (nc / nv).alias("conv_from_first"),
+                ),
+                F.struct(
+                    F.lit(3).alias("ord"), F.lit("purchase").alias("step"),
+                    F.col("n_purchase").cast("bigint").alias("n_users"),
+                    (np_ / nc).alias("conv_from_prev"), (np_ / nv).alias("conv_from_first"),
+                ),
+            )
+        ).alias("s")
+    )
+    return steps.select("s.*").orderBy("ord").drop("ord")

@@ -81,3 +81,29 @@ def test_comparator_rejects_int_float_coercion():
         assert_frames_match(spark_side, oracle_side, "int_vs_float")
     # Sanity: identical dtypes still pass.
     assert_frames_match(spark_side, spark_side.copy(), "int_vs_int")
+
+
+def test_driver_sample_prefix_contains_rechecks():
+    """The driver samples a 50-query prefix of queries() in dict
+    order; the three queries fixed this round (q104/q122 HUGEINT
+    casts, q61 threshold) must sit inside it so CORRECTNESS_r03
+    re-verifies them, and prior-round greens must come last."""
+    import __spark_entry__ as e
+
+    names = list(e.queries())
+    prefix = set(names[:50])
+    for q in (
+        "q104_growth_accounting",
+        "q122_interval_coverage",
+        "q61_embedding_near_dup",
+    ):
+        assert q in prefix, f"{q} not in the driver's 50-query sample prefix"
+    # every never-driver-verified query sorts before every verified one
+    first_seen = min(
+        (names.index(n) for n in e._DRIVER_VERIFIED if n in names),
+        default=len(names),
+    )
+    fresh_after = [
+        n for n in names[first_seen:] if n not in e._DRIVER_VERIFIED
+    ]
+    assert not fresh_after, f"fresh queries ordered after verified ones: {fresh_after[:5]}"
