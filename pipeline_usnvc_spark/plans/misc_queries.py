@@ -853,3 +853,41 @@ def q199_thumbnail_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return thumbnail_features(synthesize_binary_column(docs), grid=4)
+
+
+# ---------------------------------------------------------------------------
+# q209 — audio features (rows-only: binary decode). WAV/PCM is a
+# pure-bytes container, so the audio path is REAL end-to-end here:
+# synthesized sine-tone WAVs decode with numpy and yield duration/
+# RMS/zero-crossings/dominant-frequency (rFFT). Correctness (the
+# synthesized tone's frequency recovered within one FFT bin) is
+# asserted in tests/test_multimodal.py.
+# ---------------------------------------------------------------------------
+@query("q209_audio_features")
+def q209_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.multimodal import (
+        audio_features,
+        synthesize_audio_column,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_features(synthesize_audio_column(docs))
+
+
+# ---------------------------------------------------------------------------
+# q210 — video frame sampling (rows-only: binary decode). Payloads
+# are PPM frame STREAMS (concatenated P6 frames — the raw shape every
+# codec decodes to); the operator walks frame boundaries from each
+# frame's own header, keeps every 2nd frame, and emits per-frame
+# luminance stats. Boundary-walk and stride correctness asserted in
+# tests/test_multimodal.py.
+# ---------------------------------------------------------------------------
+@query("q210_video_frame_sample")
+def q210_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.multimodal import (
+        sample_video_frames,
+        synthesize_video_column,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_video_frames(synthesize_video_column(docs), every_k=2)

@@ -303,3 +303,97 @@ def test_embedding_near_dup_lsh_recall(spark, sf_dir):
     assert got <= exact  # verify step is exact: no false positives
     recall = len(got & exact) / len(exact)
     assert recall >= 0.95, f"near-dup LSH recall {recall} too low"
+
+
+def test_wav_roundtrip_and_dominant_frequency(spark):
+    """decode_wav inverts encode_wav byte-exactly; a pure sine tone's
+    dominant rFFT bin recovers the synthesis frequency within one bin;
+    chunk-walk handles a LIST chunk before data."""
+    import numpy as np
+    import struct
+
+    from pipeline_usnvc_spark.operators.multimodal import decode_wav, encode_wav
+
+    rate, freq, n = 8000, 440.0, 4000
+    t = np.arange(n) / rate
+    wave = (np.sin(2 * np.pi * freq * t) * 12000).astype(np.int16)
+    buf = encode_wav(wave, rate)
+    out, out_rate = decode_wav(buf)
+    assert out_rate == rate and (out == wave).all()
+
+    spectrum = np.abs(np.fft.rfft(out.astype(np.float64)))
+    spectrum[0] = 0.0
+    dom = np.argmax(spectrum) * rate / n
+    assert abs(dom - freq) <= rate / n  # within one FFT bin
+
+    # robustness: an extra LIST chunk between fmt and data must be skipped
+    body = buf[12:]
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    patched = b"RIFF" + struct.pack("<I", len(body) + len(extra) + 4) + b"WAVE" + \
+        body[:24] + extra + body[24:]
+    out2, _ = decode_wav(patched)
+    assert (out2 == wave).all()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"nope")
+
+
+def test_audio_features_pipeline(spark, sf_dir):
+    """q209: every synthesized doc yields real decoded features; the
+    dominant frequency matches the synthesis formula per doc."""
+    from pipeline_usnvc_spark.plans import QUERIES
+    from pipeline_usnvc_spark.sources.tables import load_table
+
+    feats = {r["doc_id"]: r for r in QUERIES["q209_audio_features"](spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    assert len(feats) == len(docs)
+    for d in docs[:25]:
+        r = feats[d["doc_id"]]
+        n = len(d["text"] or "")
+        expect_freq = 200.0 + (n % 40) * 50.0
+        bin_hz = r["sample_rate"] / r["n_samples"]
+        assert abs(r["dominant_hz"] - expect_freq) <= bin_hz
+        assert r["feature_kind"] == "wav_pcm_stats"
+        # a 12000/32768-amplitude sine: rms = A/sqrt(2) ≈ 0.259
+        assert 0.24 < r["rms"] < 0.28
+
+
+def test_video_stream_decode_and_sampling(spark):
+    """decode_ppm_stream splits mixed-size concatenated frames at the
+    right boundaries; sample_video_frames keeps exactly the stride
+    frames with correct luminance."""
+    import numpy as np
+
+    from pipeline_usnvc_spark.operators.multimodal import (
+        decode_ppm_stream,
+        sample_video_frames,
+    )
+
+    f1 = np.full((2, 2, 3), 10, dtype=np.uint8)
+    f2 = np.full((3, 1, 3), 200, dtype=np.uint8)
+    f3 = np.full((2, 2, 3), 255, dtype=np.uint8)
+    buf = (
+        b"P6\n2 2\n255\n" + f1.tobytes()
+        + b"P6\n1 3\n255\n" + f2.tobytes()
+        + b"P6\n2 2\n255\n" + f3.tobytes()
+    )
+    frames = decode_ppm_stream(buf)
+    assert [f.shape for f in frames] == [(2, 2, 3), (3, 1, 3), (2, 2, 3)]
+    assert frames[1][0, 0, 0] == 200
+
+    df = spark.createDataFrame([(7, bytearray(buf))], "doc_id bigint, media binary").withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("video/x-ppm-stream").alias("mime"),
+            F.lit(3).cast("int").alias("n_frames"),
+            F.lit(len(buf)).cast("bigint").alias("n_bytes"),
+        ),
+    )
+    rows = sorted(
+        sample_video_frames(df, every_k=2).collect(), key=lambda r: r["frame_idx"]
+    )
+    assert [r["frame_idx"] for r in rows] == [0, 2]  # stride 2 keeps frames 0 and 2
+    assert abs(rows[0]["mean_lum"] - 10 / 255.0) < 1e-9
+    assert abs(rows[1]["mean_lum"] - 1.0) < 1e-9
