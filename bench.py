@@ -25,6 +25,8 @@ sys.path.insert(0, str(REPO))
 # The headline set: one per operator family (join/agg, nesting,
 # window, hierarchy closure, sessionization, as-of, dedup exact,
 # minhash, simhash, vector topk) + the flagship document assembly.
+# EXTENDED (below) is measured and reported but excluded from the
+# headline total, keeping `value` comparable across rounds.
 HEADLINE = [
     "q01_pricing_summary",
     "q03_top_revenue_orders",
@@ -45,6 +47,15 @@ HEADLINE = [
     "q98_skyline",
     "q99_int_shingle_jaccard",
     "q102_lateral_topk",
+]
+
+# Reported under "queries_extended"; NOT part of the headline total.
+EXTENDED = [
+    "q174_curation_pipeline",
+    "q187_decontaminated_split",
+    "q191_ks_drift",
+    "q196_dim_correlation",
+    "q206_prepare_corpus",
 ]
 
 
@@ -124,6 +135,16 @@ def main() -> None:
     # the suite metric: sum of per-query steady-state times
     total = round(sum(timings.values()), 3)
 
+    # Extended (NON-headline) visibility set: the heavy round-3+
+    # surfaces, timed the same way but kept out of `value` so the
+    # suite metric stays comparable across rounds.
+    extended: dict[str, float] = {}
+    for name in EXTENDED:
+        if name in QUERIES:
+            extended[name] = timed(
+                lambda: QUERIES[name](spark, sf_dir), prior.get(name)
+            )
+
     # Regression tracking vs the previous round's recorded bench
     # (BENCH_r{N}.json at the repo root): name any query > 1.5x its
     # prior time (after the adaptive retries above). Comparison only
@@ -141,6 +162,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_extended": extended,
                 "sf": sf_val,
                 "baseline": baseline_round,
                 "regressions": regressions,

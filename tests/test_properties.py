@@ -313,3 +313,23 @@ def test_resize_nearest_properties(w, h, ow, oh, seed):
     in_pixels = {tuple(p) for p in img.reshape(-1, 3)}
     assert all(tuple(p) in in_pixels for p in out.reshape(-1, 3))
     assert (resize_nearest(img, h, w) == img).all()
+
+
+@given(
+    n=st.integers(min_value=1, max_value=5000),
+    rate=st.sampled_from([4000, 8000, 16000, 44100]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_wav_encode_decode_roundtrip(n, rate, seed):
+    """decode_wav inverts encode_wav for arbitrary sample counts and
+    standard rates, byte-exactly."""
+    import numpy as np
+
+    from pipeline_usnvc_spark.operators.multimodal import decode_wav, encode_wav
+
+    rng = np.random.RandomState(seed % (2**31))
+    samples = rng.randint(-32768, 32767, size=n, dtype=np.int16)
+    out, out_rate = decode_wav(encode_wav(samples, rate))
+    assert out_rate == rate
+    assert (out == samples).all()
