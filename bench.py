@@ -105,7 +105,9 @@ def main() -> None:
             if prev.get("sf") == sf_val:
                 baseline_round = baselines[-1].stem
                 prior = {
-                    k: float(v) for k, v in prev.get("queries", {}).items()
+                    k: float(v)
+                    for part in ("queries", "queries_extended")
+                    for k, v in prev.get(part, {}).items()
                 }
         except (json.JSONDecodeError, OSError):
             pass
@@ -150,7 +152,7 @@ def main() -> None:
     # prior time (after the adaptive retries above). Comparison only
     # holds at the same scale factor.
     regressions: dict[str, dict[str, float]] = {}
-    for name, sec in timings.items():
+    for name, sec in {**timings, **extended}.items():
         old = prior.get(name)
         if old and sec > 1.5 * old:
             regressions[name] = {"prev_sec": old, "now_sec": sec}

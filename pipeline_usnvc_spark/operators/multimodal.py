@@ -175,12 +175,24 @@ def thumbnail_features(docs_with_media: DataFrame, grid: int = 4) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             feats: list[list[float]] = []
-            for buf, mime, did in zip(pdf["media"], pdf["media_meta_mime"], pdf["doc_id"]):
+            for buf, mime, did, wi, hi in zip(
+                pdf["media"], pdf["media_meta_mime"], pdf["doc_id"],
+                pdf["media_meta_width"], pdf["media_meta_height"],
+            ):
                 if mime != PPM_MIME:
                     raise ValueError(
                         f"thumbnail_features: no decoder for mime {mime!r} (doc_id {did})"
                     )
                 img = decode_ppm(bytes(buf))
+                # same fail-fast contract as extract_features: metadata
+                # that disagrees with the raster must not ride along
+                # next to features computed from different dims
+                if img.shape[1] != wi or img.shape[0] != hi:
+                    raise ValueError(
+                        f"multimodal metadata breach: PPM raster is "
+                        f"{img.shape[1]}x{img.shape[0]} but metadata says "
+                        f"{wi}x{hi} for doc_id {did}"
+                    )
                 thumb = resize_nearest(img, grid, grid).astype(np.float64) / 255.0
                 lum = 0.299 * thumb[..., 0] + 0.587 * thumb[..., 1] + 0.114 * thumb[..., 2]
                 feats.append([float(x) for x in lum.ravel()])
@@ -389,6 +401,11 @@ def audio_features(docs_with_media: DataFrame) -> DataFrame:
                     raise ValueError(f"audio_features: no decoder for mime {mime!r} (doc_id {did})")
                 samples, rate = decode_wav(bytes(buf))
                 x = samples.astype(np.float64) / 32768.0
+                if x.ndim == 2:
+                    # stereo: downmix to mono BEFORE the time-axis
+                    # features — diff/rfft on the 2-D array would run
+                    # along the channel axis and emit garbage
+                    x = x.mean(axis=1)
                 n = len(x)
                 rms = float(np.sqrt(np.mean(x * x))) if n else 0.0
                 zcr = float(np.mean(np.abs(np.diff(np.signbit(x))))) if n > 1 else 0.0

@@ -707,10 +707,10 @@ def gram_matrix_quantized(
     PARTITION; the only shuffle carries (#partitions × d²/2) rows
     regardless of corpus size.
 
-    Partial products accumulate in int64 (safe up to ~9e18: with
-    quant=1e7 each product is ≤ 1e14, so ~90k rows per partition at
-    worst-case components — far above Arrow batch sizes); the
-    cross-partition reduction sums as DECIMAL(38,0), so the result is
+    Partial products accumulate in int64 per CHUNK of at most
+    9e18/quant² rows (≈92k at quant=1e7 — batches beyond the bound
+    are re-chunked, so no configuration can overflow silently); the
+    cross-chunk reduction sums as DECIMAL(38,0), so the result is
     EXACT and equals the relational pair-explode formulation
     bit-for-bit (asserted in tests/test_scale_ops.py).
 
@@ -721,20 +721,27 @@ def gram_matrix_quantized(
     import numpy as np
     import pandas as pd
 
+    # int64 safety bound PER CHUNK: rows × quant² must stay below
+    # 2^63 — with quant=1e7 that is ~92k rows, far above the default
+    # Arrow batch (spark.sql.execution.arrow.maxRecordsPerBatch =
+    # 10000), but a reconfigured session could exceed it, so batches
+    # are re-chunked to the bound rather than trusted. Accumulating
+    # ACROSS batches would silently wrap negative (numpy int64 has no
+    # overflow check) — each chunk yields its own partial instead and
+    # the cross-chunk reduction is the exact decimal sum.
+    max_rows = max(1, int(9.0e18 / float(quant) ** 2))
+
     def partials(it):
-        acc: np.ndarray | None = None
         for pdf in it:
             mat = np.stack(pdf["v"].to_numpy())  # rows × d, float64
             q = np.floor(mat * quant).astype(np.int64)
-            g = q.T @ q  # d × d int64
-            acc = g if acc is None else acc + g
-        if acc is None:
-            return
-        d = acc.shape[0]
-        iu, ju = np.triu_indices(d)
-        yield pd.DataFrame(
-            {"dim_i": iu + 1, "dim_j": ju + 1, "part_sxy": acc[iu, ju]}
-        )
+            for lo in range(0, len(q), max_rows):
+                g = q[lo : lo + max_rows].T @ q[lo : lo + max_rows]
+                d = g.shape[0]
+                iu, ju = np.triu_indices(d)
+                yield pd.DataFrame(
+                    {"dim_i": iu + 1, "dim_j": ju + 1, "part_sxy": g[iu, ju]}
+                )
 
     v = vectors.select(to_double_array(vec_col).alias("v"))
     parts = v.mapInPandas(partials, schema="dim_i int, dim_j int, part_sxy long")

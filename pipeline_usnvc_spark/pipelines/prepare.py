@@ -22,7 +22,6 @@ all shards concurrently.
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -181,7 +180,26 @@ def prepare_training_data(
         "n_shards": n_shards,
         "eval_pct": eval_pct,
     }
-    os.makedirs(out_dir, exist_ok=True)
-    with open(f"{out_dir}/manifest.json", "w") as f:
-        json.dump(manifest, f, indent=2, sort_keys=True)
+    _write_text(
+        docs.sparkSession,
+        f"{out_dir}/manifest.json",
+        json.dumps(manifest, indent=2, sort_keys=True),
+    )
     return manifest
+
+
+def _write_text(spark, path: str, content: str) -> None:
+    """Write a small text file through the Hadoop FileSystem API so
+    the manifest lands NEXT TO the data on any scheme the writers use
+    (hdfs://, s3a://, file:), not on the driver's local disk — a
+    driver-local open() on an s3a:// out_dir would create a literal
+    './s3a:' directory and strand the manifest."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(conf)
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()

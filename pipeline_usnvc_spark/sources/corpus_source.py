@@ -106,8 +106,8 @@ class TextCorpusDataSource(DataSource):
 # corpus directory — each microbatch picks up files that arrived
 # since the last offset. The crawler-drop ingestion shape: writers
 # drop finished .txt files into the tree; the stream emits each
-# exactly once (offset = count of processed files in sorted order,
-# replayable via readBetweenOffsets for recovery).
+# exactly once whatever order names arrive in (offsets carry the
+# name -> doc_id assignment map, replayable via readBetweenOffsets).
 #
 # The Simple reader API reads on the DRIVER — appropriate here
 # because each microbatch is the handful of newly arrived files, not
@@ -152,21 +152,34 @@ class TextCorpusStreamReader(SimpleDataSourceStreamReader):
         return out
 
     def initialOffset(self) -> dict:
-        return {"n_files": 0}
+        # Offsets are the NAME -> doc_id assignment map, not a count:
+        # positional offsets into a re-sorted listing would re-emit /
+        # skip files whenever a late arrival sorts before an
+        # already-processed name (crawler names are hash/url-derived,
+        # not monotone). Name-keyed offsets make each file emit
+        # exactly once regardless of arrival order, and pin its
+        # doc_id for replay.
+        return {"assigned": {}}
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
-        names = self._listing()
-        lo = start["n_files"]
-        new = list(enumerate(names))[lo:]
-        return iter(self._rows(new)), {"n_files": len(names)}
+        assigned: dict[str, int] = dict(start.get("assigned", {}))
+        fresh = [p for p in self._listing() if p not in assigned]
+        next_id = len(assigned)
+        new_files = [(next_id + i, p) for i, p in enumerate(fresh)]
+        end_assigned = dict(assigned)
+        for doc_id, p in new_files:
+            end_assigned[p] = doc_id
+        return iter(self._rows(new_files)), {"assigned": end_assigned}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
-        # Deterministic replay for recovery: the sorted listing pins
-        # doc_ids, so re-reading a committed range yields identical
-        # rows as long as files are append-only (the contract a
-        # crawler-drop directory satisfies).
-        names = self._listing()
-        return iter(self._rows(list(enumerate(names))[start["n_files"] : end["n_files"]]))
+        # Deterministic replay for recovery: ids come from the END
+        # offset's assignment map, so a committed range re-reads to
+        # identical rows whatever arrived since.
+        prev = set(start.get("assigned", {}))
+        files = sorted(
+            ((doc_id, p) for p, doc_id in end.get("assigned", {}).items() if p not in prev)
+        )
+        return iter(self._rows(files))
 
     def commit(self, end: dict) -> None:
         pass  # nothing to clean up: offsets are derived from the listing

@@ -267,7 +267,12 @@ def incremental_dedup_ledger(out_dir: str, text_col: str = "text"):
             # the original checkpoint, or point at a new out_dir.
             if epoch_id == 0:
                 max_epoch = ledger.agg(F.max("epoch")).first()[0]
-                if max_epoch is not None and max_epoch >= epoch_id:
+                # A ledger holding ONLY epoch 0 is the legitimate
+                # at-least-once replay of the first microbatch (same
+                # checkpoint, driver died before commit) — the strict
+                # `epoch < epoch_id` filter makes that converge. Only
+                # epochs BEYOND 0 prove a fresh-checkpoint reset.
+                if max_epoch is not None and max_epoch > epoch_id:
                     raise RuntimeError(
                         f"incremental_dedup_ledger: epoch 0 arrived but "
                         f"{out_dir}/ledger already holds epochs up to "
@@ -320,11 +325,20 @@ def streaming_psi_monitor(
     span = mx - mn
 
     def binned(df: DataFrame) -> DataFrame:
+        # Clamp BOTH ends: live values can drift outside the frozen
+        # reference range, and an unclamped floor would fragment
+        # below-range mass into unbounded negative bin ids (scoring
+        # downward drift differently from upward).
         return df.withColumn(
             "bin",
-            F.least(
-                F.floor(((F.col("value") - F.lit(mn)) / F.lit(span)) * F.lit(float(n_bins))),
-                F.lit(n_bins - 1).cast("bigint"),
+            F.greatest(
+                F.least(
+                    F.floor(
+                        ((F.col("value") - F.lit(mn)) / F.lit(span)) * F.lit(float(n_bins))
+                    ),
+                    F.lit(n_bins - 1).cast("bigint"),
+                ),
+                F.lit(0).cast("bigint"),
             ).cast("int"),
         )
 
@@ -347,12 +361,20 @@ def streaming_psi_monitor(
         cur_totals = cur_counts.groupBy("event_type").agg(
             F.sum("c_cur").alias("n_cur")
         )
+        # Totals join FULL and coalesce to 0: an event_type present in
+        # only one side (vanished from the stream, or brand-new) is
+        # the strongest drift signal — inner joins would silently
+        # drop exactly those rows from the report.
+        totals = (
+            ref_totals.join(cur_totals, "event_type", "full")
+            .withColumn("n_ref", F.coalesce("n_ref", F.lit(0)))
+            .withColumn("n_cur", F.coalesce("n_cur", F.lit(0)))
+        )
         joined = (
             cur_counts.join(F.broadcast(ref_counts), ["event_type", "bin"], "full")
             .withColumn("c_ref", F.coalesce("c_ref", F.lit(0)))
             .withColumn("c_cur", F.coalesce("c_cur", F.lit(0)))
-            .join(F.broadcast(ref_totals), "event_type")
-            .join(F.broadcast(cur_totals), "event_type")
+            .join(F.broadcast(totals), "event_type")
         )
         p_ref = (F.col("c_ref").cast("double") + F.lit(0.5)) / (
             F.col("n_ref").cast("double") + smooth

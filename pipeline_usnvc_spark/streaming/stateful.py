@@ -155,14 +155,26 @@ def _make_user_stats_processor():
             )
 
         def handleInputRows(self, key, rows, timerValues):
-            n, total, mx = (
-                tuple(self._stats.get()) if self._stats.exists() else (0, 0, 0)
-            )
+            import numpy as np
+
+            if self._stats.exists():
+                n, total, mx = tuple(self._stats.get())
+            else:
+                n, total, mx = 0, 0, None
             for pdf in rows:
-                cents = (pdf["value"] * 100).round().astype("int64")
-                n += int(len(pdf))
+                # Spark's F.round is HALF_UP (away from zero); pandas
+                # .round() is banker's half-to-even — replicate Spark
+                # so the running stats equal the batch oracle exactly
+                v = pdf["value"].to_numpy() * 100.0
+                cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype("int64")
+                n += int(len(cents))
                 total += int(cents.sum())
-                mx = max(mx, int(cents.max()) if len(cents) else 0)
+                if len(cents):
+                    batch_mx = int(cents.max())
+                    # mx seeds from the DATA, not 0: an all-negative
+                    # (refund-only) user must report the true negative
+                    # maximum, as batch F.max does
+                    mx = batch_mx if mx is None else max(mx, batch_mx)
             self._stats.update((n, total, mx))
             (user_id,) = key
             yield pd.DataFrame(

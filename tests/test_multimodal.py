@@ -397,3 +397,39 @@ def test_video_stream_decode_and_sampling(spark):
     assert [r["frame_idx"] for r in rows] == [0, 2]  # stride 2 keeps frames 0 and 2
     assert abs(rows[0]["mean_lum"] - 10 / 255.0) < 1e-9
     assert abs(rows[1]["mean_lum"] - 1.0) < 1e-9
+
+
+def test_audio_features_stereo_downmix(spark):
+    """Stereo WAVs must downmix to mono before time-axis features —
+    the dominant frequency of an identical-channel stereo tone equals
+    the mono tone's."""
+    import numpy as np
+    import struct
+
+    from pipeline_usnvc_spark.operators.multimodal import audio_features, encode_wav
+
+    rate, freq, n = 8000, 440.0, 4000
+    t = np.arange(n) / rate
+    mono = (np.sin(2 * np.pi * freq * t) * 12000).astype(np.int16)
+    stereo = np.column_stack([mono, mono]).ravel()
+    pcm = stereo.tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(pcm), b"WAVE",
+        b"fmt ", 16, 1, 2, rate, rate * 4, 4, 16,
+        b"data", len(pcm),
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(hdr + pcm))], "doc_id bigint, media binary"
+    ).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("audio/wav").alias("mime"),
+            F.lit(rate).cast("int").alias("sample_rate"),
+            F.lit(n).cast("bigint").alias("n_samples"),
+            F.lit(len(hdr) + len(pcm)).cast("bigint").alias("n_bytes"),
+        ),
+    )
+    r = audio_features(df).collect()[0]
+    assert abs(r["dominant_hz"] - freq) <= rate / n
+    assert 0.24 < r["rms"] < 0.28

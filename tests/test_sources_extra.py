@@ -151,5 +151,16 @@ def test_textcorpus_streaming_tails_directory(spark, tmp_path):
         assert len(rows) == 3  # a and b are NOT re-emitted
         got2 = {r["path"]: (r["doc_id"], r["n_chars"]) for r in rows}
         assert got2[str(d / "c.txt")] == (2, len("third doc arrives later"))
+
+        # OUT-OF-ORDER arrival: a name sorting BEFORE every processed
+        # file must still emit exactly once (positional offsets would
+        # re-emit c.txt and skip this one forever)
+        (d / "0early.txt").write_text("late arrival, early name")
+        q.processAllAvailable()
+        rows = spark.table("corpus_tail").collect()
+        assert len(rows) == 4
+        got3 = {r["path"]: r["doc_id"] for r in rows}
+        assert got3[str(d / "0early.txt")] == 3  # next id, no renumbering
+        assert sorted(got3.values()) == [0, 1, 2, 3]  # nothing re-emitted
     finally:
         q.stop()

@@ -405,6 +405,17 @@ def test_incremental_dedup_ledger(spark, tmp_path):
     with pytest.raises(RuntimeError, match="fresh checkpoint"):
         sink(mk([(6, "kappa lambda mu")]), 0)
 
+    # ...but a GENUINE epoch-0 replay (ledger holds ONLY epoch 0 —
+    # the driver died before the first checkpoint commit) must
+    # converge, not wedge: same-checkpoint at-least-once is the
+    # contract the per-epoch overwrite exists for.
+    out2 = str(tmp_path / "led2")
+    sink2 = incremental_dedup_ledger(out2)
+    sink2(mk([(1, "alpha beta gamma"), (2, "delta epsilon zeta")]), 0)
+    sink2(mk([(1, "alpha beta gamma"), (2, "delta epsilon zeta")]), 0)  # replay
+    docs0b = spark.read.parquet(f"{out2}/docs/epoch=0")
+    assert sorted(r["doc_id"] for r in docs0b.collect()) == [1, 2]
+
 
 def test_streaming_term_counts_match_batch(spark, sf_dir):
     """Running stateful term totals after draining the stream equal a
@@ -535,3 +546,25 @@ def test_streaming_psi_matches_batch(spark, sf_dir):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_streaming_psi_clamps_and_keeps_one_sided_types(spark):
+    """Below-reference-range values clamp into bin 0 (no negative
+    bins), and event types present in only one side stay in the
+    report — vanished/new types are the strongest drift signal."""
+    from pipeline_usnvc_spark.streaming.pipeline import streaming_psi_monitor
+
+    ref = spark.createDataFrame(
+        [("a", 10.0), ("a", 20.0), ("gone", 15.0)], "event_type string, value double"
+    )
+    cur = spark.createDataFrame(
+        [("a", -50.0), ("a", 3.0), ("new", 12.0)], "event_type string, value double"
+    )
+    cur_counts, finish = streaming_psi_monitor(cur, ref)
+    rows = finish(cur_counts).collect()
+    assert all(r["bin"] >= 0 for r in rows), rows
+    types = {r["event_type"] for r in rows}
+    assert "gone" in types and "new" in types
+    # the below-range mass landed in bin 0
+    a0 = [r for r in rows if r["event_type"] == "a" and r["bin"] == 0]
+    assert a0 and a0[0]["c_cur"] == 2
