@@ -32,4 +32,5 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity from the deterministic fold dot/norms."""
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
