@@ -1286,3 +1286,79 @@ def q206_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         jaccard_threshold=_CURATE_JACCARD,
         quota=_CURATE_QUOTA,
     ).select("doc_id", "split", "n_tokens", "shard")
+
+
+# ---------------------------------------------------------------------------
+# q211 — epoch upsampling plan: materialize the temperature-mix as
+# concrete (doc, copy) training rows — small sources repeat more
+# (Llama-style upsampling), each copy carrying a deterministic
+# md5-derived shuffle key so the training order is reproducible
+# without RNG state. Repeat factors derive from the q161 temperature
+# shares against a fixed token budget; the explode is
+# sequence()-based (no UDF) and the only shuffle is the final
+# ordering the consumer applies.
+# ---------------------------------------------------------------------------
+@query(
+    "q211_epoch_upsample",
+    oracle="""
+    WITH counts AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+    ),
+    powed AS (
+        SELECT source, n_docs, pow(CAST(n_docs AS DOUBLE), 0.3) AS w FROM counts
+    ),
+    factors AS (
+        SELECT source, n_docs,
+               CAST(ceil((w / (SELECT sum(w) FROM powed)) * 3000.0
+                         / CAST(n_docs AS DOUBLE) - 1e-9) AS INT) AS repeats
+        FROM powed
+    )
+    SELECT d.doc_id, f.repeats,
+           CAST(c.copy_idx AS INT) AS copy_idx,
+           substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(c.copy_idx AS VARCHAR)), 1, 12)
+             AS shuffle_key
+    FROM documents d
+    JOIN factors f ON f.source = d.source
+    JOIN LATERAL (SELECT unnest(generate_series(1, f.repeats)) AS copy_idx) c ON TRUE
+    """,
+)
+def q211_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").cast("bigint").alias("n_docs"))
+    powed = counts.withColumn("w", F.pow(F.col("n_docs").cast("double"), F.lit(0.3)))
+    w_total = F.sum("w").over(Window.partitionBy())
+    factors = powed.select(
+        "source",
+        # -1e-9 before ceil: the share×budget ratio can land EXACTLY
+        # on an integer (uniform sources), where a 1-ulp cross-engine
+        # pow/div difference would flip ceil by a whole copy per doc
+        F.ceil(
+            (F.col("w") / w_total) * F.lit(3000.0) / F.col("n_docs").cast("double")
+            - F.lit(1e-9)
+        )
+        .cast("int")
+        .alias("repeats"),
+    )
+    return (
+        docs.join(F.broadcast(factors), "source")
+        .select(
+            "doc_id",
+            "repeats",
+            F.explode(F.sequence(F.lit(1), F.col("repeats"))).alias("copy_idx"),
+        )
+        .withColumn("copy_idx", F.col("copy_idx").cast("int"))
+        .select(
+            "doc_id",
+            "repeats",
+            "copy_idx",
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit(":"), F.col("copy_idx").cast("string")
+                    )
+                ),
+                1,
+                12,
+            ).alias("shuffle_key"),
+        )
+    )
