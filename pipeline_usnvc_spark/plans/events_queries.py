@@ -848,25 +848,55 @@ def q181_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q201_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # As-of formulation (the q42 union trick), NOT a range join: a
+    # purchases×touches join fans out by touches-per-user-in-window —
+    # measured 83 s at 10M events on a fixed user domain vs ~2 s here.
+    # Union both event kinds on the (user, time) axis, carry the last
+    # touch forward with last(ignorenulls) over ONE user-keyed window,
+    # and validate the 7-day lookback on the purchase row. Sort key
+    # (ts, kind 0=purchase<1=touch, event_id): a touch at exactly the
+    # purchase instant orders AFTER it (strict t_ts < ts, matching the
+    # oracle), and same-timestamp touches resolve to the larger
+    # event_id (the oracle's DESC, DESC row_number).
+    from pyspark.sql import Window
+
     ev = load_table(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts", "value"
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        "event_id",
+        "value",
+        F.lit(None).cast("timestamp").alias("t_ts"),
+        F.lit(None).cast("string").alias("t_type"),
     )
     touches = ev.filter(F.col("event_type").isin("click", "view")).select(
-        F.col("user_id").alias("t_user"),
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        "event_id",
+        F.lit(None).cast("double").alias("value"),
         F.col("ts").alias("t_ts"),
-        F.col("event_id").alias("t_eid"),
         F.col("event_type").alias("t_type"),
     )
-    joined = purchases.join(
-        touches,
-        (F.col("t_user") == F.col("user_id"))
-        & (F.col("t_ts") < F.col("ts"))
-        & (F.col("t_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAY")),
-        "left",
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    attributed = joined.groupBy("event_id", "value").agg(
-        F.max_by("t_type", F.struct("t_ts", "t_eid")).alias("touch_type")
+    merged = purchases.unionByName(touches).select(
+        "kind",
+        "value",
+        "ts",
+        F.last("t_ts", ignorenulls=True).over(w).alias("last_t_ts"),
+        F.last("t_type", ignorenulls=True).over(w).alias("last_t_type"),
+    )
+    attributed = merged.filter(F.col("kind") == 0).select(
+        "value",
+        F.when(
+            F.col("last_t_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAY"),
+            F.col("last_t_type"),
+        ).alias("touch_type"),
     )
     return attributed.groupBy(
         F.coalesce("touch_type", F.lit("none")).alias("touch_type")
