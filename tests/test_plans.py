@@ -508,14 +508,17 @@ def test_dim_correlation_pairs_combine_map_side(spark, sf_dir):
     assert "partial_sum" in plan, plan[:3000]
 
 
-def test_attribution_no_window_on_fact(spark, sf_dir):
-    # q201: the per-purchase winner is a struct-argmax (max_by)
-    # groupBy with map-side partials — no Window operator anywhere
-    # (a row_number form would sort every purchase's touch fan-out
-    # inside hot user partitions).
+def test_attribution_no_pair_join(spark, sf_dir):
+    # q201 is the as-of union formulation: both event kinds ride ONE
+    # user-keyed window (last-touch carry), so the plan must contain
+    # NO join at all — a purchases×touches join would fan out by
+    # touches-per-user-in-window (measured 83 s vs 5.7 s at 10M
+    # events).
     plan = _plan(spark, "q201_last_touch_attribution", sf_dir)
-    assert "Window" not in plan, plan[:3000]
-    assert "partial_max_by" in plan or "max_by" in plan, plan[:3000]
+    assert "Window" in plan, plan[:3000]
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert join_op not in plan, f"unexpected {join_op} — pair fan-out is back\n{plan[:3000]}"
+    assert "Union" in plan, plan[:3000]
 
 
 def test_kmv_shuffles_hashes_not_documents(spark, sf_dir):
