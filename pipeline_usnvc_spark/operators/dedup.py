@@ -113,6 +113,13 @@ def lsh_candidate_pairs(
     join shuffles only (id, band_sig) pairs and AQE splits skewed
     buckets (e.g., boilerplate-heavy shingle sets).
     """
+    if num_hashes % bands:
+        # a floored rows_per_band silently creates MORE bands than
+        # requested (seed // rows_per_band overruns), shifting the
+        # recall/precision curve the caller tuned
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
     band_sig = (
@@ -212,6 +219,17 @@ def ngram_jaccard_pairs(
         # set sizes must be recomputed AFTER dropping capped shingles,
         # so this path keeps the exploded-table formulation.
         sh = shingle_table(docs, id_col, text_col, shingle_n).distinct()
+        if int_hash:
+            # the compaction applies in the capped branch too — the
+            # df-count exchange and the pair self-join both ride the
+            # 8-byte hash instead of ~25-byte strings (previously the
+            # flag was silently ignored when max_doc_freq was set)
+            sh = sh.select(
+                id_col,
+                F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+                .cast("long")
+                .alias("shingle"),
+            )
         rare = (
             sh.groupBy("shingle")
             .agg(F.count("*").alias("_df"))

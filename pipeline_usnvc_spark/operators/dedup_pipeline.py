@@ -30,10 +30,17 @@ def dedup_corpus(
     text_col: str = "text",
     jaccard_threshold: float = 0.5,
     int_hash: bool = True,
+    resolve_final: bool = False,
 ) -> DataFrame:
     """(doc_id, verdict, survivor_id): verdict ∈ kept | exact_dup |
-    near_dup; survivor_id = the document this one deduplicates to
-    (itself when kept)."""
+    near_dup; survivor_id is the ONE-HOP dedup target (exact keeper,
+    or near-dup component min, or self — the q56 oracle contract).
+
+    An exact_dup's keeper can itself be a near_dup, so the one-hop
+    target is not always a kept document. Pass ``resolve_final=True``
+    to chase the chain (depth ≤ 2 by construction: component minima
+    are always kept) so survivor_id always lands on a kept doc —
+    what a consumer joining against the kept set wants."""
     fp = docs.select(F.col(id_col), doc_fingerprint(text_col).alias("fp"))
     keeper_per_fp = fp.groupBy("fp").agg(F.min(id_col).alias("exact_keeper"))
     # Materialized once: both the survivor filter (feeding the near
@@ -77,7 +84,20 @@ def dedup_corpus(
             .alias("survivor_id"),
         )
     )
-    return verdict
+    if not resolve_final:
+        return verdict
+    hop = verdict.select(
+        F.col(id_col).alias("survivor_id"),
+        F.col("survivor_id").alias("final_survivor"),
+    )
+    return (
+        verdict.join(hop, "survivor_id", "left")
+        .select(
+            id_col,
+            "verdict",
+            F.coalesce("final_survivor", F.col("survivor_id")).alias("survivor_id"),
+        )
+    )
 
 
 def curate(

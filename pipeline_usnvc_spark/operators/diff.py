@@ -53,10 +53,13 @@ def table_diff(
         cond = eq if cond is None else cond & eq
     joined = o.join(n, cond, "full_outer")
 
-    same = None
+    # No compare columns (key-only membership diff) ⇒ rows present on
+    # both sides are never "changed": seed with literal True so the
+    # ~same below is well-formed instead of ~None (TypeError).
+    same = F.lit(True)
     for c in compare_cols:
         eq = F.col(f"o_{c}").eqNullSafe(F.col(f"n_{c}"))
-        same = eq if same is None else same & eq
+        same = same & eq
 
     change = (
         F.when(F.col("in_old").isNull(), F.lit("added"))

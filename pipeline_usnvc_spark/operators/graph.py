@@ -67,7 +67,19 @@ def connected_components(
         .agg(F.min("label").alias("label"))
         .transform(materialize)
     )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # Convergence signature must be type-robust: F.sum on a STRING
+    # label column implicitly casts to double and returns NULL, and
+    # None == None would read as converged after one round. Summing
+    # the 64-bit hash of the label works for any node-id type; labels
+    # only ever decrease under min-propagation, so a stuck signature
+    # means a real fixpoint (modulo a ~2^-64 per-round hash-sum
+    # collision).
+    # decimal sum: int64 hash values summed as longs overflow ANSI
+    # arithmetic on any non-trivial graph
+    sig = lambda df: df.agg(  # noqa: E731
+        F.sum(F.xxhash64("label").cast("decimal(38,0)"))
+    ).collect()[0][0]
+    prev_sum = sig(labels)
     for _ in range(max_iter):
         neighbor_labels = (
             sym.join(labels.withColumnRenamed("node", "y"), "y")
@@ -84,10 +96,9 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .transform(materialize)
         )
-        # Labels only ever decrease under min-propagation, so an
-        # unchanged sum is an exact fixpoint test — one scalar agg per
-        # round instead of a two-sided exceptAll shuffle.
-        cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        # One scalar agg per round instead of a two-sided exceptAll
+        # shuffle (see the signature note above).
+        cur_sum = sig(new_labels)
         labels = new_labels
         if cur_sum == prev_sum:
             break

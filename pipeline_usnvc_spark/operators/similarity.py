@@ -138,6 +138,10 @@ def kmeans_centroids(
         [float(x) for x in r["v"]]
         for r in v.orderBy(id_col).limit(k).collect()
     ]
+    # Corpora smaller than k seed fewer centroids; clamp k so the
+    # update loop never indexes past the list (each point is its own
+    # centroid — the correct degenerate quantizer).
+    k = len(centroids)
     for _ in range(iters):
         assigned = v.withColumn("c", _nearest_centroid(F.col("v"), centroids))
         per_dim = (
@@ -264,6 +268,7 @@ def multiprobe_lsh_topk(
     nprobe: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
 ) -> DataFrame:
     """Multi-probe LSH top-k: each query probes its own bucket plus the
     ``nprobe - 1`` buckets reached by flipping the sign bits with the
@@ -276,7 +281,12 @@ def multiprobe_lsh_topk(
     be bucketed-by on write); only the tiny query side explodes
     nprobe ways before the join.
     """
-    planes = _hyperplane(n_planes, 64)
+    # dim must match the embedding width (like the sibling LSH/PQ
+    # entry points): zip_with null-pads a mismatch, every plane dot
+    # goes NULL, and all vectors collapse into one bucket — turning
+    # the equi-join into the full cross product this operator exists
+    # to avoid.
+    planes = _hyperplane(n_planes, dim)
     vb = _bucket_and_margins(vectors, planes, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), "bucket", F.col("v").alias("v_vec")
     )
@@ -644,6 +654,7 @@ def batched_cosine_topk(
     import numpy as np
     import pandas as pd
 
+    id_type = vectors.schema[id_col].dataType.simpleString()
     q_pdf = queries.select(F.col(id_col), to_double_array(vec_col).alias("qv")).toPandas()
     if len(q_pdf) == 0:
         raise ValueError("query set is empty")
@@ -662,11 +673,14 @@ def batched_cosine_topk(
             V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
             S = np.round(Vn @ QnT, round_dp)  # (n_batch, m)
-            row_of = {int(i): r for r, i in enumerate(ids)}
+            # raw id values as keys (no int() coercion): the id
+            # column is generic — string ids would crash int(), and
+            # truncating coercions could miss the self-exclusion
+            row_of = {i: r for r, i in enumerate(ids)}
             out_q, out_n, out_s = [], [], []
             for j in range(m):
                 col = S[:, j].copy()
-                self_row = row_of.get(int(q_ids_l[j]))
+                self_row = row_of.get(q_ids_l[j])
                 if self_row is not None:
                     col[self_row] = -np.inf
                 # lexsort: last key is primary -> (-sim, id) asc == sim desc, id asc
@@ -684,7 +698,7 @@ def batched_cosine_topk(
             )
 
     partial = vectors.select(id_col, vec_col).mapInPandas(
-        score, "query_id bigint, neighbor_id bigint, sim double"
+        score, f"query_id {id_type}, neighbor_id {id_type}, sim double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -721,20 +735,23 @@ def gram_matrix_quantized(
     import numpy as np
     import pandas as pd
 
-    # int64 safety bound PER CHUNK: rows × quant² must stay below
-    # 2^63 — with quant=1e7 that is ~92k rows, far above the default
-    # Arrow batch (spark.sql.execution.arrow.maxRecordsPerBatch =
-    # 10000), but a reconfigured session could exceed it, so batches
-    # are re-chunked to the bound rather than trusted. Accumulating
-    # ACROSS batches would silently wrap negative (numpy int64 has no
-    # overflow check) — each chunk yields its own partial instead and
-    # the cross-chunk reduction is the exact decimal sum.
-    max_rows = max(1, int(9.0e18 / float(quant) ** 2))
-
+    # int64 safety bound PER CHUNK: rows × max|q|² must stay below
+    # 2^63, with max|q| measured from the batch itself (≈92k rows at
+    # unit-normalized inputs and quant=1e7; far fewer for
+    # unnormalized embeddings). Accumulating ACROSS batches would
+    # silently wrap negative (numpy int64 has no overflow check) —
+    # each chunk yields its own partial instead and the cross-chunk
+    # reduction is the exact decimal sum.
     def partials(it):
         for pdf in it:
             mat = np.stack(pdf["v"].to_numpy())  # rows × d, float64
             q = np.floor(mat * quant).astype(np.int64)
+            # chunk bound from the BATCH's actual magnitude, not an
+            # assumed |x| <= 1: unnormalized embeddings make |q|
+            # exceed quant, and rows × max|q|² past 2^63 wraps
+            # negative with no numpy error
+            maxq = int(np.abs(q).max()) if q.size else 0
+            max_rows = max(1, int(9.0e18 / float(max(1, maxq)) ** 2))
             for lo in range(0, len(q), max_rows):
                 g = q[lo : lo + max_rows].T @ q[lo : lo + max_rows]
                 d = g.shape[0]

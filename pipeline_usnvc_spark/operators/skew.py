@@ -20,11 +20,16 @@ def salted_count(
 ) -> DataFrame:
     """Two-phase count over a skewed key: partial agg on (key, salt)
     spreads a hot key over ``salt_buckets`` reducers, then the tiny
-    per-key re-agg combines. Identical result to a direct groupBy —
-    the salt column derives from a hash of the full row (random-ish,
-    deterministic), never leaves the job, and bounds any single
-    reducer at ~1/salt_buckets of the hot key's rows."""
-    salted = df.withColumn("_salt", F.pmod(F.xxhash64(*df.columns), F.lit(salt_buckets)))
+    per-key re-agg combines. Identical result to a direct groupBy.
+
+    The salt derives from monotonically_increasing_id (like
+    salted_join), NOT a hash of the row values: a hot key whose rows
+    are IDENTICAL after projection (the common case — counting a
+    projected key column) would hash every duplicate into one salt
+    bucket and defeat the spread exactly when it matters."""
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    )
     partial = salted.groupBy(key, "_salt").agg(F.count("*").alias("_partial"))
     return partial.groupBy(key).agg(F.sum("_partial").cast("bigint").alias(agg_alias))
 

@@ -615,3 +615,83 @@ def test_gram_matrix_equals_pair_explode(spark, sf_dir):
     assert gram == want
     d = max(j for _, j in gram)
     assert len(gram) == d * (d + 1) // 2  # full upper triangle incl. diagonal
+
+
+def test_operator_review_fixes(spark, sf_dir):
+    """Regression batch for the operators/ review findings."""
+    from pyspark.sql import functions as F
+
+    from pipeline_usnvc_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        ngram_jaccard_pairs,
+    )
+    from pipeline_usnvc_spark.operators.dedup_pipeline import dedup_corpus
+    from pipeline_usnvc_spark.operators.diff import table_diff
+    from pipeline_usnvc_spark.operators.graph import connected_components
+    from pipeline_usnvc_spark.operators.similarity import (
+        batched_cosine_topk,
+        kmeans_centroids,
+    )
+    from pipeline_usnvc_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    # capped + int_hash now compacts AND returns identical pairs to
+    # the capped string path (the flag was silently ignored before)
+    a = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs(docs, threshold=0.3, max_doc_freq=100).collect()
+    }
+    b = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.3, max_doc_freq=100, int_hash=True
+        ).collect()
+    }
+    assert a == b and a
+
+    # indivisible bands now fail loudly instead of silently rebanding
+    import pytest
+
+    with pytest.raises(ValueError, match="divisible"):
+        lsh_candidate_pairs(docs, num_hashes=8, bands=3)
+
+    # string node ids: fixpoint must actually iterate (sum-of-label
+    # cast to double returned NULL and converged after one round)
+    chain = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")], "src string, dst string"
+    )
+    comps = {
+        r["node"]: r["component"]
+        for r in connected_components(chain, "src", "dst", local_threshold=0).collect()
+    }
+    assert comps == {n: "a" for n in "abcde"}
+
+    # kmeans with corpus smaller than k: no IndexError, each point its
+    # own centroid
+    tiny = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id bigint, embedding array<double>"
+    )
+    cents = kmeans_centroids(tiny, k=16, iters=2)
+    assert len(cents) == 2
+
+    # key-only table_diff (no compare columns): membership diff, no
+    # TypeError
+    old_t = spark.createDataFrame([(1,), (2,)], "id bigint")
+    new_t = spark.createDataFrame([(2,), (3,)], "id bigint")
+    d = {r["id"]: r["change"] for r in table_diff(old_t, new_t, ["id"]).collect()}
+    assert d == {1: "removed", 3: "added"}
+
+    # batched top-k with STRING ids (schema was hardcoded bigint)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.concat(F.lit("v"), F.col("vec_id").cast("string")).alias("vec_id"), "embedding"
+    )
+    qs = emb.limit(3)
+    rows = batched_cosine_topk(emb, qs, k=2).collect()
+    assert rows and all(isinstance(r["query_id"], str) for r in rows)
+    assert all(r["query_id"] != r["neighbor_id"] for r in rows)  # self excluded
+
+    # resolve_final: every survivor_id lands on a kept doc
+    resolved = dedup_corpus(docs, jaccard_threshold=0.5, resolve_final=True)
+    kept_ids = {r["doc_id"] for r in resolved.filter("verdict = 'kept'").collect()}
+    assert all(r["survivor_id"] in kept_ids for r in resolved.collect())
