@@ -96,20 +96,28 @@ class LatestStateStore:
 
     # -- write --------------------------------------------------------
     def _latest_per_key(self, df: DataFrame) -> DataFrame:
-        w = Window.partitionBy(self.key_col).orderBy(
-            *[F.desc(c) for c in self.seq_cols]
-        )
-        return (
-            df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
+        # Delegates to batch_latest_state: the module's correctness
+        # claim is that stream state EQUALS the batch recompute, so
+        # there must be exactly one copy of the argmax to keep right.
+        return batch_latest_state(df, self.key_col, self.seq_cols)
 
     def upsert(self, batch_df: DataFrame, epoch_id: int) -> None:
-        """Merge one micro-batch: rewrite only the touched buckets."""
+        """Merge one micro-batch: rewrite only the touched buckets.
+
+        Idempotent under foreachBatch's at-least-once replay: the
+        merged view is localCheckpointed BEFORE the write (so
+        overwriting an epoch dir the merge READ from — a replayed
+        epoch — cannot delete its own inputs), and the write uses
+        DYNAMIC partition overwrite (so an epoch-id collision, e.g. a
+        fresh-checkpoint restart at epoch 0, replaces only the
+        touched bucket subdirs instead of wiping buckets the manifest
+        still pins to that epoch dir)."""
         spark = batch_df.sparkSession
         bucket = F.pmod(F.xxhash64(F.col(self.key_col)), F.lit(self.n_buckets)).cast("int")
-        batch = batch_df.withColumn(_BUCKET, bucket)
+        # One materialization serves both the touched-bucket probe and
+        # the merge below — without it the upstream batch plan runs
+        # twice per epoch.
+        batch = batch_df.withColumn(_BUCKET, bucket).localCheckpoint()
         touched = sorted(
             r[_BUCKET] for r in batch.select(_BUCKET).distinct().collect()
         )
@@ -128,17 +136,36 @@ class LatestStateStore:
             merged = old.unionByName(batch)
         else:
             merged = batch
-        latest = self._latest_per_key(merged).withColumnRenamed(_BUCKET, "bucket")
+        latest = (
+            self._latest_per_key(merged)
+            .withColumnRenamed(_BUCKET, "bucket")
+            # cut lineage to the old epoch dirs before overwriting them
+            .localCheckpoint()
+        )
         epoch_dir = f"epoch={epoch_id}"
         (
             latest.repartition("bucket")
             .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("bucket")
             .parquet(os.path.join(self.base_dir, epoch_dir))
         )
         for b in touched:
             manifest[str(b)] = epoch_dir
         self._publish_manifest(manifest)
+        self._vacuum(manifest)
+
+    def _vacuum(self, manifest: dict[str, str]) -> None:
+        """Delete epoch directories no manifest entry references —
+        without this a long-running stream accumulates one dead copy
+        of every hot bucket per epoch, unbounded state growth for a
+        constant-size live view."""
+        import shutil
+
+        live = set(manifest.values())
+        for name in os.listdir(self.base_dir):
+            if name.startswith("epoch=") and name not in live:
+                shutil.rmtree(os.path.join(self.base_dir, name), ignore_errors=True)
 
     # -- streaming wiring ---------------------------------------------
     def sink(self, stream_df: DataFrame):

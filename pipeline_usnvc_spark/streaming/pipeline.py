@@ -106,7 +106,11 @@ def stream_documents_foreach_batch(
     reference's per-row stage-2 worker (usnvc.py:68-81)."""
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
-        docs_builder(batch_df).write.mode("append").json(f"{out_dir}/epoch={epoch_id}")
+        # overwrite, not append: each epoch owns its directory, so a
+        # replayed micro-batch (at-least-once foreachBatch) converges
+        # to the same files instead of duplicating every envelope —
+        # same contract as idempotent_foreach_batch below
+        docs_builder(batch_df).write.mode("overwrite").json(f"{out_dir}/epoch={epoch_id}")
 
     return source_stream.writeStream.foreachBatch(_sink).trigger(availableNow=True)
 
@@ -175,7 +179,7 @@ def stream_stream_attribution_join(
 
 
 def stream_static_enrich(
-    events: DataFrame, users: DataFrame, value_threshold: float = 0.0
+    events: DataFrame, users: DataFrame, value_threshold: float | None = None
 ) -> DataFrame:
     """Stream-static join: enrich the event stream with a static
     dimension (broadcast — the static side is planned per micro-batch
@@ -184,9 +188,13 @@ def stream_static_enrich(
     100 TB/day event firehose with slowly-changing reference data;
     the static side re-reads its source each batch, picking up
     appended files without restart."""
+    # No filter by default: an enrichment join must not silently drop
+    # zero/negative/NULL-valued events; the threshold is opt-in.
+    filtered = (
+        events if value_threshold is None else events.filter(F.col("value") > value_threshold)
+    )
     return (
-        events.filter(F.col("value") > value_threshold)
-        .join(F.broadcast(users), "user_id")
+        filtered.join(F.broadcast(users), "user_id")
         .select("event_id", "user_id", "event_type", "value", "segment")
     )
 
@@ -321,8 +329,19 @@ def streaming_psi_monitor(
     bounds = reference.agg(
         F.min("value").alias("mn"), F.max("value").alias("mx")
     ).first()
+    if bounds["mn"] is None or bounds["mx"] is None:
+        raise ValueError(
+            "streaming_psi_monitor: reference has no non-null values — "
+            "a drift monitor against an empty baseline is meaningless"
+        )
     mn, mx = float(bounds["mn"]), float(bounds["mx"])
     span = mx - mn
+    if span <= 0.0:
+        raise ValueError(
+            f"streaming_psi_monitor: reference values are constant ({mn}) — "
+            "fixed-width bins need a non-degenerate range; choose a wider "
+            "reference window"
+        )
 
     def binned(df: DataFrame) -> DataFrame:
         # Clamp BOTH ends: live values can drift outside the frozen

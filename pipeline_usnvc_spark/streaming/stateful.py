@@ -59,7 +59,16 @@ def _sessionize_group(
             sid += 1
             start_us, last_us, n = t, t, 1
         else:
-            last_us, n = t, n + 1
+            # last_us must never move BACKWARD: a late event from a
+            # previous batch (file source gives no cross-batch order)
+            # joins the open session without rewinding its clock —
+            # otherwise a later on-time event could measure its gap
+            # against the stale early timestamp and close sessions the
+            # batch recompute keeps open. (True late-data handling
+            # needs a watermark; this keeps the no-late-data case
+            # exactly batch-equal and degrades monotonically.)
+            last_us, n = max(last_us, t), n + 1
+            start_us = min(start_us, t)
 
     state.update((start_us, last_us, n, sid))
     out = pd.DataFrame(
@@ -164,8 +173,13 @@ def _make_user_stats_processor():
             for pdf in rows:
                 # Spark's F.round is HALF_UP (away from zero); pandas
                 # .round() is banker's half-to-even — replicate Spark
-                # so the running stats equal the batch oracle exactly
+                # so the running stats equal the batch oracle exactly.
+                # NULL/NaN values are dropped BEFORE the cast: numpy's
+                # NaN.astype(int64) silently yields INT64_MIN, which
+                # would permanently corrupt the running totals (batch
+                # F.sum/F.max skip nulls).
                 v = pdf["value"].to_numpy() * 100.0
+                v = v[np.isfinite(v)]
                 cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype("int64")
                 n += int(len(cents))
                 total += int(cents.sum())
