@@ -1227,9 +1227,7 @@ def q197_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 # externally hash-checked, not just unit-tested.
 # ---------------------------------------------------------------------------
 def _q206_oracle() -> str:
-    from pipeline_usnvc_spark.plans.registry import ORACLES
-
-    q174 = ORACLES["q174_curation_pipeline"]
+    q174 = _ORACLES["q174_curation_pipeline"]
     return f"""
     WITH audit AS ({q174}),
     kept AS (
@@ -1309,8 +1307,8 @@ def q206_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     factors AS (
         SELECT source, n_docs,
-               CAST(ceil((w / (SELECT sum(w) FROM powed)) * 3000.0
-                         / CAST(n_docs AS DOUBLE) - 1e-9) AS INT) AS repeats
+               CAST(greatest(1, ceil((w / (SELECT sum(w) FROM powed)) * 3000.0
+                         / CAST(n_docs AS DOUBLE) - 1e-9)) AS INT) AS repeats
         FROM powed
     )
     SELECT d.doc_id, f.repeats,
@@ -1332,9 +1330,17 @@ def q211_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         # -1e-9 before ceil: the share×budget ratio can land EXACTLY
         # on an integer (uniform sources), where a 1-ulp cross-engine
         # pow/div difference would flip ceil by a whole copy per doc
-        F.ceil(
-            (F.col("w") / w_total) * F.lit(3000.0) / F.col("n_docs").cast("double")
-            - F.lit(1e-9)
+        # greatest(1, ...): every source keeps at least one copy AND a
+        # zero-repeat value would diverge between engines — Spark's
+        # sequence(1, 0) defaults the step to -1 and yields [1, 0]
+        # (two phantom copies incl. copy_idx=0) while DuckDB's
+        # generate_series(1, 0) is empty
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.ceil(
+                (F.col("w") / w_total) * F.lit(3000.0) / F.col("n_docs").cast("double")
+                - F.lit(1e-9)
+            ),
         )
         .cast("int")
         .alias("repeats"),

@@ -100,10 +100,10 @@ def q190_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = counts.groupBy("event_type").agg(
         F.sum("c_ref").alias("n_ref"), F.sum("c_cur").alias("n_cur")
     )
-    spine = (
-        ev.select("event_type")
-        .distinct()
-        .crossJoin(spark.range(0, 10).select(F.col("id").cast("int").alias("bin")))
+    # spine types come from the tiny totals aggregate (every type in
+    # events has a counts row), NOT a second full events scan
+    spine = totals.select("event_type").crossJoin(
+        spark.range(0, 10).select(F.col("id").cast("int").alias("bin"))
     )
     j = (
         spine.join(counts, ["event_type", "bin"], "left")
@@ -246,10 +246,9 @@ def q192_chi2_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_tot = obs.groupBy("event_type").agg(F.sum("n").alias("rt"))
     col_tot = obs.groupBy("hr").agg(F.sum("n").alias("ct"))
     grand = obs.agg(F.sum("n").alias("g"))
-    spine = (
-        ev.select("event_type")
-        .distinct()
-        .crossJoin(spark.range(0, 24).select(F.col("id").cast("int").alias("hr")))
+    # spine from the tiny row-totals aggregate — no second events scan
+    spine = row_tot.select("event_type").crossJoin(
+        spark.range(0, 24).select(F.col("id").cast("int").alias("hr"))
     )
     j = (
         spine.join(obs, ["event_type", "hr"], "left")

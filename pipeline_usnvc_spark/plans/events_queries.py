@@ -936,7 +936,7 @@ def q201_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
            s / CAST(n AS DOUBLE) AS mean_gap_us,
-           sqrt(ss / CAST(n AS DOUBLE) - (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE)))
+           sqrt(greatest(0.0, ss / CAST(n AS DOUBLE) - (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE))))
              / (s / CAST(n AS DOUBLE)) AS cv
     FROM agg WHERE n >= 10
     """,
@@ -959,11 +959,15 @@ def q202_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nd = F.col("n").cast("double")
     mean = F.col("s") / nd
+    # greatest(0, ·) clamp: a perfectly regular user (true variance 0)
+    # with large gaps can round ss/n − mean² to −1 ulp, where DuckDB's
+    # sqrt hard-errors (aborting the whole oracle run) and Spark
+    # returns NaN — the clamp pins cv = 0.0 on both engines
     return agg.filter(F.col("n") >= 10).select(
         "user_id",
         F.col("n").cast("bigint").alias("n_gaps"),
         mean.alias("mean_gap_us"),
-        (F.sqrt(F.col("ss") / nd - mean * mean) / mean).alias("cv"),
+        (F.sqrt(F.greatest(F.lit(0.0), F.col("ss") / nd - mean * mean)) / mean).alias("cv"),
     )
 
 
@@ -1113,12 +1117,12 @@ def q205_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                1.0 AS conv_from_prev, 1.0 AS conv_from_first FROM counts
         UNION ALL
         SELECT 2, 'click', CAST(n_click AS BIGINT),
-               CAST(n_click AS DOUBLE) / CAST(n_view AS DOUBLE),
-               CAST(n_click AS DOUBLE) / CAST(n_view AS DOUBLE) FROM counts
+               CASE WHEN n_view > 0 THEN CAST(n_click AS DOUBLE) / CAST(n_view AS DOUBLE) END,
+               CASE WHEN n_view > 0 THEN CAST(n_click AS DOUBLE) / CAST(n_view AS DOUBLE) END FROM counts
         UNION ALL
         SELECT 3, 'purchase', CAST(n_purchase AS BIGINT),
-               CAST(n_purchase AS DOUBLE) / CAST(n_click AS DOUBLE),
-               CAST(n_purchase AS DOUBLE) / CAST(n_view AS DOUBLE) FROM counts
+               CASE WHEN n_click > 0 THEN CAST(n_purchase AS DOUBLE) / CAST(n_click AS DOUBLE) END,
+               CASE WHEN n_view > 0 THEN CAST(n_purchase AS DOUBLE) / CAST(n_view AS DOUBLE) END FROM counts
     ) ORDER BY ord
     """,
 )
@@ -1161,15 +1165,19 @@ def q208_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_view").cast("bigint").alias("n_users"),
                     F.lit(1.0).alias("conv_from_prev"), F.lit(1.0).alias("conv_from_first"),
                 ),
+                # guarded divisions pin NULL on empty steps (Spark 0/0
+                # is NaN, DuckDB 0/0 is NULL — the SQL contract wins)
                 F.struct(
                     F.lit(2).alias("ord"), F.lit("click").alias("step"),
                     F.col("n_click").cast("bigint").alias("n_users"),
-                    (nc / nv).alias("conv_from_prev"), (nc / nv).alias("conv_from_first"),
+                    F.when(nv > 0, nc / nv).alias("conv_from_prev"),
+                    F.when(nv > 0, nc / nv).alias("conv_from_first"),
                 ),
                 F.struct(
                     F.lit(3).alias("ord"), F.lit("purchase").alias("step"),
                     F.col("n_purchase").cast("bigint").alias("n_users"),
-                    (np_ / nc).alias("conv_from_prev"), (np_ / nv).alias("conv_from_first"),
+                    F.when(nc > 0, np_ / nc).alias("conv_from_prev"),
+                    F.when(nv > 0, np_ / nv).alias("conv_from_first"),
                 ),
             )
         ).alias("s")

@@ -55,11 +55,17 @@ def q60_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q61 — within-label embedding near-duplicates (cosine ≥ 0.4 — the
-# synthetic corpus's measured near-dup band; 0.9 found zero pairs at
-# sf0.01, making the driver's r02 green row vacuous — VERDICT r02
-# item 3). Label acts as the IVF-style coarse partition, so the pair
-# join is an equi-join on label, not an all-pairs cross.
+# q61 — within-label embedding similar-pair sweep (cosine ≥ 0.4).
+# A production near-dup gate uses ≥ 0.9; this threshold is pinned to
+# the SYNTHETIC corpus's measured similarity band because 0.9 finds
+# zero pairs at sf0.01, which made the driver's r02 green row vacuous
+# (lowering it here was VERDICT r02 item 4's explicit ask — the
+# testdata is driver-owned/read-only, so planting real ≥0.9 pairs in
+# the fixture is not an option). The threshold is the fan-out knob:
+# on a real corpus set it back to the near-dup band, where the
+# label-partitioned pair join stays sparse. Label acts as the
+# IVF-style coarse partition, so the join is an equi-join on label,
+# not an all-pairs cross.
 # ---------------------------------------------------------------------------
 @query(
     "q61_embedding_near_dup",
