@@ -152,6 +152,12 @@ class TextCorpusStreamReader(SimpleDataSourceStreamReader):
         return out
 
     def initialOffset(self) -> dict:
+        # BOUNDARY: offsets grow with the total file count (the full
+        # assignment map serializes into every checkpoint entry) —
+        # right for directory tails up to ~10^5 files; beyond that the
+        # upgrade path is an mtime watermark + bounded recent-name
+        # set, which trades the out-of-order guarantee below for O(1)
+        # offsets.
         # Offsets are the NAME -> doc_id assignment map, not a count:
         # positional offsets into a re-sorted listing would re-emit /
         # skip files whenever a late arrival sorts before an

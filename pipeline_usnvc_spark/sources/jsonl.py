@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructField, StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 CORRUPT_COL = "_corrupt_record"
 
@@ -47,9 +47,15 @@ def read_jsonl(
     owning the unpersist.
     """
     if schema is not None:
-        read_schema = StructType(
-            list(schema.fields) + [StructField(CORRUPT_COL, __import__("pyspark").sql.types.StringType())]
-        )
+        if any(f.name == CORRUPT_COL for f in schema.fields):
+            # caller already declared the quarantine column (the
+            # sources/delimited.py convention) — appending a duplicate
+            # field would fail the read with an AnalysisException
+            read_schema = schema
+        else:
+            read_schema = StructType(
+                list(schema.fields) + [StructField(CORRUPT_COL, StringType())]
+            )
         df = (
             spark.read.schema(read_schema)
             .option("mode", "PERMISSIVE")

@@ -104,7 +104,13 @@ def build_documents(silver: dict[str, DataFrame], run_timestamp: str | None = No
     if run_timestamp is None:
         run_timestamp = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None).isoformat()
 
-    units = silver["nvcsUnits"]
+    # Materialized once: ~5 consumers below (closure edges, ancestor
+    # payload, children agg, the main unit chain, the root agg) would
+    # each replay the multiline-CSV scans + silver joins — Spark does
+    # not dedupe common subplans across one action.
+    from pipeline_usnvc_spark.operators.checkpoint import materialize
+
+    units = materialize(silver["nvcsUnits"])
 
     # --- per-unit nested sub-records (8 nests; J10/A2) ---------------
     refs = _nest(
@@ -321,6 +327,9 @@ def build_documents(silver: dict[str, DataFrame], run_timestamp: str | None = No
         .groupBy()
         .agg(F.sort_array(F.collect_list("cid")).alias("children"))
     )
+    # the reference sets root['id'] = '0' AFTER building the doc
+    # (usnvc.py:51), so the emitted root carries an id field like
+    # every unit doc — consumers navigate by embedded id
     root_doc = roots.select(
         F.lit("0").alias("row_id"),
         F.to_json(
@@ -330,6 +339,7 @@ def build_documents(silver: dict[str, DataFrame], run_timestamp: str | None = No
                 F.lit(None).cast("array<int>").alias("ancestors"),
                 F.col("children").alias("children"),
                 F.struct(F.lit("0").alias("unitsort")).alias("Hierarchy"),
+                F.lit("0").alias("id"),
             )
         ).alias("source_data"),
     )

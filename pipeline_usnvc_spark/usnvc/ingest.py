@@ -9,7 +9,19 @@ its biggest inefficiency; SURVEY §2.9.7).
 Scale notes: every ``d_*`` dimension is tiny (3-1,506 rows) and
 broadcast; the only shuffling joins are units⟕descriptions and the
 per-bridge nests keyed on element_global_id — at 100 TB those are the
-natural partition keys, and the silver frame is cached once.
+natural partition keys; build_documents materializes the units silver
+once (operators/checkpoint) so its multiline-CSV scan + join subtree
+is not replayed by each of its ~5 consumers.
+
+SESSION-SCOPE CONTRACT: ``read_export`` pins
+``spark.sql.caseSensitive=true`` for the session and leaves it set —
+downstream analysis of the mixed-case duplicate key columns
+(``d_curr_presence_absence_id`` vs ``D_CURR_PRESENCE_ABSENCE_ID``)
+happens lazily when consumers build THEIR plans, so restoring the
+conf on return would break them. Run the USNVC pipeline in its own
+SparkSession if other workloads in the session rely on
+case-INSENSITIVE resolution (the test suite isolates it the same
+way).
 """
 
 from __future__ import annotations
@@ -25,9 +37,11 @@ def read_export(spark: SparkSession, export_dir: str) -> dict[str, DataFrame]:
     """Read every export table (<export_dir>/<name>.txt, TSV,
     ISO-8859-1, header row) with its explicit schema.
 
-    Case sensitivity is pinned ON: the export distinguishes key
-    spellings only by case (``d_curr_presence_absence_id`` bridge FK
-    vs ``D_CURR_PRESENCE_ABSENCE_ID`` dim PK), and both must survive
+    Case sensitivity is pinned ON — for the SESSION, deliberately not
+    restored (see the module docstring's session-scope contract): the
+    export distinguishes key spellings only by case
+    (``d_curr_presence_absence_id`` bridge FK vs
+    ``D_CURR_PRESENCE_ABSENCE_ID`` dim PK), and both must survive
     into nested records like pandas merge keeps them (SURVEY §7.4.4).
     """
     spark.conf.set("spark.sql.caseSensitive", "true")

@@ -50,6 +50,22 @@ def change_events(
     )
 
 
+def _envelope_line():
+    """The JSONL envelope expression shared by both sinks:
+    ``{"source_data": <raw doc json>, "row_id": <escaped>}``. row_id
+    is escaped via to_json (a quote/backslash/newline in an id would
+    otherwise corrupt the line); source_data is already-serialized
+    JSON and is spliced in raw."""
+    rid = F.to_json(F.struct(F.col("row_id")))  # {"row_id":"<escaped>"}
+    return F.concat(
+        F.lit('{"source_data": '),
+        F.col("source_data"),
+        F.lit(', '),
+        rid.substr(F.lit(2), F.length(rid) - F.lit(2)),
+        F.lit('}'),
+    )
+
+
 def observed_write(
     docs: DataFrame,
     out_dir: str,
@@ -63,13 +79,7 @@ def observed_write(
     from pyspark.sql import Observation
 
     obs = Observation(observation_name)
-    line = F.concat(
-        F.lit('{"source_data": '),
-        F.col("source_data"),
-        F.lit(', "row_id": "'),
-        F.col("row_id"),
-        F.lit('"}'),
-    )
+    line = _envelope_line()
     observed = docs.observe(
         obs,
         F.count(F.lit(1)).alias("n_docs"),
@@ -77,7 +87,9 @@ def observed_write(
         F.sum(F.length("source_data")).alias("payload_bytes"),
     )
     observed.select(line.alias("value")).write.mode("overwrite").text(out_dir)
-    return {k: int(v) for k, v in obs.get.items()}
+    # sum() over zero rows is NULL: an empty (but successful) write
+    # must report zeros, not raise int(None)
+    return {k: int(v or 0) for k, v in obs.get.items()}
 
 
 def write_documents(
@@ -92,22 +104,20 @@ def write_documents(
     failing the job — the scalable version of the reference harness's
     per-row schema rejection."""
     ok = F.col("row_id").isNotNull() & F.col("source_data").isNotNull() & (F.col("source_data") != "")
-    line = F.concat(
-        F.lit('{"source_data": '),
-        F.col("source_data"),
-        F.lit(', "row_id": "'),
-        F.col("row_id"),
-        F.lit('"}'),
-    )
+    line = _envelope_line()
     valid = docs.filter(ok)
     if ledger is not None:
-        counter = ledger.counter("documents_written")
+        # counted via observe() DURING the write action — a foreach
+        # here would re-execute the entire document-assembly plan as a
+        # second action, and would report rows even if the write then
+        # failed
+        from pyspark.sql import Observation
 
-        def _count(row):
-            counter.add(1)
-
-        valid.foreach(_count)
+        obs = Observation("write_documents_count")
+        valid = valid.observe(obs, F.count(F.lit(1)).alias("n"))
     valid.select(line.alias("value")).write.mode("overwrite").text(out_dir)
+    if ledger is not None:
+        ledger.counter("documents_written").add(int(obs.get["n"] or 0))
     if quarantine_dir is not None:
         docs.filter(~ok).select(
             F.coalesce(F.col("row_id"), F.lit("<null>")).alias("row_id"),
