@@ -671,3 +671,36 @@ def q198_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("exact_distinct").cast("double")
         ).alias("rel_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q212 — approximate rolling active users via mergeable day-sketches:
+# one HLL sketch per day (the only pass over raw events), then each
+# day's trailing-7-day WAU = the UNION of 7 daily sketches — no
+# per-window rescan of events, which is what makes rolling distinct
+# affordable at 100 TB (q205 is the exact counterpart; this is its
+# scale path). The 7× fan-out joins day-grain SKETCH rows (KBs), and
+# hll_union_agg merges them losslessly (the q100 property).
+# Approximate → rows-only; accuracy vs the exact q205 is asserted in
+# tests (HLL++ default rsd ≈ 5%).
+# ---------------------------------------------------------------------------
+@query("q212_rolling_actives_sketch")
+def q212_rolling_actives_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day_sketches = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.approx_count_distinct("user_id").alias("approx_dau"),
+    )
+    spine = day_sketches.select(F.col("day").alias("s_day"))
+    rolled = (
+        spine.join(
+            day_sketches,
+            (F.col("day") <= F.col("s_day"))
+            & (F.col("day") >= F.date_sub(F.col("s_day"), 6)),
+        )
+        .groupBy("s_day")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias("approx_wau"))
+    )
+    return rolled.select(
+        F.date_format("s_day", "yyyy-MM-dd").alias("day"), "approx_wau"
+    )

@@ -695,3 +695,21 @@ def test_operator_review_fixes(spark, sf_dir):
     resolved = dedup_corpus(docs, jaccard_threshold=0.5, resolve_final=True)
     kept_ids = {r["doc_id"] for r in resolved.filter("verdict = 'kept'").collect()}
     assert all(r["survivor_id"] in kept_ids for r in resolved.collect())
+
+
+def test_rolling_sketch_tracks_exact_wau(spark, sf_dir):
+    """q212's sketch-union rolling WAU stays within HLL++ error bounds
+    of q205's exact rolling distinct on every day."""
+    from pipeline_usnvc_spark.plans import QUERIES
+
+    approx = {
+        r["day"]: r["approx_wau"]
+        for r in QUERIES["q212_rolling_actives_sketch"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["day"]: r["wau"]
+        for r in QUERIES["q205_rolling_active_users"](spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    for day, ex in exact.items():
+        assert abs(approx[day] - ex) <= max(5, 0.15 * ex), (day, approx[day], ex)
