@@ -86,7 +86,35 @@ _R02_VERIFIED = frozenset(
     }
 )
 
-_DRIVER_VERIFIED = _R01_VERIFIED | _R02_VERIFIED
+# Green rows from CORRECTNESS_r03.json (49 of 50 sampled; the one
+# red row, q59_regexp_gauntlet, was a driver-canonicalizer err on raw
+# array<string> columns — fixed via concat_ws serialization and pinned
+# first below for re-sampling).
+_R03_VERIFIED = frozenset(
+    {
+        "q104_growth_accounting", "q107_variant_extract",
+        "q108_udtf_sentence_split", "q122_interval_coverage",
+        "q150_salted_join", "q184_xml_roundtrip", "q18_date_arith",
+        "q195_hard_negatives", "q196_dim_correlation", "q197_shard_pack",
+        "q19_count_distinct", "q200_pmi_cooccurrence",
+        "q201_last_touch_attribution", "q202_interarrival_burstiness",
+        "q203_quality_logit", "q204_quantile_transform",
+        "q205_rolling_active_users", "q206_prepare_corpus",
+        "q207_pseudonymize", "q208_conversion_funnel", "q211_epoch_upsample",
+        "q24_hierarchy_path", "q26_json_roundtrip", "q27_subqueries_sql",
+        "q29_full_outer_join", "q34_term_stats", "q35_tfidf_topk",
+        "q43_sliding_window", "q44_first_last_lag", "q46_percentiles",
+        "q47_levenshtein_pairs", "q48_null_semantics", "q49_scalar_gauntlet",
+        "q55_dup_clusters", "q56_dedup_pipeline", "q58_array_gauntlet",
+        "q61_embedding_near_dup", "q67_window_gauntlet",
+        "q72_datetime_gauntlet", "q73_posexplode_tokens", "q74_salted_agg",
+        "q75_map_gauntlet", "q76_trycast_gauntlet", "q77_stats_gauntlet",
+        "q78_conditional_agg", "q80_streaming_hourly",
+        "q82_incremental_upsert", "q84_json_path", "q86_null_safe_join",
+    }
+)
+
+_DRIVER_VERIFIED = _R01_VERIFIED | _R02_VERIFIED | _R03_VERIFIED
 
 
 def _ordered_names() -> list[str]:
@@ -94,12 +122,9 @@ def _ordered_names() -> list[str]:
 
     names = list(QUERIES)
     # Fixed-this-round queries go first so the driver's sample prefix
-    # is guaranteed to re-verify them (VERDICT r02 items 1 and 4).
-    recheck = [
-        n
-        for n in ("q104_growth_accounting", "q122_interval_coverage", "q61_embedding_near_dup")
-        if n in names
-    ]
+    # is guaranteed to re-verify them (VERDICT r03 items 1 and 2:
+    # q59's array columns now serialize through concat_ws).
+    recheck = [n for n in ("q59_regexp_gauntlet",) if n in names]
     fresh_oracle = [
         n for n in names if n not in _DRIVER_VERIFIED and n in ORACLES and n not in recheck
     ]

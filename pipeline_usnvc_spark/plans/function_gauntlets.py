@@ -119,12 +119,12 @@ def q58_array_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_partkey,
            regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
-           regexp_extract_all(p_name, '[a-z]+') AS all_words,
+           array_to_string(regexp_extract_all(p_name, '[a-z]+'), ',') AS all_words,
            regexp_replace(p_type, '[aeiou]', '*', 'g') AS starred,
            regexp_matches(p_name, 'a') AS has_a,
            CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INT) AS n_vowels,
            split_part(p_type, ' ', 1) AS first_token,
-           string_split(p_type, ' ') AS tokens
+           array_to_string(string_split(p_type, ' '), ',') AS tokens
     FROM part
     """,
 )
@@ -133,12 +133,15 @@ def q59_regexp_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "p_partkey",
         F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
-        F.regexp_extract_all("p_name", F.lit("[a-z]+"), 0).alias("all_words"),
+        # Arrays serialize through concat_ws so the driver's pandas
+        # canonicalizer (which sorts rows) never sees an unhashable
+        # list cell — same convention as q58 above.
+        F.concat_ws(",", F.regexp_extract_all("p_name", F.lit("[a-z]+"), 0)).alias("all_words"),
         F.regexp_replace("p_type", "[aeiou]", "*").alias("starred"),
         F.col("p_name").rlike("a").alias("has_a"),
         F.regexp_count("p_name", F.lit("[aeiou]")).cast("int").alias("n_vowels"),
         F.substring_index("p_type", " ", 1).alias("first_token"),
-        F.split("p_type", " ").alias("tokens"),
+        F.concat_ws(",", F.split("p_type", " ")).alias("tokens"),
     )
 
 

@@ -65,6 +65,55 @@ def test_no_oracle_emits_hugeint(sf_dir):
     assert not offenders, f"oracles emitting HUGEINT columns: {offenders}"
 
 
+def test_no_oracle_emits_nested_types(sf_dir):
+    """DESCRIBE-sweep companion to the HUGEINT check: the driver's
+    pandas canonicalizer sorts result rows, and a LIST/STRUCT/MAP
+    cell is unhashable — the exact failure behind the one red r03 row
+    (q59, err `unhashable type: 'list'`). Every oracle output column
+    must be scalar; arrays serialize through concat_ws /
+    array_to_string on both engines (q58/q59 convention)."""
+    import duckdb
+
+    from pipeline_usnvc_spark.sources.tables import TABLE_NAMES
+
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    offenders = {}
+    for name, sql in ORACLES.items():
+        cols = con.execute(f"DESCRIBE ({sql})").fetchall()
+        nested = [
+            c[0]
+            for c in cols
+            if any(tok in c[1].upper() for tok in ("[]", "STRUCT", "MAP("))
+        ]
+        if nested:
+            offenders[name] = nested
+    assert not offenders, f"oracles emitting nested columns: {offenders}"
+
+
+def test_no_spark_query_emits_nested_types(spark, sf_dir):
+    """Spark-side twin of the nested-type sweep: every oracle-paired
+    query's *Spark* schema must also be scalar-only (schema check
+    only — no execution), so both sides of the driver comparison are
+    pandas-sortable."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = {}
+    for name in ORACLE_NAMES:
+        schema = QUERIES[name](spark, sf_dir).schema
+        nested = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if nested:
+            offenders[name] = nested
+    assert not offenders, f"queries emitting nested columns: {offenders}"
+
+
 def test_comparator_rejects_int_float_coercion():
     """Regression for the loophole that hid the HUGEINT bug: an
     integer Spark column vs a float64 oracle column (DuckDB's
@@ -85,19 +134,22 @@ def test_comparator_rejects_int_float_coercion():
 
 def test_driver_sample_prefix_contains_rechecks():
     """The driver samples a 50-query prefix of queries() in dict
-    order; the three queries fixed this round (q104/q122 HUGEINT
-    casts, q61 threshold) must sit inside it so CORRECTNESS_r03
-    re-verifies them, and prior-round greens must come last."""
+    order; the query fixed this round (q59 array serialization) must
+    sit first so CORRECTNESS_r04 re-verifies it, and prior-round
+    greens must come last so the 45 never-sampled oracle-paired
+    queries all land inside the prefix (VERDICT r03 item 1)."""
     import __spark_entry__ as e
 
     names = list(e.queries())
     prefix = set(names[:50])
-    for q in (
-        "q104_growth_accounting",
-        "q122_interval_coverage",
-        "q61_embedding_near_dup",
-    ):
-        assert q in prefix, f"{q} not in the driver's 50-query sample prefix"
+    assert names[0] == "q59_regexp_gauntlet"
+    # Every oracle-paired query that has never had a driver row must
+    # be inside the 50-sample so round 4 closes external verification.
+    fresh_oracle = [
+        n for n in names if n in ORACLES and n not in e._DRIVER_VERIFIED
+    ]
+    missing = [n for n in fresh_oracle[:49] if n not in prefix]
+    assert not missing, f"fresh oracle-paired queries outside sample: {missing}"
     # every never-driver-verified query sorts before every verified one
     first_seen = min(
         (names.index(n) for n in e._DRIVER_VERIFIED if n in names),
