@@ -806,3 +806,291 @@ def q156_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
         .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue"))
     )
+
+
+# ===========================================================================
+# Derived partsupp — the three classic TPC-H shapes the suite lacked
+# (Q2 correlated min-cost supplier, Q11 group-share-of-global HAVING,
+# Q16 supplier-exclusion count-distinct) need a partsupp table that
+# /root/testdata does not ship. Rather than a pytest-only fixture,
+# partsupp is DERIVED deterministically from part × supplier with
+# pure integer arithmetic, so the IDENTICAL formula runs as a CTE in
+# the DuckDB oracle and the three queries stay fully oracle-paired
+# and driver-checkable at any scale factor:
+#
+#   suppliers per part : 4 (i in 0..3)
+#   ps_suppkey         = (p_partkey + i * (n_supp // 4 + 1)) % n_supp
+#                        (distinct per part whenever n_supp >= 4)
+#   ps_supplycost_cents= (p_partkey*1299721 + ps_suppkey*104729) % 90000
+#                        + 10000          -- $100.00 .. $999.99, integer
+#   ps_availqty        = (p_partkey*7919 + ps_suppkey*6361) % 9999 + 1
+#
+# Large prime multipliers wrap the modulus many times at every sf, so
+# cost/qty behave pseudo-uniformly (no accidental monotonicity in
+# p_partkey), and for a fixed part two suppliers can never tie on
+# cost (104729 * |s1-s2| is never ≡ 0 mod 90000 for |s1-s2| < n_supp
+# at the tested scales — asserted by test_plans' tie sweep). Costs
+# stay in integer CENTS end-to-end (the repo's exact-sum discipline);
+# dollars appear only in final outputs via the same cast expression
+# on both engines.
+#
+# Scale note: partsupp is 4×|part| rows built from a broadcast 1-row
+# supplier count — no shuffle to create it, and at 100 TB it would be
+# generated map-side inside whatever scan consumes it.
+# ===========================================================================
+
+_PARTSUPP_CTE = """
+    supp_n AS (SELECT CAST(count(*) AS BIGINT) AS n_supp FROM supplier),
+    partsupp AS (
+        SELECT ps_partkey, ps_suppkey,
+               CAST((ps_partkey*1299721 + ps_suppkey*104729) % 90000 + 10000 AS BIGINT)
+                 AS ps_supplycost_cents,
+               CAST((ps_partkey*7919 + ps_suppkey*6361) % 9999 + 1 AS BIGINT) AS ps_availqty
+        FROM (
+            SELECT p.p_partkey AS ps_partkey,
+                   CAST((p.p_partkey + reps.i * (sn.n_supp // 4 + 1)) % sn.n_supp AS BIGINT)
+                     AS ps_suppkey
+            FROM part p
+            CROSS JOIN supp_n sn
+            CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) reps
+        )
+    )
+"""
+
+
+def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark twin of ``_PARTSUPP_CTE`` (see block comment above)."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    supp_n = (
+        load_table(spark, sf_dir, "supplier")
+        .agg(F.count("*").cast("bigint").alias("n_supp"))
+    )
+    step = F.floor(F.col("n_supp") / F.lit(4)).cast("bigint") + F.lit(1)
+    keyed = (
+        part.crossJoin(F.broadcast(supp_n))
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            "n_supp",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"),
+        )
+        .select(
+            "ps_partkey",
+            ((F.col("ps_partkey") + F.col("i") * step) % F.col("n_supp"))
+            .cast("bigint")
+            .alias("ps_suppkey"),
+        )
+    )
+    return keyed.select(
+        "ps_partkey",
+        "ps_suppkey",
+        ((F.col("ps_partkey") * 1299721 + F.col("ps_suppkey") * 104729) % 90000 + 10000)
+        .cast("bigint")
+        .alias("ps_supplycost_cents"),
+        ((F.col("ps_partkey") * 7919 + F.col("ps_suppkey") * 6361) % 9999 + 1)
+        .cast("bigint")
+        .alias("ps_availqty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q213 — TPC-H Q2 shape: for every STANDARD mid-size part, the single
+# cheapest ASIA supplier (correlated scalar MIN subquery per part),
+# with supplier account details, top-100 by account balance.
+#
+# Spark plan: the region→nation→supplier dim chain broadcasts into
+# the derived partsupp (map-side semi-join reduction), then ONE hash
+# exchange on ps_partkey serves both the per-part MIN window and the
+# equality filter — the textbook formulation scans and shuffles
+# partsupp twice (once for the subquery aggregate, once to join it
+# back). The final top-100 is a TakeOrderedAndProject (per-partition
+# heap + driver merge), never a global sort. Ordering is made total
+# by folding the unique p_partkey in after s_acctbal, so LIMIT is
+# deterministic on both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "q213_min_cost_supplier",
+    oracle=f"""
+    WITH {_PARTSUPP_CTE},
+    asia_supp AS (
+        SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+        FROM supplier s
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'ASIA'
+    ),
+    ranked AS (
+        SELECT p.p_partkey, p.p_type, p.p_size,
+               a.s_name, a.s_acctbal, a.n_name,
+               ps.ps_supplycost_cents,
+               min(ps.ps_supplycost_cents)
+                 OVER (PARTITION BY p.p_partkey) AS min_cents
+        FROM partsupp ps
+        JOIN asia_supp a ON a.s_suppkey = ps.ps_suppkey
+        JOIN part p ON p.p_partkey = ps.ps_partkey
+        WHERE p.p_type = 'STANDARD' AND p.p_size BETWEEN 10 AND 20
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type, p_size,
+           CAST(ps_supplycost_cents AS DOUBLE) / 100.0 AS supplycost
+    FROM ranked
+    WHERE ps_supplycost_cents = min_cents
+    ORDER BY s_acctbal DESC, p_partkey
+    LIMIT 100
+    """,
+)
+def q213_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = derived_partsupp(spark, sf_dir)
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "STANDARD") & F.col("p_size").between(10, 20))
+        .select("p_partkey", "p_type", "p_size")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    w = Window.partitionBy("p_partkey")
+    ranked = (
+        ps.join(F.broadcast(asia), ps.ps_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        .withColumn("min_cents", F.min("ps_supplycost_cents").over(w))
+        .filter(F.col("ps_supplycost_cents") == F.col("min_cents"))
+    )
+    return (
+        ranked.select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "p_size",
+            (F.col("ps_supplycost_cents").cast("double") / F.lit(100.0)).alias("supplycost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "p_partkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q214 — TPC-H Q11 shape: per-part stock value held by EUROPE
+# suppliers, keeping parts whose value exceeds 1.5× the mean part
+# value (group-share-of-global HAVING). All arithmetic is integer
+# cents; the share comparison is cross-multiplied into DECIMAL(38,0)
+# (value * n_parts > 1.5 * total → 2*value*n_parts > 3*total) so
+# NO division ever happens and the HAVING threshold is bit-exact on
+# both engines at any scale.
+#
+# Spark plan: one hash exchange on ps_partkey for the per-part sums;
+# the global total and part count come from a second aggregation of
+# the SAME tiny per-part frame (parts-grain, not partsupp-grain) and
+# broadcast back as one row.
+# ---------------------------------------------------------------------------
+@query(
+    "q214_part_value_share",
+    oracle=f"""
+    WITH {_PARTSUPP_CTE},
+    eu_ps AS (
+        SELECT ps.ps_partkey,
+               ps.ps_supplycost_cents * ps.ps_availqty AS line_value
+        FROM partsupp ps
+        JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_regionkey = 3
+    ),
+    per_part AS (
+        SELECT ps_partkey, CAST(sum(line_value) AS BIGINT) AS value_cents
+        FROM eu_ps GROUP BY ps_partkey
+    ),
+    tot AS (
+        SELECT CAST(sum(value_cents) AS BIGINT) AS total_cents,
+               CAST(count(*) AS BIGINT) AS n_parts
+        FROM per_part
+    )
+    SELECT p.ps_partkey AS p_partkey, p.value_cents
+    FROM per_part p CROSS JOIN tot
+    WHERE CAST(2 AS DECIMAL(38,0)) * CAST(p.value_cents AS DECIMAL(38,0))
+            * CAST(tot.n_parts AS DECIMAL(38,0))
+          > CAST(3 AS DECIMAL(38,0)) * CAST(tot.total_cents AS DECIMAL(38,0))
+    """,
+)
+def q214_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = derived_partsupp(spark, sf_dir)
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_regionkey") == 3)
+        .select("n_nationkey")
+    )
+    eu = (
+        ps.join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost_cents") * F.col("ps_availqty")).alias("line_value"),
+        )
+    )
+    per_part = eu.groupBy("ps_partkey").agg(
+        F.sum("line_value").cast("bigint").alias("value_cents")
+    )
+    tot = per_part.agg(
+        F.sum("value_cents").cast("bigint").alias("total_cents"),
+        F.count("*").cast("bigint").alias("n_parts"),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    return (
+        per_part.crossJoin(F.broadcast(tot))
+        .filter(
+            d38(F.lit(2)) * d38(F.col("value_cents")) * d38(F.col("n_parts"))
+            > d38(F.lit(3)) * d38(F.col("total_cents"))
+        )
+        .select(F.col("ps_partkey").alias("p_partkey"), "value_cents")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q215 — TPC-H Q16 shape: how many distinct suppliers can provide
+# each (brand, type, size) part family, EXCLUDING blacklisted
+# suppliers (negative account balance — the "customer complaints"
+# NOT IN subquery of the original).
+#
+# Spark plan: the blacklist is a broadcast LEFT ANTI join (never a
+# NOT IN rewrite into a nested-loop); the distinct count shuffles
+# the (family, suppkey) pairs once. At 100 TB the anti side stays a
+# broadcast (it is a filtered supplier dim), so the only exchange is
+# the final family-keyed aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "q215_supplier_exclusion_count",
+    oracle=f"""
+    WITH {_PARTSUPP_CTE}
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM partsupp ps
+    JOIN part p ON p.p_partkey = ps.ps_partkey
+    WHERE p.p_type <> 'MEDIUM'
+      AND p.p_size IN (1, 4, 7, 14, 23, 36, 45, 49)
+      AND ps.ps_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q215_supplier_exclusion_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = derived_partsupp(spark, sf_dir)
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_type") != "MEDIUM")
+            & F.col("p_size").isin(1, 4, 7, 14, 23, 36, 45, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    blacklist = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(blacklist), ps.ps_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("ps_suppkey").cast("bigint").alias("supplier_cnt"))
+    )

@@ -535,3 +535,29 @@ def test_kmv_shuffles_hashes_not_documents(spark, sf_dir):
         "source:string",
         "text:string",
     }, m.group(1) if m else plan[:1500]
+
+
+def test_derived_partsupp_tie_free_and_plan(spark):
+    """The derived partsupp (tpch_queries.py) must (a) give every
+    part 4 DISTINCT suppliers with DISTINCT supply costs at every sf
+    (q213's per-part argmin relies on it), and (b) build without any
+    shuffle exchange — it is part × a broadcast 1-row count."""
+    from pyspark.sql import functions as F
+
+    from pipeline_usnvc_spark.plans.tpch_queries import derived_partsupp
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        ps = derived_partsupp(spark, f"/root/testdata/{sf}")
+        bad = (
+            ps.groupBy("ps_partkey")
+            .agg(
+                F.count("*").alias("n"),
+                F.count_distinct("ps_suppkey").alias("n_supp"),
+                F.count_distinct("ps_supplycost_cents").alias("n_cost"),
+            )
+            .filter((F.col("n") != 4) | (F.col("n_supp") != 4) | (F.col("n_cost") != 4))
+            .count()
+        )
+        assert bad == 0, f"partsupp ties/dups at {sf}"
+    plan = derived_partsupp(spark, "/root/testdata/sf0.01")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan[:1500]
