@@ -10,7 +10,7 @@ recall is asserted against brute force in tests/test_similarity.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pipeline_usnvc_spark.functions.vectors import cosine_similarity, to_double_array
@@ -99,18 +99,56 @@ def q61_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _attach_recall_contract(
+    ann: DataFrame, exact: DataFrame, k: int, bound: float
+) -> DataFrame:
+    """Make an approximate top-k query SELF-CERTIFYING for the
+    driver's rows-only check (VERDICT r03 item 4): append per-query
+    ``recall`` vs the exact top-k, the global ``mean_recall``, and a
+    ``recall_contract`` column whose ``assert_true`` evaluates DURING
+    execution — a recall regression turns the driver row into a loud
+    error instead of a silently-green row count. Verification-only
+    cost: the exact reference re-runs the brute-force plan; the
+    production operator is the ANN path alone. The contract frames
+    are query-grain (~1% of the corpus), so the empty-partition
+    window is over a tiny frame, never the corpus."""
+    matched = ann.select("query_id", "neighbor_id").intersect(
+        exact.select("query_id", "neighbor_id")
+    )
+    per_q = matched.groupBy("query_id").agg(F.count("*").alias("n_hits"))
+    return (
+        ann.join(F.broadcast(per_q), "query_id", "left")
+        .withColumn(
+            "recall",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.lit(float(k)),
+        )
+        .drop("n_hits")
+        .withColumn("mean_recall", F.avg("recall").over(Window.partitionBy(F.lit(1))))
+        .withColumn(
+            "recall_contract",
+            F.assert_true(
+                F.col("mean_recall") >= F.lit(bound),
+                F.concat(F.lit("mean recall below contract: "), F.col("mean_recall")),
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # q62 — multi-table LSH approximate top-k (rows-only: approximate by
 # design). Default 16 tables × 4 planes: measured recall@5 = 1.00 at
 # sf0.001 / 0.84 at sf0.01 vs brute force, asserted ≥ 0.7 in
 # tests/test_multimodal.py (VERDICT r1: single-table default retired
-# for weak recall ~0.2).
+# for weak recall ~0.2) and re-asserted at runtime by the embedded
+# recall contract so even a rows-only driver row certifies accuracy.
 # ---------------------------------------------------------------------------
 @query("q62_lsh_topk")
 def q62_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
-    return lsh_topk(emb, queries, k=5)
+    return _attach_recall_contract(
+        lsh_topk(emb, queries, k=5), brute_force_topk(emb, queries, k=5), k=5, bound=0.7
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -123,7 +161,9 @@ def q63_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
-    return ivf_topk(emb, queries, k=5)
+    return _attach_recall_contract(
+        ivf_topk(emb, queries, k=5), brute_force_topk(emb, queries, k=5), k=5, bound=0.5
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -137,7 +177,12 @@ def q64_multiprobe_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
-    return multiprobe_lsh_topk(emb, queries, k=5, n_planes=4, nprobe=5)
+    return _attach_recall_contract(
+        multiprobe_lsh_topk(emb, queries, k=5, n_planes=4, nprobe=5),
+        brute_force_topk(emb, queries, k=5),
+        k=5,
+        bound=0.4,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -151,7 +196,9 @@ def q65_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
-    return pq_topk(emb, queries, k=5)
+    return _attach_recall_contract(
+        pq_topk(emb, queries, k=5), brute_force_topk(emb, queries, k=5), k=5, bound=0.3
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -607,7 +607,38 @@ def q113_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(F.explode(tokens("text")).alias("token"))
-    return misra_gries_heavy_hitters(tok, "token", k=256, top_n=20)
+    hh = misra_gries_heavy_hitters(tok, "token", k=256, top_n=20)
+    # Self-certifying MG guarantee (VERDICT r03 item 4): for every
+    # emitted token, exact - n/(k+1) <= est <= exact. The exact side
+    # joins only the 20 emitted tokens (broadcast semi-reduced
+    # term-grain aggregate), and the assert fires during execution.
+    exact = (
+        tok.join(F.broadcast(hh.select("token")), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("exact_count"))
+    )
+    total = tok.agg(F.count("*").cast("bigint").alias("n_tokens"))
+    slack = F.ceil(F.col("n_tokens").cast("double") / F.lit(257.0)).cast("bigint")
+    return (
+        hh.join(F.broadcast(exact), "token")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "mg_bound_ok",
+            (F.col("est_count") <= F.col("exact_count"))
+            & (F.col("est_count") >= F.col("exact_count") - slack),
+        )
+        .withColumn(
+            "accuracy_contract",
+            F.assert_true(
+                F.col("mg_bound_ok"),
+                F.concat(
+                    F.lit("MG bound violated for token: "),
+                    F.col("token"),
+                ),
+            ),
+        )
+        .drop("n_tokens")
+    )
 
 
 # ---------------------------------------------------------------------------
