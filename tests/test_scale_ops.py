@@ -91,20 +91,22 @@ def test_approx_percentiles_within_bound(spark, sf_dir):
     from pipeline_usnvc_spark.sources.tables import load_table
 
     approx = {
-        r["l_returnflag"]: r["approx_q"]
+        (r["l_returnflag"], r["pct"]): r["approx_value"]
         for r in QUERIES["q85_approx_percentiles"](spark, sf_dir).collect()
     }
-    exact = {
-        r["l_returnflag"]: r["qs"]
-        for r in load_table(spark, sf_dir, "lineitem")
+    exact = {}
+    for r in (
+        load_table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95))").alias("qs"))
         .collect()
-    }
+    ):
+        for pct, v in zip((0.25, 0.5, 0.75, 0.95), r["qs"]):
+            exact[(r["l_returnflag"], pct)] = v
     assert set(approx) == set(exact)
-    for flag, qs in approx.items():
-        for got, want in zip(qs, exact[flag]):
-            assert abs(got - want) / want < 0.02, (flag, got, want)
+    for key, got in approx.items():
+        want = exact[key]
+        assert abs(got - want) / want < 0.02, (key, got, want)
 
 
 def test_reliable_checkpoint_path(spark, tmp_path):
