@@ -117,6 +117,21 @@ _R03_VERIFIED = frozenset(
 _DRIVER_VERIFIED = _R01_VERIFIED | _R02_VERIFIED | _R03_VERIFIED
 
 
+# Queries ADDED late in round 4 (after the 50-slot sample was already
+# full): they sort after the two showcase rows-only entries so they
+# cannot displace the never-sampled backlog; round 5 picks them up.
+_R04_LATE = (
+    "q216_forecast_revenue_change",
+    "q217_dsir_importance",
+    "q218_gopher_quality_gate",
+)
+
+# Two rows-only queries pinned INSIDE the sample on purpose (VERDICT
+# r03 item 4): they carry runtime assert_true accuracy contracts, so
+# their rows-only driver rows certify ANN recall, not just counts.
+_R04_SHOWCASE_ROWS_ONLY = ("q62_lsh_topk", "q63_ivf_topk")
+
+
 def _ordered_names() -> list[str]:
     from pipeline_usnvc_spark.plans import ORACLES, QUERIES
 
@@ -125,14 +140,21 @@ def _ordered_names() -> list[str]:
     # is guaranteed to re-verify them (VERDICT r03 items 1 and 2:
     # q59's array columns now serialize through concat_ws).
     recheck = [n for n in ("q59_regexp_gauntlet",) if n in names]
+    pinned = set(recheck) | set(_R04_SHOWCASE_ROWS_ONLY) | set(_R04_LATE)
     fresh_oracle = [
-        n for n in names if n not in _DRIVER_VERIFIED and n in ORACLES and n not in recheck
+        n
+        for n in names
+        if n not in _DRIVER_VERIFIED and n in ORACLES and n not in pinned
     ]
+    showcase = [n for n in _R04_SHOWCASE_ROWS_ONLY if n in names]
+    late = [n for n in _R04_LATE if n in names]
     fresh_rows_only = [
-        n for n in names if n not in _DRIVER_VERIFIED and n not in ORACLES and n not in recheck
+        n
+        for n in names
+        if n not in _DRIVER_VERIFIED and n not in ORACLES and n not in pinned
     ]
     seen = [n for n in names if n in _DRIVER_VERIFIED]
-    return recheck + fresh_oracle + fresh_rows_only + seen
+    return recheck + fresh_oracle + showcase + late + fresh_rows_only + seen
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

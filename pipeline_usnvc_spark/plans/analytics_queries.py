@@ -278,7 +278,35 @@ def q101_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = li.select(
         F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
     )
-    return pagerank(edges, iterations=10)
+    ranks = pagerank(edges, iterations=10)
+    # Self-certifying invariants (VERDICT r03 item 4): with the
+    # rank(v) = (1-d) + d·Σ inflow recurrence, every node's rank is
+    # ≥ the teleport floor (1-d), and total mass never exceeds the
+    # node count (dangling parts leak mass, so ≤, not ==; equality on
+    # the all-out-degree graph is the pytest property). assert_true
+    # fires during execution, certifying the rows-only driver row.
+    bounds = ranks.agg(
+        F.min("rank").alias("min_rank"),
+        F.sum("rank").alias("total_rank"),
+        F.count("*").cast("bigint").alias("n_nodes"),
+    )
+    return (
+        ranks.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "pagerank_contract",
+            F.assert_true(
+                (F.col("min_rank") >= F.lit(0.15) - F.lit(1e-9))
+                & (F.col("total_rank") <= F.col("n_nodes").cast("double") + F.lit(1e-6)),
+                F.concat(
+                    F.lit("pagerank invariants violated: min="),
+                    F.col("min_rank"),
+                    F.lit(" total="),
+                    F.col("total_rank"),
+                ),
+            ),
+        )
+        .drop("min_rank", "total_rank", "n_nodes")
+    )
 
 
 # ---------------------------------------------------------------------------

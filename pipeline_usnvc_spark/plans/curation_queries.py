@@ -956,8 +956,27 @@ def q178_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("node"),
         F.when(F.col("doc_id") % 10 == 0, F.col("source")).alias("label"),
     )
-    return label_propagation(
+    propagated = label_propagation(
         nodes, pairs.select("id_a", "id_b"), src="id_a", dst="id_b"
+    )
+    # Seed-clamp contract (VERDICT r03 item 4): audited seed nodes
+    # must come out with EXACTLY their seed label — propagation may
+    # never overwrite ground truth. Asserted during execution via a
+    # broadcast join against the seed truth, so the rows-only driver
+    # row certifies the clamp.
+    seeds = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("node"), F.col("source").alias("seed_label")
+    )
+    return (
+        propagated.join(F.broadcast(seeds), "node", "left")
+        .withColumn(
+            "seed_clamp_contract",
+            F.assert_true(
+                F.col("seed_label").isNull() | (F.col("label") == F.col("seed_label")),
+                F.concat(F.lit("seed label overwritten at node: "), F.col("node")),
+            ),
+        )
+        .drop("seed_label")
     )
 
 
@@ -1367,4 +1386,342 @@ def q211_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 12,
             ).alias("shuffle_key"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q217 — DSIR-style importance weights (Xie et al. 2023, "Data
+# Selection for Language Models via Importance Resampling" — public
+# method): score every document by how much its hashed-bigram
+# distribution looks like the TARGET domain (here lang='en') versus
+# the raw corpus, and select the top quartile. Exactness recipe: the
+# per-bucket log-likelihood-ratio is computed ONCE per bucket from
+# exact integer counts with Laplace smoothing, quantized to integer
+# MICRO-units (round(ln·1e6) — the 6dp ln discipline), and per-doc
+# scores are exact integer SUMS of those micro-LLRs, so no float is
+# ever summed across rows.
+#
+# Scale shape: the feature space is 256 md5-derived buckets (the
+# portable q140 hashing), so the "trained" importance model is a
+# 256-row broadcast; scoring is a map-side explode + broadcast join +
+# one doc-keyed exchange — document text never shuffles. The global
+# top-quartile rank here is a single window over doc-grain metadata;
+# at 100 TB the same selection runs through the two-phase
+# range-exchange rank (operators/rank.py) or a threshold-on-weight.
+# ---------------------------------------------------------------------------
+_DSIR_B = 256
+_DSIR_BUCKET_SQL = "CAST('0x' || substr(md5(bg), 1, 8) AS BIGINT) % 256"
+
+
+@query(
+    "q217_dsir_importance",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents),
+    bg AS (
+        SELECT doc_id, lang,
+               unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        FROM toks WHERE len(toks) >= 2
+    ),
+    bucketed AS (SELECT doc_id, lang, {_DSIR_BUCKET_SQL} AS b FROM bg),
+    raw AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM bucketed GROUP BY b),
+    tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM bucketed WHERE lang = 'en' GROUP BY b),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_raw,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_tgt
+        FROM bucketed
+    ),
+    llr AS (
+        SELECT r.b,
+               CAST(round(ln(
+                   (CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE) * CAST(tot.n_raw + {_DSIR_B} AS DOUBLE))
+                 / (CAST(r.cr + 1 AS DOUBLE) * CAST(tot.n_tgt + {_DSIR_B} AS DOUBLE))
+               ) * 1000000.0) AS BIGINT) AS llr_micro
+        FROM raw r LEFT JOIN tgt t USING (b) CROSS JOIN tot
+    ),
+    scored AS (
+        SELECT bk.doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(l.llr_micro) AS BIGINT) AS log_w_micro
+        FROM bucketed bk JOIN llr l ON l.b = bk.b
+        GROUP BY bk.doc_id
+    ),
+    ranked AS (
+        SELECT *,
+               CAST(row_number() OVER (
+                   ORDER BY CAST(log_w_micro AS DOUBLE) / CAST(n_bigrams AS DOUBLE) DESC,
+                            doc_id
+               ) AS BIGINT) AS rn,
+               CAST(count(*) OVER () AS BIGINT) AS n_docs
+        FROM scored
+    )
+    SELECT doc_id, n_bigrams,
+           CAST(log_w_micro AS DOUBLE) / 1000000.0 AS log_weight,
+           rn * 4 <= n_docs AS selected
+    FROM ranked
+    """,
+)
+def q217_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", tokens("text").alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    length = F.size("toks") - F.lit(1)
+    pairs = F.zip_with(
+        F.slice("toks", 1, length),
+        F.slice("toks", 2, length),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bucketed = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(pairs).alias("bg"),
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("bg"), 1, 8), 16, 10).cast("bigint") % _DSIR_B
+        ).alias("b"),
+    )
+    raw = bucketed.groupBy("b").agg(F.count("*").cast("bigint").alias("cr"))
+    tgt = (
+        bucketed.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count("*").cast("bigint").alias("ct"))
+    )
+    tot = bucketed.agg(
+        F.count("*").cast("bigint").alias("n_raw"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("bigint").alias("n_tgt"),
+    )
+    llr = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    ((F.coalesce("ct", F.lit(0)) + 1).cast("double")
+                     * (F.col("n_raw") + _DSIR_B).cast("double"))
+                    / ((F.col("cr") + 1).cast("double")
+                       * (F.col("n_tgt") + _DSIR_B).cast("double"))
+                )
+                * 1000000.0
+            )
+            .cast("bigint")
+            .alias("llr_micro"),
+        )
+    )
+    scored = (
+        bucketed.join(F.broadcast(llr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum("llr_micro").cast("bigint").alias("log_w_micro"),
+        )
+    )
+    w = Window.orderBy(
+        (F.col("log_w_micro").cast("double") / F.col("n_bigrams").cast("double")).desc(),
+        F.col("doc_id"),
+    )
+    ranked = scored.withColumn("rn", F.row_number().over(w).cast("bigint")).withColumn(
+        "n_docs", F.count("*").over(Window.partitionBy(F.lit(1))).cast("bigint")
+    )
+    return ranked.select(
+        "doc_id",
+        "n_bigrams",
+        (F.col("log_w_micro").cast("double") / F.lit(1000000.0)).alias("log_weight"),
+        (F.col("rn") * 4 <= F.col("n_docs")).alias("selected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q218 — Gopher-style quality-rules profile (Rae et al. 2021 §A1.1 —
+# public heuristics): the multi-rule document gate with a per-rule
+# breakdown and a reasons BITMASK, so downstream consumers can both
+# filter (passed) and audit WHICH rule fired (the audit column a
+# production corpus report needs). Rules adapted to the synthetic
+# corpus: word count in [50, 100000]; mean word length in [3, 10];
+# non-alphanumeric character ratio ≤ 0.3; ≥ 2 distinct stopwords
+# present; unique-token ratio ≥ 0.1 (repetition proxy).
+#
+# Everything is native expressions over exact integers (the only
+# divisions are int/int → double compared against constants, an
+# identical expression tree on both engines). One scan, no shuffle at
+# all until the (doc-grain) output — at 100 TB this is a pure
+# map-side gate, exactly like the reference's row-local quality
+# predicates (usnvc.py's null/type guards) writ large.
+# ---------------------------------------------------------------------------
+@query(
+    "q218_gopher_quality_gate",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
+               CAST(list_reduce(list_prepend(0, list_transform(toks, t -> length(t))), (a, b) -> a + b) AS BIGINT) AS sum_word_len,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_symbol_chars,
+               CAST(len(list_filter(['the','a','of','to','and','in','is'], s -> list_contains(toks, s))) AS BIGINT) AS n_stopwords
+        FROM base
+    ),
+    rules AS (
+        SELECT doc_id, n_words, n_unique, n_stopwords,
+               n_words >= 50 AND n_words <= 100000 AS ok_word_count,
+               n_words > 0 AND CAST(sum_word_len AS DOUBLE) / CAST(n_words AS DOUBLE) >= 3.0
+                   AND CAST(sum_word_len AS DOUBLE) / CAST(n_words AS DOUBLE) <= 10.0 AS ok_mean_word_len,
+               n_chars > 0 AND CAST(n_symbol_chars AS DOUBLE) / CAST(n_chars AS DOUBLE) <= 0.3 AS ok_symbol_ratio,
+               n_stopwords >= 2 AS ok_stopwords,
+               n_words > 0 AND CAST(n_unique AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.1 AS ok_unique_ratio
+        FROM m
+    )
+    SELECT doc_id, n_words, ok_word_count, ok_mean_word_len, ok_symbol_ratio,
+           ok_stopwords, ok_unique_ratio,
+           CAST(CASE WHEN ok_word_count THEN 0 ELSE 1 END
+              + CASE WHEN ok_mean_word_len THEN 0 ELSE 2 END
+              + CASE WHEN ok_symbol_ratio THEN 0 ELSE 4 END
+              + CASE WHEN ok_stopwords THEN 0 ELSE 8 END
+              + CASE WHEN ok_unique_ratio THEN 0 ELSE 16 END AS INT) AS fail_mask,
+           ok_word_count AND ok_mean_word_len AND ok_symbol_ratio
+               AND ok_stopwords AND ok_unique_ratio AS passed
+    FROM rules
+    """,
+)
+def q218_gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "text", tokens("text").alias("toks"))
+    m = t.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_words"),
+        F.size(F.array_distinct("toks")).cast("bigint").alias("n_unique"),
+        F.aggregate(
+            "toks", F.lit(0).cast("bigint"), lambda acc, tok: acc + F.length(tok)
+        ).alias("sum_word_len"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))
+        )
+        .cast("bigint")
+        .alias("n_symbol_chars"),
+        F.size(
+            F.filter(
+                F.array(*[F.lit(s) for s in ("the", "a", "of", "to", "and", "in", "is")]),
+                lambda s: F.array_contains("toks", s),
+            )
+        )
+        .cast("bigint")
+        .alias("n_stopwords"),
+    )
+    mean_len = F.col("sum_word_len").cast("double") / F.col("n_words").cast("double")
+    rules = m.select(
+        "doc_id",
+        "n_words",
+        "n_unique",
+        "n_stopwords",
+        ((F.col("n_words") >= 50) & (F.col("n_words") <= 100000)).alias("ok_word_count"),
+        ((F.col("n_words") > 0) & (mean_len >= 3.0) & (mean_len <= 10.0)).alias(
+            "ok_mean_word_len"
+        ),
+        (
+            (F.col("n_chars") > 0)
+            & (
+                F.col("n_symbol_chars").cast("double") / F.col("n_chars").cast("double")
+                <= 0.3
+            )
+        ).alias("ok_symbol_ratio"),
+        (F.col("n_stopwords") >= 2).alias("ok_stopwords"),
+        (
+            (F.col("n_words") > 0)
+            & (F.col("n_unique").cast("double") / F.col("n_words").cast("double") >= 0.1)
+        ).alias("ok_unique_ratio"),
+    )
+    fail_bit = lambda c, bit: F.when(F.col(c), 0).otherwise(bit)  # noqa: E731
+    return rules.select(
+        "doc_id",
+        "n_words",
+        "ok_word_count",
+        "ok_mean_word_len",
+        "ok_symbol_ratio",
+        "ok_stopwords",
+        "ok_unique_ratio",
+        (
+            fail_bit("ok_word_count", 1)
+            + fail_bit("ok_mean_word_len", 2)
+            + fail_bit("ok_symbol_ratio", 4)
+            + fail_bit("ok_stopwords", 8)
+            + fail_bit("ok_unique_ratio", 16)
+        )
+        .cast("int")
+        .alias("fail_mask"),
+        (
+            F.col("ok_word_count")
+            & F.col("ok_mean_word_len")
+            & F.col("ok_symbol_ratio")
+            & F.col("ok_stopwords")
+            & F.col("ok_unique_ratio")
+        ).alias("passed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q219 — BPE ENCODE: apply the merges learned by q171's trainer to
+# tokenize the corpus — the missing half of the tokenizer story
+# (train → apply). Rows-only (greedy leftmost merging is a fold, not
+# SQL), but SELF-CERTIFYING: every word carries a round-trip contract
+# (concat(encoded symbols) == word) asserted in-plan via assert_true,
+# so a driver rows-only row certifies the codec, and pytest
+# (tests/test_bpe.py) checks encodings against a reference Python
+# merge loop.
+#
+# Scale shape: encoding runs at VOCABULARY grain (distinct words —
+# ≪ corpus by Heaps' law), as 5 chained native folds (merge_pair —
+# whole-stage-codegen expressions, zero Python in the hot path); the
+# corpus-grain numbers come from cnt-weighted sums of the word table.
+# The merge table itself is a 5-row driver list (same bounded
+# traffic as training). Output is word-grain top-20 by frequency plus
+# the corpus totals on every row, all scalar columns.
+# ---------------------------------------------------------------------------
+@query("q219_bpe_encode")
+def q219_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.bpe import merge_pair, train_bpe, word_symbol_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r["left"], r["right"])
+        for r in train_bpe(docs, n_merges=5).orderBy("merge_round").collect()
+    ]
+    words = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    chars = F.filter(F.split("word", "(?!^)"), lambda s: s != F.lit(""))
+    enc = chars
+    for left, right in merges:
+        enc = merge_pair(enc, left, right)
+    encoded = words.select(
+        "word",
+        "cnt",
+        F.size(chars).cast("bigint").alias("n_chars_sym"),
+        F.size(enc).cast("bigint").alias("n_tokens"),
+        F.concat_ws(" ", enc).alias("encoding"),
+        (F.concat_ws("", enc) == F.col("word")).alias("roundtrip_ok"),
+    ).withColumn(
+        "codec_contract",
+        F.assert_true(
+            F.col("roundtrip_ok"),
+            F.concat(F.lit("BPE round-trip failed for word: "), F.col("word")),
+        ),
+    )
+    totals = encoded.agg(
+        F.sum(F.col("cnt") * F.col("n_chars_sym")).cast("bigint").alias("corpus_chars"),
+        F.sum(F.col("cnt") * F.col("n_tokens")).cast("bigint").alias("corpus_tokens"),
+        F.count("*").cast("bigint").alias("vocab_size"),
+    )
+    return (
+        encoded.orderBy(F.col("cnt").desc(), "word")
+        .limit(20)
+        .crossJoin(F.broadcast(totals))
     )

@@ -130,3 +130,43 @@ def test_merged_pair_no_longer_adjacent(spark, sf_dir):
         # with a following fresh x only across merge boundaries —
         # still strictly fewer than before.
         assert remaining == [] or remaining[0]["n"] < m["pair_count"]
+
+
+def _py_bpe_encode(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Reference greedy-leftmost-non-overlapping BPE encoder."""
+    syms = list(word)
+    for left, right in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_q219_encode_matches_reference(spark, sf_dir):
+    """q219's chained-fold encoding equals a reference Python BPE
+    encoder applying the SAME trained merges, and every round-trip
+    contract holds (the in-plan assert_true would have errored
+    otherwise)."""
+    from pipeline_usnvc_spark.plans import QUERIES
+
+    rows = QUERIES["q219_bpe_encode"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    from pipeline_usnvc_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r["left"], r["right"])
+        for r in train_bpe(docs, n_merges=5).orderBy("merge_round").collect()
+    ]
+    for r in rows:
+        want = _py_bpe_encode(r["word"], merges)
+        assert r["encoding"].split(" ") == want, (r["word"], r["encoding"], want)
+        assert r["roundtrip_ok"]
+        assert r["n_tokens"] == len(want)
+        assert r["corpus_tokens"] <= r["corpus_chars"]
