@@ -425,3 +425,49 @@ def q78_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_or("l_linenumber").alias("ln_or"),
         F.bit_xor("l_linenumber").alias("ln_xor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q220 — ordered-set aggregate gauntlet: LISTAGG ... WITHIN GROUP
+# (Spark 4 surface) incl. the DISTINCT variant, vs DuckDB's
+# string_agg(... ORDER BY). Deterministic because every WITHIN GROUP
+# ordering is total (o_orderkey unique; DISTINCT list ordered by the
+# value itself). Per-customer grain: one exchange on o_custkey with
+# partial aggregation map-side — at 100 TB the concatenated strings
+# are bounded by per-customer order counts, not corpus size.
+#
+# Engine note (discovered building this): TWO DISTINCT listaggs with
+# different sort keys in one aggregate crash Spark 4.1's
+# multi-distinct rewrite (ClassCastException: AttributeReference →
+# SortOrder), so the second distinct concat goes through the
+# equivalent array_join(array_sort(collect_set(...))) — same
+# semantics, and it documents the portable alternative.
+# ---------------------------------------------------------------------------
+@query(
+    "q220_listagg_gauntlet",
+    oracle="""
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_keys,
+           string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority) AS priorities,
+           string_agg(DISTINCT o_orderstatus, '' ORDER BY o_orderstatus) AS statuses
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def q220_listagg_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_custkey,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               listagg(CAST(o_orderkey AS STRING), ',')
+                   WITHIN GROUP (ORDER BY o_orderkey) AS order_keys,
+               listagg(DISTINCT o_orderpriority, '|')
+                   WITHIN GROUP (ORDER BY o_orderpriority) AS priorities,
+               array_join(array_sort(collect_set(o_orderstatus)), '') AS statuses
+        FROM {o}
+        GROUP BY o_custkey
+        """,
+        o=o,
+    )

@@ -828,3 +828,85 @@ def q196_dim_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.desc(F.abs(F.col("pearson"))), "dim_i", "dim_j")
     return corr.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 20).drop("rk")
+
+
+# ---------------------------------------------------------------------------
+# q221 — semantic dedup, SemDeDup-style (Abbas et al. 2023, public
+# method): within each coarse cluster (label — the same role as
+# SemDeDup's k-means cluster id), drop every vector that is the
+# HIGHER id of a cosine ≥ 0.4 pair (the q174 single-pass keeper rule,
+# not transitive closure — that's q55/q56's territory), and report a
+# per-vector audit: kept flag + number of near-dup partners. Fully
+# SQL-expressible → oracle-exact: pair similarity reuses q61's fold
+# arithmetic (IEEE-identical sequential sums).
+#
+# Scale shape: the pair join is label-partitioned (an equi-join on
+# the cluster key — never all-pairs across the corpus); the audit is
+# one aggregation on the pair endpoints joined back to the vector
+# spine on vec_id. At 100 TB the label comes from q132's centroid
+# assignment (map-only) and per-cluster populations are bounded by
+# the clustering, so the pairwise work stays sparse.
+# ---------------------------------------------------------------------------
+@query(
+    "q221_semantic_dedup",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {_DOT.format(a='a.ve', b='b.ve')}
+                / ({_NORM.format(v='a.ve')} * {_NORM.format(v='b.ve')}) >= 0.4
+    ),
+    partners AS (
+        SELECT vec_id, CAST(count(*) AS BIGINT) AS n_partners
+        FROM (
+            SELECT id_a AS vec_id FROM pairs
+            UNION ALL
+            SELECT id_b AS vec_id FROM pairs
+        ) GROUP BY vec_id
+    ),
+    dropped AS (SELECT DISTINCT id_b AS vec_id FROM pairs)
+    SELECT v.vec_id, v.label,
+           COALESCE(p.n_partners, 0) AS n_partners,
+           d.vec_id IS NULL AS kept
+    FROM v
+    LEFT JOIN partners p ON p.vec_id = v.vec_id
+    LEFT JOIN dropped d ON d.vec_id = v.vec_id
+    """,
+)
+def q221_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", to_double_array("embedding").alias("ve")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cosine_similarity(F.col("a.ve"), F.col("b.ve")) >= 0.4)
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+    )
+    endpoints = pairs.select(F.col("id_a").alias("vec_id")).unionAll(
+        pairs.select(F.col("id_b").alias("vec_id"))
+    )
+    partners = endpoints.groupBy("vec_id").agg(
+        F.count("*").cast("bigint").alias("n_partners")
+    )
+    dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct().withColumn(
+        "is_dropped", F.lit(True)
+    )
+    return (
+        emb.join(F.broadcast(partners), "vec_id", "left")
+        .join(F.broadcast(dropped), "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            F.coalesce("n_partners", F.lit(0)).cast("bigint").alias("n_partners"),
+            F.col("is_dropped").isNull().alias("kept"),
+        )
+    )
