@@ -124,6 +124,8 @@ _R04_LATE = (
     "q216_forecast_revenue_change",
     "q217_dsir_importance",
     "q218_gopher_quality_gate",
+    "q220_listagg_gauntlet",
+    "q221_semantic_dedup",
 )
 
 # Two rows-only queries pinned INSIDE the sample on purpose (VERDICT
