@@ -245,23 +245,12 @@ def q100_hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_users",
     )
     # Self-certifying accuracy contract (VERDICT r03 item 4): the
-    # exact distinct is tiny (per-type grain), and the assert fires
-    # during execution, so a rows-only driver row still proves the
-    # estimate sits inside 3×rsd (lgConfigK=12 → rsd ≈ 1.6%).
-    rel_err = F.abs(
-        F.col("approx_users").cast("double") - F.col("exact_users").cast("double")
-    ) / F.col("exact_users").cast("double")
-    return (
-        est.withColumn("rel_err", rel_err)
-        .withColumn("within_rsd_bounds", F.col("rel_err") <= F.lit(0.05))
-        .withColumn(
-            "accuracy_contract",
-            F.assert_true(
-                F.col("within_rsd_bounds"),
-                F.concat(F.lit("HLL sketch rel_err out of bounds: "), F.col("rel_err")),
-            ),
-        )
-    )
+    # exact distinct is tiny (per-type grain); the contract rides a
+    # filter, so any consumption proves the estimate sits inside
+    # 3×rsd (lgConfigK=12 → rsd ≈ 1.6%).
+    from pipeline_usnvc_spark.operators.contracts import attach_error_contract
+
+    return attach_error_contract(est, "approx_users", "exact_users", 0.05, "HLL sketch")
 
 
 # ---------------------------------------------------------------------------
@@ -283,30 +272,27 @@ def q101_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rank(v) = (1-d) + d·Σ inflow recurrence, every node's rank is
     # ≥ the teleport floor (1-d), and total mass never exceeds the
     # node count (dangling parts leak mass, so ≤, not ==; equality on
-    # the all-out-degree graph is the pytest property). assert_true
-    # fires during execution, certifying the rows-only driver row.
+    # the all-out-degree graph is the pytest property). The contract
+    # rides a FILTER (operators/contracts.py) so it executes under
+    # any consumption — a bare assert column is pruned by count().
+    from pipeline_usnvc_spark.operators.contracts import contract_filter
+
     bounds = ranks.agg(
         F.min("rank").alias("min_rank"),
         F.sum("rank").alias("total_rank"),
         F.count("*").cast("bigint").alias("n_nodes"),
     )
-    return (
-        ranks.crossJoin(F.broadcast(bounds))
-        .withColumn(
-            "pagerank_contract",
-            F.assert_true(
-                (F.col("min_rank") >= F.lit(0.15) - F.lit(1e-9))
-                & (F.col("total_rank") <= F.col("n_nodes").cast("double") + F.lit(1e-6)),
-                F.concat(
-                    F.lit("pagerank invariants violated: min="),
-                    F.col("min_rank"),
-                    F.lit(" total="),
-                    F.col("total_rank"),
-                ),
-            ),
-        )
-        .drop("min_rank", "total_rank", "n_nodes")
-    )
+    return contract_filter(
+        ranks.crossJoin(F.broadcast(bounds)),
+        (F.col("min_rank") >= F.lit(0.15) - F.lit(1e-9))
+        & (F.col("total_rank") <= F.col("n_nodes").cast("double") + F.lit(1e-6)),
+        F.concat(
+            F.lit("pagerank invariants violated: min="),
+            F.col("min_rank"),
+            F.lit(" total="),
+            F.col("total_rank"),
+        ),
+    ).drop("min_rank", "total_rank", "n_nodes")
 
 
 # ---------------------------------------------------------------------------
@@ -765,26 +751,14 @@ def q212_rolling_actives_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_day")
         .agg(F.countDistinct("user_id").cast("bigint").alias("exact_wau"))
     )
-    rel_err = F.abs(
-        F.col("approx_wau").cast("double") - F.col("exact_wau").cast("double")
-    ) / F.col("exact_wau").cast("double")
-    return (
-        rolled.join(exact, "s_day")
-        .withColumn("rel_err", rel_err)
-        .withColumn("within_rsd_bounds", F.col("rel_err") <= F.lit(0.05))
-        .withColumn(
-            "accuracy_contract",
-            F.assert_true(
-                F.col("within_rsd_bounds"),
-                F.concat(F.lit("WAU sketch rel_err out of bounds: "), F.col("rel_err")),
-            ),
-        )
-        .select(
-            F.date_format("s_day", "yyyy-MM-dd").alias("day"),
-            "approx_wau",
-            "exact_wau",
-            "rel_err",
-            "within_rsd_bounds",
-            "accuracy_contract",
-        )
+    from pipeline_usnvc_spark.operators.contracts import attach_error_contract
+
+    return attach_error_contract(
+        rolled.join(exact, "s_day"), "approx_wau", "exact_wau", 0.05, "WAU sketch"
+    ).select(
+        F.date_format("s_day", "yyyy-MM-dd").alias("day"),
+        "approx_wau",
+        "exact_wau",
+        "rel_err",
+        "within_rsd_bounds",
     )

@@ -959,24 +959,42 @@ def q178_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagated = label_propagation(
         nodes, pairs.select("id_a", "id_b"), src="id_a", dst="id_b"
     )
-    # Seed-clamp contract (VERDICT r03 item 4): audited seed nodes
-    # must come out with EXACTLY their seed label — propagation may
-    # never overwrite ground truth. Asserted during execution via a
-    # broadcast join against the seed truth, so the rows-only driver
-    # row certifies the clamp.
+    # Seed-clamp contract (VERDICT r03 item 4 + r4 review sweep):
+    # audited seed nodes must come out PRESENT and with EXACTLY their
+    # seed label — propagation may never overwrite (or drop) ground
+    # truth. The check joins from the SEED side, so a seed missing
+    # from the output counts as a violation (a propagated-side left
+    # join would silently skip it), aggregates to one always-present
+    # row, and rides a contract FILTER that executes under any
+    # consumption (a bare assert column is pruned by count()).
+    from pipeline_usnvc_spark.operators.contracts import contract_filter
+
     seeds = docs.filter(F.col("doc_id") % 10 == 0).select(
         F.col("doc_id").alias("node"), F.col("source").alias("seed_label")
     )
-    return (
-        propagated.join(F.broadcast(seeds), "node", "left")
-        .withColumn(
-            "seed_clamp_contract",
-            F.assert_true(
-                F.col("seed_label").isNull() | (F.col("label") == F.col("seed_label")),
-                F.concat(F.lit("seed label overwritten at node: "), F.col("node")),
-            ),
+    clamp = (
+        seeds.join(
+            propagated.select("node", F.col("label").alias("out_label")), "node", "left"
         )
-        .drop("seed_label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_seeds"),
+            F.sum(
+                F.when(
+                    F.col("out_label").isNull()
+                    | (F.col("out_label") != F.col("seed_label")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_seed_violations"),
+        )
+    )
+    return contract_filter(
+        propagated.crossJoin(F.broadcast(clamp)),
+        F.col("n_seed_violations") == 0,
+        F.concat(
+            F.lit("seed labels overwritten or dropped: "), F.col("n_seed_violations")
+        ),
     )
 
 
@@ -1701,19 +1719,19 @@ def q219_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = chars
     for left, right in merges:
         enc = merge_pair(enc, left, right)
-    encoded = words.select(
-        "word",
-        "cnt",
-        F.size(chars).cast("bigint").alias("n_chars_sym"),
-        F.size(enc).cast("bigint").alias("n_tokens"),
-        F.concat_ws(" ", enc).alias("encoding"),
-        (F.concat_ws("", enc) == F.col("word")).alias("roundtrip_ok"),
-    ).withColumn(
-        "codec_contract",
-        F.assert_true(
-            F.col("roundtrip_ok"),
-            F.concat(F.lit("BPE round-trip failed for word: "), F.col("word")),
+    from pipeline_usnvc_spark.operators.contracts import contract_filter
+
+    encoded = contract_filter(
+        words.select(
+            "word",
+            "cnt",
+            F.size(chars).cast("bigint").alias("n_chars_sym"),
+            F.size(enc).cast("bigint").alias("n_tokens"),
+            F.concat_ws(" ", enc).alias("encoding"),
+            (F.concat_ws("", enc) == F.col("word")).alias("roundtrip_ok"),
         ),
+        F.col("roundtrip_ok"),
+        F.concat(F.lit("BPE round-trip failed for word: "), F.col("word")),
     )
     totals = encoded.agg(
         F.sum(F.col("cnt") * F.col("n_chars_sym")).cast("bigint").alias("corpus_chars"),

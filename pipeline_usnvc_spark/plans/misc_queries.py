@@ -329,25 +329,14 @@ def q70_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query("q71_approx_count_distinct")
 def q71_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.contracts import attach_error_contract
+
     li = load_table(spark, sf_dir, "lineitem")
     agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
     )
-    rel_err = F.abs(
-        F.col("approx_parts").cast("double") - F.col("exact_parts").cast("double")
-    ) / F.col("exact_parts").cast("double")
-    return (
-        agg.withColumn("rel_err", rel_err)
-        .withColumn("within_rsd_bounds", F.col("rel_err") <= F.lit(0.15))
-        .withColumn(
-            "accuracy_contract",
-            F.assert_true(
-                F.col("within_rsd_bounds"),
-                F.concat(F.lit("HLL rel_err out of bounds: "), F.col("rel_err")),
-            ),
-        )
-    )
+    return attach_error_contract(agg, "approx_parts", "exact_parts", 0.15, "HLL")
 
 
 # ---------------------------------------------------------------------------
@@ -629,17 +618,15 @@ def q85_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("z.approx_q").alias("approx_value"),
         F.col("z.exact_q").alias("exact_value"),
     )
-    rel_err = F.abs(F.col("approx_value") - F.col("exact_value")) / F.col("exact_value")
-    return (
-        exploded.withColumn("rel_err", rel_err)
-        .withColumn("within_bounds", F.col("rel_err") <= F.lit(0.01))
-        .withColumn(
-            "accuracy_contract",
-            F.assert_true(
-                F.col("within_bounds"),
-                F.concat(F.lit("percentile rel_err out of bounds: "), F.col("rel_err")),
-            ),
-        )
+    from pipeline_usnvc_spark.operators.contracts import attach_error_contract
+
+    # Bound 0.02 matches the tolerance the dedicated pytest documents
+    # (test_scale_ops.test_approx_percentiles_within_bound) — the r4
+    # review sweep caught the in-plan bound being TIGHTER than the
+    # suite's stated tolerance, which made one of them dead code.
+    return attach_error_contract(
+        exploded, "approx_value", "exact_value", 0.02, "percentile",
+        flag_col="within_bounds",
     )
 
 

@@ -619,26 +619,19 @@ def q113_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = tok.agg(F.count("*").cast("bigint").alias("n_tokens"))
     slack = F.ceil(F.col("n_tokens").cast("double") / F.lit(257.0)).cast("bigint")
-    return (
+    from pipeline_usnvc_spark.operators.contracts import contract_filter
+
+    return contract_filter(
         hh.join(F.broadcast(exact), "token")
         .crossJoin(F.broadcast(total))
         .withColumn(
             "mg_bound_ok",
             (F.col("est_count") <= F.col("exact_count"))
             & (F.col("est_count") >= F.col("exact_count") - slack),
-        )
-        .withColumn(
-            "accuracy_contract",
-            F.assert_true(
-                F.col("mg_bound_ok"),
-                F.concat(
-                    F.lit("MG bound violated for token: "),
-                    F.col("token"),
-                ),
-            ),
-        )
-        .drop("n_tokens")
-    )
+        ),
+        F.col("mg_bound_ok"),
+        F.concat(F.lit("MG bound violated for token: "), F.col("token")),
+    ).drop("n_tokens")
 
 
 # ---------------------------------------------------------------------------

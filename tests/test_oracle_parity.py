@@ -168,3 +168,56 @@ def test_driver_sample_prefix_contains_rechecks():
         n for n in names[first_seen:] if n not in e._DRIVER_VERIFIED
     ]
     assert not fresh_after, f"fresh queries ordered after verified ones: {fresh_after[:5]}"
+
+
+def test_contract_filter_evaluates_under_count(spark):
+    """The r4 review sweep showed a projected assert_true column is
+    column-pruned by count() (it never evaluates); contracts therefore
+    ride a WHERE clause. Regression: a failing contract_filter must
+    raise from count(), a passing one must keep every row."""
+    from pyspark.sql import functions as F
+
+    from pipeline_usnvc_spark.operators.contracts import contract_filter
+
+    df = spark.createDataFrame([(1,), (2,)], "v int")
+    ok = contract_filter(df, F.col("v") > 0, F.lit("never"))
+    assert ok.count() == 2
+    bad = contract_filter(df, F.col("v") < 0, F.lit("boom"))
+    with pytest.raises(Exception, match="boom|not true|USER_RAISED"):
+        bad.count()
+
+
+def test_attach_error_contract_zero_semantics(spark):
+    """0/0 → rel_err 0 (passes); approx>0 vs exact=0 → unbounded
+    (fails); in-bounds error passes and keeps rows."""
+    from pyspark.sql import functions as F
+
+    from pipeline_usnvc_spark.operators.contracts import attach_error_contract
+
+    both_zero = spark.createDataFrame([(0, 0)], "a long, e long")
+    assert attach_error_contract(both_zero, "a", "e", 0.1, "t").count() == 1
+    in_bounds = spark.createDataFrame([(105, 100)], "a long, e long")
+    assert attach_error_contract(in_bounds, "a", "e", 0.1, "t").count() == 1
+    unbounded = spark.createDataFrame([(5, 0)], "a long, e long")
+    with pytest.raises(Exception, match="rel_err|not true|USER_RAISED"):
+        attach_error_contract(unbounded, "a", "e", 0.1, "t").count()
+
+
+def test_recall_contract_fires_on_empty_ann(spark, sf_dir):
+    """The r4 review sweep found the original recall contract passed
+    VACUOUSLY when the ANN stage returned nothing (empty frame → the
+    assert never ran). The query-grain reshape must instead FAIL
+    loudly: an empty ANN result means recall 0 for every query."""
+    from pyspark.sql import functions as F
+
+    from pipeline_usnvc_spark.plans.similarity_queries import _attach_recall_contract
+    from pipeline_usnvc_spark.sources.tables import load_table
+    from pipeline_usnvc_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = brute_force_topk(emb, queries, k=5)
+    empty_ann = exact.filter(F.lit(False))
+    out = _attach_recall_contract(empty_ann, queries, exact, k=5, bound=0.5)
+    with pytest.raises(Exception, match="mean recall|not true|USER_RAISED"):
+        out.count()
