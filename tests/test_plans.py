@@ -561,3 +561,48 @@ def test_derived_partsupp_tie_free_and_plan(spark):
         assert bad == 0, f"partsupp ties/dups at {sf}"
     plan = derived_partsupp(spark, "/root/testdata/sf0.01")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan, plan[:1500]
+
+
+def test_dsir_llr_model_broadcasts(spark, sf_dir):
+    """q217's importance model (256 bucket LLRs) must reach the doc
+    scorer as a BROADCAST join — the model is KBs; shuffling the
+    exploded bigram stream against it would be the scale-killer."""
+    from pipeline_usnvc_spark.plans import QUERIES
+
+    plan = (
+        QUERIES["q217_dsir_importance"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_gopher_gate_is_map_side_only(spark, sf_dir):
+    """q218 is a pure per-document gate: the executed plan must
+    contain NO exchange of any kind — one scan, zero shuffles."""
+    from pipeline_usnvc_spark.plans import QUERIES
+
+    plan = (
+        QUERIES["q218_gopher_quality_gate"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan[:2000]
+
+
+def test_semantic_dedup_pair_join_is_label_partitioned(spark, sf_dir):
+    """q221's pair generation must be an equi-join on the cluster
+    key (label), never a cross/nested-loop over the corpus."""
+    from pipeline_usnvc_spark.plans import QUERIES
+
+    plan = (
+        QUERIES["q221_semantic_dedup"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
