@@ -53,6 +53,10 @@ def fan_out(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
     assert that shape with this helper stubbed to identity, the same
     convention as ``materialize``).
     """
+    if df.isStreaming:
+        # .rdd is illegal on an unbounded frame, and micro-batches
+        # already parallelize per trigger — identity, like at scale.
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() < max(1, int(target * min_fraction)):

@@ -453,3 +453,51 @@ def prefix_filter_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def band_signatures_mapside(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band, band_sig) computed with ZERO shuffle: the per-doc
+    minhash columns concat directly into per-band signatures (the
+    banding of ``lsh_candidate_pairs`` without its groupBy), so the
+    transformation is STATELESS and legal on an unbounded stream —
+    the signature stage of streaming near-dup detection. Matches the
+    batch semantics exactly: seeds order within a band, band = seed
+    div rows_per_band, and docs with < shingle_n tokens drop out
+    (null minhash)."""
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
+    rows_per_band = num_hashes // bands
+    arr = _spread(docs).select(
+        F.col(id_col),
+        word_shingles(tokens(text_col), n=shingle_n).alias("_shs"),
+    )
+    mins = [
+        F.array_min(
+            F.transform("_shs", lambda x: F.md5(F.concat(F.lit(f"{s}|"), x)))
+        ).alias(f"m{s}")
+        for s in range(num_hashes)
+    ]
+    per_doc = arr.select(id_col, *mins).filter(F.col("m0").isNotNull())
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.concat_ws(
+                    ",", *[F.col(f"m{b * rows_per_band + i}") for i in range(rows_per_band)]
+                ).alias("band_sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return per_doc.select(F.col(id_col), F.explode(band_structs).alias("x")).select(
+        id_col, F.col("x.band").alias("band"), F.col("x.band_sig").alias("band_sig")
+    )

@@ -925,3 +925,32 @@ def q210_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return sample_video_frames(synthesize_video_column(docs), every_k=2)
+
+
+# ---------------------------------------------------------------------------
+# q222 — streaming near-duplicate detection (rows-only: stateful
+# streaming). A persistent MinHash-LSH band index kept as keyed
+# state (streaming/stateful.streaming_neardup): documents hash to
+# band signatures map-side (zero shuffle — operators/dedup.
+# band_signatures_mapside), and each (band, signature) bucket's
+# state emits candidate pairs the moment a new arrival collides with
+# anything already ingested. The "dedupe the ingestion firehose
+# against history" primitive; cross-batch equivalence with batch
+# lsh_candidate_pairs is asserted in tests/test_streaming.py.
+# ---------------------------------------------------------------------------
+@query("q222_streaming_neardup")
+def q222_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.streaming.pipeline import run_stream_to_memory
+    from pipeline_usnvc_spark.streaming.stateful import streaming_neardup
+
+    docs_stream = (
+        spark.readStream.schema(
+            "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        )
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    return run_stream_to_memory(
+        streaming_neardup(docs_stream), "q222_streaming_neardup", output_mode="append"
+    )

@@ -218,3 +218,70 @@ def streaming_user_stats(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-duplicate detection: a persistent MinHash-LSH band
+# index maintained as keyed state. Incoming documents hash to band
+# signatures MAP-SIDE (operators/dedup.band_signatures_mapside — zero
+# shuffle, stateless, so it is legal on the unbounded stream); the
+# stateful operator is keyed by (band, band_sig) and holds the doc
+# ids previously seen in that bucket, emitting a candidate pair the
+# moment a new document collides with the index — the "dedupe the
+# ingestion firehose against everything already ingested" primitive
+# a streaming training-data pipeline needs.
+#
+# State is one id-list per OCCUPIED bucket (bounded by _NEARDUP_CAP
+# per bucket — beyond it a real pipeline has found a boilerplate
+# cluster and should route it to a block-list, so overflow ids still
+# PAIR against the capped list but stop growing the state). Batch
+# equivalence (same candidate pair set as lsh_candidate_pairs across
+# multi-batch arrival, state carrying buckets across batches) is
+# asserted in tests/test_streaming.py.
+# ---------------------------------------------------------------------------
+NEARDUP_OUTPUT_SCHEMA = "id_a bigint, id_b bigint, band int"
+NEARDUP_STATE_SCHEMA = "ids array<bigint>"
+_NEARDUP_CAP = 1024
+
+
+def _neardup_bucket(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    band, _sig = key
+    new_ids = sorted({int(x) for pdf in pdfs for x in pdf["doc_id"]})
+    seen = sorted(int(x) for x in state.get[0]) if state.exists else []
+    seen_set = set(seen)
+    new_ids = [n for n in new_ids if n not in seen_set]  # replay-idempotent
+    pairs = [
+        (min(n, s), max(n, s), band) for n in new_ids for s in seen
+    ] + [
+        (a, b, band)
+        for i, a in enumerate(new_ids)
+        for b in new_ids[i + 1 :]
+    ]
+    merged = (seen + new_ids)[:_NEARDUP_CAP]
+    state.update((merged,))
+    yield pd.DataFrame(pairs, columns=["id_a", "id_b", "band"])
+
+
+def streaming_neardup(
+    docs: DataFrame,
+    num_hashes: int = 8,
+    bands: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """document stream → candidate near-dup pair stream (append)."""
+    from pipeline_usnvc_spark.operators.dedup import band_signatures_mapside
+
+    sigs = band_signatures_mapside(
+        docs, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
+    )
+    return sigs.groupBy("band", "band_sig").applyInPandasWithState(
+        _neardup_bucket,
+        outputStructType=NEARDUP_OUTPUT_SCHEMA,
+        stateStructType=NEARDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

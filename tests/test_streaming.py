@@ -657,3 +657,86 @@ def test_checkpoint_recovery_across_restart(spark, tmp_path):
         rows += [json.loads(l) for l in p.read_text().splitlines() if l]
     ids = sorted(r["id"] for r in rows)
     assert ids == list(range(10)) + list(range(10, 20)) + list(range(20, 30))
+
+
+def test_band_signatures_mapside_match_batch(spark, sf_dir):
+    """The zero-shuffle banding must equal lsh_candidate_pairs'
+    groupBy-based banding: identical candidate pair set on the same
+    corpus, and its executed plan must contain no Exchange."""
+    from pipeline_usnvc_spark.operators.dedup import (
+        band_signatures_mapside,
+        lsh_candidate_pairs,
+    )
+    from pipeline_usnvc_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = band_signatures_mapside(docs)
+    # no KEYED shuffle — the only allowed exchange is _spread()'s
+    # round-robin parallelism repartition (batch-only convenience).
+    plan = sigs._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan[:1500]
+    a, b = sigs.alias("a"), sigs.alias("b")
+    mapside_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+        .collect()
+    }
+    batch_pairs = {
+        (r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(docs).collect()
+    }
+    assert mapside_pairs == batch_pairs
+
+
+def test_streaming_neardup_matches_batch_across_batches(spark, sf_dir, tmp_path):
+    """The stateful band index must find the SAME candidate pairs as
+    batch LSH even when the corpus arrives in two separate micro-
+    batches — cross-batch pairs exist only if state carries bucket
+    membership between triggers."""
+    from pipeline_usnvc_spark.operators.dedup import lsh_candidate_pairs
+    from pipeline_usnvc_spark.sources.tables import load_table
+    from pipeline_usnvc_spark.streaming.stateful import streaming_neardup
+
+    docs = load_table(spark, sf_dir, "documents")
+    # Interleave by parity so near-dup pairs straddle the two files.
+    stream_dir = tmp_path / "docs_stream"
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(stream_dir / "p0")
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        str(stream_dir / "p1")
+    )
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(stream_dir) + "/*")
+    )
+    q = (
+        streaming_neardup(stream)
+        .writeStream.format("memory")
+        .queryName("neardup_stream")
+        .outputMode("append")
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.sql("SELECT DISTINCT id_a, id_b FROM neardup_stream").collect()
+    }
+    want = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(docs).collect()}
+    assert want, "fixture should produce candidate pairs"
+    assert got == want
