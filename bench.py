@@ -56,6 +56,9 @@ EXTENDED = [
     "q191_ks_drift",
     "q196_dim_correlation",
     "q206_prepare_corpus",
+    "q217_dsir_importance",
+    "q218_gopher_quality_gate",
+    "q221_semantic_dedup",
 ]
 
 
