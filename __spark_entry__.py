@@ -126,6 +126,9 @@ _R04_LATE = (
     "q218_gopher_quality_gate",
     "q220_listagg_gauntlet",
     "q221_semantic_dedup",
+    "q223_multiset_ops",
+    "q224_null_ordering_gauntlet",
+    "q225_collation_group",
 )
 
 # Two rows-only queries pinned INSIDE the sample on purpose (VERDICT

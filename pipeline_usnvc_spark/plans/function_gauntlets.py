@@ -471,3 +471,147 @@ def q220_listagg_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         o=o,
     )
+
+
+# ---------------------------------------------------------------------------
+# q223 — MULTISET set-operation gauntlet: INTERSECT ALL / EXCEPT ALL
+# with genuine duplicate multiplicities (q11 covers the DISTINCT
+# variants). Two overlapping order subsets provide repeated priority
+# values; multiplicities aggregate per value so the bag semantics
+# (min(m_a, m_b) for INTERSECT ALL, max(0, m_a - m_b) for EXCEPT
+# ALL) are what the hash compares. Spark plans both as aggregated
+# anti/semi-style joins — one exchange per side, no row explosion.
+# ---------------------------------------------------------------------------
+@query(
+    "q223_multiset_ops",
+    oracle="""
+    WITH a AS (SELECT o_orderpriority AS v FROM orders WHERE o_orderkey % 3 = 0),
+    b AS (SELECT o_orderpriority AS v FROM orders WHERE o_orderkey % 2 = 0)
+    SELECT v, 'intersect_all' AS op, CAST(count(*) AS BIGINT) AS multiplicity
+    FROM (SELECT v FROM a INTERSECT ALL SELECT v FROM b) GROUP BY v
+    UNION ALL
+    SELECT v, 'except_all' AS op, CAST(count(*) AS BIGINT) AS multiplicity
+    FROM (SELECT v FROM a EXCEPT ALL SELECT v FROM b) GROUP BY v
+    """,
+)
+def q223_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 3 == 0).select(F.col("o_orderpriority").alias("v"))
+    b = o.filter(F.col("o_orderkey") % 2 == 0).select(F.col("o_orderpriority").alias("v"))
+    inter = (
+        a.intersectAll(b)
+        .groupBy("v")
+        .agg(F.count("*").cast("bigint").alias("multiplicity"))
+        .select("v", F.lit("intersect_all").alias("op"), "multiplicity")
+    )
+    exc = (
+        a.exceptAll(b)
+        .groupBy("v")
+        .agg(F.count("*").cast("bigint").alias("multiplicity"))
+        .select("v", F.lit("except_all").alias("op"), "multiplicity")
+    )
+    return inter.unionByName(exc)
+
+
+# ---------------------------------------------------------------------------
+# q224 — null-ordering gauntlet: the cross-engine trap this suite
+# exists to pin down. Spark's default is NULLS FIRST for ASC;
+# DuckDB's is NULLS LAST — an oracle pair that relies on either
+# default silently diverges, so every ordering here is EXPLICIT
+# (NULLS FIRST / NULLS LAST on both engines), plus IGNORE NULLS /
+# RESPECT NULLS window navigation over a derived nullable measure.
+# Tie-broken by o_orderkey — total order, deterministic everywhere.
+# ---------------------------------------------------------------------------
+@query(
+    "q224_null_ordering_gauntlet",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) END AS v
+        FROM orders WHERE o_orderkey <= 1000
+    )
+    SELECT o_orderkey, o_orderstatus, v,
+           CAST(row_number() OVER (PARTITION BY o_orderstatus
+                ORDER BY v ASC NULLS FIRST, o_orderkey) AS INT) AS rn_nulls_first,
+           CAST(row_number() OVER (PARTITION BY o_orderstatus
+                ORDER BY v ASC NULLS LAST, o_orderkey) AS INT) AS rn_nulls_last,
+           first_value(v IGNORE NULLS) OVER (PARTITION BY o_orderstatus
+                ORDER BY o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_nonnull,
+           first_value(v) OVER (PARTITION BY o_orderstatus
+                ORDER BY o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_respect
+    FROM t
+    """,
+)
+def q224_null_ordering_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    t = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
+            F.col("o_totalprice").cast("decimal(18,2)").cast("double")
+        ).alias("v"),
+    )
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_orderstatus, v,
+               CAST(row_number() OVER (PARTITION BY o_orderstatus
+                    ORDER BY v ASC NULLS FIRST, o_orderkey) AS INT) AS rn_nulls_first,
+               CAST(row_number() OVER (PARTITION BY o_orderstatus
+                    ORDER BY v ASC NULLS LAST, o_orderkey) AS INT) AS rn_nulls_last,
+               first_value(v) IGNORE NULLS OVER (PARTITION BY o_orderstatus
+                    ORDER BY o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_nonnull,
+               first_value(v) OVER (PARTITION BY o_orderstatus
+                    ORDER BY o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_respect
+        FROM {t}
+        """,
+        t=t,
+    )
+
+
+# ---------------------------------------------------------------------------
+# q225 — collation-aware grouping (Spark 4 collation surface):
+# case-insensitive aggregation via COLLATE UTF8_LCASE, mirrored in
+# the oracle with explicit lower() grouping. The collated GROUP BY
+# returns an arbitrary-case representative per group, so the output
+# key normalizes through lower() on BOTH engines (the collation
+# changes the equality relation; the normalization makes the result
+# hash-stable). Exercises that Spark's collation equality matches a
+# lower()-based rewrite on ASCII data.
+# ---------------------------------------------------------------------------
+@query(
+    "q225_collation_group",
+    oracle="""
+    WITH t AS (
+        SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_name) ELSE p_name END AS name_mixed,
+               p_retailprice
+        FROM part
+    )
+    SELECT lower(name_mixed) AS name_ci,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM t GROUP BY lower(name_mixed)
+    """,
+)
+def q225_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    t = p.select(
+        F.when(F.col("p_partkey") % 2 == 0, F.upper("p_name"))
+        .otherwise(F.col("p_name"))
+        .alias("name_mixed"),
+        "p_retailprice",
+    )
+    return spark.sql(
+        """
+        SELECT lower(min(name_mixed)) AS name_ci,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM {t}
+        GROUP BY collate(name_mixed, 'UTF8_LCASE')
+        """,
+        t=t,
+    )
