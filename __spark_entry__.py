@@ -129,6 +129,7 @@ _R04_LATE = (
     "q223_multiset_ops",
     "q224_null_ordering_gauntlet",
     "q225_collation_group",
+    "q226_rolling_median",
 )
 
 # Two rows-only queries pinned INSIDE the sample on purpose (VERDICT

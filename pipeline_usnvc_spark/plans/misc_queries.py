@@ -951,6 +951,33 @@ def q222_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "documents.parquet")
         .load(sf_dir)
     )
-    return run_stream_to_memory(
+    streamed = run_stream_to_memory(
         streaming_neardup(docs_stream), "q222_streaming_neardup", output_mode="append"
+    )
+    # Batch-equivalence contract (executed, rows-only-safe): the
+    # streamed candidate pair set must EQUAL batch LSH's pair set —
+    # checked with a full-outer join so pairs missing from either
+    # side surface (the multi-batch variant of this equality is the
+    # dedicated streaming test). The contract rides a filter, so any
+    # consumption of the driver row proves the equivalence.
+    from pipeline_usnvc_spark.operators.contracts import contract_filter
+    from pipeline_usnvc_spark.operators.dedup import lsh_candidate_pairs
+
+    stream_pairs = streamed.select("id_a", "id_b").distinct()
+    batch_pairs = (
+        lsh_candidate_pairs(load_table(spark, sf_dir, "documents"))
+        .select("id_a", "id_b")
+    )
+    mismatch = (
+        stream_pairs.withColumn("in_stream", F.lit(True))
+        .join(batch_pairs.withColumn("in_batch", F.lit(True)), ["id_a", "id_b"], "full_outer")
+        .filter(F.col("in_stream").isNull() | F.col("in_batch").isNull())
+        .agg(F.count("*").cast("bigint").alias("n_mismatched_pairs"))
+    )
+    return contract_filter(
+        streamed.crossJoin(F.broadcast(mismatch)),
+        F.col("n_mismatched_pairs") == 0,
+        F.concat(
+            F.lit("stream/batch LSH pair sets diverge: "), F.col("n_mismatched_pairs")
+        ),
     )

@@ -142,3 +142,75 @@ def q24_hierarchy_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("path")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q226 — rolling exact median (trailing 7 events per user): Spark has
+# no median window function, so the trailing window materializes as a
+# sorted array (collect_list OVER ROWS 6 PRECEDING) and the median is
+# the exact middle element (odd count) or the mean of the two middle
+# elements (even count) — the IDENTICAL list construction runs in
+# DuckDB (list(...) OVER), so the result is hash-exact. Values are
+# decimal-quantized cents (exact ints); the even-count mean is the
+# same double division on both engines.
+#
+# Scale note: the trailing-k array is O(k) per row (k=7 here) — this
+# is the bounded-frame pattern, NOT an unbounded collect; for large k
+# switch to the two-heap/percentile_approx streaming form.
+# ---------------------------------------------------------------------------
+@query(
+    "q226_rolling_median",
+    oracle="""
+    WITH t AS (
+        SELECT user_id, event_id,
+               CAST(floor(value * 100) AS BIGINT) AS cents,
+               row_number() OVER (PARTITION BY user_id ORDER BY floor(epoch(ts)), event_id) AS seq
+        FROM events WHERE user_id <= 50
+    ),
+    w AS (
+        SELECT user_id, event_id, seq,
+               list_sort(list(cents) OVER (PARTITION BY user_id ORDER BY seq
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS win
+        FROM t
+    )
+    SELECT user_id, event_id, CAST(seq AS INT) AS seq,
+           CAST(len(win) AS INT) AS n_win,
+           CASE WHEN len(win) % 2 = 1
+                THEN CAST(win[(len(win) + 1) // 2] AS DOUBLE)
+                ELSE (CAST(win[len(win) // 2] AS DOUBLE)
+                      + CAST(win[len(win) // 2 + 1] AS DOUBLE)) / 2.0
+           END AS rolling_median_cents
+    FROM w
+    """,
+)
+def q226_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 50)
+    t = ev.select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.floor(F.col("ts").cast("double")).cast("bigint").alias("ep"),
+    ).withColumn(
+        "seq",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy("ep", "event_id")
+        ),
+    )
+    w7 = Window.partitionBy("user_id").orderBy("seq").rowsBetween(-6, 0)
+    win = F.sort_array(F.collect_list("cents").over(w7))
+    t = t.withColumn("win", win)
+    n = F.size("win")
+    mid_odd = F.element_at("win", ((n + 1) / 2).cast("int"))
+    lo = F.element_at("win", (n / 2).cast("int"))
+    hi = F.element_at("win", (n / 2).cast("int") + 1)
+    return t.select(
+        "user_id",
+        "event_id",
+        F.col("seq").cast("int").alias("seq"),
+        n.cast("int").alias("n_win"),
+        F.when(n % 2 == 1, mid_odd.cast("double"))
+        .otherwise((lo.cast("double") + hi.cast("double")) / F.lit(2.0))
+        .alias("rolling_median_cents"),
+    )
