@@ -52,6 +52,20 @@ def shingle_table(
     )
 
 
+def _minhash_cols(num_hashes: int):
+    """The ONE definition of the minhash hash family: seed-s hash of a
+    shingle is md5('{s}|' || shingle); the signature is the array_min
+    over the in-row shingle array. Shared by ``minhash_signatures``
+    and ``band_signatures_mapside`` so the stream/batch equivalence
+    (q222's contract) is structural, not merely tested."""
+    return [
+        F.array_min(
+            F.transform("_shs", lambda x: F.md5(F.concat(F.lit(f"{s}|"), x)))
+        ).alias(f"m{s}")
+        for s in range(num_hashes)
+    ]
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -77,13 +91,7 @@ def minhash_signatures(
         F.col(id_col),
         word_shingles(tokens(text_col), n=shingle_n).alias("_shs"),
     )
-    mins = [
-        F.array_min(
-            F.transform("_shs", lambda x: F.md5(F.concat(F.lit(f"{s}|"), x)))
-        ).alias(f"m{s}")
-        for s in range(num_hashes)
-    ]
-    per_doc = arr.select(id_col, *mins)
+    per_doc = arr.select(id_col, *_minhash_cols(num_hashes))
     seeds = F.array(
         *[
             F.struct(F.lit(s).alias("seed"), F.col(f"m{s}").alias("minhash"))
@@ -120,20 +128,13 @@ def lsh_candidate_pairs(
         raise ValueError(
             f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
         )
-    rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
-    band_sig = (
-        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("seed", "minhash"))),
-                    lambda s: s["minhash"],
-                ),
-            ).alias("band_sig")
-        )
+    # Band signatures come from the zero-shuffle map-side builder (r4:
+    # formerly an explode + groupBy(id, band) re-aggregation — one
+    # whole exchange of signature rows that the column-wise concat
+    # never needed; the same builder feeds streaming near-dup, so
+    # stream and batch banding are structurally identical).
+    band_sig = band_signatures_mapside(
+        docs, id_col, text_col, num_hashes, bands, shingle_n
     )
     a = band_sig.alias("a")
     b = band_sig.alias("b")
@@ -480,13 +481,9 @@ def band_signatures_mapside(
         F.col(id_col),
         word_shingles(tokens(text_col), n=shingle_n).alias("_shs"),
     )
-    mins = [
-        F.array_min(
-            F.transform("_shs", lambda x: F.md5(F.concat(F.lit(f"{s}|"), x)))
-        ).alias(f"m{s}")
-        for s in range(num_hashes)
-    ]
-    per_doc = arr.select(id_col, *mins).filter(F.col("m0").isNotNull())
+    per_doc = arr.select(id_col, *_minhash_cols(num_hashes)).filter(
+        F.col("m0").isNotNull()
+    )
     band_structs = F.array(
         *[
             F.struct(
