@@ -130,6 +130,10 @@ _R04_LATE = (
     "q224_null_ordering_gauntlet",
     "q225_collation_group",
     "q226_rolling_median",
+    "q227_rfm_segmentation",
+    "q228_association_rules",
+    "q229_top_paths",
+    "q230_benford_audit",
 )
 
 # Two rows-only queries pinned INSIDE the sample on purpose (VERDICT

@@ -762,3 +762,273 @@ def q212_rolling_actives_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rel_err",
         "within_rsd_bounds",
     )
+
+
+# ---------------------------------------------------------------------------
+# q227 — RFM segmentation: the classic customer-value partitioning
+# (recency / frequency / monetary quintiles + a rule-based segment
+# label). Exactness recipe: recency is an integer day diff against a
+# FIXED reference date, monetary is integer cents, and every ntile
+# ordering folds c_custkey in as the tiebreaker so the quintile
+# boundaries are deterministic at every sf. One exchange on custkey
+# for the per-customer aggregate; the three ntiles share one
+# customer-grain frame (tiny).
+# ---------------------------------------------------------------------------
+@query(
+    "q227_rfm_segmentation",
+    oracle="""
+    WITH rfm AS (
+        SELECT o_custkey,
+               CAST(date_diff('day', CAST(max(o_orderdate) AS DATE), DATE '2002-01-01') AS BIGINT) AS recency_days,
+               CAST(count(*) AS BIGINT) AS frequency,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT *,
+               CAST(ntile(5) OVER (ORDER BY recency_days ASC, o_custkey) AS INT) AS r_score,
+               CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS INT) AS f_score,
+               CAST(ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey) AS INT) AS m_score
+        FROM rfm
+    )
+    SELECT o_custkey, recency_days, frequency, monetary_cents,
+           r_score, f_score, m_score,
+           CASE WHEN r_score = 1 AND f_score <= 2 AND m_score <= 2 THEN 'champion'
+                WHEN f_score <= 2 THEN 'loyal'
+                WHEN r_score >= 4 AND f_score >= 4 THEN 'hibernating'
+                WHEN r_score >= 4 THEN 'at_risk'
+                ELSE 'regular' END AS segment
+    FROM scored
+    """,
+)
+def q227_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("2002-01-01").cast("date"), F.max("o_orderdate").cast("date")
+        )
+        .cast("bigint")
+        .alias("recency_days"),
+        F.count("*").cast("bigint").alias("frequency"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("monetary_cents"),
+    )
+    r_w = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey"))
+    f_w = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
+    m_w = Window.orderBy(F.col("monetary_cents").desc(), F.col("o_custkey"))
+    scored = (
+        rfm.withColumn("r_score", F.ntile(5).over(r_w).cast("int"))
+        .withColumn("f_score", F.ntile(5).over(f_w).cast("int"))
+        .withColumn("m_score", F.ntile(5).over(m_w).cast("int"))
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") == 1) & (F.col("f_score") <= 2) & (F.col("m_score") <= 2),
+            "champion",
+        )
+        .when(F.col("f_score") <= 2, "loyal")
+        .when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "hibernating")
+        .when(F.col("r_score") >= 4, "at_risk")
+        .otherwise("regular")
+    )
+    return scored.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        "r_score",
+        "f_score",
+        "m_score",
+        seg.alias("segment"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q228 — market-basket association rules at brand grain: support /
+# confidence / lift for co-ordered brand pairs. Items-per-basket is
+# the distinct (order, brand) table; the pair join is an equi-join on
+# l_orderkey (baskets are small, so pair fan-out is bounded by
+# basket-size², never corpus²). All three metrics derive from exact
+# integer counts with the final ratios as identical double divisions;
+# the support threshold compares integers.
+# ---------------------------------------------------------------------------
+@query(
+    "q228_association_rules",
+    oracle="""
+    WITH basket AS (
+        SELECT DISTINCT l.l_orderkey, p.p_brand
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    n_orders AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS total FROM basket),
+    brand_cnt AS (
+        SELECT p_brand, CAST(count(*) AS BIGINT) AS cnt FROM basket GROUP BY p_brand
+    ),
+    pair_cnt AS (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, CAST(count(*) AS BIGINT) AS n_ab
+        FROM basket a JOIN basket b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY a.p_brand, b.p_brand
+    )
+    SELECT p.brand_a, p.brand_b, p.n_ab,
+           ca.cnt AS n_a, cb.cnt AS n_b,
+           CAST(p.n_ab AS DOUBLE) / CAST(t.total AS DOUBLE) AS support,
+           CAST(p.n_ab AS DOUBLE) / CAST(ca.cnt AS DOUBLE) AS confidence_a_to_b,
+           (CAST(p.n_ab AS DOUBLE) * CAST(t.total AS DOUBLE))
+             / (CAST(ca.cnt AS DOUBLE) * CAST(cb.cnt AS DOUBLE)) AS lift
+    FROM pair_cnt p
+    JOIN brand_cnt ca ON ca.p_brand = p.brand_a
+    JOIN brand_cnt cb ON cb.p_brand = p.brand_b
+    CROSS JOIN n_orders t
+    WHERE p.n_ab >= 5
+    """,
+)
+def q228_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    basket = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    total = basket.agg(F.countDistinct("l_orderkey").cast("bigint").alias("total"))
+    brand_cnt = basket.groupBy("p_brand").agg(F.count("*").cast("bigint").alias("cnt"))
+    a, b = basket.alias("a"), basket.alias("b")
+    pair_cnt = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"), F.col("b.p_brand").alias("brand_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    ca = brand_cnt.select(F.col("p_brand").alias("brand_a"), F.col("cnt").alias("n_a"))
+    cb = brand_cnt.select(F.col("p_brand").alias("brand_b"), F.col("cnt").alias("n_b"))
+    return (
+        pair_cnt.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (F.col("n_ab").cast("double") / F.col("total").cast("double")).alias("support"),
+            (F.col("n_ab").cast("double") / F.col("n_a").cast("double")).alias(
+                "confidence_a_to_b"
+            ),
+            (
+                (F.col("n_ab").cast("double") * F.col("total").cast("double"))
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q229 — top navigation paths: each user's first-3-event-type path
+# (ordered by whole-second timestamp with event_id tiebreak — the
+# suite's floor(epoch) discipline), counted across users. The path
+# build is one user-keyed window exchange; the path count is a
+# string-keyed aggregate over user-grain rows (tiny).
+# ---------------------------------------------------------------------------
+@query(
+    "q229_top_paths",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                    ORDER BY floor(epoch(ts)), event_id) AS rn
+        FROM events
+    ),
+    paths AS (
+        SELECT user_id,
+               string_agg(event_type, ' > ' ORDER BY rn) AS path
+        FROM ranked WHERE rn <= 3 GROUP BY user_id
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_users
+    FROM paths GROUP BY path
+    """,
+)
+def q229_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.floor(F.col("ts").cast("double")).cast("bigint"), "event_id"
+    )
+    ranked = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 3)
+    paths = ranked.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            " > ",
+        ).alias("path")
+    )
+    return paths.groupBy("path").agg(F.count("*").cast("bigint").alias("n_users"))
+
+
+# ---------------------------------------------------------------------------
+# q230 — Benford first-digit audit (data-quality profiling): the
+# observed first-significant-digit distribution of order totals vs
+# Benford's log10(1 + 1/d) expectation. The first digit comes from
+# the STRING form of integer cents (substr of a BIGINT's decimal
+# rendering — engine-identical; deriving it via floor(log10(x))
+# flips on 1-ulp log differences near powers of ten). Shares are
+# exact-int divisions; the expectation rounds to 6 dp (the ln/libm
+# discipline) before the deviation subtraction on both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "q230_benford_audit",
+    oracle="""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS d
+        FROM orders WHERE o_totalprice > 0
+    ),
+    obs AS (SELECT d, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY d),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM obs)
+    SELECT o.d AS first_digit, o.n,
+           CAST(o.n AS DOUBLE) / CAST(t.total AS DOUBLE) AS observed_share,
+           round(ln(1.0 + 1.0 / CAST(o.d AS DOUBLE)) / ln(10.0), 6) AS benford_share,
+           CAST(o.n AS DOUBLE) / CAST(t.total AS DOUBLE)
+             - round(ln(1.0 + 1.0 / CAST(o.d AS DOUBLE)) / ln(10.0), 6) AS deviation
+    FROM obs o CROSS JOIN tot t
+    """,
+)
+def q230_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digits = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count("*").cast("bigint").alias("n"))
+    tot = obs.agg(F.sum("n").cast("bigint").alias("total"))
+    share = F.col("n").cast("double") / F.col("total").cast("double")
+    benford = F.round(
+        F.log(F.lit(1.0) + F.lit(1.0) / F.col("d").cast("double")) / F.log(F.lit(10.0)),
+        6,
+    )
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("first_digit"),
+            "n",
+            share.alias("observed_share"),
+            benford.alias("benford_share"),
+            (share - benford).alias("deviation"),
+        )
+    )
