@@ -660,12 +660,15 @@ def test_checkpoint_recovery_across_restart(spark, tmp_path):
 
 
 def test_band_signatures_mapside_match_batch(spark, sf_dir):
-    """The zero-shuffle banding must equal lsh_candidate_pairs'
-    groupBy-based banding: identical candidate pair set on the same
-    corpus, and its executed plan must contain no Exchange."""
+    """The zero-keyed-shuffle banding must equal an INDEPENDENT
+    reference formulation — the explode + groupBy(id, band) concat
+    that lsh_candidate_pairs used before it was rebuilt on the
+    map-side builder (reconstructed here so the equivalence check
+    does not compare the function against itself — the r4 review
+    caught the tautology when both sides shared one code path)."""
     from pipeline_usnvc_spark.operators.dedup import (
         band_signatures_mapside,
-        lsh_candidate_pairs,
+        minhash_signatures,
     )
     from pipeline_usnvc_spark.sources.tables import load_table
 
@@ -675,23 +678,27 @@ def test_band_signatures_mapside_match_batch(spark, sf_dir):
     # round-robin parallelism repartition (batch-only convenience).
     plan = sigs._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan, plan[:1500]
-    a, b = sigs.alias("a"), sigs.alias("b")
-    mapside_pairs = {
-        (r["id_a"], r["id_b"])
-        for r in a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    mapside = {
+        (r["doc_id"], r["band"], r["band_sig"]) for r in sigs.collect()
+    }
+    # Independent reference: the historical exploded+grouped banding.
+    rows_per_band = 8 // 2
+    ref = (
+        minhash_signatures(docs)
+        .withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("seed", "minhash"))),
+                    lambda s: s["minhash"],
+                ),
+            ).alias("band_sig")
         )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
-        .collect()
-    }
-    batch_pairs = {
-        (r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(docs).collect()
-    }
-    assert mapside_pairs == batch_pairs
+    )
+    reference = {(r["doc_id"], r["band"], r["band_sig"]) for r in ref.collect()}
+    assert mapside == reference and mapside
 
 
 def test_streaming_neardup_matches_batch_across_batches(spark, sf_dir, tmp_path):
