@@ -134,6 +134,8 @@ _R04_LATE = (
     "q228_association_rules",
     "q229_top_paths",
     "q230_benford_audit",
+    "q231_weighted_median",
+    "q232_gini_spend",
 )
 
 # Two rows-only queries pinned INSIDE the sample on purpose (VERDICT

@@ -1032,3 +1032,153 @@ def q230_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (share - benford).alias("deviation"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q231 — weighted median: per return flag, the price at which half
+# the total shipped QUANTITY sits below (quantity-weighted median
+# price). Exact: integer cents + integer centi-quantity, cumulative
+# weight via a window ordered by (price, orderkey, linenumber) —
+# tie-free — and the answer is the FIRST row where 2·cumweight ≥
+# total (an integer comparison; no interpolation, so no float at
+# all until the output cast). One exchange for the flag-keyed window.
+# ---------------------------------------------------------------------------
+@query(
+    "q231_weighted_median",
+    oracle="""
+    WITH t AS (
+        SELECT l_returnflag,
+               CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_cents,
+               CAST(floor(l_quantity * 100) AS BIGINT) AS qty_centi,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ),
+    cum AS (
+        SELECT l_returnflag, price_cents,
+               sum(qty_centi) OVER (PARTITION BY l_returnflag
+                    ORDER BY price_cents, l_orderkey, l_linenumber
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w,
+               sum(qty_centi) OVER (PARTITION BY l_returnflag) AS total_w
+        FROM t
+    ),
+    hit AS (
+        SELECT l_returnflag, price_cents, cum_w, total_w,
+               row_number() OVER (PARTITION BY l_returnflag
+                    ORDER BY cum_w, price_cents) AS rn
+        FROM cum WHERE 2 * cum_w >= total_w
+    )
+    SELECT l_returnflag,
+           CAST(price_cents AS DOUBLE) / 100.0 AS weighted_median_price,
+           CAST(total_w AS BIGINT) AS total_centi_qty
+    FROM hit WHERE rn = 1
+    """,
+)
+def q231_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    t = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("price_cents"),
+        F.floor(F.col("l_quantity") * 100).cast("bigint").alias("qty_centi"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price_cents", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("l_returnflag")
+    cum = t.select(
+        "l_returnflag",
+        "price_cents",
+        F.sum("qty_centi").over(w_cum).alias("cum_w"),
+        F.sum("qty_centi").over(w_tot).alias("total_w"),
+    ).filter(2 * F.col("cum_w") >= F.col("total_w"))
+    w_first = Window.partitionBy("l_returnflag").orderBy("cum_w", "price_cents")
+    return (
+        cum.withColumn("rn", F.row_number().over(w_first))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            (F.col("price_cents").cast("double") / F.lit(100.0)).alias(
+                "weighted_median_price"
+            ),
+            F.col("total_w").cast("bigint").alias("total_centi_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q232 — Gini coefficient of customer spend (inequality profiling of
+# the revenue base) per market segment, via the exact rank formula
+#     G = (2·Σ(i·x_i)) / (n·Σx_i) − (n+1)/n
+# over integer cents with a tie-free rank ordering (spend, custkey).
+# Both Σ terms are exact integer sums (DECIMAL(38,0) products — an
+# i·x_i product can pass 2^63 at scale); the final expression is the
+# identical double arithmetic on both engines. One exchange for the
+# customer aggregate, one segment-keyed window for ranks, and a
+# segment-grain aggregate (tiny).
+# ---------------------------------------------------------------------------
+@query(
+    "q232_gini_spend",
+    oracle="""
+    WITH spend AS (
+        SELECT c.c_mktsegment, c.c_custkey,
+               CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment, c.c_custkey
+    ),
+    ranked AS (
+        SELECT c_mktsegment, cents,
+               CAST(row_number() OVER (PARTITION BY c_mktsegment
+                    ORDER BY cents, c_custkey) AS BIGINT) AS i
+        FROM spend
+    ),
+    agg AS (
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sum_x,
+               CAST(sum(CAST(i AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sum_ix
+        FROM ranked GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, n,
+           CAST(sum_x AS BIGINT) AS total_cents,
+           (2.0 * CAST(sum_ix AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sum_x AS DOUBLE))
+             - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini
+    FROM agg
+    """,
+)
+def q232_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer").select("c_mktsegment", "c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    spend = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("cents", "c_custkey")
+    ranked = spend.withColumn("i", F.row_number().over(w).cast("bigint"))
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = ranked.groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(d38(F.col("cents"))).cast("decimal(38,0)").alias("sum_x"),
+        F.sum(d38(F.col("i")) * d38(F.col("cents"))).cast("decimal(38,0)").alias("sum_ix"),
+    )
+    return agg.select(
+        "c_mktsegment",
+        "n",
+        F.col("sum_x").cast("bigint").alias("total_cents"),
+        (
+            (F.lit(2.0) * F.col("sum_ix").cast("double"))
+            / (F.col("n").cast("double") * F.col("sum_x").cast("double"))
+            - (F.col("n").cast("double") + F.lit(1.0)) / F.col("n").cast("double")
+        ).alias("gini"),
+    )
