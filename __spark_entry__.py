@@ -136,6 +136,11 @@ _R04_LATE = (
     "q230_benford_audit",
     "q231_weighted_median",
     "q232_gini_spend",
+    "q233_time_to_convert",
+    "q234_shipping_sla",
+    "q239_k_anonymity",
+    "q245_bounce_rate",
+    "q246_sorted_neighborhood",
 )
 
 # Two rows-only queries pinned INSIDE the sample on purpose (VERDICT

@@ -284,3 +284,80 @@ def q153_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_dup_pairs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q246 — sorted-neighborhood dedup (Hernández–Stolfo SNM, the third
+# classic blocking family next to LSH banding and prefix-filter
+# PPJoin): sort the corpus by a domain key (first-5-token prefix),
+# compare each document only against its next w=5 neighbors in sort
+# order, and emit pairs whose 40-char normalized prefixes sit within
+# edit distance 10. Exact + oracle-paired: the global order is
+# total ((key, doc_id)), the neighbor pairing is an EQUI-join on
+# integer ranks (rank_b = rank_a + i for i in 1..5 — never a range
+# or theta join), and levenshtein is engine-identical (q47
+# precedent).
+#
+# Scale shape: the global rank comes from the two-phase
+# range-exchange rank (operators/rank.with_global_rank — NO
+# single-partition window sort), the offset fan-out is a 5-row
+# in-row explode, and the neighbor join shuffles on integer rank
+# keys. SNM's whole point at 100 TB: candidate volume is O(n·w),
+# chosen by sort locality instead of hashing.
+# ---------------------------------------------------------------------------
+@query(
+    "q246_sorted_neighborhood",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id,
+               array_to_string(({0})[1:5], ' ') AS sort_key,
+               substr(lower(text), 1, 40) AS prefix40
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, sort_key, prefix40,
+               CAST(row_number() OVER (ORDER BY sort_key, doc_id) AS BIGINT) AS rn
+        FROM keyed
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(levenshtein(a.prefix40, b.prefix40) AS BIGINT) AS edit_dist
+        FROM ranked a
+        JOIN (SELECT unnest([1, 2, 3, 4, 5]) AS i) offs ON true
+        JOIN ranked b ON b.rn = a.rn + offs.i
+    )
+    SELECT id_a, id_b, edit_dist
+    FROM pairs WHERE edit_dist <= 10
+    """.format(_TOKS_SQL_LOCAL := "list_filter(string_split_regex(lower(text), '[^a-zA-Z0-9]+'), t -> t <> '')"),
+)
+def q246_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.functions.text import tokens
+    from pipeline_usnvc_spark.operators.rank import with_global_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(tokens("text"), 1, 5)).alias("sort_key"),
+        F.substring(F.lower("text"), 1, 40).alias("prefix40"),
+    )
+    ranked = with_global_rank(keyed, "sort_key", "doc_id", rank_col="rn")
+    a = ranked.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("prefix40").alias("pa"),
+        F.explode(F.array(*[F.lit(i) for i in range(1, 6)])).alias("i"),
+        F.col("rn").alias("rn_a"),
+    ).withColumn("rn_b", F.col("rn_a") + F.col("i"))
+    b = ranked.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("prefix40").alias("pb"),
+        F.col("rn").alias("rn_b"),
+    )
+    return (
+        a.join(b, "rn_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("pa", "pb").cast("bigint").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 10)
+    )

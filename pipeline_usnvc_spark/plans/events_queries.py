@@ -1183,3 +1183,137 @@ def q208_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s")
     )
     return steps.select("s.*").orderBy("ord").drop("ord")
+
+
+# ---------------------------------------------------------------------------
+# q233 — time-to-convert: per user, whole seconds from FIRST view to
+# FIRST subsequent purchase (users who never purchase after a view
+# drop out), plus each user's conversion decile for downstream
+# bucketing. Exact: min-timestamps as whole-second integers (the
+# floor(epoch) discipline), deciles via tie-free ntile (lag,
+# user_id). One exchange on user_id serves both firsts; the decile
+# window runs on user-grain rows.
+# ---------------------------------------------------------------------------
+@query(
+    "q233_time_to_convert",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS first_view_s,
+               min(CASE WHEN event_type = 'purchase' THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS first_purchase_s
+        FROM events GROUP BY user_id
+    ),
+    converted AS (
+        SELECT user_id, first_purchase_s - first_view_s AS lag_s
+        FROM firsts
+        WHERE first_view_s IS NOT NULL AND first_purchase_s IS NOT NULL
+          AND first_purchase_s >= first_view_s
+    )
+    SELECT user_id, lag_s,
+           CAST(ntile(10) OVER (ORDER BY lag_s, user_id) AS INT) AS decile
+    FROM converted
+    """,
+)
+def q233_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ep = F.floor(F.col("ts").cast("double")).cast("bigint")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", ep)).alias("first_view_s"),
+        F.min(F.when(F.col("event_type") == "purchase", ep)).alias("first_purchase_s"),
+    )
+    conv = firsts.filter(
+        F.col("first_view_s").isNotNull()
+        & F.col("first_purchase_s").isNotNull()
+        & (F.col("first_purchase_s") >= F.col("first_view_s"))
+    ).select(
+        "user_id", (F.col("first_purchase_s") - F.col("first_view_s")).alias("lag_s")
+    )
+    w = W.orderBy("lag_s", "user_id")
+    return conv.withColumn("decile", F.ntile(10).over(w).cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# q245 — bounce rate per traffic grain: share of single-event
+# sessions, by the user's modal event source hour-of-day bucket? No —
+# kept simple and honest: per event_type-of-first-event, the share of
+# sessions that end after exactly one event. Reuses q40's exact
+# sessionization (identical lag/cumsum SQL); the report is
+# session-grain → tiny. Shares are cross-multiplied exact ints cast
+# to double with the identical expression on both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "q245_bounce_rate",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        FROM flagged
+    ),
+    tagged AS (
+        SELECT user_id, session_idx,
+               CAST(count(*) OVER (PARTITION BY user_id, session_idx) AS BIGINT) AS n_events,
+               first_value(event_type) OVER (PARTITION BY user_id, session_idx
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS entry_type,
+               row_number() OVER (PARTITION BY user_id, session_idx
+                    ORDER BY ts, event_id) AS rn
+        FROM sessions
+    ),
+    per_session AS (
+        SELECT user_id, session_idx, n_events, entry_type
+        FROM tagged WHERE rn = 1
+    )
+    SELECT entry_type,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS bounce_rate
+    FROM per_session GROUP BY entry_type
+    """,
+)
+def q245_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > 1800 * 1_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sess = ev.withColumn("is_new", is_new).withColumn(
+        "session_idx",
+        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    sw = W.partitionBy("user_id", "session_idx").orderBy("ts", "event_id")
+    per_session = (
+        sess.withColumn(
+            "n_events",
+            F.count("*")
+            .over(W.partitionBy("user_id", "session_idx"))
+            .cast("bigint"),
+        )
+        .withColumn(
+            "entry_type",
+            F.first("event_type").over(
+                sw.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .withColumn("rn", F.row_number().over(sw))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "session_idx", "n_events", "entry_type")
+    )
+    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).cast("bigint")
+    return per_session.groupBy("entry_type").agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        bounce.alias("n_bounces"),
+        (bounce.cast("double") / F.count("*").cast("double")).alias("bounce_rate"),
+    )

@@ -1040,3 +1040,45 @@ def q222_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("in_batch"),
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q239 — k-anonymity audit (privacy profiling, the companion to
+# q207's pseudonymization and q114's PII redaction): group customers
+# by the quasi-identifier tuple (market segment, nation, account-
+# balance band) and report every equivalence class, flagging classes
+# smaller than k=5 — the rows a release would need to suppress or
+# generalize. Pure grouped counts (map-side combinable) + one tiny
+# summary join; at 100 TB the quasi-identifier grain is bounded by
+# the attribute domain product, not the row count.
+# ---------------------------------------------------------------------------
+@query(
+    "q239_k_anonymity",
+    oracle="""
+    WITH classes AS (
+        SELECT c_mktsegment,
+               c_nationkey,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS acctbal_band,
+               CAST(count(*) AS BIGINT) AS class_size
+        FROM customer
+        GROUP BY 1, 2, 3
+    )
+    SELECT c_mktsegment, c_nationkey, acctbal_band, class_size,
+           class_size < 5 AS violates_k5
+    FROM classes
+    """,
+)
+def q239_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    classes = cust.groupBy(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("acctbal_band"),
+    ).agg(F.count("*").cast("bigint").alias("class_size"))
+    return classes.select(
+        "c_mktsegment",
+        "c_nationkey",
+        "acctbal_band",
+        "class_size",
+        (F.col("class_size") < 5).alias("violates_k5"),
+    )

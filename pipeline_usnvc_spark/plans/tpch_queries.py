@@ -1134,3 +1134,73 @@ def q216_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q234 — shipping SLA report: per order priority, the share of line
+# items shipped within 365 days of order date, plus p90 ship lag
+# (exact integer-day quantile via the rank method — no
+# interpolation: the value at ceil(0.9·n) in lag order). Shares are
+# exact-int divisions; the p90 pick is tie-broken by (orderkey,
+# linenumber). The lineitem↔orders join is the fact-to-fact equi-join
+# on l_orderkey with AQE handling the skew.
+# ---------------------------------------------------------------------------
+@query(
+    "q234_shipping_sla",
+    oracle="""
+    WITH lags AS (
+        SELECT o.o_orderpriority,
+               CAST(date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) AS BIGINT) AS lag_days,
+               l.l_orderkey, l.l_linenumber
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    ranked AS (
+        SELECT o_orderpriority, lag_days,
+               CAST(row_number() OVER (PARTITION BY o_orderpriority
+                    ORDER BY lag_days, l_orderkey, l_linenumber) AS BIGINT) AS r,
+               CAST(count(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+        FROM lags
+    )
+    SELECT o_orderpriority,
+           CAST(max(n) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN lag_days <= 365 THEN 1 ELSE 0 END) AS BIGINT) AS n_within_sla,
+           CAST(sum(CASE WHEN lag_days <= 365 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(max(n) AS DOUBLE) AS sla_share,
+           CAST(max(CASE WHEN 10 * r = 9 * n + (9 * n) % 10 THEN lag_days END) AS BIGINT) AS p90_lag_days
+    FROM ranked GROUP BY o_orderpriority
+    """,
+)
+def q234_shipping_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lags = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("bigint")
+        .alias("lag_days"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "lag_days", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = lags.withColumn("r", F.row_number().over(w).cast("bigint")).withColumn(
+        "n", F.count("*").over(wn).cast("bigint")
+    )
+    within = F.sum(F.when(F.col("lag_days") <= 365, 1).otherwise(0)).cast("bigint")
+    # rank-method p90: the row where r == ceil(0.9 n), expressed in
+    # pure integers (10r == 9n + (9n mod 10)) — no float boundary.
+    p90_hit = F.when(
+        10 * F.col("r") == 9 * F.col("n") + (9 * F.col("n")) % 10, F.col("lag_days")
+    )
+    return ranked.groupBy("o_orderpriority").agg(
+        F.max("n").cast("bigint").alias("n_lines"),
+        within.alias("n_within_sla"),
+        (within.cast("double") / F.max("n").cast("double")).alias("sla_share"),
+        F.max(p90_hit).cast("bigint").alias("p90_lag_days"),
+    )
