@@ -141,6 +141,8 @@ _R04_LATE = (
     "q239_k_anonymity",
     "q245_bounce_rate",
     "q246_sorted_neighborhood",
+    "q247_quantile_normalize_sources",
+    "q248_minhash_calibration",
 )
 
 # Two rows-only queries pinned INSIDE the sample on purpose (VERDICT

@@ -1743,3 +1743,181 @@ def q219_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .crossJoin(F.broadcast(totals))
     )
+
+
+# ---------------------------------------------------------------------------
+# q247 — cross-source quantile normalization (batch-effect correction
+# for mixed-source quality scores — the multi-source companion to
+# q204's single-distribution transform): each document's
+# within-source rank maps to the POOLED score at the same quantile,
+# so every source's score distribution aligns to the corpus-wide one.
+# Exact: integer ranks on both grains (tie-free via doc_id), the
+# quantile map is pure integer arithmetic (pooled_idx =
+# ceil(r·N/n_s) as (r·N + n_s − 1) div n_s — no float boundary), and
+# the mapped score joins back by integer index. Scale shape: one
+# source-keyed window, one global two-phase-rankable window
+# (doc-grain), one integer equi-join.
+# ---------------------------------------------------------------------------
+@query(
+    "q247_quantile_normalize_sources",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS score FROM documents
+    ),
+    pooled AS (
+        SELECT score AS pooled_score,
+               CAST(row_number() OVER (ORDER BY score, doc_id) AS BIGINT) AS pooled_idx
+        FROM scored
+    ),
+    per_source AS (
+        SELECT doc_id, source, score,
+               CAST(row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS BIGINT) AS r,
+               CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_s,
+               CAST(count(*) OVER () AS BIGINT) AS n_total
+        FROM scored
+    )
+    SELECT p.doc_id, p.source, p.score,
+           (p.r * p.n_total + p.n_s - 1) // p.n_s AS mapped_idx,
+           q.pooled_score AS normalized_score
+    FROM per_source p
+    JOIN pooled q ON q.pooled_idx = (p.r * p.n_total + p.n_s - 1) // p.n_s
+    """,
+)
+def q247_quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", "source", F.col("n_chars").cast("bigint").alias("score"))
+    w_pool = Window.orderBy("score", "doc_id")
+    pooled = scored.select(
+        F.col("score").alias("pooled_score"),
+        F.row_number().over(w_pool).cast("bigint").alias("pooled_idx"),
+    )
+    w_src = Window.partitionBy("source").orderBy("score", "doc_id")
+    per_source = scored.select(
+        "doc_id",
+        "source",
+        "score",
+        F.row_number().over(w_src).cast("bigint").alias("r"),
+        F.count("*").over(Window.partitionBy("source")).cast("bigint").alias("n_s"),
+        F.count("*").over(Window.partitionBy(F.lit(1))).cast("bigint").alias("n_total"),
+    )
+    mapped = F.expr("(r * n_total + n_s - 1) div n_s")
+    return (
+        per_source.withColumn("mapped_idx", mapped)
+        .join(F.broadcast(pooled), F.col("mapped_idx") == F.col("pooled_idx"))
+        .select(
+            "doc_id",
+            "source",
+            "score",
+            "mapped_idx",
+            F.col("pooled_score").alias("normalized_score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q248 — MinHash estimator calibration: for every LSH candidate pair,
+# the ESTIMATED Jaccard (shared minhashes / num_hashes) next to the
+# EXACT shingle-set Jaccard, bucketed into a calibration table
+# (estimate decile → mean exact similarity, both as exact-int-derived
+# ratios). The estimator-quality report an LSH deployment needs
+# before trusting its thresholds. Everything derives from exact
+# integer counts; the per-bucket exact-Jaccard total is a BIGINT sum
+# of per-pair ppm-scaled integer divisions (pure BIGINT — DuckDB's
+# `//` on DECIMAL operands rounds where BIGINT floor-division
+# truncates, a divergence this query's first draft hit) — no float
+# is ever summed across rows.
+# ---------------------------------------------------------------------------
+@query(
+    "q248_minhash_calibration",
+    oracle=f"""
+    WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_SQL})),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+    mh AS (
+        SELECT doc_id, s.seed,
+               min(md5(CAST(s.seed AS VARCHAR) || '|' || shingle)) AS minhash
+        FROM sh CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6,7]) AS seed) s
+        GROUP BY doc_id, s.seed
+    ),
+    cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS n_shared_hashes
+        FROM mh a JOIN mh b
+          ON a.seed = b.seed AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT c.n_shared_hashes,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(c.n_shared_hashes AS DOUBLE) / 8.0 AS est_jaccard,
+           CAST(sum((COALESCE(i.n_inter, 0) * 1000000)
+                    // (sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0))) AS BIGINT) AS sum_exact_jaccard_ppm
+    FROM cand c
+    LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+    JOIN sizes sa ON sa.doc_id = c.id_a
+    JOIN sizes sb ON sb.doc_id = c.id_b
+    GROUP BY c.n_shared_hashes
+    """,
+)
+def q248_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(tokens("text"), n=3))).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_sh"))
+    seeds = docs.sparkSession.range(8).select(F.col("id").cast("int").alias("seed"))
+    mh = (
+        sh.crossJoin(F.broadcast(seeds))
+        .groupBy("doc_id", "seed")
+        .agg(
+            F.min(
+                F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle")))
+            ).alias("minhash")
+        )
+    )
+    a, b = mh.alias("a"), mh.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.seed") == F.col("b.seed"))
+            & (F.col("a.minhash") == F.col("b.minhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").cast("bigint").alias("n_shared_hashes"))
+    )
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    inter = (
+        sa.join(
+            sb,
+            (F.col("sa.shingle") == F.col("sb.shingle"))
+            & (F.col("sa.doc_id") < F.col("sb.doc_id")),
+        )
+        .groupBy(F.col("sa.doc_id").alias("id_a"), F.col("sb.doc_id").alias("id_b"))
+        .agg(F.count("*").cast("bigint").alias("n_inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_sh_a"))
+    zb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_sh_b"))
+    ppm = F.expr(
+        "(coalesce(n_inter, 0) * 1000000) div (n_sh_a + n_sh_b - coalesce(n_inter, 0))"
+    )
+    return (
+        cand.join(inter, ["id_a", "id_b"], "left")
+        .join(F.broadcast(za), "id_a")
+        .join(F.broadcast(zb), "id_b")
+        .groupBy("n_shared_hashes")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum(ppm).cast("bigint").alias("sum_exact_jaccard_ppm"),
+        )
+        .select(
+            "n_shared_hashes",
+            "n_pairs",
+            (F.col("n_shared_hashes").cast("double") / F.lit(8.0)).alias("est_jaccard"),
+            "sum_exact_jaccard_ppm",
+        )
+    )
