@@ -143,6 +143,11 @@ _R04_LATE = (
     "q246_sorted_neighborhood",
     "q247_quantile_normalize_sources",
     "q248_minhash_calibration",
+    "q249_incremental_dedup",
+    "q254_json_flatten",
+    "q256_trimmed_mean",
+    "q259_ngram_diversity",
+    "q264_cuped_adjustment",
 )
 
 # Two rows-only queries pinned INSIDE the sample on purpose (VERDICT

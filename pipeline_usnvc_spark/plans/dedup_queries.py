@@ -361,3 +361,105 @@ def q246_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_dist") <= 10)
     )
+
+
+# ---------------------------------------------------------------------------
+# q249 — INCREMENTAL dedup: classify an incoming batch against the
+# EXISTING corpus (the production shape — full self-dedup of 100 TB
+# per ingest is not affordable; new-vs-history is): exact dup by
+# content fingerprint, else near-dup by cross-set shingle Jaccard
+# ≥ 0.5 (candidates via the shared-shingle inverted index — an
+# equi-join on shingle, never incoming × existing), else new. Every
+# incoming doc appears exactly once with its verdict and the lowest
+# matching existing id. All counts exact ints; Jaccard threshold is
+# cross-multiplied (2·inter ≥ union means ≥ 0.5 — integer-only).
+# ---------------------------------------------------------------------------
+@query(
+    "q249_incremental_dedup",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    fp AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM toks),
+    incoming AS (SELECT doc_id, fp FROM fp WHERE doc_id % 5 = 0),
+    existing AS (SELECT doc_id, fp FROM fp WHERE doc_id % 5 <> 0),
+    exact_m AS (
+        SELECT i.doc_id, min(e.doc_id) AS matched_id
+        FROM incoming i JOIN existing e ON e.fp = i.fp
+        GROUP BY i.doc_id
+    ),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_SQL})),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS in_id, b.doc_id AS ex_id, CAST(count(*) AS BIGINT) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle
+        WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    near_m AS (
+        SELECT i.in_id AS doc_id, min(i.ex_id) AS matched_id
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.in_id
+        JOIN sizes sb ON sb.doc_id = i.ex_id
+        WHERE 2 * i.n_inter >= sa.n + sb.n - i.n_inter
+        GROUP BY i.in_id
+    )
+    SELECT i.doc_id,
+           CASE WHEN e.matched_id IS NOT NULL THEN 'exact_dup'
+                WHEN n.matched_id IS NOT NULL THEN 'near_dup'
+                ELSE 'new' END AS verdict,
+           coalesce(e.matched_id, n.matched_id) AS matched_existing_id
+    FROM incoming i
+    LEFT JOIN exact_m e ON e.doc_id = i.doc_id
+    LEFT JOIN near_m n ON n.doc_id = i.doc_id
+    """,
+)
+def q249_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.functions.text import doc_fingerprint, tokens, word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", doc_fingerprint("text").alias("fp"))
+    incoming = fp.filter(F.col("doc_id") % 5 == 0)
+    existing = fp.filter(F.col("doc_id") % 5 != 0)
+    exact_m = (
+        incoming.alias("i")
+        .join(existing.alias("e"), F.col("e.fp") == F.col("i.fp"))
+        .groupBy(F.col("i.doc_id").alias("doc_id"))
+        .agg(F.min(F.col("e.doc_id")).alias("matched_id"))
+    )
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(tokens("text")))).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n"))
+    a = sh.filter(F.col("doc_id") % 5 == 0).alias("a")
+    b = sh.filter(F.col("doc_id") % 5 != 0).alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .groupBy(
+            F.col("a.doc_id").alias("in_id"), F.col("b.doc_id").alias("ex_id")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("in_id"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("ex_id"), F.col("n").alias("n_b"))
+    near_m = (
+        inter.join(F.broadcast(sa), "in_id")
+        .join(F.broadcast(sb), "ex_id")
+        .filter(2 * F.col("n_inter") >= F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        .groupBy(F.col("in_id").alias("doc_id"))
+        .agg(F.min("ex_id").alias("matched_id"))
+    )
+    e = exact_m.select(F.col("doc_id"), F.col("matched_id").alias("exact_id"))
+    n = near_m.select(F.col("doc_id"), F.col("matched_id").alias("near_id"))
+    return (
+        incoming.select("doc_id")
+        .join(F.broadcast(e), "doc_id", "left")
+        .join(F.broadcast(n), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_id").isNotNull(), "exact_dup")
+            .when(F.col("near_id").isNotNull(), "near_dup")
+            .otherwise("new")
+            .alias("verdict"),
+            F.coalesce("exact_id", "near_id").alias("matched_existing_id"),
+        )
+    )

@@ -1317,3 +1317,73 @@ def q245_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         bounce.alias("n_bounces"),
         (bounce.cast("double") / F.count("*").cast("double")).alias("bounce_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q264 — CUPED variance-reduction adjustment (the experimentation-
+# platform primitive): per user, pre-period covariate X (first 15
+# days' value) and post-period metric Y; theta = cov(X,Y)/var(X)
+# computed from the FIVE sufficient statistics as exact quantized
+# integer sums (the q142 recipe — n, ΣX, ΣY, ΣXY, ΣX² in
+# DECIMAL(38,0)); adjusted metric y_adj = y − θ·(x − x̄) as the
+# identical double expression per user. Output stays user-grain —
+# no float is ever summed across rows. One exchange on user_id, a
+# 1-row broadcast of the statistics.
+# ---------------------------------------------------------------------------
+@query(
+    "q264_cuped_adjustment",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN CAST(floor(value * 1000) AS BIGINT) ELSE 0 END) AS BIGINT) AS x_milli,
+               CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN CAST(floor(value * 1000) AS BIGINT) ELSE 0 END) AS BIGINT) AS y_milli
+        FROM events GROUP BY user_id
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(x_milli AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+               CAST(sum(CAST(y_milli AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+               CAST(sum(CAST(x_milli AS DECIMAL(38,0)) * CAST(y_milli AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+               CAST(sum(CAST(x_milli AS DECIMAL(38,0)) * CAST(x_milli AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx
+        FROM per_user
+    )
+    SELECT u.user_id, u.x_milli, u.y_milli,
+           (CAST(u.y_milli AS DOUBLE)
+             - ((CAST(s.n AS DOUBLE) * CAST(s.sxy AS DOUBLE) - CAST(s.sx AS DOUBLE) * CAST(s.sy AS DOUBLE))
+                / (CAST(s.n AS DOUBLE) * CAST(s.sxx AS DOUBLE) - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE)))
+               * (CAST(u.x_milli AS DOUBLE) - CAST(s.sx AS DOUBLE) / CAST(s.n AS DOUBLE))) / 1000.0 AS y_adjusted
+    FROM per_user u CROSS JOIN stats s
+    """,
+)
+def q264_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    milli = F.floor(F.col("value") * 1000).cast("bigint")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, milli).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("x_milli"),
+        F.sum(F.when(F.col("ts") >= cut, milli).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("y_milli"),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    stats = per_user.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(d38(F.col("x_milli"))).cast("decimal(38,0)").alias("sx"),
+        F.sum(d38(F.col("y_milli"))).cast("decimal(38,0)").alias("sy"),
+        F.sum(d38(F.col("x_milli")) * d38(F.col("y_milli"))).cast("decimal(38,0)").alias("sxy"),
+        F.sum(d38(F.col("x_milli")) * d38(F.col("x_milli"))).cast("decimal(38,0)").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    theta = (nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")) / (
+        nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    y_adj = (
+        F.col("y_milli").cast("double")
+        - theta * (F.col("x_milli").cast("double") - F.col("sx").cast("double") / nd)
+    ) / F.lit(1000.0)
+    return (
+        per_user.crossJoin(F.broadcast(stats))
+        .select("user_id", "x_milli", "y_milli", y_adj.alias("y_adjusted"))
+    )

@@ -1082,3 +1082,96 @@ def q239_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "class_size",
         (F.col("class_size") < 5).alias("violates_k5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q254 — JSON array FLATTEN with ordinality: parse the serialized
+# array once (from_json → typed array) and explode to one row per
+# element with its 1-based position — the lateral-join form of the
+# q84 path extraction. Serialization is synthesized with identical
+# expressions on both engines (q84's trick), so only the parse +
+# flatten semantics are compared.
+# ---------------------------------------------------------------------------
+@query(
+    "q254_json_flatten",
+    oracle="""
+    SELECT event_id,
+           generate_subscripts(l, 1) AS pos,
+           unnest(l) AS elem
+    FROM (
+        SELECT event_id,
+               CAST(json_extract(to_json(struct_pack(
+                   arr := [event_id, user_id, event_id + user_id]
+               )), '$.arr') AS BIGINT[]) AS l
+        FROM events WHERE event_id <= 2000
+    )
+    """,
+)
+def q254_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= 2000)
+    j = F.to_json(
+        F.struct(
+            F.array(
+                F.col("event_id"), F.col("user_id"), F.col("event_id") + F.col("user_id")
+            ).alias("arr")
+        )
+    )
+    parsed = ev.select(
+        "event_id",
+        F.from_json(j, "struct<arr:array<bigint>>").getField("arr").alias("l"),
+    )
+    return parsed.select(
+        "event_id", F.posexplode("l").alias("pos0", "elem")
+    ).select("event_id", (F.col("pos0") + 1).alias("pos"), "elem")
+
+
+# ---------------------------------------------------------------------------
+# q256 — 10% trimmed mean (robust statistic): per return flag, drop
+# the bottom and top decile by price (integer rank thresholds —
+# r > n div 10 and r <= n - n div 10, no float boundary; tie-broken
+# by the line key) and take the decimal-exact mean of the middle 80%.
+# ---------------------------------------------------------------------------
+@query(
+    "q256_trimmed_mean",
+    oracle="""
+    WITH ranked AS (
+        SELECT l_returnflag, l_extendedprice,
+               CAST(row_number() OVER (PARTITION BY l_returnflag
+                    ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS BIGINT) AS r,
+               CAST(count(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(max(n) AS BIGINT) AS n_total,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS trimmed_mean_price
+    FROM ranked
+    WHERE r > n // 10 AND r <= n - n // 10
+    GROUP BY l_returnflag
+    """,
+)
+def q256_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).cast("bigint").alias("r"),
+        F.count("*").over(wn).cast("bigint").alias("n"),
+    ).filter(
+        (F.col("r") > F.expr("n div 10")) & (F.col("r") <= F.col("n") - F.expr("n div 10"))
+    )
+    return ranked.groupBy("l_returnflag").agg(
+        F.max("n").cast("bigint").alias("n_total"),
+        F.count("*").cast("bigint").alias("n_kept"),
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("trimmed_mean_price"),
+    )

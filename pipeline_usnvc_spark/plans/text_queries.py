@@ -1363,3 +1363,75 @@ def q207_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("props_masked"),
         (F.col("user_id") % 7 == 0).alias("in_audit_sample"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q259 — n-gram diversity per source (the self-BLEU-style
+# repetitiveness audit for generated/synthetic corpora): distinct-to-
+# total ratios for 1/2/3-grams. A source whose 3-gram ratio collapses
+# is producing templated text. All counts exact ints; ratios are the
+# identical double division. One exchange per n-gram grain (term
+# tables ≪ corpus); documents never shuffle.
+# ---------------------------------------------------------------------------
+@query(
+    "q259_ngram_diversity",
+    oracle=f"""
+    WITH toks AS (SELECT source, {_TOKS_SQL} AS toks FROM documents),
+    g1 AS (SELECT source, unnest(toks) AS g FROM toks),
+    g2 AS (
+        SELECT source, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS g
+        FROM toks WHERE len(toks) >= 2
+    ),
+    g3 AS (
+        SELECT source, unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+        FROM toks WHERE len(toks) >= 3
+    ),
+    s1 AS (SELECT source, CAST(count(*) AS BIGINT) AS n1, CAST(count(DISTINCT g) AS BIGINT) AS d1 FROM g1 GROUP BY source),
+    s2 AS (SELECT source, CAST(count(*) AS BIGINT) AS n2, CAST(count(DISTINCT g) AS BIGINT) AS d2 FROM g2 GROUP BY source),
+    s3 AS (SELECT source, CAST(count(*) AS BIGINT) AS n3, CAST(count(DISTINCT g) AS BIGINT) AS d3 FROM g3 GROUP BY source)
+    SELECT s1.source, n1, d1, n2, d2, n3, d3,
+           CAST(d1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS unigram_diversity,
+           CAST(d2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS bigram_diversity,
+           CAST(d3 AS DOUBLE) / CAST(n3 AS DOUBLE) AS trigram_diversity
+    FROM s1 JOIN s2 ON s2.source = s1.source JOIN s3 ON s3.source = s1.source
+    """,
+)
+def q259_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", tokens("text").alias("toks"))
+    length2 = F.size("toks") - F.lit(1)
+    bigrams = F.zip_with(
+        F.slice("toks", 1, length2), F.slice("toks", 2, length2),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    length3 = F.greatest(F.size("toks") - F.lit(2), F.lit(0))
+    trigrams = F.zip_with(
+        F.zip_with(
+            F.slice("toks", 1, length3), F.slice("toks", 2, length3),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+        F.slice("toks", 3, length3),
+        lambda ab, c: F.concat_ws(" ", ab, c),
+    )
+    g1 = toks.select("source", F.explode("toks").alias("g"))
+    g2 = toks.filter(F.size("toks") >= 2).select("source", F.explode(bigrams).alias("g"))
+    g3 = toks.filter(F.size("toks") >= 3).select("source", F.explode(trigrams).alias("g"))
+
+    def stats(g, n_name, d_name):
+        return g.groupBy("source").agg(
+            F.count("*").cast("bigint").alias(n_name),
+            F.countDistinct("g").cast("bigint").alias(d_name),
+        )
+
+    s1, s2, s3 = stats(g1, "n1", "d1"), stats(g2, "n2", "d2"), stats(g3, "n3", "d3")
+    return (
+        s1.join(s2, "source")
+        .join(s3, "source")
+        .select(
+            "source", "n1", "d1", "n2", "d2", "n3", "d3",
+            (F.col("d1").cast("double") / F.col("n1").cast("double")).alias("unigram_diversity"),
+            (F.col("d2").cast("double") / F.col("n2").cast("double")).alias("bigram_diversity"),
+            (F.col("d3").cast("double") / F.col("n3").cast("double")).alias("trigram_diversity"),
+        )
+    )
