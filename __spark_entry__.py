@@ -148,6 +148,10 @@ _R04_LATE = (
     "q256_trimmed_mean",
     "q259_ngram_diversity",
     "q264_cuped_adjustment",
+    "q250_freshness_report",
+    "q263_neyman_allocation",
+    "q267_histogram_overlap",
+    "q272_gate_agreement",
 )
 
 # Two rows-only queries pinned INSIDE the sample on purpose (VERDICT

@@ -1921,3 +1921,226 @@ def q248_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_exact_jaccard_ppm",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q263 — Neyman sample allocation with largest-remainder rounding:
+# distribute a budget of 1000 samples across sources proportionally
+# to N_h·S_h (stratum size × stddev of doc length — Neyman's optimal
+# allocation), then round the fractional shares to integers with the
+# largest-remainder method so the total is EXACTLY the budget.
+# Exactness recipe: variances come from exact integer sufficient
+# statistics (n, Σx, Σx² in DECIMAL(38,0)); S_h and the shares are
+# identical double expressions; the remainder ranking is tie-broken
+# by source so the +1 winners are deterministic at every sf.
+# ---------------------------------------------------------------------------
+_NEYMAN_BUDGET = 1000
+
+
+@query(
+    "q263_neyman_allocation",
+    oracle=f"""
+    WITH stats AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_h,
+               CAST(sum(CAST(n_chars AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+               CAST(sum(CAST(n_chars AS DECIMAL(38,0)) * CAST(n_chars AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx
+        FROM documents GROUP BY source
+    ),
+    weighted AS (
+        SELECT source, n_h,
+               CAST(round(CAST(n_h AS DOUBLE) * sqrt(greatest(
+                   (CAST(n_h AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   / (CAST(n_h AS DOUBLE) * CAST(n_h AS DOUBLE)), 0.0)) * 1000000.0) AS BIGINT) AS w_micro
+        FROM stats
+    ),
+    shares AS (
+        SELECT source, n_h, w_micro,
+               {_NEYMAN_BUDGET}.0 * CAST(w_micro AS DOUBLE)
+                 / CAST(sum(w_micro) OVER () AS DOUBLE) AS exact_share
+        FROM weighted
+    ),
+    floored AS (
+        SELECT source, n_h, w_micro, exact_share,
+               CAST(floor(exact_share) AS BIGINT) AS base_alloc,
+               exact_share - floor(exact_share) AS remainder,
+               CAST({_NEYMAN_BUDGET} - sum(CAST(floor(exact_share) AS BIGINT)) OVER () AS BIGINT) AS leftover
+        FROM shares
+    )
+    SELECT source, n_h, base_alloc, remainder,
+           base_alloc + CASE WHEN CAST(row_number() OVER (ORDER BY remainder DESC, source) AS BIGINT) <= leftover
+                             THEN 1 ELSE 0 END AS allocation
+    FROM floored
+    """,
+)
+def q263_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    stats = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_h"),
+        F.sum(d38(F.col("n_chars"))).cast("decimal(38,0)").alias("sx"),
+        F.sum(d38(F.col("n_chars")) * d38(F.col("n_chars"))).cast("decimal(38,0)").alias("sxx"),
+    )
+    nd = F.col("n_h").cast("double")
+    var = F.greatest(
+        (nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double"))
+        / (nd * nd),
+        F.lit(0.0),
+    )
+    # Weights quantize to integer MICRO-units before the cross-row sum
+    # (summing raw doubles across rows is fold-order dependent — the
+    # suite-wide exact-sum discipline).
+    weighted = stats.select(
+        "source",
+        "n_h",
+        F.round(nd * F.sqrt(var) * F.lit(1000000.0)).cast("bigint").alias("w_micro"),
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    shares = weighted.withColumn(
+        "exact_share",
+        F.lit(float(_NEYMAN_BUDGET))
+        * F.col("w_micro").cast("double")
+        / F.sum("w_micro").over(w_all).cast("double"),
+    )
+    floored = (
+        shares.withColumn("base_alloc", F.floor("exact_share").cast("bigint"))
+        .withColumn("remainder", F.col("exact_share") - F.floor("exact_share"))
+        .withColumn(
+            "leftover",
+            (F.lit(_NEYMAN_BUDGET) - F.sum("base_alloc").over(w_all)).cast("bigint"),
+        )
+    )
+    w_rank = Window.orderBy(F.col("remainder").desc(), F.col("source"))
+    return floored.select(
+        "source",
+        "n_h",
+        "base_alloc",
+        "remainder",
+        (
+            F.col("base_alloc")
+            + F.when(
+                F.row_number().over(w_rank).cast("bigint") <= F.col("leftover"), 1
+            ).otherwise(0)
+        ).alias("allocation"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q272 — quality-gate agreement: confusion matrix + Cohen's kappa
+# between the C4-style gate (q36 rule: token count 20..2000, punct
+# ratio ≤ 0.3) and the Gopher-style gate (q218 rules) over the same
+# corpus — the label-noise / gate-calibration diagnostic you run
+# before trusting either filter. All four cells are exact integer
+# counts; kappa is the identical closed-form double expression of
+# those integers on both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "q272_gate_agreement",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id,
+               CAST(len({_TOKS_SQL}) AS BIGINT) AS n_words,
+               CAST(len(list_distinct({_TOKS_SQL})) AS BIGINT) AS n_unique,
+               CAST(list_reduce(list_prepend(0, list_transform({_TOKS_SQL}, t -> length(t))), (a, b) -> a + b) AS BIGINT) AS sum_word_len,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_symbol_chars,
+               CAST(len(list_filter(['the','a','of','to','and','in','is'], s -> list_contains({_TOKS_SQL}, s))) AS BIGINT) AS n_stopwords
+        FROM documents
+    ),
+    gates AS (
+        SELECT doc_id,
+               n_words >= 20 AND n_words <= 2000
+                   AND (n_chars = 0 OR CAST(n_symbol_chars AS DOUBLE) / CAST(n_chars AS DOUBLE) <= 0.3) AS c4_pass,
+               n_words >= 50 AND n_words <= 100000
+                   AND n_words > 0 AND CAST(sum_word_len AS DOUBLE) / CAST(n_words AS DOUBLE) >= 3.0
+                   AND CAST(sum_word_len AS DOUBLE) / CAST(n_words AS DOUBLE) <= 10.0
+                   AND n_chars > 0 AND CAST(n_symbol_chars AS DOUBLE) / CAST(n_chars AS DOUBLE) <= 0.3
+                   AND n_stopwords >= 2
+                   AND CAST(n_unique AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.1 AS gopher_pass
+        FROM m
+    ),
+    cm AS (
+        SELECT CAST(sum(CASE WHEN c4_pass AND gopher_pass THEN 1 ELSE 0 END) AS BIGINT) AS both_pass,
+               CAST(sum(CASE WHEN c4_pass AND NOT gopher_pass THEN 1 ELSE 0 END) AS BIGINT) AS c4_only,
+               CAST(sum(CASE WHEN NOT c4_pass AND gopher_pass THEN 1 ELSE 0 END) AS BIGINT) AS gopher_only,
+               CAST(sum(CASE WHEN NOT c4_pass AND NOT gopher_pass THEN 1 ELSE 0 END) AS BIGINT) AS both_fail,
+               CAST(count(*) AS BIGINT) AS n
+        FROM gates
+    )
+    SELECT both_pass, c4_only, gopher_only, both_fail, n,
+           CAST(both_pass + both_fail AS DOUBLE) / CAST(n AS DOUBLE) AS observed_agreement,
+           (CAST(both_pass + both_fail AS DOUBLE) / CAST(n AS DOUBLE)
+             - (CAST(both_pass + c4_only AS DOUBLE) * CAST(both_pass + gopher_only AS DOUBLE)
+                + CAST(gopher_only + both_fail AS DOUBLE) * CAST(c4_only + both_fail AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+           / (1.0 - (CAST(both_pass + c4_only AS DOUBLE) * CAST(both_pass + gopher_only AS DOUBLE)
+                     + CAST(gopher_only + both_fail AS DOUBLE) * CAST(c4_only + both_fail AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS cohen_kappa
+    FROM cm
+    """,
+)
+def q272_gate_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "text", tokens("text").alias("toks"))
+    m = t.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_words"),
+        F.size(F.array_distinct("toks")).cast("bigint").alias("n_unique"),
+        F.aggregate("toks", F.lit(0).cast("bigint"), lambda acc, tok: acc + F.length(tok)).alias("sum_word_len"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        (F.length("text") - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", "")))
+        .cast("bigint")
+        .alias("n_symbol_chars"),
+        F.size(
+            F.filter(
+                F.array(*[F.lit(s) for s in ("the", "a", "of", "to", "and", "in", "is")]),
+                lambda s: F.array_contains("toks", s),
+            )
+        )
+        .cast("bigint")
+        .alias("n_stopwords"),
+    )
+    sym_ratio = F.col("n_symbol_chars").cast("double") / F.col("n_chars").cast("double")
+    mean_len = F.col("sum_word_len").cast("double") / F.col("n_words").cast("double")
+    c4 = (
+        (F.col("n_words") >= 20)
+        & (F.col("n_words") <= 2000)
+        & ((F.col("n_chars") == 0) | (sym_ratio <= 0.3))
+    )
+    gopher = (
+        (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100000)
+        & (F.col("n_words") > 0)
+        & (mean_len >= 3.0)
+        & (mean_len <= 10.0)
+        & (F.col("n_chars") > 0)
+        & (sym_ratio <= 0.3)
+        & (F.col("n_stopwords") >= 2)
+        & (F.col("n_unique").cast("double") / F.col("n_words").cast("double") >= 0.1)
+    )
+    gates = m.select("doc_id", c4.alias("c4_pass"), gopher.alias("gopher_pass"))
+    cell = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    cm = gates.agg(
+        cell(F.col("c4_pass") & F.col("gopher_pass")).alias("both_pass"),
+        cell(F.col("c4_pass") & ~F.col("gopher_pass")).alias("c4_only"),
+        cell(~F.col("c4_pass") & F.col("gopher_pass")).alias("gopher_only"),
+        cell(~F.col("c4_pass") & ~F.col("gopher_pass")).alias("both_fail"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    nd = F.col("n").cast("double")
+    po = (F.col("both_pass") + F.col("both_fail")).cast("double") / nd
+    pe = (
+        (F.col("both_pass") + F.col("c4_only")).cast("double")
+        * (F.col("both_pass") + F.col("gopher_only")).cast("double")
+        + (F.col("gopher_only") + F.col("both_fail")).cast("double")
+        * (F.col("c4_only") + F.col("both_fail")).cast("double")
+    ) / (nd * nd)
+    return cm.select(
+        "both_pass",
+        "c4_only",
+        "gopher_only",
+        "both_fail",
+        "n",
+        po.alias("observed_agreement"),
+        ((po - pe) / (F.lit(1.0) - pe)).alias("cohen_kappa"),
+    )

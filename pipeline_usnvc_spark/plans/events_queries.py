@@ -1387,3 +1387,134 @@ def q264_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_user.crossJoin(F.broadcast(stats))
         .select("user_id", "x_milli", "y_milli", y_adj.alias("y_adjusted"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q250 — data freshness audit: per event type, last-seen timestamp,
+# age relative to the corpus watermark in whole seconds (exact int),
+# and a staleness bucket — the first page of any ingestion-ops
+# dashboard. Grouped max + a 1-row broadcast watermark; no shuffle
+# beyond the type-keyed aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "q250_freshness_report",
+    oracle="""
+    WITH per_type AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(max(floor(epoch(ts))) AS BIGINT) AS last_seen_s
+        FROM events GROUP BY event_type
+    ),
+    wm AS (SELECT CAST(max(last_seen_s) AS BIGINT) AS watermark_s FROM per_type)
+    SELECT p.event_type, p.n_events, p.last_seen_s,
+           w.watermark_s - p.last_seen_s AS age_s,
+           CASE WHEN w.watermark_s - p.last_seen_s <= 3600 THEN 'fresh'
+                WHEN w.watermark_s - p.last_seen_s <= 86400 THEN 'lagging'
+                ELSE 'stale' END AS staleness
+    FROM per_type p CROSS JOIN wm w
+    """,
+)
+def q250_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.max(F.floor(F.col("ts").cast("double")).cast("bigint"))
+        .cast("bigint")
+        .alias("last_seen_s"),
+    )
+    wm = per_type.agg(F.max("last_seen_s").cast("bigint").alias("watermark_s"))
+    age = F.col("watermark_s") - F.col("last_seen_s")
+    return (
+        per_type.crossJoin(F.broadcast(wm))
+        .select(
+            "event_type",
+            "n_events",
+            "last_seen_s",
+            age.alias("age_s"),
+            F.when(age <= 3600, "fresh")
+            .when(age <= 86400, "lagging")
+            .otherwise("stale")
+            .alias("staleness"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q267 — histogram-intersection overlap between event-type hourly
+# profiles (how similar are two event types' time-of-day
+# distributions): overlap(P, Q) = Σ_h min(p_h, q_h), computed WITHOUT
+# any float accumulation — min(n_h·M, m_h·N) summed as BIGINT over a
+# common N·M denominator, divided once at the end. The pairwise
+# profile comparison that complements the drift family's
+# one-vs-reference tests. Hour profiles are 24-row grains; the pair
+# join is a broadcast self-join of 5 types.
+# ---------------------------------------------------------------------------
+@query(
+    "q267_histogram_overlap",
+    oracle="""
+    WITH hist AS (
+        SELECT event_type, CAST(extract(hour FROM ts) AS INT) AS h,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total FROM hist GROUP BY event_type),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               ta.total AS n_a, tb.total AS n_b,
+               CAST(sum(least(a.n * tb.total, b.n * ta.total)) AS BIGINT) AS overlap_num
+        FROM hist a
+        JOIN hist b ON b.h = a.h AND a.event_type < b.event_type
+        JOIN tot ta ON ta.event_type = a.event_type
+        JOIN tot tb ON tb.event_type = b.event_type
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT type_a, type_b, n_a, n_b, overlap_num,
+           CAST(overlap_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS overlap
+    FROM pairs
+    """,
+)
+def q267_histogram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hist = ev.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("h")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    tot = hist.groupBy("event_type").agg(F.sum("n").cast("bigint").alias("total"))
+    a = hist.alias("a").join(
+        F.broadcast(tot.alias("ta")), F.col("a.event_type") == F.col("ta.event_type")
+    )
+    b = hist.alias("b").join(
+        F.broadcast(tot.alias("tb")), F.col("b.event_type") == F.col("tb.event_type")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.h") == F.col("a.h"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.col("ta.total").alias("n_a"),
+            F.col("tb.total").alias("n_b"),
+        )
+        .agg(
+            F.sum(
+                F.least(
+                    F.col("a.n") * F.col("tb.total"), F.col("b.n") * F.col("ta.total")
+                )
+            )
+            .cast("bigint")
+            .alias("overlap_num")
+        )
+    )
+    return pairs.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        "overlap_num",
+        (
+            F.col("overlap_num").cast("double")
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+        ).alias("overlap"),
+    )
