@@ -152,6 +152,10 @@ _R04_LATE = (
     "q263_neyman_allocation",
     "q267_histogram_overlap",
     "q272_gate_agreement",
+    "q275_error_slo_deciles",
+    "q277_degree_powerlaw",
+    "q278_gaps_and_islands",
+    "q282_apriori_triples",
 )
 
 # Two rows-only queries pinned INSIDE the sample on purpose (VERDICT

@@ -1182,3 +1182,180 @@ def q232_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("n").cast("double") + F.lit(1.0)) / F.col("n").cast("double")
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q277 — degree distribution + power-law fit of the co-purchase
+# graph: degree histogram of the part↔part graph, with the log-log
+# least-squares slope from exact sufficient statistics over
+# 6dp-quantized ln values (the q142/q168 recipe — ln differs in the
+# last ulp between JVM and libm, so each ln quantizes to micro-units
+# BEFORE the cross-row sums; the slope is then a ratio of exact
+# integer sums).
+# ---------------------------------------------------------------------------
+@query(
+    "q277_degree_powerlaw",
+    oracle=f"""
+    WITH op_all AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    op AS (
+        SELECT l_orderkey, l_partkey FROM op_all
+        QUALIFY row_number() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) <= {_BFS_MAX_ITEMS_PER_KEY}
+    ),
+    edges AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+            SELECT pa AS node FROM edges UNION ALL SELECT pb FROM edges
+        ) GROUP BY node
+    ),
+    hist AS (SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes FROM deg GROUP BY degree),
+    pts AS (
+        SELECT degree, n_nodes,
+               CAST(round(ln(CAST(degree AS DOUBLE)) * 1000000.0) AS BIGINT) AS lx_micro,
+               CAST(round(ln(CAST(n_nodes AS DOUBLE)) * 1000000.0) AS BIGINT) AS ly_micro
+        FROM hist
+    ),
+    fit AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(lx_micro) AS BIGINT) AS sx,
+               CAST(sum(ly_micro) AS BIGINT) AS sy,
+               CAST(sum(CAST(lx_micro AS DECIMAL(38,0)) * CAST(ly_micro AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+               CAST(sum(CAST(lx_micro AS DECIMAL(38,0)) * CAST(lx_micro AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx
+        FROM pts
+    )
+    SELECT p.degree, p.n_nodes,
+           (CAST(f.k AS DOUBLE) * CAST(f.sxy AS DOUBLE) - CAST(f.sx AS DOUBLE) * CAST(f.sy AS DOUBLE))
+             / (CAST(f.k AS DOUBLE) * CAST(f.sxx AS DOUBLE) - CAST(f.sx AS DOUBLE) * CAST(f.sx AS DOUBLE)) AS powerlaw_slope
+    FROM pts p CROSS JOIN fit f
+    """,
+)
+def q277_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    op = cap_items_per_key(op, "l_orderkey", "l_partkey", _BFS_MAX_ITEMS_PER_KEY)
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("pa").alias("node"))
+        .unionAll(edges.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    hist = deg.groupBy("degree").agg(F.count("*").cast("bigint").alias("n_nodes"))
+    micro = lambda c: F.round(F.log(c.cast("double")) * 1000000.0).cast("bigint")  # noqa: E731
+    pts = hist.select(
+        "degree",
+        "n_nodes",
+        micro(F.col("degree")).alias("lx_micro"),
+        micro(F.col("n_nodes")).alias("ly_micro"),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    fit = pts.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("lx_micro").cast("bigint").alias("sx"),
+        F.sum("ly_micro").cast("bigint").alias("sy"),
+        F.sum(d38(F.col("lx_micro")) * d38(F.col("ly_micro"))).cast("decimal(38,0)").alias("sxy"),
+        F.sum(d38(F.col("lx_micro")) * d38(F.col("lx_micro"))).cast("decimal(38,0)").alias("sxx"),
+    )
+    kd = F.col("k").cast("double")
+    slope = (kd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")) / (
+        kd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    return (
+        pts.select("degree", "n_nodes")
+        .crossJoin(F.broadcast(fit))
+        .select("degree", "n_nodes", slope.alias("powerlaw_slope"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q282 — Apriori level 2→3: frequent brand TRIPLES generated the
+# level-wise way — join frequent pairs sharing a leading brand to
+# form candidates, verify support by intersecting baskets (an
+# equi-join on the order key), and keep triples meeting min-support.
+# The candidate-generation-then-verify loop is THE classic frequent-
+# itemset shape; one level is enough to pin the join/prune mechanics
+# (deeper levels repeat the same plan). All counts exact ints.
+# ---------------------------------------------------------------------------
+@query(
+    "q282_apriori_triples",
+    oracle="""
+    WITH basket AS (
+        SELECT DISTINCT l.l_orderkey, p.p_brand
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    pair_cnt AS (
+        SELECT a.p_brand AS b1, b.p_brand AS b2, CAST(count(*) AS BIGINT) AS n12
+        FROM basket a JOIN basket b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY 1, 2 HAVING count(*) >= 5
+    ),
+    cand AS (
+        SELECT x.b1, x.b2, y.b2 AS b3
+        FROM pair_cnt x JOIN pair_cnt y ON y.b1 = x.b1 AND y.b2 > x.b2
+    ),
+    verified AS (
+        SELECT c.b1, c.b2, c.b3, CAST(count(*) AS BIGINT) AS support
+        FROM cand c
+        JOIN basket x ON x.p_brand = c.b1
+        JOIN basket y ON y.l_orderkey = x.l_orderkey AND y.p_brand = c.b2
+        JOIN basket z ON z.l_orderkey = x.l_orderkey AND z.p_brand = c.b3
+        GROUP BY c.b1, c.b2, c.b3 HAVING count(*) >= 5
+    )
+    SELECT b1, b2, b3, support FROM verified
+    """,
+)
+def q282_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    basket = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a, b = basket.alias("a"), basket.alias("b")
+    pair_cnt = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(F.col("a.p_brand").alias("b1"), F.col("b.p_brand").alias("b2"))
+        .agg(F.count("*").cast("bigint").alias("n12"))
+        .filter(F.col("n12") >= 5)
+    )
+    x, y = pair_cnt.alias("x"), pair_cnt.alias("y")
+    cand = x.join(
+        y, (F.col("y.b1") == F.col("x.b1")) & (F.col("y.b2") > F.col("x.b2"))
+    ).select(F.col("x.b1").alias("b1"), F.col("x.b2").alias("b2"), F.col("y.b2").alias("b3"))
+    bx, by, bz = basket.alias("bx"), basket.alias("by"), basket.alias("bz")
+    return (
+        F.broadcast(cand)
+        .join(bx, F.col("bx.p_brand") == F.col("b1"))
+        .join(
+            by,
+            (F.col("by.l_orderkey") == F.col("bx.l_orderkey"))
+            & (F.col("by.p_brand") == F.col("b2")),
+        )
+        .join(
+            bz,
+            (F.col("bz.l_orderkey") == F.col("bx.l_orderkey"))
+            & (F.col("bz.p_brand") == F.col("b3")),
+        )
+        .groupBy("b1", "b2", "b3")
+        .agg(F.count("*").cast("bigint").alias("support"))
+        .filter(F.col("support") >= 5)
+    )

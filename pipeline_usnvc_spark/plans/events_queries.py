@@ -1518,3 +1518,108 @@ def q267_histogram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
         ).alias("overlap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q275 — error-rate SLO by activity decile: bucket users into
+# activity deciles (tie-free ntile) and report each decile's error
+# share — the "are my heaviest users hitting more errors" reliability
+# cut. Exact integer counts; one user-keyed exchange, then
+# decile-grain aggregation of user-grain rows.
+# ---------------------------------------------------------------------------
+@query(
+    "q275_error_slo_deciles",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+        FROM events GROUP BY user_id
+    ),
+    bucketed AS (
+        SELECT *, CAST(ntile(10) OVER (ORDER BY n_events DESC, user_id) AS INT) AS activity_decile
+        FROM per_user
+    )
+    SELECT activity_decile,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(n_events) AS BIGINT) AS total_events,
+           CAST(sum(n_errors) AS BIGINT) AS total_errors,
+           CAST(sum(n_errors) AS DOUBLE) / CAST(sum(n_events) AS DOUBLE) AS error_rate
+    FROM bucketed GROUP BY activity_decile
+    """,
+)
+def q275_error_slo_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_errors"),
+    )
+    w = W.orderBy(F.col("n_events").desc(), F.col("user_id"))
+    bucketed = per_user.withColumn("activity_decile", F.ntile(10).over(w).cast("int"))
+    return bucketed.groupBy("activity_decile").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("n_events").cast("bigint").alias("total_events"),
+        F.sum("n_errors").cast("bigint").alias("total_errors"),
+        (F.sum("n_errors").cast("double") / F.sum("n_events").cast("double")).alias(
+            "error_rate"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q278 — gaps and islands over the global event_id sequence: find
+# every maximal run of consecutive ids and the gaps between runs —
+# the CDC completeness audit ("did we lose a range of records?").
+# Classic lag-difference island numbering: a new island starts where
+# id > prev_id + 1; islands aggregate to (start, end, length). The
+# single global ordering is event-ID-grain; at 100 TB the same
+# query runs per partition-key shard (the audit grain), never one
+# global window.
+# ---------------------------------------------------------------------------
+@query(
+    "q278_gaps_and_islands",
+    oracle="""
+    WITH ordered AS (
+        SELECT event_id,
+               CASE WHEN lag(event_id) OVER (ORDER BY event_id) IS NULL
+                         OR event_id > lag(event_id) OVER (ORDER BY event_id) + 1
+                    THEN 1 ELSE 0 END AS is_new
+        FROM (SELECT DISTINCT event_id FROM events WHERE event_id % 7 <> 0)
+    ),
+    islands AS (
+        SELECT event_id,
+               sum(is_new) OVER (ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+        FROM ordered
+    )
+    SELECT CAST(island_id AS BIGINT) AS island_id,
+           CAST(min(event_id) AS BIGINT) AS start_id,
+           CAST(max(event_id) AS BIGINT) AS end_id,
+           CAST(count(*) AS BIGINT) AS island_len
+    FROM islands GROUP BY island_id
+    """,
+)
+def q278_gaps_and_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 7 != 0)
+        .select("event_id")
+        .distinct()
+    )
+    w = W.orderBy("event_id")
+    prev = F.lag("event_id").over(w)
+    ordered = ev.withColumn(
+        "is_new",
+        F.when(prev.isNull() | (F.col("event_id") > prev + 1), 1).otherwise(0),
+    )
+    islands = ordered.withColumn(
+        "island_id",
+        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return islands.groupBy(F.col("island_id").cast("bigint").alias("island_id")).agg(
+        F.min("event_id").cast("bigint").alias("start_id"),
+        F.max("event_id").cast("bigint").alias("end_id"),
+        F.count("*").cast("bigint").alias("island_len"),
+    )
