@@ -1227,8 +1227,12 @@ def q232_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pts
     )
     SELECT p.degree, p.n_nodes,
-           (CAST(f.k AS DOUBLE) * CAST(f.sxy AS DOUBLE) - CAST(f.sx AS DOUBLE) * CAST(f.sy AS DOUBLE))
-             / (CAST(f.k AS DOUBLE) * CAST(f.sxx AS DOUBLE) - CAST(f.sx AS DOUBLE) * CAST(f.sx AS DOUBLE)) AS powerlaw_slope
+           CASE WHEN f.k < 2 OR CAST(f.k AS DOUBLE) * CAST(f.sxx AS DOUBLE)
+                                 - CAST(f.sx AS DOUBLE) * CAST(f.sx AS DOUBLE) = 0.0
+                THEN 0.0
+                ELSE (CAST(f.k AS DOUBLE) * CAST(f.sxy AS DOUBLE) - CAST(f.sx AS DOUBLE) * CAST(f.sy AS DOUBLE))
+                     / (CAST(f.k AS DOUBLE) * CAST(f.sxx AS DOUBLE) - CAST(f.sx AS DOUBLE) * CAST(f.sx AS DOUBLE))
+           END AS powerlaw_slope
     FROM pts p CROSS JOIN fit f
     """,
 )
@@ -1272,8 +1276,12 @@ def q277_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(d38(F.col("lx_micro")) * d38(F.col("lx_micro"))).cast("decimal(38,0)").alias("sxx"),
     )
     kd = F.col("k").cast("double")
-    slope = (kd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")) / (
-        kd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    denom = kd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    # single-point histogram → 0/0 slope: Spark NULL vs DuckDB NaN —
+    # guard to 0.0 on both engines (r4 review).
+    slope = F.when((F.col("k") < 2) | (denom == 0.0), F.lit(0.0)).otherwise(
+        (kd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double"))
+        / denom
     )
     return (
         pts.select("degree", "n_nodes")

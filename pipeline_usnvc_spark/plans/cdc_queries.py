@@ -93,17 +93,11 @@ def q90_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q91_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.plans.events_queries import with_session_idx
+
     ev = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    prev_ts = F.lag("ts").over(w)
-    is_new = F.when(
-        prev_ts.isNull()
-        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > 1800 * 1_000_000),
-        F.lit(1),
-    ).otherwise(F.lit(0))
-    sess = ev.withColumn(
-        "session_idx",
-        F.sum(is_new).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).cast("bigint"),
+    sess = with_session_idx(ev).withColumn(
+        "session_idx", F.col("session_idx").cast("bigint")
     )
     paths = (
         sess.groupBy("user_id", "session_idx")

@@ -24,6 +24,7 @@ from pipeline_usnvc_spark.functions.text import (
     tokens,
     word_shingles,
 )
+from pipeline_usnvc_spark.plans.dedup_queries import _MINHASH_SQL
 from pipeline_usnvc_spark.plans.registry import query
 from pipeline_usnvc_spark.sources.tables import load_table
 
@@ -1784,13 +1785,22 @@ def q219_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q247_quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.rank import with_global_rank
+
     docs = load_table(spark, sf_dir, "documents")
     scored = docs.select("doc_id", "source", F.col("n_chars").cast("bigint").alias("score"))
-    w_pool = Window.orderBy("score", "doc_id")
-    pooled = scored.select(
+    # Two-phase range-exchange global rank (operators/rank.py) — the
+    # r4 review caught the first draft's bare Window.orderBy, which
+    # funnels the corpus through ONE task, plus a broadcast of the
+    # corpus-grain pooled table; the pooled join is now a plain
+    # integer equi-join and n_total comes from max(rank) (the q96
+    # trick), not a second global window.
+    pooled_ranked = with_global_rank(scored, "score", "doc_id", rank_col="pooled_idx")
+    pooled = pooled_ranked.select(
         F.col("score").alias("pooled_score"),
-        F.row_number().over(w_pool).cast("bigint").alias("pooled_idx"),
+        F.col("pooled_idx").cast("bigint").alias("pooled_idx"),
     )
+    n_total = pooled_ranked.agg(F.max("pooled_idx").cast("bigint").alias("n_total"))
     w_src = Window.partitionBy("source").orderBy("score", "doc_id")
     per_source = scored.select(
         "doc_id",
@@ -1798,12 +1808,11 @@ def q247_quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFra
         "score",
         F.row_number().over(w_src).cast("bigint").alias("r"),
         F.count("*").over(Window.partitionBy("source")).cast("bigint").alias("n_s"),
-        F.count("*").over(Window.partitionBy(F.lit(1))).cast("bigint").alias("n_total"),
-    )
+    ).crossJoin(F.broadcast(n_total))
     mapped = F.expr("(r * n_total + n_s - 1) div n_s")
     return (
         per_source.withColumn("mapped_idx", mapped)
-        .join(F.broadcast(pooled), F.col("mapped_idx") == F.col("pooled_idx"))
+        .join(pooled, F.col("mapped_idx") == F.col("pooled_idx"))
         .select(
             "doc_id",
             "source",
@@ -1832,12 +1841,7 @@ def q247_quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFra
     oracle=f"""
     WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_SQL})),
     sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
-    mh AS (
-        SELECT doc_id, s.seed,
-               min(md5(CAST(s.seed AS VARCHAR) || '|' || shingle)) AS minhash
-        FROM sh CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6,7]) AS seed) s
-        GROUP BY doc_id, s.seed
-    ),
+    mh AS ({_MINHASH_SQL}),
     cand AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                CAST(count(*) AS BIGINT) AS n_shared_hashes
@@ -1869,16 +1873,13 @@ def q248_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array_distinct(word_shingles(tokens("text"), n=3))).alias("shingle"),
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_sh"))
-    seeds = docs.sparkSession.range(8).select(F.col("id").cast("int").alias("seed"))
-    mh = (
-        sh.crossJoin(F.broadcast(seeds))
-        .groupBy("doc_id", "seed")
-        .agg(
-            F.min(
-                F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle")))
-            ).alias("minhash")
-        )
-    )
+    # The canonical zero-shuffle minhash operator — NOT an inline
+    # re-implementation (operators/dedup._minhash_cols is "the ONE
+    # definition of the hash family"; the r4 review caught a third
+    # copy here, including a needless |shingles|x8 shuffle).
+    from pipeline_usnvc_spark.operators.dedup import minhash_signatures
+
+    mh = minhash_signatures(docs)
     a, b = mh.alias("a"), mh.alias("b")
     cand = (
         a.join(
@@ -1907,8 +1908,10 @@ def q248_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cand.join(inter, ["id_a", "id_b"], "left")
-        .join(F.broadcast(za), "id_a")
-        .join(F.broadcast(zb), "id_b")
+        # sizes are doc-grain (corpus-proportional) — no broadcast
+        # hint; AQE picks the strategy (r4 review).
+        .join(za, "id_a")
+        .join(zb, "id_b")
         .groupBy("n_shared_hashes")
         .agg(
             F.count("*").cast("bigint").alias("n_pairs"),
@@ -1956,8 +1959,10 @@ _NEYMAN_BUDGET = 1000
     ),
     shares AS (
         SELECT source, n_h, w_micro,
-               {_NEYMAN_BUDGET}.0 * CAST(w_micro AS DOUBLE)
-                 / CAST(sum(w_micro) OVER () AS DOUBLE) AS exact_share
+               CASE WHEN sum(w_micro) OVER () = 0
+                    THEN {_NEYMAN_BUDGET}.0 / CAST(count(*) OVER () AS DOUBLE)
+                    ELSE {_NEYMAN_BUDGET}.0 * CAST(w_micro AS DOUBLE)
+                         / CAST(sum(w_micro) OVER () AS DOUBLE) END AS exact_share
         FROM weighted
     ),
     floored AS (
@@ -1996,11 +2001,18 @@ def q263_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(nd * F.sqrt(var) * F.lit(1000000.0)).cast("bigint").alias("w_micro"),
     )
     w_all = Window.partitionBy(F.lit(1))
+    # All-zero weights (every stratum zero-variance) would make the
+    # share 0/0 — fall back to equal allocation (r4 review guard).
     shares = weighted.withColumn(
         "exact_share",
-        F.lit(float(_NEYMAN_BUDGET))
-        * F.col("w_micro").cast("double")
-        / F.sum("w_micro").over(w_all).cast("double"),
+        F.when(
+            F.sum("w_micro").over(w_all) == 0,
+            F.lit(float(_NEYMAN_BUDGET)) / F.count("*").over(w_all).cast("double"),
+        ).otherwise(
+            F.lit(float(_NEYMAN_BUDGET))
+            * F.col("w_micro").cast("double")
+            / F.sum("w_micro").over(w_all).cast("double")
+        ),
     )
     floored = (
         shares.withColumn("base_alloc", F.floor("exact_share").cast("bigint"))
@@ -2069,13 +2081,18 @@ def q263_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT both_pass, c4_only, gopher_only, both_fail, n,
            CAST(both_pass + both_fail AS DOUBLE) / CAST(n AS DOUBLE) AS observed_agreement,
-           (CAST(both_pass + both_fail AS DOUBLE) / CAST(n AS DOUBLE)
-             - (CAST(both_pass + c4_only AS DOUBLE) * CAST(both_pass + gopher_only AS DOUBLE)
-                + CAST(gopher_only + both_fail AS DOUBLE) * CAST(c4_only + both_fail AS DOUBLE))
-               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
-           / (1.0 - (CAST(both_pass + c4_only AS DOUBLE) * CAST(both_pass + gopher_only AS DOUBLE)
-                     + CAST(gopher_only + both_fail AS DOUBLE) * CAST(c4_only + both_fail AS DOUBLE))
-                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS cohen_kappa
+           CASE WHEN (CAST(both_pass + c4_only AS DOUBLE) * CAST(both_pass + gopher_only AS DOUBLE)
+                      + CAST(gopher_only + both_fail AS DOUBLE) * CAST(c4_only + both_fail AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) = 1.0
+                THEN 1.0
+                ELSE (CAST(both_pass + both_fail AS DOUBLE) / CAST(n AS DOUBLE)
+                      - (CAST(both_pass + c4_only AS DOUBLE) * CAST(both_pass + gopher_only AS DOUBLE)
+                         + CAST(gopher_only + both_fail AS DOUBLE) * CAST(c4_only + both_fail AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                     / (1.0 - (CAST(both_pass + c4_only AS DOUBLE) * CAST(both_pass + gopher_only AS DOUBLE)
+                               + CAST(gopher_only + both_fail AS DOUBLE) * CAST(c4_only + both_fail AS DOUBLE))
+                              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+           END AS cohen_kappa
     FROM cm
     """,
 )
@@ -2135,6 +2152,9 @@ def q272_gate_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         + (F.col("gopher_only") + F.col("both_fail")).cast("double")
         * (F.col("c4_only") + F.col("both_fail")).cast("double")
     ) / (nd * nd)
+    # pe == 1 (every doc in one expected cell) makes kappa 0/0: Spark
+    # non-ANSI divide yields NULL, DuckDB NaN — guard with the
+    # conventional kappa := 1 for complete agreement (r4 review).
     return cm.select(
         "both_pass",
         "c4_only",
@@ -2142,5 +2162,7 @@ def q272_gate_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "both_fail",
         "n",
         po.alias("observed_agreement"),
-        ((po - pe) / (F.lit(1.0) - pe)).alias("cohen_kappa"),
+        F.when(pe == 1.0, F.lit(1.0))
+        .otherwise((po - pe) / (F.lit(1.0) - pe))
+        .alias("cohen_kappa"),
     )

@@ -328,7 +328,7 @@ def q153_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT id_a, id_b, edit_dist
     FROM pairs WHERE edit_dist <= 10
-    """.format(_TOKS_SQL_LOCAL := "list_filter(string_split_regex(lower(text), '[^a-zA-Z0-9]+'), t -> t <> '')"),
+    """.format(_TOKS_SQL),
 )
 def q246_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_usnvc_spark.functions.text import tokens
@@ -441,9 +441,11 @@ def q249_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("in_id"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("ex_id"), F.col("n").alias("n_b"))
+    # shingle-size tables are doc-grain (corpus-proportional) — no
+    # broadcast hint; AQE picks the strategy (r4 review).
     near_m = (
-        inter.join(F.broadcast(sa), "in_id")
-        .join(F.broadcast(sb), "ex_id")
+        inter.join(sa, "in_id")
+        .join(sb, "ex_id")
         .filter(2 * F.col("n_inter") >= F.col("n_a") + F.col("n_b") - F.col("n_inter"))
         .groupBy(F.col("in_id").alias("doc_id"))
         .agg(F.min("ex_id").alias("matched_id"))
@@ -452,8 +454,8 @@ def q249_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = near_m.select(F.col("doc_id"), F.col("matched_id").alias("near_id"))
     return (
         incoming.select("doc_id")
-        .join(F.broadcast(e), "doc_id", "left")
-        .join(F.broadcast(n), "doc_id", "left")
+        .join(e, "doc_id", "left")
+        .join(n, "doc_id", "left")
         .select(
             "doc_id",
             F.when(F.col("exact_id").isNotNull(), "exact_dup")

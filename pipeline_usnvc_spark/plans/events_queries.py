@@ -22,6 +22,25 @@ def _dec(c, scale: int = 2):
 # Classic lag + cumulative-sum-of-boundaries; deterministic order on
 # (ts, event_id).
 # ---------------------------------------------------------------------------
+
+
+def with_session_idx(ev):
+    """The suite's ONE 30-minute-gap sessionization (lag + cumsum,
+    (ts, event_id) total order): q40, q91 (cdc) and q245 all consume
+    this helper — the r4 review found three drifting copies of the
+    same block. Returns ``ev`` plus ``session_idx``."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > 1800 * 1_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return ev.withColumn("is_new", is_new).withColumn(
+        "session_idx",
+        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+
 @query(
     "q40_sessionize",
     oracle="""
@@ -46,17 +65,7 @@ def _dec(c, scale: int = 2):
 )
 def q40_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    prev_ts = F.lag("ts").over(w)
-    is_new = F.when(
-        prev_ts.isNull()
-        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > 1800 * 1_000_000),
-        F.lit(1),
-    ).otherwise(F.lit(0))
-    sess = ev.withColumn("is_new", is_new).withColumn(
-        "session_idx",
-        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
-    )
+    sess = with_session_idx(ev)
     return sess.groupBy("user_id", F.col("session_idx").cast("bigint").alias("session_idx")).agg(
         F.count("*").alias("n_events"),
         F.min("ts").alias("session_start"),
@@ -1187,27 +1196,33 @@ def q208_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q233 — time-to-convert: per user, whole seconds from FIRST view to
-# FIRST subsequent purchase (users who never purchase after a view
-# drop out), plus each user's conversion decile for downstream
-# bucketing. Exact: min-timestamps as whole-second integers (the
-# floor(epoch) discipline), deciles via tie-free ntile (lag,
-# user_id). One exchange on user_id serves both firsts; the decile
-# window runs on user-grain rows.
+# the first purchase AT OR AFTER that view (users who never purchase
+# after a view drop out — a purchase BEFORE the first view does not
+# count and does not disqualify; the r4 review caught the first
+# draft taking the global first purchase, which silently dropped
+# users who purchased both before and after their first view), plus
+# each user's conversion decile. Exact: min-timestamps as
+# whole-second integers (the floor(epoch) discipline), deciles via
+# tie-free ntile (lag, user_id). Two user-keyed aggregations share
+# one exchange; the decile window runs on user-grain rows.
 # ---------------------------------------------------------------------------
 @query(
     "q233_time_to_convert",
     oracle="""
     WITH firsts AS (
         SELECT user_id,
-               min(CASE WHEN event_type = 'view' THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS first_view_s,
-               min(CASE WHEN event_type = 'purchase' THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS first_purchase_s
+               min(CASE WHEN event_type = 'view' THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS first_view_s
         FROM events GROUP BY user_id
     ),
     converted AS (
-        SELECT user_id, first_purchase_s - first_view_s AS lag_s
-        FROM firsts
-        WHERE first_view_s IS NOT NULL AND first_purchase_s IS NOT NULL
-          AND first_purchase_s >= first_view_s
+        SELECT e.user_id,
+               min(CAST(floor(epoch(e.ts)) AS BIGINT)) - f.first_view_s AS lag_s
+        FROM events e
+        JOIN firsts f ON f.user_id = e.user_id
+        WHERE f.first_view_s IS NOT NULL
+          AND e.event_type = 'purchase'
+          AND CAST(floor(epoch(e.ts)) AS BIGINT) >= f.first_view_s
+        GROUP BY e.user_id, f.first_view_s
     )
     SELECT user_id, lag_s,
            CAST(ntile(10) OVER (ORDER BY lag_s, user_id) AS INT) AS decile
@@ -1218,15 +1233,19 @@ def q233_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     ep = F.floor(F.col("ts").cast("double")).cast("bigint")
     firsts = ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", ep)).alias("first_view_s"),
-        F.min(F.when(F.col("event_type") == "purchase", ep)).alias("first_purchase_s"),
-    )
-    conv = firsts.filter(
-        F.col("first_view_s").isNotNull()
-        & F.col("first_purchase_s").isNotNull()
-        & (F.col("first_purchase_s") >= F.col("first_view_s"))
-    ).select(
-        "user_id", (F.col("first_purchase_s") - F.col("first_view_s")).alias("lag_s")
+        F.min(F.when(F.col("event_type") == "view", ep)).alias("first_view_s")
+    ).filter(F.col("first_view_s").isNotNull())
+    conv = (
+        ev.withColumn("ep_s", ep)
+        .filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .filter(F.col("ep_s") >= F.col("first_view_s"))
+        .groupBy("user_id", "first_view_s")
+        .agg(F.min("ep_s").alias("first_purchase_after_s"))
+        .select(
+            "user_id",
+            (F.col("first_purchase_after_s") - F.col("first_view_s")).alias("lag_s"),
+        )
     )
     w = W.orderBy("lag_s", "user_id")
     return conv.withColumn("decile", F.ntile(10).over(w).cast("int"))
@@ -1282,17 +1301,7 @@ def q233_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q245_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    prev_ts = F.lag("ts").over(w)
-    is_new = F.when(
-        prev_ts.isNull()
-        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > 1800 * 1_000_000),
-        F.lit(1),
-    ).otherwise(F.lit(0))
-    sess = ev.withColumn("is_new", is_new).withColumn(
-        "session_idx",
-        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
-    )
+    sess = with_session_idx(ev)
     sw = W.partitionBy("user_id", "session_idx").orderBy("ts", "event_id")
     per_session = (
         sess.withColumn(

@@ -1166,7 +1166,7 @@ def q216_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CASE WHEN lag_days <= 365 THEN 1 ELSE 0 END) AS BIGINT) AS n_within_sla,
            CAST(sum(CASE WHEN lag_days <= 365 THEN 1 ELSE 0 END) AS DOUBLE)
              / CAST(max(n) AS DOUBLE) AS sla_share,
-           CAST(max(CASE WHEN 10 * r = 9 * n + (9 * n) % 10 THEN lag_days END) AS BIGINT) AS p90_lag_days
+           CAST(max(CASE WHEN r = (9 * n + 9) // 10 THEN lag_days END) AS BIGINT) AS p90_lag_days
     FROM ranked GROUP BY o_orderpriority
     """,
 )
@@ -1193,10 +1193,13 @@ def q234_shipping_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n", F.count("*").over(wn).cast("bigint")
     )
     within = F.sum(F.when(F.col("lag_days") <= 365, 1).otherwise(0)).cast("bigint")
-    # rank-method p90: the row where r == ceil(0.9 n), expressed in
-    # pure integers (10r == 9n + (9n mod 10)) — no float boundary.
+    # rank-method p90: the row where r == ceil(0.9·n) = (9n+9) div 10
+    # — pure integers, no float boundary. (The first draft's identity
+    # `10r == 9n + (9n mod 10)` only has solutions when n % 5 == 0,
+    # which NULLed p90 for most groups — r4 review catch, regression
+    # test in test_oracle_parity.)
     p90_hit = F.when(
-        10 * F.col("r") == 9 * F.col("n") + (9 * F.col("n")) % 10, F.col("lag_days")
+        F.col("r") == F.expr("(9 * n + 9) div 10"), F.col("lag_days")
     )
     return ranked.groupBy("o_orderpriority").agg(
         F.max("n").cast("bigint").alias("n_lines"),

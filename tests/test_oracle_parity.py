@@ -221,3 +221,15 @@ def test_recall_contract_fires_on_empty_ann(spark, sf_dir):
     out = _attach_recall_contract(empty_ann, queries, exact, k=5, bound=0.5)
     with pytest.raises(Exception, match="mean recall|not true|USER_RAISED"):
         out.count()
+
+
+def test_q234_p90_never_null(spark, sf_dir):
+    """Regression for the r4 review's p90 identity bug: the first
+    draft's `10r == 9n + (9n mod 10)` only had solutions when
+    n % 5 == 0, silently NULLing p90 for most groups — and the
+    oracle shared the formula, so hash parity could not catch it.
+    ceil(0.9n) = (9n+9) div 10 must select exactly one row per
+    group: p90 is non-null everywhere."""
+    pdf = QUERIES["q234_shipping_sla"](spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    assert pdf["p90_lag_days"].notna().all()
