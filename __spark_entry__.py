@@ -156,6 +156,10 @@ _R04_LATE = (
     "q277_degree_powerlaw",
     "q278_gaps_and_islands",
     "q282_apriori_triples",
+    "q284_wow_change",
+    "q290_daily_entropy_trend",
+    "q292_source_vocab_overlap",
+    "q294_seasonal_naive_backtest",
 )
 
 # Two rows-only queries pinned INSIDE the sample on purpose (VERDICT

@@ -1632,3 +1632,113 @@ def q278_gaps_and_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("event_id").cast("bigint").alias("end_id"),
         F.count("*").cast("bigint").alias("island_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q284 — week-over-week percent change: weekly value totals (exact
+# integer milli-units) with lag-based WoW deltas. The percent change
+# is the identical double expression over two exact integers; weeks
+# without a predecessor emit NULL delta on both engines. Classic BI
+# trend shape; week grain → tiny frame after one exchange.
+# ---------------------------------------------------------------------------
+@query(
+    "q284_wow_change",
+    oracle="""
+    WITH weekly AS (
+        SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS total_milli
+        FROM events GROUP BY 1
+    )
+    SELECT strftime(week_start, '%Y-%m-%d') AS week_start,
+           n_events, total_milli,
+           CASE WHEN lag(total_milli) OVER (ORDER BY week_start) IS NULL
+                     OR lag(total_milli) OVER (ORDER BY week_start) = 0 THEN NULL
+                ELSE 100.0 * (CAST(total_milli AS DOUBLE)
+                              - CAST(lag(total_milli) OVER (ORDER BY week_start) AS DOUBLE))
+                     / CAST(lag(total_milli) OVER (ORDER BY week_start) AS DOUBLE)
+           END AS wow_pct_change
+    FROM weekly
+    """,
+)
+def q284_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        F.date_trunc("week", "ts").cast("date").alias("week_start")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 1000).cast("bigint"))
+        .cast("bigint")
+        .alias("total_milli"),
+    )
+    w = W.orderBy("week_start")
+    prev = F.lag("total_milli").over(w)
+    return weekly.select(
+        F.date_format("week_start", "yyyy-MM-dd").alias("week_start"),
+        "n_events",
+        "total_milli",
+        F.when(
+            prev.isNull() | (prev == 0), F.lit(None).cast("double")
+        ).otherwise(
+            F.lit(100.0)
+            * (F.col("total_milli").cast("double") - prev.cast("double"))
+            / prev.cast("double")
+        ).alias("wow_pct_change"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q290 — daily source-diversity (entropy) trend: per day, the Shannon
+# entropy of the event-type mix — collapsing diversity is an early
+# incident/drift signal. Exactness: per-(day, type) ln terms quantize
+# to integer MICRO-nats (round 6dp — the ln/libm discipline) BEFORE
+# the per-day sum, so no float is summed across rows; the final
+# entropy is micro/1e6.
+# ---------------------------------------------------------------------------
+@query(
+    "q290_daily_entropy_trend",
+    oracle="""
+    WITH cells AS (
+        SELECT CAST(ts AS DATE) AS day, event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    days AS (SELECT day, CAST(sum(n) AS BIGINT) AS total FROM cells GROUP BY day),
+    terms AS (
+        SELECT c.day,
+               CAST(round(-(CAST(c.n AS DOUBLE) / CAST(d.total AS DOUBLE))
+                          * ln(CAST(c.n AS DOUBLE) / CAST(d.total AS DOUBLE))
+                          * 1000000.0) AS BIGINT) AS term_micro
+        FROM cells c JOIN days d ON d.day = c.day
+    )
+    SELECT strftime(t.day, '%Y-%m-%d') AS day,
+           d.total AS n_events,
+           CAST(sum(t.term_micro) AS BIGINT) AS entropy_micro,
+           CAST(sum(t.term_micro) AS DOUBLE) / 1000000.0 AS entropy_nats
+    FROM terms t JOIN days d ON d.day = t.day
+    GROUP BY t.day, d.total
+    """,
+)
+def q290_daily_entropy_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    days = cells.groupBy("day").agg(F.sum("n").cast("bigint").alias("total"))
+    p = F.col("n").cast("double") / F.col("total").cast("double")
+    terms = cells.join(days, "day").select(
+        "day",
+        "total",
+        F.round(-p * F.log(p) * 1000000.0).cast("bigint").alias("term_micro"),
+    )
+    return (
+        terms.groupBy("day", "total")
+        .agg(F.sum("term_micro").cast("bigint").alias("entropy_micro"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("total").alias("n_events"),
+            "entropy_micro",
+            (F.col("entropy_micro").cast("double") / F.lit(1000000.0)).alias(
+                "entropy_nats"
+            ),
+        )
+    )

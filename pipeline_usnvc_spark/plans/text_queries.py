@@ -1435,3 +1435,63 @@ def q259_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("d3").cast("double") / F.col("n3").cast("double")).alias("trigram_diversity"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q292 — pairwise source vocabulary overlap: Jaccard between every
+# two sources' distinct token sets — the corpus-composition
+# diagnostic ("are src3 and src7 the same crawl?"). The pair
+# intersection is an equi-join on token over the (source, token)
+# DISTINCT table (vocabulary grain ≪ corpus); union sizes come from
+# the per-source counts by inclusion-exclusion. All exact ints.
+# ---------------------------------------------------------------------------
+@query(
+    "q292_source_vocab_overlap",
+    oracle=f"""
+    WITH st AS (
+        SELECT DISTINCT source, unnest({_TOKS_SQL}) AS token FROM documents
+    ),
+    sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM st GROUP BY source),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS n_inter
+        FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT i.src_a, i.src_b, sa.n AS n_a, sb.n AS n_b, i.n_inter,
+           CAST(i.n_inter AS DOUBLE) / CAST(sa.n + sb.n - i.n_inter AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.src_a
+    JOIN sizes sb ON sb.source = i.src_b
+    """,
+)
+def q292_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    st = docs.select("source", F.explode(tokens("text")).alias("token")).distinct()
+    sizes = st.groupBy("source").agg(F.count("*").cast("bigint").alias("n"))
+    a, b = st.alias("a"), st.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.count("*").cast("bigint").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            "n_inter",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )

@@ -1207,3 +1207,68 @@ def q234_shipping_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         (within.cast("double") / F.max("n").cast("double")).alias("sla_share"),
         F.max(p90_hit).cast("bigint").alias("p90_lag_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q294 — seasonal-naive forecast backtest: predict each month's
+# revenue with the SAME month last year (the baseline every real
+# forecaster must beat) and report per-month absolute percent error
+# plus the cents-exact MAE numerator. Exact: monthly revenue in
+# integer cents; errors are |actual − predicted| BIGINTs; only the
+# final percentage is a double of two exact ints. Month grain → one
+# exchange then a tiny lag join.
+# ---------------------------------------------------------------------------
+@query(
+    "q294_seasonal_naive_backtest",
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST(extract(year FROM o_orderdate) AS INT) AS yr,
+               CAST(extract(month FROM o_orderdate) AS INT) AS mo,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM orders GROUP BY 1, 2
+    ),
+    joined AS (
+        SELECT cur.yr, cur.mo, cur.rev_cents,
+               prior.rev_cents AS predicted_cents
+        FROM monthly cur
+        JOIN monthly prior ON prior.yr = cur.yr - 1 AND prior.mo = cur.mo
+    )
+    SELECT yr, mo, rev_cents, predicted_cents,
+           CAST(abs(rev_cents - predicted_cents) AS BIGINT) AS abs_err_cents,
+           100.0 * CAST(abs(rev_cents - predicted_cents) AS DOUBLE)
+             / CAST(rev_cents AS DOUBLE) AS ape_pct
+    FROM joined WHERE rev_cents > 0
+    """,
+)
+def q294_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    cur, prior = monthly.alias("cur"), monthly.alias("prior")
+    joined = cur.join(
+        prior,
+        (F.col("prior.yr") == F.col("cur.yr") - 1)
+        & (F.col("prior.mo") == F.col("cur.mo")),
+    ).select(
+        F.col("cur.yr").alias("yr"),
+        F.col("cur.mo").alias("mo"),
+        F.col("cur.rev_cents").alias("rev_cents"),
+        F.col("prior.rev_cents").alias("predicted_cents"),
+    )
+    err = F.abs(F.col("rev_cents") - F.col("predicted_cents")).cast("bigint")
+    return joined.filter(F.col("rev_cents") > 0).select(
+        "yr",
+        "mo",
+        "rev_cents",
+        "predicted_cents",
+        err.alias("abs_err_cents"),
+        (F.lit(100.0) * err.cast("double") / F.col("rev_cents").cast("double")).alias(
+            "ape_pct"
+        ),
+    )
