@@ -160,6 +160,10 @@ _R04_LATE = (
     "q290_daily_entropy_trend",
     "q292_source_vocab_overlap",
     "q294_seasonal_naive_backtest",
+    "q295_dispersion_index",
+    "q296_discount_response",
+    "q297_supplier_hhi",
+    "q301_lift_table",
 )
 
 # Two rows-only queries pinned INSIDE the sample on purpose (VERDICT

@@ -2166,3 +2166,83 @@ def q272_gate_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise((po - pe) / (F.lit(1.0) - pe))
         .alias("cohen_kappa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q301 — cumulative gains (lift) table for a ranking signal: rank
+# documents by a quality proxy (n_chars, tie-broken by doc_id), cut
+# into deciles, and report each decile's capture of the positive
+# class (lang = 'en') plus cumulative recall and lift vs random —
+# the standard model-eval read for any scoring function. All counts
+# exact ints (tie-free ntile); ratios are identical double
+# divisions of exact ints.
+# ---------------------------------------------------------------------------
+@query(
+    "q301_lift_table",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS positive,
+               CAST(ntile(10) OVER (ORDER BY n_chars DESC, doc_id) AS INT) AS decile
+        FROM documents
+    ),
+    per_decile AS (
+        SELECT decile,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(positive) AS BIGINT) AS n_pos
+        FROM scored GROUP BY decile
+    ),
+    tot AS (
+        SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs,
+               CAST(sum(n_pos) AS BIGINT) AS total_pos
+        FROM per_decile
+    ),
+    cum AS (
+        SELECT decile, n_docs, n_pos,
+               CAST(sum(n_pos) OVER (ORDER BY decile
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos,
+               CAST(sum(n_docs) OVER (ORDER BY decile
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_docs
+        FROM per_decile
+    )
+    SELECT c.decile, c.n_docs, c.n_pos,
+           CAST(c.cum_pos AS DOUBLE) / CAST(t.total_pos AS DOUBLE) AS cum_recall,
+           (CAST(c.cum_pos AS DOUBLE) / CAST(t.total_pos AS DOUBLE))
+             / (CAST(c.cum_docs AS DOUBLE) / CAST(t.total_docs AS DOUBLE)) AS cum_lift
+    FROM cum c CROSS JOIN tot t
+    """,
+)
+def q301_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    scored = docs.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("positive"),
+        F.ntile(10).over(w).cast("int").alias("decile"),
+    )
+    per_decile = scored.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("positive").cast("bigint").alias("n_pos"),
+    )
+    tot = per_decile.agg(
+        F.sum("n_docs").cast("bigint").alias("total_docs"),
+        F.sum("n_pos").cast("bigint").alias("total_pos"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = per_decile.select(
+        "decile",
+        "n_docs",
+        "n_pos",
+        F.sum("n_pos").over(wc).cast("bigint").alias("cum_pos"),
+        F.sum("n_docs").over(wc).cast("bigint").alias("cum_docs"),
+    )
+    recall = F.col("cum_pos").cast("double") / F.col("total_pos").cast("double")
+    return cum.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n_docs",
+        "n_pos",
+        recall.alias("cum_recall"),
+        (
+            recall
+            / (F.col("cum_docs").cast("double") / F.col("total_docs").cast("double"))
+        ).alias("cum_lift"),
+    )

@@ -1272,3 +1272,157 @@ def q294_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ape_pct"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q295 — basket-size dispersion: the distribution of lines-per-order
+# plus its index of dispersion (variance / mean — the Poisson-ness
+# check data profilers run before assuming independence). Exactness:
+# basket sizes are exact ints; variance comes from the integer
+# sufficient statistics (n, Σk, Σk²) and the final index is one
+# double expression of exact ints on both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "q295_dispersion_index",
+    oracle="""
+    WITH baskets AS (
+        SELECT l_orderkey, CAST(count(*) AS BIGINT) AS k
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    hist AS (SELECT k, CAST(count(*) AS BIGINT) AS n_orders FROM baskets GROUP BY k),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(k) AS BIGINT) AS sk,
+               CAST(sum(CAST(k AS DECIMAL(38,0)) * CAST(k AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS skk
+        FROM baskets
+    )
+    SELECT h.k AS basket_size, h.n_orders,
+           (CAST(s.n AS DOUBLE) * CAST(s.skk AS DOUBLE) - CAST(s.sk AS DOUBLE) * CAST(s.sk AS DOUBLE))
+             / (CAST(s.n AS DOUBLE) * CAST(s.n AS DOUBLE))
+             / (CAST(s.sk AS DOUBLE) / CAST(s.n AS DOUBLE)) AS dispersion_index
+    FROM hist h CROSS JOIN stats s
+    """,
+)
+def q295_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(F.count("*").cast("bigint").alias("k"))
+    hist = baskets.groupBy("k").agg(F.count("*").cast("bigint").alias("n_orders"))
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    stats = baskets.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("sk"),
+        F.sum(d38(F.col("k")) * d38(F.col("k"))).cast("decimal(38,0)").alias("skk"),
+    )
+    nd = F.col("n").cast("double")
+    var = (nd * F.col("skk").cast("double") - F.col("sk").cast("double") * F.col("sk").cast("double")) / (nd * nd)
+    mean = F.col("sk").cast("double") / nd
+    return (
+        hist.crossJoin(F.broadcast(stats))
+        .select(
+            F.col("k").alias("basket_size"),
+            "n_orders",
+            (var / mean).alias("dispersion_index"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q296 — discount-response curve: per discount band (cents-exact
+# banding of the discount column), average quantity sold and the
+# band-over-band delta (lag) — the "does a deeper discount move
+# volume" merchandising read. Decimal-exact sums; band keys are
+# exact integers (floor of discount·100).
+# ---------------------------------------------------------------------------
+@query(
+    "q296_discount_response",
+    oracle="""
+    WITH bands AS (
+        SELECT CAST(floor(l_discount * 100) AS BIGINT) AS discount_pct,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        FROM lineitem GROUP BY 1
+    )
+    SELECT discount_pct, n_lines,
+           total_qty / CAST(n_lines AS DOUBLE) AS avg_qty,
+           total_qty / CAST(n_lines AS DOUBLE)
+             - lag(total_qty / CAST(n_lines AS DOUBLE)) OVER (ORDER BY discount_pct) AS delta_vs_prev_band
+    FROM bands
+    """,
+)
+def q296_discount_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    bands = li.groupBy(
+        F.floor(F.col("l_discount") * 100).cast("bigint").alias("discount_pct")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("total_qty"),
+    )
+    avg_qty = F.col("total_qty") / F.col("n_lines").cast("double")
+    w = Window.orderBy("discount_pct")
+    return bands.select(
+        "discount_pct",
+        "n_lines",
+        avg_qty.alias("avg_qty"),
+        (avg_qty - F.lag(avg_qty).over(w)).alias("delta_vs_prev_band"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q297 — supplier revenue concentration (Herfindahl–Hirschman index)
+# per nation: HHI = Σ share_i² computed WITHOUT per-share floats —
+# Σ(rev_i²) / (Σrev_i)² over integer cents with DECIMAL(38,0)
+# squares, one double division at the end. The market-concentration
+# lens on the supply base; nation grain after one supplier-keyed
+# exchange.
+# ---------------------------------------------------------------------------
+@query(
+    "q297_supplier_hhi",
+    oracle="""
+    WITH supp_rev AS (
+        SELECT s.s_nationkey, l.l_suppkey,
+               CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        GROUP BY s.s_nationkey, l.l_suppkey
+    ),
+    per_nation AS (
+        SELECT s_nationkey,
+               CAST(count(*) AS BIGINT) AS n_suppliers,
+               CAST(sum(CAST(rev_cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS total_rev,
+               CAST(sum(CAST(rev_cents AS DECIMAL(38,0)) * CAST(rev_cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sum_sq
+        FROM supp_rev GROUP BY s_nationkey
+    )
+    SELECT s_nationkey, n_suppliers,
+           CAST(total_rev AS BIGINT) AS total_rev_cents,
+           CAST(sum_sq AS DOUBLE) / (CAST(total_rev AS DOUBLE) * CAST(total_rev AS DOUBLE)) AS hhi
+    FROM per_nation WHERE total_rev > 0
+    """,
+)
+def q297_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    supp_rev = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per_nation = supp_rev.groupBy("s_nationkey").agg(
+        F.count("*").cast("bigint").alias("n_suppliers"),
+        F.sum(d38(F.col("rev_cents"))).cast("decimal(38,0)").alias("total_rev"),
+        F.sum(d38(F.col("rev_cents")) * d38(F.col("rev_cents")))
+        .cast("decimal(38,0)")
+        .alias("sum_sq"),
+    )
+    return per_nation.filter(F.col("total_rev") > 0).select(
+        "s_nationkey",
+        "n_suppliers",
+        F.col("total_rev").cast("bigint").alias("total_rev_cents"),
+        (
+            F.col("sum_sq").cast("double")
+            / (F.col("total_rev").cast("double") * F.col("total_rev").cast("double"))
+        ).alias("hhi"),
+    )
