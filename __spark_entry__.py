@@ -164,6 +164,9 @@ _R04_LATE = (
     "q296_discount_response",
     "q297_supplier_hhi",
     "q301_lift_table",
+    "q303_dow_seasonality",
+    "q309_inventory_turns",
+    "q311_weighted_sample_wr",
 )
 
 # Two rows-only queries pinned INSIDE the sample on purpose (VERDICT

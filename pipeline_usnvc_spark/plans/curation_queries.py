@@ -2246,3 +2246,55 @@ def q301_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("cum_docs").cast("double") / F.col("total_docs").cast("double"))
         ).alias("cum_lift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q311 — weighted sampling WITHOUT replacement (Efraimidis–Spirakis):
+# take a deterministic k=100 sample where inclusion probability is
+# proportional to document length, via the classic one-pass key
+# key_i = ln(u_i) / w_i with u_i an md5-derived uniform — the
+# distributed-sampling primitive (q69 covers the with-replacement
+# variant; this is the without-replacement top-k form that runs as
+# ONE TakeOrdered pass at any scale). Determinism: u from the
+# portable md5 arithmetic, the ES key rounded to 9 dp on both
+# engines before ranking (ln last-ulp discipline), rank ties broken
+# by doc_id.
+# ---------------------------------------------------------------------------
+@query(
+    "q311_weighted_sample_wr",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+               round(ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':es'), 1, 8) AS BIGINT) + 1.0)
+                        / 4294967297.0)
+                     / CAST(n_chars AS DOUBLE), 9) AS es_key
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, weight, es_key,
+           CAST(rank AS INT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (ORDER BY es_key DESC, doc_id) AS rank
+        FROM keyed
+    ) WHERE rank <= 100
+    """,
+)
+def q311_weighted_sample_wr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u_int = F.conv(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":es"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    es_key = F.round(
+        F.log((u_int.cast("double") + F.lit(1.0)) / F.lit(4294967297.0))
+        / F.col("n_chars").cast("double"),
+        9,
+    )
+    keyed = docs.select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("weight"), es_key.alias("es_key")
+    )
+    w = Window.orderBy(F.col("es_key").desc(), F.col("doc_id"))
+    return (
+        keyed.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 100)
+    )

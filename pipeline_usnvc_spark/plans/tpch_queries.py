@@ -1426,3 +1426,110 @@ def q297_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("total_rev").cast("double") * F.col("total_rev").cast("double"))
         ).alias("hhi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q303 — day-of-week seasonality index: each weekday's average order
+# value relative to the overall average (index 1.0 = typical day).
+# Both averages are ratios of exact integer cents and counts; the
+# index divides the two identical-expression doubles. dow keys are
+# engine-aligned via ISO day numbers.
+# ---------------------------------------------------------------------------
+@query(
+    "q303_dow_seasonality",
+    oracle="""
+    WITH per_dow AS (
+        SELECT CAST(isodow(o_orderdate) AS INT) AS iso_dow,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM orders GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(sum(n_orders) AS BIGINT) AS n_all,
+               CAST(sum(rev_cents) AS BIGINT) AS rev_all
+        FROM per_dow
+    )
+    SELECT p.iso_dow, p.n_orders, p.rev_cents,
+           (CAST(p.rev_cents AS DOUBLE) / CAST(p.n_orders AS DOUBLE))
+             / (CAST(t.rev_all AS DOUBLE) / CAST(t.n_all AS DOUBLE)) AS seasonality_index
+    FROM per_dow p CROSS JOIN tot t
+    """,
+)
+def q303_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    # Spark dayofweek: 1=Sunday..7=Saturday; ISO: 1=Monday..7=Sunday.
+    iso_dow = ((F.dayofweek("o_orderdate") + 5) % 7 + 1).cast("int")
+    per_dow = o.groupBy(iso_dow.alias("iso_dow")).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_cents"),
+    )
+    tot = per_dow.agg(
+        F.sum("n_orders").cast("bigint").alias("n_all"),
+        F.sum("rev_cents").cast("bigint").alias("rev_all"),
+    )
+    return per_dow.crossJoin(F.broadcast(tot)).select(
+        "iso_dow",
+        "n_orders",
+        "rev_cents",
+        (
+            (F.col("rev_cents").cast("double") / F.col("n_orders").cast("double"))
+            / (F.col("rev_all").cast("double") / F.col("n_all").cast("double"))
+        ).alias("seasonality_index"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q309 — inventory turns from the DERIVED partsupp (another consumer
+# of the q213 partsupp derivation, proving it composes): per part,
+# units sold vs total available quantity across its four suppliers,
+# with a velocity band. Turns is the one double division of two
+# exact integers; the partsupp side aggregates to part grain before
+# the join so lineitem joins a part-keyed dim, not a 4x-wider one.
+# ---------------------------------------------------------------------------
+@query(
+    "q309_inventory_turns",
+    oracle=f"""
+    WITH {_PARTSUPP_CTE},
+    avail AS (
+        SELECT ps_partkey, CAST(sum(ps_availqty) AS BIGINT) AS total_avail
+        FROM partsupp GROUP BY ps_partkey
+    ),
+    sold AS (
+        SELECT l_partkey, CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS units_sold
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT s.l_partkey AS p_partkey, s.units_sold, a.total_avail,
+           CAST(s.units_sold AS DOUBLE) / CAST(a.total_avail AS DOUBLE) AS turns,
+           CASE WHEN 10 * s.units_sold >= 2 * a.total_avail THEN 'fast'
+                WHEN 10 * s.units_sold >= a.total_avail THEN 'medium'
+                ELSE 'slow' END AS velocity
+    FROM sold s JOIN avail a ON a.ps_partkey = s.l_partkey
+    WHERE a.total_avail > 0
+    """,
+)
+def q309_inventory_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = derived_partsupp(spark, sf_dir)
+    avail = ps.groupBy("ps_partkey").agg(
+        F.sum("ps_availqty").cast("bigint").alias("total_avail")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    sold = li.groupBy("l_partkey").agg(
+        F.sum(F.floor("l_quantity").cast("bigint")).cast("bigint").alias("units_sold")
+    )
+    joined = sold.join(
+        avail, sold.l_partkey == avail.ps_partkey
+    ).filter(F.col("total_avail") > 0)
+    return joined.select(
+        F.col("l_partkey").alias("p_partkey"),
+        "units_sold",
+        "total_avail",
+        (F.col("units_sold").cast("double") / F.col("total_avail").cast("double")).alias(
+            "turns"
+        ),
+        F.when(10 * F.col("units_sold") >= 2 * F.col("total_avail"), "fast")
+        .when(10 * F.col("units_sold") >= F.col("total_avail"), "medium")
+        .otherwise("slow")
+        .alias("velocity"),
+    )
