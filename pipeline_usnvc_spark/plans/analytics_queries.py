@@ -19,6 +19,12 @@ from pipeline_usnvc_spark.plans.registry import query
 from pipeline_usnvc_spark.sources.tables import load_table
 
 
+def _d38(c):
+    """Exact-integer product/sum domain (overflow-safe sufficient
+    statistics — the suite-wide DECIMAL(38,0) discipline)."""
+    return c.cast("decimal(38,0)")
+
+
 # ---------------------------------------------------------------------------
 # q96 — equi-depth histogram of lineitem prices via EXACT global rank.
 # A bare Window.orderBy would funnel the table through one task; the
@@ -1166,11 +1172,10 @@ def q232_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("c_mktsegment").orderBy("cents", "c_custkey")
     ranked = spend.withColumn("i", F.row_number().over(w).cast("bigint"))
-    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     agg = ranked.groupBy("c_mktsegment").agg(
         F.count("*").cast("bigint").alias("n"),
-        F.sum(d38(F.col("cents"))).cast("decimal(38,0)").alias("sum_x"),
-        F.sum(d38(F.col("i")) * d38(F.col("cents"))).cast("decimal(38,0)").alias("sum_ix"),
+        F.sum(_d38(F.col("cents"))).cast("decimal(38,0)").alias("sum_x"),
+        F.sum(_d38(F.col("i")) * _d38(F.col("cents"))).cast("decimal(38,0)").alias("sum_ix"),
     )
     return agg.select(
         "c_mktsegment",
@@ -1267,13 +1272,12 @@ def q277_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
         micro(F.col("degree")).alias("lx_micro"),
         micro(F.col("n_nodes")).alias("ly_micro"),
     )
-    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     fit = pts.agg(
         F.count("*").cast("bigint").alias("k"),
         F.sum("lx_micro").cast("bigint").alias("sx"),
         F.sum("ly_micro").cast("bigint").alias("sy"),
-        F.sum(d38(F.col("lx_micro")) * d38(F.col("ly_micro"))).cast("decimal(38,0)").alias("sxy"),
-        F.sum(d38(F.col("lx_micro")) * d38(F.col("lx_micro"))).cast("decimal(38,0)").alias("sxx"),
+        F.sum(_d38(F.col("lx_micro")) * _d38(F.col("ly_micro"))).cast("decimal(38,0)").alias("sxy"),
+        F.sum(_d38(F.col("lx_micro")) * _d38(F.col("lx_micro"))).cast("decimal(38,0)").alias("sxx"),
     )
     kd = F.col("k").cast("double")
     denom = kd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")

@@ -28,6 +28,12 @@ from pipeline_usnvc_spark.plans.dedup_queries import _MINHASH_SQL
 from pipeline_usnvc_spark.plans.registry import query
 from pipeline_usnvc_spark.sources.tables import load_table
 
+
+def _d38(c):
+    """Exact-integer product/sum domain (overflow-safe sufficient
+    statistics — the suite-wide DECIMAL(38,0) discipline)."""
+    return c.cast("decimal(38,0)")
+
 _TOKS_SQL = "list_filter(string_split_regex(lower(text), '[^a-zA-Z0-9]+'), t -> t <> '')"
 
 _FP_SQL = f"md5(list_aggregate({_TOKS_SQL}, 'string_agg', ' '))"
@@ -1980,11 +1986,10 @@ _NEYMAN_BUDGET = 1000
 )
 def q263_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     stats = docs.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_h"),
-        F.sum(d38(F.col("n_chars"))).cast("decimal(38,0)").alias("sx"),
-        F.sum(d38(F.col("n_chars")) * d38(F.col("n_chars"))).cast("decimal(38,0)").alias("sxx"),
+        F.sum(_d38(F.col("n_chars"))).cast("decimal(38,0)").alias("sx"),
+        F.sum(_d38(F.col("n_chars")) * _d38(F.col("n_chars"))).cast("decimal(38,0)").alias("sxx"),
     )
     nd = F.col("n_h").cast("double")
     var = F.greatest(

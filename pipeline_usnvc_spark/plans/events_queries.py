@@ -13,6 +13,12 @@ from pipeline_usnvc_spark.plans.registry import query
 from pipeline_usnvc_spark.sources.tables import load_table
 
 
+def _d38(c):
+    """Exact-integer product/sum domain (overflow-safe sufficient
+    statistics — the suite-wide DECIMAL(38,0) discipline)."""
+    return c.cast("decimal(38,0)")
+
+
 def _dec(c, scale: int = 2):
     return (F.col(c) if isinstance(c, str) else c).cast(f"decimal(18,{scale})")
 
@@ -1376,13 +1382,12 @@ def q264_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("y_milli"),
     )
-    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     stats = per_user.agg(
         F.count("*").cast("bigint").alias("n"),
-        F.sum(d38(F.col("x_milli"))).cast("decimal(38,0)").alias("sx"),
-        F.sum(d38(F.col("y_milli"))).cast("decimal(38,0)").alias("sy"),
-        F.sum(d38(F.col("x_milli")) * d38(F.col("y_milli"))).cast("decimal(38,0)").alias("sxy"),
-        F.sum(d38(F.col("x_milli")) * d38(F.col("x_milli"))).cast("decimal(38,0)").alias("sxx"),
+        F.sum(_d38(F.col("x_milli"))).cast("decimal(38,0)").alias("sx"),
+        F.sum(_d38(F.col("y_milli"))).cast("decimal(38,0)").alias("sy"),
+        F.sum(_d38(F.col("x_milli")) * _d38(F.col("y_milli"))).cast("decimal(38,0)").alias("sxy"),
+        F.sum(_d38(F.col("x_milli")) * _d38(F.col("x_milli"))).cast("decimal(38,0)").alias("sxx"),
     )
     nd = F.col("n").cast("double")
     theta = (nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")) / (

@@ -40,6 +40,12 @@ def _dec(c, scale: int = 2):
     return (F.col(c) if isinstance(c, str) else c).cast(f"decimal(18,{scale})")
 
 
+def _d38(c):
+    """Exact-integer product/sum domain (the suite's overflow-safe
+    sufficient-statistics type)."""
+    return c.cast("decimal(38,0)")
+
+
 _REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 
 
@@ -1034,12 +1040,11 @@ def q214_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value_cents").cast("bigint").alias("total_cents"),
         F.count("*").cast("bigint").alias("n_parts"),
     )
-    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     return (
         per_part.crossJoin(F.broadcast(tot))
         .filter(
-            d38(F.lit(2)) * d38(F.col("value_cents")) * d38(F.col("n_parts"))
-            > d38(F.lit(3)) * d38(F.col("total_cents"))
+            _d38(F.lit(2)) * _d38(F.col("value_cents")) * _d38(F.col("n_parts"))
+            > _d38(F.lit(3)) * _d38(F.col("total_cents"))
         )
         .select(F.col("ps_partkey").alias("p_partkey"), "value_cents")
     )
@@ -1307,11 +1312,10 @@ def q295_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     baskets = li.groupBy("l_orderkey").agg(F.count("*").cast("bigint").alias("k"))
     hist = baskets.groupBy("k").agg(F.count("*").cast("bigint").alias("n_orders"))
-    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     stats = baskets.agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("k").cast("bigint").alias("sk"),
-        F.sum(d38(F.col("k")) * d38(F.col("k"))).cast("decimal(38,0)").alias("skk"),
+        F.sum(_d38(F.col("k")) * _d38(F.col("k"))).cast("decimal(38,0)").alias("skk"),
     )
     nd = F.col("n").cast("double")
     var = (nd * F.col("skk").cast("double") - F.col("sk").cast("double") * F.col("sk").cast("double")) / (nd * nd)
@@ -1409,11 +1413,10 @@ def q297_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rev_cents")
         )
     )
-    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     per_nation = supp_rev.groupBy("s_nationkey").agg(
         F.count("*").cast("bigint").alias("n_suppliers"),
-        F.sum(d38(F.col("rev_cents"))).cast("decimal(38,0)").alias("total_rev"),
-        F.sum(d38(F.col("rev_cents")) * d38(F.col("rev_cents")))
+        F.sum(_d38(F.col("rev_cents"))).cast("decimal(38,0)").alias("total_rev"),
+        F.sum(_d38(F.col("rev_cents")) * _d38(F.col("rev_cents")))
         .cast("decimal(38,0)")
         .alias("sum_sq"),
     )
@@ -1457,8 +1460,8 @@ def q297_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q303_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    # Spark dayofweek: 1=Sunday..7=Saturday; ISO: 1=Monday..7=Sunday.
-    iso_dow = ((F.dayofweek("o_orderdate") + 5) % 7 + 1).cast("int")
+    # Repo idiom (q72): Spark weekday()+1 == DuckDB isodow.
+    iso_dow = (F.weekday("o_orderdate") + 1).cast("int")
     per_dow = o.groupBy(iso_dow.alias("iso_dow")).agg(
         F.count("*").cast("bigint").alias("n_orders"),
         F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
