@@ -114,7 +114,42 @@ _R03_VERIFIED = frozenset(
     }
 )
 
-_DRIVER_VERIFIED = _R01_VERIFIED | _R02_VERIFIED | _R03_VERIFIED
+# Green rows from CORRECTNESS_r04.json (48 of 50 sampled; the other
+# two rows were the q62/q63 rows-only showcases, now retired from the
+# pinned prefix — their contracts stay in-plan).
+_R04_VERIFIED = frozenset(
+    {
+        "q59_regexp_gauntlet", "q87_fk_orphan_audit", "q88_price_histogram",
+        "q90_scd2_history", "q91_session_funnel", "q92_table_diff",
+        "q93_merge_upsert", "q95_column_profile", "q96_equidepth_histogram",
+        "q97_triangle_count", "q98_skyline", "q99_int_shingle_jaccard",
+        "q102_lateral_topk", "q109_scd2_point_in_time", "q119_mad_outliers",
+        "q120_bfs_reachability", "q124_small_qty_revenue",
+        "q125_large_volume_orders", "q126_top_part_family_suppliers",
+        "q127_sole_late_supplier", "q128_rich_inactive_customers",
+        "q129_nation_market_share", "q136_local_commerce_revenue",
+        "q137_returned_top_customers", "q138_priority_by_returnflag",
+        "q139_disjunctive_revenue", "q140_count_min", "q142_trend_regression",
+        "q143_priority_order_check", "q144_customer_order_distribution",
+        "q145_volume_shipping", "q146_product_profit", "q154_forecast_revenue",
+        "q155_promo_share", "q156_top_supplier", "q180_blocked_fuzzy_pairs",
+        "q182_constraint_checks", "q183_bitmap_distinct",
+        "q185_join_key_skew_audit", "q190_psi_drift", "q191_ks_drift",
+        "q192_chi2_type_hour", "q193_cusum_changepoint",
+        "q194_acf_daily_counts", "q198_kmv_distinct", "q213_min_cost_supplier",
+        "q214_part_value_share", "q215_supplier_exclusion_count",
+    }
+)
+
+_DRIVER_VERIFIED = (
+    _R01_VERIFIED | _R02_VERIFIED | _R03_VERIFIED | _R04_VERIFIED
+) - {
+    # q113's output schema changed in round 4 (exact_count/mg_bound_ok
+    # columns + in-plan contract) after its r01 driver row was recorded;
+    # drop it from the verified set so the round-5 sample re-records it
+    # (ADVICE r04).
+    "q113_heavy_hitters",
+}
 
 
 # Queries ADDED late in round 4 (after the 50-slot sample was already
@@ -169,35 +204,57 @@ _R04_LATE = (
     "q311_weighted_sample_wr",
 )
 
-# Two rows-only queries pinned INSIDE the sample on purpose (VERDICT
-# r03 item 4): they carry runtime assert_true accuracy contracts, so
-# their rows-only driver rows certify ANN recall, not just counts.
-_R04_SHOWCASE_ROWS_ONLY = ("q62_lsh_topk", "q63_ivf_topk")
+# Contract-carrying rows-only queries rotated into the sample after
+# the late oracle backlog (VERDICT r04 items 1 and 6): q219/q222 are
+# the two round-4 additions without driver exposure; q212/q100/q85/q71
+# are the next never-sampled rows-only rotations.
+_ROWS_ONLY_ROTATION = (
+    "q219_bpe_encode",
+    "q222_streaming_neardup",
+    "q212_rolling_actives_sketch",
+    "q100_hll_mergeable_distinct",
+    "q85_approx_percentiles",
+    "q71_approx_count_distinct",
+)
+
+# Queries ADDED in round 5 (after the late backlog was queued): they
+# sort after the rows-only rotation so they cannot displace the
+# never-driver-sampled backlog; round 6 picks them up.
+_R05_LATE: tuple[str, ...] = ()
 
 
 def _ordered_names() -> list[str]:
     from pipeline_usnvc_spark.plans import ORACLES, QUERIES
 
     names = list(QUERIES)
-    # Fixed-this-round queries go first so the driver's sample prefix
-    # is guaranteed to re-verify them (VERDICT r03 items 1 and 2:
-    # q59's array columns now serialize through concat_ws).
-    recheck = [n for n in ("q59_regexp_gauntlet",) if n in names]
-    pinned = set(recheck) | set(_R04_SHOWCASE_ROWS_ONLY) | set(_R04_LATE)
+    # Changed-schema queries go first so the driver's sample prefix is
+    # guaranteed to re-record them (ADVICE r04: q113 gained
+    # exact_count/mg_bound_ok columns after its r01 row was recorded).
+    recheck = [n for n in ("q113_heavy_hitters",) if n in names]
+    pinned = (
+        set(recheck)
+        | set(_ROWS_ONLY_ROTATION)
+        | set(_R04_LATE)
+        | set(_R05_LATE)
+    )
     fresh_oracle = [
         n
         for n in names
         if n not in _DRIVER_VERIFIED and n in ORACLES and n not in pinned
     ]
-    showcase = [n for n in _R04_SHOWCASE_ROWS_ONLY if n in names]
     late = [n for n in _R04_LATE if n in names]
+    rotation = [n for n in _ROWS_ONLY_ROTATION if n in names]
+    r05_late = [n for n in _R05_LATE if n in names]
     fresh_rows_only = [
         n
         for n in names
         if n not in _DRIVER_VERIFIED and n not in ORACLES and n not in pinned
     ]
     seen = [n for n in names if n in _DRIVER_VERIFIED]
-    return recheck + fresh_oracle + showcase + late + fresh_rows_only + seen
+    return (
+        recheck + fresh_oracle + late + rotation + r05_late
+        + fresh_rows_only + seen
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

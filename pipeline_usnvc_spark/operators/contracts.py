@@ -42,14 +42,17 @@ def attach_error_contract(
     """Append ``rel_err`` + a within-bounds flag and enforce
     ``rel_err <= bound`` as an executed contract.
 
-    ``rel_err`` is |approx - exact| / exact with the 0/0 case defined
-    as 0 (both empty → perfect) and x/0 as unbounded (fails the
-    contract, as it should).
+    ``rel_err`` is |approx - exact| / |exact| with the 0/0 case
+    defined as 0 (both empty → perfect); x/0 and a NULL exact are
+    unbounded (fail the contract, as they should). The denominator is
+    |exact| so a negative exact metric cannot yield a negative
+    rel_err that vacuously passes any bound.
     """
     approx = F.col(approx_col).cast("double")
     exact = F.col(exact_col).cast("double")
     rel_err = (
-        F.when(exact != 0, F.abs(approx - exact) / exact)
+        F.when(exact.isNull(), F.lit(float("inf")))
+        .when(exact != 0, F.abs(approx - exact) / F.abs(exact))
         .when(approx == 0, F.lit(0.0))
         .otherwise(F.lit(float("inf")))
     )

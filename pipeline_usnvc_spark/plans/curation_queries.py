@@ -1543,12 +1543,25 @@ def q217_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("llr_micro").cast("bigint").alias("log_w_micro"),
         )
     )
-    w = Window.orderBy(
+    # Quartile selection via the two-phase range-exchange rank (no
+    # single-partition Window at doc grain — same scale standard as
+    # q96/q197/q246/q247). (avg llr desc, doc_id) is a total order, so
+    # parity with the oracle's ROW_NUMBER is exact. scored is
+    # materialized once: both the rank and the 1-row n_docs aggregate
+    # consume it, and the bigram/LLR pipeline should not run twice.
+    from pipeline_usnvc_spark.operators.checkpoint import materialize
+    from pipeline_usnvc_spark.operators.rank import with_global_rank
+
+    scored = materialize(scored)
+    ranked = with_global_rank(
+        scored,
         (F.col("log_w_micro").cast("double") / F.col("n_bigrams").cast("double")).desc(),
         F.col("doc_id"),
-    )
-    ranked = scored.withColumn("rn", F.row_number().over(w).cast("bigint")).withColumn(
-        "n_docs", F.count("*").over(Window.partitionBy(F.lit(1))).cast("bigint")
+        rank_col="rn",
+    ).crossJoin(
+        F.broadcast(
+            scored.agg(F.count("*").cast("bigint").alias("n_docs"))
+        )
     )
     return ranked.select(
         "doc_id",

@@ -1475,7 +1475,8 @@ def q250_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs AS (
         SELECT a.event_type AS type_a, b.event_type AS type_b,
                ta.total AS n_a, tb.total AS n_b,
-               CAST(sum(least(a.n * tb.total, b.n * ta.total)) AS BIGINT) AS overlap_num
+               CAST(sum(least(CAST(a.n AS HUGEINT) * tb.total,
+                              CAST(b.n AS HUGEINT) * ta.total)) AS BIGINT) AS overlap_num
         FROM hist a
         JOIN hist b ON b.h = a.h AND a.event_type < b.event_type
         JOIN tot ta ON ta.event_type = a.event_type
@@ -1512,9 +1513,13 @@ def q267_histogram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tb.total").alias("n_b"),
         )
         .agg(
+            # count-cross-products through the suite-wide DECIMAL(38,0)
+            # discipline: BIGINT*BIGINT wraps silently in non-ANSI Spark
+            # while DuckDB raises — an engine divergence at scale.
             F.sum(
                 F.least(
-                    F.col("a.n") * F.col("tb.total"), F.col("b.n") * F.col("ta.total")
+                    _d38(F.col("a.n")) * _d38(F.col("tb.total")),
+                    _d38(F.col("b.n")) * _d38(F.col("ta.total")),
                 )
             )
             .cast("bigint")

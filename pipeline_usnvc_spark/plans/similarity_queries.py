@@ -951,9 +951,13 @@ def q221_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct().withColumn(
         "is_dropped", F.lit(True)
     )
+    # partners/dropped are corpus-grain (one row per vector with a
+    # near-dup partner), so on a dup-heavy corpus they are O(n): no
+    # broadcast hints — a plain shuffle join on vec_id scales, and AQE
+    # may still pick broadcast when the frames turn out tiny.
     return (
-        emb.join(F.broadcast(partners), "vec_id", "left")
-        .join(F.broadcast(dropped), "vec_id", "left")
+        emb.join(partners, "vec_id", "left")
+        .join(dropped, "vec_id", "left")
         .select(
             "vec_id",
             "label",

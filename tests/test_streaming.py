@@ -701,6 +701,33 @@ def test_band_signatures_mapside_match_batch(spark, sf_dir):
     assert mapside == reference and mapside
 
 
+def test_band_signatures_mapside_drops_short_docs(spark):
+    """Docs with < shingle_n tokens emit NO band signature — a
+    deliberate semantic (ADVICE r04): the legacy banding inside
+    lsh_candidate_pairs grouped all such degenerate docs under one
+    empty-string band signature, mutually pairing every short doc
+    (quadratic noise on a corpus with many near-empty rows). The
+    map-side builder instead drops them (null minhash filter), which
+    is the semantics we pin here."""
+    from pipeline_usnvc_spark.operators.dedup import band_signatures_mapside
+
+    docs = spark.createDataFrame(
+        [
+            (1, "only two"),               # 2 tokens < shingle_n=3 → dropped
+            (2, "one"),                    # 1 token → dropped
+            (3, ""),                       # empty → dropped
+            (4, "three whole tokens here"),  # 4 tokens → banded
+        ],
+        "doc_id int, text string",
+    )
+    sigs = band_signatures_mapside(docs)
+    rows = sigs.collect()
+    assert {r["doc_id"] for r in rows} == {4}
+    # and the surviving doc gets exactly one signature per band
+    assert sorted(r["band"] for r in rows) == [0, 1]
+    assert all(r["band_sig"] for r in rows)
+
+
 def test_streaming_neardup_matches_batch_across_batches(spark, sf_dir, tmp_path):
     """The stateful band index must find the SAME candidate pairs as
     batch LSH even when the corpus arrives in two separate micro-
