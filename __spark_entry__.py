@@ -220,7 +220,19 @@ _ROWS_ONLY_ROTATION = (
 # Queries ADDED in round 5 (after the late backlog was queued): they
 # sort after the rows-only rotation so they cannot displace the
 # never-driver-sampled backlog; round 6 picks them up.
-_R05_LATE: tuple[str, ...] = ()
+_R05_LATE: tuple[str, ...] = (
+    "q235_theil_sen_trend",
+    "q236_mann_kendall",
+    "q237_js_divergence",
+    "q238_lagged_crosscorr",
+    "q240_qq_drift",
+    "q241_time_in_state",
+    "q243_pareto_coverage",
+    "q251_lang_confusion",
+    "q252_dedup_survivorship",
+    "q257_fano_factor",
+    "q266_hapax_ratio",
+)
 
 
 def _ordered_names() -> list[str]:

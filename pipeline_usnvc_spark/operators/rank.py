@@ -90,6 +90,29 @@ def with_global_rank(
     )
 
 
+def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
+    """Exact SQL ``NTILE(k)`` derived from a 1-based global rank and
+    the total row count — so an unpartitioned ``ntile().over(...)``
+    (single-partition sort, the classic scale cliff) can be replaced
+    by :func:`with_global_rank` + this map-side expression.
+
+    Standard NTILE semantics (identical in Spark and DuckDB): with
+    ``q = n div k`` and ``rem = n mod k``, the first ``rem`` buckets
+    hold ``q + 1`` rows and the rest hold ``q``. Verified against
+    ``F.ntile`` in tests/test_scale_ops.py across n % k edge cases.
+    """
+    n = n.cast("bigint")
+    r = rank.cast("bigint")
+    q = F.floor(n / k).cast("bigint")
+    rem = (n % k).cast("bigint")
+    big = rem * (q + 1)  # rows covered by the (q+1)-sized buckets
+    return (
+        F.when(r <= big, F.floor((r - 1) / (q + 1)) + 1)
+        .otherwise(rem + F.floor((r - big - 1) / q) + 1)
+        .cast("int")
+    )
+
+
 def with_global_cumsum(
     df: DataFrame,
     value_col: str,

@@ -822,13 +822,29 @@ def q227_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("monetary_cents"),
     )
-    r_w = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey"))
-    f_w = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
-    m_w = Window.orderBy(F.col("monetary_cents").desc(), F.col("o_custkey"))
+    # Three customer-grain quintiles WITHOUT unpartitioned ntile
+    # windows (each would be a single-partition sort of the whole
+    # customer table): with_global_rank per dimension + the exact
+    # map-side NTILE formula. Each order includes o_custkey so the
+    # total order is tie-free and parity with SQL NTILE is exact.
+    from pipeline_usnvc_spark.operators.checkpoint import materialize
+    from pipeline_usnvc_spark.operators.rank import ntile_from_rank, with_global_rank
+
+    rfm = materialize(rfm)  # consumed by 3 rank passes + the count
+    n = rfm.agg(F.count("*").cast("bigint").alias("_n"))
+    scored = rfm
+    for rank_col, order in (
+        ("_rr", [F.col("recency_days").asc(), F.col("o_custkey")]),
+        ("_fr", [F.col("frequency").desc(), F.col("o_custkey")]),
+        ("_mr", [F.col("monetary_cents").desc(), F.col("o_custkey")]),
+    ):
+        scored = with_global_rank(scored, *order, rank_col=rank_col)
     scored = (
-        rfm.withColumn("r_score", F.ntile(5).over(r_w).cast("int"))
-        .withColumn("f_score", F.ntile(5).over(f_w).cast("int"))
-        .withColumn("m_score", F.ntile(5).over(m_w).cast("int"))
+        scored.crossJoin(F.broadcast(n))
+        .withColumn("r_score", ntile_from_rank(F.col("_rr"), F.col("_n"), 5))
+        .withColumn("f_score", ntile_from_rank(F.col("_fr"), F.col("_n"), 5))
+        .withColumn("m_score", ntile_from_rank(F.col("_mr"), F.col("_n"), 5))
+        .drop("_rr", "_fr", "_mr", "_n")
     )
     seg = (
         F.when(
@@ -1370,4 +1386,236 @@ def q282_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("b1", "b2", "b3")
         .agg(F.count("*").cast("bigint").alias("support"))
         .filter(F.col("support") >= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q235 — Theil–Sen robust trend of daily revenue: the median pairwise
+# slope, the standard outlier-proof alternative to OLS (Sen 1968 —
+# public method). Scale shape: the pair lattice lives at DAY grain
+# (calendar-bounded, data-size-independent — ~2.4k days → ~3M pairs at
+# ANY sf), so the O(n²) step never touches fact rows; fact work is one
+# day-level rollup. The median is taken WITHOUT a single-partition
+# sort: slopes quantize to exact micro-ints, the two middle ranks come
+# from operators/rank.with_global_rank under a tie-broken total order,
+# and their exact integer sum is the engine-portable median witness
+# (odd pair-count → both ranks coincide).
+# ---------------------------------------------------------------------------
+@query(
+    "q235_theil_sen_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    slopes AS (
+        SELECT a.d AS d_i, b.d AS d_j,
+               CAST(round(1000000.0 * CAST(b.cents - a.cents AS DOUBLE)
+                          / CAST(b.d - a.d AS DOUBLE)) AS BIGINT) AS slope_micro
+        FROM daily a JOIN daily b ON b.d > a.d
+    ),
+    ranked AS (
+        SELECT slope_micro,
+               row_number() OVER (ORDER BY slope_micro, d_i, d_j) AS r,
+               count(*) OVER () AS m
+        FROM slopes
+    )
+    SELECT CAST(max(m) AS BIGINT) AS n_pairs,
+           CAST(sum(slope_micro) AS BIGINT) AS med2_micro,
+           CAST(sum(slope_micro) AS DOUBLE) / 2000000.0 AS slope_cents_per_day
+    FROM ranked
+    WHERE r IN ((m + 1) // 2, m // 2 + 1)
+    """,
+)
+def q235_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.checkpoint import materialize
+    from pipeline_usnvc_spark.operators.rank import with_global_rank
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast("bigint")
+        .alias("d")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(b, F.col("b.d") > F.col("a.d")).select(
+        F.col("a.d").alias("d_i"),
+        F.col("b.d").alias("d_j"),
+        F.round(
+            F.lit(1000000.0)
+            * (F.col("b.cents") - F.col("a.cents")).cast("double")
+            / (F.col("b.d") - F.col("a.d")).cast("double")
+        )
+        .cast("bigint")
+        .alias("slope_micro"),
+    )
+    ranked = materialize(
+        with_global_rank(slopes, "slope_micro", "d_i", "d_j", rank_col="r")
+    )
+    m = ranked.agg(F.count("*").cast("bigint").alias("m"))
+    return (
+        ranked.crossJoin(F.broadcast(m))
+        .filter(
+            (F.col("r") == F.floor((F.col("m") + 1) / 2))
+            | (F.col("r") == F.floor(F.col("m") / 2) + 1)
+        )
+        .agg(
+            F.max("m").cast("bigint").alias("n_pairs"),
+            F.sum("slope_micro").cast("bigint").alias("med2_micro"),
+            (F.sum("slope_micro").cast("double") / F.lit(2000000.0)).alias(
+                "slope_cents_per_day"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q236 — Mann–Kendall monotonic-trend test on daily event counts
+# (Mann 1945 / Kendall 1975 — public method): S = Σ_{i<j} sign(c_j −
+# c_i) over day-ordered counts, variance with the tie-group
+# correction. Day-grain pair lattice (calendar-bounded); every output
+# is an exact integer except tau, a single division of exact ints.
+# var18 = 18·Var(S) keeps the tie-correction term integral.
+# ---------------------------------------------------------------------------
+@query(
+    "q236_mann_kendall",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ),
+    s AS (
+        SELECT CAST(sum(CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        FROM daily a JOIN daily b ON b.d > a.d
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily),
+    ties AS (
+        SELECT CAST(COALESCE(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie_term
+        FROM (SELECT count(*) AS t FROM daily GROUP BY c HAVING count(*) > 1)
+    )
+    SELECT n.n_days, s.s_stat,
+           CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) - ties.tie_term AS BIGINT) AS var18,
+           CAST(s.s_stat AS DOUBLE) / (CAST(n.n_days * (n.n_days - 1) AS DOUBLE) / 2.0) AS tau
+    FROM s, n, ties
+    """,
+)
+def q236_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    s = a.join(b, F.col("b.d") > F.col("a.d")).agg(
+        F.sum(
+            F.when(F.col("b.c") > F.col("a.c"), 1)
+            .when(F.col("b.c") < F.col("a.c"), -1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("s_stat")
+    )
+    n = daily.agg(F.count("*").cast("bigint").alias("n_days"))
+    ties = (
+        daily.groupBy("c")
+        .agg(F.count("*").cast("bigint").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    nd = F.col("n_days")
+    return (
+        s.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "n_days",
+            "s_stat",
+            (nd * (nd - 1) * (2 * nd + 5) - F.col("tie_term"))
+            .cast("bigint")
+            .alias("var18"),
+            (
+                F.col("s_stat").cast("double")
+                / ((nd * (nd - 1)).cast("double") / F.lit(2.0))
+            ).alias("tau"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q243 — Pareto revenue-coverage: the smallest number of customers
+# whose (descending) revenue covers 50/80/90% of the total — the
+# "how concentrated is my revenue" curve at three checkpoints.
+# Scale shape: customer-grain revenue → operators/rank.
+# with_global_cumsum (range-exchange prefix sum, no single-partition
+# window); the crossing point per threshold is a pure aggregate over
+# the cumulated frame joined to a 3-row literal spine. All
+# comparisons are exact-integer cross-products (cents × pct), so the
+# crossing row is engine-identical.
+# ---------------------------------------------------------------------------
+@query(
+    "q243_pareto_coverage",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    cum AS (
+        SELECT cents,
+               sum(cents) OVER (ORDER BY cents DESC, o_custkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+        FROM per_cust
+    ),
+    tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM per_cust)
+    SELECT t.pct,
+           CAST(count(*) FILTER (WHERE 100 * (c.cum_cents - c.cents) < t.pct * tot.total) AS BIGINT) AS n_customers,
+           CAST(min(c.cum_cents) FILTER (WHERE 100 * c.cum_cents >= t.pct * tot.total) AS DOUBLE)
+             / CAST(tot.total AS DOUBLE) AS share_reached
+    FROM cum c
+    CROSS JOIN tot
+    CROSS JOIN (SELECT unnest([50, 80, 90]) AS pct) t
+    GROUP BY t.pct, tot.total
+    """,
+)
+def q243_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.rank import with_global_cumsum
+
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    cum = with_global_cumsum(
+        per_cust, "cents", F.col("cents").desc(), "o_custkey", cumsum_col="cum_cents"
+    )
+    tot = per_cust.agg(F.sum("cents").cast("bigint").alias("total"))
+    spine = spark.createDataFrame([(50,), (80,), (90,)], "pct int").coalesce(1)
+    covered = _d38(F.lit(100)) * _d38(F.col("cum_cents") - F.col("cents")) < _d38(
+        F.col("pct")
+    ) * _d38(F.col("total"))
+    crossed = _d38(F.lit(100)) * _d38(F.col("cum_cents")) >= _d38(F.col("pct")) * _d38(
+        F.col("total")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(spine))
+        .groupBy("pct", "total")
+        .agg(
+            F.count(F.when(covered, 1)).cast("bigint").alias("n_customers"),
+            (
+                F.min(F.when(crossed, F.col("cum_cents"))).cast("double")
+                / F.col("total").cast("double")
+            ).alias("share_reached"),
+        )
+        .select("pct", "n_customers", "share_reached")
     )

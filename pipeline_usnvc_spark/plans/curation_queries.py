@@ -2231,11 +2231,27 @@ def q272_gate_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q301_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
-    scored = docs.select(
-        "doc_id",
-        F.when(F.col("lang") == "en", 1).otherwise(0).alias("positive"),
-        F.ntile(10).over(w).cast("int").alias("decile"),
+    # Doc-grain deciles via two-phase global rank + map-side NTILE —
+    # no single-partition ntile window over the corpus.
+    from pipeline_usnvc_spark.operators.checkpoint import materialize
+    from pipeline_usnvc_spark.operators.rank import ntile_from_rank, with_global_rank
+
+    base = materialize(
+        docs.select(
+            "doc_id",
+            "n_chars",
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("positive"),
+        )
+    )
+    n = base.agg(F.count("*").cast("bigint").alias("_n"))
+    scored = (
+        with_global_rank(base, F.col("n_chars").desc(), F.col("doc_id"), rank_col="_r")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "positive",
+            ntile_from_rank(F.col("_r"), F.col("_n"), 10).alias("decile"),
+        )
     )
     per_decile = scored.groupBy("decile").agg(
         F.count("*").cast("bigint").alias("n_docs"),
@@ -2311,8 +2327,10 @@ def q311_weighted_sample_wr(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = docs.select(
         "doc_id", F.col("n_chars").cast("bigint").alias("weight"), es_key.alias("es_key")
     )
+    # Top-100 via sort-limit (Spark's TakeOrderedAndProject: parallel
+    # per-partition top-100 + a 100-row driver merge — no global
+    # window, no single-partition sort), then rank within the 100-row
+    # result (trivially small window).
+    top = keyed.orderBy(F.col("es_key").desc(), F.col("doc_id")).limit(100)
     w = Window.orderBy(F.col("es_key").desc(), F.col("doc_id"))
-    return (
-        keyed.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 100)
-    )
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))

@@ -276,8 +276,11 @@ def q153_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = src.withColumnRenamed("doc_id", "id_a").withColumnRenamed("source", "src_a")
     b = src.withColumnRenamed("doc_id", "id_b").withColumnRenamed("source", "src_b")
     return (
-        pairs.join(F.broadcast(a), "id_a")
-        .join(F.broadcast(b), "id_b")
+        # a/b are doc-grain (one row per document): no broadcast hints —
+        # at corpus scale an O(n) forced broadcast OOMs executors; the
+        # id equi-join shuffles fine and AQE still broadcasts when small.
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
         .groupBy(
             F.least("src_a", "src_b").alias("source_x"),
             F.greatest("src_a", "src_b").alias("source_y"),
@@ -464,4 +467,68 @@ def q249_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("verdict"),
             F.coalesce("exact_id", "near_id").alias("matched_existing_id"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q252 — dedup survivorship policy audit: for every exact-duplicate
+# group (same normalized-token fingerprint), compare the two standard
+# keeper policies — keep-first (min doc_id, the ingestion-order
+# default) vs keep-longest (max n_chars, the quality-preserving
+# default) — and flag where they disagree, so a pipeline migration
+# from one policy to the other knows its blast radius. Scale shape:
+# one digest-keyed shuffle carrying 16-byte digests + two ints per
+# doc (never the text); the keep-longest argmax folds into a native
+# lexicographic struct max ((n_chars, -doc_id) — tie-free by
+# construction), so no per-group window materializes a dup group in
+# one task.
+# ---------------------------------------------------------------------------
+@query(
+    "q252_dedup_survivorship",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT md5(array_to_string({_TOKS_SQL}, ' ')) AS digest, doc_id, n_chars
+        FROM documents
+    ),
+    groups AS (
+        SELECT digest,
+               CAST(count(*) AS BIGINT) AS group_size,
+               CAST(min(doc_id) AS BIGINT) AS keeper_first,
+               CAST(first(doc_id ORDER BY n_chars DESC, doc_id) AS BIGINT) AS keeper_longest
+        FROM keyed GROUP BY digest
+        HAVING count(*) > 1
+    )
+    SELECT digest, group_size, keeper_first, keeper_longest,
+           keeper_first = keeper_longest AS policies_agree
+    FROM groups
+    """,
+)
+def q252_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        F.md5(F.array_join(tokens("text"), " ")).alias("digest"),
+        "doc_id",
+        "n_chars",
+    )
+    groups = (
+        keyed.groupBy("digest")
+        .agg(
+            F.count("*").cast("bigint").alias("group_size"),
+            F.min("doc_id").cast("bigint").alias("keeper_first"),
+            # lexicographic struct max == argmax by (n_chars, -doc_id):
+            # longest text wins, lowest doc_id breaks length ties.
+            F.max(
+                F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id"))
+            ).alias("_s"),
+        )
+        .filter(F.col("group_size") > 1)
+    )
+    return groups.select(
+        "digest",
+        "group_size",
+        "keeper_first",
+        (-F.col("_s.neg_id")).cast("bigint").alias("keeper_longest"),
+        (F.col("keeper_first") == -F.col("_s.neg_id")).alias("policies_agree"),
     )

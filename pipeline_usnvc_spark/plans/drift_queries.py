@@ -432,3 +432,97 @@ def q194_acf_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "lag", F.col("n_pairs").cast("bigint").alias("n_pairs"), acf.alias("acf")
     )
+
+
+# ---------------------------------------------------------------------------
+# q240 — quantile–quantile drift between the first and second half of
+# the event window: decile-by-decile comparison of the value
+# distribution (the visual QQ-plot, reduced to its 10-point table) —
+# catches shape changes PSI's fixed bins smear out. Scale shape: the
+# halves are ranked independently through the two-phase range-exchange
+# rank (operators/rank.with_global_rank) and bucketed with the exact
+# map-side NTILE formula — no single-partition sort anywhere; the
+# decile rollup then compares exact milli-sums. Values quantize to
+# milli-ints so every aggregate is exact.
+# ---------------------------------------------------------------------------
+@query(
+    "q240_qq_drift",
+    oracle="""
+    WITH bounds AS (
+        SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM events
+    ),
+    tagged AS (
+        SELECT CASE WHEN epoch_us(e.ts) <= (b.mn + b.mx) // 2 THEN 'early' ELSE 'late' END AS half,
+               CAST(floor(e.value * 1000) AS BIGINT) AS v_milli,
+               e.event_id
+        FROM events e, bounds b
+    ),
+    bucketed AS (
+        SELECT half, v_milli,
+               ntile(10) OVER (PARTITION BY half ORDER BY v_milli, event_id) AS decile
+        FROM tagged
+    ),
+    per AS (
+        SELECT half, CAST(decile AS INT) AS decile,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v_milli) AS BIGINT) AS sum_milli
+        FROM bucketed GROUP BY 1, 2
+    )
+    SELECT e.decile, e.n AS n_early, l.n AS n_late,
+           CAST(e.sum_milli AS DOUBLE) / CAST(e.n AS DOUBLE) / 1000.0 AS mean_early,
+           CAST(l.sum_milli AS DOUBLE) / CAST(l.n AS DOUBLE) / 1000.0 AS mean_late,
+           round(abs(CAST(e.sum_milli AS DOUBLE) / CAST(e.n AS DOUBLE) / 1000.0
+                     - CAST(l.sum_milli AS DOUBLE) / CAST(l.n AS DOUBLE) / 1000.0), 6) AS qq_gap
+    FROM (SELECT * FROM per WHERE half = 'early') e
+    JOIN (SELECT * FROM per WHERE half = 'late') l ON l.decile = e.decile
+    """,
+)
+def q240_qq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.checkpoint import materialize
+    from pipeline_usnvc_spark.operators.rank import ntile_from_rank, with_global_rank
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.unix_micros("ts")).alias("mn"), F.max(F.unix_micros("ts")).alias("mx")
+    )
+    tagged = ev.crossJoin(F.broadcast(bounds)).select(
+        F.when(
+            F.unix_micros("ts") <= F.floor((F.col("mn") + F.col("mx")) / 2),
+            "early",
+        )
+        .otherwise("late")
+        .alias("half"),
+        F.floor(F.col("value") * 1000).cast("bigint").alias("v_milli"),
+        "event_id",
+    )
+
+    def decile_rollup(half: str):
+        part = materialize(tagged.filter(F.col("half") == half))
+        n = part.agg(F.count("*").cast("bigint").alias("_n"))
+        return (
+            with_global_rank(part, "v_milli", "event_id", rank_col="_r")
+            .crossJoin(F.broadcast(n))
+            .withColumn("decile", ntile_from_rank(F.col("_r"), F.col("_n"), 10))
+            .groupBy("decile")
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.sum("v_milli").cast("bigint").alias("sum_milli"),
+            )
+        )
+
+    e = decile_rollup("early").select(
+        "decile", F.col("n").alias("n_early"), F.col("sum_milli").alias("sm_e")
+    )
+    l = decile_rollup("late").select(
+        "decile", F.col("n").alias("n_late"), F.col("sum_milli").alias("sm_l")
+    )
+    mean_e = F.col("sm_e").cast("double") / F.col("n_early").cast("double") / F.lit(1000.0)
+    mean_l = F.col("sm_l").cast("double") / F.col("n_late").cast("double") / F.lit(1000.0)
+    return e.join(l, "decile").select(
+        "decile",
+        "n_early",
+        "n_late",
+        mean_e.alias("mean_early"),
+        mean_l.alias("mean_late"),
+        F.round(F.abs(mean_e - mean_l), 6).alias("qq_gap"),
+    )

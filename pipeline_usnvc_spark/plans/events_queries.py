@@ -1253,8 +1253,19 @@ def q233_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("first_purchase_after_s") - F.col("first_view_s")).alias("lag_s"),
         )
     )
-    w = W.orderBy("lag_s", "user_id")
-    return conv.withColumn("decile", F.ntile(10).over(w).cast("int"))
+    # User-grain deciles without an unpartitioned ntile window
+    # (single-partition sort): two-phase global rank + map-side NTILE.
+    from pipeline_usnvc_spark.operators.checkpoint import materialize
+    from pipeline_usnvc_spark.operators.rank import ntile_from_rank, with_global_rank
+
+    conv = materialize(conv)
+    n = conv.agg(F.count("*").cast("bigint").alias("_n"))
+    return (
+        with_global_rank(conv, "lag_s", "user_id", rank_col="_r")
+        .crossJoin(F.broadcast(n))
+        .withColumn("decile", ntile_from_rank(F.col("_r"), F.col("_n"), 10))
+        .drop("_r", "_n")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1575,8 +1586,21 @@ def q275_error_slo_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_errors"),
     )
-    w = W.orderBy(F.col("n_events").desc(), F.col("user_id"))
-    bucketed = per_user.withColumn("activity_decile", F.ntile(10).over(w).cast("int"))
+    # User-grain deciles via two-phase global rank + map-side NTILE
+    # (the repo's standard replacement for unpartitioned ntile).
+    from pipeline_usnvc_spark.operators.checkpoint import materialize
+    from pipeline_usnvc_spark.operators.rank import ntile_from_rank, with_global_rank
+
+    per_user = materialize(per_user)
+    n = per_user.agg(F.count("*").cast("bigint").alias("_n"))
+    bucketed = (
+        with_global_rank(
+            per_user, F.col("n_events").desc(), F.col("user_id"), rank_col="_r"
+        )
+        .crossJoin(F.broadcast(n))
+        .withColumn("activity_decile", ntile_from_rank(F.col("_r"), F.col("_n"), 10))
+        .drop("_r", "_n")
+    )
     return bucketed.groupBy("activity_decile").agg(
         F.count("*").cast("bigint").alias("n_users"),
         F.sum("n_events").cast("bigint").alias("total_events"),
@@ -1591,11 +1615,13 @@ def q275_error_slo_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q278 — gaps and islands over the global event_id sequence: find
 # every maximal run of consecutive ids and the gaps between runs —
 # the CDC completeness audit ("did we lose a range of records?").
-# Classic lag-difference island numbering: a new island starts where
-# id > prev_id + 1; islands aggregate to (start, end, length). The
-# single global ordering is event-ID-grain; at 100 TB the same
-# query runs per partition-key shard (the audit grain), never one
-# global window.
+# Scale shape: NO event-grain global window. The classic trick —
+# within a maximal consecutive run, (event_id - global_rank) is
+# constant, and it strictly increases across runs — turns island
+# detection into a map-side subtraction after the two-phase
+# range-exchange rank (operators/rank.with_global_rank). Islands
+# then aggregate by that key, and the 1-based island_id is a second
+# with_global_rank over the ISLAND-grain frame (already reduced).
 # ---------------------------------------------------------------------------
 @query(
     "q278_gaps_and_islands",
@@ -1627,20 +1653,24 @@ def q278_gaps_and_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id")
         .distinct()
     )
-    w = W.orderBy("event_id")
-    prev = F.lag("event_id").over(w)
-    ordered = ev.withColumn(
-        "is_new",
-        F.when(prev.isNull() | (F.col("event_id") > prev + 1), 1).otherwise(0),
+    from pipeline_usnvc_spark.operators.rank import with_global_rank
+
+    keyed = with_global_rank(ev, "event_id", rank_col="_r").withColumn(
+        "_island_key", F.col("event_id") - F.col("_r")
     )
-    islands = ordered.withColumn(
-        "island_id",
-        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
-    )
-    return islands.groupBy(F.col("island_id").cast("bigint").alias("island_id")).agg(
+    islands = keyed.groupBy("_island_key").agg(
         F.min("event_id").cast("bigint").alias("start_id"),
         F.max("event_id").cast("bigint").alias("end_id"),
         F.count("*").cast("bigint").alias("island_len"),
+    )
+    return (
+        with_global_rank(islands, "start_id", rank_col="island_id")
+        .select(
+            F.col("island_id").cast("bigint").alias("island_id"),
+            "start_id",
+            "end_id",
+            "island_len",
+        )
     )
 
 
@@ -1751,4 +1781,223 @@ def q290_daily_entropy_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "entropy_nats"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q238 — lagged cross-correlation between the view and purchase
+# daily series (does purchase volume follow view volume, and at what
+# lag?): Pearson r at lags 0–3 days over gap-filled daily counts.
+# Scale shape: one event-grain rollup to (day, type) counts, then
+# everything lives on the day spine (calendar-bounded); the lag
+# lattice is a 4-row literal. Sufficient statistics are exact
+# DECIMAL(38,0) sums; the final r is one double expression over
+# exact ints, rounded 6dp on both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "q238_lagged_crosscorr",
+    oracle="""
+    WITH bounds AS (
+        SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events
+    ),
+    spine AS (
+        SELECT CAST(date_diff('day', d0, g.d) AS BIGINT) AS d
+        FROM bounds, LATERAL (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS d) g
+    ),
+    counts AS (
+        SELECT CAST(date_diff('day', b.d0, CAST(e.ts AS DATE)) AS BIGINT) AS d,
+               CAST(count(*) FILTER (WHERE e.event_type = 'view') AS BIGINT) AS x,
+               CAST(count(*) FILTER (WHERE e.event_type = 'purchase') AS BIGINT) AS y
+        FROM events e, bounds b GROUP BY 1
+    ),
+    filled AS (
+        SELECT s.d, COALESCE(c.x, 0) AS x, COALESCE(c.y, 0) AS y
+        FROM spine s LEFT JOIN counts c ON c.d = s.d
+    ),
+    lagged AS (
+        SELECT l.lag, a.x, b.y
+        FROM (SELECT unnest([0, 1, 2, 3]) AS lag) l
+        JOIN filled a ON TRUE
+        JOIN filled b ON b.d = a.d + l.lag
+    ),
+    stats AS (
+        SELECT lag, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+               CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+               CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+        FROM lagged GROUP BY lag
+    )
+    SELECT lag, n AS n_days,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr
+    FROM stats ORDER BY lag
+    """,
+)
+def q238_lagged_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.lit(0).cast("bigint"), F.datediff("d1", "d0").cast("bigint")))
+        .alias("d")
+    )
+    counts = ev.crossJoin(F.broadcast(bounds)).groupBy(
+        F.datediff(F.to_date("ts"), F.col("d0")).cast("bigint").alias("d")
+    ).agg(
+        F.count(F.when(F.col("event_type") == "view", 1)).cast("bigint").alias("x"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).cast("bigint").alias("y"),
+    )
+    filled = spine.join(counts, "d", "left").select(
+        "d",
+        F.coalesce("x", F.lit(0)).cast("bigint").alias("x"),
+        F.coalesce("y", F.lit(0)).cast("bigint").alias("y"),
+    )
+    lags = spark.createDataFrame([(0,), (1,), (2,), (3,)], "lag int").coalesce(1)
+    a = filled.select(F.col("d").alias("da"), "x")
+    b = filled.select(F.col("d").alias("db"), "y")
+    lagged = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("db") == F.col("da") + F.col("lag"))
+    )
+    stats = lagged.groupBy("lag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(_d38(F.col("x"))).cast("decimal(38,0)").alias("sx"),
+        F.sum(_d38(F.col("y"))).cast("decimal(38,0)").alias("sy"),
+        F.sum(_d38(F.col("x")) * _d38(F.col("y"))).cast("decimal(38,0)").alias("sxy"),
+        F.sum(_d38(F.col("x")) * _d38(F.col("x"))).cast("decimal(38,0)").alias("sxx"),
+        F.sum(_d38(F.col("y")) * _d38(F.col("y"))).cast("decimal(38,0)").alias("syy"),
+    )
+    n = _d38(F.col("n"))
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt((n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")) * F.sqrt(
+        (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return (
+        stats.select(
+            "lag",
+            F.col("n").alias("n_days"),
+            F.round(num / den, 6).alias("corr"),
+        )
+        .orderBy("lag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q241 — time-in-state occupancy: each event opens a state (its
+# event_type) that holds until the user's next event; report per-state
+# total occupancy, interval count, and share of all tracked time —
+# the state-residency rollup a session-analytics stack builds on.
+# One user-keyed window pass (lead over the user's ordered stream,
+# same exchange as the q112 time-weighted average), then a
+# type-grain aggregation; the share divides exact integer
+# microseconds through a ≤#types-row window.
+# ---------------------------------------------------------------------------
+@query(
+    "q241_time_in_state",
+    oracle="""
+    WITH stepped AS (
+        SELECT event_type, epoch_us(ts) AS t_us,
+               lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_us
+        FROM events
+    ),
+    spans AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_intervals,
+               CAST(sum(next_us - t_us) AS BIGINT) AS total_us
+        FROM stepped WHERE next_us IS NOT NULL
+        GROUP BY event_type
+    )
+    SELECT event_type, n_intervals, total_us,
+           CAST(total_us AS DOUBLE) / CAST(sum(total_us) OVER () AS DOUBLE) AS time_share,
+           round(CAST(total_us AS DOUBLE) / CAST(n_intervals AS DOUBLE) / 1000000.0, 6) AS mean_hold_s
+    FROM spans
+    """,
+)
+def q241_time_in_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("t_us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("next_us"),
+    )
+    spans = (
+        stepped.filter(F.col("next_us").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_intervals"),
+            F.sum(F.col("next_us") - F.col("t_us")).cast("bigint").alias("total_us"),
+        )
+    )
+    # window over the ≤#types aggregated rows, not events
+    w_all = Window.partitionBy(F.lit(1))
+    return spans.select(
+        "event_type",
+        "n_intervals",
+        "total_us",
+        (
+            F.col("total_us").cast("double") / F.sum("total_us").over(w_all).cast("double")
+        ).alias("time_share"),
+        F.round(
+            F.col("total_us").cast("double")
+            / F.col("n_intervals").cast("double")
+            / F.lit(1000000.0),
+            6,
+        ).alias("mean_hold_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q257 — Fano factor (variance-to-mean ratio) of daily counts per
+# event type: the overdispersion index that separates Poisson-like
+# arrivals (F≈1) from bursty ones (F>1) — the per-stream companion to
+# q202's per-user burstiness. Day×type grain after one rollup;
+# variance from exact integer sufficient statistics (n, Σc, Σc²),
+# one rounded double division at the end.
+# ---------------------------------------------------------------------------
+@query(
+    "q257_fano_factor",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(c) AS HUGEINT) AS sc,
+               CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS scc
+        FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n_days,
+           CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_daily,
+           round(CAST(n_days * scc - sc * sc AS DOUBLE)
+                 / CAST(CAST(n_days AS HUGEINT) * sc AS DOUBLE), 6) AS fano
+    FROM stats
+    """,
+)
+def q257_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum(_d38(F.col("c"))).cast("decimal(38,0)").alias("sc"),
+        F.sum(_d38(F.col("c")) * _d38(F.col("c"))).cast("decimal(38,0)").alias("scc"),
+    )
+    n = _d38(F.col("n_days"))
+    return stats.select(
+        "event_type",
+        "n_days",
+        (F.col("sc").cast("double") / F.col("n_days").cast("double")).alias("mean_daily"),
+        F.round(
+            (n * F.col("scc") - F.col("sc") * F.col("sc")).cast("double")
+            / (n * F.col("sc")).cast("double"),
+            6,
+        ).alias("fano"),
     )

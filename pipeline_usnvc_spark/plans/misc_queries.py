@@ -1004,7 +1004,9 @@ def q222_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket_sizes = sigs.groupBy("band", "band_sig").agg(F.count("*").alias("n_bucket"))
     big_buckets = bucket_sizes.filter(F.col("n_bucket") > F.lit(_NEARDUP_CAP))
     excused = (
-        joined.join(F.broadcast(big_buckets), ["band", "band_sig"], "left_semi")
+        # big_buckets/excused are worst-case O(pairs) on a boilerplate-
+        # heavy corpus: no broadcast hints on either audit join-back.
+        joined.join(big_buckets, ["band", "band_sig"], "left_semi")
         .select("id_a", "id_b")
         .distinct()
         .withColumn("cap_excused", F.lit(True))
@@ -1017,7 +1019,7 @@ def q222_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["id_a", "id_b"],
             "full_outer",
         )
-        .join(F.broadcast(excused), ["id_a", "id_b"], "left")
+        .join(excused, ["id_a", "id_b"], "left")
         .select(
             "id_a",
             "id_b",

@@ -344,7 +344,9 @@ def q182_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     fk = (
         orders.filter(F.col("o_custkey").isNotNull())
         .join(
-            F.broadcast(cust.select(F.col("c_custkey").alias("o_custkey"))),
+            # key-only but still customer-grain (scales with SF): no
+            # hint — left_anti shuffles on the key; AQE may broadcast.
+            cust.select(F.col("c_custkey").alias("o_custkey")),
             "o_custkey",
             "left_anti",
         ).agg(F.count("*").alias("n_violations"))

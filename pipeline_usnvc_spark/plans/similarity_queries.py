@@ -416,7 +416,9 @@ def q164_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     audit = (
         emb.select("vec_id", "label")
-        .join(F.broadcast(per_vec), "vec_id", "left")
+        # per_vec is corpus-grain (every endpoint of every pair): no
+        # broadcast hint — plain vec_id shuffle join scales.
+        .join(per_vec, "vec_id", "left")
         .select(
             "vec_id",
             "label",

@@ -464,14 +464,14 @@ def q89_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("score_r6") > 0)
     )
-    return scored.select(
-        "doc_id",
-        "score_r6",
-        F.row_number()
-        .over(Window.orderBy(F.col("score_r6").desc(), "doc_id"))
-        .cast("int")
-        .alias("rnk"),
-    )
+    # Matched-doc-grain global ranking through the two-phase
+    # range-exchange rank — no single-partition window (the match set
+    # is O(corpus) for common query terms).
+    from pipeline_usnvc_spark.operators.rank import with_global_rank
+
+    return with_global_rank(
+        scored, F.col("score_r6").desc(), "doc_id", rank_col="rnk"
+    ).select("doc_id", "score_r6", F.col("rnk").cast("int").alias("rnk"))
 
 
 # ---------------------------------------------------------------------------
@@ -1064,8 +1064,11 @@ def q147_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.log(F.col("tot").cast("double")) - F.log(F.col("cnt").cast("double")), 6
     )
     return (
-        bigrams.join(F.broadcast(stats), ["w1", "w2"])
-        .join(F.broadcast(w1_tot), "w1")
+        # stats/w1_tot are bigram- and unigram-VOCABULARY grain — they
+        # grow with the corpus, so no broadcast hints: the (w1, w2) and
+        # (w1) equi-joins shuffle fine and AQE broadcasts when small.
+        bigrams.join(stats, ["w1", "w2"])
+        .join(w1_tot, "w1")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
@@ -1170,7 +1173,8 @@ def q149_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_tot = st.agg(F.sum("c").cast("bigint").alias("n"))
     ln = lambda col: F.log(col.cast("double"))  # noqa: E731
     scored = (
-        st.join(F.broadcast(term_tot), "term")
+        # term_tot is vocabulary-grain (grows with the corpus): no hint.
+        st.join(term_tot, "term")
         .join(F.broadcast(src_tot), "source")
         .crossJoin(F.broadcast(all_tot))
         .select(
@@ -1494,4 +1498,204 @@ def q292_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
             ).alias("jaccard"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q237 — pairwise Jensen–Shannon divergence between source token
+# distributions (Lin 1991 — public measure): the corpus-mixing
+# diagnostic that tells a training-data pipeline which sources are
+# near-duplicates distribution-wise and which add diversity. Scale
+# shape: ONE vocab-grain shuffle builds per-token source-count maps;
+# the source-pair spine (n_src² rows — config-grain) broadcasts onto
+# it, so the corpus is never joined pairwise at doc grain. Per-token
+# contributions quantize to exact nano-ints after the suite's 6dp
+# ln-rounding, so the distributed integer sum is order-independent
+# and engine-exact.
+# ---------------------------------------------------------------------------
+@query(
+    "q237_js_divergence",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, t.token, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT source, unnest({_TOKS_SQL}) AS token FROM documents) t
+        GROUP BY source, t.token
+    ),
+    totals AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n FROM tok GROUP BY source),
+    pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b, a.n AS n_a, b.n AS n_b
+        FROM totals a JOIN totals b ON a.source < b.source
+    ),
+    terms AS (
+        SELECT p.src_a, p.src_b,
+               COALESCE(ta.cnt, 0) AS ca, COALESCE(tb.cnt, 0) AS cb,
+               p.n_a, p.n_b
+        FROM pairs p
+        CROSS JOIN (SELECT DISTINCT token FROM tok) v
+        LEFT JOIN tok ta ON ta.source = p.src_a AND ta.token = v.token
+        LEFT JOIN tok tb ON tb.source = p.src_b AND tb.token = v.token
+        WHERE COALESCE(ta.cnt, 0) + COALESCE(tb.cnt, 0) > 0
+    ),
+    contribs AS (
+        SELECT src_a, src_b,
+               CAST(round(1000000000.0 * (
+                 CASE WHEN ca > 0 THEN 0.5 * (CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE))
+                      * round(ln(2.0 * (CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE))
+                                 / (CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE)
+                                    + CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE))), 6)
+                      ELSE 0.0 END
+                 +
+                 CASE WHEN cb > 0 THEN 0.5 * (CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE))
+                      * round(ln(2.0 * (CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE))
+                                 / (CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE)
+                                    + CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE))), 6)
+                      ELSE 0.0 END)) AS BIGINT) AS nano
+        FROM terms
+    )
+    SELECT src_a, src_b,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(nano) AS DOUBLE) / 1000000000.0 AS jsd_nats
+    FROM contribs GROUP BY src_a, src_b
+    """,
+)
+def q237_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("source", F.explode(tokens("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    totals = tok.groupBy("source").agg(F.sum("cnt").cast("bigint").alias("n"))
+    ta, tb = totals.alias("ta"), totals.alias("tb")
+    pairs = ta.join(tb, F.col("ta.source") < F.col("tb.source")).select(
+        F.col("ta.source").alias("src_a"),
+        F.col("tb.source").alias("src_b"),
+        F.col("ta.n").alias("n_a"),
+        F.col("tb.n").alias("n_b"),
+    )
+    tokvec = tok.groupBy("token").agg(
+        F.map_from_entries(F.collect_list(F.struct("source", "cnt"))).alias("m")
+    )
+    ca = F.coalesce(F.element_at("m", F.col("src_a")), F.lit(0)).cast("bigint")
+    cb = F.coalesce(F.element_at("m", F.col("src_b")), F.lit(0)).cast("bigint")
+    p = ca.cast("double") / F.col("n_a").cast("double")
+    q = cb.cast("double") / F.col("n_b").cast("double")
+    half_sum = p + q
+    term_a = F.when(
+        ca > 0, F.lit(0.5) * p * F.round(F.log(F.lit(2.0) * p / half_sum), 6)
+    ).otherwise(F.lit(0.0))
+    term_b = F.when(
+        cb > 0, F.lit(0.5) * q * F.round(F.log(F.lit(2.0) * q / half_sum), 6)
+    ).otherwise(F.lit(0.0))
+    nano = F.round(F.lit(1000000000.0) * (term_a + term_b)).cast("bigint")
+    return (
+        tokvec.crossJoin(F.broadcast(pairs))
+        .withColumn("ca", ca)
+        .withColumn("cb", cb)
+        .filter(F.col("ca") + F.col("cb") > 0)
+        .withColumn("nano", nano)
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            (F.sum("nano").cast("double") / F.lit(1000000000.0)).alias("jsd_nats"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q251 — language-ID confusion matrix: the q31 stopword-marker
+# heuristic's predictions crossed against the corpus's own lang
+# labels, with per-label share — the eval harness a pipeline needs
+# before trusting a cheap classifier as a routing gate. One doc-grain
+# map pass + one (label, prediction)-grain rollup; the share divides
+# exact counts via a label-grain window (≤ #langs² rows).
+# ---------------------------------------------------------------------------
+@query(
+    "q251_lang_confusion",
+    oracle=f"""
+    WITH pred AS (
+        SELECT lang AS labeled_lang,
+               CASE
+                 WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                 WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+                 WHEN s_fr > 0 AND s_fr >= s_es THEN 'fr'
+                 WHEN s_es > 0 THEN 'es'
+                 ELSE 'und'
+               END AS detected_lang
+        FROM (
+            SELECT lang,
+                   {_L['en']} AS s_en, {_L['de']} AS s_de, {_L['fr']} AS s_fr, {_L['es']} AS s_es
+            FROM (SELECT lang, {_TOKS_SQL} AS toks FROM documents)
+        )
+    )
+    SELECT labeled_lang, detected_lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) AS DOUBLE)
+             / CAST(sum(count(*)) OVER (PARTITION BY labeled_lang) AS DOUBLE) AS label_share
+    FROM pred GROUP BY labeled_lang, detected_lang
+    """,
+)
+def q251_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from pipeline_usnvc_spark.functions.text import lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    cells = (
+        docs.select(
+            F.col("lang").alias("labeled_lang"), lang_id("text").alias("detected_lang")
+        )
+        .groupBy("labeled_lang", "detected_lang")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+    # window over the ≤ #langs² aggregated cells, not documents
+    w = Window.partitionBy("labeled_lang")
+    return cells.select(
+        "labeled_lang",
+        "detected_lang",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.sum("n_docs").over(w).cast("double")).alias(
+            "label_share"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q266 — hapax legomena profile per source: vocabulary size, number
+# of once-only tokens, and their ratio — the classic lexical-richness
+# signal (a source whose hapax ratio collapses is template/boilerplate
+# heavy; one where it explodes is OCR-noise heavy). Term tables
+# shuffle, documents don't.
+# ---------------------------------------------------------------------------
+@query(
+    "q266_hapax_ratio",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, t.token, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT source, unnest({_TOKS_SQL}) AS token FROM documents) t
+        GROUP BY source, t.token
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(count(*) FILTER (WHERE cnt = 1) AS BIGINT) AS n_hapax,
+           CAST(count(*) FILTER (WHERE cnt = 1) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS hapax_ratio,
+           CAST(sum(cnt) AS BIGINT) AS n_tokens
+    FROM tok GROUP BY source
+    """,
+)
+def q266_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("source", F.explode(tokens("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    return tok.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("vocab_size"),
+        F.count(F.when(F.col("cnt") == 1, 1)).cast("bigint").alias("n_hapax"),
+        (
+            F.count(F.when(F.col("cnt") == 1, 1)).cast("double")
+            / F.count("*").cast("double")
+        ).alias("hapax_ratio"),
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
     )

@@ -134,30 +134,20 @@ def test_comparator_rejects_int_float_coercion():
 
 def test_driver_sample_prefix_contains_rechecks():
     """The driver samples a 50-query prefix of queries() in dict
-    order; the query fixed this round (q59 array serialization) must
-    sit first so CORRECTNESS_r04 re-verifies it, and prior-round
-    greens must come last so the 45 never-sampled oracle-paired
-    queries all land inside the prefix (VERDICT r03 item 1)."""
+    order. Round-5 contract (VERDICT r04 items 1 and 6): the
+    schema-changed q113 recheck sits first, the 46 never-sampled
+    _R04_LATE oracle queries fill the prefix, and the
+    contract-carrying rows-only rotation (q219/q222/q212) takes the
+    remaining slots; round-5 additions (_R05_LATE) sort after the
+    rotation so they cannot displace the backlog."""
     import __spark_entry__ as e
 
     names = list(e.queries())
     prefix = set(names[:50])
-    assert names[0] == "q59_regexp_gauntlet"
-    # Every oracle-paired query that has never had a driver row must
-    # be inside the 50-sample so round 4 closes external verification
-    # — except the _R04_LATE additions, deliberately deferred to
-    # round 5 so they cannot displace the never-sampled backlog.
-    fresh_oracle = [
-        n
-        for n in names
-        if n in ORACLES
-        and n not in e._DRIVER_VERIFIED
-        and n not in e._R04_LATE
-    ]
-    missing = [n for n in fresh_oracle[:48] if n not in prefix]
-    assert not missing, f"fresh oracle-paired queries outside sample: {missing}"
-    # The two showcase rows-only contract queries hold slots 49-50.
-    for q in e._R04_SHOWCASE_ROWS_ONLY:
+    assert names[0] == "q113_heavy_hitters"
+    missing_late = [n for n in e._R04_LATE if n in names and n not in prefix]
+    assert not missing_late, f"late oracle queries outside sample: {missing_late}"
+    for q in e._ROWS_ONLY_ROTATION[:3]:
         assert q in prefix, f"{q} not in the driver sample"
     # every never-driver-verified query sorts before every verified one
     first_seen = min(

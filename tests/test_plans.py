@@ -606,3 +606,52 @@ def test_semantic_dedup_pair_join_is_label_partitioned(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_semantic_dedup_no_corpus_grain_broadcast_hints(spark, sf_dir):
+    """VERDICT r04 item 2: q221's partners/dropped join-backs are
+    corpus-grain (one row per vector with a near-dup partner) — the
+    analyzed plan must carry NO broadcast hints at all (AQE may still
+    pick broadcast at runtime when the frames turn out tiny; forcing
+    it OOMs executors on a dup-heavy corpus)."""
+    plan = (
+        QUERIES["q221_semantic_dedup"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert "ResolvedHint" not in plan, plan[:2000]
+
+
+def test_dsir_selection_uses_range_exchange_rank(spark, sf_dir, monkeypatch):
+    """VERDICT r04 item 3: q217's quartile selection must come from
+    the two-phase range-exchange rank (with_global_rank), never a
+    single-partition row_number window over doc-grain rows."""
+    import pipeline_usnvc_spark.operators.rank as rank_mod
+    import pipeline_usnvc_spark.plans.curation_queries as cur_mod
+
+    monkeypatch.setattr(rank_mod, "materialize", lambda df, eager=True: df)
+    monkeypatch.setattr(cur_mod, "materialize", lambda df, eager=True: df, raising=False)
+    plan = _plan(spark, "q217_dsir_importance", sf_dir)
+    assert "rangepartitioning" in plan.lower(), "selection lost its range exchange"
+    assert "row_number" not in plan, "selection fell back to a windowed row_number"
+    assert "monotonically_increasing_id" in plan
+
+
+def test_ntile_queries_have_no_single_partition_ntile(spark, sf_dir, monkeypatch):
+    """q227/q233/q275/q301 derive their quantile buckets from
+    with_global_rank + the exact map-side NTILE formula; the executed
+    plans must contain no ntile window at all (an unpartitioned
+    ntile is a single-partition sort of the whole grain)."""
+    import pipeline_usnvc_spark.operators.rank as rank_mod
+
+    monkeypatch.setattr(rank_mod, "materialize", lambda df, eager=True: df)
+    for name in (
+        "q227_rfm_segmentation",
+        "q233_time_to_convert",
+        "q275_error_slo_deciles",
+        "q301_lift_table",
+    ):
+        plan = _plan(spark, name, sf_dir)
+        assert "ntile" not in plan.lower(), (name, plan[:1500])
+        assert "rangepartitioning" in plan.lower(), name

@@ -715,3 +715,25 @@ def test_rolling_sketch_tracks_exact_wau(spark, sf_dir):
     assert set(approx) == set(exact)
     for day, ex in exact.items():
         assert abs(approx[day] - ex) <= max(5, 0.15 * ex), (day, approx[day], ex)
+
+
+def test_ntile_from_rank_matches_builtin(spark):
+    """ntile_from_rank(rank, n, k) must equal F.ntile(k) over the same
+    total order for every n % k residue class (n in 1..13, k in
+    {1, 3, 5, 10}) — the formula replaces unpartitioned ntile windows
+    (single-partition sorts) with with_global_rank + map-side math."""
+    from pyspark.sql import Window
+
+    from pipeline_usnvc_spark.operators.rank import ntile_from_rank
+
+    for n in (1, 2, 3, 4, 5, 7, 10, 13):
+        df = spark.range(1, n + 1).withColumnRenamed("id", "v")
+        for k in (1, 3, 5, 10):
+            w = Window.orderBy("v")
+            got = (
+                df.withColumn("r", F.row_number().over(w).cast("bigint"))
+                .withColumn("want", F.ntile(k).over(w))
+                .withColumn("got", ntile_from_rank(F.col("r"), F.lit(n), k))
+            )
+            bad = got.filter(F.col("got") != F.col("want")).count()
+            assert bad == 0, (n, k, got.orderBy("v").collect())
