@@ -230,8 +230,13 @@ _R05_LATE: tuple[str, ...] = (
     "q243_pareto_coverage",
     "q251_lang_confusion",
     "q252_dedup_survivorship",
+    "q253_priority_mix_shift",
     "q257_fano_factor",
+    "q258_rfm_migration",
+    "q260_quality_token_budget",
+    "q262_leadtime_percentiles",
     "q266_hapax_ratio",
+    "q268_length_lognormal_fit",
 )
 
 

@@ -1422,8 +1422,10 @@ def q282_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM slopes
     )
     SELECT CAST(max(m) AS BIGINT) AS n_pairs,
-           CAST(sum(slope_micro) AS BIGINT) AS med2_micro,
-           CAST(sum(slope_micro) AS DOUBLE) / 2000000.0 AS slope_cents_per_day
+           CAST(sum(slope_micro) AS BIGINT) AS mid_sum_micro,
+           CAST(count(*) AS BIGINT) AS n_mid,
+           CAST(sum(slope_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0
+             AS slope_cents_per_day
     FROM ranked
     WHERE r IN ((m + 1) // 2, m // 2 + 1)
     """,
@@ -1466,10 +1468,15 @@ def q235_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.max("m").cast("bigint").alias("n_pairs"),
-            F.sum("slope_micro").cast("bigint").alias("med2_micro"),
-            (F.sum("slope_micro").cast("double") / F.lit(2000000.0)).alias(
-                "slope_cents_per_day"
-            ),
+            F.sum("slope_micro").cast("bigint").alias("mid_sum_micro"),
+            F.count("*").cast("bigint").alias("n_mid"),
+            # avg of the selected middle values (1 when the pair count
+            # is odd, 2 when even) IS the exact median
+            (
+                F.sum("slope_micro").cast("double")
+                / F.count("*").cast("double")
+                / F.lit(1000000.0)
+            ).alias("slope_cents_per_day"),
         )
     )
 
@@ -1618,4 +1625,142 @@ def q243_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share_reached"),
         )
         .select("pct", "n_customers", "share_reached")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q253 — order-priority mix shift: monthly share of each order
+# priority and its month-over-month delta — the BI "did our order mix
+# move" monitor. Everything after one fact rollup lives at
+# month × priority grain (calendar-bounded); the MoM lag partitions
+# by priority over months, so no window ever sees fact rows. Shares
+# divide exact counts; deltas subtract two such doubles, rounded 6dp.
+# ---------------------------------------------------------------------------
+@query(
+    "q253_priority_mix_shift",
+    oracle="""
+    WITH monthly AS (
+        SELECT strftime(date_trunc('month', CAST(o_orderdate AS DATE)), '%Y-%m') AS month,
+               o_orderpriority AS priority,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1, 2
+    ),
+    shared AS (
+        SELECT month, priority, n,
+               CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY month) AS DOUBLE) AS share
+        FROM monthly
+    )
+    SELECT month, priority, n, share,
+           round(share - lag(share) OVER (PARTITION BY priority ORDER BY month), 6) AS mom_delta
+    FROM shared
+    """,
+)
+def q253_priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format(F.date_trunc("month", F.to_date("o_orderdate")), "yyyy-MM").alias(
+            "month"
+        ),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    # both windows run over month×priority aggregates, never orders
+    w_m = Window.partitionBy("month")
+    w_p = Window.partitionBy("priority").orderBy("month")
+    shared = monthly.withColumn(
+        "share", F.col("n").cast("double") / F.sum("n").over(w_m).cast("double")
+    )
+    return shared.withColumn(
+        "mom_delta", F.round(F.col("share") - F.lag("share").over(w_p), 6)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q258 — RFM-segment migration matrix: spend quintile per customer in
+# the first half of the order window vs the second, cross-tabulated —
+# the "are my best customers decaying" movement report (quintile 0 =
+# absent from that half). Scale shape: each half is quintiled
+# independently through with_global_rank + the exact map-side NTILE
+# formula (no single-partition ntile), the halves meet in one
+# customer-keyed full-outer join, and the matrix is a ≤36-cell rollup.
+# ---------------------------------------------------------------------------
+@query(
+    "q258_rfm_migration",
+    oracle="""
+    WITH bounds AS (
+        SELECT min(CAST(o_orderdate AS DATE)) AS d0, max(CAST(o_orderdate AS DATE)) AS d1
+        FROM orders
+    ),
+    tagged AS (
+        SELECT o.o_custkey,
+               CASE WHEN CAST(o.o_orderdate AS DATE)
+                         <= b.d0 + CAST(floor(date_diff('day', b.d0, b.d1) / 2) AS INT)
+                    THEN 'early' ELSE 'late' END AS half,
+               CAST(floor(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o, bounds b
+    ),
+    per_cust AS (
+        SELECT half, o_custkey, CAST(sum(cents) AS BIGINT) AS spend
+        FROM tagged GROUP BY 1, 2
+    ),
+    seg AS (
+        SELECT half, o_custkey,
+               ntile(5) OVER (PARTITION BY half ORDER BY spend DESC, o_custkey) AS q
+        FROM per_cust
+    )
+    SELECT COALESCE(e.q, 0) AS seg_early, COALESCE(l.q, 0) AS seg_late,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM (SELECT o_custkey, q FROM seg WHERE half = 'early') e
+    FULL OUTER JOIN (SELECT o_custkey, q FROM seg WHERE half = 'late') l
+      ON l.o_custkey = e.o_custkey
+    GROUP BY 1, 2
+    """,
+)
+def q258_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.checkpoint import materialize
+    from pipeline_usnvc_spark.operators.rank import ntile_from_rank, with_global_rank
+
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.to_date("o_orderdate")).alias("d0"),
+        F.max(F.to_date("o_orderdate")).alias("d1"),
+    )
+    tagged = o.crossJoin(F.broadcast(bounds)).select(
+        "o_custkey",
+        F.when(
+            F.to_date("o_orderdate")
+            <= F.date_add(
+                F.col("d0"), F.floor(F.datediff("d1", "d0") / 2).cast("int")
+            ),
+            "early",
+        )
+        .otherwise("late")
+        .alias("half"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    per_cust = tagged.groupBy("half", "o_custkey").agg(
+        F.sum("cents").cast("bigint").alias("spend")
+    )
+
+    def quintiled(half: str):
+        part = materialize(per_cust.filter(F.col("half") == half))
+        n = part.agg(F.count("*").cast("bigint").alias("_n"))
+        return (
+            with_global_rank(
+                part, F.col("spend").desc(), F.col("o_custkey"), rank_col="_r"
+            )
+            .crossJoin(F.broadcast(n))
+            .select("o_custkey", ntile_from_rank(F.col("_r"), F.col("_n"), 5).alias("q"))
+        )
+
+    e = quintiled("early").withColumnRenamed("q", "q_e")
+    l = quintiled("late").withColumnRenamed("q", "q_l")
+    return (
+        e.join(l, "o_custkey", "full_outer")
+        .groupBy(
+            F.coalesce("q_e", F.lit(0)).cast("int").alias("seg_early"),
+            F.coalesce("q_l", F.lit(0)).cast("int").alias("seg_late"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
     )

@@ -2334,3 +2334,63 @@ def q311_weighted_sample_wr(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = keyed.orderBy(F.col("es_key").desc(), F.col("doc_id")).limit(100)
     w = Window.orderBy(F.col("es_key").desc(), F.col("doc_id"))
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# q260 — token budget by quality band: bucket documents by their
+# stopword-ratio quality signal (1-dp bands) and report each band's
+# document and token mass plus the cumulative token budget available
+# at-or-above the band — the "how many tokens survive threshold t"
+# curve a data-mixing plan reads before setting its gate. One doc
+# scan → band-grain rollup; the cumulative window runs over ≤ 11
+# band rows. Exact integer token sums throughout.
+# ---------------------------------------------------------------------------
+@query(
+    "q260_quality_token_budget",
+    oracle=f"""
+    WITH scored AS (
+        SELECT CASE WHEN len(toks) > 0
+                    THEN round(CAST(len(list_filter(toks, t -> t IN
+                        ('the','a','of','and','to','in','is','that','it','was'))) AS DOUBLE)
+                        / CAST(len(toks) AS DOUBLE), 1)
+                    ELSE 0.0 END AS band,
+               CAST(len(toks) AS BIGINT) AS n_tokens
+        FROM (SELECT {_TOKS_SQL} AS toks FROM documents)
+    ),
+    bands AS (
+        SELECT band, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS band_tokens
+        FROM scored GROUP BY band
+    )
+    SELECT band, n_docs, band_tokens,
+           CAST(sum(band_tokens) OVER (ORDER BY band DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens_at_or_above
+    FROM bands
+    """,
+)
+def q260_quality_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from pipeline_usnvc_spark.functions.text import tokens
+
+    stop = ["the", "a", "of", "and", "to", "in", "is", "that", "it", "was"]
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tok = F.size(toks)
+    hits = F.size(F.filter(toks, lambda t: t.isin(stop)))
+    band = F.when(
+        n_tok > 0, F.round(hits.cast("double") / n_tok.cast("double"), 1)
+    ).otherwise(F.lit(0.0))
+    bands = docs.select(
+        band.alias("band"), n_tok.cast("bigint").alias("n_tokens")
+    ).groupBy("band").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("band_tokens"),
+    )
+    # cumulative over ≤ 11 band rows, not documents
+    w = Window.orderBy(F.col("band").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return bands.withColumn(
+        "cum_tokens_at_or_above", F.sum("band_tokens").over(w).cast("bigint")
+    )

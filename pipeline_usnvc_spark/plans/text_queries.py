@@ -1699,3 +1699,64 @@ def q266_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hapax_ratio"),
         F.sum("cnt").cast("bigint").alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q268 — per-source lognormal fit of document lengths: μ and σ² of
+# ln(n_chars) (the standard web-corpus length model) — feeds length-
+# prior curation and synthetic-data validation. Per-doc ln quantizes
+# to exact micro-ints after the suite's 6dp rounding, so μ/σ² come
+# from order-independent integer sufficient statistics; source-grain
+# output.
+# ---------------------------------------------------------------------------
+@query(
+    "q268_length_lognormal_fit",
+    oracle="""
+    WITH lns AS (
+        SELECT source,
+               CAST(round(round(ln(CAST(n_chars AS DOUBLE)), 6) * 1000000.0) AS BIGINT) AS l_micro
+        FROM documents WHERE n_chars > 0
+    ),
+    stats AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(l_micro) AS HUGEINT) AS s,
+               CAST(sum(CAST(l_micro AS HUGEINT) * l_micro) AS HUGEINT) AS ss
+        FROM lns GROUP BY source
+    )
+    SELECT source, n_docs,
+           round(CAST(s AS DOUBLE) / CAST(n_docs AS DOUBLE) / 1000000.0, 6) AS mu,
+           round(CAST(n_docs * ss - s * s AS DOUBLE)
+                 / CAST(CAST(n_docs AS HUGEINT) * n_docs AS DOUBLE) / 1e12, 6) AS sigma2
+    FROM stats
+    """,
+)
+def q268_length_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def _d38_txt(c):
+        return c.cast("decimal(38,0)")
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    l_micro = (
+        F.round(F.round(F.log(F.col("n_chars").cast("double")), 6) * 1000000.0)
+        .cast("bigint")
+    )
+    stats = docs.select("source", l_micro.alias("l_micro")).groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(_d38_txt(F.col("l_micro"))).cast("decimal(38,0)").alias("s"),
+        F.sum(_d38_txt(F.col("l_micro")) * _d38_txt(F.col("l_micro")))
+        .cast("decimal(38,0)")
+        .alias("ss"),
+    )
+    n = _d38_txt(F.col("n_docs"))
+    return stats.select(
+        "source",
+        "n_docs",
+        F.round(
+            F.col("s").cast("double") / F.col("n_docs").cast("double") / F.lit(1e6), 6
+        ).alias("mu"),
+        F.round(
+            (n * F.col("ss") - F.col("s") * F.col("s")).cast("double")
+            / (n * n).cast("double")
+            / F.lit(1e12),
+            6,
+        ).alias("sigma2"),
+    )

@@ -1536,3 +1536,73 @@ def q309_inventory_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("slow")
         .alias("velocity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q262 — exact shipping lead-time percentiles WITHOUT a global sort:
+# lead time (ship date − order date) is small-integer-valued, so the
+# exact p50/p90/p99 fall out of a gap-day HISTOGRAM — one fact join +
+# one rollup to ≤ ~200 day-gap rows, a cumulative window over that
+# tiny grain, and an integer threshold compare (100·cum ≥ p·n). The
+# standard trick for exact percentiles of low-cardinality measures at
+# any scale (the value domain, not the row count, bounds the state).
+# ---------------------------------------------------------------------------
+@query(
+    "q262_leadtime_percentiles",
+    oracle="""
+    WITH gaps AS (
+        SELECT CAST(date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) AS BIGINT) AS gap_days,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1
+    ),
+    cum AS (
+        SELECT gap_days, n,
+               CAST(sum(n) OVER (ORDER BY gap_days
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c,
+               CAST(sum(n) OVER () AS BIGINT) AS total
+        FROM gaps
+    )
+    SELECT p.pct,
+           CAST(min(c.gap_days) FILTER (WHERE 100 * c.c >= p.pct * c.total) AS BIGINT) AS gap_days,
+           CAST(max(c.total) AS BIGINT) AS n_lines
+    FROM cum c CROSS JOIN (SELECT unnest([50, 90, 99]) AS pct) p
+    GROUP BY p.pct
+    """,
+)
+def q262_leadtime_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    gaps = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+            .cast("bigint")
+            .alias("gap_days")
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    # windows over the ≤ ~200-row gap histogram, never lineitem
+    w_cum = Window.orderBy("gap_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    cum = gaps.select(
+        "gap_days",
+        F.sum("n").over(w_cum).cast("bigint").alias("c"),
+        F.sum("n").over(w_all).cast("bigint").alias("total"),
+    )
+    spine = spark.createDataFrame([(50,), (90,), (99,)], "pct int").coalesce(1)
+    crossed = _d38(F.lit(100)) * _d38(F.col("c")) >= _d38(F.col("pct")) * _d38(
+        F.col("total")
+    )
+    return (
+        cum.crossJoin(F.broadcast(spine))
+        .groupBy("pct")
+        .agg(
+            F.min(F.when(crossed, F.col("gap_days"))).cast("bigint").alias("gap_days"),
+            F.max("total").cast("bigint").alias("n_lines"),
+        )
+    )
