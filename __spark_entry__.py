@@ -237,6 +237,8 @@ _R05_LATE: tuple[str, ...] = (
     "q262_leadtime_percentiles",
     "q266_hapax_ratio",
     "q268_length_lognormal_fit",
+    "q269_order_gap_medians",
+    "q270_repeat_purchase_survival",
 )
 
 

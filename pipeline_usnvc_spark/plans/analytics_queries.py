@@ -1764,3 +1764,73 @@ def q258_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("bigint").alias("n_customers"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q269 — inter-order gap medians: each customer's exact median gap
+# (days) between consecutive orders, rolled into a gap-median
+# histogram — the purchase-cadence profile behind replenishment
+# models. Scale shape: per-customer order dates fold into a bounded
+# sorted array (per-customer order counts are small by construction —
+# the array never exceeds one customer's history), the median is
+# exact array math (2× median to stay integral), and the output is a
+# ≤ #distinct-median rollup. No window touches order rows.
+# ---------------------------------------------------------------------------
+@query(
+    "q269_order_gap_medians",
+    oracle="""
+    WITH gaps AS (
+        SELECT o_custkey,
+               date_diff('day', lag(CAST(o_orderdate AS DATE))
+                   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                   CAST(o_orderdate AS DATE)) AS gap
+        FROM orders
+    ),
+    lists AS (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_gaps,
+               list_sort(list(gap)) AS s
+        FROM gaps WHERE gap IS NOT NULL
+        GROUP BY o_custkey
+    ),
+    per_cust AS (
+        SELECT o_custkey, n_gaps,
+               CAST(CASE WHEN n_gaps % 2 = 1
+                    THEN 2 * s[CAST((n_gaps + 1) // 2 AS INT)]
+                    ELSE s[CAST((n_gaps + 1) // 2 AS INT)] + s[CAST(n_gaps // 2 + 1 AS INT)]
+                    END AS BIGINT) AS med2
+        FROM lists
+    )
+    SELECT med2, CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(n_gaps) AS BIGINT) AS total_gaps
+    FROM per_cust GROUP BY med2
+    """,
+)
+def q269_order_gap_medians(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.datediff(
+            F.to_date("o_orderdate"), F.lag(F.to_date("o_orderdate")).over(w)
+        ).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    # per-customer exact median from a BOUNDED sorted array (one
+    # customer's gap list); 2× median keeps it integral for any parity
+    per_cust = gaps.groupBy("o_custkey").agg(
+        F.count("*").cast("bigint").alias("n_gaps"),
+        F.array_sort(F.collect_list("gap")).alias("s"),
+    )
+    n = F.col("n_gaps")
+    lo = F.element_at("s", ((n + 1) / 2).cast("int"))
+    hi = F.element_at("s", (n / 2 + 1).cast("int"))
+    med2 = F.when(n % 2 == 1, 2 * lo).otherwise(lo + hi).cast("bigint")
+    return (
+        per_cust.select(med2.alias("med2"), "n_gaps")
+        .groupBy("med2")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum("n_gaps").cast("bigint").alias("total_gaps"),
+        )
+    )

@@ -2001,3 +2001,129 @@ def q257_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fano"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q270 — Kaplan–Meier repeat-purchase survival (Kaplan & Meier 1958 —
+# public estimator): for each user's FIRST purchase, the time until
+# their next purchase, right-censored at the end of the observation
+# window; S(d) over discrete day lags. The churn-analysis staple.
+# Scale shape: one user-keyed reduction to (gap, censored) per user,
+# then a day-grain life table (≤ window length rows) where at-risk
+# counts come from suffix sums and S(d) is exp of a cumulative
+# 6dp-rounded ln — all windows run over the tiny day grain.
+# ---------------------------------------------------------------------------
+@query(
+    "q270_repeat_purchase_survival",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, CAST(ts AS DATE) AS d
+        FROM events WHERE event_type = 'purchase'
+    ),
+    bounds AS (SELECT max(d) AS dmax FROM p),
+    per_user AS (
+        SELECT user_id, min(d) AS first_d,
+               min(CASE WHEN d > (SELECT min(d) FROM p p2 WHERE p2.user_id = p.user_id)
+                        THEN d END) AS next_d
+        FROM p GROUP BY user_id
+    ),
+    spells AS (
+        SELECT CASE WHEN next_d IS NOT NULL
+                    THEN CAST(date_diff('day', first_d, next_d) AS BIGINT)
+                    ELSE CAST(date_diff('day', first_d, b.dmax) AS BIGINT) END AS t,
+               (next_d IS NOT NULL) AS event
+        FROM per_user, bounds b
+    ),
+    life AS (
+        SELECT t,
+               CAST(count(*) FILTER (WHERE event) AS BIGINT) AS d_events,
+               CAST(count(*) AS BIGINT) AS leaving
+        FROM spells WHERE t > 0 GROUP BY t
+    ),
+    risk AS (
+        SELECT t, d_events,
+               CAST(sum(leaving) OVER (ORDER BY t DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk
+        FROM life
+    ),
+    terms AS (
+        SELECT t, n_risk, d_events,
+               CASE WHEN d_events < n_risk
+                    THEN round(ln(1.0 - CAST(d_events AS DOUBLE) / CAST(n_risk AS DOUBLE)), 6)
+                    ELSE 0.0 END AS ln_term,
+               CASE WHEN d_events >= n_risk THEN 1 ELSE 0 END AS zero_here
+        FROM risk
+    )
+    SELECT t AS day_lag, n_risk, d_events,
+           CASE WHEN max(zero_here) OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+                THEN 0.0
+                ELSE round(exp(sum(ln_term)
+                     OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+           END AS survival
+    FROM terms WHERE d_events > 0
+    """,
+)
+def q270_repeat_purchase_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    bounds = p.agg(F.max("d").alias("dmax"))
+    per_user = p.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    nexts = (
+        p.join(per_user, "user_id")
+        .filter(F.col("d") > F.col("first_d"))
+        .groupBy("user_id")
+        .agg(F.min("d").alias("next_d"))
+    )
+    spells = (
+        per_user.join(nexts, "user_id", "left")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.when(
+                F.col("next_d").isNotNull(), F.datediff("next_d", "first_d")
+            )
+            .otherwise(F.datediff("dmax", "first_d"))
+            .cast("bigint")
+            .alias("t"),
+            F.col("next_d").isNotNull().alias("event"),
+        )
+        .filter(F.col("t") > 0)
+    )
+    life = spells.groupBy("t").agg(
+        F.count(F.when(F.col("event"), 1)).cast("bigint").alias("d_events"),
+        F.count("*").cast("bigint").alias("leaving"),
+    )
+    # all windows below run over the ≤ #distinct-day-lag life table
+    w_desc = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_asc = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = life.withColumn("n_risk", F.sum("leaving").over(w_desc).cast("bigint"))
+    # d_events == n_risk means the whole remaining cohort converts:
+    # S drops to exactly 0 there and stays 0 (ln would be -inf).
+    haz_ln = F.when(
+        F.col("d_events") < F.col("n_risk"),
+        F.round(
+            F.log(
+                F.lit(1.0)
+                - F.col("d_events").cast("double") / F.col("n_risk").cast("double")
+            ),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    zero_here = F.when(F.col("d_events") >= F.col("n_risk"), 1).otherwise(0)
+    terms = risk.withColumn("ln_term", haz_ln).withColumn("zero_here", zero_here)
+    survival = F.when(
+        F.max("zero_here").over(w_asc) == 1, F.lit(0.0)
+    ).otherwise(F.round(F.exp(F.sum("ln_term").over(w_asc)), 6))
+    return (
+        terms.withColumn("survival", survival)
+        .filter(F.col("d_events") > 0)
+        .select(F.col("t").alias("day_lag"), "n_risk", "d_events", "survival")
+    )

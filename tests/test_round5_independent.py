@@ -220,3 +220,74 @@ def test_hapax_and_survivorship_consistency(spark, con):
         max_len = max(n for _, n in members)
         assert docs[r["keeper_longest"]][0] == max_len
         assert r["keeper_first"] == min(d for d, _ in members)
+
+
+def test_km_survival_pure_python(spark, con):
+    rows = con.execute(
+        "SELECT user_id, CAST(ts AS DATE) FROM events WHERE event_type = 'purchase'"
+    ).fetchall()
+    per_user = defaultdict(list)
+    for u, d in rows:
+        per_user[u].append(d)
+    dmax = max(d for _, d in rows)
+    spells = []
+    for u, ds in per_user.items():
+        ds = sorted(ds)
+        first = ds[0]
+        nxt = next((d for d in ds if d > first), None)
+        if nxt is not None:
+            spells.append(((nxt - first).days, True))
+        else:
+            spells.append(((dmax - first).days, False))
+    spells = [(t, e) for t, e in spells if t > 0]
+    from collections import Counter as C
+
+    leaving, events_at = C(), C()
+    for t, e in spells:
+        leaving[t] += 1
+        if e:
+            events_at[t] += 1
+    surv, acc, zero = {}, 0.0, False
+    n_at_risk = {}
+    remaining = len(spells)
+    for t in sorted(leaving):
+        n_at_risk[t] = remaining
+        d = events_at.get(t, 0)
+        if d >= remaining:
+            zero = True
+        elif d > 0:
+            acc += round(math.log(1.0 - d / remaining), 6)
+        if d > 0:
+            surv[t] = 0.0 if zero else round(math.exp(acc), 6)
+        remaining -= leaving[t]
+    got = {
+        r["day_lag"]: r for r in QUERIES["q270_repeat_purchase_survival"](spark, SF).collect()
+    }
+    assert set(got) == set(surv)
+    for t in surv:
+        assert got[t]["n_risk"] == n_at_risk[t], t
+        assert abs(got[t]["survival"] - surv[t]) < 1e-9, t
+    # survival is monotonically non-increasing
+    ts = sorted(surv)
+    assert all(surv[a] >= surv[b] - 1e-12 for a, b in zip(ts, ts[1:]))
+
+
+def test_order_gap_medians_pure_python(spark, con):
+    rows = con.execute(
+        "SELECT o_custkey, CAST(o_orderdate AS DATE), o_orderkey FROM orders ORDER BY 1, 2, 3"
+    ).fetchall()
+    per_cust = defaultdict(list)
+    for c, d, k in rows:
+        per_cust[c].append(d)
+    hist = Counter()
+    gap_totals = Counter()
+    for c, ds in per_cust.items():
+        gaps = [(b - a).days for a, b in zip(ds, ds[1:])]
+        if not gaps:
+            continue
+        med2 = round(2 * statistics.median(gaps))
+        hist[med2] += 1
+        gap_totals[med2] += len(gaps)
+    got = {r["med2"]: r for r in QUERIES["q269_order_gap_medians"](spark, SF).collect()}
+    assert {k: v["n_customers"] for k, v in got.items()} == dict(hist)
+    assert {k: v["total_gaps"] for k, v in got.items()} == dict(gap_totals)
