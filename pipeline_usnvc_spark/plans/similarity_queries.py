@@ -944,6 +944,11 @@ def q221_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cosine_similarity(F.col("a.ve"), F.col("b.ve")) >= 0.4)
         .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
     )
+    # pairs feeds BOTH audit frames below — materialize once or the
+    # label-partitioned cosine join (the expensive stage) runs twice.
+    from pipeline_usnvc_spark.operators.checkpoint import materialize
+
+    pairs = materialize(pairs)
     endpoints = pairs.select(F.col("id_a").alias("vec_id")).unionAll(
         pairs.select(F.col("id_b").alias("vec_id"))
     )
@@ -956,9 +961,12 @@ def q221_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partners/dropped are corpus-grain (one row per vector with a
     # near-dup partner), so on a dup-heavy corpus they are O(n): no
     # broadcast hints — a plain shuffle join on vec_id scales, and AQE
-    # may still pick broadcast when the frames turn out tiny.
+    # may still pick broadcast when the frames turn out tiny. The
+    # audit join-backs carry only (vec_id, label), never the vector
+    # payload, so the exchanges move two ints + a short string.
     return (
-        emb.join(partners, "vec_id", "left")
+        emb.select("vec_id", "label")
+        .join(partners, "vec_id", "left")
         .join(dropped, "vec_id", "left")
         .select(
             "vec_id",
