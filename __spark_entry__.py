@@ -239,6 +239,8 @@ _R05_LATE: tuple[str, ...] = (
     "q268_length_lognormal_fit",
     "q269_order_gap_medians",
     "q270_repeat_purchase_survival",
+    "q273_l_diversity",
+    "q274_t_closeness",
 )
 
 

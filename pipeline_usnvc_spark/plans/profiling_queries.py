@@ -431,3 +431,228 @@ def q185_join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(f"{tbl}.{col}").alias("key_col"), "*")
         out = agg if out is None else out.unionByName(agg)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q273 — entropy l-diversity audit (Machanavajjhala et al. 2007 —
+# public method): within each quasi-identifier equivalence class
+# (q239's mktsegment × nation × balance band), how diverse is the
+# sensitive attribute (order priority)? Reports distinct-l and the
+# entropy in nats. Scale shape: one fact join decorates orders with
+# their customer's QI class, then everything is (class × ≤5
+# priorities) grain; entropy terms quantize to nano-ints after the
+# 6dp-ln rounding so the ≤5-term sum is order-independent and
+# engine-exact.
+# ---------------------------------------------------------------------------
+@query(
+    "q273_l_diversity",
+    oracle="""
+    WITH classes AS (
+        SELECT c_custkey, c_mktsegment,
+               CAST(c_nationkey AS BIGINT) AS c_nationkey,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS acctbal_band
+        FROM customer
+    ),
+    cells AS (
+        SELECT c.c_mktsegment, c.c_nationkey, c.acctbal_band,
+               o.o_orderpriority, CAST(count(*) AS BIGINT) AS c
+        FROM orders o JOIN classes c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2, 3, 4
+    ),
+    termed AS (
+        SELECT c_mktsegment, c_nationkey, acctbal_band, c,
+               CAST(round(-1000000000.0
+                   * (CAST(c AS DOUBLE) / CAST(sum(c) OVER (PARTITION BY c_mktsegment, c_nationkey, acctbal_band) AS DOUBLE))
+                   * round(ln(CAST(c AS DOUBLE) / CAST(sum(c) OVER (PARTITION BY c_mktsegment, c_nationkey, acctbal_band) AS DOUBLE)), 6)
+                 ) AS BIGINT) AS term_nano
+        FROM cells
+    ),
+    per_class AS (
+        SELECT c_mktsegment, c_nationkey, acctbal_band,
+               CAST(sum(c) AS BIGINT) AS n_orders,
+               CAST(count(*) AS BIGINT) AS n_priorities,
+               CAST(sum(term_nano) AS BIGINT) AS ent_nano
+        FROM termed
+        GROUP BY 1, 2, 3
+    )
+    SELECT c_mktsegment, c_nationkey, acctbal_band, n_orders, n_priorities,
+           CAST(ent_nano AS DOUBLE) / 1000000000.0 AS entropy_nats,
+           n_priorities >= 3 AS distinct_l3
+    FROM per_class
+    """,
+)
+def q273_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_nationkey").cast("bigint").alias("c_nationkey"),
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("acctbal_band"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    cells = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "c_nationkey", "acctbal_band", "o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    # class-grain window over ≤5 priority rows per class
+    w = Window.partitionBy("c_mktsegment", "c_nationkey", "acctbal_band")
+    p = F.col("c").cast("double") / F.sum("c").over(w).cast("double")
+    term_nano = F.round(F.lit(-1000000000.0) * p * F.round(F.log(p), 6)).cast("bigint")
+    per_class = (
+        cells.withColumn("term_nano", term_nano)
+        .groupBy("c_mktsegment", "c_nationkey", "acctbal_band")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_orders"),
+            F.count("*").cast("bigint").alias("n_priorities"),
+            F.sum("term_nano").cast("bigint").alias("ent_nano"),
+        )
+    )
+    return per_class.select(
+        "c_mktsegment",
+        "c_nationkey",
+        "acctbal_band",
+        "n_orders",
+        "n_priorities",
+        (F.col("ent_nano").cast("double") / F.lit(1000000000.0)).alias("entropy_nats"),
+        (F.col("n_priorities") >= 3).alias("distinct_l3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q274 — t-closeness audit (Li, Li & Venkatasubramanian 2007 — public
+# method): per QI class, the earth-mover's distance between the
+# class's sensitive-attribute distribution (ordinal order priority)
+# and the global one. For a 1-D ordinal the EMD is the sum of
+# |CDF_class − CDF_global| over the ≤5 ordered levels — computed here
+# as EXACT integer cross-products (|cum_c·N − cum_g·n_c| summed in
+# DECIMAL(38,0), one double division at the end), so no float
+# accumulation anywhere. Class × 5-level spine grain throughout.
+# ---------------------------------------------------------------------------
+@query(
+    "q274_t_closeness",
+    oracle="""
+    WITH classes AS (
+        SELECT c_custkey, c_mktsegment,
+               CAST(c_nationkey AS BIGINT) AS c_nationkey,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS acctbal_band
+        FROM customer
+    ),
+    f AS (
+        SELECT c.c_mktsegment, c.c_nationkey, c.acctbal_band,
+               CAST(substring(o.o_orderpriority, 1, 1) AS BIGINT) AS lvl
+        FROM orders o JOIN classes c ON o.o_custkey = c.c_custkey
+    ),
+    cells AS (
+        SELECT c_mktsegment, c_nationkey, acctbal_band, lvl, CAST(count(*) AS BIGINT) AS c
+        FROM f GROUP BY 1, 2, 3, 4
+    ),
+    spine AS (
+        SELECT DISTINCT c_mktsegment, c_nationkey, acctbal_band, l.lvl
+        FROM cells, (SELECT unnest([1, 2, 3, 4, 5]) AS lvl) l
+    ),
+    ccum AS (
+        SELECT s.c_mktsegment, s.c_nationkey, s.acctbal_band, s.lvl,
+               CAST(sum(COALESCE(c.c, 0)) OVER (
+                    PARTITION BY s.c_mktsegment, s.c_nationkey, s.acctbal_band
+                    ORDER BY s.lvl ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_c,
+               CAST(sum(COALESCE(c.c, 0)) OVER (
+                    PARTITION BY s.c_mktsegment, s.c_nationkey, s.acctbal_band) AS BIGINT) AS n_c
+        FROM spine s LEFT JOIN cells c
+          ON c.c_mktsegment = s.c_mktsegment AND c.c_nationkey = s.c_nationkey
+         AND c.acctbal_band = s.acctbal_band AND c.lvl = s.lvl
+    ),
+    gcum AS (
+        SELECT l.lvl,
+               CAST(sum(COALESCE(g.g, 0)) OVER (ORDER BY l.lvl
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_g,
+               CAST(sum(COALESCE(g.g, 0)) OVER () AS BIGINT) AS n_g
+        FROM (SELECT unnest([1, 2, 3, 4, 5]) AS lvl) l
+        LEFT JOIN (SELECT lvl, CAST(count(*) AS BIGINT) AS g FROM f GROUP BY lvl) g
+          ON g.lvl = l.lvl
+    )
+    SELECT c.c_mktsegment, c.c_nationkey, c.acctbal_band,
+           CAST(max(c.n_c) AS BIGINT) AS n_orders,
+           CAST(sum(abs(CAST(c.cum_c AS HUGEINT) * g.n_g
+                        - CAST(g.cum_g AS HUGEINT) * c.n_c)) AS DOUBLE)
+             / (CAST(max(c.n_c) AS DOUBLE) * CAST(max(g.n_g) AS DOUBLE) * 4.0) AS emd,
+           CAST(sum(abs(CAST(c.cum_c AS HUGEINT) * g.n_g
+                        - CAST(g.cum_g AS HUGEINT) * c.n_c)) AS DOUBLE)
+             / (CAST(max(c.n_c) AS DOUBLE) * CAST(max(g.n_g) AS DOUBLE) * 4.0) <= 0.2 AS t_close_02
+    FROM ccum c JOIN gcum g ON g.lvl = c.lvl
+    GROUP BY 1, 2, 3
+    """,
+)
+def q274_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_nationkey").cast("bigint").alias("c_nationkey"),
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("acctbal_band"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    f = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "c_mktsegment",
+        "c_nationkey",
+        "acctbal_band",
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("lvl"),
+    )
+    cells = f.groupBy("c_mktsegment", "c_nationkey", "acctbal_band", "lvl").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    lvl_spine = spark.createDataFrame([(i,) for i in range(1, 6)], "lvl bigint").coalesce(1)
+    spine = (
+        cells.select("c_mktsegment", "c_nationkey", "acctbal_band")
+        .distinct()
+        .crossJoin(F.broadcast(lvl_spine))
+    )
+    filled = spine.join(
+        cells, ["c_mktsegment", "c_nationkey", "acctbal_band", "lvl"], "left"
+    ).select(
+        "c_mktsegment",
+        "c_nationkey",
+        "acctbal_band",
+        "lvl",
+        F.coalesce("c", F.lit(0)).cast("bigint").alias("c"),
+    )
+    # class-grain windows over exactly 5 level rows per class
+    w_class = Window.partitionBy("c_mktsegment", "c_nationkey", "acctbal_band")
+    w_ccum = w_class.orderBy("lvl").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ccum = filled.select(
+        "c_mktsegment",
+        "c_nationkey",
+        "acctbal_band",
+        "lvl",
+        F.sum("c").over(w_ccum).cast("bigint").alias("cum_c"),
+        F.sum("c").over(w_class).cast("bigint").alias("n_c"),
+    )
+    # global 5-row CDF (1-row-per-level side table)
+    glob = f.groupBy("lvl").agg(F.count("*").cast("bigint").alias("g"))
+    w_g = Window.orderBy("lvl").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_gall = Window.partitionBy(F.lit(1))
+    gcum = (
+        lvl_spine.join(glob, "lvl", "left")
+        .select("lvl", F.coalesce("g", F.lit(0)).cast("bigint").alias("g"))
+        .select(
+            "lvl",
+            F.sum("g").over(w_g).cast("bigint").alias("cum_g"),
+            F.sum("g").over(w_gall).cast("bigint").alias("n_g"),
+        )
+    )
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    term = F.abs(d38(F.col("cum_c")) * d38(F.col("n_g")) - d38(F.col("cum_g")) * d38(F.col("n_c")))
+    # normalized by m - 1 = 4 (Li et al.: ordinal ground distance is
+    # |i - j| / (m - 1)), so emd lies in [0, 1]
+    emd = F.sum(term).cast("double") / (
+        F.max("n_c").cast("double") * F.max("n_g").cast("double") * F.lit(4.0)
+    )
+    return (
+        ccum.join(F.broadcast(gcum), "lvl")
+        .groupBy("c_mktsegment", "c_nationkey", "acctbal_band")
+        .agg(
+            F.max("n_c").cast("bigint").alias("n_orders"),
+            emd.alias("emd"),
+            (emd <= 0.2).alias("t_close_02"),
+        )
+    )

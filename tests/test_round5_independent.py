@@ -25,7 +25,7 @@ SF = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def con():
     c = duckdb.connect()
-    for t in ("orders", "events", "documents", "lineitem"):
+    for t in ("orders", "events", "documents", "lineitem", "customer"):
         c.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
@@ -291,3 +291,51 @@ def test_order_gap_medians_pure_python(spark, con):
     got = {r["med2"]: r for r in QUERIES["q269_order_gap_medians"](spark, SF).collect()}
     assert {k: v["n_customers"] for k, v in got.items()} == dict(hist)
     assert {k: v["total_gaps"] for k, v in got.items()} == dict(gap_totals)
+
+
+def test_privacy_audits_pure_python(spark, con):
+    rows = con.execute(
+        """SELECT c.c_mktsegment, c.c_nationkey, CAST(floor(c.c_acctbal / 1000) AS BIGINT),
+                  o.o_orderpriority
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"""
+    ).fetchall()
+    classes = defaultdict(Counter)
+    glob = Counter()
+    for seg, nat, band, prio in rows:
+        lvl = int(prio[0])
+        classes[(seg, nat, band)][lvl] += 1
+        glob[lvl] += 1
+    n_g = sum(glob.values())
+
+    ldiv = {
+        (r["c_mktsegment"], r["c_nationkey"], r["acctbal_band"]): r
+        for r in QUERIES["q273_l_diversity"](spark, SF).collect()
+    }
+    tclose = {
+        (r["c_mktsegment"], r["c_nationkey"], r["acctbal_band"]): r
+        for r in QUERIES["q274_t_closeness"](spark, SF).collect()
+    }
+    assert set(ldiv) == set(classes) == set(tclose)
+    for key, cnt in classes.items():
+        n_c = sum(cnt.values())
+        ent = sum(
+            round(-1e9 * (c / n_c) * round(math.log(c / n_c), 6))
+            for c in cnt.values()
+        ) / 1e9
+        assert ldiv[key]["n_orders"] == n_c
+        assert ldiv[key]["n_priorities"] == len(cnt)
+        # python round() is half-EVEN while both engines round half
+        # away from zero: allow 1 nano per term of drift
+        assert abs(ldiv[key]["entropy_nats"] - ent) < 1e-8, key
+        # entropy bounds: [0, ln 5]
+        assert -1e-9 <= ldiv[key]["entropy_nats"] <= math.log(5) + 1e-6
+        # EMD: sum over ordered levels of |CDF_c - CDF_g|
+        cum_c = cum_g = 0
+        emd_num = 0
+        for lvl in (1, 2, 3, 4, 5):
+            cum_c += cnt.get(lvl, 0)
+            cum_g += glob.get(lvl, 0)
+            emd_num += abs(cum_c * n_g - cum_g * n_c)
+        want = emd_num / (n_c * n_g * 4)  # ground distance |i-j|/(m-1)
+        assert abs(tclose[key]["emd"] - want) < 1e-12, key
+        assert 0.0 <= tclose[key]["emd"] <= 1.0
