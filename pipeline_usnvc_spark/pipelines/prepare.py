@@ -98,13 +98,22 @@ def label_and_shard(
     curation gate when the caller already has it."""
     if audit is None:
         audit = curate(docs, **curate_kwargs)
-    kept = (
+    from pipeline_usnvc_spark.operators.checkpoint import materialize
+
+    # kept feeds the decontamination split (shingle explode) AND the
+    # labelled join below: one checkpoint stops the multi-stage
+    # curation gate from re-executing for each consumer.
+    kept = materialize(
         docs.join(audit.select("doc_id", "drop_stage"), "doc_id")
         .filter(F.col("drop_stage") == "kept")
         .select("doc_id", "text", "source", token_count("text").alias("n_tokens"))
     )
     split = decontaminated_split(kept, eval_pct=eval_pct)
-    labelled = kept.join(split, "doc_id")
+    # labelled feeds BOTH the train branch (rank + shard) and the rest
+    # branch of the union: materialize once, or the split join
+    # executes twice (measured: 20 parquet scans, zero ReusedExchange,
+    # before these two cuts; 11.2 s -> 7.4 s at sf0.1).
+    labelled = materialize(kept.join(split, "doc_id"))
     train = labelled.filter(F.col("split") == "train")
     ranked = with_global_rank(train, F.desc("n_tokens"), "doc_id", rank_col="_rn")
     sharded = ranked.withColumn(
