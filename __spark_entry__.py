@@ -30,14 +30,13 @@ def entry(spark: SparkSession) -> DataFrame:
     return customer_documents(spark, "/root/testdata/sf0.001")
 
 
-# Queries that already have a green driver row in CORRECTNESS_r01.json
-# or CORRECTNESS_r02.json. The driver samples a prefix of the registry
-# in dict order, so ordering the not-yet-driver-verified queries FIRST
+# Queries with a green driver row in a prior round's CORRECTNESS
+# file. The driver samples a 50-query prefix of the registry in dict
+# order, so ordering the not-yet-driver-verified queries FIRST
 # (oracle-paired before rows-only) maximizes fresh external
 # verification per round; prior greens go last — they remain covered
-# by tests/test_oracle_parity. q104/q122 (the two red r02 rows, fixed
-# by the HUGEINT oracle casts) are deliberately NOT listed so the r03
-# sample re-verifies them.
+# by tests/test_oracle_parity (the full 259-oracle registry replays
+# in pytest every round).
 _R01_VERIFIED = frozenset(
     {
         "q01_pricing_summary", "q02_filter_project", "q03_top_revenue_orders",
@@ -54,19 +53,15 @@ _R01_VERIFIED = frozenset(
         "q50_exact_dedup", "q51_minhash_signature", "q52_lsh_candidate_pairs",
         "q53_simhash", "q57_span_dedup", "q54_ngram_jaccard",
         "q94_prefix_filter_jaccard", "q153_cross_source_dups",
-        "q110_contamination", "q113_heavy_hitters", "q114_pii_redact",
+        "q110_contamination", "q114_pii_redact",
         "q115_repetition_stats", "q116_sequence_packing", "q117_source_mixture",
         "q130_boilerplate_removal", "q131_vocab_coverage", "q134_bigram_lm",
     }
 )
 
-# Green rows from CORRECTNESS_r02.json (48 of 50 sampled; q104/q122
-# excluded — see above).
 _R02_VERIFIED = frozenset(
     {
         "q147_lm_surprisal", "q148_chunk_documents", "q149_distinctive_terms",
-        # q61_embedding_near_dup deliberately omitted: its r02 green row
-        # was vacuous (0 vs 0 rows); re-sample with the retuned threshold.
         "q60_cosine_topk", "q66_cosine_topk_arrow",
         "q135_int8_quantize", "q169_label_centroid_sim", "q170_matryoshka_overlap",
         "q173_embedding_dim_stats", "q157_quality_keeper", "q158_token_fertility",
@@ -86,10 +81,6 @@ _R02_VERIFIED = frozenset(
     }
 )
 
-# Green rows from CORRECTNESS_r03.json (49 of 50 sampled; the one
-# red row, q59_regexp_gauntlet, was a driver-canonicalizer err on raw
-# array<string> columns — fixed via concat_ws serialization and pinned
-# first below for re-sampling).
 _R03_VERIFIED = frozenset(
     {
         "q104_growth_accounting", "q107_variant_extract",
@@ -114,9 +105,6 @@ _R03_VERIFIED = frozenset(
     }
 )
 
-# Green rows from CORRECTNESS_r04.json (48 of 50 sampled; the other
-# two rows were the q62/q63 rows-only showcases, now retired from the
-# pinned prefix — their contracts stay in-plan).
 _R04_VERIFIED = frozenset(
     {
         "q59_regexp_gauntlet", "q87_fk_orphan_audit", "q88_price_histogram",
@@ -138,88 +126,56 @@ _R04_VERIFIED = frozenset(
         "q192_chi2_type_hour", "q193_cusum_changepoint",
         "q194_acf_daily_counts", "q198_kmv_distinct", "q213_min_cost_supplier",
         "q214_part_value_share", "q215_supplier_exclusion_count",
+        # contract-carrying rows-only showcases executed in the r04
+        # sample (recall-bound contracts live in-plan):
+        "q62_lsh_topk", "q63_ivf_topk",
+    }
+)
+
+# Green rows from CORRECTNESS_r05.json: 46/46 sampled oracle rows
+# hash-green, plus the four contract-carrying rows-only rows that
+# executed clean under their in-plan contracts (q113's Misra-Gries
+# bound recheck, q219's BPE round-trip, q222's streaming-vs-batch
+# near-dup audit, q212's HLL-vs-exact error contract) — VERDICT r05
+# item 1 counts all of them as driver-verified.
+_R05_VERIFIED = frozenset(
+    {
+        "q216_forecast_revenue_change", "q217_dsir_importance",
+        "q218_gopher_quality_gate", "q220_listagg_gauntlet",
+        "q221_semantic_dedup", "q223_multiset_ops",
+        "q224_null_ordering_gauntlet", "q225_collation_group",
+        "q226_rolling_median", "q227_rfm_segmentation",
+        "q228_association_rules", "q229_top_paths", "q230_benford_audit",
+        "q231_weighted_median", "q232_gini_spend", "q233_time_to_convert",
+        "q234_shipping_sla", "q239_k_anonymity", "q245_bounce_rate",
+        "q246_sorted_neighborhood", "q247_quantile_normalize_sources",
+        "q248_minhash_calibration", "q249_incremental_dedup",
+        "q250_freshness_report", "q254_json_flatten", "q256_trimmed_mean",
+        "q259_ngram_diversity", "q263_neyman_allocation",
+        "q264_cuped_adjustment", "q267_histogram_overlap",
+        "q272_gate_agreement", "q275_error_slo_deciles",
+        "q277_degree_powerlaw", "q278_gaps_and_islands",
+        "q282_apriori_triples", "q284_wow_change", "q290_daily_entropy_trend",
+        "q292_source_vocab_overlap", "q294_seasonal_naive_backtest",
+        "q295_dispersion_index", "q296_discount_response",
+        "q297_supplier_hhi", "q301_lift_table", "q303_dow_seasonality",
+        "q309_inventory_turns", "q311_weighted_sample_wr",
+        # contract-carrying rows-only rows executed in the r05 sample:
+        "q113_heavy_hitters", "q219_bpe_encode", "q222_streaming_neardup",
+        "q212_rolling_actives_sketch",
     }
 )
 
 _DRIVER_VERIFIED = (
     _R01_VERIFIED | _R02_VERIFIED | _R03_VERIFIED | _R04_VERIFIED
-) - {
-    # q113's output schema changed in round 4 (exact_count/mg_bound_ok
-    # columns + in-plan contract) after its r01 driver row was recorded;
-    # drop it from the verified set so the round-5 sample re-records it
-    # (ADVICE r04).
-    "q113_heavy_hitters",
-}
-
-
-# Queries ADDED late in round 4 (after the 50-slot sample was already
-# full): they sort after the two showcase rows-only entries so they
-# cannot displace the never-sampled backlog; round 5 picks them up.
-_R04_LATE = (
-    "q216_forecast_revenue_change",
-    "q217_dsir_importance",
-    "q218_gopher_quality_gate",
-    "q220_listagg_gauntlet",
-    "q221_semantic_dedup",
-    "q223_multiset_ops",
-    "q224_null_ordering_gauntlet",
-    "q225_collation_group",
-    "q226_rolling_median",
-    "q227_rfm_segmentation",
-    "q228_association_rules",
-    "q229_top_paths",
-    "q230_benford_audit",
-    "q231_weighted_median",
-    "q232_gini_spend",
-    "q233_time_to_convert",
-    "q234_shipping_sla",
-    "q239_k_anonymity",
-    "q245_bounce_rate",
-    "q246_sorted_neighborhood",
-    "q247_quantile_normalize_sources",
-    "q248_minhash_calibration",
-    "q249_incremental_dedup",
-    "q254_json_flatten",
-    "q256_trimmed_mean",
-    "q259_ngram_diversity",
-    "q264_cuped_adjustment",
-    "q250_freshness_report",
-    "q263_neyman_allocation",
-    "q267_histogram_overlap",
-    "q272_gate_agreement",
-    "q275_error_slo_deciles",
-    "q277_degree_powerlaw",
-    "q278_gaps_and_islands",
-    "q282_apriori_triples",
-    "q284_wow_change",
-    "q290_daily_entropy_trend",
-    "q292_source_vocab_overlap",
-    "q294_seasonal_naive_backtest",
-    "q295_dispersion_index",
-    "q296_discount_response",
-    "q297_supplier_hhi",
-    "q301_lift_table",
-    "q303_dow_seasonality",
-    "q309_inventory_turns",
-    "q311_weighted_sample_wr",
+    | _R05_VERIFIED
 )
 
-# Contract-carrying rows-only queries rotated into the sample after
-# the late oracle backlog (VERDICT r04 items 1 and 6): q219/q222 are
-# the two round-4 additions without driver exposure; q212/q100/q85/q71
-# are the next never-sampled rows-only rotations.
-_ROWS_ONLY_ROTATION = (
-    "q219_bpe_encode",
-    "q222_streaming_neardup",
-    "q212_rolling_actives_sketch",
-    "q100_hll_mergeable_distinct",
-    "q85_approx_percentiles",
-    "q71_approx_count_distinct",
-)
 
-# Queries ADDED in round 5 (after the late backlog was queued): they
-# sort after the rows-only rotation so they cannot displace the
-# never-driver-sampled backlog; round 6 picks them up.
+# Round 6 sample head (VERDICT r05 items 1-2). First: the 20 oracle-
+# paired queries added late in round 5 (never driver-sampled) — green
+# rows here complete external verification of the entire oracle
+# registry.
 _R05_LATE: tuple[str, ...] = (
     "q235_theil_sen_trend",
     "q236_mann_kendall",
@@ -243,39 +199,58 @@ _R05_LATE: tuple[str, ...] = (
     "q274_t_closeness",
 )
 
+# Second: the rows-only queries that have NEVER had a driver row
+# (VERDICT r05 item 2) — every one now carries an in-plan executed
+# contract (recall bound, estimate-vs-exact, batch-equivalence audit,
+# JVM-recompute of the Python-extracted features, invariants), so a
+# rows-only driver row certifies the computation, not just a count.
+_ROWS_ONLY_BACKLOG: tuple[str, ...] = (
+    "q64_multiprobe_lsh_topk",
+    "q65_pq_topk",
+    "q70_multimodal_features",
+    "q71_approx_count_distinct",
+    "q81_stateful_sessionize",
+    "q83_stream_dedup_watermark",
+    "q85_approx_percentiles",
+    "q100_hll_mergeable_distinct",
+    "q101_pagerank",
+    "q132_kmeans_clusters",
+    "q164_embedding_near_dup_lsh",
+    "q171_bpe_merge_train",
+    "q178_label_propagation",
+    "q179_streaming_term_counts",
+    "q199_thumbnail_grid",
+    "q209_audio_features",
+    "q210_video_frame_sample",
+)
+
+# Queries ADDED in round 6: they sort after the two backlogs above so
+# they cannot displace the planned verification (VERDICT r05 item 8);
+# 20 + 17 = 37 backlog slots leave 13 sample slots for the head of
+# this tuple; the rest roll to round 7.
+_R06_LATE: tuple[str, ...] = ()
+
 
 def _ordered_names() -> list[str]:
     from pipeline_usnvc_spark.plans import ORACLES, QUERIES
 
     names = list(QUERIES)
-    # Changed-schema queries go first so the driver's sample prefix is
-    # guaranteed to re-record them (ADVICE r04: q113 gained
-    # exact_count/mg_bound_ok columns after its r01 row was recorded).
-    recheck = [n for n in ("q113_heavy_hitters",) if n in names]
-    pinned = (
-        set(recheck)
-        | set(_ROWS_ONLY_ROTATION)
-        | set(_R04_LATE)
-        | set(_R05_LATE)
-    )
+    pinned = set(_R05_LATE) | set(_ROWS_ONLY_BACKLOG) | set(_R06_LATE)
+    late = [n for n in _R05_LATE if n in names]
+    backlog = [n for n in _ROWS_ONLY_BACKLOG if n in names]
+    r06_late = [n for n in _R06_LATE if n in names]
     fresh_oracle = [
         n
         for n in names
         if n not in _DRIVER_VERIFIED and n in ORACLES and n not in pinned
     ]
-    late = [n for n in _R04_LATE if n in names]
-    rotation = [n for n in _ROWS_ONLY_ROTATION if n in names]
-    r05_late = [n for n in _R05_LATE if n in names]
     fresh_rows_only = [
         n
         for n in names
         if n not in _DRIVER_VERIFIED and n not in ORACLES and n not in pinned
     ]
-    seen = [n for n in names if n in _DRIVER_VERIFIED]
-    return (
-        recheck + fresh_oracle + late + rotation + r05_late
-        + fresh_rows_only + seen
-    )
+    seen = [n for n in names if n in _DRIVER_VERIFIED and n not in pinned]
+    return late + backlog + r06_late + fresh_oracle + fresh_rows_only + seen
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

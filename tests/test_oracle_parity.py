@@ -134,21 +134,27 @@ def test_comparator_rejects_int_float_coercion():
 
 def test_driver_sample_prefix_contains_rechecks():
     """The driver samples a 50-query prefix of queries() in dict
-    order. Round-5 contract (VERDICT r04 items 1 and 6): the
-    schema-changed q113 recheck sits first, the 46 never-sampled
-    _R04_LATE oracle queries fill the prefix, and the
-    contract-carrying rows-only rotation (q219/q222/q212) takes the
-    remaining slots; round-5 additions (_R05_LATE) sort after the
-    rotation so they cannot displace the backlog."""
+    order. Round-6 contract (VERDICT r05 items 1, 2 and 8): the 20
+    never-sampled _R05_LATE oracle queries lead, the 17-query
+    contract-carrying rows-only backlog fills the middle, and
+    round-6 additions (_R06_LATE) take only the remaining 13 slots so
+    they cannot displace the planned verification."""
     import __spark_entry__ as e
 
     names = list(e.queries())
     prefix = set(names[:50])
-    assert names[0] == "q113_heavy_hitters"
-    missing_late = [n for n in e._R04_LATE if n in names and n not in prefix]
+    missing_late = [n for n in e._R05_LATE if n in names and n not in prefix]
     assert not missing_late, f"late oracle queries outside sample: {missing_late}"
-    for q in e._ROWS_ONLY_ROTATION[:3]:
-        assert q in prefix, f"{q} not in the driver sample"
+    missing_backlog = [
+        n for n in e._ROWS_ONLY_BACKLOG if n in names and n not in prefix
+    ]
+    assert not missing_backlog, f"rows-only backlog outside sample: {missing_backlog}"
+    # _R06_LATE fills the remaining slots in tuple order, nothing else
+    n_backlog = len(
+        [n for n in (*e._R05_LATE, *e._ROWS_ONLY_BACKLOG) if n in names]
+    )
+    expected_r06 = [n for n in e._R06_LATE if n in names][: 50 - n_backlog]
+    assert names[n_backlog : n_backlog + len(expected_r06)] == expected_r06
     # every never-driver-verified query sorts before every verified one
     first_seen = min(
         (names.index(n) for n in e._DRIVER_VERIFIED if n in names),
