@@ -635,9 +635,74 @@ def q172_neardup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query("q171_bpe_merge_train")
 def q171_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pipeline_usnvc_spark.operators.bpe import train_bpe
+    from pipeline_usnvc_spark.operators.bpe import (
+        adjacent_pair_counts,
+        train_bpe,
+        word_symbol_table,
+        _SEP,
+    )
+    from pipeline_usnvc_spark.operators.contracts import contract_filter
 
-    return train_bpe(load_table(spark, sf_dir, "documents"), n_merges=5)
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(docs, n_merges=5)
+    # In-plan training contract (VERDICT r05 item 2), three executed
+    # checks riding the merge-table rows themselves:
+    #   1. merged == left || right and pair_count ≥ min_pair_count —
+    #      the table is well-formed;
+    #   2. pair_count is non-increasing in merge_round — the classic
+    #      BPE argmax invariant (merging the best pair can only create
+    #      pairs whose count ≤ the merge count ≤ the previous max);
+    #   3. round 1's (left, right, pair_count) equals a from-scratch
+    #      recount of the best adjacent pair over the corpus word
+    #      table — re-executed at consumption time, so the driver row
+    #      certifies the training loop's first argmax against the
+    #      same data it reads.
+    from pyspark.sql import Window
+
+    w = Window.orderBy("merge_round").rowsBetween(Window.unboundedPreceding, -1)
+    best0 = (
+        adjacent_pair_counts(word_symbol_table(docs))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(1)
+        .select(
+            F.split("pair", _SEP).getItem(0).alias("r1_left"),
+            F.split("pair", _SEP).getItem(1).alias("r1_right"),
+            F.col("n").alias("r1_count"),
+        )
+    )
+    checked = merges.withColumn(
+        "_prev_min", F.coalesce(F.min("pair_count").over(w), F.col("pair_count"))
+    ).crossJoin(F.broadcast(best0))
+    return contract_filter(
+        checked,
+        (F.col("merged") == F.concat("left", "right"))
+        & (F.col("pair_count") >= 2)
+        & (F.col("pair_count") <= F.col("_prev_min"))
+        & (
+            (F.col("merge_round") != 1)
+            | (
+                (F.col("left") == F.col("r1_left"))
+                & (F.col("right") == F.col("r1_right"))
+                & (F.col("pair_count") == F.col("r1_count"))
+            )
+        ),
+        F.concat(
+            F.lit("BPE merge-table contract breach at round "),
+            F.col("merge_round"),
+            F.lit(": ("),
+            F.col("left"),
+            F.lit(","),
+            F.col("right"),
+            F.lit(")x"),
+            F.col("pair_count"),
+            F.lit(" vs recount ("),
+            F.col("r1_left"),
+            F.lit(","),
+            F.col("r1_right"),
+            F.lit(")x"),
+            F.col("r1_count"),
+        ),
+    ).select("merge_round", "left", "right", "merged", "pair_count")
 
 
 # ---------------------------------------------------------------------------

@@ -309,15 +309,116 @@ def q26_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and fail-fast metadata validation are asserted in
 # tests/test_multimodal.py.
 # ---------------------------------------------------------------------------
+def _utf8_seed(text_col):
+    """JVM-native (byte_len, effective_len, seed_bytes array<bigint>)
+    of a text column's UTF-8 bytes, with the same empty-text fallback
+    (one zero byte) every multimodal synthesizer uses. The basis for
+    the JVM-side recomputation contracts below: the synthesized
+    payloads cycle these bytes, so expected pixel/sample statistics
+    are derivable natively and compared against what the Python UDF
+    actually extracted — two independent implementations meeting in
+    one executed filter."""
+    s = F.octet_length(F.coalesce(F.col(text_col), F.lit("")))
+    hexed = F.hex(F.encode(F.coalesce(F.col(text_col), F.lit("")), "utf-8"))
+    seed = F.when(s == 0, F.array(F.lit(0).cast("bigint"))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), s),
+            lambda i: F.conv(F.substring(hexed, i * 2 - 1, F.lit(2)), 16, 10).cast(
+                "bigint"
+            ),
+        )
+    )
+    return s, F.greatest(s, F.lit(1)).cast("bigint"), seed
+
+
+def _cycled_byte(seed, s_eff, pos):
+    """Byte value at 0-based position ``pos`` of the seed cycled
+    infinitely (element_at is 1-based)."""
+    return F.element_at(seed, (F.pmod(pos, s_eff) + F.lit(1)).cast("int"))
+
+
 @query("q70_multimodal_features")
 def q70_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.contracts import contract_filter
     from pipeline_usnvc_spark.operators.multimodal import (
+        PPM_FEATURE_KIND,
         extract_features,
         synthesize_binary_column,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return extract_features(synthesize_binary_column(docs))
+    feats = extract_features(synthesize_binary_column(docs)).withColumn(
+        "in_feat", F.lit(True)
+    )
+    # JVM recomputation contract (VERDICT r05 item 2): the PPM pixel
+    # bytes are the text's UTF-8 bytes cycled to 3*w*h, so the overall
+    # pixel mean — (features[1]+[2]+[3])/3, the per-channel means the
+    # Python decoder computed — must equal (cycle_sum / (L*255)),
+    # recomputed natively from the text. Also checked: dims follow the
+    # synth formulas, the 8-bin luminance histogram sums to 1, and
+    # 0 ≤ lum_min ≤ lum_max ≤ 1. The audit is DOC-grain over the
+    # documents spine via full-outer join, so a dropped or phantom
+    # feature row EXISTS as a row the contract evaluates on.
+    s, s_eff, seed = _utf8_seed("text")
+    w_exp = (F.pmod(s, F.lit(16)) + F.lit(4)).cast("int")
+    h_exp = (F.pmod(s, F.lit(12)) + F.lit(4)).cast("int")
+    big_l = (w_exp.cast("bigint") * h_exp.cast("bigint") * F.lit(3)).cast("bigint")
+    seed_sum = F.aggregate(
+        seed, F.lit(0).cast("bigint"), lambda a, x: a + x
+    )
+    rem = F.pmod(big_l, s_eff)
+    prefix_sum = F.when(rem == 0, F.lit(0).cast("bigint")).otherwise(
+        F.aggregate(
+            F.slice(seed, 1, rem.cast("int")),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        )
+    )
+    # exact integer full-cycle count: (L - L%s)/s is an exact multiple,
+    # so the double division is exact at any magnitude below 2^53
+    cycle_sum = ((big_l - rem) / s_eff).cast("bigint") * seed_sum + prefix_sum
+    spine = docs.select(
+        "doc_id",
+        F.lit(True).alias("in_docs"),
+        w_exp.alias("w_exp"),
+        h_exp.alias("h_exp"),
+        (
+            cycle_sum.cast("double") / (big_l.cast("double") * F.lit(255.0))
+        ).alias("expected_mean"),
+    )
+    joined = feats.join(spine, "doc_id", "full_outer")
+    observed_mean = (
+        F.element_at("features", 1).cast("double")
+        + F.element_at("features", 2).cast("double")
+        + F.element_at("features", 3).cast("double")
+    ) / F.lit(3.0)
+    hist_sum = F.aggregate(
+        F.slice("features", 9, 8), F.lit(0.0), lambda a, x: a + x.cast("double")
+    )
+    lum_min = F.element_at("features", 7).cast("double")
+    lum_max = F.element_at("features", 8).cast("double")
+    return contract_filter(
+        joined,
+        F.col("in_feat").isNotNull()
+        & F.col("in_docs").isNotNull()
+        & (F.col("feature_kind") == PPM_FEATURE_KIND)
+        & (F.size("features") == 16)
+        & (F.col("width") == F.col("w_exp"))
+        & (F.col("height") == F.col("h_exp"))
+        & (F.abs(observed_mean - F.col("expected_mean")) < 1e-5)
+        & (F.abs(hist_sum - 1.0) < 1e-6)
+        & (lum_min >= 0.0)
+        & (lum_min <= lum_max)
+        & (lum_max <= 1.0),
+        F.concat(
+            F.lit("multimodal feature recompute breach for doc_id "),
+            F.col("doc_id"),
+            F.lit(": observed_mean="),
+            F.coalesce(observed_mean.cast("string"), F.lit("null")),
+            F.lit(" expected="),
+            F.coalesce(F.col("expected_mean").cast("string"), F.lit("null")),
+        ),
+    ).select("doc_id", "width", "height", "n_bytes", "feature_kind", "features")
 
 
 # ---------------------------------------------------------------------------
@@ -346,18 +447,55 @@ def q71_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # ---------------------------------------------------------------------------
 # q81 — custom stateful streaming operator (applyInPandasWithState
-# sessionization; rows-only: emits only closed sessions, equivalence
-# to batch asserted in tests/test_streaming.py).
+# sessionization; rows-only: emits only closed sessions). Output is
+# the SESSION-grain batch-equivalence audit (q222 pattern): the
+# streamed closed sessions full-outer-joined with the batch
+# sessionization (q40) minus each user's final still-open session —
+# so a session either side misses EXISTS as a row and the executed
+# contract filter evaluates on it (an assert anchored on the streamed
+# frame alone would go vacuous exactly when the stream side failed).
 # ---------------------------------------------------------------------------
 @query("q81_stateful_sessionize")
 def q81_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from pipeline_usnvc_spark.operators.contracts import contract_filter
     from pipeline_usnvc_spark.streaming.pipeline import read_event_stream, run_stream_to_memory
     from pipeline_usnvc_spark.streaming.stateful import streaming_sessionize
 
     stream = read_event_stream(spark, sf_dir)
-    return run_stream_to_memory(
+    streamed = run_stream_to_memory(
         streaming_sessionize(stream), "q81_stateful_sessionize", output_mode="append"
     )
+    from pipeline_usnvc_spark.plans import QUERIES
+
+    keys = ["user_id", "session_idx", "n_events", "session_start", "session_end"]
+    batch = QUERIES["q40_sessionize"](spark, sf_dir)
+    # The stream emits only CLOSED sessions: expected = batch minus
+    # each user's final (still-open-at-drain) session.
+    expected = (
+        batch.withColumn(
+            "_max_idx", F.max("session_idx").over(Window.partitionBy("user_id"))
+        )
+        .filter(F.col("session_idx") < F.col("_max_idx"))
+        .drop("_max_idx")
+        .withColumn("in_batch", F.lit(True))
+    )
+    joined = streamed.withColumn("in_stream", F.lit(True)).join(
+        expected, keys, "full_outer"
+    )
+    return contract_filter(
+        joined,
+        F.col("in_stream").isNotNull() & F.col("in_batch").isNotNull(),
+        F.concat(
+            F.lit("stream/batch session mismatch for user "),
+            F.col("user_id"),
+            F.lit(" session "),
+            F.col("session_idx"),
+            F.lit(": in_stream="),
+            F.coalesce(F.col("in_stream").cast("string"), F.lit("false")),
+        ),
+    ).select(*keys)
 
 
 @query(
@@ -513,13 +651,17 @@ def q74_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q83 — watermark-bounded streaming dedup (rows-only: stateful
-# streaming; batch-distinct equality asserted in test_streaming).
-# A doubled event stream deduped on event_id with
+# streaming). A doubled event stream deduped on event_id with
 # dropDuplicatesWithinWatermark — state holds only the stream's
-# event-time tail, the at-least-once-source contract.
+# event-time tail, the at-least-once-source contract. Output is the
+# EVENT-grain batch-equivalence audit (q222 pattern): stream-side
+# per-id copy counts full-outer-joined with the batch distinct-id
+# spine, so a dropped id, a surviving duplicate, or a phantom id all
+# EXIST as rows and the executed contract evaluates on them.
 # ---------------------------------------------------------------------------
 @query("q83_stream_dedup_watermark")
 def q83_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.contracts import contract_filter
     from pipeline_usnvc_spark.streaming.pipeline import (
         read_event_stream,
         run_stream_to_memory,
@@ -528,11 +670,36 @@ def q83_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = read_event_stream(spark, sf_dir)
     doubled = stream.union(stream)
-    return run_stream_to_memory(
+    streamed = run_stream_to_memory(
         streaming_dedup_within_watermark(doubled, ["event_id"], watermark="1 hour"),
         "q83_stream_dedup",
         output_mode="append",
     )
+    copies = streamed.groupBy("event_id").agg(
+        F.count("*").cast("bigint").alias("n_copies")
+    )
+    batch_ids = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id")
+        .distinct()
+        .withColumn("in_batch", F.lit(True))
+    )
+    audit = copies.join(batch_ids, "event_id", "full_outer")
+    # All input arrives in bounded micro-batches with no late data, so
+    # watermark-bounded dedup must equal batch DISTINCT exactly: every
+    # batch id survives exactly once, and nothing else appears.
+    return contract_filter(
+        audit,
+        F.col("in_batch").isNotNull() & (F.col("n_copies") == 1),
+        F.concat(
+            F.lit("stream dedup mismatch for event_id "),
+            F.col("event_id"),
+            F.lit(": n_copies="),
+            F.coalesce(F.col("n_copies").cast("string"), F.lit("0")),
+            F.lit(" in_batch="),
+            F.coalesce(F.col("in_batch").cast("string"), F.lit("false")),
+        ),
+    ).select("event_id", "n_copies")
 
 
 # ---------------------------------------------------------------------------
@@ -794,12 +961,18 @@ def q150_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q179 — streaming running term counts (applyInPandasWithState;
-# rows-only: update-mode emission order is stream-dependent; totals
-# proven ≡ batch groupBy in tests/test_streaming.py). State is one
-# bigint per distinct term — vocabulary-sized, not stream-sized.
+# rows-only: update-mode emission order is stream-dependent). State
+# is one bigint per distinct term — vocabulary-sized, not
+# stream-sized. Output is the TERM-grain batch-equivalence audit
+# (q222 pattern): the final running total AND the sum of per-batch
+# deltas, full-outer-joined with the batch groupBy term counts, so a
+# missing term, a stale total, or delta drift each EXIST as a row the
+# executed contract evaluates on.
 # ---------------------------------------------------------------------------
 @query("q179_streaming_term_counts")
 def q179_streaming_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.functions.text import tokens
+    from pipeline_usnvc_spark.operators.contracts import contract_filter
     from pipeline_usnvc_spark.streaming.pipeline import run_stream_to_memory
     from pipeline_usnvc_spark.streaming.stateful import streaming_term_counts
 
@@ -811,10 +984,39 @@ def q179_streaming_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "documents.parquet")
         .load(sf_dir)
     )
-    return run_stream_to_memory(
+    streamed = run_stream_to_memory(
         streaming_term_counts(docs_stream), "q179_streaming_term_counts",
         output_mode="update",
     )
+    # Running totals are monotone, so the stream's final answer per
+    # term is max(total); sum(batch_delta) must reconcile to the same
+    # number (the deltas are how an incremental consumer applies the
+    # feed, so both views have to agree with the batch recount).
+    final = streamed.groupBy("term").agg(
+        F.max("total").alias("total"),
+        F.sum("batch_delta").cast("bigint").alias("sum_delta"),
+    )
+    batch = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("batch_n"))
+    )
+    audit = final.join(batch, "term", "full_outer")
+    return contract_filter(
+        audit,
+        (F.col("total") == F.col("batch_n")) & (F.col("sum_delta") == F.col("batch_n")),
+        F.concat(
+            F.lit("stream term-count mismatch for term "),
+            F.col("term"),
+            F.lit(": total="),
+            F.coalesce(F.col("total").cast("string"), F.lit("null")),
+            F.lit(" sum_delta="),
+            F.coalesce(F.col("sum_delta").cast("string"), F.lit("null")),
+            F.lit(" batch="),
+            F.coalesce(F.col("batch_n").cast("string"), F.lit("null")),
+        ),
+    ).select("term", "total", "batch_n")
 
 
 # ---------------------------------------------------------------------------
@@ -880,13 +1082,84 @@ def q184_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query("q199_thumbnail_grid")
 def q199_thumbnail_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.contracts import contract_filter
     from pipeline_usnvc_spark.operators.multimodal import (
         synthesize_binary_column,
         thumbnail_features,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return thumbnail_features(synthesize_binary_column(docs), grid=4)
+    feats = thumbnail_features(synthesize_binary_column(docs), grid=4).withColumn(
+        "in_feat", F.lit(True)
+    )
+    # JVM recomputation contract (VERDICT r05 item 2): nearest-
+    # neighbor sampling positions and the cycled pixel bytes are both
+    # closed-form in the text, so every one of the 16 grid cells is
+    # recomputed natively — row r_i = floor((2i+1)h/8), col
+    # c_j = floor((2j+1)w/8) (exactly the decoder's pixel-center
+    # truncation), pixel byte c of cell = seed[(3*(r_i*w+c_j)+c) mod
+    # s], luminance = .299 R + .587 G + .114 B on [0,1] channels —
+    # and compared cell-by-cell against the Python decode+resize
+    # output. DOC-grain audit over the documents spine (full outer).
+    s, s_eff, seed = _utf8_seed("text")
+    # Materialize the seed array ONCE per row before fanning out to
+    # 16 cells × 3 channels — embedding the seed-building transform
+    # inside every byte lookup would copy the expression 48× and blow
+    # up codegen.
+    base_cols = docs.select(
+        "doc_id",
+        (F.pmod(s, F.lit(16)) + F.lit(4)).cast("bigint").alias("_w"),
+        (F.pmod(s, F.lit(12)) + F.lit(4)).cast("bigint").alias("_h"),
+        s_eff.alias("_s_eff"),
+        seed.alias("_seed"),
+    )
+
+    def cell(k):
+        i = F.floor(k / F.lit(4)).cast("bigint")
+        j = F.pmod(k, F.lit(4)).cast("bigint")
+        row = F.floor(((i * 2 + 1) * F.col("_h")) / F.lit(8)).cast("bigint")
+        col = F.floor(((j * 2 + 1) * F.col("_w")) / F.lit(8)).cast("bigint")
+        base = (row * F.col("_w") + col) * F.lit(3)
+        b = lambda c: _cycled_byte(
+            F.col("_seed"), F.col("_s_eff"), base + F.lit(c)
+        ).cast("double")
+        return (
+            F.lit(0.299) * (b(0) / F.lit(255.0))
+            + F.lit(0.587) * (b(1) / F.lit(255.0))
+            + F.lit(0.114) * (b(2) / F.lit(255.0))
+        )
+
+    spine = base_cols.select(
+        "doc_id",
+        F.lit(True).alias("in_docs"),
+        F.col("_w").cast("int").alias("w_exp"),
+        F.col("_h").cast("int").alias("h_exp"),
+        F.transform(F.sequence(F.lit(0), F.lit(15)), cell).alias("expected_cells"),
+    )
+    joined = feats.join(spine, "doc_id", "full_outer")
+    max_diff = F.array_max(
+        F.zip_with(
+            "features",
+            "expected_cells",
+            lambda got, exp: F.abs(got.cast("double") - exp),
+        )
+    )
+    return contract_filter(
+        joined,
+        F.col("in_feat").isNotNull()
+        & F.col("in_docs").isNotNull()
+        & (F.col("feature_kind") == "ppm_thumb_lum_4x4")
+        & (F.size("features") == 16)
+        & (F.col("width") == F.col("w_exp"))
+        & (F.col("height") == F.col("h_exp"))
+        & (max_diff < 1e-5),
+        F.concat(
+            F.lit("thumbnail grid recompute breach for doc_id "),
+            F.col("doc_id"),
+            F.lit(": max_cell_diff="),
+            F.coalesce(max_diff.cast("string"), F.lit("null")),
+        ),
+    ).select("doc_id", "width", "height", "feature_kind", "features")
 
 
 # ---------------------------------------------------------------------------
@@ -899,13 +1172,75 @@ def q199_thumbnail_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query("q209_audio_features")
 def q209_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from pipeline_usnvc_spark.operators.contracts import contract_filter
     from pipeline_usnvc_spark.operators.multimodal import (
+        WAV_FEATURE_KIND,
         audio_features,
         synthesize_audio_column,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return audio_features(synthesize_audio_column(docs))
+    feats = audio_features(synthesize_audio_column(docs)).withColumn(
+        "in_feat", F.lit(True)
+    )
+    # Tone-parameter recomputation contract (VERDICT r05 item 2): the
+    # synthesized WAV is a sine whose frequency (200 + (n%40)*50 Hz)
+    # and length (2000 + (n%16)*100 samples @ 8 kHz) are closed-form
+    # in the text's character count n, so the decoded features are
+    # checked against physics: exact sample count and duration, the
+    # rFFT dominant bin within one bin width (rate/n_samples) of the
+    # true tone, RMS within 2% of A/√2 (finite-window deviation is
+    # O(1/n)), and zero-crossing rate within 10%+0.01 of 2f/rate.
+    # DOC-grain audit over the documents spine (full outer join).
+    n = F.length(F.coalesce(F.col("text"), F.lit("")))
+    freq = F.lit(200.0) + (F.pmod(n, F.lit(40))).cast("double") * F.lit(50.0)
+    ns_exp = (F.lit(2000) + F.pmod(n, F.lit(16)) * F.lit(100)).cast("bigint")
+    spine = docs.select(
+        "doc_id",
+        F.lit(True).alias("in_docs"),
+        freq.alias("freq_exp"),
+        ns_exp.alias("ns_exp"),
+    )
+    joined = feats.join(spine, "doc_id", "full_outer")
+    rms_exp = F.lit(12000.0 / 32768.0 / math.sqrt(2.0))
+    zcr_exp = F.lit(2.0) * F.col("freq_exp") / F.lit(8000.0)
+    bin_hz = F.lit(8000.0) / F.col("ns_exp").cast("double")
+    return contract_filter(
+        joined,
+        F.col("in_feat").isNotNull()
+        & F.col("in_docs").isNotNull()
+        & (F.col("feature_kind") == WAV_FEATURE_KIND)
+        & (F.col("sample_rate") == 8000)
+        & (F.col("n_samples") == F.col("ns_exp"))
+        & (
+            F.abs(
+                F.col("duration_s")
+                - F.col("ns_exp").cast("double") / F.lit(8000.0)
+            )
+            < 1e-12
+        )
+        & (F.abs(F.col("dominant_hz") - F.col("freq_exp")) <= bin_hz)
+        & (F.abs(F.col("rms") - rms_exp) < rms_exp * F.lit(0.02))
+        & (
+            F.abs(F.col("zero_crossing_rate") - zcr_exp)
+            < zcr_exp * F.lit(0.1) + F.lit(0.01)
+        ),
+        F.concat(
+            F.lit("audio feature recompute breach for doc_id "),
+            F.col("doc_id"),
+            F.lit(": dominant_hz="),
+            F.coalesce(F.col("dominant_hz").cast("string"), F.lit("null")),
+            F.lit(" expected_freq="),
+            F.coalesce(F.col("freq_exp").cast("string"), F.lit("null")),
+            F.lit(" rms="),
+            F.coalesce(F.col("rms").cast("string"), F.lit("null")),
+        ),
+    ).select(
+        "doc_id", "sample_rate", "n_samples", "duration_s", "rms",
+        "zero_crossing_rate", "dominant_hz", "feature_kind",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -918,13 +1253,80 @@ def q209_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query("q210_video_frame_sample")
 def q210_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.contracts import contract_filter
     from pipeline_usnvc_spark.operators.multimodal import (
+        VIDEO_FEATURE_KIND,
         sample_video_frames,
         synthesize_video_column,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return sample_video_frames(synthesize_video_column(docs), every_k=2)
+    feats = sample_video_frames(
+        synthesize_video_column(docs), every_k=2
+    ).withColumn("in_feat", F.lit(True))
+    # JVM recomputation contract (VERDICT r05 item 2): each synthetic
+    # 4×4 frame k cycles the text's UTF-8 bytes from offset k, so the
+    # sampled frames' mean luminance is recomputed natively —
+    # byte(o) = seed[(k + o) mod s], mean over the 16 pixels of
+    # .299 R + .587 G + .114 B on [0,1] channels — and the audit
+    # spine is documents × the expected sampled indices {0, 2, 4}
+    # (6 frames, stride 2), full-outer-joined on (doc_id, frame_idx):
+    # a missing sampled frame, an extra odd-index frame, or a wrong
+    # luminance each EXISTS as a row the executed contract sees.
+    s, s_eff, seed = _utf8_seed("text")
+    # Materialize the seed array once per row (see q199: embedding the
+    # seed transform in every byte lookup is a codegen blowup), then
+    # explode to the 3 expected frame indices and recompute each
+    # frame's mean luminance over its 48 cycled bytes.
+    base_cols = docs.select(
+        "doc_id", s_eff.alias("_s_eff"), seed.alias("_seed")
+    ).select(
+        "doc_id",
+        "_s_eff",
+        "_seed",
+        F.explode(F.array(F.lit(0), F.lit(2), F.lit(4))).alias("frame_idx"),
+    )
+
+    def pix(acc, p):
+        k = F.col("frame_idx").cast("bigint")
+        b = lambda c: _cycled_byte(
+            F.col("_seed"), F.col("_s_eff"), k + p * 3 + F.lit(c)
+        ).cast("double")
+        return acc + (
+            F.lit(0.299) * (b(0) / F.lit(255.0))
+            + F.lit(0.587) * (b(1) / F.lit(255.0))
+            + F.lit(0.114) * (b(2) / F.lit(255.0))
+        )
+
+    spine = base_cols.select(
+        "doc_id",
+        "frame_idx",
+        F.lit(True).alias("in_spine"),
+        (
+            F.aggregate(F.sequence(F.lit(0), F.lit(15)), F.lit(0.0), pix)
+            / F.lit(16.0)
+        ).alias("lum_exp"),
+    )
+    joined = feats.join(spine, ["doc_id", "frame_idx"], "full_outer")
+    return contract_filter(
+        joined,
+        F.col("in_feat").isNotNull()
+        & F.col("in_spine").isNotNull()
+        & (F.col("feature_kind") == VIDEO_FEATURE_KIND)
+        & (F.col("width") == 4)
+        & (F.col("height") == 4)
+        & (F.abs(F.col("mean_lum") - F.col("lum_exp")) < 1e-9),
+        F.concat(
+            F.lit("video frame recompute breach for doc_id "),
+            F.col("doc_id"),
+            F.lit(" frame "),
+            F.col("frame_idx"),
+            F.lit(": mean_lum="),
+            F.coalesce(F.col("mean_lum").cast("string"), F.lit("null")),
+            F.lit(" expected="),
+            F.coalesce(F.col("lum_exp").cast("string"), F.lit("null")),
+        ),
+    ).select("doc_id", "frame_idx", "width", "height", "mean_lum", "feature_kind")
 
 
 # ---------------------------------------------------------------------------

@@ -170,3 +170,28 @@ def test_q219_encode_matches_reference(spark, sf_dir):
         assert r["roundtrip_ok"]
         assert r["n_tokens"] == len(want)
         assert r["corpus_tokens"] <= r["corpus_chars"]
+
+
+def test_q171_contract_fires_on_wrong_first_merge(spark, sf_dir, monkeypatch):
+    """The in-plan training contract recounts round 1's best pair; a
+    tampered merge table must raise at execution time."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    import pipeline_usnvc_spark.operators.bpe as bpe
+    from pipeline_usnvc_spark.plans import QUERIES
+
+    orig = bpe.train_bpe
+
+    def tampered(docs, n_merges=5, text_col="text", min_pair_count=2):
+        out = orig(docs, n_merges, text_col, min_pair_count)
+        return out.withColumn(
+            "pair_count",
+            F.when(F.col("merge_round") == 1, F.col("pair_count") + 1).otherwise(
+                F.col("pair_count")
+            ),
+        )
+
+    monkeypatch.setattr(bpe, "train_bpe", tampered)
+    with pytest.raises(Exception, match="merge-table contract breach"):
+        QUERIES["q171_bpe_merge_train"](spark, sf_dir).count()

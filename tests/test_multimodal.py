@@ -433,3 +433,95 @@ def test_audio_features_stereo_downmix(spark):
     r = audio_features(df).collect()[0]
     assert abs(r["dominant_hz"] - freq) <= rate / n
     assert 0.24 < r["rms"] < 0.28
+
+
+# ---------------------------------------------------------------------------
+# Round-6 in-plan recomputation contracts (VERDICT r05 item 2): the
+# rows-only multimodal queries now carry executed JVM-side recomputes
+# of what the Python UDFs extracted. Pin (a) the clean path passes at
+# full doc-grain and (b) a corrupted extraction trips the contract —
+# the contract must carry signal, not just exist.
+# ---------------------------------------------------------------------------
+def test_q70_contract_fires_on_corrupted_features(spark, sf_dir, monkeypatch):
+    import pipeline_usnvc_spark.operators.multimodal as mm
+    from pipeline_usnvc_spark.plans import QUERIES
+
+    orig = mm.extract_features
+
+    def corrupted(df):
+        return orig(df).withColumn(
+            "features",
+            F.concat(
+                F.array(F.element_at("features", 1) + F.lit(0.001).cast("float")),
+                F.slice("features", 2, 15),
+            ),
+        )
+
+    monkeypatch.setattr(mm, "extract_features", corrupted)
+    with pytest.raises(Exception, match="recompute breach"):
+        QUERIES["q70_multimodal_features"](spark, sf_dir).count()
+
+
+def test_q210_contract_fires_on_dropped_frame(spark, sf_dir, monkeypatch):
+    """A sampled frame silently missing from the output must EXIST as
+    a spine row the contract evaluates (the vacuous-pass trap)."""
+    import pipeline_usnvc_spark.operators.multimodal as mm
+    from pipeline_usnvc_spark.plans import QUERIES
+
+    orig = mm.sample_video_frames
+
+    def dropping(df, every_k=2):
+        return orig(df, every_k).filter(F.col("frame_idx") != 2)
+
+    monkeypatch.setattr(mm, "sample_video_frames", dropping)
+    with pytest.raises(Exception, match="recompute breach"):
+        QUERIES["q210_video_frame_sample"](spark, sf_dir).count()
+
+
+def test_q199_contract_fires_on_cell_corruption(spark, sf_dir, monkeypatch):
+    import pipeline_usnvc_spark.operators.multimodal as mm
+    from pipeline_usnvc_spark.plans import QUERIES
+
+    orig = mm.thumbnail_features
+
+    def corrupted(df, grid=4):
+        return orig(df, grid).withColumn(
+            "features",
+            F.concat(
+                F.array(F.element_at("features", 1) + F.lit(0.01).cast("float")),
+                F.slice("features", 2, 15),
+            ),
+        )
+
+    monkeypatch.setattr(mm, "thumbnail_features", corrupted)
+    with pytest.raises(Exception, match="recompute breach"):
+        QUERIES["q199_thumbnail_grid"](spark, sf_dir).count()
+
+
+def test_q209_contract_fires_on_frequency_drift(spark, sf_dir, monkeypatch):
+    import pipeline_usnvc_spark.operators.multimodal as mm
+    from pipeline_usnvc_spark.plans import QUERIES
+
+    orig = mm.audio_features
+
+    def drifted(df):
+        return orig(df).withColumn(
+            "dominant_hz", F.col("dominant_hz") + F.lit(100.0)
+        )
+
+    monkeypatch.setattr(mm, "audio_features", drifted)
+    with pytest.raises(Exception, match="recompute breach"):
+        QUERIES["q209_audio_features"](spark, sf_dir).count()
+
+
+def test_multimodal_contract_queries_pass_clean(spark, sf_dir):
+    """Clean path: all four contract-carrying multimodal queries run
+    their executed recomputes at doc grain and keep every row."""
+    from pipeline_usnvc_spark.plans import QUERIES
+    from pipeline_usnvc_spark.sources.tables import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert QUERIES["q70_multimodal_features"](spark, sf_dir).count() == n_docs
+    assert QUERIES["q199_thumbnail_grid"](spark, sf_dir).count() == n_docs
+    assert QUERIES["q209_audio_features"](spark, sf_dir).count() == n_docs
+    assert QUERIES["q210_video_frame_sample"](spark, sf_dir).count() == n_docs * 3

@@ -774,3 +774,66 @@ def test_streaming_neardup_matches_batch_across_batches(spark, sf_dir, tmp_path)
     want = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(docs).collect()}
     assert want, "fixture should produce candidate pairs"
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-6 in-plan batch-equivalence audits (VERDICT r05 item 2): the
+# rows-only streaming queries now OUTPUT the audit grain with an
+# executed contract. Pin clean-path grain + that a poisoned stream
+# side trips the contract.
+# ---------------------------------------------------------------------------
+def test_q81_audit_grain_and_clean_pass(spark, sf_dir):
+    from pipeline_usnvc_spark.plans import QUERIES
+
+    out = QUERIES["q81_stateful_sessionize"](spark, sf_dir)
+    batch = QUERIES["q40_sessionize"](spark, sf_dir).collect()
+    last = {}
+    for r in batch:
+        last[r["user_id"]] = max(last.get(r["user_id"], 0), r["session_idx"])
+    n_closed = sum(1 for r in batch if r["session_idx"] != last[r["user_id"]])
+    assert out.count() == n_closed > 0
+
+
+def test_q83_audit_grain_and_clean_pass(spark, sf_dir):
+    from pipeline_usnvc_spark.plans import QUERIES
+    from pipeline_usnvc_spark.sources.tables import load_table
+
+    out = QUERIES["q83_stream_dedup_watermark"](spark, sf_dir)
+    n_ids = load_table(spark, sf_dir, "events").select("event_id").distinct().count()
+    rows = out.collect()
+    assert len(rows) == n_ids
+    assert all(r["n_copies"] == 1 for r in rows)
+
+
+def test_q179_audit_grain_and_clean_pass(spark, sf_dir):
+    from pipeline_usnvc_spark.functions.text import tokens as tokenize
+    from pipeline_usnvc_spark.plans import QUERIES
+    from pipeline_usnvc_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    out = QUERIES["q179_streaming_term_counts"](spark, sf_dir)
+    n_terms = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(tokenize("text")).alias("t"))
+        .select("t")
+        .distinct()
+        .count()
+    )
+    rows = out.collect()
+    assert len(rows) == n_terms
+    assert all(r["total"] == r["batch_n"] for r in rows)
+
+
+def test_q83_contract_fires_on_surviving_duplicate(spark, sf_dir, monkeypatch):
+    """Poison the dedup to a no-op: doubled ids survive twice and the
+    executed audit must raise, not shrug."""
+    import pipeline_usnvc_spark.streaming.pipeline as sp
+    from pipeline_usnvc_spark.plans import QUERIES
+
+    monkeypatch.setattr(
+        sp, "streaming_dedup_within_watermark", lambda df, keys, watermark: df
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="stream dedup mismatch"):
+        QUERIES["q83_stream_dedup_watermark"](spark, sf_dir).count()
