@@ -103,12 +103,24 @@ def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
     """
     n = n.cast("bigint")
     r = rank.cast("bigint")
-    q = F.floor(n / k).cast("bigint")
+
+    def idiv(x: Column, y: Column) -> Column:
+        # Integer floor division without a double-truncation hazard
+        # (ADVICE r05): subtract the remainder first so the division
+        # operates on an exact multiple of y. The double transit is
+        # exact while the multiple stays below 2^53 — row counts past
+        # 9e15 are beyond any deployment this engine targets, and the
+        # remainder subtraction keeps the result exact (a bare
+        # floor(x / y) is off-by-one whenever x/y lands on an
+        # unrepresentable double just below an integer).
+        return ((x - F.pmod(x, y)) / y).cast("bigint")
+
+    q = idiv(n, F.lit(k).cast("bigint"))
     rem = (n % k).cast("bigint")
     big = rem * (q + 1)  # rows covered by the (q+1)-sized buckets
     return (
-        F.when(r <= big, F.floor((r - 1) / (q + 1)) + 1)
-        .otherwise(rem + F.floor((r - big - 1) / q) + 1)
+        F.when(r <= big, idiv(r - 1, q + 1) + 1)
+        .otherwise(rem + idiv(r - big - 1, q) + 1)
         .cast("int")
     )
 

@@ -98,6 +98,14 @@ def label_and_shard(
     curation gate when the caller already has it."""
     if audit is None:
         audit = curate(docs, **curate_kwargs)
+    # NOTE (ADVICE r05): materialize() is an EAGER localCheckpoint, so
+    # building this plan triggers Spark jobs and pins blocks for the
+    # session. That is deliberate — every runtime consumer (q206, the
+    # manifest writer, bench) needs the cut or the curation gate
+    # re-executes up to 4x. Plan-shape-only consumers (EXPLAIN
+    # tooling, plan tests) use the repo's stub-materialize convention
+    # instead: monkeypatch operators.checkpoint.materialize to
+    # identity (see tests/test_plans.py), paying zero execution.
     from pipeline_usnvc_spark.operators.checkpoint import materialize
 
     # kept feeds the decontamination split (shingle explode) AND the

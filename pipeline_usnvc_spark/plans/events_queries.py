@@ -1829,9 +1829,11 @@ def q290_daily_entropy_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lagged GROUP BY lag
     )
     SELECT lag, n AS n_days,
-           round(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                              * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+                ELSE NULL END AS corr
     FROM stats ORDER BY lag
     """,
 )
@@ -1872,14 +1874,19 @@ def q238_lagged_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = _d38(F.col("n"))
     num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    den = F.sqrt((n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")) * F.sqrt(
-        (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
-    )
+    var_x = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = n * F.col("syy") - F.col("sy") * F.col("sy")
+    den = F.sqrt(var_x.cast("double")) * F.sqrt(var_y.cast("double"))
+    # Zero-variance guard (ADVICE r05): a constant lag series makes
+    # den 0 — Spark's non-ANSI double division yields NULL while
+    # DuckDB's IEEE ops can emit inf/nan; the exact-integer variance
+    # test makes both engines emit NULL deterministically.
+    corr = F.when((var_x > 0) & (var_y > 0), F.round(num / den, 6))
     return (
         stats.select(
             "lag",
             F.col("n").alias("n_days"),
-            F.round(num / den, 6).alias("corr"),
+            corr.alias("corr"),
         )
         .orderBy("lag")
     )

@@ -38,13 +38,7 @@ def test_theil_sen_is_true_median(spark, con):
                   CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
            FROM orders GROUP BY 1"""
     ).fetchall()
-    slopes = [
-        round(1e6 * (c2 - c1) / (d2 - d1))
-        for i, (d1, c1) in enumerate(daily)
-        for (d2, c2) in daily[i + 1 :]
-        if d2 != d1
-    ]
-    # regenerate exact pair set (d2 > d1, as the query defines it)
+    # exact pair set (d2 > d1, as the query defines it)
     slopes = []
     for d1, c1 in daily:
         for d2, c2 in daily:
