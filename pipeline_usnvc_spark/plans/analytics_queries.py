@@ -1401,6 +1401,9 @@ def q282_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and their exact integer sum is the engine-portable median witness
 # (odd pair-count → both ranks coincide).
 # ---------------------------------------------------------------------------
+_THEIL_SEN_MAX_SPAN_DAYS: int | None = None  # long-span cap knob (COVERAGE.md)
+
+
 @query(
     "q235_theil_sen_trend",
     oracle="""
@@ -1445,7 +1448,20 @@ def q235_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents")
     )
     a, b = daily.alias("a"), daily.alias("b")
-    slopes = a.join(b, F.col("b.d") > F.col("a.d")).select(
+    # O(days²) theta join — calendar-bounded, NOT data-bounded (see
+    # COVERAGE.md scale-path pairs): row scale-up leaves the day grain
+    # unchanged; only a 100× TIME-SPAN blows the pair count up
+    # quadratically. The standard mitigation is windowed Theil-Sen:
+    # set _THEIL_SEN_MAX_SPAN_DAYS to cap |d_j - d_i| (the theta join
+    # gains a band predicate → a range join), at the cost of the
+    # textbook all-pairs estimator. None = exact all-pairs (the
+    # oracle-matched default).
+    pair_pred = F.col("b.d") > F.col("a.d")
+    if _THEIL_SEN_MAX_SPAN_DAYS is not None:
+        pair_pred = pair_pred & (
+            F.col("b.d") - F.col("a.d") <= F.lit(_THEIL_SEN_MAX_SPAN_DAYS)
+        )
+    slopes = a.join(b, pair_pred).select(
         F.col("a.d").alias("d_i"),
         F.col("b.d").alias("d_j"),
         F.round(
