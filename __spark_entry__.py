@@ -228,7 +228,21 @@ _ROWS_ONLY_BACKLOG: tuple[str, ...] = (
 # they cannot displace the planned verification (VERDICT r05 item 8);
 # 20 + 17 = 37 backlog slots leave 13 sample slots for the head of
 # this tuple; the rest roll to round 7.
-_R06_LATE: tuple[str, ...] = ()
+_R06_LATE: tuple[str, ...] = (
+    "q312_spearman_corr",
+    "q313_mann_whitney",
+    "q314_anova_f",
+    "q315_two_proportion_z",
+    "q316_theil_index",
+    "q317_assortativity",
+    "q318_burrows_delta",
+    "q319_flesch_readability",
+    "q320_poisson_bootstrap",
+    "q321_episode_mining",
+    "q322_cohens_d",
+    "q323_kendall_tau_b",
+    "q326_waterfill_budget",
+)
 
 
 def _ordered_names() -> list[str]:

@@ -1,0 +1,1361 @@
+"""Statistical-test and inference query family (round 6).
+
+The experimentation / data-science surface a warehouse user expects on
+top of the relational core: rank correlations, nonparametric tests,
+ANOVA, effect sizes, inequality indices, graph assortativity, and a
+deterministic bootstrap. Reference scope note: the reference pipeline
+(usnvc/usnvc.py) has no statistics at all — this family belongs to the
+mandated LLM-pipeline/analytics extension surface.
+
+Every query is oracle-exact under the suite discipline
+(memory: oracle-parity rules):
+
+- sufficient statistics are EXACT integer/decimal sums (value counts,
+  rank·count products in DECIMAL(38,0) / HUGEINT) — no double is ever
+  summed across rows;
+- per-row transcendentals (ln) round to integer micro-units before
+  summation (round(ln·1e6), the q217 precedent);
+- tied ranks stay integral by carrying 2× the mid-rank
+  (2·rank_min + ties − 1 ∈ ℤ), with the 2× factors cancelling in the
+  final correlation ratio;
+- final float arithmetic is the IDENTICAL expression tree on both
+  engines, rounded to 6dp, with zero-variance guards that emit NULL on
+  both sides.
+
+Scale shape: rank statistics are computed at the VALUE grain, not the
+row grain — one row-grain groupBy to (group, value, n) counts, then
+windows run over the bounded distinct-value spine (≤ dozens of rows),
+so no data-grain window ever exists (the round-5 sweep's rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pipeline_usnvc_spark.plans.registry import query
+from pipeline_usnvc_spark.sources.tables import load_table
+
+
+def _d38(c):
+    return c.cast("decimal(38,0)")
+
+
+# ---------------------------------------------------------------------------
+# q312 — Spearman rank correlation (tie-corrected, exact) between
+# discount and quantity per returnflag. Mid-ranks with ties are
+# carried as 2×rank (2·cum_before + ties + 1 — integral), computed on
+# the VALUE grain: lineitem collapses to (rf, discount, quantity, n)
+# counts in one exchange, the rank windows run over the ≤11-value
+# discount spine and ≤50-value quantity spine, and the Pearson-on-
+# ranks sums are exact DECIMAL(38,0) products. The 2× factors cancel
+# in ρ. Scale: the only row-grain operation is the first groupBy.
+# ---------------------------------------------------------------------------
+_SPEARMAN_RANKS_SQL = """
+    counts AS (
+        SELECT l_returnflag AS rf, l_discount AS d, l_quantity AS q,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY 1, 2, 3
+    ),
+    dg AS (
+        SELECT rf, d, CAST(sum(n) AS BIGINT) AS n_v FROM counts GROUP BY 1, 2
+    ),
+    dr AS (
+        SELECT rf, d,
+               2 * COALESCE(sum(n_v) OVER (
+                   PARTITION BY rf ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + n_v + 1 AS r2d
+        FROM dg
+    ),
+    qg AS (
+        SELECT rf, q, CAST(sum(n) AS BIGINT) AS n_v FROM counts GROUP BY 1, 2
+    ),
+    qr AS (
+        SELECT rf, q,
+               2 * COALESCE(sum(n_v) OVER (
+                   PARTITION BY rf ORDER BY q
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + n_v + 1 AS r2q
+        FROM qg
+    )
+"""
+
+
+@query(
+    "q312_spearman_corr",
+    oracle=f"""
+    WITH {_SPEARMAN_RANKS_SQL},
+    sums AS (
+        SELECT c.rf,
+               CAST(sum(c.n) AS BIGINT) AS n,
+               CAST(sum(CAST(c.n AS HUGEINT) * dr.r2d) AS HUGEINT) AS sx,
+               CAST(sum(CAST(c.n AS HUGEINT) * qr.r2q) AS HUGEINT) AS sy,
+               CAST(sum(CAST(c.n AS HUGEINT) * dr.r2d * qr.r2q) AS HUGEINT) AS sxy,
+               CAST(sum(CAST(c.n AS HUGEINT) * dr.r2d * dr.r2d) AS HUGEINT) AS sxx,
+               CAST(sum(CAST(c.n AS HUGEINT) * qr.r2q * qr.r2q) AS HUGEINT) AS syy
+        FROM counts c
+        JOIN dr ON dr.rf = c.rf AND dr.d = c.d
+        JOIN qr ON qr.rf = c.rf AND qr.q = c.q
+        GROUP BY c.rf
+    )
+    SELECT rf AS l_returnflag, n AS n_rows,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                              * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+                ELSE NULL END AS spearman_rho
+    FROM sums ORDER BY rf
+    """,
+)
+def q312_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy(
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_discount").alias("d"),
+        F.col("l_quantity").alias("q"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+
+    def ranks2x(val_col: str, out_col: str) -> DataFrame:
+        grain = counts.groupBy("rf", val_col).agg(
+            F.sum("n").cast("bigint").alias("n_v")
+        )
+        w = (
+            Window.partitionBy("rf")
+            .orderBy(val_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return grain.select(
+            "rf",
+            val_col,
+            (
+                2 * F.coalesce(F.sum("n_v").over(w), F.lit(0))
+                + F.col("n_v")
+                + 1
+            ).alias(out_col),
+        )
+
+    dr = ranks2x("d", "r2d")
+    qr = ranks2x("q", "r2q")
+    joined = counts.join(F.broadcast(dr), ["rf", "d"]).join(
+        F.broadcast(qr), ["rf", "q"]
+    )
+    sums = joined.groupBy("rf").agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum(_d38(F.col("n")) * _d38(F.col("r2d"))).cast("decimal(38,0)").alias("sx"),
+        F.sum(_d38(F.col("n")) * _d38(F.col("r2q"))).cast("decimal(38,0)").alias("sy"),
+        F.sum(_d38(F.col("n")) * _d38(F.col("r2d")) * _d38(F.col("r2q")))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+        F.sum(_d38(F.col("n")) * _d38(F.col("r2d")) * _d38(F.col("r2d")))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(_d38(F.col("n")) * _d38(F.col("r2q")) * _d38(F.col("r2q")))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+    )
+    n = _d38(F.col("n"))
+    var_x = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = n * F.col("syy") - F.col("sy") * F.col("sy")
+    rho = F.when(
+        (var_x > 0) & (var_y > 0),
+        F.round(
+            (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.sqrt(var_x.cast("double")) * F.sqrt(var_y.cast("double"))),
+            6,
+        ),
+    )
+    return sums.select(
+        F.col("rf").alias("l_returnflag"),
+        F.col("n").alias("n_rows"),
+        rho.alias("spearman_rho"),
+    ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# q313 — Mann-Whitney U test (tie-corrected normal approximation, no
+# continuity correction): are 'en' document lengths stochastically
+# different from the rest of the corpus? Same value-grain rank trick
+# as q312: one groupBy to (n_chars, n_en, n_all) counts, mid-ranks on
+# the bounded length spine, 2U₁ = Σ n_en·r2x − n₁(n₁+1) exact, and
+# the tie term Σ(t³−t) exact. z = (2U₁ − n₁n₂)/(2σ) rounded 6dp.
+# u_x2 rides as BIGINT (exact at any tested scale; a 10¹²-doc corpus
+# would carry it as DECIMAL).
+# ---------------------------------------------------------------------------
+@query(
+    "q313_mann_whitney",
+    oracle="""
+    WITH vals AS (
+        SELECT n_chars AS v,
+               CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n1v,
+               CAST(count(*) AS BIGINT) AS ntv
+        FROM documents GROUP BY 1
+    ),
+    ranked AS (
+        SELECT v, n1v, ntv,
+               2 * COALESCE(sum(ntv) OVER (
+                   ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + ntv + 1 AS r2x
+        FROM vals
+    ),
+    agg AS (
+        SELECT CAST(sum(n1v) AS BIGINT) AS n1,
+               CAST(sum(ntv - n1v) AS BIGINT) AS n2,
+               CAST(sum(ntv) AS BIGINT) AS nt,
+               CAST(sum(CAST(n1v AS HUGEINT) * r2x) AS HUGEINT) AS r1x2,
+               CAST(sum(CAST(ntv AS HUGEINT) * ntv * ntv - ntv) AS HUGEINT) AS ties
+        FROM ranked
+    )
+    SELECT n1 AS n_en, n2 AS n_other,
+           CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS BIGINT) AS u_x2,
+           CASE WHEN n1 > 0 AND n2 > 0 AND nt > 1
+                     AND CAST(nt + 1 AS HUGEINT) * nt * (nt - 1) > ties * 1
+                THEN round(
+                    CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1)
+                         - CAST(n1 AS HUGEINT) * n2 AS DOUBLE)
+                    / (2.0 * sqrt(
+                        CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+                        * (CAST(nt + 1 AS DOUBLE)
+                           - CAST(ties AS DOUBLE)
+                             / (CAST(nt AS DOUBLE) * CAST(nt - 1 AS DOUBLE))))), 6)
+                ELSE NULL END AS z
+    FROM agg
+    """,
+)
+def q313_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    vals = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.when(F.col("lang") == "en", 1)).cast("bigint").alias("n1v"),
+        F.count("*").cast("bigint").alias("ntv"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    # unpartitioned window over the bounded distinct-length spine
+    # (value grain, not doc grain — the q262 convention)
+    ranked = vals.select(
+        "v",
+        "n1v",
+        "ntv",
+        (2 * F.coalesce(F.sum("ntv").over(w), F.lit(0)) + F.col("ntv") + 1).alias(
+            "r2x"
+        ),
+    )
+    agg = ranked.agg(
+        F.sum("n1v").cast("bigint").alias("n1"),
+        F.sum(F.col("ntv") - F.col("n1v")).cast("bigint").alias("n2"),
+        F.sum("ntv").cast("bigint").alias("nt"),
+        F.sum(_d38(F.col("n1v")) * _d38(F.col("r2x")))
+        .cast("decimal(38,0)")
+        .alias("r1x2"),
+        F.sum(_d38(F.col("ntv")) * _d38(F.col("ntv")) * _d38(F.col("ntv")) - _d38(F.col("ntv")))
+        .cast("decimal(38,0)")
+        .alias("ties"),
+    )
+    n1, n2, nt = F.col("n1"), F.col("n2"), F.col("nt")
+    u_x2 = (F.col("r1x2") - _d38(n1) * _d38(n1 + 1)).cast("bigint")
+    sigma2 = (
+        n1.cast("double")
+        * n2.cast("double")
+        / F.lit(12.0)
+        * (
+            (nt + 1).cast("double")
+            - F.col("ties").cast("double")
+            / (nt.cast("double") * (nt - 1).cast("double"))
+        )
+    )
+    tie_guard = _d38(nt + 1) * _d38(nt) * _d38(nt - 1) > F.col("ties")
+    z = F.when(
+        (n1 > 0) & (n2 > 0) & (nt > 1) & tie_guard,
+        F.round(
+            (
+                F.col("r1x2") - _d38(n1) * _d38(n1 + 1) - _d38(n1) * _d38(n2)
+            ).cast("double")
+            / (F.lit(2.0) * F.sqrt(sigma2)),
+            6,
+        ),
+    )
+    return agg.select(
+        n1.alias("n_en"), n2.alias("n_other"), u_x2.alias("u_x2"), z.alias("z")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q314 — one-way ANOVA across sources on document length. Sufficient
+# statistics per source are exact integer (n, Σx, Σx²); the rational
+# per-group terms S_g²/n_g round to integer micro-units BEFORE the
+# cross-group sum (single deterministic division per group — the q217
+# ln-micro discipline applied to division), so SSB/SSW are exact
+# integer micro arithmetic and F/η² are one double expression each.
+# ---------------------------------------------------------------------------
+@query(
+    "q314_anova_f",
+    oracle="""
+    WITH g AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_g,
+               CAST(sum(n_chars) AS HUGEINT) AS s_g,
+               CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS q_g
+        FROM documents GROUP BY source
+    ),
+    terms AS (
+        SELECT source, n_g, s_g, q_g,
+               CAST(round(1000000.0 * CAST(s_g * s_g AS DOUBLE) / CAST(n_g AS DOUBLE))
+                    AS HUGEINT) AS term_micro
+        FROM g
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n_g) AS BIGINT) AS n,
+               CAST(sum(s_g) AS HUGEINT) AS s,
+               CAST(sum(q_g) AS HUGEINT) AS q,
+               CAST(sum(term_micro) AS HUGEINT) AS sum_terms_micro
+        FROM terms
+    )
+    SELECT k AS n_groups, n AS n_docs,
+           CASE WHEN q * 1000000 - sum_terms_micro > 0 AND k > 1 AND n > k
+                THEN round(
+                    (CAST(sum_terms_micro
+                          - CAST(round(1000000.0 * CAST(s * s AS DOUBLE)
+                                       / CAST(n AS DOUBLE)) AS HUGEINT) AS DOUBLE)
+                     / CAST(k - 1 AS DOUBLE))
+                    / (CAST(q * 1000000 - sum_terms_micro AS DOUBLE)
+                       / CAST(n - k AS DOUBLE)), 6)
+                ELSE NULL END AS f_stat,
+           CASE WHEN q * 1000000
+                     - CAST(round(1000000.0 * CAST(s * s AS DOUBLE)
+                                  / CAST(n AS DOUBLE)) AS HUGEINT) > 0
+                THEN round(
+                    CAST(sum_terms_micro
+                         - CAST(round(1000000.0 * CAST(s * s AS DOUBLE)
+                                      / CAST(n AS DOUBLE)) AS HUGEINT) AS DOUBLE)
+                    / CAST(q * 1000000
+                           - CAST(round(1000000.0 * CAST(s * s AS DOUBLE)
+                                        / CAST(n AS DOUBLE)) AS HUGEINT) AS DOUBLE), 6)
+                ELSE NULL END AS eta_sq
+    FROM tot
+    """,
+)
+def q314_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_g"),
+        F.sum("n_chars").cast("decimal(38,0)").alias("s_g"),
+        F.sum(_d38(F.col("n_chars")) * _d38(F.col("n_chars")))
+        .cast("decimal(38,0)")
+        .alias("q_g"),
+    )
+    terms = g.withColumn(
+        "term_micro",
+        F.round(
+            F.lit(1000000.0)
+            * (F.col("s_g") * F.col("s_g")).cast("double")
+            / F.col("n_g").cast("double")
+        ).cast("decimal(38,0)"),
+    )
+    tot = terms.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s_g").cast("decimal(38,0)").alias("s"),
+        F.sum("q_g").cast("decimal(38,0)").alias("q"),
+        F.sum("term_micro").cast("decimal(38,0)").alias("sum_terms_micro"),
+    )
+    grand_micro = F.round(
+        F.lit(1000000.0)
+        * (F.col("s") * F.col("s")).cast("double")
+        / F.col("n").cast("double")
+    ).cast("decimal(38,0)")
+    ssw_micro = F.col("q") * F.lit(1000000).cast("decimal(38,0)") - F.col(
+        "sum_terms_micro"
+    )
+    ssb_micro = F.col("sum_terms_micro") - grand_micro
+    k, n = F.col("k"), F.col("n")
+    f_stat = F.when(
+        (ssw_micro > 0) & (k > 1) & (n > k),
+        F.round(
+            (ssb_micro.cast("double") / (k - 1).cast("double"))
+            / (ssw_micro.cast("double") / (n - k).cast("double")),
+            6,
+        ),
+    )
+    sst_micro = F.col("q") * F.lit(1000000).cast("decimal(38,0)") - grand_micro
+    eta_sq = F.when(
+        sst_micro > 0, F.round(ssb_micro.cast("double") / sst_micro.cast("double"), 6)
+    )
+    return tot.select(
+        k.alias("n_groups"), n.alias("n_docs"),
+        f_stat.alias("f_stat"), eta_sq.alias("eta_sq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q316 — Theil-T inequality index of customer spend per market
+# segment: T = Σᵢ (cᵢ/S)·ln(cᵢ·n/S). Per-customer ln rounds to
+# integer micro-units (the 6dp ln discipline), the Σ cᵢ·ln_micro
+# product sum is exact DECIMAL(38,0), and T = sum/(S·10⁶) is one
+# double division, 6dp. Customer spend cᵢ is the exact integer cents
+# sum of their orders; the segment spine is ≤5 rows.
+# ---------------------------------------------------------------------------
+@query(
+    "q316_theil_index",
+    oracle="""
+    WITH spend AS (
+        SELECT c.c_mktsegment AS seg, o.o_custkey,
+               CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ),
+    seg_tot AS (
+        SELECT seg, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS HUGEINT) AS s
+        FROM spend WHERE cents > 0 GROUP BY seg
+    ),
+    contrib AS (
+        SELECT sp.seg, sp.cents,
+               CAST(round(1000000.0 * ln(
+                   CAST(sp.cents AS DOUBLE) * CAST(st.n AS DOUBLE)
+                   / CAST(st.s AS DOUBLE))) AS BIGINT) AS ln_micro
+        FROM spend sp JOIN seg_tot st ON st.seg = sp.seg
+        WHERE sp.cents > 0
+    )
+    SELECT c.seg AS c_mktsegment, max(st.n) AS n_customers,
+           round(CAST(sum(CAST(c.cents AS HUGEINT) * c.ln_micro) AS DOUBLE)
+                 / (CAST(max(st.s) AS DOUBLE) * 1000000.0), 6) AS theil_t
+    FROM contrib c JOIN seg_tot st ON st.seg = c.seg
+    GROUP BY c.seg ORDER BY c.seg
+    """,
+)
+def q316_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cc = c.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+    spend = (
+        o.join(F.broadcast(cc), "o_custkey")
+        .groupBy(F.col("c_mktsegment").alias("seg"), "o_custkey")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+        .filter(F.col("cents") > 0)
+    )
+    seg_tot = spend.groupBy("seg").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("decimal(38,0)").alias("s"),
+    )
+    contrib = spend.join(F.broadcast(seg_tot), "seg").select(
+        "seg",
+        "cents",
+        "n",
+        "s",
+        F.round(
+            F.lit(1000000.0)
+            * F.log(
+                F.col("cents").cast("double")
+                * F.col("n").cast("double")
+                / F.col("s").cast("double")
+            )
+        )
+        .cast("bigint")
+        .alias("ln_micro"),
+    )
+    return (
+        contrib.groupBy("seg")
+        .agg(
+            F.max("n").cast("bigint").alias("n_customers"),
+            F.round(
+                F.sum(_d38(F.col("cents")) * _d38(F.col("ln_micro")))
+                .cast("decimal(38,0)")
+                .cast("double")
+                / (F.max("s").cast("double") * F.lit(1000000.0)),
+                6,
+            ).alias("theil_t"),
+        )
+        .select(
+            F.col("seg").alias("c_mktsegment"), "n_customers", "theil_t"
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q317 — degree assortativity of the supplier→part supply graph:
+# Pearson correlation over the (deg(supplier), deg(part)) pairs of
+# the DISTINCT edge list — do high-degree suppliers stock
+# high-degree parts? Degrees are exact counts; the correlation sums
+# are exact DECIMAL(38,0); one 6dp double ratio. Scale: edges come
+# from one distinct over (s, p) — a single exchange — and the two
+# degree tables join back on their own keys.
+# ---------------------------------------------------------------------------
+@query(
+    "q317_assortativity",
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ),
+    ds AS (SELECT s, CAST(count(*) AS BIGINT) AS deg_s FROM edges GROUP BY s),
+    dp AS (SELECT p, CAST(count(*) AS BIGINT) AS deg_p FROM edges GROUP BY p),
+    pairs AS (
+        SELECT ds.deg_s AS j, dp.deg_p AS k
+        FROM edges e JOIN ds ON ds.s = e.s JOIN dp ON dp.p = e.p
+    ),
+    sums AS (
+        SELECT CAST(count(*) AS BIGINT) AS m,
+               CAST(sum(j) AS HUGEINT) AS sj, CAST(sum(k) AS HUGEINT) AS sk,
+               CAST(sum(CAST(j AS HUGEINT) * k) AS HUGEINT) AS sjk,
+               CAST(sum(CAST(j AS HUGEINT) * j) AS HUGEINT) AS sjj,
+               CAST(sum(CAST(k AS HUGEINT) * k) AS HUGEINT) AS skk
+        FROM pairs
+    )
+    SELECT m AS n_edges,
+           CASE WHEN m * sjj - sj * sj > 0 AND m * skk - sk * sk > 0
+                THEN round(CAST(m * sjk - sj * sk AS DOUBLE)
+                           / (sqrt(CAST(m * sjj - sj * sj AS DOUBLE))
+                              * sqrt(CAST(m * skk - sk * sk AS DOUBLE))), 6)
+                ELSE NULL END AS assortativity
+    FROM sums
+    """,
+)
+def q317_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    ds = edges.groupBy("s").agg(F.count("*").cast("bigint").alias("deg_s"))
+    dp = edges.groupBy("p").agg(F.count("*").cast("bigint").alias("deg_p"))
+    pairs = edges.join(ds, "s").join(dp, "p").select(
+        F.col("deg_s").alias("j"), F.col("deg_p").alias("k")
+    )
+    sums = pairs.agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum("j").cast("decimal(38,0)").alias("sj"),
+        F.sum("k").cast("decimal(38,0)").alias("sk"),
+        F.sum(_d38(F.col("j")) * _d38(F.col("k"))).cast("decimal(38,0)").alias("sjk"),
+        F.sum(_d38(F.col("j")) * _d38(F.col("j"))).cast("decimal(38,0)").alias("sjj"),
+        F.sum(_d38(F.col("k")) * _d38(F.col("k"))).cast("decimal(38,0)").alias("skk"),
+    )
+    m = _d38(F.col("m"))
+    var_j = m * F.col("sjj") - F.col("sj") * F.col("sj")
+    var_k = m * F.col("skk") - F.col("sk") * F.col("sk")
+    r = F.when(
+        (var_j > 0) & (var_k > 0),
+        F.round(
+            (m * F.col("sjk") - F.col("sj") * F.col("sk")).cast("double")
+            / (F.sqrt(var_j.cast("double")) * F.sqrt(var_k.cast("double"))),
+            6,
+        ),
+    )
+    return sums.select(F.col("m").alias("n_edges"), r.alias("assortativity"))
+
+
+# ---------------------------------------------------------------------------
+# q322 — Cohen's d effect size of promotion (discount ≥ 5%) on order
+# quantity per returnflag: d = (μ₁ − μ₂)/s_pooled. Group sufficient
+# statistics are exact integers (quantity is integral in this
+# schema); the per-group sum-of-squares terms round to micro-units
+# before combining (one deterministic division each, the q314
+# pattern); the final d is one double expression, 6dp.
+# ---------------------------------------------------------------------------
+@query(
+    "q322_cohens_d",
+    oracle="""
+    WITH g AS (
+        SELECT l_returnflag AS rf,
+               CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS promo,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS s,
+               CAST(sum(CAST(CAST(l_quantity AS BIGINT) AS HUGEINT)
+                        * CAST(l_quantity AS BIGINT)) AS HUGEINT) AS q
+        FROM lineitem GROUP BY 1, 2
+    ),
+    ss AS (
+        SELECT rf, promo, n, s,
+               q * 1000000
+               - CAST(round(1000000.0 * CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE))
+                      AS HUGEINT) AS ss_micro
+        FROM g
+    ),
+    wide AS (
+        SELECT rf,
+               max(CASE WHEN promo = 1 THEN n END) AS n1,
+               max(CASE WHEN promo = 0 THEN n END) AS n2,
+               max(CASE WHEN promo = 1 THEN s END) AS s1,
+               max(CASE WHEN promo = 0 THEN s END) AS s2,
+               max(CASE WHEN promo = 1 THEN ss_micro END) AS ss1,
+               max(CASE WHEN promo = 0 THEN ss_micro END) AS ss2
+        FROM ss GROUP BY rf
+    )
+    SELECT rf AS l_returnflag, n1 AS n_promo, n2 AS n_rest,
+           CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 2 AND ss1 + ss2 > 0
+                THEN round(
+                    (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                     - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                    / sqrt((CAST(ss1 + ss2 AS DOUBLE) / 1000000.0)
+                           / CAST(n1 + n2 - 2 AS DOUBLE)), 6)
+                ELSE NULL END AS cohens_d
+    FROM wide ORDER BY rf
+    """,
+)
+def q322_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("bigint")
+    g = li.groupBy(
+        F.col("l_returnflag").alias("rf"),
+        F.when(F.col("l_discount") >= 0.05, 1).otherwise(0).alias("promo"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(qty).cast("decimal(38,0)").alias("s"),
+        F.sum(_d38(qty) * _d38(qty)).cast("decimal(38,0)").alias("q"),
+    )
+    ss = g.select(
+        "rf",
+        "promo",
+        "n",
+        "s",
+        (
+            F.col("q") * F.lit(1000000).cast("decimal(38,0)")
+            - F.round(
+                F.lit(1000000.0)
+                * (F.col("s") * F.col("s")).cast("double")
+                / F.col("n").cast("double")
+            ).cast("decimal(38,0)")
+        ).alias("ss_micro"),
+    )
+    wide = ss.groupBy("rf").agg(
+        F.max(F.when(F.col("promo") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("promo") == 0, F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("promo") == 1, F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("promo") == 0, F.col("s"))).alias("s2"),
+        F.max(F.when(F.col("promo") == 1, F.col("ss_micro"))).alias("ss1"),
+        F.max(F.when(F.col("promo") == 0, F.col("ss_micro"))).alias("ss2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    d = F.when(
+        (n1 > 0) & (n2 > 0) & (n1 + n2 > 2) & (F.col("ss1") + F.col("ss2") > 0),
+        F.round(
+            (
+                F.col("s1").cast("double") / n1.cast("double")
+                - F.col("s2").cast("double") / n2.cast("double")
+            )
+            / F.sqrt(
+                ((F.col("ss1") + F.col("ss2")).cast("double") / F.lit(1000000.0))
+                / (n1 + n2 - 2).cast("double")
+            ),
+            6,
+        ),
+    )
+    return wide.select(
+        F.col("rf").alias("l_returnflag"),
+        n1.alias("n_promo"),
+        n2.alias("n_rest"),
+        d.alias("cohens_d"),
+    ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# q315 — two-proportion z-test per nation: is a nation's customer
+# conversion rate (has ≥1 FINISHED order, o_orderstatus = 'F' —
+# chosen because plain has-any-order is degenerate on this synthetic
+# schema: every customer has orders) different from the rest of the
+# population? Pooled-proportion z from exact integer counts; the z is
+# one double expression per nation row (no cross-row float math),
+# rounded 6dp; significance flags compare the ROUNDED z to the 1.96
+# literal so both engines decide from identical values.
+# ---------------------------------------------------------------------------
+@query(
+    "q315_two_proportion_z",
+    oracle="""
+    WITH conv AS (
+        SELECT c.c_nationkey,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) FILTER (WHERE o.o_custkey IS NOT NULL) AS BIGINT) AS x
+        FROM customer c
+        LEFT JOIN (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F') o
+          ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(x) AS BIGINT) AS xt FROM conv),
+    z AS (
+        SELECT n_nationkey, n.n_name, c.n AS n1, c.x AS x1,
+               t.nt - c.n AS n2, t.xt - c.x AS x2, t.xt, t.nt
+        FROM conv c
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        CROSS JOIN tot t
+    )
+    SELECT n_name, n1 AS n_customers, x1 AS n_converted,
+           CASE WHEN n1 > 0 AND n2 > 0 AND xt > 0 AND xt < nt
+                THEN round(
+                    (CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                     - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                    / sqrt((CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE))
+                           * (1.0 - CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE))
+                           * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))), 6)
+                ELSE NULL END AS z,
+           CASE WHEN n1 > 0 AND n2 > 0 AND xt > 0 AND xt < nt
+                THEN abs(round(
+                    (CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                     - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                    / sqrt((CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE))
+                           * (1.0 - CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE))
+                           * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))), 6)) > 1.96
+                ELSE NULL END AS significant
+    FROM z ORDER BY n_name
+    """,
+)
+def q315_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    buyers = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    ).distinct().withColumn(
+        "bought", F.lit(1)
+    )
+    conv = (
+        c.join(buyers, "c_custkey", "left")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n1"),
+            F.count("bought").cast("bigint").alias("x1"),
+        )
+    )
+    tot = conv.agg(
+        F.sum("n1").cast("bigint").alias("nt"), F.sum("x1").cast("bigint").alias("xt")
+    )
+    z_in = (
+        conv.crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(
+                n.select(F.col("n_nationkey").alias("c_nationkey"), "n_name")
+            ),
+            "c_nationkey",
+        )
+        .select(
+            "n_name",
+            "n1",
+            "x1",
+            (F.col("nt") - F.col("n1")).alias("n2"),
+            (F.col("xt") - F.col("x1")).alias("x2"),
+            "nt",
+            "xt",
+        )
+    )
+    p1 = F.col("x1").cast("double") / F.col("n1").cast("double")
+    p2 = F.col("x2").cast("double") / F.col("n2").cast("double")
+    pp = F.col("xt").cast("double") / F.col("nt").cast("double")
+    guard = (
+        (F.col("n1") > 0)
+        & (F.col("n2") > 0)
+        & (F.col("xt") > 0)
+        & (F.col("xt") < F.col("nt"))
+    )
+    z = F.when(
+        guard,
+        F.round(
+            (p1 - p2)
+            / F.sqrt(
+                pp
+                * (F.lit(1.0) - pp)
+                * (
+                    F.lit(1.0) / F.col("n1").cast("double")
+                    + F.lit(1.0) / F.col("n2").cast("double")
+                )
+            ),
+            6,
+        ),
+    )
+    return z_in.select(
+        "n_name",
+        F.col("n1").alias("n_customers"),
+        F.col("x1").alias("n_converted"),
+        z.alias("z"),
+        F.when(guard, F.abs(z) > 1.96).alias("significant"),
+    ).orderBy("n_name")
+
+
+# ---------------------------------------------------------------------------
+# q318 — Burrows' Delta stylometric distance between sources over the
+# top-20 corpus terms: z-score each term's relative frequency across
+# the 5 sources, Delta(a,b) = mean |z_a − z_b|. Relative frequencies
+# are exact integer parts-per-billion (floor division of exact
+# multiples — Spark decimal-exact, DuckDB HUGEINT //); the per-term
+# z is one closed-form integer ratio (m·f − Σf)/√(m·Σf² − (Σf)²)
+# rounded to micro-units; Delta sums exact micro ints over the
+# 20-term spine. A term constant across sources contributes 0 by
+# definition (σ = 0 guard on both engines).
+# ---------------------------------------------------------------------------
+@query(
+    "q318_burrows_delta",
+    oracle="""
+    WITH toks AS (
+        SELECT source, unnest(list_filter(
+            string_split_regex(lower(text), '[^a-zA-Z0-9]+'), t -> t <> '')) AS term
+        FROM documents
+    ),
+    tc AS (SELECT source, term, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1, 2),
+    totals AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS total FROM tc GROUP BY source),
+    top_terms AS (
+        SELECT term FROM (
+            SELECT term, CAST(sum(cnt) AS BIGINT) AS n
+            FROM tc GROUP BY term ORDER BY n DESC, term LIMIT 20
+        )
+    ),
+    f AS (
+        SELECT t.term, s.source,
+               CAST((CAST(COALESCE(tc.cnt, 0) AS HUGEINT) * 1000000000)
+                    // CAST(s.total AS HUGEINT) AS BIGINT) AS f_ppb
+        FROM top_terms t
+        CROSS JOIN totals s
+        LEFT JOIN tc ON tc.term = t.term AND tc.source = s.source
+    ),
+    stats AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS m,
+               CAST(sum(f_ppb) AS HUGEINT) AS sf,
+               CAST(sum(CAST(f_ppb AS HUGEINT) * f_ppb) AS HUGEINT) AS sff
+        FROM f GROUP BY term
+    ),
+    zed AS (
+        SELECT f.term, f.source,
+               CASE WHEN s.m * s.sff - s.sf * s.sf > 0
+                    THEN CAST(round(1000000.0
+                         * CAST(s.m * f.f_ppb - s.sf AS DOUBLE)
+                         / sqrt(CAST(s.m * s.sff - s.sf * s.sf AS DOUBLE))) AS BIGINT)
+                    ELSE 0 END AS z_micro
+        FROM f JOIN stats s ON s.term = f.term
+    )
+    SELECT source_a, source_b, n_terms,
+           delta_micro,
+           CAST(delta_micro AS DOUBLE) / 1000000.0 AS delta
+    FROM (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(count(*) AS BIGINT) AS n_terms,
+               CAST(CAST(sum(abs(a.z_micro - b.z_micro)) AS HUGEINT)
+                    // CAST(count(*) AS HUGEINT) AS BIGINT) AS delta_micro
+        FROM zed a JOIN zed b ON a.term = b.term AND a.source < b.source
+        GROUP BY 1, 2
+    ) ORDER BY 1, 2
+    """,
+)
+def q318_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select("source", F.explode(tokens("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    totals = tc.groupBy("source").agg(F.sum("cnt").cast("bigint").alias("total"))
+    top_terms = (
+        tc.groupBy("term")
+        .agg(F.sum("cnt").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(20)
+        .select("term")
+    )
+    scaled = _d38(F.coalesce(F.col("cnt"), F.lit(0))) * F.lit(1000000000).cast(
+        "decimal(38,0)"
+    )
+    f = (
+        top_terms.crossJoin(F.broadcast(totals))
+        .join(tc, ["term", "source"], "left")
+        .select(
+            "term",
+            "source",
+            # exact floor division: subtract the remainder first so
+            # the decimal division operates on an exact multiple
+            ((scaled - F.pmod(scaled, _d38(F.col("total")))) / _d38(F.col("total")))
+            .cast("bigint")
+            .alias("f_ppb"),
+        )
+    )
+    stats = f.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum("f_ppb").cast("decimal(38,0)").alias("sf"),
+        F.sum(_d38(F.col("f_ppb")) * _d38(F.col("f_ppb")))
+        .cast("decimal(38,0)")
+        .alias("sff"),
+    )
+    var_num = _d38(F.col("m")) * F.col("sff") - F.col("sf") * F.col("sf")
+    zed = f.join(F.broadcast(stats), "term").select(
+        "term",
+        "source",
+        F.when(
+            var_num > 0,
+            F.round(
+                F.lit(1000000.0)
+                * (_d38(F.col("m")) * _d38(F.col("f_ppb")) - F.col("sf")).cast(
+                    "double"
+                )
+                / F.sqrt(var_num.cast("double"))
+            ).cast("bigint"),
+        )
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("z_micro"),
+    )
+    a, b = zed.alias("a"), zed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_terms"),
+            F.sum(F.abs(F.col("a.z_micro") - F.col("b.z_micro")))
+            .cast("decimal(38,0)")
+            .alias("_sum_abs"),
+        )
+        # mean |Δz| floors to integer micro-units (exact on both
+        # engines; a round() here can land on an exact decimal half
+        # and flip between the engines' half-rounding — the r06 q318
+        # lesson), then the double form is one exact division.
+        .select(
+            "source_a",
+            "source_b",
+            "n_terms",
+            (
+                (F.col("_sum_abs") - F.pmod(F.col("_sum_abs"), _d38(F.col("n_terms"))))
+                / _d38(F.col("n_terms"))
+            )
+            .cast("bigint")
+            .alias("delta_micro"),
+        )
+        .withColumn("delta", F.col("delta_micro").cast("double") / F.lit(1000000.0))
+        .orderBy("source_a", "source_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q319 — Flesch reading-ease scoring per document (the classic
+# quality/readability gate of a text-curation pipeline): words from
+# the shared tokenizer, sentences as [.!?]+ runs, syllables
+# approximated as vowel-group runs — all exact regex COUNTS that both
+# engines compute identically (character classes only, no dialect
+# divergence), composed into one per-row double expression, 6dp.
+# Map-side only: no shuffle at all.
+# ---------------------------------------------------------------------------
+@query(
+    "q319_flesch_readability",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(lower(text), '[^a-zA-Z0-9]+'),
+                                t -> t <> '')) AS BIGINT) AS n_words,
+           CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+           CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables,
+           CASE WHEN len(list_filter(string_split_regex(lower(text), '[^a-zA-Z0-9]+'),
+                                     t -> t <> '')) > 0
+                THEN round(206.835
+                     - 1.015 * CAST(len(list_filter(string_split_regex(lower(text), '[^a-zA-Z0-9]+'), t -> t <> '')) AS DOUBLE)
+                             / CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE)
+                     - 84.6 * CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+                            / CAST(len(list_filter(string_split_regex(lower(text), '[^a-zA-Z0-9]+'), t -> t <> '')) AS DOUBLE), 6)
+                ELSE NULL END AS flesch
+    FROM documents
+    """,
+)
+def q319_flesch_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.size(tokens("text")).cast("bigint")
+    sentences = F.greatest(
+        F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+    ).cast("bigint")
+    syllables = F.size(
+        F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+    ).cast("bigint")
+    flesch = F.when(
+        words > 0,
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * words.cast("double") / sentences.cast("double")
+            - F.lit(84.6) * syllables.cast("double") / words.cast("double"),
+            6,
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        words.alias("n_words"),
+        sentences.alias("n_sentences"),
+        syllables.alias("n_syllables"),
+        flesch.alias("flesch"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q320 — deterministic integer-weight bootstrap of mean order value:
+# 32 resamples whose per-order weights w ∈ {0,1,2} (P = ¼,½,¼ —
+# mean 1, variance ½) come from two md5 bits keyed by
+# (o_orderkey, b), so both engines draw IDENTICAL "random" weights.
+# Each resample mean is exact integer arithmetic (Σw·cents / Σw,
+# rounded to micro-cents once); the across-resample mean floors to
+# integer micro (the q318 half-tie lesson) and the SE is one sqrt
+# over exact integer sums, scaled by √2 for the weight variance of ½.
+# Scale shape: a 32× map-side explode, two exchanges (per-b, then a
+# 32-row aggregate) — no data-grain window, no driver loop.
+# ---------------------------------------------------------------------------
+_BOOT_B = 32
+
+
+@query(
+    "q320_poisson_bootstrap",
+    oracle=f"""
+    WITH drawn AS (
+        SELECT b.b,
+               CAST(floor(o.o_totalprice * 100) AS BIGINT) AS cents,
+               CASE (CAST('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR) || '_' || CAST(b.b AS VARCHAR)), 1, 8) AS BIGINT) % 4)
+                    WHEN 0 THEN 0 WHEN 3 THEN 2 ELSE 1 END AS w
+        FROM orders o CROSS JOIN (SELECT unnest(range(0, {_BOOT_B})) AS b) b
+    ),
+    per_b AS (
+        SELECT b, CAST(sum(w) AS BIGINT) AS n_b,
+               CAST(sum(CAST(w AS HUGEINT) * cents) AS HUGEINT) AS s_b
+        FROM drawn GROUP BY b
+    ),
+    means AS (
+        SELECT b, CAST(round(1000000.0 * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                       AS BIGINT) AS m_micro
+        FROM per_b WHERE n_b > 0
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS nb,
+               CAST(sum(m_micro) AS HUGEINT) AS sm,
+               CAST(sum(CAST(m_micro AS HUGEINT) * m_micro) AS HUGEINT) AS smm
+        FROM means
+    )
+    SELECT nb AS n_resamples,
+           CAST(CAST(sm // nb AS BIGINT) AS DOUBLE) / 1000000.0 AS mean_cents,
+           CASE WHEN nb > 1 AND nb * smm - sm * sm >= 0
+                THEN round(sqrt(CAST(nb * smm - sm * sm AS DOUBLE)
+                                / (CAST(nb AS DOUBLE) * CAST(nb - 1 AS DOUBLE)))
+                           * sqrt(2.0) / 1000000.0, 6)
+                ELSE NULL END AS se_cents
+    FROM agg
+    """,
+)
+def q320_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    drawn = o.select(
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+        "o_orderkey",
+    ).select(
+        "b",
+        "cents",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("o_orderkey").cast("string"),
+                            F.lit("_"),
+                            F.col("b").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 4
+        ).alias("h"),
+    ).select(
+        "b",
+        "cents",
+        F.when(F.col("h") == 0, 0).when(F.col("h") == 3, 2).otherwise(1).alias("w"),
+    )
+    per_b = drawn.groupBy("b").agg(
+        F.sum("w").cast("bigint").alias("n_b"),
+        F.sum(_d38(F.col("w")) * _d38(F.col("cents")))
+        .cast("decimal(38,0)")
+        .alias("s_b"),
+    )
+    means = per_b.filter(F.col("n_b") > 0).select(
+        F.round(
+            F.lit(1000000.0) * F.col("s_b").cast("double") / F.col("n_b").cast("double")
+        )
+        .cast("bigint")
+        .alias("m_micro")
+    )
+    agg = means.agg(
+        F.count("*").cast("bigint").alias("nb"),
+        F.sum("m_micro").cast("decimal(38,0)").alias("sm"),
+        F.sum(_d38(F.col("m_micro")) * _d38(F.col("m_micro")))
+        .cast("decimal(38,0)")
+        .alias("smm"),
+    )
+    nb = F.col("nb")
+    var_num = _d38(nb) * F.col("smm") - F.col("sm") * F.col("sm")
+    mean_cents = (
+        ((F.col("sm") - F.pmod(F.col("sm"), _d38(nb))) / _d38(nb))
+        .cast("bigint")
+        .cast("double")
+        / F.lit(1000000.0)
+    )
+    se = F.when(
+        (nb > 1) & (var_num >= 0),
+        F.round(
+            F.sqrt(
+                var_num.cast("double") / (nb.cast("double") * (nb - 1).cast("double"))
+            )
+            * F.sqrt(F.lit(2.0))
+            / F.lit(1000000.0),
+            6,
+        ),
+    )
+    return agg.select(
+        nb.alias("n_resamples"), mean_cents.alias("mean_cents"), se.alias("se_cents")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q321 — frequent episode mining: ordered event-type pairs (a → b)
+# occurring within 30 minutes inside one user's stream, with both
+# occurrence and user-level support. The classic windowed sequential
+# pattern (WINEPI-style) as one user-keyed band self-join — per-user
+# event counts bound the pair fan-out, and the 25-row type-pair
+# lattice is the output grain. Exact integer counts only.
+# ---------------------------------------------------------------------------
+@query(
+    "q321_episode_mining",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM e a JOIN e b
+      ON a.user_id = b.user_id
+     AND (b.t > a.t OR (b.t = a.t AND b.event_id > a.event_id))
+     AND b.t <= a.t + 1800000000
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q321_episode_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    a, b = ev.alias("a"), ev.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (
+            (F.col("b.t") > F.col("a.t"))
+            | (
+                (F.col("b.t") == F.col("a.t"))
+                & (F.col("b.event_id") > F.col("a.event_id"))
+            )
+        )
+        & (F.col("b.t") <= F.col("a.t") + F.lit(1_800_000_000)),
+    )
+    return (
+        pairs.groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_occurrences"),
+            F.countDistinct(F.col("a.user_id")).cast("bigint").alias("n_users"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q323 — Kendall τ-b between the daily view series and the daily
+# purchase series: concordant/discordant/tied day pairs as exact
+# integer counts over the day-grain theta join (O(days²) —
+# calendar-bounded like q235, documented in COVERAGE.md's
+# domain-bounded table), τ-b = (C − D)/√((n0−n1)(n0−n2)) as one 6dp
+# double expression with zero-variance guards.
+# ---------------------------------------------------------------------------
+@query(
+    "q323_kendall_tau_b",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS x,
+               CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    pairs AS (
+        SELECT CASE WHEN (b.x - a.x) * (b.y - a.y) > 0 THEN 1 ELSE 0 END AS conc,
+               CASE WHEN (b.x - a.x) * (b.y - a.y) < 0 THEN 1 ELSE 0 END AS disc,
+               CASE WHEN b.x = a.x THEN 1 ELSE 0 END AS tx,
+               CASE WHEN b.y = a.y THEN 1 ELSE 0 END AS ty
+        FROM daily a JOIN daily b ON b.d > a.d
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n0,
+               CAST(sum(conc) AS BIGINT) AS c, CAST(sum(disc) AS BIGINT) AS dd,
+               CAST(sum(tx) AS BIGINT) AS n1, CAST(sum(ty) AS BIGINT) AS n2
+        FROM pairs
+    )
+    SELECT n0 AS n_pairs, c AS concordant, dd AS discordant,
+           CASE WHEN n0 > n1 AND n0 > n2
+                THEN round(CAST(c - dd AS DOUBLE)
+                           / sqrt(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE)), 6)
+                ELSE NULL END AS tau_b
+    FROM agg
+    """,
+)
+def q323_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.when(F.col("event_type") == "view", 1)).cast("bigint").alias("x"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("bigint")
+        .alias("y"),
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    dx = F.col("b.x") - F.col("a.x")
+    dy = F.col("b.y") - F.col("a.y")
+    pairs = a.join(b, F.col("b.d") > F.col("a.d")).select(
+        F.when(dx * dy > 0, 1).otherwise(0).alias("conc"),
+        F.when(dx * dy < 0, 1).otherwise(0).alias("disc"),
+        F.when(F.col("b.x") == F.col("a.x"), 1).otherwise(0).alias("tx"),
+        F.when(F.col("b.y") == F.col("a.y"), 1).otherwise(0).alias("ty"),
+    )
+    agg = pairs.agg(
+        F.count("*").cast("bigint").alias("n0"),
+        F.sum("conc").cast("bigint").alias("c"),
+        F.sum("disc").cast("bigint").alias("dd"),
+        F.sum("tx").cast("bigint").alias("n1"),
+        F.sum("ty").cast("bigint").alias("n2"),
+    )
+    n0, n1, n2 = F.col("n0"), F.col("n1"), F.col("n2")
+    tau = F.when(
+        (n0 > n1) & (n0 > n2),
+        F.round(
+            (F.col("c") - F.col("dd")).cast("double")
+            / F.sqrt((n0 - n1).cast("double") * (n0 - n2).cast("double")),
+            6,
+        ),
+    )
+    return agg.select(
+        n0.alias("n_pairs"),
+        F.col("c").alias("concordant"),
+        F.col("dd").alias("discordant"),
+        tau.alias("tau_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q326 — water-filling token-budget allocation across sources: given
+# a budget of half the corpus tokens, keep every source below the
+# water level λ in full and cap the rest at λ, with the integer
+# remainder distributed deterministically to the smallest capped
+# sources first — the "balance the training mix under a budget"
+# primitive. Entirely integer arithmetic on the ≤5-row source spine
+# (the heavy work is ONE corpus token count); both engines execute
+# the identical closed-form prefix-sum construction.
+# ---------------------------------------------------------------------------
+@query(
+    "q326_waterfill_budget",
+    oracle="""
+    WITH toks AS (
+        SELECT source,
+               CAST(sum(len(list_filter(string_split_regex(lower(text), '[^a-zA-Z0-9]+'),
+                                        t -> t <> ''))) AS BIGINT) AS tokens
+        FROM documents GROUP BY source
+    ),
+    ordered AS (
+        SELECT source, tokens,
+               CAST(row_number() OVER (ORDER BY tokens, source) AS BIGINT) AS i,
+               CAST(count(*) OVER () AS BIGINT) AS m,
+               CAST(COALESCE(sum(tokens) OVER (
+                   ORDER BY tokens, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS p_before,
+               CAST(sum(tokens) OVER () AS BIGINT) AS total
+        FROM toks
+    ),
+    budget AS (SELECT *, total // 2 AS b FROM ordered),
+    kdet AS (
+        SELECT *, CASE WHEN tokens * (m - i + 1) <= b - p_before THEN i ELSE 0 END AS k_cand
+        FROM budget
+    ),
+    kval AS (
+        SELECT *, max(k_cand) OVER () AS k,
+               max(CASE WHEN k_cand > 0 THEN p_before + tokens END) OVER () AS p_k
+        FROM kdet
+    ),
+    lam AS (
+        SELECT *,
+               CASE WHEN k < m THEN (b - COALESCE(p_k, 0)) // (m - k) ELSE 0 END AS lam_f,
+               CASE WHEN k < m THEN (b - COALESCE(p_k, 0)) % (m - k) ELSE 0 END AS r
+        FROM kval
+    )
+    SELECT source, tokens,
+           CASE WHEN i <= k THEN tokens
+                WHEN i - k <= r THEN lam_f + 1
+                ELSE lam_f END AS alloc,
+           i > k AS capped
+    FROM lam ORDER BY source
+    """,
+)
+def q326_waterfill_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.groupBy("source").agg(
+        F.sum(F.size(tokens("text")).cast("bigint")).cast("bigint").alias("tokens")
+    )
+    # All windows below run over the ≤5-row source spine.
+    w_ord = Window.orderBy("tokens", "source")
+    w_all = Window.partitionBy()
+    ordered = toks.select(
+        "source",
+        "tokens",
+        F.row_number().over(w_ord).cast("bigint").alias("i"),
+        F.count("*").over(w_all).cast("bigint").alias("m"),
+        F.coalesce(
+            F.sum("tokens").over(w_ord.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("p_before"),
+        F.sum("tokens").over(w_all).cast("bigint").alias("total"),
+    )
+
+    def idiv(x, y):
+        return ((x - F.pmod(x, y)) / y).cast("bigint")
+
+    budget = ordered.withColumn("b", idiv(F.col("total"), F.lit(2)))
+    kdet = budget.withColumn(
+        "k_cand",
+        F.when(
+            F.col("tokens") * (F.col("m") - F.col("i") + 1)
+            <= F.col("b") - F.col("p_before"),
+            F.col("i"),
+        ).otherwise(F.lit(0)),
+    )
+    kval = kdet.withColumn("k", F.max("k_cand").over(w_all)).withColumn(
+        "p_k",
+        F.max(
+            F.when(F.col("k_cand") > 0, F.col("p_before") + F.col("tokens"))
+        ).over(w_all),
+    )
+    rem_pool = F.col("b") - F.coalesce(F.col("p_k"), F.lit(0))
+    lam = kval.withColumn(
+        "lam_f",
+        F.when(F.col("k") < F.col("m"), idiv(rem_pool, F.col("m") - F.col("k")))
+        .otherwise(F.lit(0)),
+    ).withColumn(
+        "r",
+        F.when(
+            F.col("k") < F.col("m"), F.pmod(rem_pool, F.col("m") - F.col("k"))
+        ).otherwise(F.lit(0)),
+    )
+    return lam.select(
+        "source",
+        "tokens",
+        F.when(F.col("i") <= F.col("k"), F.col("tokens"))
+        .when(F.col("i") - F.col("k") <= F.col("r"), F.col("lam_f") + 1)
+        .otherwise(F.col("lam_f"))
+        .alias("alloc"),
+        (F.col("i") > F.col("k")).alias("capped"),
+    ).orderBy("source")

@@ -1,0 +1,377 @@
+"""Independent third-implementation checks for the round-6 stats
+family: every statistic is recomputed in pure Python from raw parquet
+(via DuckDB fetch only — no SQL math), then compared against the Spark
+query output. This is the class of test that catches a formula bug
+BOTH engines share (oracle hash parity alone cannot — the round-4
+q234 lesson)."""
+
+from __future__ import annotations
+
+import math
+import statistics
+
+import duckdb
+import pytest
+
+from pipeline_usnvc_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "nation", "documents", "events"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return c
+
+
+def _mid_ranks(values):
+    """Average ranks with ties, 1-based (the textbook definition)."""
+    order = sorted(range(len(values)), key=lambda i: values[i])
+    ranks = [0.0] * len(values)
+    i = 0
+    while i < len(order):
+        j = i
+        while j + 1 < len(order) and values[order[j + 1]] == values[order[i]]:
+            j += 1
+        avg = (i + 1 + j + 1) / 2.0
+        for k in range(i, j + 1):
+            ranks[order[k]] = avg
+        i = j + 1
+    return ranks
+
+
+def _pearson(xs, ys):
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    num = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    dx = math.sqrt(sum((x - mx) ** 2 for x in xs))
+    dy = math.sqrt(sum((y - my) ** 2 for y in ys))
+    return num / (dx * dy)
+
+
+def test_spearman_is_pearson_on_mid_ranks(spark, con):
+    rows = con.execute(
+        "SELECT l_returnflag, l_discount, l_quantity FROM lineitem"
+    ).fetchall()
+    by_rf: dict[str, list[tuple[float, float]]] = {}
+    for rf, d, q in rows:
+        by_rf.setdefault(rf, []).append((d, q))
+    got = {
+        r["l_returnflag"]: (r["n_rows"], r["spearman_rho"])
+        for r in QUERIES["q312_spearman_corr"](spark, SF).collect()
+    }
+    for rf, pairs in by_rf.items():
+        rd = _mid_ranks([p[0] for p in pairs])
+        rq = _mid_ranks([p[1] for p in pairs])
+        want = round(_pearson(rd, rq), 6)
+        n, rho = got[rf]
+        assert n == len(pairs)
+        assert abs(rho - want) <= 1e-6
+
+
+def test_mann_whitney_u_and_z(spark, con):
+    rows = con.execute("SELECT lang, n_chars FROM documents").fetchall()
+    en = [v for lang, v in rows if lang == "en"]
+    other = [v for lang, v in rows if lang != "en"]
+    combined = en + other
+    ranks = _mid_ranks(combined)
+    r1 = sum(ranks[: len(en)])
+    n1, n2 = len(en), len(other)
+    nt = n1 + n2
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    # tie correction
+    from collections import Counter
+
+    ties = sum(t**3 - t for t in Counter(combined).values())
+    sigma = math.sqrt(
+        n1 * n2 / 12.0 * ((nt + 1) - ties / (nt * (nt - 1)))
+    )
+    want_z = round((u1 - n1 * n2 / 2.0) / sigma, 6)
+    row = QUERIES["q313_mann_whitney"](spark, SF).collect()[0]
+    assert row["n_en"] == n1 and row["n_other"] == n2
+    assert row["u_x2"] == round(2 * u1)
+    assert abs(row["z"] - want_z) < 2e-6  # micro-quantization slack
+
+
+def test_anova_f_matches_textbook(spark, con):
+    rows = con.execute("SELECT source, n_chars FROM documents").fetchall()
+    groups: dict[str, list[int]] = {}
+    for s, v in rows:
+        groups.setdefault(s, []).append(v)
+    all_v = [v for vs in groups.values() for v in vs]
+    grand = sum(all_v) / len(all_v)
+    ssb = sum(len(vs) * (sum(vs) / len(vs) - grand) ** 2 for vs in groups.values())
+    ssw = sum(
+        (v - sum(vs) / len(vs)) ** 2 for vs in groups.values() for v in vs
+    )
+    k, n = len(groups), len(all_v)
+    want_f = (ssb / (k - 1)) / (ssw / (n - k))
+    row = QUERIES["q314_anova_f"](spark, SF).collect()[0]
+    assert row["n_groups"] == k and row["n_docs"] == n
+    assert abs(row["f_stat"] - want_f) < 1e-4  # micro-rounded terms
+    assert abs(row["eta_sq"] - ssb / (ssb + ssw)) < 1e-4
+
+
+def test_two_proportion_z(spark, con):
+    rows = con.execute(
+        """SELECT n.n_name,
+                  count(*),
+                  count(*) FILTER (WHERE c.c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'))
+           FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+           GROUP BY 1"""
+    ).fetchall()
+    nt = sum(r[1] for r in rows)
+    xt = sum(r[2] for r in rows)
+    got = {r["n_name"]: r for r in QUERIES["q315_two_proportion_z"](spark, SF).collect()}
+    for name, n1, x1 in rows:
+        n2, x2 = nt - n1, xt - x1
+        r = got[name]
+        assert r["n_customers"] == n1 and r["n_converted"] == x1
+        if n1 == 0 or n2 == 0 or xt == 0 or xt == nt:
+            # degenerate pooled proportion: the query's guard emits NULL
+            assert r["z"] is None and r["significant"] is None
+            continue
+        p = xt / nt
+        want = (x1 / n1 - x2 / n2) / math.sqrt(p * (1 - p) * (1 / n1 + 1 / n2))
+        assert abs(r["z"] - round(want, 6)) <= 1e-6
+        assert r["significant"] == (abs(round(want, 6)) > 1.96)
+
+
+def test_theil_index(spark, con):
+    rows = con.execute(
+        """SELECT c.c_mktsegment, o.o_custkey, sum(CAST(floor(o.o_totalprice*100) AS BIGINT))
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+           GROUP BY 1, 2"""
+    ).fetchall()
+    segs: dict[str, list[int]] = {}
+    for seg, _, cents in rows:
+        if cents > 0:
+            segs.setdefault(seg, []).append(cents)
+    got = {
+        r["c_mktsegment"]: r for r in QUERIES["q316_theil_index"](spark, SF).collect()
+    }
+    for seg, xs in segs.items():
+        s, n = sum(xs), len(xs)
+        want = sum((x / s) * math.log(x * n / s) for x in xs)
+        assert got[seg]["n_customers"] == n
+        assert abs(got[seg]["theil_t"] - want) < 1e-5
+
+
+def test_assortativity(spark, con):
+    edges = con.execute(
+        "SELECT DISTINCT l_suppkey, l_partkey FROM lineitem"
+    ).fetchall()
+    from collections import Counter
+
+    ds = Counter(s for s, _ in edges)
+    dp = Counter(p for _, p in edges)
+    js = [ds[s] for s, _ in edges]
+    ks = [dp[p] for _, p in edges]
+    want = round(_pearson(js, ks), 6)
+    row = QUERIES["q317_assortativity"](spark, SF).collect()[0]
+    assert row["n_edges"] == len(edges)
+    assert abs(row["assortativity"] - want) <= 1e-6
+
+
+def test_burrows_delta(spark, con):
+    import re
+    from collections import Counter
+
+    rows = con.execute("SELECT source, text FROM documents").fetchall()
+    tc: dict[str, Counter] = {}
+    for source, text in rows:
+        toks = [t for t in re.split(r"[^a-zA-Z0-9]+", (text or "").lower()) if t]
+        tc.setdefault(source, Counter()).update(toks)
+    totals = {s: sum(c.values()) for s, c in tc.items()}
+    corpus = Counter()
+    for c in tc.values():
+        corpus.update(c)
+    top = sorted(corpus.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    sources = sorted(tc)
+    m = len(sources)
+    z: dict[tuple[str, str], int] = {}
+    for term, _ in top:
+        fs = {s: (tc[s][term] * 1_000_000_000) // totals[s] for s in sources}
+        sf_, sff = sum(fs.values()), sum(v * v for v in fs.values())
+        var_num = m * sff - sf_ * sf_
+        for s in sources:
+            z[(term, s)] = (
+                round(1e6 * (m * fs[s] - sf_) / math.sqrt(var_num))
+                if var_num > 0
+                else 0
+            )
+    got = {
+        (r["source_a"], r["source_b"]): r
+        for r in QUERIES["q318_burrows_delta"](spark, SF).collect()
+    }
+    for i, a in enumerate(sources):
+        for b in sources[i + 1 :]:
+            total = sum(abs(z[(t, a)] - z[(t, b)]) for t, _ in top)
+            want_micro = total // len(top)
+            r = got[(a, b)]
+            assert r["n_terms"] == len(top)
+            assert r["delta_micro"] == want_micro
+
+
+def test_flesch_readability(spark, con):
+    import re
+
+    rows = dict(con.execute("SELECT doc_id, text FROM documents LIMIT 50").fetchall())
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["q319_flesch_readability"](spark, SF)
+        .filter("doc_id < 50")
+        .collect()
+    }
+    for doc_id, text in rows.items():
+        words = len([t for t in re.split(r"[^a-zA-Z0-9]+", (text or "").lower()) if t])
+        sentences = max(len(re.findall(r"[.!?]+", text or "")), 1)
+        syllables = len(re.findall(r"[aeiouy]+", (text or "").lower()))
+        r = got[doc_id]
+        assert r["n_words"] == words
+        assert r["n_sentences"] == sentences
+        assert r["n_syllables"] == syllables
+        if words:
+            want = 206.835 - 1.015 * words / sentences - 84.6 * syllables / words
+            assert abs(r["flesch"] - want) < 1e-5
+
+
+def test_bootstrap_weights_and_se(spark, con):
+    import hashlib
+
+    rows = con.execute(
+        "SELECT o_orderkey, CAST(floor(o_totalprice*100) AS BIGINT) FROM orders"
+    ).fetchall()
+    means = []
+    for b in range(32):
+        n_b = s_b = 0
+        for key, cents in rows:
+            h = int(hashlib.md5(f"{key}_{b}".encode()).hexdigest()[:8], 16) % 4
+            w = 0 if h == 0 else (2 if h == 3 else 1)
+            n_b += w
+            s_b += w * cents
+        means.append(round(1e6 * s_b / n_b))
+    sm = sum(means)
+    var = (32 * sum(m * m for m in means) - sm * sm) / (32 * 31)
+    want_se = round(math.sqrt(var) * math.sqrt(2) / 1e6, 6)
+    want_mean = (sm // 32) / 1e6
+    row = QUERIES["q320_poisson_bootstrap"](spark, SF).collect()[0]
+    assert row["n_resamples"] == 32
+    assert row["mean_cents"] == want_mean
+    assert abs(row["se_cents"] - want_se) <= 1e-6
+
+
+def test_episode_mining(spark, con):
+    rows = con.execute(
+        "SELECT user_id, event_id, event_type, epoch_us(ts) FROM events"
+    ).fetchall()
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for u, eid, et, t in rows:
+        by_user[u].append((t, eid, et))
+    occ = defaultdict(int)
+    users = defaultdict(set)
+    for u, evs in by_user.items():
+        evs.sort()
+        for i, (t1, id1, a) in enumerate(evs):
+            for t2, id2, b in evs[i + 1 :]:
+                if t2 - t1 > 1_800_000_000:
+                    break
+                if t2 > t1 or id2 > id1:
+                    occ[(a, b)] += 1
+                    users[(a, b)].add(u)
+    got = {
+        (r["type_a"], r["type_b"]): r
+        for r in QUERIES["q321_episode_mining"](spark, SF).collect()
+    }
+    assert set(got) == set(occ)
+    for pair, n in occ.items():
+        assert got[pair]["n_occurrences"] == n
+        assert got[pair]["n_users"] == len(users[pair])
+
+
+def test_cohens_d(spark, con):
+    rows = con.execute(
+        "SELECT l_returnflag, l_discount >= 0.05, CAST(l_quantity AS BIGINT) FROM lineitem"
+    ).fetchall()
+    groups: dict[tuple, list[int]] = {}
+    for rf, promo, q in rows:
+        groups.setdefault((rf, promo), []).append(q)
+    got = {r["l_returnflag"]: r for r in QUERIES["q322_cohens_d"](spark, SF).collect()}
+    for rf in {k[0] for k in groups}:
+        g1, g2 = groups.get((rf, True), []), groups.get((rf, False), [])
+        if not g1 or not g2:
+            continue
+        m1, m2 = statistics.mean(g1), statistics.mean(g2)
+        ss1 = sum((x - m1) ** 2 for x in g1)
+        ss2 = sum((x - m2) ** 2 for x in g2)
+        sp = math.sqrt((ss1 + ss2) / (len(g1) + len(g2) - 2))
+        want = (m1 - m2) / sp
+        r = got[rf]
+        assert r["n_promo"] == len(g1) and r["n_rest"] == len(g2)
+        assert abs(r["cohens_d"] - want) < 1e-4
+
+
+def test_kendall_tau_b(spark, con):
+    rows = con.execute(
+        """SELECT CAST(ts AS DATE) AS d,
+                  count(*) FILTER (WHERE event_type = 'view'),
+                  count(*) FILTER (WHERE event_type = 'purchase')
+           FROM events GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    c = d = n1 = n2 = 0
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            dx = rows[j][1] - rows[i][1]
+            dy = rows[j][2] - rows[i][2]
+            if dx * dy > 0:
+                c += 1
+            elif dx * dy < 0:
+                d += 1
+            if dx == 0:
+                n1 += 1
+            if dy == 0:
+                n2 += 1
+    n0 = len(rows) * (len(rows) - 1) // 2
+    want = round((c - d) / math.sqrt((n0 - n1) * (n0 - n2)), 6)
+    row = QUERIES["q323_kendall_tau_b"](spark, SF).collect()[0]
+    assert (row["n_pairs"], row["concordant"], row["discordant"]) == (n0, c, d)
+    assert abs(row["tau_b"] - want) <= 1e-6
+
+
+def test_waterfill_is_optimal_allocation(spark, con):
+    import re
+
+    rows = con.execute("SELECT source, text FROM documents").fetchall()
+    toks: dict[str, int] = {}
+    for s, text in rows:
+        toks[s] = toks.get(s, 0) + len(
+            [t for t in re.split(r"[^a-zA-Z0-9]+", (text or "").lower()) if t]
+        )
+    total = sum(toks.values())
+    budget = total // 2
+    got = {r["source"]: r for r in QUERIES["q326_waterfill_budget"](spark, SF).collect()}
+    allocs = {s: got[s]["alloc"] for s in toks}
+    # exact budget exhaustion
+    assert sum(allocs.values()) == budget
+    # feasibility: never exceed a source's own tokens
+    for s in toks:
+        assert 0 <= allocs[s] <= toks[s]
+        assert got[s]["tokens"] == toks[s]
+    # water-level property: uncapped sources are kept in full; capped
+    # allocations differ by at most 1 and every capped alloc is >= any
+    # uncapped source's tokens (the level sits above all full-kept)
+    capped = [s for s in toks if got[s]["capped"]]
+    uncapped = [s for s in toks if not got[s]["capped"]]
+    for s in uncapped:
+        assert allocs[s] == toks[s]
+    if capped:
+        lo, hi = min(allocs[s] for s in capped), max(allocs[s] for s in capped)
+        assert hi - lo <= 1
+        for s in uncapped:
+            assert toks[s] <= hi
