@@ -242,6 +242,15 @@ _R06_LATE: tuple[str, ...] = (
     "q322_cohens_d",
     "q323_kendall_tau_b",
     "q326_waterfill_budget",
+    # beyond the 13 sample slots — round 7's head:
+    "q327_periodogram",
+    "q328_pythagorean_means",
+    "q329_tukey_outliers",
+    "q330_kl_divergence",
+    "q331_simpson_diversity",
+    "q332_transition_entropy",
+    "q333_holt_smoothing",
+    "q334_cramers_v",
 )
 
 

@@ -1359,3 +1359,681 @@ def q326_waterfill_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("alloc"),
         (F.col("i") > F.col("k")).alias("capped"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# q327 — periodogram of the daily order-count series: explicit DFT
+# power at periods 2..14 days (the "is there weekly seasonality"
+# detector). cos/sin of the identical double argument round to
+# micro-units per (day, k) cell — the suite's ln discipline applied
+# to trig — and the power sums are exact integer products; the
+# argmax period is tie-broken by k. Day-grain × 13 frequencies is
+# calendar-bounded.
+# ---------------------------------------------------------------------------
+@query(
+    "q327_periodogram",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    cells AS (
+        SELECT k.k, y,
+               CAST(round(1000000.0 * cos(2 * pi() * d / k)) AS BIGINT) AS c_micro,
+               CAST(round(1000000.0 * sin(2 * pi() * d / k)) AS BIGINT) AS s_micro
+        FROM daily CROSS JOIN (SELECT unnest(range(2, 15)) AS k) k
+    ),
+    power AS (
+        SELECT k, CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(CAST(y AS HUGEINT) * c_micro) AS HUGEINT) AS re_u,
+               CAST(sum(CAST(y AS HUGEINT) * s_micro) AS HUGEINT) AS im_u
+        FROM cells GROUP BY k
+    )
+    SELECT CAST(k AS BIGINT) AS period_days, n_days,
+           round((CAST(re_u AS DOUBLE) * CAST(re_u AS DOUBLE)
+                  + CAST(im_u AS DOUBLE) * CAST(im_u AS DOUBLE))
+                 / (1e12 * CAST(n_days AS DOUBLE)), 6) AS power
+    FROM power ORDER BY period_days
+    """,
+)
+def q327_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast("bigint")
+        .alias("d")
+    ).agg(F.count("*").cast("bigint").alias("y"))
+    ks = spark.range(2, 15).select(F.col("id").alias("k"))
+    cells = daily.crossJoin(F.broadcast(ks)).select(
+        "k",
+        "y",
+        F.round(
+            F.lit(1000000.0)
+            * F.cos(
+                F.lit(2 * math.pi) * F.col("d").cast("double") / F.col("k").cast("double")
+            )
+        )
+        .cast("bigint")
+        .alias("c_micro"),
+        F.round(
+            F.lit(1000000.0)
+            * F.sin(
+                F.lit(2 * math.pi) * F.col("d").cast("double") / F.col("k").cast("double")
+            )
+        )
+        .cast("bigint")
+        .alias("s_micro"),
+    )
+    power = cells.groupBy("k").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum(_d38(F.col("y")) * _d38(F.col("c_micro")))
+        .cast("decimal(38,0)")
+        .alias("re_u"),
+        F.sum(_d38(F.col("y")) * _d38(F.col("s_micro")))
+        .cast("decimal(38,0)")
+        .alias("im_u"),
+    )
+    return power.select(
+        F.col("k").cast("bigint").alias("period_days"),
+        "n_days",
+        F.round(
+            (
+                F.col("re_u").cast("double") * F.col("re_u").cast("double")
+                + F.col("im_u").cast("double") * F.col("im_u").cast("double")
+            )
+            / (F.lit(1e12) * F.col("n_days").cast("double")),
+            6,
+        ).alias("power"),
+    ).orderBy("period_days")
+
+
+# ---------------------------------------------------------------------------
+# q328 — Pythagorean means per returnflag: arithmetic, geometric
+# (exp of the mean of per-row ln-micro, the suite discipline), and
+# harmonic (per-row reciprocal in pico-units, exact integer sums).
+# The three-mean inequality AM ≥ GM ≥ HM is a free cross-check the
+# independent test asserts.
+# ---------------------------------------------------------------------------
+@query(
+    "q328_pythagorean_means",
+    oracle="""
+    WITH rows_ AS (
+        SELECT l_returnflag AS rf,
+               CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+               CAST(round(1000000.0 * ln(floor(l_extendedprice * 100))) AS BIGINT) AS ln_micro,
+               CAST(round(1e12 / floor(l_extendedprice * 100)) AS BIGINT) AS inv_pico
+        FROM lineitem WHERE floor(l_extendedprice * 100) > 0
+    ),
+    agg AS (
+        SELECT rf, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS HUGEINT) AS s,
+               CAST(sum(ln_micro) AS HUGEINT) AS sl,
+               CAST(sum(inv_pico) AS HUGEINT) AS si
+        FROM rows_ GROUP BY rf
+    )
+    SELECT rf AS l_returnflag, n AS n_rows,
+           round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6) AS arith_mean,
+           round(exp(CAST(sl AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)) / 100.0, 6) AS geo_mean,
+           round(CAST(n AS DOUBLE) * 1e12 / CAST(si AS DOUBLE) / 100.0, 6) AS harm_mean
+    FROM agg ORDER BY rf
+    """,
+)
+def q328_pythagorean_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("bigint")
+    rows_ = li.select(
+        F.col("l_returnflag").alias("rf"),
+        cents.alias("cents"),
+        F.round(F.lit(1000000.0) * F.log(cents.cast("double")))
+        .cast("bigint")
+        .alias("ln_micro"),
+        F.round(F.lit(1e12) / cents.cast("double")).cast("bigint").alias("inv_pico"),
+    ).filter(F.col("cents") > 0)
+    agg = rows_.groupBy("rf").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("decimal(38,0)").alias("s"),
+        F.sum("ln_micro").cast("decimal(38,0)").alias("sl"),
+        F.sum("inv_pico").cast("decimal(38,0)").alias("si"),
+    )
+    n_d = F.col("n").cast("double")
+    return agg.select(
+        F.col("rf").alias("l_returnflag"),
+        F.col("n").alias("n_rows"),
+        F.round(F.col("s").cast("double") / n_d / F.lit(100.0), 6).alias("arith_mean"),
+        F.round(
+            F.exp(F.col("sl").cast("double") / (n_d * F.lit(1000000.0))) / F.lit(100.0),
+            6,
+        ).alias("geo_mean"),
+        F.round(n_d * F.lit(1e12) / F.col("si").cast("double") / F.lit(100.0), 6).alias(
+            "harm_mean"
+        ),
+    ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# q329 — Tukey-fence outlier audit per returnflag on quantity:
+# rank-method quartiles computed on the VALUE grain (quantity's ≤50
+# distinct values — cumulative counts, no data-grain window), fences
+# at Q1/Q3 ∓ 1.5·IQR in exact quarter-units (4·fence ∈ ℤ — no float
+# in the comparison), and exact outlier counts per side.
+# ---------------------------------------------------------------------------
+@query(
+    "q329_tukey_outliers",
+    oracle="""
+    WITH counts AS (
+        SELECT l_returnflag AS rf, CAST(l_quantity AS BIGINT) AS v,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT rf, v, n,
+               CAST(COALESCE(sum(n) OVER (
+                   PARTITION BY rf ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS before,
+               CAST(sum(n) OVER (PARTITION BY rf) AS BIGINT) AS nt
+        FROM counts
+    ),
+    quart AS (
+        SELECT rf, max(nt) AS nt,
+               max(CASE WHEN before < (nt + 3) // 4 AND (nt + 3) // 4 <= before + n
+                        THEN v END) AS q1,
+               max(CASE WHEN before < (3 * nt + 3) // 4 AND (3 * nt + 3) // 4 <= before + n
+                        THEN v END) AS q3
+        FROM cum GROUP BY rf
+    ),
+    fences AS (
+        SELECT rf, nt, q1, q3,
+               4 * q1 - 6 * (q3 - q1) AS lo4,
+               4 * q3 + 6 * (q3 - q1) AS hi4
+        FROM quart
+    )
+    SELECT f.rf AS l_returnflag, f.nt AS n_rows, f.q1, f.q3,
+           CAST(sum(CASE WHEN 4 * c.v < f.lo4 THEN c.n ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(sum(CASE WHEN 4 * c.v > f.hi4 THEN c.n ELSE 0 END) AS BIGINT) AS n_high
+    FROM fences f JOIN counts c ON c.rf = f.rf
+    GROUP BY 1, 2, 3, 4 ORDER BY 1
+    """,
+)
+def q329_tukey_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy(
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_quantity").cast("bigint").alias("v"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    w_before = (
+        Window.partitionBy("rf").orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy("rf")
+    cum = counts.select(
+        "rf",
+        "v",
+        "n",
+        F.coalesce(F.sum("n").over(w_before), F.lit(0)).cast("bigint").alias("before"),
+        F.sum("n").over(w_all).cast("bigint").alias("nt"),
+    )
+
+    def idiv(x, y):
+        return ((x - F.pmod(x, y)) / y).cast("bigint")
+
+    r1 = idiv(F.col("nt") + 3, F.lit(4))  # ceil(nt/4)
+    r3 = idiv(3 * F.col("nt") + 3, F.lit(4))  # ceil(3nt/4)
+    quart = cum.groupBy("rf").agg(
+        F.max("nt").alias("nt"),
+        F.max(
+            F.when((F.col("before") < r1) & (r1 <= F.col("before") + F.col("n")), F.col("v"))
+        ).alias("q1"),
+        F.max(
+            F.when((F.col("before") < r3) & (r3 <= F.col("before") + F.col("n")), F.col("v"))
+        ).alias("q3"),
+    )
+    fences = quart.select(
+        "rf",
+        "nt",
+        "q1",
+        "q3",
+        (4 * F.col("q1") - 6 * (F.col("q3") - F.col("q1"))).alias("lo4"),
+        (4 * F.col("q3") + 6 * (F.col("q3") - F.col("q1"))).alias("hi4"),
+    )
+    return (
+        fences.join(counts, "rf")
+        .groupBy("rf", "nt", "q1", "q3")
+        .agg(
+            F.sum(F.when(4 * F.col("v") < F.col("lo4"), F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("n_low"),
+            F.sum(F.when(4 * F.col("v") > F.col("hi4"), F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("n_high"),
+        )
+        .select(
+            F.col("rf").alias("l_returnflag"),
+            F.col("nt").alias("n_rows"),
+            "q1",
+            "q3",
+            "n_low",
+            "n_high",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q331 — Simpson diversity index of each source's term distribution:
+# D = Σ n_t(n_t−1) / (N(N−1)) — a fully RATIONAL statistic (no
+# transcendental at all), floored to parts-per-billion on both
+# engines, with the double form one exact division. 1−D (diversity)
+# also reported. Term-grain exchange only; documents never shuffle.
+# ---------------------------------------------------------------------------
+@query(
+    "q331_simpson_diversity",
+    oracle="""
+    WITH tc AS (
+        SELECT source, unnest(list_filter(
+            string_split_regex(lower(text), '[^a-zA-Z0-9]+'), t -> t <> '')) AS term
+        FROM documents
+    ),
+    cnt AS (SELECT source, term, CAST(count(*) AS BIGINT) AS n FROM tc GROUP BY 1, 2),
+    agg AS (
+        SELECT source,
+               CAST(sum(n) AS BIGINT) AS nt,
+               CAST(sum(CAST(n AS HUGEINT) * (n - 1)) AS HUGEINT) AS num
+        FROM cnt GROUP BY source
+    )
+    SELECT source, nt AS n_tokens,
+           CAST((num * 1000000000) // (CAST(nt AS HUGEINT) * (nt - 1)) AS BIGINT) AS d_ppb,
+           CAST(CAST((num * 1000000000) // (CAST(nt AS HUGEINT) * (nt - 1)) AS BIGINT) AS DOUBLE)
+             / 1000000000.0 AS simpson_d
+    FROM agg WHERE nt > 1 ORDER BY source
+    """,
+)
+def q331_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("source", F.explode(tokens("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    agg = cnt.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum(_d38(F.col("n")) * _d38(F.col("n") - 1))
+        .cast("decimal(38,0)")
+        .alias("num"),
+    )
+    scaled = F.col("num") * F.lit(1000000000).cast("decimal(38,0)")
+    den = _d38(F.col("nt")) * _d38(F.col("nt") - 1)
+    d_ppb = ((scaled - F.pmod(scaled, den)) / den).cast("bigint")
+    return (
+        agg.filter(F.col("nt") > 1)
+        .select(
+            "source",
+            F.col("nt").alias("n_tokens"),
+            d_ppb.alias("d_ppb"),
+            (d_ppb.cast("double") / F.lit(1000000000.0)).alias("simpson_d"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q330 — KL divergence of each source's unigram distribution from the
+# corpus distribution over the top-100 corpus terms (add-1 smoothed):
+# the training-mix drift detector. Per-term ln(p/q) arguments are
+# EXACT integer ratios evaluated in double (products < 2^53), rounded
+# to micro-units, weighted by exact integer numerators, and divided
+# once at the end — the q217 LLR discipline applied to KL.
+# ---------------------------------------------------------------------------
+@query(
+    "q330_kl_divergence",
+    oracle="""
+    WITH toks AS (
+        SELECT source, unnest(list_filter(
+            string_split_regex(lower(text), '[^a-zA-Z0-9]+'), t -> t <> '')) AS term
+        FROM documents
+    ),
+    tc AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2),
+    top_terms AS (
+        SELECT term, CAST(sum(c) AS BIGINT) AS cc FROM tc
+        GROUP BY term ORDER BY cc DESC, term LIMIT 100
+    ),
+    corpus_tot AS (SELECT CAST(sum(cc) AS BIGINT) AS tc_all FROM top_terms),
+    src_tot AS (
+        SELECT tc.source, CAST(sum(tc.c) AS BIGINT) AS ts_all
+        FROM tc JOIN top_terms tt ON tt.term = tc.term
+        GROUP BY tc.source
+    ),
+    cells AS (
+        SELECT st.source, tt.term, COALESCE(tc.c, 0) + 1 AS p_num,
+               st.ts_all + 100 AS p_den, tt.cc + 1 AS q_num, ct.tc_all + 100 AS q_den
+        FROM top_terms tt
+        CROSS JOIN src_tot st
+        CROSS JOIN corpus_tot ct
+        LEFT JOIN tc ON tc.term = tt.term AND tc.source = st.source
+    ),
+    contrib AS (
+        SELECT source, p_den,
+               CAST(p_num AS HUGEINT)
+               * CAST(round(1000000.0 * ln(
+                     (CAST(p_num AS DOUBLE) * CAST(q_den AS DOUBLE))
+                     / (CAST(p_den AS DOUBLE) * CAST(q_num AS DOUBLE)))) AS HUGEINT)
+               AS w_micro
+        FROM cells
+    )
+    SELECT source,
+           round(CAST(sum(w_micro) AS DOUBLE)
+                 / (CAST(max(p_den) AS DOUBLE) * 1000000.0), 6) AS kl_nats
+    FROM contrib GROUP BY source ORDER BY source
+    """,
+)
+def q330_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select("source", F.explode(tokens("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    top_terms = (
+        tc.groupBy("term")
+        .agg(F.sum("c").cast("bigint").alias("cc"))
+        .orderBy(F.desc("cc"), F.asc("term"))
+        .limit(100)
+    )
+    corpus_tot = top_terms.agg(F.sum("cc").cast("bigint").alias("tc_all"))
+    src_tot = (
+        tc.join(F.broadcast(top_terms.select("term")), "term")
+        .groupBy("source")
+        .agg(F.sum("c").cast("bigint").alias("ts_all"))
+    )
+    cells = (
+        top_terms.crossJoin(F.broadcast(src_tot))
+        .crossJoin(F.broadcast(corpus_tot))
+        .join(tc, ["term", "source"], "left")
+        .select(
+            "source",
+            (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("bigint").alias("p_num"),
+            (F.col("ts_all") + 100).cast("bigint").alias("p_den"),
+            (F.col("cc") + 1).cast("bigint").alias("q_num"),
+            (F.col("tc_all") + 100).cast("bigint").alias("q_den"),
+        )
+    )
+    contrib = cells.select(
+        "source",
+        "p_den",
+        (
+            _d38(F.col("p_num"))
+            * F.round(
+                F.lit(1000000.0)
+                * F.log(
+                    (F.col("p_num").cast("double") * F.col("q_den").cast("double"))
+                    / (F.col("p_den").cast("double") * F.col("q_num").cast("double"))
+                )
+            ).cast("decimal(38,0)")
+        ).alias("w_micro"),
+    )
+    return (
+        contrib.groupBy("source")
+        .agg(
+            F.round(
+                F.sum("w_micro").cast("decimal(38,0)").cast("double")
+                / (F.max("p_den").cast("double") * F.lit(1000000.0)),
+                6,
+            ).alias("kl_nats")
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q332 — event-type transition entropy: per from-state, the Shannon
+# entropy of the next-event distribution (the "how predictable is the
+# user's next move" metric on top of q121's transition matrix). One
+# user-keyed lead window at event grain (the established q112/q241
+# exchange), then everything lives on the ≤25-cell transition lattice
+# with exact counts and micro-rounded ln.
+# ---------------------------------------------------------------------------
+@query(
+    "q332_transition_entropy",
+    oracle="""
+    WITH stepped AS (
+        SELECT event_type AS a,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b
+        FROM events
+    ),
+    cnt AS (
+        SELECT a, b, CAST(count(*) AS BIGINT) AS n
+        FROM stepped WHERE b IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT a, CAST(sum(n) AS BIGINT) AS na FROM cnt GROUP BY a),
+    contrib AS (
+        SELECT c.a, t.na,
+               CAST(c.n AS HUGEINT)
+               * CAST(round(1000000.0 * ln(CAST(c.n AS DOUBLE) / CAST(t.na AS DOUBLE)))
+                      AS HUGEINT) AS w_micro
+        FROM cnt c JOIN tot t ON t.a = c.a
+    )
+    SELECT a AS from_type, max(na) AS n_transitions,
+           round(-CAST(sum(w_micro) AS DOUBLE) / (CAST(max(na) AS DOUBLE) * 1000000.0), 6)
+             AS entropy_nats
+    FROM contrib GROUP BY a ORDER BY a
+    """,
+)
+def q332_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = ev.select(
+        F.col("event_type").alias("a"), F.lead("event_type").over(w).alias("b")
+    ).filter(F.col("b").isNotNull())
+    cnt = stepped.groupBy("a", "b").agg(F.count("*").cast("bigint").alias("n"))
+    tot = cnt.groupBy("a").agg(F.sum("n").cast("bigint").alias("na"))
+    contrib = cnt.join(F.broadcast(tot), "a").select(
+        "a",
+        "na",
+        (
+            _d38(F.col("n"))
+            * F.round(
+                F.lit(1000000.0)
+                * F.log(F.col("n").cast("double") / F.col("na").cast("double"))
+            ).cast("decimal(38,0)")
+        ).alias("w_micro"),
+    )
+    return (
+        contrib.groupBy("a")
+        .agg(
+            F.max("na").alias("n_transitions"),
+            F.round(
+                -F.sum("w_micro").cast("decimal(38,0)").cast("double")
+                / (F.max("na").cast("double") * F.lit(1000000.0)),
+                6,
+            ).alias("entropy_nats"),
+        )
+        .select(F.col("a").alias("from_type"), "n_transitions", "entropy_nats")
+        .orderBy("from_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q333 — Holt linear (double) exponential smoothing of daily revenue
+# (α=0.5, β=0.3), forecasting one day ahead. The recurrence folds
+# LEFT-TO-RIGHT over the day-sorted series with the IDENTICAL
+# floating-point expression tree on both engines (Spark: one
+# F.aggregate over the calendar-bounded collected array; DuckDB: a
+# recursive CTE stepping the same arithmetic), so the smoothed state
+# is bit-deterministic — sequential-fold parity, the same argument
+# that makes the vector-math oracles exact. Day grain is
+# calendar-bounded, so the single collected array is ≤ a few KB.
+# ---------------------------------------------------------------------------
+@query(
+    "q333_holt_smoothing",
+    oracle="""
+    WITH RECURSIVE daily AS (
+        SELECT CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    series AS (
+        SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i,
+               CAST(cents AS DOUBLE) AS y
+        FROM daily
+    ),
+    bounds AS (SELECT CAST(max(i) AS BIGINT) AS m FROM series),
+    holt(i, l, b) AS (
+        SELECT CAST(1 AS BIGINT), y, CAST(0.0 AS DOUBLE) FROM series WHERE i = 1
+        UNION ALL
+        SELECT h.i + 1,
+               0.5 * s.y + 0.5 * (h.l + h.b),
+               0.3 * ((0.5 * s.y + 0.5 * (h.l + h.b)) - h.l) + 0.7 * h.b
+        FROM holt h JOIN series s ON s.i = h.i + 1
+    )
+    SELECT (SELECT m FROM bounds) AS n_days,
+           round(l / 100.0, 6) AS level_dollars,
+           round(b / 100.0, 6) AS trend_dollars,
+           round((l + b) / 100.0, 6) AS forecast_dollars
+    FROM holt WHERE i = (SELECT m FROM bounds)
+    """,
+)
+def q333_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast("bigint")
+        .alias("d")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    one = daily.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("d"), F.col("cents").cast("double").alias("y")))
+        ).alias("arr")
+    )
+    arr = F.col("arr")
+    rest = F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0)))
+    init = F.struct(
+        F.element_at(arr, 1)["y"].alias("l"), F.lit(0.0).alias("b")
+    )
+
+    def step(acc, s):
+        l_new = F.lit(0.5) * s["y"] + F.lit(0.5) * (acc["l"] + acc["b"])
+        return F.struct(
+            l_new.alias("l"),
+            (F.lit(0.3) * (l_new - acc["l"]) + F.lit(0.7) * acc["b"]).alias("b"),
+        )
+
+    folded = one.select(
+        F.size(arr).cast("bigint").alias("n_days"),
+        F.aggregate(rest, init, step).alias("st"),
+    )
+    return folded.select(
+        "n_days",
+        F.round(F.col("st.l") / F.lit(100.0), 6).alias("level_dollars"),
+        F.round(F.col("st.b") / F.lit(100.0), 6).alias("trend_dollars"),
+        F.round((F.col("st.l") + F.col("st.b")) / F.lit(100.0), 6).alias(
+            "forecast_dollars"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q334 — Cramér's V association between event type and day-of-week:
+# χ² from exact integer contingency counts (expected cells
+# micro-rounded per cell — single deterministic division each), then
+# V = √(χ²/(n·(min(r,c)−1))). The whole computation lives on the
+# ≤35-cell lattice after one event-grain rollup.
+# ---------------------------------------------------------------------------
+@query(
+    "q334_cramers_v",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type AS et, CAST(dayofweek(ts) AS BIGINT) AS dow,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    rows_ AS (SELECT et, CAST(sum(n) AS BIGINT) AS r FROM cells GROUP BY et),
+    cols_ AS (SELECT dow, CAST(sum(n) AS BIGINT) AS c FROM cells GROUP BY dow),
+    tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS nt,
+               CAST(count(DISTINCT et) AS BIGINT) AS nr,
+               CAST(count(DISTINCT dow) AS BIGINT) AS nc
+        FROM cells
+    ),
+    chi AS (
+        SELECT CAST(sum(
+            CAST(round(1000000.0
+                * (CAST(cl.n AS DOUBLE) - CAST(r.r AS DOUBLE) * CAST(c.c AS DOUBLE) / CAST(t.nt AS DOUBLE))
+                * (CAST(cl.n AS DOUBLE) - CAST(r.r AS DOUBLE) * CAST(c.c AS DOUBLE) / CAST(t.nt AS DOUBLE))
+                / (CAST(r.r AS DOUBLE) * CAST(c.c AS DOUBLE) / CAST(t.nt AS DOUBLE))) AS HUGEINT)
+        ) AS HUGEINT) AS chi2_micro,
+        max(t.nt) AS nt, max(t.nr) AS nr, max(t.nc) AS nc
+        FROM cells cl
+        JOIN rows_ r ON r.et = cl.et
+        JOIN cols_ c ON c.dow = cl.dow
+        CROSS JOIN tot t
+    )
+    SELECT nt AS n_events, nr AS n_types, nc AS n_days,
+           round(CAST(chi2_micro AS DOUBLE) / 1000000.0, 6) AS chi2,
+           CASE WHEN least(nr, nc) > 1 AND nt > 0
+                THEN round(sqrt(CAST(chi2_micro AS DOUBLE)
+                                / (1000000.0 * CAST(nt AS DOUBLE)
+                                   * CAST(least(nr, nc) - 1 AS DOUBLE))), 6)
+                ELSE NULL END AS cramers_v
+    FROM chi
+    """,
+)
+def q334_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.col("event_type").alias("et"), F.dayofweek("ts").cast("bigint").alias("dow")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    rows_ = cells.groupBy("et").agg(F.sum("n").cast("bigint").alias("r"))
+    cols_ = cells.groupBy("dow").agg(F.sum("n").cast("bigint").alias("c"))
+    tot = cells.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.countDistinct("et").cast("bigint").alias("nr"),
+        F.countDistinct("dow").cast("bigint").alias("nc"),
+    )
+    joined = (
+        cells.join(F.broadcast(rows_), "et")
+        .join(F.broadcast(cols_), "dow")
+        .crossJoin(F.broadcast(tot))
+    )
+    e = F.col("r").cast("double") * F.col("c").cast("double") / F.col("nt").cast("double")
+    cell_micro = F.round(
+        F.lit(1000000.0)
+        * (F.col("n").cast("double") - e)
+        * (F.col("n").cast("double") - e)
+        / e
+    ).cast("decimal(38,0)")
+    chi = joined.agg(
+        F.sum(cell_micro).cast("decimal(38,0)").alias("chi2_micro"),
+        F.max("nt").alias("nt"),
+        F.max("nr").alias("nr"),
+        F.max("nc").alias("nc"),
+    )
+    v = F.when(
+        (F.least(F.col("nr"), F.col("nc")) > 1) & (F.col("nt") > 0),
+        F.round(
+            F.sqrt(
+                F.col("chi2_micro").cast("double")
+                / (
+                    F.lit(1000000.0)
+                    * F.col("nt").cast("double")
+                    * (F.least(F.col("nr"), F.col("nc")) - 1).cast("double")
+                )
+            ),
+            6,
+        ),
+    )
+    return chi.select(
+        F.col("nt").alias("n_events"),
+        F.col("nr").alias("n_types"),
+        F.col("nc").alias("n_days"),
+        F.round(F.col("chi2_micro").cast("double") / F.lit(1000000.0), 6).alias("chi2"),
+        v.alias("cramers_v"),
+    )

@@ -375,3 +375,188 @@ def test_waterfill_is_optimal_allocation(spark, con):
         assert hi - lo <= 1
         for s in uncapped:
             assert toks[s] <= hi
+
+
+def test_periodogram_power(spark, con):
+    rows = con.execute(
+        """SELECT CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT),
+                  CAST(count(*) AS BIGINT)
+           FROM orders GROUP BY 1"""
+    ).fetchall()
+    got = {
+        r["period_days"]: r for r in QUERIES["q327_periodogram"](spark, SF).collect()
+    }
+    for k in range(2, 15):
+        re_u = sum(y * round(1e6 * math.cos(2 * math.pi * d / k)) for d, y in rows)
+        im_u = sum(y * round(1e6 * math.sin(2 * math.pi * d / k)) for d, y in rows)
+        want = round((re_u * re_u + im_u * im_u) / (1e12 * len(rows)), 6)
+        assert got[k]["n_days"] == len(rows)
+        assert abs(got[k]["power"] - want) <= 1e-5
+
+
+def test_pythagorean_means_and_inequality(spark, con):
+    rows = con.execute(
+        "SELECT l_returnflag, CAST(floor(l_extendedprice*100) AS BIGINT) FROM lineitem"
+    ).fetchall()
+    groups: dict[str, list[int]] = {}
+    for rf, c in rows:
+        if c > 0:
+            groups.setdefault(rf, []).append(c)
+    got = {
+        r["l_returnflag"]: r
+        for r in QUERIES["q328_pythagorean_means"](spark, SF).collect()
+    }
+    for rf, xs in groups.items():
+        r = got[rf]
+        assert r["n_rows"] == len(xs)
+        am = sum(xs) / len(xs) / 100.0
+        gm = math.exp(sum(round(1e6 * math.log(x)) for x in xs) / (len(xs) * 1e6)) / 100.0
+        hm = len(xs) * 1e12 / sum(round(1e12 / x) for x in xs) / 100.0
+        assert abs(r["arith_mean"] - am) < 1e-4
+        assert abs(r["geo_mean"] - gm) < 1e-4
+        assert abs(r["harm_mean"] - hm) < 1e-4
+        # the free cross-check
+        assert r["arith_mean"] >= r["geo_mean"] >= r["harm_mean"]
+
+
+def test_tukey_outliers(spark, con):
+    rows = con.execute(
+        "SELECT l_returnflag, CAST(l_quantity AS BIGINT) FROM lineitem"
+    ).fetchall()
+    groups: dict[str, list[int]] = {}
+    for rf, v in rows:
+        groups.setdefault(rf, []).append(v)
+    got = {
+        r["l_returnflag"]: r for r in QUERIES["q329_tukey_outliers"](spark, SF).collect()
+    }
+    for rf, vs in groups.items():
+        vs.sort()
+        n = len(vs)
+        q1 = vs[math.ceil(n / 4) - 1]
+        q3 = vs[math.ceil(3 * n / 4) - 1]
+        lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+        r = got[rf]
+        assert (r["q1"], r["q3"]) == (q1, q3)
+        assert r["n_low"] == sum(1 for v in vs if v < lo)
+        assert r["n_high"] == sum(1 for v in vs if v > hi)
+
+
+def test_simpson_diversity(spark, con):
+    import re
+    from collections import Counter
+
+    rows = con.execute("SELECT source, text FROM documents").fetchall()
+    tc: dict[str, Counter] = {}
+    for s, text in rows:
+        tc.setdefault(s, Counter()).update(
+            t for t in re.split(r"[^a-zA-Z0-9]+", (text or "").lower()) if t
+        )
+    got = {
+        r["source"]: r for r in QUERIES["q331_simpson_diversity"](spark, SF).collect()
+    }
+    for s, c in tc.items():
+        nt = sum(c.values())
+        num = sum(v * (v - 1) for v in c.values())
+        want_ppb = (num * 1_000_000_000) // (nt * (nt - 1))
+        assert got[s]["n_tokens"] == nt
+        assert got[s]["d_ppb"] == want_ppb
+
+
+def test_kl_divergence(spark, con):
+    import re
+    from collections import Counter
+
+    rows = con.execute("SELECT source, text FROM documents").fetchall()
+    tc: dict[str, Counter] = {}
+    for s, text in rows:
+        tc.setdefault(s, Counter()).update(
+            t for t in re.split(r"[^a-zA-Z0-9]+", (text or "").lower()) if t
+        )
+    corpus = Counter()
+    for c in tc.values():
+        corpus.update(c)
+    top = sorted(corpus.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    tc_all = sum(cc for _, cc in top)
+    got = {r["source"]: r for r in QUERIES["q330_kl_divergence"](spark, SF).collect()}
+    for s, c in tc.items():
+        ts_all = sum(c[t] for t, _ in top)
+        total = 0
+        for t, cc in top:
+            p_num, p_den = c[t] + 1, ts_all + 100
+            q_num, q_den = cc + 1, tc_all + 100
+            total += p_num * round(1e6 * math.log((p_num * q_den) / (p_den * q_num)))
+        want = round(total / ((ts_all + 100) * 1e6), 6)
+        assert abs(got[s]["kl_nats"] - want) <= 1e-6
+
+
+def test_transition_entropy(spark, con):
+    from collections import defaultdict
+
+    rows = con.execute(
+        "SELECT user_id, epoch_us(ts), event_id, event_type FROM events ORDER BY 1, 2, 3"
+    ).fetchall()
+    by_user = defaultdict(list)
+    for u, t, eid, et in rows:
+        by_user[u].append(et)
+    cnt = defaultdict(int)
+    for seq in by_user.values():
+        for a, b in zip(seq, seq[1:]):
+            cnt[(a, b)] += 1
+    tot = defaultdict(int)
+    for (a, _), n in cnt.items():
+        tot[a] += n
+    got = {
+        r["from_type"]: r for r in QUERIES["q332_transition_entropy"](spark, SF).collect()
+    }
+    for a, na in tot.items():
+        s = sum(
+            n * round(1e6 * math.log(n / na)) for (x, _), n in cnt.items() if x == a
+        )
+        want = round(-s / (na * 1e6), 6)
+        assert got[a]["n_transitions"] == na
+        assert abs(got[a]["entropy_nats"] - want) <= 1e-6
+
+
+def test_holt_smoothing(spark, con):
+    rows = con.execute(
+        """SELECT CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+                  sum(CAST(floor(o_totalprice*100) AS BIGINT))
+           FROM orders GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    ys = [float(c) for _, c in rows]
+    l, b = ys[0], 0.0
+    for y in ys[1:]:
+        l_new = 0.5 * y + 0.5 * (l + b)
+        b = 0.3 * (l_new - l) + 0.7 * b
+        l = l_new
+    row = QUERIES["q333_holt_smoothing"](spark, SF).collect()[0]
+    assert row["n_days"] == len(ys)
+    assert abs(row["level_dollars"] - round(l / 100.0, 6)) <= 1e-6
+    assert abs(row["trend_dollars"] - round(b / 100.0, 6)) <= 1e-6
+    assert abs(row["forecast_dollars"] - round((l + b) / 100.0, 6)) <= 1e-6
+
+
+def test_cramers_v(spark, con):
+    from collections import defaultdict
+
+    rows = con.execute(
+        "SELECT event_type, CAST(dayofweek(ts) AS BIGINT), count(*) FROM events GROUP BY 1, 2"
+    ).fetchall()
+    r_tot, c_tot, nt = defaultdict(int), defaultdict(int), 0
+    for et, dow, n in rows:
+        r_tot[et] += n
+        c_tot[dow] += n
+        nt += n
+    chi2_micro = 0
+    for et, dow, n in rows:
+        e = r_tot[et] * c_tot[dow] / nt
+        chi2_micro += round(1e6 * (n - e) ** 2 / e)
+    want_chi2 = round(chi2_micro / 1e6, 6)
+    k = min(len(r_tot), len(c_tot)) - 1
+    want_v = round(math.sqrt(chi2_micro / (1e6 * nt * k)), 6)
+    row = QUERIES["q334_cramers_v"](spark, SF).collect()[0]
+    assert (row["n_events"], row["n_types"], row["n_days"]) == (
+        nt, len(r_tot), len(c_tot),
+    )
+    assert abs(row["chi2"] - want_chi2) <= 1e-6
+    assert abs(row["cramers_v"] - want_v) <= 1e-6
