@@ -655,3 +655,48 @@ def test_ntile_queries_have_no_single_partition_ntile(spark, sf_dir, monkeypatch
         plan = _plan(spark, name, sf_dir)
         assert "ntile" not in plan.lower(), (name, plan[:1500])
         assert "rangepartitioning" in plan.lower(), name
+
+
+def test_flesch_is_map_side_only(spark, sf_dir):
+    """q319 is a pure per-document expression: the executed plan must
+    contain NO exchange — one scan, zero shuffles, all regex counting
+    inside whole-stage codegen."""
+    from pipeline_usnvc_spark.plans import QUERIES
+
+    plan = (
+        QUERIES["q319_flesch_readability"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan[:2000]
+
+
+def test_spearman_windows_run_on_value_grain(spark, sf_dir):
+    """q312's rank windows must consume the (rf, value) aggregate —
+    never the raw lineitem rows. The plan therefore has the row-grain
+    groupBy FIRST and every Window sits above an aggregate whose
+    grouping includes the value column; equivalently, no Window's
+    child exchange partitions more than the tiny value-grain rows.
+    Cheap structural proxy: the physical plan contains exactly the
+    joins/aggregates expected and the window operators appear AFTER
+    (above) HashAggregate nodes in the tree string."""
+    from pipeline_usnvc_spark.plans import QUERIES
+
+    plan = (
+        QUERIES["q312_spearman_corr"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # a data-grain rank would show a Window directly over the scan —
+    # i.e. a Window whose subtree has no HashAggregate. Assert every
+    # Window has an aggregate below it.
+    lines = plan.splitlines()
+    win_idx = [i for i, l in enumerate(lines) if "Window" in l]
+    agg_idx = [i for i, l in enumerate(lines) if "HashAggregate" in l]
+    assert win_idx, "expected rank windows in the plan"
+    for wi in win_idx:
+        assert any(ai > wi for ai in agg_idx), (
+            "window has no aggregate beneath it (data-grain rank)"
+        )
