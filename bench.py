@@ -59,6 +59,9 @@ EXTENDED = [
     "q217_dsir_importance",
     "q218_gopher_quality_gate",
     "q221_semantic_dedup",
+    # round-6 stats family: the two heaviest row-grain entries
+    "q312_spearman_corr",
+    "q321_episode_mining",
 ]
 
 
