@@ -251,6 +251,8 @@ _R06_LATE: tuple[str, ...] = (
     "q332_transition_entropy",
     "q333_holt_smoothing",
     "q334_cramers_v",
+    "q335_image_phash_neardup",
+    "q336_range_interval_window",
 )
 
 

@@ -1579,3 +1579,92 @@ def q256_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*").cast("double")
         ).alias("trimmed_mean_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q335 — perceptual-hash image near-dup buckets (rows-only: the hash
+# derives from the Python-decoded thumbnail). dHash-style 24-bit
+# signature computed JVM-SIDE from q199's 4×4 luminance grid (12
+# horizontal + 12 vertical gradient bits — no extra Python pass),
+# then exact-match bucketing: the image counterpart of q50's exact
+# text dedup, and the front half of a Hamming-LSH image pipeline.
+# Executed contract (never vacuous by construction): the corpus has
+# no byte-identical texts at any test SF, so the query PLANTS
+# deterministic replicas (every 10th doc re-enters under a shifted
+# id) — byte-identical texts synthesize byte-identical payloads, so
+# every text fingerprint must map to EXACTLY one phash. Since the
+# replica flows through the whole Python decode path independently
+# (different Arrow batch, different partition), the contract catches
+# any nondeterminism in synth → decode → resize → hash, and the
+# non-vacuity witness (≥1 multi-doc fp must exist) is asserted in
+# the same aggregate.
+# ---------------------------------------------------------------------------
+@query("q335_image_phash_neardup")
+def q335_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.contracts import contract_filter
+    from pipeline_usnvc_spark.operators.multimodal import (
+        synthesize_binary_column,
+        thumbnail_features,
+    )
+
+    base = load_table(spark, sf_dir, "documents")
+    planted = base.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    docs = base.unionByName(planted).repartition("doc_id")
+    feats = thumbnail_features(synthesize_binary_column(docs), grid=4)
+
+    def cell(k: int):
+        return F.element_at("features", k + 1).cast("double")
+
+    bits = []
+    for i in range(4):  # horizontal gradients
+        for j in range(3):
+            bits.append(cell(i * 4 + j) < cell(i * 4 + j + 1))
+    for j in range(4):  # vertical gradients
+        for i in range(3):
+            bits.append(cell(i * 4 + j) < cell((i + 1) * 4 + j))
+    phash = None
+    for k, b in enumerate(bits):
+        term = F.when(b, F.lit(1 << k)).otherwise(0).cast("bigint")
+        phash = term if phash is None else phash + term
+    hashed = feats.select("doc_id", phash.alias("phash")).join(
+        docs.select("doc_id", F.md5("text").alias("fp")), "doc_id"
+    )
+    clusters = hashed.groupBy("phash").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("fp").cast("bigint").alias("n_distinct_texts"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+    )
+    # fp → phash functional-dependency audit: identical text must
+    # hash identically (the deterministic synth makes this exact).
+    viol = (
+        hashed.groupBy("fp")
+        .agg(
+            F.countDistinct("phash").alias("n_hashes"),
+            F.count("*").alias("n_docs_fp"),
+        )
+        .agg(
+            F.sum(F.when(F.col("n_hashes") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_fp_violations"),
+            F.sum(F.when(F.col("n_docs_fp") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_multi_doc_fps"),
+        )
+    )
+    return (
+        contract_filter(
+            clusters.crossJoin(F.broadcast(viol)),
+            (F.col("n_fp_violations") == 0) & (F.col("n_multi_doc_fps") > 0),
+            F.concat(
+                F.lit("identical texts hashed to different phashes: "),
+                F.col("n_fp_violations"),
+                F.lit(" (multi-doc fps: "),
+                F.col("n_multi_doc_fps"),
+                F.lit(")"),
+            ),
+        )
+        .drop("n_fp_violations", "n_multi_doc_fps")
+        .orderBy("phash")
+    )

@@ -214,3 +214,48 @@ def q226_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise((lo.cast("double") + hi.cast("double")) / F.lit(2.0))
         .alias("rolling_median_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q336 — trailing-interval RANGE window: per user, the running count
+# and exact value sum of their events inside a 7-DAY RANGE frame
+# (value-based bounds, not row counts — the frame every "activity in
+# the last week as-of each event" feature needs). Spark expresses the
+# interval bound as rangeBetween over exact epoch microseconds;
+# DuckDB uses RANGE BETWEEN INTERVAL — same frame semantics, exact
+# integer micro ordering on both. User-keyed window (the established
+# q112/q241 exchange); sums are exact DECIMAL cents.
+# ---------------------------------------------------------------------------
+@query(
+    "q336_range_interval_window",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_7d,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT) AS cents_7d
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY epoch_us(ts)
+        RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW
+    )
+    ORDER BY event_id
+    """,
+)
+def q336_range_interval_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-604_800_000_000, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.count("*").over(w).cast("bigint").alias("n_7d"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+            .over(w)
+            .cast("bigint")
+            .alias("cents_7d"),
+        )
+        .orderBy("event_id")
+    )

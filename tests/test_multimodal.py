@@ -525,3 +525,40 @@ def test_multimodal_contract_queries_pass_clean(spark, sf_dir):
     assert QUERIES["q199_thumbnail_grid"](spark, sf_dir).count() == n_docs
     assert QUERIES["q209_audio_features"](spark, sf_dir).count() == n_docs
     assert QUERIES["q210_video_frame_sample"](spark, sf_dir).count() == n_docs * 3
+
+
+def test_q335_phash_contract_fires_on_nondeterminism(spark, sf_dir, monkeypatch):
+    """Perturbing one replica's decoded grid (simulated nondeterminism
+    in the Python path) must break the fp → phash functional
+    dependency and raise at execution time."""
+    import pipeline_usnvc_spark.operators.multimodal as mm
+    from pipeline_usnvc_spark.plans import QUERIES
+
+    orig = mm.thumbnail_features
+
+    def unstable(df, grid=4):
+        out = orig(df, grid)
+        return out.withColumn(
+            "features",
+            F.when(
+                F.col("doc_id") >= 1_000_000,
+                F.concat(
+                    F.array(F.element_at("features", 1) + F.lit(0.5).cast("float")),
+                    F.slice("features", 2, 15),
+                ),
+            ).otherwise(F.col("features")),
+        )
+
+    monkeypatch.setattr(mm, "thumbnail_features", unstable)
+    with pytest.raises(Exception, match="different phashes"):
+        QUERIES["q335_image_phash_neardup"](spark, sf_dir).count()
+
+
+def test_q335_planted_replicas_bucket_with_sources(spark, sf_dir):
+    from pipeline_usnvc_spark.plans import QUERIES
+
+    rows = QUERIES["q335_image_phash_neardup"](spark, sf_dir).collect()
+    multi = [r for r in rows if r["n_docs"] > 1]
+    # every 10th doc is replicated: those fp-pairs must share buckets
+    assert len(multi) >= 40
+    assert all(r["n_distinct_texts"] <= r["n_docs"] for r in rows)
