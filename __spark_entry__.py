@@ -253,6 +253,7 @@ _R06_LATE: tuple[str, ...] = (
     "q334_cramers_v",
     "q335_image_phash_neardup",
     "q336_range_interval_window",
+    "q337_stream_outer_join",
 )
 
 

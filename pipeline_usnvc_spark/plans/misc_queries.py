@@ -1668,3 +1668,116 @@ def q335_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("n_fp_violations", "n_multi_doc_fps")
         .orderBy("phash")
     )
+
+
+# ---------------------------------------------------------------------------
+# q337 — stream-stream LEFT OUTER interval join (rows-only: stateful
+# streaming with watermark-certified null emission). Output is the
+# CLICK-grain batch-equivalence audit (q222 pattern): the streamed
+# result — matched (click, purchase) pairs plus null-extended clicks
+# the watermark proved unmatched — full-outer-joined with the batch
+# recompute of the same semantics:
+#   matched  = clicks ⋈ purchases in [click_ts, click_ts + 30 min]
+#   expected nulls = unmatched clicks whose join window closed before
+#     the final watermark (max event ts − 1 h); later unmatched
+#     clicks legitimately stay buffered in state and must NOT emit.
+# Any divergence (a missing pair, a phantom null, a premature or
+# withheld emission) EXISTS as a row the executed contract evaluates.
+# ---------------------------------------------------------------------------
+@query("q337_stream_outer_join")
+def q337_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.contracts import contract_filter
+    from pipeline_usnvc_spark.streaming.pipeline import (
+        read_event_stream,
+        run_stream_to_memory,
+        stream_stream_left_outer_join,
+    )
+
+    stream = read_event_stream(spark, sf_dir)
+    streamed = run_stream_to_memory(
+        stream_stream_left_outer_join(stream),
+        "q337_stream_outer_join",
+        output_mode="append",
+    ).withColumn("in_stream", F.lit(True))
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_id").alias("b_click_id"),
+        F.col("ts").alias("b_click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("b_purchase_id"),
+        F.col("ts").alias("b_purchase_ts"),
+    )
+    matched = clicks.join(
+        purchases,
+        (F.col("b_user") == F.col("p_user"))
+        & (F.col("b_purchase_ts") >= F.col("b_click_ts"))
+        & (
+            F.col("b_purchase_ts")
+            <= F.col("b_click_ts") + F.expr("INTERVAL 30 minutes")
+        ),
+    ).select("b_user", "b_click_id", "b_click_ts", "b_purchase_id", "b_purchase_ts")
+    # final GLOBAL watermark: each input advances to (its own max
+    # event time − 1 h) and the join uses the MINIMUM across inputs
+    # (Spark's multipleWatermarkPolicy default) — clicks and purchases
+    # are different filters of the source, so their maxes differ
+    wm = ev.agg(
+        (
+            F.least(
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            )
+            - F.expr("INTERVAL 1 hour")
+        ).alias("wm_ts")
+    )
+    unmatched = (
+        clicks.join(
+            matched.select("b_click_id").distinct(), "b_click_id", "left_anti"
+        )
+        .crossJoin(F.broadcast(wm))
+        # only clicks whose join window CLOSED before the final
+        # watermark are certified unmatched and emitted null-extended
+        .filter(F.col("b_click_ts") + F.expr("INTERVAL 30 minutes") < F.col("wm_ts"))
+        .select(
+            "b_user",
+            "b_click_id",
+            "b_click_ts",
+            F.lit(None).cast("bigint").alias("b_purchase_id"),
+            F.lit(None).cast("timestamp").alias("b_purchase_ts"),
+        )
+    )
+    expected = matched.unionByName(unmatched).withColumn("in_batch", F.lit(True))
+    joined = streamed.join(
+        expected,
+        (F.col("click_id") == F.col("b_click_id"))
+        & (F.col("purchase_id").eqNullSafe(F.col("b_purchase_id"))),
+        "full_outer",
+    )
+    return contract_filter(
+        joined,
+        F.col("in_stream").isNotNull() & F.col("in_batch").isNotNull(),
+        F.concat(
+            F.lit("stream-outer-join mismatch: click "),
+            F.coalesce(
+                F.col("click_id").cast("string"),
+                F.col("b_click_id").cast("string"),
+            ),
+            F.lit(" purchase "),
+            F.coalesce(
+                F.col("purchase_id").cast("string"),
+                F.col("b_purchase_id").cast("string"),
+                F.lit("null"),
+            ),
+            F.lit(" in_stream="),
+            F.coalesce(F.col("in_stream").cast("string"), F.lit("false")),
+        ),
+    ).select(
+        F.coalesce(F.col("user_id"), F.col("b_user")).alias("user_id"),
+        F.coalesce(F.col("click_id"), F.col("b_click_id")).alias("click_id"),
+        F.coalesce(F.col("click_ts"), F.col("b_click_ts")).alias("click_ts"),
+        F.coalesce(F.col("purchase_id"), F.col("b_purchase_id")).alias("purchase_id"),
+        F.coalesce(F.col("purchase_ts"), F.col("b_purchase_ts")).alias("purchase_ts"),
+    )

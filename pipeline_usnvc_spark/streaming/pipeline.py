@@ -410,3 +410,53 @@ def streaming_psi_monitor(
         )
 
     return cur_counts_stream, finish
+
+
+def stream_stream_left_outer_join(
+    events: DataFrame, window: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click, attributed
+    to purchases by the same user within the following ``window`` —
+    and clicks with NO such purchase still emit (null purchase side)
+    once the watermark passes ``click_ts + window`` and the state
+    store can prove no match can ever arrive.
+
+    The outer side is exactly the inner join (q-level
+    stream_stream_attribution_join) plus watermark-certified
+    non-matches: Structured Streaming buffers an unmatched click until
+    the global watermark (min across inputs of max event time − delay)
+    exceeds its join-window end, then emits it null-extended in a
+    no-data micro-batch. State is bounded by window + watermark on
+    both sides, same as the inner form.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {window}")),
+        "left_outer",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+    )

@@ -837,3 +837,31 @@ def test_q83_contract_fires_on_surviving_duplicate(spark, sf_dir, monkeypatch):
 
     with _pytest.raises(Exception, match="stream dedup mismatch"):
         QUERIES["q83_stream_dedup_watermark"](spark, sf_dir).count()
+
+
+def test_q337_outer_join_audit_clean_and_fires(spark, sf_dir, monkeypatch):
+    """The stream-stream LEFT OUTER join audit passes clean (matched
+    pairs + exactly the watermark-certified null emissions), and
+    poisoning the join to inner makes the missing null emissions
+    trip the executed contract."""
+    from pipeline_usnvc_spark.plans import QUERIES
+
+    rows = QUERIES["q337_stream_outer_join"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert any(r["purchase_id"] is None for r in rows), "no null-extended clicks"
+
+    import pipeline_usnvc_spark.streaming.pipeline as sp
+
+    monkeypatch.setattr(
+        sp,
+        "stream_stream_left_outer_join",
+        lambda ev, window="30 minutes", watermark="1 hour": sp.stream_stream_attribution_join(
+            ev, window, watermark
+        ).select(
+            "user_id", "click_id", "click_ts", "purchase_id", "purchase_ts"
+        ),
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="stream-outer-join mismatch"):
+        QUERIES["q337_stream_outer_join"](spark, sf_dir).count()
