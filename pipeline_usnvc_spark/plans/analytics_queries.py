@@ -1369,20 +1369,36 @@ def q282_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = x.join(
         y, (F.col("y.b1") == F.col("x.b1")) & (F.col("y.b2") > F.col("x.b2"))
     ).select(F.col("x.b1").alias("b1"), F.col("x.b2").alias("b2"), F.col("y.b2").alias("b3"))
+    # Verification is ORDER-keyed, not brand-keyed (round-6 fix): the
+    # old plan joined the broadcast candidate list to baskets on
+    # p_brand == b1 — a brand-equality fan-out whose intermediate is
+    # |cand| × |orders-per-brand| (~150M rows at sf0.1; OOMs a
+    # default-heap session, and at 100 TB it is THE bottleneck). The
+    # order-keyed form generates each basket's own C(k,3) triples
+    # (bounded by per-basket width, co-partitioned on l_orderkey so
+    # the three-way self-join reuses ONE exchange) and then
+    # candidate-prunes via the broadcast semi-join — identical
+    # support counts, linear in baskets.
     bx, by, bz = basket.alias("bx"), basket.alias("by"), basket.alias("bz")
-    return (
-        F.broadcast(cand)
-        .join(bx, F.col("bx.p_brand") == F.col("b1"))
-        .join(
+    triples = (
+        bx.join(
             by,
             (F.col("by.l_orderkey") == F.col("bx.l_orderkey"))
-            & (F.col("by.p_brand") == F.col("b2")),
+            & (F.col("by.p_brand") > F.col("bx.p_brand")),
         )
         .join(
             bz,
             (F.col("bz.l_orderkey") == F.col("bx.l_orderkey"))
-            & (F.col("bz.p_brand") == F.col("b3")),
+            & (F.col("bz.p_brand") > F.col("by.p_brand")),
         )
+        .select(
+            F.col("bx.p_brand").alias("b1"),
+            F.col("by.p_brand").alias("b2"),
+            F.col("bz.p_brand").alias("b3"),
+        )
+    )
+    return (
+        triples.join(F.broadcast(cand), ["b1", "b2", "b3"])
         .groupBy("b1", "b2", "b3")
         .agg(F.count("*").cast("bigint").alias("support"))
         .filter(F.col("support") >= 5)
