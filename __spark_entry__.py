@@ -169,7 +169,15 @@ _R05_VERIFIED = frozenset(
 _DRIVER_VERIFIED = (
     _R01_VERIFIED | _R02_VERIFIED | _R03_VERIFIED | _R04_VERIFIED
     | _R05_VERIFIED
-)
+) - {
+    # q282's verification stage was rewritten in round 6 (order-keyed
+    # triple generation replacing the brand-equality fan-out that
+    # OOM'd the sf0.1 replay) AFTER its r05 driver row was recorded;
+    # same outputs (re-verified hash-exact at 3 SFs), but a plan
+    # rewrite warrants fresh external verification — pinned first in
+    # the sample (the q113 precedent).
+    "q282_apriori_triples",
+}
 
 
 # Round 6 sample head (VERDICT r05 items 1-2). First: the 20 oracle-
@@ -261,7 +269,15 @@ def _ordered_names() -> list[str]:
     from pipeline_usnvc_spark.plans import ORACLES, QUERIES
 
     names = list(QUERIES)
-    pinned = set(_R05_LATE) | set(_ROWS_ONLY_BACKLOG) | set(_R06_LATE)
+    # Plan-rewritten-after-driver-green queries go FIRST so the sample
+    # prefix is guaranteed to re-record them (the q113 precedent).
+    recheck = [n for n in ("q282_apriori_triples",) if n in names]
+    pinned = (
+        set(recheck)
+        | set(_R05_LATE)
+        | set(_ROWS_ONLY_BACKLOG)
+        | set(_R06_LATE)
+    )
     late = [n for n in _R05_LATE if n in names]
     backlog = [n for n in _ROWS_ONLY_BACKLOG if n in names]
     r06_late = [n for n in _R06_LATE if n in names]
@@ -276,7 +292,10 @@ def _ordered_names() -> list[str]:
         if n not in _DRIVER_VERIFIED and n not in ORACLES and n not in pinned
     ]
     seen = [n for n in names if n in _DRIVER_VERIFIED and n not in pinned]
-    return late + backlog + r06_late + fresh_oracle + fresh_rows_only + seen
+    return (
+        recheck + late + backlog + r06_late + fresh_oracle
+        + fresh_rows_only + seen
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -143,6 +143,8 @@ def test_driver_sample_prefix_contains_rechecks():
 
     names = list(e.queries())
     prefix = set(names[:50])
+    # plan-rewritten q282 is pinned first for re-record (q113 precedent)
+    assert names[0] == "q282_apriori_triples"
     missing_late = [n for n in e._R05_LATE if n in names and n not in prefix]
     assert not missing_late, f"late oracle queries outside sample: {missing_late}"
     missing_backlog = [
@@ -150,7 +152,7 @@ def test_driver_sample_prefix_contains_rechecks():
     ]
     assert not missing_backlog, f"rows-only backlog outside sample: {missing_backlog}"
     # _R06_LATE fills the remaining slots in tuple order, nothing else
-    n_backlog = len(
+    n_backlog = 1 + len(
         [n for n in (*e._R05_LATE, *e._ROWS_ONLY_BACKLOG) if n in names]
     )
     expected_r06 = [n for n in e._R06_LATE if n in names][: 50 - n_backlog]
