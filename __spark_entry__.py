@@ -262,6 +262,7 @@ _R06_LATE: tuple[str, ...] = (
     "q335_image_phash_neardup",
     "q336_range_interval_window",
     "q337_stream_outer_join",
+    "q338_systematic_sample",
 )
 
 

@@ -2037,3 +2037,38 @@ def q334_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("chi2_micro").cast("double") / F.lit(1000000.0), 6).alias("chi2"),
         v.alias("cramers_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q338 — systematic (every k-th) sampling under a deterministic
+# pseudo-random order: rank documents by (md5(text), doc_id) — an
+# engine-portable shuffle — and keep every 10th rank. Completes the
+# sampling family (q37 hash-split, q39 stratified, q69/q311
+# weighted): systematic sampling gives exact 1/k rates with spread
+# guarantees. The global rank runs through the two-phase
+# range-exchange rank (operators/rank.with_global_rank), never a
+# single-partition window.
+# ---------------------------------------------------------------------------
+@query(
+    "q338_systematic_sample",
+    oracle="""
+    SELECT doc_id, CAST(rn AS BIGINT) AS rn
+    FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY md5(text), doc_id) AS rn
+        FROM documents
+    ) WHERE rn % 10 = 1
+    ORDER BY rn
+    """,
+)
+def q338_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.rank import with_global_rank
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("_h")
+    )
+    ranked = with_global_rank(docs, "_h", "doc_id", rank_col="rn")
+    return (
+        ranked.filter(F.pmod(F.col("rn"), F.lit(10)) == 1)
+        .select("doc_id", F.col("rn").cast("bigint").alias("rn"))
+        .orderBy("rn")
+    )
