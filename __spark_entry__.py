@@ -263,6 +263,7 @@ _R06_LATE: tuple[str, ...] = (
     "q336_range_interval_window",
     "q337_stream_outer_join",
     "q338_systematic_sample",
+    "q339_span_corruption",
 )
 
 

@@ -2459,3 +2459,95 @@ def q260_quality_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bands.withColumn(
         "cum_tokens_at_or_above", F.sum("band_tokens").over(w).cast("bigint")
     )
+
+
+# ---------------------------------------------------------------------------
+# q339 — T5-style span corruption plan: deterministic mask-span
+# selection over each document's token stream (span STARTS where
+# md5(doc_id:pos) lands in a 1/7 bucket; each start masks a 3-token
+# span), reported as the per-document corruption audit (token count,
+# masked count, span count, corruption rate). The "prepare denoising
+# targets" step of a T5/UL2 data pipeline, fully engine-portable
+# because the randomness is hashed, not drawn. One posexplode + one
+# doc-keyed window (rows between 2 preceding) — token grain never
+# leaves its document partition.
+# ---------------------------------------------------------------------------
+@query(
+    "q339_span_corruption",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_filter(
+                   string_split_regex(lower(text), '[^a-zA-Z0-9]+'), t -> t <> '')) AS tok,
+               generate_subscripts(list_filter(
+                   string_split_regex(lower(text), '[^a-zA-Z0-9]+'), t -> t <> ''), 1) AS pos
+        FROM documents
+    ),
+    flagged AS (
+        SELECT doc_id, pos,
+               CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)), 1, 8) AS BIGINT) % 7 = 0
+                    THEN 1 ELSE 0 END AS is_start
+        FROM toks
+    ),
+    masked AS (
+        SELECT doc_id, pos, is_start,
+               max(is_start) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS is_masked
+        FROM flagged
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(is_start) AS BIGINT) AS n_spans,
+           CAST(sum(is_masked) AS BIGINT) AS n_masked,
+           CASE WHEN count(*) > 0
+                THEN round(CAST(sum(is_masked) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+                ELSE NULL END AS corruption_rate
+    FROM masked GROUP BY doc_id
+    """,
+)
+def q339_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"))
+    flagged = toks.select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"),
+                            F.lit(":"),
+                            F.col("pos").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 7
+            == 0,
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-2, 0)
+    masked = flagged.withColumn("is_masked", F.max("is_start").over(w))
+    return masked.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum("is_start").cast("bigint").alias("n_spans"),
+        F.sum("is_masked").cast("bigint").alias("n_masked"),
+        F.when(
+            F.count("*") > 0,
+            F.round(
+                F.sum("is_masked").cast("double") / F.count("*").cast("double"), 6
+            ),
+        ).alias("corruption_rate"),
+    )
