@@ -560,3 +560,48 @@ def test_cramers_v(spark, con):
     )
     assert abs(row["chi2"] - want_chi2) <= 1e-6
     assert abs(row["cramers_v"] - want_v) <= 1e-6
+
+
+def test_systematic_sample(spark, con):
+    import hashlib
+
+    rows = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    order = sorted(
+        rows, key=lambda r: (hashlib.md5((r[1] or "").encode()).hexdigest(), r[0])
+    )
+    want = [(doc_id, i + 1) for i, (doc_id, _) in enumerate(order) if i % 10 == 0]
+    got = [
+        (r["doc_id"], r["rn"])
+        for r in QUERIES["q338_systematic_sample"](spark, SF).collect()
+    ]
+    assert got == want
+
+
+def test_span_corruption(spark, con):
+    import hashlib
+    import re
+
+    rows = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    got = {
+        r["doc_id"]: r for r in QUERIES["q339_span_corruption"](spark, SF).collect()
+    }
+    for doc_id, text in rows[:100]:
+        toks = [t for t in re.split(r"[^a-zA-Z0-9]+", (text or "").lower()) if t]
+        starts = [
+            1
+            if int(hashlib.md5(f"{doc_id}:{p}".encode()).hexdigest()[:8], 16) % 7 == 0
+            else 0
+            for p in range(1, len(toks) + 1)
+        ]
+        masked = [
+            1 if any(starts[max(0, i - 2) : i + 1]) else 0
+            for i in range(len(starts))
+        ]
+        r = got.get(doc_id)
+        if not toks:
+            assert r is None or r["n_tokens"] == 0
+            continue
+        assert r["n_tokens"] == len(toks)
+        assert r["n_spans"] == sum(starts)
+        assert r["n_masked"] == sum(masked)
+        assert abs(r["corruption_rate"] - round(sum(masked) / len(toks), 6)) <= 1e-9
