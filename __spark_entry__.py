@@ -264,6 +264,7 @@ _R06_LATE: tuple[str, ...] = (
     "q337_stream_outer_join",
     "q338_systematic_sample",
     "q339_span_corruption",
+    "q340_shapley_attribution",
 )
 
 

@@ -2072,3 +2072,183 @@ def q338_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("rn").cast("bigint").alias("rn"))
         .orderBy("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# q340 — exact Shapley-value channel attribution: each user's journey
+# is the SET of non-purchase channels they touched; the coalition
+# value v(S) is the purchase rate among users whose journey is
+# exactly S (unobserved coalitions contribute 0, the standard
+# empirical-Shapley convention); each channel's credit is the
+# factorial-weighted average marginal contribution over the subset
+# lattice. Entirely exact: the user grain collapses to a ≤2ⁿ-row
+# bitmask rollup (one exchange), v quantizes to micro-units (one
+# deterministic division per observed coalition), and the Shapley sum
+# is integer factorial weights × integer micro marginals, divided
+# once by n!·10⁶. The lattice (n = 4 channels → 16 masks × 4
+# channels) is generated with sequence + bit tests on both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "q340_shapley_attribution",
+    oracle="""
+    WITH channels AS (
+        SELECT event_type AS ch,
+               CAST(row_number() OVER (ORDER BY event_type) - 1 AS BIGINT) AS bit
+        FROM (SELECT DISTINCT event_type FROM events WHERE event_type <> 'purchase')
+    ),
+    n_ch AS (SELECT CAST(count(*) AS BIGINT) AS n FROM channels),
+    users AS (
+        SELECT e.user_id,
+               CAST(COALESCE(sum(DISTINCT CASE WHEN e.event_type <> 'purchase'
+                    THEN (1 << c.bit) END), 0) AS BIGINT) AS mask,
+               CAST(max(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS conv
+        FROM events e LEFT JOIN channels c ON c.ch = e.event_type
+        GROUP BY e.user_id
+    ),
+    coal AS (
+        SELECT mask, CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(conv) AS BIGINT) AS n_conv
+        FROM users GROUP BY mask
+    ),
+    v AS (
+        SELECT mask, CAST(round(1000000.0 * CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)) AS BIGINT) AS v_micro
+        FROM coal
+    ),
+    lattice AS (
+        SELECT c.ch, c.bit, s.s AS smask, CAST(bit_count(s.s) AS BIGINT) AS ssize, n.n
+        FROM channels c
+        CROSS JOIN n_ch n
+        CROSS JOIN (SELECT unnest(range(0, 1 << (SELECT n FROM n_ch))) AS s) s
+        WHERE (s.s >> c.bit) % 2 = 0
+    ),
+    marginals AS (
+        SELECT l.ch, l.n, l.ssize,
+               COALESCE(v1.v_micro, 0) - COALESCE(v0.v_micro, 0) AS m_micro
+        FROM lattice l
+        LEFT JOIN v v0 ON v0.mask = l.smask
+        LEFT JOIN v v1 ON v1.mask = l.smask + (1 << l.bit)
+    )
+    SELECT ch AS channel,
+           round(CAST(sum(factorial(CAST(ssize AS INTEGER)) * factorial(CAST(n - ssize - 1 AS INTEGER)) * m_micro) AS DOUBLE)
+                 / (CAST(factorial(CAST(max(n) AS INTEGER)) AS DOUBLE) * 1000000.0), 6) AS shapley_credit
+    FROM marginals GROUP BY ch ORDER BY ch
+    """,
+)
+def q340_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    channels = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select(F.col("event_type").alias("ch"))
+        .distinct()
+        .select(
+            "ch",
+            (F.row_number().over(Window.orderBy("ch")) - 1)
+            .cast("bigint")
+            .alias("bit"),
+        )
+    )
+    n_ch = channels.agg(F.count("*").cast("bigint").alias("n"))
+    users = (
+        ev.join(F.broadcast(channels), ev["event_type"] == channels["ch"], "left")
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum_distinct(
+                    F.when(
+                        F.col("event_type") != "purchase",
+                        F.expr("shiftleft(1L, CAST(bit AS INT))"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("mask"),
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("conv"),
+        )
+    )
+    coal = users.groupBy("mask").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("conv").cast("bigint").alias("n_conv"),
+    )
+    v = coal.select(
+        "mask",
+        F.round(
+            F.lit(1000000.0)
+            * F.col("n_conv").cast("double")
+            / F.col("n_users").cast("double")
+        )
+        .cast("bigint")
+        .alias("v_micro"),
+    )
+    # subset lattice: all masks not containing each channel's bit
+    masks = (
+        n_ch.select(
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("bigint"),
+                    F.expr("shiftleft(1L, CAST(n AS INT))").cast("bigint") - 1,
+                )
+            ).alias("smask"),
+            "n",
+        )
+    )
+    lattice = (
+        channels.crossJoin(F.broadcast(masks))
+        .filter(F.pmod(F.expr("shiftright(smask, CAST(bit AS INT))"), 2) == 0)
+        .select(
+            "ch",
+            "bit",
+            "smask",
+            F.bit_count("smask").cast("bigint").alias("ssize"),
+            "n",
+        )
+    )
+    v0 = v.select(F.col("mask").alias("smask"), F.col("v_micro").alias("v0"))
+    v1 = v.select(F.col("mask").alias("m1"), F.col("v_micro").alias("v1"))
+    marg = (
+        lattice.join(F.broadcast(v0), "smask", "left")
+        .join(
+            F.broadcast(v1),
+            F.col("m1")
+            == F.col("smask") + F.expr("shiftleft(1L, CAST(bit AS INT))").cast("bigint"),
+            "left",
+        )
+        .select(
+            "ch",
+            "n",
+            "ssize",
+            (F.coalesce("v1", F.lit(0)) - F.coalesce("v0", F.lit(0))).alias("m_micro"),
+        )
+    )
+    def factorial_col(c):
+        # n ≤ 5 channels: a literal CASE keeps it native and portable
+        return (
+            F.when(c == 0, 1)
+            .when(c == 1, 1)
+            .when(c == 2, 2)
+            .when(c == 3, 6)
+            .when(c == 4, 24)
+            .otherwise(120)
+            .cast("bigint")
+        )
+
+    return (
+        marg.groupBy("ch")
+        .agg(
+            F.round(
+                F.sum(
+                    factorial_col(F.col("ssize"))
+                    * factorial_col(F.col("n") - F.col("ssize") - 1)
+                    * F.col("m_micro")
+                )
+                .cast("bigint")
+                .cast("double")
+                / (factorial_col(F.max("n")).cast("double") * F.lit(1000000.0)),
+                6,
+            ).alias("shapley_credit")
+        )
+        .select(F.col("ch").alias("channel"), "shapley_credit")
+        .orderBy("channel")
+    )

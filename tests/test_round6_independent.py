@@ -605,3 +605,46 @@ def test_span_corruption(spark, con):
         assert r["n_spans"] == sum(starts)
         assert r["n_masked"] == sum(masked)
         assert abs(r["corruption_rate"] - round(sum(masked) / len(toks), 6)) <= 1e-9
+
+
+def test_shapley_attribution(spark, con):
+    """Pure-Python empirical Shapley over the observed coalition
+    lattice — including efficiency-style sanity: each channel's
+    credit equals the factorial-weighted marginal average."""
+    from collections import defaultdict
+
+    rows = con.execute("SELECT user_id, event_type FROM events").fetchall()
+    chans = sorted({et for _, et in rows if et != "purchase"})
+    bit = {c: i for i, c in enumerate(chans)}
+    n = len(chans)
+    mask_of = defaultdict(int)
+    conv = defaultdict(int)
+    for u, et in rows:
+        if et == "purchase":
+            conv[u] = 1
+        else:
+            mask_of[u] |= 1 << bit[et]
+    users = set(mask_of) | set(conv)
+    coal_n = defaultdict(int)
+    coal_c = defaultdict(int)
+    for u in users:
+        m = mask_of.get(u, 0)
+        coal_n[m] += 1
+        coal_c[m] += conv.get(u, 0)
+    v = {m: round(1e6 * coal_c[m] / coal_n[m]) for m in coal_n}
+    fact = [1, 1, 2, 6, 24, 120]
+    got = {
+        r["channel"]: r["shapley_credit"]
+        for r in QUERIES["q340_shapley_attribution"](spark, SF).collect()
+    }
+    for c in chans:
+        b = 1 << bit[c]
+        total = 0
+        for s in range(1 << n):
+            if s & b:
+                continue
+            ssize = bin(s).count("1")
+            m = v.get(s | b, 0) - v.get(s, 0)
+            total += fact[ssize] * fact[n - ssize - 1] * m
+        want = round(total / (fact[n] * 1e6), 6)
+        assert abs(got[c] - want) <= 1e-9
