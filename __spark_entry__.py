@@ -166,76 +166,65 @@ _R05_VERIFIED = frozenset(
     }
 )
 
+# Green rows from CORRECTNESS_r06.json: 33/33 sampled oracle rows
+# hash-green (the q282 re-record after its round-6 plan rewrite, all
+# 20 _R05_LATE backlog queries, and 12 of the round-6 stats family),
+# plus the 15 contract-carrying rows-only queries that executed clean
+# under their in-plan contracts (recall bounds, HLL/KLL error bounds,
+# PageRank mass conservation, k-means invariants, BPE round-trip,
+# streaming batch-equivalence) — VERDICT r06 counts all of them as
+# driver-verified. q70/q199 are deliberately ABSENT: their driver rows
+# crashed in the driver's canonicalizer on raw array<float> columns;
+# fixed this round (6dp JSON serialization in the driver-facing final
+# select) and re-pinned first for a clean row.
+_R06_VERIFIED = frozenset(
+    {
+        "q282_apriori_triples", "q235_theil_sen_trend", "q236_mann_kendall",
+        "q237_js_divergence", "q238_lagged_crosscorr", "q240_qq_drift",
+        "q241_time_in_state", "q243_pareto_coverage", "q251_lang_confusion",
+        "q252_dedup_survivorship", "q253_priority_mix_shift",
+        "q257_fano_factor", "q258_rfm_migration", "q260_quality_token_budget",
+        "q262_leadtime_percentiles", "q266_hapax_ratio",
+        "q268_length_lognormal_fit", "q269_order_gap_medians",
+        "q270_repeat_purchase_survival", "q273_l_diversity",
+        "q274_t_closeness", "q312_spearman_corr", "q313_mann_whitney",
+        "q314_anova_f", "q315_two_proportion_z", "q316_theil_index",
+        "q317_assortativity", "q318_burrows_delta", "q319_flesch_readability",
+        "q320_poisson_bootstrap", "q321_episode_mining", "q322_cohens_d",
+        "q323_kendall_tau_b",
+        # contract-carrying rows-only rows executed clean in the r06
+        # sample (`err: no_oracle` is the expected rows-only marker):
+        "q64_multiprobe_lsh_topk", "q65_pq_topk", "q71_approx_count_distinct",
+        "q81_stateful_sessionize", "q83_stream_dedup_watermark",
+        "q85_approx_percentiles", "q100_hll_mergeable_distinct",
+        "q101_pagerank", "q132_kmeans_clusters", "q164_embedding_near_dup_lsh",
+        "q171_bpe_merge_train", "q178_label_propagation",
+        "q179_streaming_term_counts", "q209_audio_features",
+        "q210_video_frame_sample",
+    }
+)
+
 _DRIVER_VERIFIED = (
     _R01_VERIFIED | _R02_VERIFIED | _R03_VERIFIED | _R04_VERIFIED
-    | _R05_VERIFIED
-) - {
-    # q282's verification stage was rewritten in round 6 (order-keyed
-    # triple generation replacing the brand-equality fan-out that
-    # OOM'd the sf0.1 replay) AFTER its r05 driver row was recorded;
-    # same outputs (re-verified hash-exact at 3 SFs), but a plan
-    # rewrite warrants fresh external verification — pinned first in
-    # the sample (the q113 precedent).
-    "q282_apriori_triples",
-}
-
-
-# Round 6 sample head (VERDICT r05 items 1-2). First: the 20 oracle-
-# paired queries added late in round 5 (never driver-sampled) — green
-# rows here complete external verification of the entire oracle
-# registry.
-_R05_LATE: tuple[str, ...] = (
-    "q235_theil_sen_trend",
-    "q236_mann_kendall",
-    "q237_js_divergence",
-    "q238_lagged_crosscorr",
-    "q240_qq_drift",
-    "q241_time_in_state",
-    "q243_pareto_coverage",
-    "q251_lang_confusion",
-    "q252_dedup_survivorship",
-    "q253_priority_mix_shift",
-    "q257_fano_factor",
-    "q258_rfm_migration",
-    "q260_quality_token_budget",
-    "q262_leadtime_percentiles",
-    "q266_hapax_ratio",
-    "q268_length_lognormal_fit",
-    "q269_order_gap_medians",
-    "q270_repeat_purchase_survival",
-    "q273_l_diversity",
-    "q274_t_closeness",
+    | _R05_VERIFIED | _R06_VERIFIED
 )
 
-# Second: the rows-only queries that have NEVER had a driver row
-# (VERDICT r05 item 2) — every one now carries an in-plan executed
-# contract (recall bound, estimate-vs-exact, batch-equivalence audit,
-# JVM-recompute of the Python-extracted features, invariants), so a
-# rows-only driver row certifies the computation, not just a count.
-_ROWS_ONLY_BACKLOG: tuple[str, ...] = (
-    "q64_multiprobe_lsh_topk",
-    "q65_pq_topk",
+
+# Round 7 sample head (VERDICT r06 items 1 and 5). First: q70/q199,
+# whose r06 driver rows crashed in the driver's own pandas
+# canonicalizer on raw array<float> columns — the final driver-facing
+# selects now serialize the arrays (6dp fixed-point JSON strings, the
+# q113 "plan changed after a driver row → re-pin" precedent applies).
+_R07_RECHECK: tuple[str, ...] = (
     "q70_multimodal_features",
-    "q71_approx_count_distinct",
-    "q81_stateful_sessionize",
-    "q83_stream_dedup_watermark",
-    "q85_approx_percentiles",
-    "q100_hll_mergeable_distinct",
-    "q101_pagerank",
-    "q132_kmeans_clusters",
-    "q164_embedding_near_dup_lsh",
-    "q171_bpe_merge_train",
-    "q178_label_propagation",
-    "q179_streaming_term_counts",
     "q199_thumbnail_grid",
-    "q209_audio_features",
-    "q210_video_frame_sample",
 )
 
-# Queries ADDED in round 6: they sort after the two backlogs above so
-# they cannot displace the planned verification (VERDICT r05 item 8);
-# 20 + 17 = 37 backlog slots leave 13 sample slots for the head of
-# this tuple; the rest roll to round 7.
+# Queries ADDED in round 6, in driver-sample order. The first 13 got
+# green rows in CORRECTNESS_r06.json (now in _R06_VERIFIED); the
+# remaining 15 (13 oracle-paired stats + the 2 rows-only q335/q337)
+# are pinned directly after _R07_RECHECK so round 7's 50-row sample
+# closes external verification of the ENTIRE registry.
 _R06_LATE: tuple[str, ...] = (
     "q312_spearman_corr",
     "q313_mann_whitney",
@@ -250,7 +239,6 @@ _R06_LATE: tuple[str, ...] = (
     "q322_cohens_d",
     "q323_kendall_tau_b",
     "q326_waterfill_budget",
-    # beyond the 13 sample slots — round 7's head:
     "q327_periodogram",
     "q328_pythagorean_means",
     "q329_tukey_outliers",
@@ -267,23 +255,25 @@ _R06_LATE: tuple[str, ...] = (
     "q340_shapley_attribution",
 )
 
+# Queries ADDED in round 7: they sort after the pending backlog above
+# so they cannot displace the planned verification (VERDICT r06
+# item 5); 2 + 15 = 17 backlog slots leave 33 sample slots for the
+# head of this tuple.
+_R07_LATE: tuple[str, ...] = ()
+
 
 def _ordered_names() -> list[str]:
     from pipeline_usnvc_spark.plans import ORACLES, QUERIES
 
     names = list(QUERIES)
-    # Plan-rewritten-after-driver-green queries go FIRST so the sample
-    # prefix is guaranteed to re-record them (the q113 precedent).
-    recheck = [n for n in ("q282_apriori_triples",) if n in names]
-    pinned = (
-        set(recheck)
-        | set(_R05_LATE)
-        | set(_ROWS_ONLY_BACKLOG)
-        | set(_R06_LATE)
-    )
-    late = [n for n in _R05_LATE if n in names]
-    backlog = [n for n in _ROWS_ONLY_BACKLOG if n in names]
-    r06_late = [n for n in _R06_LATE if n in names]
+    # Canonicalizer-crash fixes go FIRST so the sample prefix is
+    # guaranteed to re-record them (the q113 precedent).
+    recheck = [n for n in _R07_RECHECK if n in names]
+    pending_r06 = [
+        n for n in _R06_LATE if n in names and n not in _DRIVER_VERIFIED
+    ]
+    r07_late = [n for n in _R07_LATE if n in names]
+    pinned = set(recheck) | set(pending_r06) | set(r07_late)
     fresh_oracle = [
         n
         for n in names
@@ -296,7 +286,7 @@ def _ordered_names() -> list[str]:
     ]
     seen = [n for n in names if n in _DRIVER_VERIFIED and n not in pinned]
     return (
-        recheck + late + backlog + r06_late + fresh_oracle
+        recheck + pending_r06 + r07_late + fresh_oracle
         + fresh_rows_only + seen
     )
 

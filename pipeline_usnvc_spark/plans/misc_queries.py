@@ -337,6 +337,30 @@ def _cycled_byte(seed, s_eff, pos):
     return F.element_at(seed, (F.pmod(pos, s_eff) + F.lit(1)).cast("int"))
 
 
+def _json_floats(col, dp: int = 6):
+    """Driver-facing serialization of an ``array<float>`` column: a
+    JSON-style string of the values rounded to ``dp`` decimal places,
+    rendered through a fixed-point decimal cast so every element prints
+    in stable plain notation (never scientific). The operator API
+    (operators/multimodal.py) keeps the typed array; ONLY the final
+    driver projection serializes, because the driver's canonicalizer
+    (pandas sort_values) cannot hash list cells (VERDICT r06 item 1).
+    6 dp matches the established oracle-parity rounding discipline."""
+    return F.concat(
+        F.lit("["),
+        F.concat_ws(
+            ",",
+            F.transform(
+                col,
+                lambda x: F.round(x.cast("double"), dp)
+                .cast("decimal(28,6)")
+                .cast("string"),
+            ),
+        ),
+        F.lit("]"),
+    )
+
+
 @query("q70_multimodal_features")
 def q70_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_usnvc_spark.operators.contracts import contract_filter
@@ -418,7 +442,14 @@ def q70_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(" expected="),
             F.coalesce(F.col("expected_mean").cast("string"), F.lit("null")),
         ),
-    ).select("doc_id", "width", "height", "n_bytes", "feature_kind", "features")
+    ).select(
+        "doc_id",
+        "width",
+        "height",
+        "n_bytes",
+        "feature_kind",
+        _json_floats(F.col("features")).alias("features"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1159,7 +1190,13 @@ def q199_thumbnail_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(": max_cell_diff="),
             F.coalesce(max_diff.cast("string"), F.lit("null")),
         ),
-    ).select("doc_id", "width", "height", "feature_kind", "features")
+    ).select(
+        "doc_id",
+        "width",
+        "height",
+        "feature_kind",
+        _json_floats(F.col("features")).alias("features"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -22,9 +22,23 @@ def test_oracle_parity(spark, sf_dir, name):
 
 @pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
 def test_rows_only_queries_run(spark, sf_dir, name):
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
     df = QUERIES[name](spark, sf_dir)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+    # Rows-only outputs still flow through the driver's pandas
+    # canonicalizer (sort_values), which cannot hash LIST/STRUCT/MAP
+    # cells — the exact crash behind the two red r06 rows (q70/q199).
+    # Driver-facing projections must serialize nested values
+    # (_json_floats / concat_ws) and keep typed arrays in the
+    # operator API only.
+    nested = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not nested, f"{name} emits nested driver-facing columns: {nested}"
 
 
 def test_entry_smoke(spark):
@@ -134,29 +148,28 @@ def test_comparator_rejects_int_float_coercion():
 
 def test_driver_sample_prefix_contains_rechecks():
     """The driver samples a 50-query prefix of queries() in dict
-    order. Round-6 contract (VERDICT r05 items 1, 2 and 8): the 20
-    never-sampled _R05_LATE oracle queries lead, the 17-query
-    contract-carrying rows-only backlog fills the middle, and
-    round-6 additions (_R06_LATE) take only the remaining 13 slots so
-    they cannot displace the planned verification."""
+    order. Round-7 contract (VERDICT r06 items 1 and 5): the two
+    canonicalizer-fix rechecks (q70/q199) lead, the 15 pending
+    _R06_LATE queries follow (closing external verification of the
+    entire registry), and round-7 additions (_R07_LATE) take only the
+    remaining slots so they cannot displace the planned
+    verification."""
     import __spark_entry__ as e
 
     names = list(e.queries())
     prefix = set(names[:50])
-    # plan-rewritten q282 is pinned first for re-record (q113 precedent)
-    assert names[0] == "q282_apriori_triples"
-    missing_late = [n for n in e._R05_LATE if n in names and n not in prefix]
-    assert not missing_late, f"late oracle queries outside sample: {missing_late}"
-    missing_backlog = [
-        n for n in e._ROWS_ONLY_BACKLOG if n in names and n not in prefix
+    # canonicalizer-crash fixes are pinned first (q113 precedent)
+    assert names[: len(e._R07_RECHECK)] == list(e._R07_RECHECK)
+    pending_r06 = [
+        n for n in e._R06_LATE if n in names and n not in e._DRIVER_VERIFIED
     ]
-    assert not missing_backlog, f"rows-only backlog outside sample: {missing_backlog}"
-    # _R06_LATE fills the remaining slots in tuple order, nothing else
-    n_backlog = 1 + len(
-        [n for n in (*e._R05_LATE, *e._ROWS_ONLY_BACKLOG) if n in names]
-    )
-    expected_r06 = [n for n in e._R06_LATE if n in names][: 50 - n_backlog]
-    assert names[n_backlog : n_backlog + len(expected_r06)] == expected_r06
+    missing_pending = [n for n in pending_r06 if n not in prefix]
+    assert not missing_pending, f"pending r06 queries outside sample: {missing_pending}"
+    n_head = len(e._R07_RECHECK) + len(pending_r06)
+    assert names[len(e._R07_RECHECK) : n_head] == pending_r06
+    # _R07_LATE fills the remaining slots in tuple order, nothing else
+    expected_r07 = [n for n in e._R07_LATE if n in names][: 50 - n_head]
+    assert names[n_head : n_head + len(expected_r07)] == expected_r07
     # every never-driver-verified query sorts before every verified one
     first_seen = min(
         (names.index(n) for n in e._DRIVER_VERIFIED if n in names),
