@@ -259,7 +259,16 @@ _R06_LATE: tuple[str, ...] = (
 # so they cannot displace the planned verification (VERDICT r06
 # item 5); 2 + 15 = 17 backlog slots leave 33 sample slots for the
 # head of this tuple.
-_R07_LATE: tuple[str, ...] = ()
+_R07_LATE: tuple[str, ...] = (
+    "q341_bh_fdr",
+    "q342_good_turing",
+    "q343_jackknife_source",
+    "q344_cochran_armitage",
+    "q345_calibration_ece",
+    "q346_dedup_scaling_curve",
+    "q347_page_hinkley",
+    "q348_info_gain",
+)
 
 
 def _ordered_names() -> list[str]:

@@ -1,0 +1,824 @@
+"""Inference-diagnostics query family (round 7).
+
+Completes the experimentation surface the round-6 stats family opened:
+multiple-testing control (Benjamini-Hochberg), trend tests on ordinal
+categories (Cochran-Armitage), resampling variance (jackknife),
+model-calibration audits (reliability bins + ECE), sequential change
+detection (Page-Hinkley), information gain, and two LLM-data-curation
+curves (Good-Turing unseen-mass, the dedup scaling curve). Reference
+scope note: the reference pipeline (usnvc/usnvc.py) has no statistics
+at all — this family belongs to the mandated LLM-pipeline/analytics
+extension surface.
+
+Oracle-parity discipline (memory: oracle-parity rules), same as
+plans/stats_queries.py:
+
+- sufficient statistics are EXACT integer/decimal sums; no double is
+  ever summed across rows — cross-row float work is micro-scaled to
+  integers first (round(x*1e6) BIGINT / DECIMAL(38,0));
+- per-row transcendentals (ln/exp) either round to micro before
+  summation or feed a single final expression that is the IDENTICAL
+  tree on both engines, rounded to 6dp;
+- every decision flag (significance, BH rejection, change detection)
+  compares ROUNDED values to literals, so both engines decide from
+  identical inputs;
+- deterministic total ordering everywhere a rank matters.
+
+Scale shape: every query aggregates to a bounded spine (nations,
+priorities, frequency-of-frequency ranks, 10 calibration bins, 10
+corpus prefixes, the calendar day spine) before any window runs; the
+only row-grain operations are the initial groupBys. No data-grain
+window, no driver-side loop, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pipeline_usnvc_spark.plans.registry import query
+from pipeline_usnvc_spark.sources.tables import load_table
+
+_TOKS_SQL = "list_filter(string_split_regex(lower(text), '[^a-zA-Z0-9]+'), t -> t <> '')"
+
+
+def _d38(c):
+    return c.cast("decimal(38,0)")
+
+
+# ---------------------------------------------------------------------------
+# q341 — Benjamini-Hochberg FDR over the per-nation two-proportion
+# z-tests (q315's statistics): the multiple-testing control every
+# per-segment experiment readout needs before anyone believes 25
+# simultaneous "significant" flags. p-values come from the classic
+# Abramowitz-Stegun 7.1.26 erfc polynomial — the IDENTICAL expression
+# tree on both engines, fed the already-6dp-rounded |z| and rounded to
+# 6dp itself, so the BH step function (rank p-values ascending,
+# reject ranks 1..k where k = max{i : p_(i) <= i*alpha/m}) decides
+# from identical values. Windows run over the <=25-row nation spine.
+# ---------------------------------------------------------------------------
+_P_FROM_ZABS_SQL = """
+    (((((1.061405429 * tt - 1.453152027) * tt + 1.421413741) * tt
+       - 0.284496736) * tt + 0.254829592) * tt) * exp(-xx * xx)
+"""
+
+@query(
+    "q341_bh_fdr",
+    oracle=f"""
+    WITH conv AS (
+        SELECT c.c_nationkey,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) FILTER (WHERE o.o_custkey IS NOT NULL) AS BIGINT) AS x
+        FROM customer c
+        LEFT JOIN (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F') o
+          ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(x) AS BIGINT) AS xt FROM conv),
+    z AS (
+        SELECT nn.n_name, c.n AS n1, c.x AS x1,
+               t.nt - c.n AS n2, t.xt - c.x AS x2, t.xt, t.nt
+        FROM conv c
+        JOIN nation nn ON nn.n_nationkey = c.c_nationkey
+        CROSS JOIN tot t
+    ),
+    zz AS (
+        SELECT n_name, n1, x1,
+               CASE WHEN n1 > 0 AND n2 > 0 AND xt > 0 AND xt < nt
+                    THEN abs(round(
+                        (CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                         - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                        / sqrt((CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE))
+                               * (1.0 - CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE))
+                               * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))), 6))
+                    ELSE NULL END AS z_abs
+        FROM z
+    ),
+    pv AS (
+        SELECT n_name, n1, x1, z_abs,
+               round((SELECT {_P_FROM_ZABS_SQL} FROM (
+                   SELECT z_abs / sqrt(2.0) AS xx,
+                          1.0 / (1.0 + 0.3275911 * (z_abs / sqrt(2.0))) AS tt)), 6) AS p
+        FROM zz WHERE z_abs IS NOT NULL
+    ),
+    ranked AS (
+        SELECT n_name, n1, x1, z_abs, p,
+               CAST(row_number() OVER (ORDER BY p, n_name) AS BIGINT) AS rnk,
+               CAST(count(*) OVER () AS BIGINT) AS m
+        FROM pv
+    ),
+    kmax AS (
+        SELECT n_name, n1, x1, z_abs, p, rnk, m,
+               max(CASE WHEN p * CAST(m AS DOUBLE)
+                             <= CAST(rnk AS DOUBLE) * 0.05 THEN rnk END)
+                   OVER () AS k
+        FROM ranked
+    )
+    SELECT n_name, n1 AS n_customers, x1 AS n_converted, z_abs, p AS p_value,
+           rnk AS p_rank, coalesce(rnk <= k, FALSE) AS bh_reject
+    FROM kmax ORDER BY n_name
+    """,
+)
+def q341_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    buyers = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("bought", F.lit(1))
+    )
+    conv = (
+        c.join(buyers, "c_custkey", "left")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n1"),
+            F.count("bought").cast("bigint").alias("x1"),
+        )
+    )
+    tot = conv.agg(
+        F.sum("n1").cast("bigint").alias("nt"), F.sum("x1").cast("bigint").alias("xt")
+    )
+    base = conv.crossJoin(F.broadcast(tot)).join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("c_nationkey"), "n_name")),
+        "c_nationkey",
+    )
+    n1, x1 = F.col("n1").cast("double"), F.col("x1").cast("double")
+    n2 = (F.col("nt") - F.col("n1")).cast("double")
+    x2 = (F.col("xt") - F.col("x1")).cast("double")
+    nt, xt = F.col("nt").cast("double"), F.col("xt").cast("double")
+    pbar = xt / nt
+    z_raw = (x1 / n1 - x2 / n2) / F.sqrt(
+        pbar * (F.lit(1.0) - pbar) * (F.lit(1.0) / n1 + F.lit(1.0) / n2)
+    )
+    valid = (
+        (F.col("n1") > 0)
+        & (F.col("nt") - F.col("n1") > 0)
+        & (F.col("xt") > 0)
+        & (F.col("xt") < F.col("nt"))
+    )
+    zz = base.select(
+        "n_name",
+        "n1",
+        "x1",
+        F.when(valid, F.abs(F.round(z_raw, 6))).alias("z_abs"),
+    ).filter(F.col("z_abs").isNotNull())
+    xx = F.col("z_abs") / F.sqrt(F.lit(2.0))
+    tt = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * xx)
+    poly = (
+        (
+            (
+                (F.lit(1.061405429) * tt - F.lit(1.453152027)) * tt
+                + F.lit(1.421413741)
+            )
+            * tt
+            - F.lit(0.284496736)
+        )
+        * tt
+        + F.lit(0.254829592)
+    ) * tt
+    pv = zz.withColumn("p", F.round(poly * F.exp(-xx * xx), 6))
+    # nation spine (<=25 rows): the unpartitioned windows are bounded.
+    w_rank = Window.orderBy("p", "n_name")
+    w_all = Window.partitionBy()
+    ranked = pv.select(
+        "n_name",
+        "n1",
+        "x1",
+        "z_abs",
+        "p",
+        F.row_number().over(w_rank).cast("bigint").alias("rnk"),
+        F.count("*").over(w_all).cast("bigint").alias("m"),
+    )
+    k = F.max(
+        F.when(
+            F.col("p") * F.col("m").cast("double")
+            <= F.col("rnk").cast("double") * F.lit(0.05),
+            F.col("rnk"),
+        )
+    ).over(w_all)
+    return (
+        ranked.withColumn("k", k)
+        .select(
+            "n_name",
+            F.col("n1").alias("n_customers"),
+            F.col("x1").alias("n_converted"),
+            "z_abs",
+            F.col("p").alias("p_value"),
+            F.col("rnk").alias("p_rank"),
+            F.coalesce(F.col("rnk") <= F.col("k"), F.lit(False)).alias("bh_reject"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q342 — Good-Turing frequency smoothing over the corpus unigram
+# counts: the unseen-probability-mass estimate (p0 = N1/N) and the
+# smoothed count r* = (r+1)*N[r+1]/N[r] for low frequencies — the
+# curation-side answer to "how much vocabulary haven't we crawled
+# yet". Everything is exact integers (term counts, frequency-of-
+# frequency counts) until two final 6dp divisions; the r+1 lookup is
+# a self-join on the tiny frequency spine.
+# ---------------------------------------------------------------------------
+@query(
+    "q342_good_turing",
+    oracle=f"""
+    WITH toks AS (SELECT unnest({_TOKS_SQL}) AS term FROM documents),
+    tc AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY term),
+    ff AS (SELECT c AS r, CAST(count(*) AS BIGINT) AS n_r FROM tc GROUP BY c),
+    tot AS (
+        SELECT CAST(sum(CAST(r AS HUGEINT) * n_r) AS BIGINT) AS n_tokens,
+               CAST(max(CASE WHEN r = 1 THEN n_r ELSE 0 END) AS BIGINT) AS n1
+        FROM ff
+    )
+    SELECT a.r, a.n_r,
+           coalesce(b.n_r, 0) AS n_r_next,
+           round(CAST((a.r + 1) AS DOUBLE) * CAST(coalesce(b.n_r, 0) AS DOUBLE)
+                 / CAST(a.n_r AS DOUBLE), 6) AS r_star,
+           round(CAST(t.n1 AS DOUBLE) / CAST(t.n_tokens AS DOUBLE), 6) AS p_unseen
+    FROM ff a
+    LEFT JOIN ff b ON b.r = a.r + 1
+    CROSS JOIN tot t
+    WHERE a.r <= 10
+    ORDER BY a.r
+    """,
+)
+def q342_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    ff = tc.groupBy(F.col("c").alias("r")).agg(
+        F.count("*").cast("bigint").alias("n_r")
+    )
+    tot = ff.agg(
+        F.sum(_d38(F.col("r")) * _d38(F.col("n_r")))
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.max(F.when(F.col("r") == 1, F.col("n_r")).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+    )
+    nxt = ff.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r_next"))
+    return (
+        ff.filter(F.col("r") <= 10)
+        .join(F.broadcast(nxt), "r", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r",
+            "n_r",
+            F.coalesce("n_r_next", F.lit(0).cast("bigint")).alias("n_r_next"),
+            F.round(
+                (F.col("r") + 1).cast("double")
+                * F.coalesce("n_r_next", F.lit(0).cast("bigint")).cast("double")
+                / F.col("n_r").cast("double"),
+                6,
+            ).alias("r_star"),
+            F.round(
+                F.col("n1").cast("double") / F.col("n_tokens").cast("double"), 6
+            ).alias("p_unseen"),
+        )
+        .orderBy("r")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q343 — jackknife-by-source: leave-one-source-out means of document
+# length plus the jackknife standard error — the "is one crawl source
+# dragging the whole corpus statistic" diagnostic, and the cheapest
+# honest variance estimate for a ratio statistic at 100 TB (g
+# leave-outs from ONE aggregate pass + a broadcast of g rows, vs g
+# full re-scans for the naive formulation). LOO means are micro-
+# rounded to integers (round(1e6*mean) — the q217 transcendental
+# discipline applied to a ratio) so the cross-source variance sum is
+# an EXACT DECIMAL(38,0) sum of squared integer deviations, scaled by
+# g to stay integral: d_i = g*loo_i_micro - sum(loo_micro).
+# ---------------------------------------------------------------------------
+@query(
+    "q343_jackknife_source",
+    oracle="""
+    WITH per_src AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS s_chars
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(sum(n_docs) AS BIGINT) AS n_all,
+               CAST(sum(s_chars) AS BIGINT) AS s_all,
+               CAST(count(*) AS BIGINT) AS g
+        FROM per_src
+    ),
+    loo AS (
+        SELECT p.source, p.n_docs, t.g,
+               CAST(round(1000000.0 * CAST(t.s_all - p.s_chars AS DOUBLE)
+                          / CAST(t.n_all - p.n_docs AS DOUBLE)) AS BIGINT) AS loo_micro
+        FROM per_src p CROSS JOIN tot t
+    ),
+    spread AS (
+        SELECT source, n_docs, g, loo_micro,
+               CAST(sum(loo_micro) OVER () AS BIGINT) AS l_sum
+        FROM loo
+    )
+    SELECT source, n_docs,
+           round(CAST(loo_micro AS DOUBLE) / 1000000.0, 6) AS loo_mean_chars,
+           round(sqrt(CAST(CAST(sum(CAST(CAST(g AS HUGEINT) * loo_micro - l_sum AS HUGEINT)
+                                     * CAST(CAST(g AS HUGEINT) * loo_micro - l_sum AS HUGEINT))
+                               OVER () AS HUGEINT) AS DOUBLE)
+                      * CAST(g - 1 AS DOUBLE)
+                      / (CAST(g AS DOUBLE) * CAST(g AS DOUBLE) * CAST(g AS DOUBLE)
+                         * 1e12)), 6) AS jackknife_se
+    FROM spread ORDER BY source
+    """,
+)
+def q343_jackknife_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("s_chars"),
+    )
+    tot = per_src.agg(
+        F.sum("n_docs").cast("bigint").alias("n_all"),
+        F.sum("s_chars").cast("bigint").alias("s_all"),
+        F.count("*").cast("bigint").alias("g"),
+    )
+    loo = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "g",
+        F.round(
+            F.lit(1000000.0)
+            * (F.col("s_all") - F.col("s_chars")).cast("double")
+            / (F.col("n_all") - F.col("n_docs")).cast("double")
+        )
+        .cast("bigint")
+        .alias("loo_micro"),
+    )
+    # source spine (bounded handful of rows): unpartitioned windows OK.
+    w_all = Window.partitionBy()
+    spread = loo.withColumn(
+        "l_sum", F.sum("loo_micro").over(w_all).cast("bigint")
+    )
+    d = _d38(F.col("g")) * _d38(F.col("loo_micro")) - _d38(F.col("l_sum"))
+    ss = F.sum(d * d).over(w_all).cast("decimal(38,0)")
+    g = F.col("g").cast("double")
+    se = F.sqrt(
+        ss.cast("double") * (F.col("g") - 1).cast("double") / (g * g * g * F.lit(1e12))
+    )
+    return spread.select(
+        "source",
+        "n_docs",
+        F.round(F.col("loo_micro").cast("double") / F.lit(1000000.0), 6).alias(
+            "loo_mean_chars"
+        ),
+        F.round(se, 6).alias("jackknife_se"),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# q344 — Cochran-Armitage trend test: is the finished-order rate
+# monotone in order priority (ordinal scores 1..5 parsed from the
+# priority label)? The ordinal counterpart of q315's two-sample z /
+# q192's unordered chi-square. All sufficient statistics (n_k, x_k,
+# s*n, s^2*n, s*x sums) are exact integers from one orders-grain
+# groupBy onto the 5-row priority spine; the z is one double
+# expression, rounded 6dp, with the significance flag decided from
+# the rounded value.
+# ---------------------------------------------------------------------------
+@query(
+    "q344_cochran_armitage",
+    oracle="""
+    WITH per_k AS (
+        SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ),
+    agg AS (
+        SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(x) AS BIGINT) AS xt,
+               CAST(sum(s * n) AS BIGINT) AS sn,
+               CAST(sum(s * s * n) AS BIGINT) AS ssn,
+               CAST(sum(s * x) AS BIGINT) AS sx
+        FROM per_k
+    )
+    SELECT nt AS n_orders, xt AS n_finished,
+           round((CAST(sx AS DOUBLE) - CAST(xt AS DOUBLE) * CAST(sn AS DOUBLE) / CAST(nt AS DOUBLE))
+                 / sqrt((CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE))
+                        * (1.0 - CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE))
+                        * (CAST(ssn AS DOUBLE)
+                           - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE) / CAST(nt AS DOUBLE))), 6)
+               AS trend_z,
+           abs(round((CAST(sx AS DOUBLE) - CAST(xt AS DOUBLE) * CAST(sn AS DOUBLE) / CAST(nt AS DOUBLE))
+                 / sqrt((CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE))
+                        * (1.0 - CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE))
+                        * (CAST(ssn AS DOUBLE)
+                           - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE) / CAST(nt AS DOUBLE))), 6)) > 1.96
+               AS significant
+    FROM agg
+    """,
+)
+def q344_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    per_k = o.groupBy(
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("s")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+    )
+    agg = per_k.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("x").cast("bigint").alias("xt"),
+        F.sum(F.col("s") * F.col("n")).cast("bigint").alias("sn"),
+        F.sum(F.col("s") * F.col("s") * F.col("n")).cast("bigint").alias("ssn"),
+        F.sum(F.col("s") * F.col("x")).cast("bigint").alias("sx"),
+    )
+    nt, xt = F.col("nt").cast("double"), F.col("xt").cast("double")
+    sn, ssn, sx = (
+        F.col("sn").cast("double"),
+        F.col("ssn").cast("double"),
+        F.col("sx").cast("double"),
+    )
+    pbar = xt / nt
+    z = F.round(
+        (sx - xt * sn / nt)
+        / F.sqrt(pbar * (F.lit(1.0) - pbar) * (ssn - sn * sn / nt)),
+        6,
+    )
+    return agg.select(
+        F.col("nt").alias("n_orders"),
+        F.col("xt").alias("n_finished"),
+        z.alias("trend_z"),
+        (F.abs(z) > F.lit(1.96)).alias("significant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q345 — calibration reliability bins + expected calibration error
+# for a fixed logistic length-based "is this English" confidence
+# score vs the labeled language: the audit every learned quality
+# filter needs before its scores gate a corpus. Per-row confidences
+# are micro-rounded integers (the identical exp() tree on both
+# engines feeds round(1e6*conf)), so per-bin confidence sums are
+# exact, and ECE reduces to sum_b |x_b*1e6 - C_b| / (1e6*N) — an
+# EXACT integer numerator with one final double division. 10-row bin
+# spine; the only row-grain op is the first groupBy.
+# ---------------------------------------------------------------------------
+@query(
+    "q345_calibration_ece",
+    oracle="""
+    WITH scored AS (
+        SELECT CAST(round(1000000.0 / (1.0 + exp(-(CAST(n_chars AS DOUBLE) - 500.0) / 250.0)))
+                    AS BIGINT) AS conf_micro,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents
+    ),
+    binned AS (
+        SELECT least(CAST(conf_micro // 100000 AS BIGINT), 9) AS bin, conf_micro, y
+        FROM scored
+    ),
+    per_bin AS (
+        SELECT bin, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS x,
+               CAST(sum(conf_micro) AS BIGINT) AS c_sum
+        FROM binned GROUP BY bin
+    ),
+    tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n_all,
+               CAST(sum(abs(x * 1000000 - c_sum)) AS BIGINT) AS gap_sum
+        FROM per_bin
+    )
+    SELECT bin, n AS n_docs,
+           round(CAST(x AS DOUBLE) / CAST(n AS DOUBLE), 6) AS accuracy,
+           round(CAST(c_sum AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0), 6) AS avg_conf,
+           round(CAST(t.gap_sum AS DOUBLE) / (1000000.0 * CAST(t.n_all AS DOUBLE)), 6) AS ece
+    FROM per_bin CROSS JOIN tot t
+    ORDER BY bin
+    """,
+)
+def q345_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    conf_micro = F.round(
+        F.lit(1000000.0)
+        / (
+            F.lit(1.0)
+            + F.exp(-(F.col("n_chars").cast("double") - F.lit(500.0)) / F.lit(250.0))
+        )
+    ).cast("bigint")
+    scored = docs.select(
+        conf_micro.alias("conf_micro"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    binned = scored.select(
+        F.least(F.floor(F.col("conf_micro") / 100000).cast("bigint"), F.lit(9)).alias(
+            "bin"
+        ),
+        "conf_micro",
+        "y",
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("x"),
+        F.sum("conf_micro").cast("bigint").alias("c_sum"),
+    )
+    tot = per_bin.agg(
+        F.sum("n").cast("bigint").alias("n_all"),
+        F.sum(F.abs(F.col("x") * 1000000 - F.col("c_sum")))
+        .cast("bigint")
+        .alias("gap_sum"),
+    )
+    return (
+        per_bin.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.col("n").alias("n_docs"),
+            F.round(F.col("x").cast("double") / F.col("n").cast("double"), 6).alias(
+                "accuracy"
+            ),
+            F.round(
+                F.col("c_sum").cast("double")
+                / (F.col("n").cast("double") * F.lit(1000000.0)),
+                6,
+            ).alias("avg_conf"),
+            F.round(
+                F.col("gap_sum").cast("double")
+                / (F.lit(1000000.0) * F.col("n_all").cast("double")),
+                6,
+            ).alias("ece"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q346 — dedup scaling curve: split the corpus into 10 deterministic
+# doc_id-range prefixes and report, per prefix, how many NEW 3-gram
+# shingles it contributes vs its total shingle instances — the
+# "marginal novelty per crawl increment" curve that decides when more
+# of the same source stops buying training data. Scale shape: ONE
+# scan + explode feeds a (shingle, bucket)-grain partial aggregation
+# (map-side combine collapses repeated shingles before the shuffle —
+# the same exchange q50's exact dedup uses); both downstream
+# aggregates (first-occurrence bucket per shingle, instance counts
+# per bucket) reuse that one materialized grain, so the corpus is
+# never exploded twice. No windows at data grain — the cumulative
+# curve is a window over the 10-row prefix spine. The prefix
+# assignment is a pure expression on doc_id against the broadcast
+# corpus size (no global sort, no ntile at data grain).
+# ---------------------------------------------------------------------------
+@query(
+    "q346_dedup_scaling_curve",
+    oracle=f"""
+    WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    sh AS (
+        SELECT doc_id, unnest(
+            list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                           i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2])
+        ) AS shingle
+        FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+    ),
+    bucketed AS (
+        SELECT least(CAST(s.doc_id * 10 // n.n_docs AS BIGINT), 9) AS bucket, s.shingle
+        FROM sh s CROSS JOIN nn n
+    ),
+    first_seen AS (
+        SELECT shingle, CAST(min(bucket) AS BIGINT) AS fb FROM bucketed GROUP BY shingle
+    ),
+    new_per_bucket AS (
+        SELECT fb AS bucket, CAST(count(*) AS BIGINT) AS n_new FROM first_seen GROUP BY fb
+    ),
+    inst_per_bucket AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n_inst FROM bucketed GROUP BY bucket
+    )
+    SELECT i.bucket, i.n_inst AS n_shingle_instances,
+           coalesce(np.n_new, 0) AS n_new_shingles,
+           CAST(sum(coalesce(np.n_new, 0)) OVER (ORDER BY i.bucket) AS BIGINT)
+               AS cum_distinct_shingles,
+           round(CAST(coalesce(np.n_new, 0) AS DOUBLE) / CAST(i.n_inst AS DOUBLE), 6)
+               AS novelty_rate
+    FROM inst_per_bucket i
+    LEFT JOIN new_per_bucket np ON np.bucket = i.bucket
+    ORDER BY i.bucket
+    """,
+)
+def q346_dedup_scaling_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.functions.text import tokens, word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    nn = docs.agg(F.count("*").cast("bigint").alias("n_docs"))
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles(tokens("text"), 3)).alias("shingle")
+    )
+    bucketed = sh.crossJoin(F.broadcast(nn)).select(
+        F.least(
+            F.floor(F.col("doc_id") * 10 / F.col("n_docs")).cast("bigint"), F.lit(9)
+        ).alias("bucket"),
+        "shingle",
+    )
+    # the single data-grain exchange: (shingle, bucket) counts with
+    # map-side combine; localCheckpoint-free reuse via one shuffle
+    grain = bucketed.groupBy("shingle", "bucket").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    first_seen = grain.groupBy("shingle").agg(
+        F.min("bucket").cast("bigint").alias("fb")
+    )
+    new_per_bucket = first_seen.groupBy(F.col("fb").alias("bucket")).agg(
+        F.count("*").cast("bigint").alias("n_new")
+    )
+    inst_per_bucket = grain.groupBy("bucket").agg(
+        F.sum("n").cast("bigint").alias("n_inst")
+    )
+    joined = inst_per_bucket.join(F.broadcast(new_per_bucket), "bucket", "left")
+    # 10-row prefix spine: the cumulative window is bounded.
+    w_cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    n_new = F.coalesce("n_new", F.lit(0).cast("bigint"))
+    return joined.select(
+        "bucket",
+        F.col("n_inst").alias("n_shingle_instances"),
+        n_new.alias("n_new_shingles"),
+        F.sum(n_new).over(w_cum).cast("bigint").alias("cum_distinct_shingles"),
+        F.round(n_new.cast("double") / F.col("n_inst").cast("double"), 6).alias(
+            "novelty_rate"
+        ),
+    ).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# q347 — Page-Hinkley sequential change detection on daily order
+# counts (delta=5 events, lambda=50): the streaming-adjacent "did the
+# level shift" monitor that complements q193's CUSUM (which tracks a
+# fixed reference mean; PH tracks the RUNNING mean, so it adapts to
+# slow drift and fires only on abrupt shifts). Running means are
+# floor-divided to exact micro integers (the q331 floor-div idiom),
+# so every cumulative sum and running minimum is exact integer math
+# on the calendar-bounded day spine; the reported statistic is one
+# final 6dp division.
+# ---------------------------------------------------------------------------
+@query(
+    "q347_page_hinkley",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ),
+    cum AS (
+        SELECT d, x,
+               CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t,
+               CAST(sum(x) OVER (ORDER BY d) AS BIGINT) AS s
+        FROM daily
+    ),
+    dev AS (
+        SELECT d, x,
+               CAST(x AS HUGEINT) * 1000000
+                 - (CAST(s AS HUGEINT) * 1000000
+                    - (CAST(s AS HUGEINT) * 1000000) % CAST(t AS HUGEINT)) // CAST(t AS HUGEINT)
+                 - 5000000 AS dev_micro
+        FROM cum
+    ),
+    ph AS (
+        SELECT d, x,
+               CAST(sum(dev_micro) OVER (ORDER BY d) AS HUGEINT) AS m_t
+        FROM dev
+    )
+    SELECT d AS day_index, x AS n_orders,
+           round(CAST(CAST(m_t - min(m_t) OVER (ORDER BY d) AS BIGINT) AS DOUBLE)
+                 / 1000000.0, 6) AS ph_stat,
+           CAST(m_t - min(m_t) OVER (ORDER BY d) AS BIGINT) >= 50000000 AS change_flag
+    FROM ph ORDER BY d
+    """,
+)
+def q347_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+        .cast("bigint")
+        .alias("d")
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    # calendar-bounded day spine (~2.4k rows): unpartitioned windows OK.
+    w_ord = Window.orderBy("d")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "d",
+        "x",
+        F.row_number().over(w_ord).cast("bigint").alias("t"),
+        F.sum("x").over(w_cum).cast("bigint").alias("s"),
+    )
+    s_scaled = _d38(F.col("s")) * F.lit(1000000).cast("decimal(38,0)")
+    mean_floor = (s_scaled - F.pmod(s_scaled, _d38(F.col("t")))) / _d38(F.col("t"))
+    dev = cum.select(
+        "d",
+        "x",
+        (
+            _d38(F.col("x")) * F.lit(1000000).cast("decimal(38,0)")
+            - mean_floor.cast("decimal(38,0)")
+            - F.lit(5000000).cast("decimal(38,0)")
+        ).alias("dev_micro"),
+    )
+    ph = dev.select(
+        "d",
+        "x",
+        F.sum("dev_micro").over(w_cum).cast("decimal(38,0)").alias("m_t"),
+    )
+    ph_int = (F.col("m_t") - F.min("m_t").over(w_cum)).cast("bigint")
+    return ph.select(
+        F.col("d").alias("day_index"),
+        F.col("x").alias("n_orders"),
+        F.round(ph_int.cast("double") / F.lit(1000000.0), 6).alias("ph_stat"),
+        (ph_int >= F.lit(50000000)).alias("change_flag"),
+    ).orderBy("day_index")
+
+
+# ---------------------------------------------------------------------------
+# q348 — information gain of order priority for predicting finished
+# status: H(y) - H(y|priority), the feature-usefulness number behind
+# every decision-tree split and every "is this metadata column worth
+# keeping" curation question. Exact counts on the 5-row priority
+# spine; every entropy term follows the q330/q332 micro-ln discipline
+# (HUGEINT count x round(1e6*ln(exact ratio)) summed exactly, ONE
+# final division), and IG subtracts the two raw sums BEFORE the
+# single 6dp round so no intermediate rounding compounds.
+# ---------------------------------------------------------------------------
+@query(
+    "q348_info_gain",
+    oracle="""
+    WITH per_k AS (
+        SELECT o_orderpriority AS k,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(x) AS BIGINT) AS xt FROM per_k),
+    cond AS (
+        SELECT CAST(sum(
+            CASE WHEN x > 0 THEN CAST(x AS HUGEINT)
+                 * CAST(round(1000000.0 * ln(CAST(x AS DOUBLE) / CAST(n AS DOUBLE))) AS HUGEINT)
+                 ELSE 0 END
+          + CASE WHEN n - x > 0 THEN CAST(n - x AS HUGEINT)
+                 * CAST(round(1000000.0 * ln(CAST(n - x AS DOUBLE) / CAST(n AS DOUBLE))) AS HUGEINT)
+                 ELSE 0 END) AS HUGEINT) AS w_cond
+        FROM per_k
+    ),
+    marg AS (
+        SELECT CASE WHEN xt > 0 THEN CAST(xt AS HUGEINT)
+                 * CAST(round(1000000.0 * ln(CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE))) AS HUGEINT)
+                 ELSE 0 END
+             + CASE WHEN nt - xt > 0 THEN CAST(nt - xt AS HUGEINT)
+                 * CAST(round(1000000.0 * ln(CAST(nt - xt AS DOUBLE) / CAST(nt AS DOUBLE))) AS HUGEINT)
+                 ELSE 0 END AS w_marg,
+               nt, xt
+        FROM tot
+    )
+    SELECT m.nt AS n_orders, m.xt AS n_finished,
+           round(-CAST(m.w_marg AS DOUBLE) / (CAST(m.nt AS DOUBLE) * 1000000.0), 6) AS h_label,
+           round(-CAST(c.w_cond AS DOUBLE) / (CAST(m.nt AS DOUBLE) * 1000000.0), 6) AS h_cond,
+           round((CAST(c.w_cond AS DOUBLE) - CAST(m.w_marg AS DOUBLE))
+                 / (CAST(m.nt AS DOUBLE) * 1000000.0), 6) AS info_gain
+    FROM marg m CROSS JOIN cond c
+    """,
+)
+def q348_info_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    per_k = o.groupBy(F.col("o_orderpriority").alias("k")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+    )
+
+    def _w(num, den):
+        return F.when(
+            num > 0,
+            _d38(num)
+            * F.round(
+                F.lit(1000000.0) * F.log(num.cast("double") / den.cast("double"))
+            ).cast("decimal(38,0)"),
+        ).otherwise(F.lit(0).cast("decimal(38,0)"))
+
+    cond = per_k.agg(
+        F.sum(_w(F.col("x"), F.col("n")) + _w(F.col("n") - F.col("x"), F.col("n")))
+        .cast("decimal(38,0)")
+        .alias("w_cond"),
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("x").cast("bigint").alias("xt"),
+    )
+    w_marg = _w(F.col("xt"), F.col("nt")) + _w(
+        F.col("nt") - F.col("xt"), F.col("nt")
+    )
+    den = F.col("nt").cast("double") * F.lit(1000000.0)
+    return cond.select(
+        F.col("nt").alias("n_orders"),
+        F.col("xt").alias("n_finished"),
+        F.round(-w_marg.cast("double") / den, 6).alias("h_label"),
+        F.round(-F.col("w_cond").cast("double") / den, 6).alias("h_cond"),
+        F.round(
+            (F.col("w_cond").cast("double") - w_marg.cast("double")) / den, 6
+        ).alias("info_gain"),
+    )

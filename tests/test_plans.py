@@ -700,3 +700,45 @@ def test_spearman_windows_run_on_value_grain(spark, sf_dir):
         assert any(ai > wi for ai in agg_idx), (
             "window has no aggregate beneath it (data-grain rank)"
         )
+
+
+def test_dedup_scaling_curve_windows_spine_not_corpus(spark, sf_dir):
+    # q346: the cumulative-novelty window runs over the 10-row bucket
+    # spine, never the exploded shingle stream — in the top-down tree
+    # every Window must sit above an Aggregate that sits above the
+    # Generate (explode). Bucket assignment is a pure doc_id
+    # expression: no ntile / data-grain global sort anywhere.
+    plan = (
+        QUERIES["q346_dedup_scaling_curve"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ntile" not in plan.lower()
+    win, gen = plan.index("Window"), plan.index("Generate")
+    assert win < gen, "window must be above the explode in the tree"
+    assert "Aggregate" in plan[win:gen], (
+        "no aggregate between Window and Generate — window would scan "
+        "the exploded shingle stream\n" + plan[:2000]
+    )
+
+
+def test_inference_family_aggregates_before_windows(spark, sf_dir):
+    # q341/q343: the nation/source-spine windows (p-value ranks, BH
+    # k_max, jackknife variance) must sit above the row-grain
+    # aggregates; the corpus totals come back via BroadcastExchange,
+    # never a corpus-grain cross join.
+    for name in ("q341_bh_fdr", "q343_jackknife_source"):
+        plan = (
+            QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        win = plan.index("Window")
+        assert "Aggregate" in plan[win:], (
+            f"{name}: no aggregate below the first Window node — the "
+            "window would run at row grain\n" + plan[:2000]
+        )
+        assert "BroadcastExchange" in plan, name
+        assert "CartesianProduct" not in plan, name

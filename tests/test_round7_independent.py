@@ -21,7 +21,7 @@ SF = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def con():
     c = duckdb.connect()
-    for t in ("events", "documents"):
+    for t in ("events", "documents", "orders", "customer", "nation"):
         c.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
@@ -124,3 +124,240 @@ def test_image_phash_clusters(spark, con):
         assert r["min_doc_id"] == min_id, r
     # the planted replicas guarantee at least one multi-doc cluster
     assert any(r["n_docs"] > 1 for r in got)
+
+
+# --------------------------------------------------------------------
+# Round-7 inference family (q341-q348): pure-Python recomputes.
+# --------------------------------------------------------------------
+
+import math
+import re
+
+
+def _toks(text: str | None) -> list[str]:
+    return [t for t in re.split(r"[^a-zA-Z0-9]+", (text or "").lower()) if t]
+
+
+def test_bh_fdr(spark, con):
+    """q341: recompute per-nation two-proportion z-tests, erfc-poly
+    p-values, and the Benjamini-Hochberg step-up in plain Python."""
+    rows = con.execute(
+        """SELECT n.n_name, CAST(count(*) AS BIGINT),
+                  CAST(count(*) FILTER (WHERE b.o_custkey IS NOT NULL) AS BIGINT)
+           FROM customer c
+           JOIN nation n ON n.n_nationkey = c.c_nationkey
+           LEFT JOIN (SELECT DISTINCT o_custkey FROM orders
+                      WHERE o_orderstatus = 'F') b ON b.o_custkey = c.c_custkey
+           GROUP BY 1"""
+    ).fetchall()
+    nt = sum(n for _, n, _ in rows)
+    xt = sum(x for _, _, x in rows)
+    recs = []
+    for name, n1, x1 in rows:
+        n2, x2 = nt - n1, xt - x1
+        if not (n1 > 0 and n2 > 0 and 0 < xt < nt):
+            continue
+        pbar = xt / nt
+        z = (x1 / n1 - x2 / n2) / math.sqrt(pbar * (1 - pbar) * (1 / n1 + 1 / n2))
+        z_abs = abs(round(z, 6))
+        x = z_abs / math.sqrt(2.0)
+        t = 1.0 / (1.0 + 0.3275911 * x)
+        poly = (
+            (((1.061405429 * t - 1.453152027) * t + 1.421413741) * t - 0.284496736)
+            * t
+            + 0.254829592
+        ) * t
+        p = round(poly * math.exp(-x * x), 6)
+        recs.append([name, n1, x1, z_abs, p])
+    m = len(recs)
+    recs.sort(key=lambda r: (r[4], r[0]))
+    k_max = 0
+    for i, r in enumerate(recs, 1):
+        r.append(i)
+        if r[4] * m <= i * 0.05:
+            k_max = i
+    want = {r[0]: r for r in recs}
+    got = QUERIES["q341_bh_fdr"](spark, SF).collect()
+    assert len(got) == m
+    for g in got:
+        name, n1, x1, z_abs, p, rnk = want[g["n_name"]]
+        assert g["n_customers"] == n1 and g["n_converted"] == x1
+        assert abs(g["z_abs"] - z_abs) <= 1e-9, (g, z_abs)
+        assert abs(g["p_value"] - p) <= 1e-9, (g, p)
+        assert g["p_rank"] == rnk
+        assert g["bh_reject"] == (rnk <= k_max), (g, k_max)
+    # sanity: the p-value from the polynomial tracks the exact normal
+    # tail within the approximation's documented 1.5e-7 error
+    for name, n1, x1, z_abs, p, rnk in recs:
+        exact = math.erfc(z_abs / math.sqrt(2.0))
+        assert abs(p - exact) < 1e-5, (name, p, exact)
+
+
+def test_good_turing(spark, con):
+    """q342: frequency-of-frequencies and smoothed counts from a
+    Counter over the same whitespace tokens."""
+    from collections import Counter
+
+    texts = [t for (t,) in con.execute("SELECT text FROM documents").fetchall()]
+    tc = Counter()
+    for t in texts:
+        tc.update(_toks(t))
+    ff = Counter(tc.values())
+    n_tokens = sum(tc.values())
+    got = QUERIES["q342_good_turing"](spark, SF).collect()
+    assert {r["r"] for r in got} == {r for r in ff if r <= 10}
+    for g in got:
+        r = g["r"]
+        assert g["n_r"] == ff[r]
+        assert g["n_r_next"] == ff.get(r + 1, 0)
+        assert abs(g["r_star"] - round((r + 1) * ff.get(r + 1, 0) / ff[r], 6)) <= 1e-9
+        assert abs(g["p_unseen"] - round(ff.get(1, 0) / n_tokens, 6)) <= 1e-9
+
+
+def test_jackknife_source(spark, con):
+    """q343: leave-one-source-out means and jackknife SE recomputed
+    from raw (source, n_chars) pairs."""
+    rows = con.execute("SELECT source, n_chars FROM documents").fetchall()
+    per: dict[str, list[int]] = {}
+    for s, c in rows:
+        per.setdefault(s, []).append(c)
+    n_all = len(rows)
+    s_all = sum(c for _, c in rows)
+    g = len(per)
+    loo_micro = {
+        s: round(1e6 * (s_all - sum(cs)) / (n_all - len(cs))) for s, cs in per.items()
+    }
+    l_sum = sum(loo_micro.values())
+    ss = sum((g * v - l_sum) ** 2 for v in loo_micro.values())
+    se = round(math.sqrt(ss * (g - 1) / (g**3 * 1e12)), 6)
+    got = QUERIES["q343_jackknife_source"](spark, SF).collect()
+    assert len(got) == g
+    for r in got:
+        assert r["n_docs"] == len(per[r["source"]])
+        assert abs(r["loo_mean_chars"] - round(loo_micro[r["source"]] / 1e6, 6)) <= 1e-9
+        assert abs(r["jackknife_se"] - se) <= 1e-9
+
+
+def test_cochran_armitage(spark, con):
+    """q344: trend z from scratch sums over the priority categories."""
+    rows = con.execute(
+        """SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT),
+                  CAST(count(*) AS BIGINT),
+                  CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+           FROM orders GROUP BY 1"""
+    ).fetchall()
+    nt = sum(n for _, n, _ in rows)
+    xt = sum(x for _, _, x in rows)
+    sn = sum(s * n for s, n, _ in rows)
+    ssn = sum(s * s * n for s, n, _ in rows)
+    sx = sum(s * x for s, _, x in rows)
+    pbar = xt / nt
+    z = round((sx - xt * sn / nt) / math.sqrt(pbar * (1 - pbar) * (ssn - sn * sn / nt)), 6)
+    row = QUERIES["q344_cochran_armitage"](spark, SF).collect()[0]
+    assert row["n_orders"] == nt and row["n_finished"] == xt
+    assert abs(row["trend_z"] - z) <= 1e-9
+    assert row["significant"] == (abs(z) > 1.96)
+
+
+def test_calibration_ece(spark, con):
+    """q345: reliability bins and the exact-integer ECE numerator."""
+    rows = con.execute("SELECT n_chars, lang FROM documents").fetchall()
+    bins: dict[int, list[int]] = {}
+    for n_chars, lang in rows:
+        conf_micro = round(1e6 / (1 + math.exp(-(n_chars - 500.0) / 250.0)))
+        b = min(conf_micro // 100_000, 9)
+        n, x, c = bins.get(b, (0, 0, 0))
+        bins[b] = (n + 1, x + (1 if lang == "en" else 0), c + conf_micro)
+    n_all = sum(n for n, _, _ in bins.values())
+    gap_sum = sum(abs(x * 1_000_000 - c) for _, x, c in bins.values())
+    ece = round(gap_sum / (1e6 * n_all), 6)
+    got = QUERIES["q345_calibration_ece"](spark, SF).collect()
+    assert {r["bin"] for r in got} == set(bins)
+    for r in got:
+        n, x, c = bins[r["bin"]]
+        assert r["n_docs"] == n
+        assert abs(r["accuracy"] - round(x / n, 6)) <= 1e-9
+        assert abs(r["avg_conf"] - round(c / (n * 1e6), 6)) <= 1e-9
+        assert abs(r["ece"] - ece) <= 1e-9
+
+
+def test_dedup_scaling_curve(spark, con):
+    """q346: first-occurrence buckets of 3-gram shingles over 10
+    deterministic doc_id-range prefixes."""
+    rows = con.execute("SELECT doc_id, text FROM documents ORDER BY doc_id").fetchall()
+    n_docs = len(rows)
+    first: dict[str, int] = {}
+    inst: dict[int, int] = {}
+    for doc_id, text in rows:
+        b = min(doc_id * 10 // n_docs, 9)
+        toks = _toks(text)
+        for i in range(max(len(toks) - 2, 0)):
+            sh = "_".join(toks[i : i + 3])
+            inst[b] = inst.get(b, 0) + 1
+            if sh not in first or first[sh] > b:
+                first[sh] = b
+    new = {}
+    for b in first.values():
+        new[b] = new.get(b, 0) + 1
+    got = QUERIES["q346_dedup_scaling_curve"](spark, SF).collect()
+    assert {r["bucket"] for r in got} == set(inst)
+    cum = 0
+    for r in sorted(got, key=lambda r: r["bucket"]):
+        b = r["bucket"]
+        cum += new.get(b, 0)
+        assert r["n_shingle_instances"] == inst[b]
+        assert r["n_new_shingles"] == new.get(b, 0)
+        assert r["cum_distinct_shingles"] == cum
+        assert abs(r["novelty_rate"] - round(new.get(b, 0) / inst[b], 6)) <= 1e-9
+    assert cum == len(first)
+
+
+def test_page_hinkley(spark, con):
+    """q347: PH statistic replayed sequentially with exact integer
+    micro math (floor-divided running means, delta=5, lambda=50)."""
+    rows = con.execute(
+        """SELECT CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT),
+                  CAST(count(*) AS BIGINT)
+           FROM orders GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    want = {}
+    s = m = 0
+    min_m = None
+    for t, (d, x) in enumerate(rows, 1):
+        s += x
+        mean_floor = (s * 1_000_000) // t
+        m += x * 1_000_000 - mean_floor - 5_000_000
+        min_m = m if min_m is None else min(min_m, m)
+        ph = m - min_m
+        want[d] = (x, round(ph / 1e6, 6), ph >= 50_000_000)
+    got = QUERIES["q347_page_hinkley"](spark, SF).collect()
+    assert len(got) == len(want)
+    for r in got:
+        x, ph, flag = want[r["day_index"]]
+        assert r["n_orders"] == x
+        assert abs(r["ph_stat"] - ph) <= 1e-9
+        assert r["change_flag"] == flag
+
+
+def test_info_gain(spark, con):
+    """q348: H(label), H(label|priority), IG with micro-rounded ln
+    weights recomputed from the contingency counts."""
+    rows = con.execute(
+        """SELECT o_orderpriority, CAST(count(*) AS BIGINT),
+                  CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+           FROM orders GROUP BY 1"""
+    ).fetchall()
+    nt = sum(n for _, n, _ in rows)
+    xt = sum(x for _, _, x in rows)
+
+    def w(num, den):
+        return num * round(1e6 * math.log(num / den)) if num > 0 else 0
+
+    w_cond = sum(w(x, n) + w(n - x, n) for _, n, x in rows)
+    w_marg = w(xt, nt) + w(nt - xt, nt)
+    den = nt * 1e6
+    row = QUERIES["q348_info_gain"](spark, SF).collect()[0]
+    assert row["n_orders"] == nt and row["n_finished"] == xt
+    assert abs(row["h_label"] - round(-w_marg / den, 6)) <= 1e-9
+    assert abs(row["h_cond"] - round(-w_cond / den, 6)) <= 1e-9
+    assert abs(row["info_gain"] - round((w_cond - w_marg) / den, 6)) <= 1e-9
