@@ -268,6 +268,12 @@ _R07_LATE: tuple[str, ...] = (
     "q346_dedup_scaling_curve",
     "q347_page_hinkley",
     "q348_info_gain",
+    "q349_cvm_two_sample",
+    "q350_binseg_changepoint",
+    "q351_seasonal_decompose",
+    "q352_kaplan_meier",
+    "q353_capture_recapture",
+    "q354_mi_matrix",
 )
 
 

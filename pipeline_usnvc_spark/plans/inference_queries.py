@@ -822,3 +822,657 @@ def q348_info_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("w_cond").cast("double") - w_marg.cast("double")) / den, 6
         ).alias("info_gain"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q349 — Cramér-von Mises two-sample statistic between every pair of
+# sources' document-length distributions: the drift test that weighs
+# the WHOLE ECDF gap (KS, q191, sees only the max). Computed in the
+# standard tied-data form T = sum_x w_x*(F_a - F_b)^2 * nm/(n+m)^2
+# over the pooled value spine, with the ECDF gap kept as the EXACT
+# integer cf_a*m - cf_b*n — the numerator sum is exact DECIMAL(38,0)
+# and one final division produces the statistic. Grain: (source pair)
+# x (distinct lengths) — both value-domain-bounded; the only row-
+# grain op is the first groupBy. DECIMAL(38,0) headroom note: the
+# summed term is w*(cf_a*m - cf_b*n)^2 <= (n+m)*(nm)^2 — fine through
+# ~1e9-row sides, beyond which the gap should be banded to micro
+# before squaring.
+# ---------------------------------------------------------------------------
+@query(
+    "q349_cvm_two_sample",
+    oracle="""
+    WITH cnt AS (
+        SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.source AS sa, b.source AS sb
+        FROM (SELECT DISTINCT source FROM cnt) a
+        JOIN (SELECT DISTINCT source FROM cnt) b ON a.source < b.source
+    ),
+    spine AS (
+        SELECT p.sa, p.sb, v.v,
+               coalesce(ca.c, 0) AS ca, coalesce(cb.c, 0) AS cb
+        FROM pairs p
+        JOIN (SELECT DISTINCT cnt.v FROM cnt) v ON TRUE
+        LEFT JOIN cnt ca ON ca.source = p.sa AND ca.v = v.v
+        LEFT JOIN cnt cb ON cb.source = p.sb AND cb.v = v.v
+        WHERE coalesce(ca.c, 0) + coalesce(cb.c, 0) > 0
+    ),
+    cum AS (
+        SELECT sa, sb, v, ca, cb,
+               CAST(sum(ca) OVER w AS BIGINT) AS cfa,
+               CAST(sum(cb) OVER w AS BIGINT) AS cfb,
+               CAST(sum(ca) OVER (PARTITION BY sa, sb) AS BIGINT) AS n,
+               CAST(sum(cb) OVER (PARTITION BY sa, sb) AS BIGINT) AS m
+        FROM spine
+        WINDOW w AS (PARTITION BY sa, sb ORDER BY v)
+    ),
+    agg AS (
+        SELECT sa, sb, max(n) AS n, max(m) AS m,
+               CAST(sum(CAST(ca + cb AS HUGEINT)
+                        * CAST(cfa * m - cfb * n AS HUGEINT)
+                        * CAST(cfa * m - cfb * n AS HUGEINT)) AS HUGEINT) AS num
+        FROM cum GROUP BY sa, sb
+    )
+    SELECT sa AS source_a, sb AS source_b, n AS n_a, m AS n_b,
+           round(CAST(num AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(m AS DOUBLE)
+                    * CAST(n + m AS DOUBLE) * CAST(n + m AS DOUBLE)), 6) AS cvm_t
+    FROM agg ORDER BY sa, sb
+    """,
+)
+def q349_cvm_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    srcs = cnt.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("sa"))
+        .join(srcs.select(F.col("source").alias("sb")), F.col("sa") < F.col("sb"))
+    )
+    vals = cnt.select("v").distinct()
+    spine = (
+        pairs.crossJoin(F.broadcast(vals))
+        .join(
+            F.broadcast(cnt.select(F.col("source").alias("sa"), "v", F.col("c").alias("ca"))),
+            ["sa", "v"],
+            "left",
+        )
+        .join(
+            F.broadcast(cnt.select(F.col("source").alias("sb"), "v", F.col("c").alias("cb"))),
+            ["sb", "v"],
+            "left",
+        )
+        .select(
+            "sa",
+            "sb",
+            "v",
+            F.coalesce("ca", F.lit(0).cast("bigint")).alias("ca"),
+            F.coalesce("cb", F.lit(0).cast("bigint")).alias("cb"),
+        )
+        .filter(F.col("ca") + F.col("cb") > 0)
+    )
+    w_cum = Window.partitionBy("sa", "sb").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_pair = Window.partitionBy("sa", "sb")
+    cum = spine.select(
+        "sa",
+        "sb",
+        "ca",
+        "cb",
+        F.sum("ca").over(w_cum).cast("bigint").alias("cfa"),
+        F.sum("cb").over(w_cum).cast("bigint").alias("cfb"),
+        F.sum("ca").over(w_pair).cast("bigint").alias("n"),
+        F.sum("cb").over(w_pair).cast("bigint").alias("m"),
+    )
+    diff = _d38(F.col("cfa") * F.col("m") - F.col("cfb") * F.col("n"))
+    agg = cum.groupBy("sa", "sb").agg(
+        F.max("n").alias("n"),
+        F.max("m").alias("m"),
+        F.sum(_d38(F.col("ca") + F.col("cb")) * diff * diff)
+        .cast("decimal(38,0)")
+        .alias("num"),
+    )
+    n, m = F.col("n").cast("double"), F.col("m").cast("double")
+    return agg.select(
+        F.col("sa").alias("source_a"),
+        F.col("sb").alias("source_b"),
+        F.col("n").alias("n_a"),
+        F.col("m").alias("n_b"),
+        F.round(F.col("num").cast("double") / (n * m * (n + m) * (n + m)), 6).alias(
+            "cvm_t"
+        ),
+    ).orderBy("source_a", "source_b")
+
+
+# ---------------------------------------------------------------------------
+# q350 — binary-segmentation changepoint on daily order counts: the
+# single split that maximizes the between-segment SSE reduction
+# gain(t) = (S1*n2 - S2*n1)^2 / (n1*n2*T) — the offline complement of
+# q193's CUSUM and q347's Page-Hinkley. The gain numerator is an
+# EXACT DECIMAL(38,0) square (prefix sums never pass through double),
+# floor-divided to micro-units (the q331 idiom), so the argmax is an
+# exact integer comparison with the deterministic tie-break (earliest
+# day) folded into the ordering. Calendar-bounded day spine.
+# ---------------------------------------------------------------------------
+@query(
+    "q350_binseg_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ),
+    cum AS (
+        SELECT d, x,
+               CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t,
+               CAST(sum(x) OVER (ORDER BY d) AS BIGINT) AS s1,
+               CAST(count(*) OVER () AS BIGINT) AS tt,
+               CAST(sum(x) OVER () AS BIGINT) AS st
+        FROM daily
+    ),
+    gains AS (
+        SELECT d, t, tt,
+               (CAST(s1 AS HUGEINT) * (tt - t) - CAST(st - s1 AS HUGEINT) * t) AS gnum,
+               CAST(t AS HUGEINT) * (tt - t) * tt AS gden
+        FROM cum WHERE t < tt
+    ),
+    scored AS (
+        SELECT d, t,
+               CAST((gnum * gnum * 1000000
+                     - (gnum * gnum * 1000000) % gden) // gden AS BIGINT) AS gain_micro
+        FROM gains
+    )
+    SELECT d AS split_day, t AS split_pos,
+           round(CAST(gain_micro AS DOUBLE) / 1000000.0, 6) AS sse_gain
+    FROM scored
+    QUALIFY row_number() OVER (ORDER BY gain_micro DESC, d ASC) = 1
+    """,
+)
+def q350_binseg_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).cast("bigint").alias("d")
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    w_ord = Window.orderBy("d")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = daily.select(
+        "d",
+        F.row_number().over(w_ord).cast("bigint").alias("t"),
+        F.sum("x").over(w_cum).cast("bigint").alias("s1"),
+        F.count("*").over(w_all).cast("bigint").alias("tt"),
+        F.sum("x").over(w_all).cast("bigint").alias("st"),
+    )
+    gnum = _d38(F.col("s1")) * _d38(F.col("tt") - F.col("t")) - _d38(
+        F.col("st") - F.col("s1")
+    ) * _d38(F.col("t"))
+    gden = _d38(F.col("t")) * _d38(F.col("tt") - F.col("t")) * _d38(F.col("tt"))
+    scaled = gnum * gnum * F.lit(1000000).cast("decimal(38,0)")
+    gain_micro = ((scaled - F.pmod(scaled, gden)) / gden).cast("bigint")
+    scored = cum.filter(F.col("t") < F.col("tt")).select(
+        "d", "t", gain_micro.alias("gain_micro")
+    )
+    w_best = Window.orderBy(F.col("gain_micro").desc(), F.col("d").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("d").alias("split_day"),
+            F.col("t").alias("split_pos"),
+            F.round(F.col("gain_micro").cast("double") / F.lit(1000000.0), 6).alias(
+                "sse_gain"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q351 — additive seasonal decomposition of daily order counts:
+# trend = centered 7-day moving average (complete windows only),
+# seasonal = per-day-of-week mean of the detrended series, residual =
+# the rest. Every mean is an exact floor-divided micro integer; the
+# negative-capable seasonal mean shifts by n*C before the floor-div
+# (floor((s + nC)/n) - C == floor(s/n) exactly) so Spark's pmod and
+# DuckDB's %-on-shifted-nonnegative agree. Day spine throughout.
+# ---------------------------------------------------------------------------
+@query(
+    "q351_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ),
+    ma AS (
+        SELECT d, x,
+               CAST(sum(x) OVER w AS BIGINT) AS s7,
+               CAST(count(*) OVER w AS BIGINT) AS n7
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    trended AS (
+        SELECT d, x,
+               (CAST(s7 AS HUGEINT) * 1000000
+                - (CAST(s7 AS HUGEINT) * 1000000) % 7) // 7 AS trend_micro
+        FROM ma WHERE n7 = 7
+    ),
+    detr AS (
+        SELECT d, x, trend_micro,
+               CAST(x AS HUGEINT) * 1000000 - trend_micro AS detr_micro,
+               d % 7 AS dow
+        FROM trended
+    ),
+    seas AS (
+        SELECT dow,
+               ((CAST(sum(detr_micro) AS HUGEINT) + CAST(count(*) AS HUGEINT) * 1000000000000000
+                 - (CAST(sum(detr_micro) AS HUGEINT) + CAST(count(*) AS HUGEINT) * 1000000000000000)
+                   % CAST(count(*) AS HUGEINT)) // CAST(count(*) AS HUGEINT))
+               - 1000000000000000 AS s_micro
+        FROM detr GROUP BY dow
+    )
+    SELECT t.d AS day_index, t.x AS n_orders,
+           round(CAST(CAST(t.trend_micro AS BIGINT) AS DOUBLE) / 1000000.0, 6) AS trend,
+           round(CAST(CAST(s.s_micro AS BIGINT) AS DOUBLE) / 1000000.0, 6) AS seasonal,
+           round(CAST(CAST(t.detr_micro - s.s_micro AS BIGINT) AS DOUBLE) / 1000000.0, 6) AS residual
+    FROM detr t JOIN seas s ON s.dow = t.dow
+    ORDER BY t.d
+    """,
+)
+def q351_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).cast("bigint").alias("d")
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    ma = daily.select(
+        "d",
+        "x",
+        F.sum("x").over(w7).cast("bigint").alias("s7"),
+        F.count("*").over(w7).cast("bigint").alias("n7"),
+    )
+    s7_scaled = _d38(F.col("s7")) * F.lit(1000000).cast("decimal(38,0)")
+    seven = F.lit(7).cast("decimal(38,0)")
+    trend_micro = (s7_scaled - F.pmod(s7_scaled, seven)) / seven
+    detr = ma.filter(F.col("n7") == 7).select(
+        "d",
+        "x",
+        trend_micro.cast("decimal(38,0)").alias("trend_micro"),
+        (
+            _d38(F.col("x")) * F.lit(1000000).cast("decimal(38,0)")
+            - trend_micro.cast("decimal(38,0)")
+        ).alias("detr_micro"),
+        F.pmod(F.col("d"), F.lit(7)).alias("dow"),
+    )
+    big_c = F.lit(1000000000000000).cast("decimal(38,0)")
+    seas = detr.groupBy("dow").agg(
+        F.sum("detr_micro").cast("decimal(38,0)").alias("sd"),
+        F.count("*").cast("decimal(38,0)").alias("nd"),
+    )
+    shifted = F.col("sd") + F.col("nd") * big_c
+    s_micro = (
+        (shifted - F.pmod(shifted, F.col("nd"))) / F.col("nd") - big_c
+    ).cast("decimal(38,0)")
+    seas = seas.select("dow", s_micro.alias("s_micro"))
+    return (
+        detr.join(F.broadcast(seas), "dow")
+        .select(
+            F.col("d").alias("day_index"),
+            F.col("x").alias("n_orders"),
+            F.round(
+                F.col("trend_micro").cast("bigint").cast("double") / F.lit(1000000.0),
+                6,
+            ).alias("trend"),
+            F.round(
+                F.col("s_micro").cast("bigint").cast("double") / F.lit(1000000.0), 6
+            ).alias("seasonal"),
+            F.round(
+                (F.col("detr_micro") - F.col("s_micro")).cast("bigint").cast("double")
+                / F.lit(1000000.0),
+                6,
+            ).alias("residual"),
+        )
+        .orderBy("day_index")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q352 — Kaplan-Meier product-limit survival of time-to-repeat-
+# purchase WITH right-censoring (q270's discrete-week ratios ignore
+# censoring; this is the estimator a churn analysis actually wants).
+# Users without a second purchase are censored at the corpus horizon.
+# S(t) = prod_{t_i<=t} (1 - d_i/n_i) is computed as exp of the EXACT
+# cumulative sum of micro-rounded ln((n-d)/n) terms over the event-
+# time spine (the q217/q330 transcendental discipline); once the risk
+# set dies out entirely (n == d) survival pins to 0 from that point.
+# Grain: one user-level aggregate, then the bounded duration spine.
+# ---------------------------------------------------------------------------
+@query(
+    "q352_kaplan_meier",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, CAST(date_diff('day', DATE '1992-01-01', CAST(ts AS DATE)) AS BIGINT) AS d
+        FROM events WHERE event_type = 'purchase'
+    ),
+    horizon AS (SELECT max(d) AS dmax FROM p),
+    per_user AS (
+        SELECT user_id, min(d) AS first_d,
+               min(CASE WHEN d > (SELECT min(d) FROM p p2 WHERE p2.user_id = p.user_id) THEN d END)
+                   AS next_d
+        FROM p GROUP BY user_id
+    ),
+    durations AS (
+        SELECT CASE WHEN next_d IS NOT NULL THEN next_d - first_d
+                    ELSE h.dmax - first_d END AS t,
+               CASE WHEN next_d IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM per_user CROSS JOIN horizon h
+    ),
+    spine AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS n_all,
+               CAST(sum(ev) AS BIGINT) AS n_ev
+        FROM durations GROUP BY t
+    ),
+    risk AS (
+        SELECT t, n_ev,
+               CAST(sum(n_all) OVER () AS BIGINT)
+                 - CAST(coalesce(sum(n_all) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                 AS n_risk
+        FROM spine
+    ),
+    terms AS (
+        SELECT t, n_ev, n_risk,
+               CASE WHEN n_ev < n_risk
+                    THEN CAST(round(1000000.0 * ln(CAST(n_risk - n_ev AS DOUBLE)
+                                                   / CAST(n_risk AS DOUBLE))) AS BIGINT)
+                    ELSE NULL END AS ln_micro
+        FROM risk WHERE n_ev > 0
+    ),
+    cum AS (
+        SELECT t, n_ev, n_risk,
+               CAST(sum(coalesce(ln_micro, 0)) OVER (ORDER BY t) AS BIGINT) AS cum_ln,
+               max(CASE WHEN ln_micro IS NULL THEN 1 ELSE 0 END)
+                   OVER (ORDER BY t) AS died_out
+        FROM terms
+    )
+    SELECT t AS duration_days, n_risk AS n_at_risk, n_ev AS n_events,
+           CASE WHEN died_out = 1 THEN 0.0
+                ELSE round(exp(CAST(cum_ln AS DOUBLE) / 1000000.0), 6) END AS survival
+    FROM cum ORDER BY t
+    """,
+)
+def q352_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1992-01-01")).cast("bigint").alias("d"),
+    )
+    horizon = p.agg(F.max("d").alias("dmax"))
+    per_user = p.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    nexts = (
+        p.join(per_user, "user_id")
+        .filter(F.col("d") > F.col("first_d"))
+        .groupBy("user_id")
+        .agg(F.min("d").alias("next_d"))
+    )
+    durations = (
+        per_user.join(nexts, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("next_d").isNotNull(), F.col("next_d") - F.col("first_d")
+            )
+            .otherwise(F.col("dmax") - F.col("first_d"))
+            .alias("t"),
+            F.when(F.col("next_d").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    spine = durations.groupBy("t").agg(
+        F.count("*").cast("bigint").alias("n_all"),
+        F.sum("ev").cast("bigint").alias("n_ev"),
+    )
+    w_all = Window.partitionBy()
+    w_before = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = spine.select(
+        "t",
+        "n_ev",
+        (
+            F.sum("n_all").over(w_all).cast("bigint")
+            - F.coalesce(F.sum("n_all").over(w_before), F.lit(0)).cast("bigint")
+        ).alias("n_risk"),
+    )
+    ln_micro = F.when(
+        F.col("n_ev") < F.col("n_risk"),
+        F.round(
+            F.lit(1000000.0)
+            * F.log(
+                (F.col("n_risk") - F.col("n_ev")).cast("double")
+                / F.col("n_risk").cast("double")
+            )
+        ).cast("bigint"),
+    )
+    terms = risk.filter(F.col("n_ev") > 0).select(
+        "t", "n_ev", "n_risk", ln_micro.alias("ln_micro")
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    cum = terms.select(
+        "t",
+        "n_ev",
+        "n_risk",
+        F.sum(F.coalesce("ln_micro", F.lit(0).cast("bigint")))
+        .over(w_cum)
+        .cast("bigint")
+        .alias("cum_ln"),
+        F.max(F.when(F.col("ln_micro").isNull(), 1).otherwise(0))
+        .over(w_cum)
+        .alias("died_out"),
+    )
+    return cum.select(
+        F.col("t").alias("duration_days"),
+        F.col("n_risk").alias("n_at_risk"),
+        F.col("n_ev").alias("n_events"),
+        F.when(F.col("died_out") == 1, F.lit(0.0))
+        .otherwise(
+            F.round(F.exp(F.col("cum_ln").cast("double") / F.lit(1000000.0)), 6)
+        )
+        .alias("survival"),
+    ).orderBy("duration_days")
+
+
+# ---------------------------------------------------------------------------
+# q353 — Chapman capture-recapture estimate of the duplicated-doc
+# population from two PARTIAL dup detectors: detector A buckets docs
+# by the hash of the FIRST half of their tokens, detector B by the
+# SECOND half (a doc is "captured" when its bucket holds >1 doc). A
+# near-dup whose edit falls in the second half is caught by A but not
+# B, and vice versa — two overlapping noisy catches, which is exactly
+# the capture-recapture setting. N_hat = (nA+1)(nB+1)/(m+1) - 1
+# estimates how many dups exist INCLUDING the ones neither detector
+# saw — the honest "what are we missing" number a dedup pipeline
+# audit needs. Exact integer counts; one 6dp division.
+# ---------------------------------------------------------------------------
+@query(
+    "q353_capture_recapture",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    keys AS (
+        SELECT doc_id,
+               md5(array_to_string(tk[1:greatest(len(tk) // 2, 1)], ' ')) AS k_a,
+               md5(array_to_string(tk[greatest(len(tk) // 2, 1) + 1:], ' ')) AS k_b
+        FROM toks
+    ),
+    caught_a AS (
+        SELECT doc_id FROM (
+            SELECT doc_id, count(*) OVER (PARTITION BY k_a) AS n FROM keys) WHERE n > 1
+    ),
+    caught_b AS (
+        SELECT doc_id FROM (
+            SELECT doc_id, count(*) OVER (PARTITION BY k_b) AS n FROM keys) WHERE n > 1
+    ),
+    counts AS (
+        SELECT CAST((SELECT count(*) FROM caught_a) AS BIGINT) AS n_a,
+               CAST((SELECT count(*) FROM caught_b) AS BIGINT) AS n_b,
+               CAST((SELECT count(*) FROM caught_a a
+                     JOIN caught_b b ON a.doc_id = b.doc_id) AS BIGINT) AS n_both
+    )
+    SELECT n_a, n_b, n_both,
+           n_a + n_b - n_both AS n_union,
+           round((CAST(n_a + 1 AS DOUBLE) * CAST(n_b + 1 AS DOUBLE))
+                 / CAST(n_both + 1 AS DOUBLE) - 1.0, 6) AS chapman_estimate
+    FROM counts
+    """,
+)
+def q353_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = tokens("text")
+    half = F.greatest(F.floor(F.size(tk) / 2).cast("int"), F.lit(1))
+    keys = docs.select(
+        "doc_id",
+        F.md5(F.array_join(F.slice(tk, 1, half), " ")).alias("k_a"),
+        F.md5(
+            F.array_join(
+                F.slice(tk, half + 1, F.greatest(F.size(tk) - half, F.lit(0))), " "
+            )
+        ).alias("k_b"),
+    )
+
+    def caught(col: str) -> DataFrame:
+        # bucket sizes are bucket-grain (unbounded) — a plain shuffle
+        # join, never a broadcast
+        sizes = keys.groupBy(col).agg(F.count("*").alias("nk")).filter(F.col("nk") > 1)
+        return keys.join(sizes.select(col), col).select("doc_id")
+
+    marks = (
+        caught("k_a")
+        .withColumn("in_a", F.lit(1))
+        .join(caught("k_b").withColumn("in_b", F.lit(1)), "doc_id", "full_outer")
+    )
+    counts = marks.agg(
+        F.sum(F.coalesce("in_a", F.lit(0))).cast("bigint").alias("n_a"),
+        F.sum(F.coalesce("in_b", F.lit(0))).cast("bigint").alias("n_b"),
+        F.sum(
+            F.when(F.col("in_a").isNotNull() & F.col("in_b").isNotNull(), 1).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("n_both"),
+    )
+    return counts.select(
+        "n_a",
+        "n_b",
+        "n_both",
+        (F.col("n_a") + F.col("n_b") - F.col("n_both")).alias("n_union"),
+        F.round(
+            (F.col("n_a") + 1).cast("double")
+            * (F.col("n_b") + 1).cast("double")
+            / (F.col("n_both") + 1).cast("double")
+            - F.lit(1.0),
+            6,
+        ).alias("chapman_estimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q354 — pairwise mutual information between the three lineitem
+# categorical columns (returnflag, linestatus, tax-cents bucket): the
+# "which metadata columns are redundant" matrix that generalizes
+# q348's single info-gain. Each pair reduces to its contingency
+# lattice (<= 7x7x2 cells) in one row-grain groupBy per pair; MI
+# terms follow the q330/q332 micro-ln discipline — the ln argument is
+# the exact integer ratio (c_xy*N)/(c_x*c_y), weighted by the exact
+# HUGEINT cell count, summed exactly, divided once.
+# ---------------------------------------------------------------------------
+# the synthetic lineitem has no shipmode; tax lands on exact cent
+# values, so round(l_tax*100) is a small stable categorical domain
+_MI_TAX = "CAST(round(l_tax * 100) AS BIGINT)"
+_MI_PAIRS = [
+    ("l_returnflag", "l_linestatus"),
+    ("l_returnflag", "tax_cents"),
+    ("l_linestatus", "tax_cents"),
+]
+
+
+def _mi_pair_oracle(a: str, b: str) -> str:
+    return f"""
+    SELECT '{a}' AS col_a, '{b}' AS col_b, n,
+           round(CAST(w_sum AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0), 6) AS mi_nats
+    FROM (
+        SELECT CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(CAST(c AS HUGEINT)
+                        * CAST(round(1000000.0 * ln(CAST(c AS DOUBLE) * CAST(nt AS DOUBLE)
+                                                    / (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE))))
+                               AS HUGEINT)) AS HUGEINT) AS w_sum
+        FROM (
+            SELECT c, nt,
+                   CAST(sum(c) OVER (PARTITION BY va) AS BIGINT) AS ca,
+                   CAST(sum(c) OVER (PARTITION BY vb) AS BIGINT) AS cb
+            FROM (
+                SELECT {a} AS va, {b} AS vb, CAST(count(*) AS BIGINT) AS c,
+                       CAST(sum(count(*)) OVER () AS BIGINT) AS nt
+                FROM (SELECT l_returnflag, l_linestatus,
+                             CAST(round(l_tax * 100) AS BIGINT) AS tax_cents
+                      FROM lineitem)
+                GROUP BY 1, 2
+            )
+        )
+    )
+    """
+
+
+@query(
+    "q354_mi_matrix",
+    oracle=" UNION ALL ".join(
+        f"SELECT * FROM ({_mi_pair_oracle(a, b)})" for a, b in _MI_PAIRS
+    )
+    + " ORDER BY col_a, col_b",
+)
+def q354_mi_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round(F.col("l_tax") * 100).cast("bigint").alias("tax_cents"),
+    )
+
+    def mi(a: str, b: str) -> DataFrame:
+        cells = li.groupBy(F.col(a).alias("va"), F.col(b).alias("vb")).agg(
+            F.count("*").cast("bigint").alias("c")
+        )
+        w_all = Window.partitionBy()
+        margins = cells.select(
+            "c",
+            F.sum("c").over(w_all).cast("bigint").alias("nt"),
+            F.sum("c").over(Window.partitionBy("va")).cast("bigint").alias("ca"),
+            F.sum("c").over(Window.partitionBy("vb")).cast("bigint").alias("cb"),
+        )
+        w_micro = _d38(F.col("c")) * F.round(
+            F.lit(1000000.0)
+            * F.log(
+                F.col("c").cast("double")
+                * F.col("nt").cast("double")
+                / (F.col("ca").cast("double") * F.col("cb").cast("double"))
+            )
+        ).cast("decimal(38,0)")
+        return margins.agg(
+            F.sum("c").cast("bigint").alias("n"),
+            F.sum(w_micro).cast("decimal(38,0)").alias("w_sum"),
+        ).select(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            "n",
+            F.round(
+                F.col("w_sum").cast("double")
+                / (F.col("n").cast("double") * F.lit(1000000.0)),
+                6,
+            ).alias("mi_nats"),
+        )
+
+    out = mi(*_MI_PAIRS[0])
+    for a, b in _MI_PAIRS[1:]:
+        out = out.unionByName(mi(a, b))
+    return out.orderBy("col_a", "col_b")

@@ -21,7 +21,7 @@ SF = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def con():
     c = duckdb.connect()
-    for t in ("events", "documents", "orders", "customer", "nation"):
+    for t in ("events", "documents", "orders", "customer", "nation", "lineitem"):
         c.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
@@ -361,3 +361,207 @@ def test_info_gain(spark, con):
     assert abs(row["h_label"] - round(-w_marg / den, 6)) <= 1e-9
     assert abs(row["h_cond"] - round(-w_cond / den, 6)) <= 1e-9
     assert abs(row["info_gain"] - round((w_cond - w_marg) / den, 6)) <= 1e-9
+
+
+def test_cvm_two_sample(spark, con):
+    """q349: pairwise Cramér-von Mises from raw (source, n_chars)
+    pairs — pooled ECDF gap squared, weighted by pooled counts."""
+    rows = con.execute("SELECT source, n_chars FROM documents").fetchall()
+    per: dict[str, list[int]] = {}
+    for s, v in rows:
+        per.setdefault(s, []).append(v)
+    got = {(r["source_a"], r["source_b"]): r for r in QUERIES["q349_cvm_two_sample"](spark, SF).collect()}
+    srcs = sorted(per)
+    assert set(got) == {(a, b) for i, a in enumerate(srcs) for b in srcs[i + 1 :]}
+    for (a, b), r in got.items():
+        xs, ys = sorted(per[a]), sorted(per[b])
+        n, m = len(xs), len(ys)
+        assert r["n_a"] == n and r["n_b"] == m
+        values = sorted(set(xs) | set(ys))
+        cfa = cfb = 0
+        ia = ib = 0
+        num = 0
+        for v in values:
+            ca = cb = 0
+            while ia < n and xs[ia] == v:
+                ca += 1
+                ia += 1
+            while ib < m and ys[ib] == v:
+                cb += 1
+                ib += 1
+            cfa += ca
+            cfb += cb
+            num += (ca + cb) * (cfa * m - cfb * n) ** 2
+        t = round(num / (n * m * (n + m) ** 2), 6)
+        assert abs(r["cvm_t"] - t) <= 1e-9, (a, b, r["cvm_t"], t)
+
+
+def _daily_counts(con):
+    return con.execute(
+        """SELECT CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT),
+                  CAST(count(*) AS BIGINT)
+           FROM orders GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+
+
+def test_binseg_changepoint(spark, con):
+    """q350: exhaustive split scan with exact integer gain micro."""
+    rows = _daily_counts(con)
+    tt = len(rows)
+    st = sum(x for _, x in rows)
+    best = None
+    s1 = 0
+    for t, (d, x) in enumerate(rows, 1):
+        s1 += x
+        if t >= tt:
+            break
+        gnum = s1 * (tt - t) - (st - s1) * t
+        gden = t * (tt - t) * tt
+        gain_micro = (gnum * gnum * 1_000_000) // gden
+        if best is None or gain_micro > best[0] or (gain_micro == best[0] and d < best[1]):
+            best = (gain_micro, d, t)
+    row = QUERIES["q350_binseg_changepoint"](spark, SF).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r["split_day"] == best[1] and r["split_pos"] == best[2]
+    assert abs(r["sse_gain"] - round(best[0] / 1e6, 6)) <= 1e-9
+
+
+def test_seasonal_decompose(spark, con):
+    """q351: centered 7-day MA trend, per-dow seasonal mean, residual
+    — all replayed with exact floor-div micro integers."""
+    rows = _daily_counts(con)
+    xs = [x for _, x in rows]
+    ds = [d for d, _ in rows]
+    trend = {}
+    for i in range(3, len(rows) - 3):
+        s7 = sum(xs[i - 3 : i + 4])
+        trend[ds[i]] = (s7 * 1_000_000) // 7
+    detr = {d: xs[ds.index(d)] * 1_000_000 - tm for d, tm in trend.items()}
+    by_dow: dict[int, list[int]] = {}
+    for d, v in detr.items():
+        by_dow.setdefault(d % 7, []).append(v)
+    C = 10**15
+    seas = {
+        dow: ((sum(vs) + len(vs) * C) // len(vs)) - C for dow, vs in by_dow.items()
+    }
+    got = QUERIES["q351_seasonal_decompose"](spark, SF).collect()
+    assert {r["day_index"] for r in got} == set(trend)
+    for r in got:
+        d = r["day_index"]
+        assert abs(r["trend"] - round(trend[d] / 1e6, 6)) <= 1e-9
+        assert abs(r["seasonal"] - round(seas[d % 7] / 1e6, 6)) <= 1e-9
+        assert abs(r["residual"] - round((detr[d] - seas[d % 7]) / 1e6, 6)) <= 1e-9
+
+
+def test_kaplan_meier(spark, con):
+    """q352: product-limit estimator with right-censoring, replayed
+    with the same micro-ln cumulative sums."""
+    rows = con.execute(
+        """SELECT user_id,
+                  CAST(date_diff('day', DATE '1992-01-01', CAST(ts AS DATE)) AS BIGINT)
+           FROM events WHERE event_type = 'purchase'"""
+    ).fetchall()
+    per: dict[int, list[int]] = {}
+    for uid, d in rows:
+        per.setdefault(uid, []).append(d)
+    dmax = max(d for _, d in rows)
+    durations = []
+    for ds in per.values():
+        ds.sort()
+        first = ds[0]
+        nxt = next((d for d in ds if d > first), None)
+        if nxt is not None:
+            durations.append((nxt - first, 1))
+        else:
+            durations.append((dmax - first, 0))
+    n_total = len(durations)
+    spine: dict[int, list[int]] = {}
+    for t, ev in durations:
+        n_all, n_ev = spine.get(t, (0, 0))
+        spine[t] = (n_all + 1, n_ev + ev)
+    cum_before = 0
+    cum_ln = 0
+    died = False
+    want = {}
+    for t in sorted(spine):
+        n_all, n_ev = spine[t]
+        n_risk = n_total - cum_before
+        cum_before += n_all
+        if n_ev == 0:
+            continue
+        if n_ev < n_risk:
+            cum_ln += round(1e6 * math.log((n_risk - n_ev) / n_risk))
+        else:
+            died = True
+        s = 0.0 if died else round(math.exp(cum_ln / 1e6), 6)
+        want[t] = (n_risk, n_ev, s)
+    got = QUERIES["q352_kaplan_meier"](spark, SF).collect()
+    assert {r["duration_days"] for r in got} == set(want)
+    for r in got:
+        n_risk, n_ev, s = want[r["duration_days"]]
+        assert r["n_at_risk"] == n_risk and r["n_events"] == n_ev
+        assert abs(r["survival"] - s) <= 1e-9
+    # survival must be non-increasing
+    ordered = [r["survival"] for r in sorted(got, key=lambda r: r["duration_days"])]
+    assert all(a >= b for a, b in zip(ordered, ordered[1:]))
+
+
+def test_capture_recapture(spark, con):
+    """q353: Chapman estimator from half-token-hash captures."""
+    import hashlib
+
+    texts = dict(con.execute("SELECT doc_id, text FROM documents").fetchall())
+    buckets_a: dict[str, list[int]] = {}
+    buckets_b: dict[str, list[int]] = {}
+    for did, text in texts.items():
+        tk = _toks(text)
+        half = max(len(tk) // 2, 1)
+        ka = hashlib.md5(" ".join(tk[:half]).encode()).hexdigest()
+        kb = hashlib.md5(" ".join(tk[half:]).encode()).hexdigest()
+        buckets_a.setdefault(ka, []).append(did)
+        buckets_b.setdefault(kb, []).append(did)
+    a = {d for v in buckets_a.values() if len(v) > 1 for d in v}
+    b = {d for v in buckets_b.values() if len(v) > 1 for d in v}
+    row = QUERIES["q353_capture_recapture"](spark, SF).collect()[0]
+    assert row["n_a"] == len(a) and row["n_b"] == len(b)
+    assert row["n_both"] == len(a & b)
+    assert row["n_union"] == len(a | b)
+    chapman = round((len(a) + 1) * (len(b) + 1) / (len(a & b) + 1) - 1.0, 6)
+    assert abs(row["chapman_estimate"] - chapman) <= 1e-9
+    # the estimator can never undershoot what we actually observed
+    assert row["chapman_estimate"] >= row["n_both"]
+
+
+def test_mi_matrix(spark, con):
+    """q354: pairwise MI from raw contingency counts with the same
+    micro-ln weighting."""
+    rows = con.execute(
+        """SELECT l_returnflag, l_linestatus, CAST(round(l_tax * 100) AS BIGINT)
+           FROM lineitem"""
+    ).fetchall()
+    cols = {"l_returnflag": 0, "l_linestatus": 1, "tax_cents": 2}
+    got = {(r["col_a"], r["col_b"]): r for r in QUERIES["q354_mi_matrix"](spark, SF).collect()}
+    assert set(got) == {
+        ("l_returnflag", "l_linestatus"),
+        ("l_returnflag", "tax_cents"),
+        ("l_linestatus", "tax_cents"),
+    }
+    for (a, b), r in got.items():
+        ia, ib = cols[a], cols[b]
+        cells: dict[tuple, int] = {}
+        ca: dict = {}
+        cb: dict = {}
+        for row_ in rows:
+            va, vb = row_[ia], row_[ib]
+            cells[(va, vb)] = cells.get((va, vb), 0) + 1
+            ca[va] = ca.get(va, 0) + 1
+            cb[vb] = cb.get(vb, 0) + 1
+        n = len(rows)
+        w_sum = sum(
+            c * round(1e6 * math.log(c * n / (ca[va] * cb[vb])))
+            for (va, vb), c in cells.items()
+        )
+        assert r["n"] == n
+        assert abs(r["mi_nats"] - round(w_sum / (n * 1e6), 6)) <= 1e-9
+        assert r["mi_nats"] >= 0 or abs(r["mi_nats"]) < 1e-3
