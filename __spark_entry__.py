@@ -274,6 +274,10 @@ _R07_LATE: tuple[str, ...] = (
     "q352_kaplan_meier",
     "q353_capture_recapture",
     "q354_mi_matrix",
+    "q355_ndcg_eval",
+    "q356_auc_roc",
+    "q357_cohens_kappa",
+    "q358_pr_curve",
 )
 
 

@@ -105,18 +105,32 @@ def main() -> None:
         REPO.glob("BENCH_r*.json"), key=lambda p: int(p.stem.split("_r")[-1])
     )
     baseline_round = None
-    if baselines:
+    # Newest artifact first; fall back through older rounds. A driver
+    # artifact may carry `parsed: null` with the JSON line only in its
+    # raw `tail` (BENCH_r06.json did) — parse the tail in that case.
+    for artifact in reversed(baselines):
         try:
-            prev = json.loads(baselines[-1].read_text()).get("parsed", {})
-            if prev.get("sf") == sf_val:
-                baseline_round = baselines[-1].stem
-                prior = {
-                    k: float(v)
-                    for part in ("queries", "queries_extended")
-                    for k, v in prev.get(part, {}).items()
-                }
+            raw = json.loads(artifact.read_text())
         except (json.JSONDecodeError, OSError):
-            pass
+            continue
+        prev = raw.get("parsed")
+        if prev is None:
+            for line in reversed(str(raw.get("tail", "")).splitlines()):
+                line = line.strip()
+                if line.startswith("{"):
+                    try:
+                        prev = json.loads(line)
+                    except json.JSONDecodeError:
+                        pass
+                    break
+        if isinstance(prev, dict) and prev.get("sf") == sf_val:
+            baseline_round = artifact.stem
+            prior = {
+                k: float(v)
+                for part in ("queries", "queries_extended")
+                for k, v in prev.get(part, {}).items()
+            }
+            break
 
     def timed(build, old: float | None) -> tuple[float, float]:
         # Repeat/median protocol (VERDICT r05 item 3): the r05 headline

@@ -1476,3 +1476,397 @@ def q354_mi_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a, b in _MI_PAIRS[1:]:
         out = out.unionByName(mi(a, b))
     return out.orderBy("col_a", "col_b")
+
+
+# ---------------------------------------------------------------------------
+# q355 — per-brand NDCG@10: retail price as the retrieval score,
+# revenue-quartile grades as relevance — the ranking-quality metric
+# every search/RAG eval loop reports. Both rankings are total orders
+# (partkey tie-breaks), the position weights 1/log2(i+1) are
+# micro-rounded integers from the same expression on both engines, so
+# DCG and IDCG are EXACT integer dot products and NDCG is one final
+# division. Grain: part-brand windows (bounded per brand), then the
+# brand spine.
+# ---------------------------------------------------------------------------
+@query(
+    "q355_ndcg_eval",
+    oracle="""
+    WITH rev AS (
+        SELECT l_partkey AS p_partkey,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM lineitem GROUP BY 1
+    ),
+    graded AS (
+        SELECT p.p_brand, p.p_partkey, p.p_retailprice, r.rev_cents,
+               4 - ntile(4) OVER (PARTITION BY p.p_brand
+                                  ORDER BY r.rev_cents DESC, p.p_partkey) AS grade
+        FROM part p JOIN rev r ON r.p_partkey = p.p_partkey
+    ),
+    ranked AS (
+        SELECT p_brand, grade,
+               CAST(row_number() OVER (PARTITION BY p_brand
+                    ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS pos,
+               CAST(row_number() OVER (PARTITION BY p_brand
+                    ORDER BY grade DESC, rev_cents DESC, p_partkey) AS BIGINT) AS ideal_pos
+        FROM graded
+    ),
+    dcg AS (
+        SELECT p_brand,
+               CAST(sum(CASE WHEN pos <= 10
+                    THEN (CAST(pow(2, grade) AS BIGINT) - 1)
+                         * CAST(round(1000000.0 / log2(CAST(pos AS DOUBLE) + 1.0)) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS dcg_micro,
+               CAST(sum(CASE WHEN ideal_pos <= 10
+                    THEN (CAST(pow(2, grade) AS BIGINT) - 1)
+                         * CAST(round(1000000.0 / log2(CAST(ideal_pos AS DOUBLE) + 1.0)) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS idcg_micro,
+               CAST(count(*) AS BIGINT) AS n_parts
+        FROM ranked GROUP BY p_brand
+    )
+    SELECT p_brand, n_parts,
+           round(CAST(dcg_micro AS DOUBLE) / 1000000.0, 6) AS dcg,
+           round(CAST(idcg_micro AS DOUBLE) / 1000000.0, 6) AS idcg,
+           CASE WHEN idcg_micro > 0
+                THEN round(CAST(dcg_micro AS DOUBLE) / CAST(idcg_micro AS DOUBLE), 6)
+                ELSE NULL END AS ndcg_at_10
+    FROM dcg ORDER BY p_brand
+    """,
+)
+def q355_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = li.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    w_grade = Window.partitionBy("p_brand").orderBy(
+        F.col("rev_cents").desc(), F.col("p_partkey")
+    )
+    graded = part.join(rev, "p_partkey").select(
+        "p_brand",
+        "p_partkey",
+        "p_retailprice",
+        "rev_cents",
+        (F.lit(4) - F.ntile(4).over(w_grade)).alias("grade"),
+    )
+    w_pos = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    w_ideal = Window.partitionBy("p_brand").orderBy(
+        F.col("grade").desc(), F.col("rev_cents").desc(), F.col("p_partkey")
+    )
+    ranked = graded.select(
+        "p_brand",
+        "grade",
+        F.row_number().over(w_pos).cast("bigint").alias("pos"),
+        F.row_number().over(w_ideal).cast("bigint").alias("ideal_pos"),
+    )
+
+    def term(pos_col: str):
+        gain = F.pow(F.lit(2), F.col("grade")).cast("bigint") - 1
+        w = F.round(
+            F.lit(1000000.0) / F.log2(F.col(pos_col).cast("double") + F.lit(1.0))
+        ).cast("bigint")
+        return F.when(F.col(pos_col) <= 10, gain * w).otherwise(0)
+
+    dcg = ranked.groupBy("p_brand").agg(
+        F.sum(term("pos")).cast("bigint").alias("dcg_micro"),
+        F.sum(term("ideal_pos")).cast("bigint").alias("idcg_micro"),
+        F.count("*").cast("bigint").alias("n_parts"),
+    )
+    return dcg.select(
+        "p_brand",
+        "n_parts",
+        F.round(F.col("dcg_micro").cast("double") / F.lit(1000000.0), 6).alias("dcg"),
+        F.round(F.col("idcg_micro").cast("double") / F.lit(1000000.0), 6).alias(
+            "idcg"
+        ),
+        F.when(
+            F.col("idcg_micro") > 0,
+            F.round(
+                F.col("dcg_micro").cast("double") / F.col("idcg_micro").cast("double"),
+                6,
+            ),
+        ).alias("ndcg_at_10"),
+    ).orderBy("p_brand")
+
+
+# ---------------------------------------------------------------------------
+# q356 — AUC-ROC of the q345 logistic length score predicting the
+# 'en' label, via the rank-sum identity AUC = U/(n1*n0) with exact
+# tie handling: on the score-value spine, U2 = sum(2*pos_v*negs_below
+# + pos_v*neg_v) doubles the tie half-credit so everything stays an
+# exact integer; AUC and Gini are single final divisions. The q313
+# mid-rank trick applied to the classifier-eval metric.
+# ---------------------------------------------------------------------------
+@query(
+    "q356_auc_roc",
+    oracle="""
+    WITH scored AS (
+        SELECT CAST(round(1000000.0 / (1.0 + exp(-(CAST(n_chars AS DOUBLE) - 500.0) / 250.0)))
+                    AS BIGINT) AS v,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents
+    ),
+    spine AS (
+        SELECT v, CAST(sum(y) AS BIGINT) AS n_pos,
+               CAST(count(*) - sum(y) AS BIGINT) AS n_neg
+        FROM scored GROUP BY v
+    ),
+    cum AS (
+        SELECT n_pos, n_neg,
+               CAST(coalesce(sum(n_neg) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS negs_below
+        FROM spine
+    ),
+    agg AS (
+        SELECT CAST(sum(n_pos) AS BIGINT) AS n1,
+               CAST(sum(n_neg) AS BIGINT) AS n0,
+               CAST(sum(CAST(n_pos AS HUGEINT) * (2 * negs_below + n_neg)) AS HUGEINT) AS u2
+        FROM cum
+    )
+    SELECT n1 AS n_pos, n0 AS n_neg,
+           round(CAST(u2 AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)), 6) AS auc,
+           round(CAST(u2 AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)) - 1.0, 6) AS gini
+    FROM agg
+    """,
+)
+def q356_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    v = F.round(
+        F.lit(1000000.0)
+        / (
+            F.lit(1.0)
+            + F.exp(-(F.col("n_chars").cast("double") - F.lit(500.0)) / F.lit(250.0))
+        )
+    ).cast("bigint")
+    scored = docs.select(
+        v.alias("v"), F.when(F.col("lang") == "en", 1).otherwise(0).alias("y")
+    )
+    spine = scored.groupBy("v").agg(
+        F.sum("y").cast("bigint").alias("n_pos"),
+        (F.count("*") - F.sum("y")).cast("bigint").alias("n_neg"),
+    )
+    w_below = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = spine.select(
+        "n_pos",
+        "n_neg",
+        F.coalesce(F.sum("n_neg").over(w_below), F.lit(0))
+        .cast("bigint")
+        .alias("negs_below"),
+    )
+    agg = cum.agg(
+        F.sum("n_pos").cast("bigint").alias("n1"),
+        F.sum("n_neg").cast("bigint").alias("n0"),
+        F.sum(_d38(F.col("n_pos")) * _d38(2 * F.col("negs_below") + F.col("n_neg")))
+        .cast("decimal(38,0)")
+        .alias("u2"),
+    )
+    n1, n0 = F.col("n1").cast("double"), F.col("n0").cast("double")
+    u2 = F.col("u2").cast("double")
+    return agg.select(
+        F.col("n1").alias("n_pos"),
+        F.col("n0").alias("n_neg"),
+        F.round(u2 / (F.lit(2.0) * n1 * n0), 6).alias("auc"),
+        F.round(u2 / (n1 * n0) - F.lit(1.0), 6).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q357 — Cohen's kappa between the q31 stopword-marker language
+# detector and the labeled language: chance-corrected agreement, the
+# honest version of raw accuracy for auto-labeling pipelines. kappa =
+# (N*sum_diag - sum_l row_l*col_l) / (N^2 - sum_l row_l*col_l) — an
+# exact integer numerator and denominator from the confusion-lattice
+# counts, one final division. Detector logic is shared with q31
+# (functions.text.lang_id / the same CASE tree in SQL).
+# ---------------------------------------------------------------------------
+def _kappa_detect_sql() -> str:
+    from pipeline_usnvc_spark.plans.text_queries import _L
+
+    return f"""
+        SELECT lang,
+               CASE
+                 WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                 WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+                 WHEN s_fr > 0 AND s_fr >= s_es THEN 'fr'
+                 WHEN s_es > 0 THEN 'es'
+                 ELSE 'und'
+               END AS detected
+        FROM (
+            SELECT lang,
+                   {_L['en']} AS s_en, {_L['de']} AS s_de,
+                   {_L['fr']} AS s_fr, {_L['es']} AS s_es
+            FROM (SELECT lang, {_TOKS_SQL} AS toks FROM documents)
+        )
+    """
+
+
+_KAPPA_ORACLE = """
+    WITH pairs AS ({DETECT}),
+    cells AS (
+        SELECT lang, detected, CAST(count(*) AS BIGINT) AS c
+        FROM pairs GROUP BY 1, 2
+    ),
+    margins AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN lang = detected THEN c ELSE 0 END) AS BIGINT) AS diag
+        FROM cells
+    ),
+    chance AS (
+        SELECT CAST(sum(CAST(r.rc AS HUGEINT) * c.cc) AS HUGEINT) AS rc_sum
+        FROM (SELECT lang AS l, CAST(sum(c) AS BIGINT) AS rc FROM cells GROUP BY 1) r
+        JOIN (SELECT detected AS l, CAST(sum(c) AS BIGINT) AS cc FROM cells GROUP BY 1) c
+          ON c.l = r.l
+    )
+    SELECT m.n AS n_docs, m.diag AS n_agree,
+           round(CAST(m.diag AS DOUBLE) / CAST(m.n AS DOUBLE), 6) AS p_observed,
+           round(CAST(ch.rc_sum AS DOUBLE) / (CAST(m.n AS DOUBLE) * CAST(m.n AS DOUBLE)), 6)
+               AS p_chance,
+           round(CAST(CAST(m.n AS HUGEINT) * m.diag - ch.rc_sum AS DOUBLE)
+                 / CAST(CAST(m.n AS HUGEINT) * m.n - ch.rc_sum AS DOUBLE), 6) AS kappa
+    FROM margins m CROSS JOIN chance ch
+"""
+
+
+@query(
+    "q357_cohens_kappa",
+    oracle=_KAPPA_ORACLE.replace("{DETECT}", _kappa_detect_sql()),
+)
+def q357_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.functions.text import lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    cells = (
+        docs.select("lang", lang_id("text").alias("detected"))
+        .groupBy("lang", "detected")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    margins = cells.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("lang") == F.col("detected"), F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("diag"),
+    )
+    rows = cells.groupBy(F.col("lang").alias("l")).agg(
+        F.sum("c").cast("bigint").alias("rc")
+    )
+    colsm = cells.groupBy(F.col("detected").alias("l")).agg(
+        F.sum("c").cast("bigint").alias("cc")
+    )
+    chance = (
+        rows.join(colsm, "l")
+        .agg(F.sum(_d38(F.col("rc")) * _d38(F.col("cc"))).cast("decimal(38,0)").alias("rc_sum"))
+    )
+    j = margins.crossJoin(F.broadcast(chance))
+    n = F.col("n").cast("double")
+    return j.select(
+        F.col("n").alias("n_docs"),
+        F.col("diag").alias("n_agree"),
+        F.round(F.col("diag").cast("double") / n, 6).alias("p_observed"),
+        F.round(F.col("rc_sum").cast("double") / (n * n), 6).alias("p_chance"),
+        F.round(
+            (_d38(F.col("n")) * _d38(F.col("diag")) - F.col("rc_sum")).cast("double")
+            / (_d38(F.col("n")) * _d38(F.col("n")) - F.col("rc_sum")).cast("double"),
+            6,
+        ).alias("kappa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q358 — precision/recall/F1 sweep over the 10 confidence deciles of
+# the q345 logistic score: the threshold-selection table a quality
+# gate ships with. Cumulative-from-above TP/FP sums over the 10-bin
+# spine are exact integers; each metric is one division, NULL-guarded
+# identically on both engines when a threshold predicts nothing.
+# ---------------------------------------------------------------------------
+@query(
+    "q358_pr_curve",
+    oracle="""
+    WITH scored AS (
+        SELECT least(CAST(round(1000000.0 / (1.0 + exp(-(CAST(n_chars AS DOUBLE) - 500.0) / 250.0)))
+                     AS BIGINT) // 100000, 9) AS bin,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents
+    ),
+    per_bin AS (
+        SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS x
+        FROM scored GROUP BY bin
+    ),
+    thresholds AS (SELECT unnest(range(0, 10)) AS t),
+    cum AS (
+        SELECT t.t,
+               CAST(coalesce(sum(p.x), 0) AS BIGINT) AS tp,
+               CAST(coalesce(sum(p.n - p.x), 0) AS BIGINT) AS fp
+        FROM thresholds t
+        LEFT JOIN per_bin p ON p.bin >= t.t
+        GROUP BY t.t
+    ),
+    tot AS (SELECT CAST(sum(x) AS BIGINT) AS pos FROM per_bin)
+    SELECT CAST(c.t AS BIGINT) AS threshold_bin, tp, fp, tot.pos - tp AS fn,
+           CASE WHEN tp + fp > 0
+                THEN round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) END AS precision_,
+           round(CAST(tp AS DOUBLE) / CAST(tot.pos AS DOUBLE), 6) AS recall_,
+           CASE WHEN 2 * tp + fp + (tot.pos - tp) > 0
+                THEN round(2.0 * CAST(tp AS DOUBLE)
+                           / CAST(2 * tp + fp + (tot.pos - tp) AS DOUBLE), 6) END AS f1
+    FROM cum c CROSS JOIN tot
+    ORDER BY threshold_bin
+    """,
+)
+def q358_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    conf_micro = F.round(
+        F.lit(1000000.0)
+        / (
+            F.lit(1.0)
+            + F.exp(-(F.col("n_chars").cast("double") - F.lit(500.0)) / F.lit(250.0))
+        )
+    ).cast("bigint")
+    scored = docs.select(
+        F.least(F.floor(conf_micro / 100000).cast("bigint"), F.lit(9)).alias("bin"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    per_bin = scored.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n"), F.sum("y").cast("bigint").alias("x")
+    )
+    thresholds = load_table(spark, sf_dir, "documents").sparkSession.range(0, 10).select(
+        F.col("id").cast("bigint").alias("t")
+    )
+    cum = (
+        thresholds.join(F.broadcast(per_bin), F.col("bin") >= F.col("t"), "left")
+        .groupBy("t")
+        .agg(
+            F.coalesce(F.sum("x"), F.lit(0)).cast("bigint").alias("tp"),
+            F.coalesce(F.sum(F.col("n") - F.col("x")), F.lit(0))
+            .cast("bigint")
+            .alias("fp"),
+        )
+    )
+    tot = per_bin.agg(F.sum("x").cast("bigint").alias("pos"))
+    j = cum.crossJoin(F.broadcast(tot))
+    tp, fp = F.col("tp"), F.col("fp")
+    fn = F.col("pos") - tp
+    return j.select(
+        F.col("t").alias("threshold_bin"),
+        "tp",
+        "fp",
+        fn.alias("fn"),
+        F.when(
+            tp + fp > 0, F.round(tp.cast("double") / (tp + fp).cast("double"), 6)
+        ).alias("precision_"),
+        F.round(tp.cast("double") / F.col("pos").cast("double"), 6).alias("recall_"),
+        F.when(
+            2 * tp + fp + fn > 0,
+            F.round(
+                F.lit(2.0) * tp.cast("double") / (2 * tp + fp + fn).cast("double"), 6
+            ),
+        ).alias("f1"),
+    ).orderBy("threshold_bin")

@@ -21,7 +21,7 @@ SF = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def con():
     c = duckdb.connect()
-    for t in ("events", "documents", "orders", "customer", "nation", "lineitem"):
+    for t in ("events", "documents", "orders", "customer", "nation", "lineitem", "part"):
         c.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
@@ -565,3 +565,131 @@ def test_mi_matrix(spark, con):
         assert r["n"] == n
         assert abs(r["mi_nats"] - round(w_sum / (n * 1e6), 6)) <= 1e-9
         assert r["mi_nats"] >= 0 or abs(r["mi_nats"]) < 1e-3
+
+
+def _ntile(n_rows: int, n_tiles: int) -> list[int]:
+    """NTILE bucket per 0-based position: first (n % tiles) buckets
+    get the extra row — the SQL-standard split both engines use."""
+    base, extra = divmod(n_rows, n_tiles)
+    out = []
+    for tile in range(1, n_tiles + 1):
+        out.extend([tile] * (base + (1 if tile <= extra else 0)))
+    return out
+
+
+def test_ndcg_eval(spark, con):
+    """q355: per-brand NDCG@10 replayed with explicit sorts, ntile
+    grades, and micro-rounded position weights."""
+    rows = con.execute(
+        """SELECT p.p_brand, p.p_partkey, p.p_retailprice,
+                  CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
+           FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+           GROUP BY 1, 2, 3"""
+    ).fetchall()
+    by_brand: dict[str, list] = {}
+    for brand, pk, price, rev in rows:
+        by_brand.setdefault(brand, []).append((pk, price, rev))
+    got = {r["p_brand"]: r for r in QUERIES["q355_ndcg_eval"](spark, SF).collect()}
+    assert set(got) == set(by_brand)
+    for brand, parts in by_brand.items():
+        by_rev = sorted(parts, key=lambda p: (-p[2], p[0]))
+        tiles = _ntile(len(parts), 4)
+        grade = {p[0]: 4 - t for p, t in zip(by_rev, tiles)}
+        w = lambda i: round(1e6 / math.log2(i + 1))
+        by_price = sorted(parts, key=lambda p: (-p[1], p[0]))
+        dcg = sum(
+            (2 ** grade[p[0]] - 1) * w(i)
+            for i, p in enumerate(by_price[:10], 1)
+        )
+        by_ideal = sorted(parts, key=lambda p: (-grade[p[0]], -p[2], p[0]))
+        idcg = sum(
+            (2 ** grade[p[0]] - 1) * w(i)
+            for i, p in enumerate(by_ideal[:10], 1)
+        )
+        r = got[brand]
+        assert r["n_parts"] == len(parts)
+        assert abs(r["dcg"] - round(dcg / 1e6, 6)) <= 1e-9, brand
+        assert abs(r["idcg"] - round(idcg / 1e6, 6)) <= 1e-9, brand
+        assert abs(r["ndcg_at_10"] - round(dcg / idcg, 6)) <= 1e-9, brand
+        assert 0.0 <= r["ndcg_at_10"] <= 1.0
+
+
+def _conf_label_rows(con):
+    return [
+        (round(1e6 / (1 + math.exp(-(nc - 500.0) / 250.0))), 1 if lang == "en" else 0)
+        for nc, lang in con.execute("SELECT n_chars, lang FROM documents").fetchall()
+    ]
+
+
+def test_auc_roc(spark, con):
+    """q356: AUC from the O(n log n) sort + pairwise tie-aware count
+    (independent of the rank-sum identity the query uses)."""
+    pairs = _conf_label_rows(con)
+    pos = sorted(v for v, y in pairs if y == 1)
+    neg = sorted(v for v, y in pairs if y == 0)
+    wins = ties = 0
+    for p in pos:
+        wins += bisect.bisect_left(neg, p)
+        ties += bisect.bisect_right(neg, p) - bisect.bisect_left(neg, p)
+    auc = round((wins + 0.5 * ties) / (len(pos) * len(neg)), 6)
+    row = QUERIES["q356_auc_roc"](spark, SF).collect()[0]
+    assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
+    assert abs(row["auc"] - auc) <= 1e-9
+    assert abs(row["gini"] - round(2 * ((wins + 0.5 * ties) / (len(pos) * len(neg))) - 1.0, 6)) <= 1e-9
+
+
+def test_cohens_kappa(spark, con):
+    """q357: confusion lattice + kappa recomputed against a fresh
+    Python reimplementation of the q31 marker detector."""
+    from pipeline_usnvc_spark.functions.text import _LANG_MARKERS
+
+    markers = {k: set(v) for k, v in _LANG_MARKERS.items()}
+    cells: dict[tuple, int] = {}
+    for lang, text in con.execute("SELECT lang, text FROM documents").fetchall():
+        toks = _toks(text)
+        scores = {k: sum(t in m for t in toks) for k, m in markers.items()}
+        best = max(scores.values())
+        detected = "und"
+        for k in markers:  # fixed tie order en > de > fr > es
+            if scores[k] > 0 and scores[k] == best:
+                detected = k
+                break
+        cells[(lang, detected)] = cells.get((lang, detected), 0) + 1
+    n = sum(cells.values())
+    diag = sum(c for (a, b), c in cells.items() if a == b)
+    rowm: dict = {}
+    colm: dict = {}
+    for (a, b), c in cells.items():
+        rowm[a] = rowm.get(a, 0) + c
+        colm[b] = colm.get(b, 0) + c
+    rc = sum(rowm[l] * colm.get(l, 0) for l in rowm)
+    r = QUERIES["q357_cohens_kappa"](spark, SF).collect()[0]
+    assert r["n_docs"] == n and r["n_agree"] == diag
+    assert abs(r["p_observed"] - round(diag / n, 6)) <= 1e-9
+    assert abs(r["p_chance"] - round(rc / n**2, 6)) <= 1e-9
+    assert abs(r["kappa"] - round((n * diag - rc) / (n * n - rc), 6)) <= 1e-9
+
+
+def test_pr_curve(spark, con):
+    """q358: threshold sweep replayed with direct per-doc counting."""
+    pairs = _conf_label_rows(con)
+    bins = [(min(v // 100_000, 9), y) for v, y in pairs]
+    pos = sum(y for _, y in bins)
+    got = {r["threshold_bin"]: r for r in QUERIES["q358_pr_curve"](spark, SF).collect()}
+    assert set(got) == set(range(10))
+    for t in range(10):
+        tp = sum(y for b, y in bins if b >= t)
+        fp = sum(1 - y for b, y in bins if b >= t)
+        fn = pos - tp
+        r = got[t]
+        assert r["tp"] == tp and r["fp"] == fp and r["fn"] == fn
+        if tp + fp > 0:
+            assert abs(r["precision_"] - round(tp / (tp + fp), 6)) <= 1e-9
+        else:
+            assert r["precision_"] is None
+        assert abs(r["recall_"] - round(tp / pos, 6)) <= 1e-9
+        if 2 * tp + fp + fn > 0:
+            assert abs(r["f1"] - round(2 * tp / (2 * tp + fp + fn), 6)) <= 1e-9
+    # recall must be monotone non-increasing in the threshold
+    recalls = [got[t]["recall_"] for t in range(10)]
+    assert all(a >= b for a, b in zip(recalls, recalls[1:]))
