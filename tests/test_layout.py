@@ -231,3 +231,34 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql(f"DROP TABLE IF EXISTS b_orders_{suffix}")
         spark.sql(f"DROP TABLE IF EXISTS b_lineitem_{suffix}")
+
+
+def test_doc_registry_counts_match_code():
+    """VERDICT r06 item 2: registry-count claims in the docs drifted
+    from len(ORACLES) twice. Enforce mechanically: every count claim
+    in README/ROADMAP/COVERAGE must equal the live registry."""
+    import re
+    from pathlib import Path
+
+    from pipeline_usnvc_spark.plans import ORACLES, QUERIES
+
+    nq, no = len(QUERIES), len(ORACLES)
+    repo = Path(__file__).resolve().parent.parent
+    readme = (repo / "README.md").read_text()
+    assert f"the query registry: {nq} queries" in readme, (
+        f"README query count != {nq}"
+    )
+    assert f"({no} of {nq};" in readme, f"README oracle count != {no} of {nq}"
+    assert f"**{no}/{no} oracle queries hash-exact**" in readme
+    roadmap = (repo / "ROADMAP.md").read_text()
+    assert f"**{nq} queries / {no} oracle-paired**" in roadmap, (
+        f"ROADMAP final registry line != {nq}/{no}"
+    )
+    coverage = (repo / "COVERAGE.md").read_text()
+    m = re.search(r"full queries\(\) index \((\d+) entries, (\d+) oracle-exact\)", coverage)
+    assert m and (int(m.group(1)), int(m.group(2))) == (nq, no), (
+        f"COVERAGE appendix header != ({nq}, {no})"
+    )
+    # every registered query name appears somewhere in the COVERAGE index
+    missing = [n for n in QUERIES if n not in coverage]
+    assert not missing, f"queries absent from COVERAGE.md appendix: {missing[:5]}"
