@@ -278,6 +278,7 @@ _R07_LATE: tuple[str, ...] = (
     "q356_auc_roc",
     "q357_cohens_kappa",
     "q358_pr_curve",
+    "q359_pca_power_iteration",
 )
 
 

@@ -1870,3 +1870,98 @@ def q358_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("f1"),
     ).orderBy("threshold_bin")
+
+
+# ---------------------------------------------------------------------------
+# q359 — one exact power-iteration step toward the top principal
+# direction of the (uncentered) embedding second-moment matrix:
+# v1 = X^T (X v0) with v0 = ones — the distributed spectral-method
+# kernel (the Krylov step behind PCA/PageRank/spectral clustering)
+# computed WITHOUT materializing the d x d gram matrix: one row-grain
+# sum (X v0 = row sums), one dim-grain sum (X^T of it). Components
+# are quantized to exact integers (floor(x*1e7), the q173
+# discipline), so both matvecs are EXACT DECIMAL(38,0) sums; the
+# final normalization floor-divides by 1e12 first (sign-correct via
+# the +C shift) so the squared norm stays inside DECIMAL(38,0) —
+# headroom to ~1e9 vectors, beyond which raise the divisor.
+# Deterministic up to the fixed v0, hence oracle-exact.
+# ---------------------------------------------------------------------------
+@query(
+    "q359_pca_power_iteration",
+    oracle="""
+    WITH comps AS (
+        SELECT vec_id, dim,
+               CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT) AS q
+        FROM (
+            SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS dim
+            FROM embeddings
+        )
+    ),
+    rowsums AS (
+        SELECT vec_id, CAST(sum(q) AS BIGINT) AS r FROM comps GROUP BY vec_id
+    ),
+    v1 AS (
+        SELECT c.dim,
+               CAST(sum(CAST(c.q AS HUGEINT) * rs.r) AS HUGEINT) AS v,
+               CAST(count(*) AS BIGINT) AS n_vectors
+        FROM comps c JOIN rowsums rs ON rs.vec_id = c.vec_id
+        GROUP BY c.dim
+    ),
+    scaled AS (
+        SELECT dim, n_vectors,
+               ((v + CAST(10000000000 AS HUGEINT) * 1000000000000
+                 - (v + CAST(10000000000 AS HUGEINT) * 1000000000000) % 1000000000000)
+                // 1000000000000) - 10000000000 AS u
+        FROM v1
+    ),
+    norm AS (
+        SELECT CAST(sum(CAST(u AS HUGEINT) * u) AS HUGEINT) AS n2 FROM scaled
+    )
+    SELECT CAST(s.dim AS BIGINT) AS dim, s.n_vectors,
+           round(CAST(s.u AS DOUBLE) / sqrt(CAST(n.n2 AS DOUBLE)), 6) AS component
+    FROM scaled s CROSS JOIN norm n
+    ORDER BY dim
+    """,
+)
+def q359_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.functions.vectors import to_double_array
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = emb.select(
+        "vec_id", F.posexplode(to_double_array("embedding")).alias("pos", "x")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("bigint").alias("dim"),
+        F.floor(F.col("x") * 10000000).cast("bigint").alias("q"),
+    )
+    rowsums = comps.groupBy("vec_id").agg(F.sum("q").cast("bigint").alias("r"))
+    v1 = (
+        comps.join(rowsums, "vec_id")
+        .groupBy("dim")
+        .agg(
+            F.sum(_d38(F.col("q")) * _d38(F.col("r")))
+            .cast("decimal(38,0)")
+            .alias("v"),
+            F.count("*").cast("bigint").alias("n_vectors"),
+        )
+    )
+    S = F.lit(1000000000000).cast("decimal(38,0)")
+    C = F.lit(10000000000).cast("decimal(38,0)")
+    shifted = F.col("v") + C * S
+    u = ((shifted - F.pmod(shifted, S)) / S - C).cast("decimal(38,0)")
+    scaled = v1.select("dim", "n_vectors", u.alias("u"))
+    norm = scaled.agg(
+        F.sum(F.col("u") * F.col("u")).cast("decimal(38,0)").alias("n2")
+    )
+    return (
+        scaled.crossJoin(F.broadcast(norm))
+        .select(
+            "dim",
+            "n_vectors",
+            F.round(
+                F.col("u").cast("double") / F.sqrt(F.col("n2").cast("double")), 6
+            ).alias("component"),
+        )
+        .orderBy("dim")
+    )

@@ -21,7 +21,7 @@ SF = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def con():
     c = duckdb.connect()
-    for t in ("events", "documents", "orders", "customer", "nation", "lineitem", "part"):
+    for t in ("events", "documents", "orders", "customer", "nation", "lineitem", "part", "embeddings"):
         c.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
@@ -693,3 +693,38 @@ def test_pr_curve(spark, con):
     # recall must be monotone non-increasing in the threshold
     recalls = [got[t]["recall_"] for t in range(10)]
     assert all(a >= b for a, b in zip(recalls, recalls[1:]))
+
+
+def test_pca_power_iteration(spark, con):
+    """q359: one exact-integer power step v1 = X^T(X*1) replayed in
+    pure Python, including the shifted floor-div rescale, plus a
+    quality check against numpy's true top eigenvector of the
+    second-moment matrix."""
+    rows = con.execute("SELECT vec_id, embedding FROM embeddings").fetchall()
+    qs = {vid: [math.floor(x * 10_000_000) for x in emb] for vid, emb in rows}
+    d = len(next(iter(qs.values())))
+    v1 = [0] * d
+    for comps in qs.values():
+        r = sum(comps)
+        for i, q in enumerate(comps):
+            v1[i] += q * r
+    S, C = 10**12, 10**10
+    u = [((v + C * S) // S) - C for v in v1]
+    norm = math.sqrt(sum(x * x for x in u))
+    want = [round(x / norm, 6) for x in u]
+    got = QUERIES["q359_pca_power_iteration"](spark, SF).collect()
+    assert len(got) == d
+    for rrow in got:
+        assert rrow["n_vectors"] == len(qs)
+        assert abs(rrow["component"] - want[rrow["dim"] - 1]) <= 1e-9
+    # quality: the step must land measurably closer to the true top
+    # eigenvector than the all-ones start (cosine improves)
+    X = np.array([emb for _, emb in rows], dtype=np.float64)
+    M = X.T @ X
+    evals, evecs = np.linalg.eigh(M)
+    top = evecs[:, -1]
+    ours = np.array([r["component"] for r in sorted(got, key=lambda r: r["dim"])])
+    v0 = np.ones(d) / math.sqrt(d)
+    cos_ours = abs(float(ours @ top)) / float(np.linalg.norm(ours))
+    cos_v0 = abs(float(v0 @ top))
+    assert cos_ours > cos_v0, (cos_ours, cos_v0)
