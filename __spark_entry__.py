@@ -279,6 +279,7 @@ _R07_LATE: tuple[str, ...] = (
     "q357_cohens_kappa",
     "q358_pr_curve",
     "q359_pca_power_iteration",
+    "q360_holt_winters",
 )
 
 

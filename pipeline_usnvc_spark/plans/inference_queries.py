@@ -1965,3 +1965,129 @@ def q359_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# q360 — Holt-Winters additive seasonal smoothing (period 7,
+# alpha=0.5, beta=0.3, gamma=0.3) of daily revenue: the seasonal
+# upgrade of q333's Holt linear, closing the forecasting family
+# (linear regression q154 -> seasonal-naive q294 -> Holt q333 -> HW).
+# Same sequential-fold parity argument: the recurrence steps
+# LEFT-TO-RIGHT over the day-sorted series with the IDENTICAL
+# floating-point expression tree on both engines (Spark: F.aggregate
+# with an (l, b, seasonal[7]) struct state; DuckDB: a recursive CTE
+# carrying the same DOUBLE[7] list), so the smoothed state is
+# bit-deterministic. Crude-but-deterministic init (l=y1, b=0, s=0s)
+# on BOTH engines — the gamma updates learn the seasonal slots.
+# Day grain is calendar-bounded; the collected array is a few KB.
+# ---------------------------------------------------------------------------
+@query(
+    "q360_holt_winters",
+    oracle="""
+    WITH RECURSIVE daily AS (
+        SELECT CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    series AS (
+        SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i,
+               d % 7 AS dow, CAST(cents AS DOUBLE) AS y
+        FROM daily
+    ),
+    hw(i, l, b, s) AS (
+        SELECT CAST(1 AS BIGINT), y, CAST(0.0 AS DOUBLE),
+               [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]::DOUBLE[]
+        FROM series WHERE i = 1
+        UNION ALL
+        SELECT h.i + 1,
+               0.5 * (e.y - h.s[e.dow + 1]) + 0.5 * (h.l + h.b),
+               0.3 * ((0.5 * (e.y - h.s[e.dow + 1]) + 0.5 * (h.l + h.b)) - h.l)
+                 + 0.7 * h.b,
+               list_transform(range(7), k -> CASE WHEN k = e.dow
+                   THEN 0.3 * (e.y - (0.5 * (e.y - h.s[e.dow + 1]) + 0.5 * (h.l + h.b)))
+                        + 0.7 * h.s[e.dow + 1]
+                   ELSE h.s[k + 1] END)
+        FROM hw h JOIN series e ON e.i = h.i + 1
+    ),
+    final AS (
+        SELECT hw.l, hw.b, hw.s,
+               (SELECT max(i) FROM series) AS n,
+               (SELECT max(d) FROM daily) AS dmax
+        FROM hw WHERE i = (SELECT max(i) FROM series)
+    )
+    SELECT n AS n_days,
+           round(l / 100.0, 6) AS level_dollars,
+           round(b / 100.0, 6) AS trend_dollars,
+           round((l + b + s[CAST((dmax + 1) % 7 AS BIGINT) + 1]) / 100.0, 6)
+               AS forecast_dollars,
+           round((list_aggregate(s, 'max') - list_aggregate(s, 'min')) / 100.0, 6)
+               AS seasonal_amplitude_dollars
+    FROM final
+    """,
+)
+def q360_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast("bigint")
+        .alias("d")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    one = daily.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("d"),
+                    F.pmod(F.col("d"), F.lit(7)).cast("bigint").alias("dow"),
+                    F.col("cents").cast("double").alias("y"),
+                )
+            )
+        ).alias("arr"),
+        F.max("d").cast("bigint").alias("dmax"),
+    )
+    arr = F.col("arr")
+    rest = F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0)))
+    zeros = F.array(*[F.lit(0.0) for _ in range(7)])
+    init = F.struct(
+        F.element_at(arr, 1)["y"].alias("l"),
+        F.lit(0.0).alias("b"),
+        zeros.alias("s"),
+    )
+
+    def step(acc, e):
+        s_prev = F.element_at(acc["s"], (e["dow"] + 1).cast("int"))
+        l_new = F.lit(0.5) * (e["y"] - s_prev) + F.lit(0.5) * (acc["l"] + acc["b"])
+        b_new = F.lit(0.3) * (l_new - acc["l"]) + F.lit(0.7) * acc["b"]
+        s_val = F.lit(0.3) * (e["y"] - l_new) + F.lit(0.7) * s_prev
+        s_arr = F.transform(
+            F.sequence(F.lit(0), F.lit(6)),
+            lambda k: F.when(k.cast("bigint") == e["dow"], s_val).otherwise(
+                F.element_at(acc["s"], (k + 1).cast("int"))
+            ),
+        )
+        return F.struct(l_new.alias("l"), b_new.alias("b"), s_arr.alias("s"))
+
+    folded = one.select(
+        F.size(arr).cast("bigint").alias("n_days"),
+        F.col("dmax"),
+        F.aggregate(rest, init, step).alias("st"),
+    )
+    s_next = F.element_at(
+        F.col("st.s"), (F.pmod(F.col("dmax") + 1, F.lit(7)) + 1).cast("int")
+    )
+    return folded.select(
+        "n_days",
+        F.round(F.col("st.l") / F.lit(100.0), 6).alias("level_dollars"),
+        F.round(F.col("st.b") / F.lit(100.0), 6).alias("trend_dollars"),
+        F.round(
+            (F.col("st.l") + F.col("st.b") + s_next) / F.lit(100.0), 6
+        ).alias("forecast_dollars"),
+        F.round(
+            (F.array_max(F.col("st.s")) - F.array_min(F.col("st.s")))
+            / F.lit(100.0),
+            6,
+        ).alias("seasonal_amplitude_dollars"),
+    )

@@ -728,3 +728,32 @@ def test_pca_power_iteration(spark, con):
     cos_ours = abs(float(ours @ top)) / float(np.linalg.norm(ours))
     cos_v0 = abs(float(v0 @ top))
     assert cos_ours > cos_v0, (cos_ours, cos_v0)
+
+
+def test_holt_winters(spark, con):
+    """q360: HW additive recurrence replayed in pure Python with the
+    same crude-deterministic init (l=y1, b=0, s=zeros)."""
+    rows = con.execute(
+        """SELECT CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+                  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           FROM orders GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    l, b = float(rows[0][1]), 0.0
+    s = [0.0] * 7
+    for d, cents in rows[1:]:
+        y, dow = float(cents), d % 7
+        s_prev = s[dow]
+        l_new = 0.5 * (y - s_prev) + 0.5 * (l + b)
+        b = 0.3 * (l_new - l) + 0.7 * b
+        s[dow] = 0.3 * (y - l_new) + 0.7 * s_prev
+        l = l_new
+    dmax = rows[-1][0]
+    fc = l + b + s[(dmax + 1) % 7]
+    r = QUERIES["q360_holt_winters"](spark, SF).collect()[0]
+    assert r["n_days"] == len(rows)
+    assert abs(r["level_dollars"] - round(l / 100.0, 6)) <= 1e-6
+    assert abs(r["trend_dollars"] - round(b / 100.0, 6)) <= 1e-6
+    assert abs(r["forecast_dollars"] - round(fc / 100.0, 6)) <= 1e-6
+    assert abs(
+        r["seasonal_amplitude_dollars"] - round((max(s) - min(s)) / 100.0, 6)
+    ) <= 1e-6
