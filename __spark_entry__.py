@@ -280,6 +280,7 @@ _R07_LATE: tuple[str, ...] = (
     "q358_pr_curve",
     "q359_pca_power_iteration",
     "q360_holt_winters",
+    "q361_stream_session_window",
 )
 
 

@@ -2091,3 +2091,106 @@ def q360_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("seasonal_amplitude_dollars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q361 — STREAMING native session-window aggregation (rows-only:
+# stateful streaming): F.session_window under a 1 h watermark in
+# append mode — the built-in gap-merging session operator q103
+# exercises in batch, here driven through Structured Streaming's
+# state store where sessions only emit once the watermark proves no
+# further event can extend them. Watermark-certified emission audit
+# (the q337 pattern): the streamed output full-outer-joins the batch
+# session_window recompute — every emitted session must match a
+# batch session exactly (start, count, exact cent sum), every batch
+# session that provably closed (end < final watermark) must have
+# emitted, and sessions still extendable at end-of-stream must NOT
+# have emitted. Any divergence EXISTS as a row the executed contract
+# evaluates.
+# ---------------------------------------------------------------------------
+@query("q361_stream_session_window")
+def q361_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.contracts import contract_filter
+    from pipeline_usnvc_spark.streaming.pipeline import (
+        read_event_stream,
+        run_stream_to_memory,
+    )
+
+    gap = "30 minutes"
+    cents = F.sum(F.floor(F.col("value") * 100).cast("bigint")).cast("bigint")
+    stream = read_event_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    sess = (
+        stream.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").cast("bigint").alias("n_events"), cents.alias("cents"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "n_events",
+            "cents",
+        )
+    )
+    streamed = run_stream_to_memory(
+        sess, "q361_stream_session_window", output_mode="append"
+    ).withColumn("in_stream", F.lit(True))
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        ev.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").cast("bigint").alias("b_n"), cents.alias("b_cents"))
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("w.start").alias("b_start"),
+            F.col("w.end").alias("b_end"),
+            "b_n",
+            "b_cents",
+        )
+    )
+    wm = ev.agg((F.max("ts") - F.expr("INTERVAL 1 hour")).alias("wm_ts"))
+    expected = (
+        batch.crossJoin(F.broadcast(wm))
+        .withColumn("in_batch", F.lit(True))
+        # strict inequality: only sessions whose merged window closed
+        # BEFORE the final watermark are certified emitted; boundary
+        # sessions may legitimately still sit in state
+        .withColumn("certified", F.col("b_end") < F.col("wm_ts"))
+    )
+    joined = streamed.join(
+        expected,
+        (F.col("user_id") == F.col("b_user")) & (F.col("w_start") == F.col("b_start")),
+        "full_outer",
+    )
+    emitted_matches = (
+        F.col("in_stream").isNotNull()
+        & F.col("in_batch").isNotNull()
+        & (F.col("w_end") == F.col("b_end"))
+        & (F.col("n_events") == F.col("b_n"))
+        & (F.col("cents") == F.col("b_cents"))
+    )
+    pending_ok = (
+        F.col("in_stream").isNull()
+        & F.col("in_batch").isNotNull()
+        & ~F.col("certified")
+    )
+    return (
+        contract_filter(
+            joined,
+            emitted_matches | pending_ok,
+            F.concat(
+                F.lit("stream session-window divergence for user "),
+                F.coalesce(
+                    F.col("user_id").cast("string"),
+                    F.col("b_user").cast("string"),
+                    F.lit("null"),
+                ),
+                F.lit(": stream n="),
+                F.coalesce(F.col("n_events").cast("string"), F.lit("absent")),
+                F.lit(" batch n="),
+                F.coalesce(F.col("b_n").cast("string"), F.lit("absent")),
+                F.lit(" certified="),
+                F.coalesce(F.col("certified").cast("string"), F.lit("null")),
+            ),
+        )
+        .filter(F.col("in_stream").isNotNull())
+        .select("user_id", "w_start", "w_end", "n_events", "cents")
+    )

@@ -865,3 +865,28 @@ def test_q337_outer_join_audit_clean_and_fires(spark, sf_dir, monkeypatch):
 
     with _pytest.raises(Exception, match="stream-outer-join mismatch"):
         QUERIES["q337_stream_outer_join"](spark, sf_dir).count()
+
+
+def test_stream_session_window_matches_certified_batch(spark, sf_dir):
+    """q361: the emitted session count must equal the batch sessions
+    whose windows provably closed before the final watermark, and
+    every emitted session must carry the exact batch aggregates (the
+    in-plan contract asserts per-row equality; this pins the COUNT so
+    an empty-stream vacuity can never slip through)."""
+    from pyspark.sql import functions as F
+
+    from pipeline_usnvc_spark.plans import QUERIES
+    from pipeline_usnvc_spark.sources.tables import load_table
+
+    got = QUERIES["q361_stream_session_window"](spark, sf_dir)
+    n_emitted = got.count()
+    ev = load_table(spark, sf_dir, "events")
+    wm = ev.agg((F.max("ts") - F.expr("INTERVAL 1 hour")).alias("wm")).collect()[0]["wm"]
+    certified = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("w.end") < F.lit(wm))
+        .count()
+    )
+    assert n_emitted == certified, (n_emitted, certified)
+    assert n_emitted > 0
