@@ -281,6 +281,7 @@ _R07_LATE: tuple[str, ...] = (
     "q359_pca_power_iteration",
     "q360_holt_winters",
     "q361_stream_session_window",
+    "q362_gram_matrix",
 )
 
 

@@ -2194,3 +2194,81 @@ def q361_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("in_stream").isNotNull())
         .select("user_id", "w_start", "w_end", "n_events", "cents")
     )
+
+
+# ---------------------------------------------------------------------------
+# q362 — exact embedding gram (second-moment) matrix via an
+# Arrow-vectorized outer-product kernel: the d x d matrix every
+# PCA/whitening/linear-probe step needs, computed the way it scales —
+# mapInPandas accumulates Q^T Q per Arrow chunk with numpy int64
+# matmuls over quantized components (floor(x*1e7), the q173/q359
+# discipline), emits 64x64 PARTIAL integer matrices (2080 upper-
+# triangle cells per chunk), and Spark's exact DECIMAL(38,0) sum
+# merges them — so the vectorized kernel is certified EXACT against
+# the explode-self-join oracle, not approximately close. Chunks are
+# capped at 8192 rows so an int64 partial (<= 2.5e13 per-row product
+# x 8192) never overflows. Shuffle volume: cells x chunks, never
+# rows — the 100 TB shape (this is the distributed matmul that
+# replaces q359's matvec when you want the whole spectrum).
+# ---------------------------------------------------------------------------
+@query(
+    "q362_gram_matrix",
+    oracle="""
+    WITH comps AS (
+        SELECT vec_id, dim,
+               CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT) AS q
+        FROM (
+            SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS dim
+            FROM embeddings
+        )
+    )
+    SELECT CAST(a.dim AS BIGINT) AS dim_i, CAST(b.dim AS BIGINT) AS dim_j,
+           CAST(sum(CAST(a.q AS HUGEINT) * b.q) AS BIGINT) AS qsum,
+           round(CAST(CAST(sum(CAST(a.q AS HUGEINT) * b.q) AS BIGINT) AS DOUBLE)
+                 / 100000000000000.0, 6) AS m
+    FROM comps a
+    JOIN comps b ON b.vec_id = a.vec_id AND b.dim >= a.dim
+    GROUP BY a.dim, b.dim
+    ORDER BY dim_i, dim_j
+    """,
+)
+def q362_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd  # noqa: F401 (Arrow batch interface)
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    out_schema = "dim_i bigint, dim_j bigint, partial long"
+
+    def gram_chunks(it):
+        import numpy as np
+        import pandas as pd
+
+        CHUNK = 8192
+        for pdf in it:
+            arrs = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            q = np.floor(arrs * 10_000_000).astype(np.int64)
+            d = q.shape[1]
+            iu = np.triu_indices(d)
+            for lo in range(0, q.shape[0], CHUNK):
+                g = q[lo : lo + CHUNK].T @ q[lo : lo + CHUNK]
+                yield pd.DataFrame(
+                    {
+                        "dim_i": iu[0] + 1,
+                        "dim_j": iu[1] + 1,
+                        "partial": g[iu],
+                    }
+                )
+
+    partials = emb.mapInPandas(gram_chunks, schema=out_schema)
+    agg = partials.groupBy("dim_i", "dim_j").agg(
+        F.sum(_d38(F.col("partial"))).cast("decimal(38,0)").alias("qsum")
+    )
+    # driver-facing qsum is BIGINT (exact through ~3.7e5 vectors at
+    # |q|<=5e6; the internal merge stays DECIMAL(38,0) — at larger
+    # corpora report m only)
+    return agg.select(
+        "dim_i",
+        "dim_j",
+        F.col("qsum").cast("bigint").alias("qsum"),
+        F.round(F.col("qsum").cast("double") / F.lit(1e14), 6).alias("m"),
+    ).orderBy("dim_i", "dim_j")

@@ -757,3 +757,31 @@ def test_holt_winters(spark, con):
     assert abs(
         r["seasonal_amplitude_dollars"] - round((max(s) - min(s)) / 100.0, 6)
     ) <= 1e-6
+
+
+def test_gram_matrix(spark, con):
+    """q362: the Arrow int64-matmul kernel vs a pure-Python exact
+    integer accumulation, plus a numpy float cross-check."""
+    rows = con.execute("SELECT vec_id, embedding FROM embeddings ORDER BY vec_id").fetchall()
+    X = [[math.floor(x * 10_000_000) for x in emb] for _, emb in rows]
+    d = len(X[0])
+    want = [[0] * d for _ in range(d)]
+    for row in X:
+        for i in range(d):
+            qi = row[i]
+            if qi == 0:
+                continue
+            wi = want[i]
+            for j in range(i, d):
+                wi[j] += qi * row[j]
+    got = QUERIES["q362_gram_matrix"](spark, SF).collect()
+    assert len(got) == d * (d + 1) // 2
+    for r in got:
+        i, j = r["dim_i"] - 1, r["dim_j"] - 1
+        assert r["qsum"] == want[i][j], (i, j, r["qsum"], want[i][j])
+        assert abs(r["m"] - round(want[i][j] / 1e14, 6)) <= 1e-9
+    # numpy float64 second-moment agrees to quantization error
+    Xf = np.array([emb for _, emb in rows], dtype=np.float64)
+    M = Xf.T @ Xf
+    for r in got[:50]:
+        assert abs(r["m"] - M[r["dim_i"] - 1, r["dim_j"] - 1]) < 1e-3
