@@ -282,6 +282,7 @@ _R07_LATE: tuple[str, ...] = (
     "q360_holt_winters",
     "q361_stream_session_window",
     "q362_gram_matrix",
+    "q363_ridge_probe",
 )
 
 

@@ -2272,3 +2272,121 @@ def q362_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qsum").cast("bigint").alias("qsum"),
         F.round(F.col("qsum").cast("double") / F.lit(1e14), 6).alias("m"),
     ).orderBy("dim_i", "dim_j")
+
+
+# ---------------------------------------------------------------------------
+# q363 — ridge-regression linear probe on the embedding table
+# (rows-only: the 64x64 solve is not SQL-expressible): the standard
+# "are these embeddings any good" eval — fit w = (X^T X + lambda D)^-1
+# X^T y against the integer label column (X augmented with an exactly
+# quantized bias feature; D leaves the intercept unpenalized, which
+# guarantees the in-sample fit can never lose to the intercept-only
+# baseline) and report per-dimension weights plus R^2. Distributed shape: the normal-equation
+# sufficient statistics are EXACT quantized-integer aggregates (the
+# q362 gram kernel + one X^T y matvec — y is an exact integer label,
+# so q*y sums are exact), the 2080+64-cell solve happens driver-side
+# on bounded grain (the BPE-vocab precedent), and the fit quality is
+# re-measured DISTRIBUTED: one more pass computes SSE(w) and
+# SSE(mean) with sequential-fold dot products against the broadcast
+# weights, and an executed in-plan contract asserts the probe beats
+# the intercept-only baseline (R^2 > 0, plus R^2 <= 1 sanity).
+# ---------------------------------------------------------------------------
+@query("q363_ridge_probe")
+def q363_ridge_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from pipeline_usnvc_spark.operators.contracts import contract_filter
+
+    lam = 1.0
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding", "label")
+    out_schema = "dim_i int, dim_j int, partial long"
+
+    def stats_chunks(it):
+        import numpy as np
+        import pandas as pd
+
+        CHUNK = 8192
+        for pdf in it:
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            q = np.floor(X * 10_000_000).astype(np.int64)
+            # exactly-quantized bias feature (x = 1.0 -> q = 1e7)
+            q = np.concatenate(
+                [q, np.full((q.shape[0], 1), 10_000_000, dtype=np.int64)], axis=1
+            )
+            y = pdf["label"].to_numpy().astype(np.int64)
+            d = q.shape[1]
+            iu = np.triu_indices(d)
+            for lo in range(0, q.shape[0], CHUNK):
+                qc, yc = q[lo : lo + CHUNK], y[lo : lo + CHUNK]
+                g = qc.T @ qc
+                qy = qc.T @ yc
+                ys = int(yc.sum())
+                yy = int((yc * yc).sum())
+                n = int(len(yc))
+                # gram cells at (i, j); X^T y at (i, -1); the scalar
+                # moments of y at (-1, -1)/(-2,-2)/(-3,-3)
+                yield pd.DataFrame(
+                    {
+                        "dim_i": np.concatenate(
+                            [iu[0] + 1, np.arange(1, d + 1), [-1, -2, -3]]
+                        ),
+                        "dim_j": np.concatenate(
+                            [iu[1] + 1, np.full(d, -1), [-1, -2, -3]]
+                        ),
+                        "partial": np.concatenate([g[iu], qy, [ys, yy, n]]),
+                    }
+                )
+
+    cells = (
+        emb.mapInPandas(stats_chunks, schema=out_schema)
+        .groupBy("dim_i", "dim_j")
+        .agg(F.sum(_d38(F.col("partial"))).cast("decimal(38,0)").alias("s"))
+        .collect()  # bounded grain: 2080 + 64 + 3 exact integers
+    )
+    gram: dict = {}
+    qy: dict = {}
+    ys = yy = n = 0
+    for r in cells:
+        i, j, s = r["dim_i"], r["dim_j"], int(r["s"])
+        if i == -1:
+            ys = s
+        elif i == -2:
+            yy = s
+        elif i == -3:
+            n = s
+        elif j == -1:
+            qy[i] = s
+        else:
+            gram[(i, j)] = s
+    d = max(i for i, _ in gram)
+    G = np.zeros((d, d))
+    for (i, j), s in gram.items():
+        G[i - 1, j - 1] = G[j - 1, i - 1] = s / 1e14
+    b = np.array([qy[i] / 1e7 for i in range(1, d + 1)])
+    D = np.eye(d)
+    D[d - 1, d - 1] = 0.0  # unpenalized intercept (last = bias feature)
+    w = np.linalg.solve(G + lam * D, b)
+
+    from pipeline_usnvc_spark.functions.vectors import dot, to_double_array
+
+    w_arr = F.array(*[F.lit(float(x)) for x in w[:-1]])
+    pred = dot(to_double_array("embedding"), w_arr) + F.lit(float(w[-1]))
+    ybar = ys / n
+    sses = emb.agg(
+        F.sum((F.col("label").cast("double") - pred) * (F.col("label").cast("double") - pred)).alias("sse_w"),
+    ).collect()[0]
+    sse_w = float(sses["sse_w"])
+    sse_mean = yy - n * ybar * ybar
+    r2 = 1.0 - sse_w / sse_mean
+    out = spark.createDataFrame(
+        [(i + 1, round(float(w[i]), 6), round(r2, 6), n) for i in range(d)],
+        "dim bigint, weight double, r2 double, n_vectors bigint",
+    )
+    return contract_filter(
+        out,
+        (F.col("r2") >= 0.0) & (F.col("r2") <= 1.0),
+        F.concat(
+            F.lit("ridge probe failed to beat the intercept baseline: r2="),
+            F.col("r2").cast("string"),
+        ),
+    )

@@ -785,3 +785,38 @@ def test_gram_matrix(spark, con):
     M = Xf.T @ Xf
     for r in got[:50]:
         assert abs(r["m"] - M[r["dim_i"] - 1, r["dim_j"] - 1]) < 1e-3
+
+
+def test_ridge_probe(spark, con):
+    """q363: replay the exact-quantized normal equations and the
+    unpenalized-intercept ridge solve in numpy; weights and R^2 must
+    match, and R^2 can never lose to the intercept baseline."""
+    rows = con.execute("SELECT embedding, label FROM embeddings").fetchall()
+    q = np.concatenate(
+        [
+            np.floor(np.array([e for e, _ in rows], dtype=np.float64) * 1e7).astype(
+                np.int64
+            ),
+            np.full((len(rows), 1), 10_000_000, dtype=np.int64),
+        ],
+        axis=1,
+    )
+    y = np.array([l for _, l in rows], dtype=np.int64)
+    d = q.shape[1]
+    G = (q.T.astype(object) @ q.astype(object)).astype(np.float64) / 1e14
+    b = (q.T.astype(object) @ y.astype(object)).astype(np.float64) / 1e7
+    D = np.eye(d)
+    D[d - 1, d - 1] = 0.0
+    w = np.linalg.solve(G + D, b)
+    X = np.array([e for e, _ in rows], dtype=np.float64)
+    pred = X @ w[:-1] + w[-1]
+    sse_w = float(((y - pred) ** 2).sum())
+    sse_mean = float(((y - y.mean()) ** 2).sum())
+    r2 = round(1.0 - sse_w / sse_mean, 6)
+    got = QUERIES["q363_ridge_probe"](spark, SF).collect()
+    assert len(got) == d
+    for r in got:
+        assert abs(r["weight"] - round(float(w[r["dim"] - 1]), 6)) <= 2e-6, r["dim"]
+        assert abs(r["r2"] - r2) <= 2e-6
+        assert 0.0 <= r["r2"] <= 1.0
+        assert r["n_vectors"] == len(rows)
