@@ -283,6 +283,7 @@ _R07_LATE: tuple[str, ...] = (
     "q361_stream_session_window",
     "q362_gram_matrix",
     "q363_ridge_probe",
+    "q364_covariance_matrix",
 )
 
 

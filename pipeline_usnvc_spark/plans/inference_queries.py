@@ -2390,3 +2390,120 @@ def q363_ridge_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r2").cast("string"),
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q364 — exact embedding covariance matrix: the mean-centered twin of
+# q362's gram (the actual PCA input). Centering never touches a
+# float: cov[i,j] = (n*qsum_ij - s_i*s_j) / n^2 has an EXACT integer
+# numerator from the same Arrow int64 kernel (gram cells + per-dim
+# component sums ride the same partial stream), so the oracle match
+# is exact, not tolerance-based. The final value floor-divides to
+# micro-units BEFORE the double division (the q318 half-rounding
+# lesson: an integer/denominator quotient can land exactly on a
+# rounding half and flip between engines), with the +C shift making
+# the floor sign-correct for negative covariances. DECIMAL(38,0)
+# headroom: num*1e6 ~ n^2 * 2.5e19 — fine through ~1e9 vectors.
+# ---------------------------------------------------------------------------
+@query(
+    "q364_covariance_matrix",
+    oracle="""
+    WITH comps AS (
+        SELECT vec_id, dim,
+               CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT) AS q
+        FROM (
+            SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS dim
+            FROM embeddings
+        )
+    ),
+    gram AS (
+        SELECT a.dim AS i, b.dim AS j,
+               CAST(sum(CAST(a.q AS HUGEINT) * b.q) AS HUGEINT) AS qsum
+        FROM comps a JOIN comps b ON b.vec_id = a.vec_id AND b.dim >= a.dim
+        GROUP BY 1, 2
+    ),
+    margins AS (
+        SELECT dim, CAST(sum(q) AS HUGEINT) AS s, CAST(count(*) AS HUGEINT) AS n
+        FROM comps GROUP BY dim
+    )
+    SELECT CAST(g.i AS BIGINT) AS dim_i, CAST(g.j AS BIGINT) AS dim_j,
+           CAST(mi.n AS BIGINT) AS n_vectors,
+           CAST(((mi.n * g.qsum - mi.s * mj.s) * 1000000
+                  + 1000000 * (mi.n * mi.n * 100000000000000)
+                  - ((mi.n * g.qsum - mi.s * mj.s) * 1000000
+                     + 1000000 * (mi.n * mi.n * 100000000000000))
+                    % (mi.n * mi.n * 100000000000000))
+                // (mi.n * mi.n * 100000000000000) - 1000000 AS BIGINT)
+             / 1000000.0 AS cov
+    FROM gram g
+    JOIN margins mi ON mi.dim = g.i
+    JOIN margins mj ON mj.dim = g.j
+    ORDER BY dim_i, dim_j
+    """,
+)
+def q364_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    out_schema = "dim_i int, dim_j int, partial long"
+
+    def cov_chunks(it):
+        import numpy as np
+        import pandas as pd
+
+        CHUNK = 8192
+        for pdf in it:
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            q = np.floor(X * 10_000_000).astype(np.int64)
+            d = q.shape[1]
+            iu = np.triu_indices(d)
+            for lo in range(0, q.shape[0], CHUNK):
+                qc = q[lo : lo + CHUNK]
+                g = qc.T @ qc
+                s = qc.sum(axis=0)
+                yield pd.DataFrame(
+                    {
+                        "dim_i": np.concatenate(
+                            [iu[0] + 1, np.arange(1, d + 1), [-3]]
+                        ),
+                        "dim_j": np.concatenate([iu[1] + 1, np.full(d, -1), [-3]]),
+                        "partial": np.concatenate([g[iu], s, [len(qc)]]),
+                    }
+                )
+
+    cells = (
+        emb.mapInPandas(cov_chunks, schema=out_schema)
+        .groupBy("dim_i", "dim_j")
+        .agg(F.sum(_d38(F.col("partial"))).cast("decimal(38,0)").alias("s"))
+    )
+    gram = cells.filter((F.col("dim_i") > 0) & (F.col("dim_j") > 0)).select(
+        F.col("dim_i"), F.col("dim_j"), F.col("s").alias("qsum")
+    )
+    margins = cells.filter(F.col("dim_j") == -1).select(
+        F.col("dim_i").alias("dim"), F.col("s").alias("msum")
+    )
+    nrow = cells.filter(F.col("dim_i") == -3).select(F.col("s").alias("n"))
+    j = (
+        gram.join(
+            F.broadcast(margins.select(F.col("dim").alias("dim_i"), F.col("msum").alias("si"))),
+            "dim_i",
+        )
+        .join(
+            F.broadcast(margins.select(F.col("dim").alias("dim_j"), F.col("msum").alias("sj"))),
+            "dim_j",
+        )
+        .crossJoin(F.broadcast(nrow))
+    )
+    num = F.col("n") * F.col("qsum") - F.col("si") * F.col("sj")
+    den = (F.col("n") * F.col("n") * F.lit(100000000000000).cast("decimal(38,0)")).cast(
+        "decimal(38,0)"
+    )
+    shifted = (num * F.lit(1000000).cast("decimal(38,0)")).cast("decimal(38,0)") + (
+        F.lit(1000000).cast("decimal(38,0)") * den
+    ).cast("decimal(38,0)")
+    cov_micro = ((shifted - F.pmod(shifted, den)) / den).cast("bigint") - F.lit(1000000)
+    return j.select(
+        F.col("dim_i").cast("bigint").alias("dim_i"),
+        F.col("dim_j").cast("bigint").alias("dim_j"),
+        F.col("n").cast("bigint").alias("n_vectors"),
+        (cov_micro.cast("double") / F.lit(1000000.0)).alias("cov"),
+    ).orderBy("dim_i", "dim_j")

@@ -820,3 +820,28 @@ def test_ridge_probe(spark, con):
         assert abs(r["r2"] - r2) <= 2e-6
         assert 0.0 <= r["r2"] <= 1.0
         assert r["n_vectors"] == len(rows)
+
+
+def test_covariance_matrix(spark, con):
+    """q364: exact integer covariance numerators replayed in arbitrary
+    precision, plus a numpy population-covariance cross-check."""
+    rows = con.execute("SELECT embedding FROM embeddings").fetchall()
+    q = np.floor(np.array([e for (e,) in rows], dtype=np.float64) * 1e7).astype(object)
+    n = q.shape[0]
+    d = q.shape[1]
+    G = q.T @ q            # object dtype: exact python ints
+    S = q.sum(axis=0)
+    got = QUERIES["q364_covariance_matrix"](spark, SF).collect()
+    assert len(got) == d * (d + 1) // 2
+    den = n * n * 10**14
+    for r in got:
+        i, j = r["dim_i"] - 1, r["dim_j"] - 1
+        num = n * int(G[i, j]) - int(S[i]) * int(S[j])
+        cov_micro = (num * 1_000_000 + 1_000_000 * den) // den - 1_000_000
+        assert r["n_vectors"] == n
+        assert abs(r["cov"] - cov_micro / 1e6) <= 1e-12, (i, j)
+    # numpy float population covariance agrees to quantization error
+    X = np.array([e for (e,) in rows], dtype=np.float64)
+    C = np.cov(X, rowvar=False, bias=True)
+    for r in got[:50]:
+        assert abs(r["cov"] - C[r["dim_i"] - 1, r["dim_j"] - 1]) < 1e-3
