@@ -284,6 +284,7 @@ _R07_LATE: tuple[str, ...] = (
     "q362_gram_matrix",
     "q363_ridge_probe",
     "q364_covariance_matrix",
+    "q365_conformal_quantile",
 )
 
 

@@ -2507,3 +2507,99 @@ def q364_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_vectors"),
         (cov_micro.cast("double") / F.lit(1000000.0)).alias("cov"),
     ).orderBy("dim_i", "dim_j")
+
+
+# ---------------------------------------------------------------------------
+# q365 — split-conformal quantile of the calibration residuals
+# |y - conf| at alpha = 0.1: qhat = the ceil((n+1)(1-alpha))-th
+# smallest score — the distribution-free prediction-interval radius
+# (split conformal prediction). Scores are exact integer micro units
+# (|y*1e6 - conf_micro|), the order statistic resolves on the
+# score-value spine (cumulative counts, first value reaching k), and
+# the guaranteed >= 1-alpha empirical coverage is re-measured and
+# asserted by an executed in-plan contract.
+# ---------------------------------------------------------------------------
+@query(
+    "q365_conformal_quantile",
+    oracle="""
+    WITH scored AS (
+        SELECT abs(CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END
+                   - CAST(round(1000000.0 / (1.0 + exp(-(CAST(n_chars AS DOUBLE) - 500.0) / 250.0)))
+                          AS BIGINT)) AS s
+        FROM documents
+    ),
+    spine AS (SELECT s, CAST(count(*) AS BIGINT) AS c FROM scored GROUP BY s),
+    cum AS (
+        SELECT s, CAST(sum(c) OVER (ORDER BY s) AS BIGINT) AS cf,
+               CAST(sum(c) OVER () AS BIGINT) AS n
+        FROM spine
+    ),
+    k AS (
+        SELECT n, least(CAST(ceil(CAST(n + 1 AS DOUBLE) * 0.9) AS BIGINT), n) AS kk
+        FROM (SELECT max(n) AS n FROM cum)
+    )
+    SELECT k.n AS n_docs, k.kk AS k_order,
+           CAST(min(c.s) AS BIGINT) AS qhat_micro,
+           round(CAST(min(c.s) AS DOUBLE) / 1000000.0, 6) AS qhat,
+           round(CAST((SELECT min(cf) FROM cum WHERE cf >= k.kk) AS DOUBLE)
+                 / CAST(k.n AS DOUBLE), 6) AS coverage
+    FROM cum c CROSS JOIN k
+    WHERE c.cf >= k.kk
+    GROUP BY k.n, k.kk
+    """,
+)
+def q365_conformal_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.contracts import contract_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    conf_micro = F.round(
+        F.lit(1000000.0)
+        / (
+            F.lit(1.0)
+            + F.exp(-(F.col("n_chars").cast("double") - F.lit(500.0)) / F.lit(250.0))
+        )
+    ).cast("bigint")
+    scored = docs.select(
+        F.abs(
+            F.when(F.col("lang") == "en", F.lit(1000000)).otherwise(F.lit(0))
+            - conf_micro
+        ).alias("s")
+    )
+    spine = scored.groupBy("s").agg(F.count("*").cast("bigint").alias("c"))
+    w_cum = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = spine.select(
+        "s",
+        F.sum("c").over(w_cum).cast("bigint").alias("cf"),
+        F.sum("c").over(w_all).cast("bigint").alias("n"),
+    )
+    k = F.least(
+        F.ceil((F.col("n") + 1).cast("double") * F.lit(0.9)).cast("bigint"), F.col("n")
+    )
+    hit = (
+        cum.withColumn("kk", k)
+        .filter(F.col("cf") >= F.col("kk"))
+        .groupBy("n", "kk")
+        .agg(
+            F.min("s").cast("bigint").alias("qhat_micro"),
+            F.min("cf").cast("bigint").alias("cf_at_qhat"),
+        )
+    )
+    out = hit.select(
+        F.col("n").alias("n_docs"),
+        F.col("kk").alias("k_order"),
+        "qhat_micro",
+        F.round(F.col("qhat_micro").cast("double") / F.lit(1000000.0), 6).alias("qhat"),
+        F.round(F.col("cf_at_qhat").cast("double") / F.col("n").cast("double"), 6).alias(
+            "coverage"
+        ),
+        (F.col("cf_at_qhat").cast("double") * F.lit(10.0) >= F.col("n").cast("double") * F.lit(9.0)).alias("_cov_ok"),
+    )
+    return contract_filter(
+        out,
+        F.col("_cov_ok"),
+        F.concat(
+            F.lit("split-conformal coverage below 1-alpha: "),
+            F.col("coverage").cast("string"),
+        ),
+    ).drop("_cov_ok")

@@ -845,3 +845,20 @@ def test_covariance_matrix(spark, con):
     C = np.cov(X, rowvar=False, bias=True)
     for r in got[:50]:
         assert abs(r["cov"] - C[r["dim_i"] - 1, r["dim_j"] - 1]) < 1e-3
+
+
+def test_conformal_quantile(spark, con):
+    """q365: the finite-sample order statistic replayed with a plain
+    sort, plus the coverage guarantee check."""
+    pairs = _conf_label_rows(con)
+    scores = sorted(abs(y * 1_000_000 - v) for v, y in pairs)
+    n = len(scores)
+    k = min(math.ceil((n + 1) * 0.9), n)
+    qhat_micro = scores[k - 1]
+    cf = sum(1 for s in scores if s <= qhat_micro)
+    r = QUERIES["q365_conformal_quantile"](spark, SF).collect()[0]
+    assert r["n_docs"] == n and r["k_order"] == k
+    assert r["qhat_micro"] == qhat_micro
+    assert abs(r["qhat"] - round(qhat_micro / 1e6, 6)) <= 1e-9
+    assert abs(r["coverage"] - round(cf / n, 6)) <= 1e-9
+    assert cf / n >= 0.9
