@@ -285,6 +285,7 @@ _R07_LATE: tuple[str, ...] = (
     "q363_ridge_probe",
     "q364_covariance_matrix",
     "q365_conformal_quantile",
+    "q366_isotonic_calibration",
 )
 
 

@@ -2603,3 +2603,105 @@ def q365_conformal_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("coverage").cast("string"),
         ),
     ).drop("_cov_ok")
+
+
+# ---------------------------------------------------------------------------
+# q366 — isotonic recalibration (pool-adjacent-violators) of the
+# 10 confidence bins (rows-only: PAVA is an inherently sequential
+# pooling pass, run driver-side on the bounded 10-row spine — the
+# BPE-vocab precedent — in EXACT rational arithmetic via Fraction).
+# Completes the calibration story: q345 measures miscalibration
+# (ECE), q366 produces the monotone recalibration map a quality gate
+# would actually apply. Executed in-plan contracts: the calibrated
+# values are monotone non-decreasing in the bin (exact integer micro
+# comparison) and label mass is preserved up to the floor error
+# bound |sum(n*cal_micro) - sum(x)*1e6| <= sum(n).
+# ---------------------------------------------------------------------------
+@query("q366_isotonic_calibration")
+def q366_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fractions import Fraction
+
+    from pipeline_usnvc_spark.operators.contracts import contract_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    conf_micro = F.round(
+        F.lit(1000000.0)
+        / (
+            F.lit(1.0)
+            + F.exp(-(F.col("n_chars").cast("double") - F.lit(500.0)) / F.lit(250.0))
+        )
+    ).cast("bigint")
+    per_bin = (
+        docs.select(
+            F.least(F.floor(conf_micro / 100000).cast("bigint"), F.lit(9)).alias("bin"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        )
+        .groupBy("bin")
+        .agg(F.count("*").cast("bigint").alias("n"), F.sum("y").cast("bigint").alias("x"))
+        .orderBy("bin")
+    )
+    rows = per_bin.collect()  # bounded grain: <= 10 bins
+    # exact-rational PAVA: pool adjacent violators until monotone
+    blocks = [
+        {"bins": [r["bin"]], "n": r["n"], "x": r["x"], "v": Fraction(r["x"], r["n"])}
+        for r in rows
+    ]
+    i = 0
+    while i < len(blocks) - 1:
+        if blocks[i]["v"] > blocks[i + 1]["v"]:
+            a, b = blocks[i], blocks.pop(i + 1)
+            a["bins"] += b["bins"]
+            a["n"] += b["n"]
+            a["x"] += b["x"]
+            a["v"] = Fraction(a["x"], a["n"])
+            if i > 0:
+                i -= 1
+        else:
+            i += 1
+    cal = {}
+    for blk in blocks:
+        cal_micro = (blk["x"] * 1_000_000) // blk["n"]  # exact floor
+        for b in blk["bins"]:
+            cal[b] = cal_micro
+    out = spark.createDataFrame(
+        [
+            (
+                r["bin"],
+                r["n"],
+                round(r["x"] / r["n"], 6),
+                cal[r["bin"]],
+                round(cal[r["bin"]] / 1e6, 6),
+            )
+            for r in rows
+        ],
+        "bin bigint, n_docs bigint, raw_acc double, cal_micro bigint, calibrated double",
+    )
+    w_prev = Window.orderBy("bin")
+    mass = out.agg(
+        F.sum(F.col("n_docs") * F.col("cal_micro")).cast("decimal(38,0)").alias("cm"),
+        F.sum(F.col("n_docs")).cast("bigint").alias("nn"),
+    )
+    x_total = sum(r["x"] for r in rows)
+    checked = out.withColumn(
+        "prev_cal", F.lag("cal_micro").over(w_prev)
+    ).crossJoin(F.broadcast(mass))
+    return (
+        contract_filter(
+            checked,
+            (F.col("prev_cal").isNull() | (F.col("cal_micro") >= F.col("prev_cal")))
+            & (
+                F.abs(F.col("cm") - F.lit(x_total).cast("decimal(38,0)") * F.lit(1000000).cast("decimal(38,0)"))
+                <= F.col("nn").cast("decimal(38,0)")
+            ),
+            F.concat(
+                F.lit("isotonic calibration breach at bin "),
+                F.col("bin").cast("string"),
+                F.lit(": cal="),
+                F.col("cal_micro").cast("string"),
+                F.lit(" prev="),
+                F.coalesce(F.col("prev_cal").cast("string"), F.lit("null")),
+            ),
+        )
+        .select("bin", "n_docs", "raw_acc", "calibrated")
+        .orderBy("bin")
+    )

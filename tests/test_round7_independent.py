@@ -862,3 +862,47 @@ def test_conformal_quantile(spark, con):
     assert abs(r["qhat"] - round(qhat_micro / 1e6, 6)) <= 1e-9
     assert abs(r["coverage"] - round(cf / n, 6)) <= 1e-9
     assert cf / n >= 0.9
+
+
+def test_isotonic_calibration(spark, con):
+    """q366: stack-based exact-rational PAVA (different algorithm
+    organization from the query's list-pooling) must agree, and the
+    output must be monotone and mass-preserving."""
+    from fractions import Fraction
+
+    pairs = _conf_label_rows(con)
+    bins: dict[int, list[int]] = {}
+    for v, y in pairs:
+        b = min(v // 100_000, 9)
+        n, x = bins.get(b, (0, 0))
+        bins[b] = (n + 1, x + y)
+    order = sorted(bins)
+    stack: list[list] = []  # [n, x, count_of_bins]
+    for b in order:
+        n, x = bins[b]
+        stack.append([n, x, 1])
+        while len(stack) > 1 and Fraction(stack[-2][1], stack[-2][0]) > Fraction(
+            stack[-1][1], stack[-1][0]
+        ):
+            n2, x2, c2 = stack.pop()
+            stack[-1][0] += n2
+            stack[-1][1] += x2
+            stack[-1][2] += c2
+    want = {}
+    idx = 0
+    for n, x, c in stack:
+        cal = (x * 1_000_000) // n
+        for _ in range(c):
+            want[order[idx]] = cal
+            idx += 1
+    got = QUERIES["q366_isotonic_calibration"](spark, SF).collect()
+    assert {r["bin"] for r in got} == set(order)
+    prev = None
+    for r in sorted(got, key=lambda r: r["bin"]):
+        n, x = bins[r["bin"]]
+        assert r["n_docs"] == n
+        assert abs(r["raw_acc"] - round(x / n, 6)) <= 1e-9
+        assert abs(r["calibrated"] - round(want[r["bin"]] / 1e6, 6)) <= 1e-9
+        if prev is not None:
+            assert r["calibrated"] >= prev - 1e-12
+        prev = r["calibrated"]
