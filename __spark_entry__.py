@@ -286,6 +286,7 @@ _R07_LATE: tuple[str, ...] = (
     "q364_covariance_matrix",
     "q365_conformal_quantile",
     "q366_isotonic_calibration",
+    "q367_energy_distance",
 )
 
 

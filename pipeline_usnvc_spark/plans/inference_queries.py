@@ -2705,3 +2705,160 @@ def q366_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bin", "n_docs", "raw_acc", "calibrated")
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# q367 — exact two-sample ENERGY distance between every pair of
+# sources' length distributions: D^2 = 2 E|X-Y| - E|X-X'| - E|Y-Y'|,
+# the modern nonparametric two-sample statistic (zero iff the
+# distributions match) that complements the ECDF family (KS q191,
+# CvM q349). All three pairwise-|difference| sums collapse to the
+# value spine via prefix counts/sums — sum |x-y| = sum_v [ c_v *
+# (v * cnt_below - sum_below) ] — so the statistic has an EXACT
+# integer numerator (2*T_AB*n*m - T_AA*m^2 - T_BB*n^2) over n^2*m^2,
+# floor-divided to micro before the one double division (q318
+# lesson). DECIMAL(38,0) headroom: numerator ~ n^2*m^2*max|x| — fine
+# through ~1e7 rows per side at this value domain; micro-scale the
+# prefix sums beyond that.
+# ---------------------------------------------------------------------------
+@query(
+    "q367_energy_distance",
+    oracle="""
+    WITH cnt AS (
+        SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.source AS sa, b.source AS sb
+        FROM (SELECT DISTINCT source FROM cnt) a
+        JOIN (SELECT DISTINCT source FROM cnt) b ON a.source < b.source
+    ),
+    spine AS (
+        SELECT p.sa, p.sb, v.v,
+               coalesce(ca.c, 0) AS ca, coalesce(cb.c, 0) AS cb
+        FROM pairs p
+        JOIN (SELECT DISTINCT cnt.v FROM cnt) v ON TRUE
+        LEFT JOIN cnt ca ON ca.source = p.sa AND ca.v = v.v
+        LEFT JOIN cnt cb ON cb.source = p.sb AND cb.v = v.v
+        WHERE coalesce(ca.c, 0) + coalesce(cb.c, 0) > 0
+    ),
+    cum AS (
+        SELECT sa, sb, v, ca, cb,
+               CAST(coalesce(sum(ca) OVER wb, 0) AS HUGEINT) AS cnt_a_below,
+               CAST(coalesce(sum(CAST(ca AS HUGEINT) * v) OVER wb, 0) AS HUGEINT) AS sum_a_below,
+               CAST(coalesce(sum(cb) OVER wb, 0) AS HUGEINT) AS cnt_b_below,
+               CAST(coalesce(sum(CAST(cb AS HUGEINT) * v) OVER wb, 0) AS HUGEINT) AS sum_b_below,
+               CAST(sum(ca) OVER wp AS HUGEINT) AS n,
+               CAST(sum(cb) OVER wp AS HUGEINT) AS m
+        FROM spine
+        WINDOW wb AS (PARTITION BY sa, sb ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               wp AS (PARTITION BY sa, sb)
+    ),
+    sums AS (
+        SELECT sa, sb, max(n) AS n, max(m) AS m,
+               CAST(sum(CAST(ca AS HUGEINT) * (v * cnt_b_below - sum_b_below)
+                        + CAST(cb AS HUGEINT) * (v * cnt_a_below - sum_a_below)) AS HUGEINT) AS t_ab,
+               CAST(sum(2 * CAST(ca AS HUGEINT) * (v * cnt_a_below - sum_a_below)) AS HUGEINT) AS t_aa,
+               CAST(sum(2 * CAST(cb AS HUGEINT) * (v * cnt_b_below - sum_b_below)) AS HUGEINT) AS t_bb
+        FROM cum GROUP BY sa, sb
+    )
+    SELECT sa AS source_a, sb AS source_b,
+           CAST(n AS BIGINT) AS n_a, CAST(m AS BIGINT) AS n_b,
+           CAST((2 * t_ab * n * m - t_aa * m * m - t_bb * n * n) * 1000000
+                - ((2 * t_ab * n * m - t_aa * m * m - t_bb * n * n) * 1000000)
+                  % (n * n * m * m)
+                AS HUGEINT) // (n * n * m * m) / 1000000.0 AS energy_d2
+    FROM sums ORDER BY sa, sb
+    """,
+)
+def q367_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    srcs = cnt.select("source").distinct()
+    pairs = srcs.select(F.col("source").alias("sa")).join(
+        srcs.select(F.col("source").alias("sb")), F.col("sa") < F.col("sb")
+    )
+    vals = cnt.select("v").distinct()
+    spine = (
+        pairs.crossJoin(F.broadcast(vals))
+        .join(
+            F.broadcast(
+                cnt.select(F.col("source").alias("sa"), "v", F.col("c").alias("ca"))
+            ),
+            ["sa", "v"],
+            "left",
+        )
+        .join(
+            F.broadcast(
+                cnt.select(F.col("source").alias("sb"), "v", F.col("c").alias("cb"))
+            ),
+            ["sb", "v"],
+            "left",
+        )
+        .select(
+            "sa",
+            "sb",
+            "v",
+            F.coalesce("ca", F.lit(0).cast("bigint")).alias("ca"),
+            F.coalesce("cb", F.lit(0).cast("bigint")).alias("cb"),
+        )
+        .filter(F.col("ca") + F.col("cb") > 0)
+    )
+    w_below = (
+        Window.partitionBy("sa", "sb")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_pair = Window.partitionBy("sa", "sb")
+    z = F.lit(0).cast("decimal(38,0)")
+    cum = spine.select(
+        "sa",
+        "sb",
+        "v",
+        "ca",
+        "cb",
+        F.coalesce(F.sum(_d38(F.col("ca"))).over(w_below), z).alias("cnt_a_below"),
+        F.coalesce(F.sum(_d38(F.col("ca")) * _d38(F.col("v"))).over(w_below), z).alias(
+            "sum_a_below"
+        ),
+        F.coalesce(F.sum(_d38(F.col("cb"))).over(w_below), z).alias("cnt_b_below"),
+        F.coalesce(F.sum(_d38(F.col("cb")) * _d38(F.col("v"))).over(w_below), z).alias(
+            "sum_b_below"
+        ),
+        F.sum("ca").over(w_pair).cast("bigint").alias("n"),
+        F.sum("cb").over(w_pair).cast("bigint").alias("m"),
+    )
+    gap_b = _d38(F.col("v")) * F.col("cnt_b_below") - F.col("sum_b_below")
+    gap_a = _d38(F.col("v")) * F.col("cnt_a_below") - F.col("sum_a_below")
+    sums = cum.groupBy("sa", "sb").agg(
+        F.max("n").alias("n"),
+        F.max("m").alias("m"),
+        F.sum(_d38(F.col("ca")) * gap_b + _d38(F.col("cb")) * gap_a)
+        .cast("decimal(38,0)")
+        .alias("t_ab"),
+        F.sum(F.lit(2).cast("decimal(38,0)") * _d38(F.col("ca")) * gap_a)
+        .cast("decimal(38,0)")
+        .alias("t_aa"),
+        F.sum(F.lit(2).cast("decimal(38,0)") * _d38(F.col("cb")) * gap_b)
+        .cast("decimal(38,0)")
+        .alias("t_bb"),
+    )
+    n38, m38 = _d38(F.col("n")), _d38(F.col("m"))
+    num = (
+        F.lit(2).cast("decimal(38,0)") * F.col("t_ab") * n38 * m38
+        - F.col("t_aa") * m38 * m38
+        - F.col("t_bb") * n38 * n38
+    ).cast("decimal(38,0)")
+    den = (n38 * n38 * m38 * m38).cast("decimal(38,0)")
+    scaled = (num * F.lit(1000000).cast("decimal(38,0)")).cast("decimal(38,0)")
+    d2_micro = ((scaled - F.pmod(scaled, den)) / den).cast("bigint")
+    return sums.select(
+        F.col("sa").alias("source_a"),
+        F.col("sb").alias("source_b"),
+        F.col("n").alias("n_a"),
+        F.col("m").alias("n_b"),
+        (d2_micro.cast("double") / F.lit(1000000.0)).alias("energy_d2"),
+    ).orderBy("source_a", "source_b")

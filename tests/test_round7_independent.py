@@ -906,3 +906,29 @@ def test_isotonic_calibration(spark, con):
         if prev is not None:
             assert r["calibrated"] >= prev - 1e-12
         prev = r["calibrated"]
+
+
+def test_energy_distance(spark, con):
+    """q367: brute-force O(n*m) pairwise |difference| sums (no prefix
+    trick) must reproduce the exact integer statistic."""
+    rows = con.execute("SELECT source, n_chars FROM documents").fetchall()
+    per: dict[str, list[int]] = {}
+    for s, v in rows:
+        per.setdefault(s, []).append(v)
+    got = {
+        (r["source_a"], r["source_b"]): r
+        for r in QUERIES["q367_energy_distance"](spark, SF).collect()
+    }
+    srcs = sorted(per)
+    assert set(got) == {(a, b) for i, a in enumerate(srcs) for b in srcs[i + 1 :]}
+    for (a, b), r in got.items():
+        xs, ys = per[a], per[b]
+        n, m = len(xs), len(ys)
+        t_ab = sum(abs(x - y) for x in xs for y in ys)
+        t_aa = sum(abs(x - y) for x in xs for y in xs)
+        t_bb = sum(abs(x - y) for x in ys for y in ys)
+        num = 2 * t_ab * n * m - t_aa * m * m - t_bb * n * n
+        d2_micro = (num * 1_000_000) // (n * n * m * m)
+        assert r["n_a"] == n and r["n_b"] == m
+        assert abs(r["energy_d2"] - d2_micro / 1e6) <= 1e-12, (a, b)
+        assert r["energy_d2"] >= 0
