@@ -287,6 +287,7 @@ _R07_LATE: tuple[str, ...] = (
     "q365_conformal_quantile",
     "q366_isotonic_calibration",
     "q367_energy_distance",
+    "q368_wasserstein_1d",
 )
 
 

@@ -2862,3 +2862,131 @@ def q367_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m").alias("n_b"),
         (d2_micro.cast("double") / F.lit(1000000.0)).alias("energy_d2"),
     ).orderBy("source_a", "source_b")
+
+
+# ---------------------------------------------------------------------------
+# q368 — exact 1-D Wasserstein-1 (earth mover's) distance between
+# every pair of sources' length distributions: W1 = integral of
+# |CDF_A - CDF_B|, which on the value spine is the EXACT integer sum
+# of (v_next - v) * |cfa*m - cfb*n| over n*m — closing the
+# distribution-shift quartet (KS max-gap q191, CvM squared-gap q349,
+# energy q367, W1 transport cost). One row-grain groupBy, pair x
+# value spine, floor-to-micro before the single double division.
+# ---------------------------------------------------------------------------
+@query(
+    "q368_wasserstein_1d",
+    oracle="""
+    WITH cnt AS (
+        SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.source AS sa, b.source AS sb
+        FROM (SELECT DISTINCT source FROM cnt) a
+        JOIN (SELECT DISTINCT source FROM cnt) b ON a.source < b.source
+    ),
+    spine AS (
+        SELECT p.sa, p.sb, v.v,
+               coalesce(ca.c, 0) AS ca, coalesce(cb.c, 0) AS cb
+        FROM pairs p
+        JOIN (SELECT DISTINCT cnt.v FROM cnt) v ON TRUE
+        LEFT JOIN cnt ca ON ca.source = p.sa AND ca.v = v.v
+        LEFT JOIN cnt cb ON cb.source = p.sb AND cb.v = v.v
+        WHERE coalesce(ca.c, 0) + coalesce(cb.c, 0) > 0
+    ),
+    cum AS (
+        SELECT sa, sb, v, ca, cb,
+               CAST(sum(ca) OVER w AS HUGEINT) AS cfa,
+               CAST(sum(cb) OVER w AS HUGEINT) AS cfb,
+               lead(v) OVER w2 AS v_next,
+               CAST(sum(ca) OVER wp AS HUGEINT) AS n,
+               CAST(sum(cb) OVER wp AS HUGEINT) AS m
+        FROM spine
+        WINDOW w AS (PARTITION BY sa, sb ORDER BY v),
+               w2 AS (PARTITION BY sa, sb ORDER BY v),
+               wp AS (PARTITION BY sa, sb)
+    ),
+    sums AS (
+        SELECT sa, sb, max(n) AS n, max(m) AS m,
+               CAST(sum(CASE WHEN v_next IS NOT NULL
+                    THEN CAST(v_next - v AS HUGEINT) * abs(cfa * m - cfb * n)
+                    ELSE 0 END) AS HUGEINT) AS t
+        FROM cum GROUP BY sa, sb
+    )
+    SELECT sa AS source_a, sb AS source_b,
+           CAST(n AS BIGINT) AS n_a, CAST(m AS BIGINT) AS n_b,
+           CAST(t * 1000000 - (t * 1000000) % (n * m) AS HUGEINT) // (n * m)
+               / 1000000.0 AS w1
+    FROM sums ORDER BY sa, sb
+    """,
+)
+def q368_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    srcs = cnt.select("source").distinct()
+    pairs = srcs.select(F.col("source").alias("sa")).join(
+        srcs.select(F.col("source").alias("sb")), F.col("sa") < F.col("sb")
+    )
+    vals = cnt.select("v").distinct()
+    spine = (
+        pairs.crossJoin(F.broadcast(vals))
+        .join(
+            F.broadcast(
+                cnt.select(F.col("source").alias("sa"), "v", F.col("c").alias("ca"))
+            ),
+            ["sa", "v"],
+            "left",
+        )
+        .join(
+            F.broadcast(
+                cnt.select(F.col("source").alias("sb"), "v", F.col("c").alias("cb"))
+            ),
+            ["sb", "v"],
+            "left",
+        )
+        .select(
+            "sa",
+            "sb",
+            "v",
+            F.coalesce("ca", F.lit(0).cast("bigint")).alias("ca"),
+            F.coalesce("cb", F.lit(0).cast("bigint")).alias("cb"),
+        )
+        .filter(F.col("ca") + F.col("cb") > 0)
+    )
+    w_cum = Window.partitionBy("sa", "sb").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_ord = Window.partitionBy("sa", "sb").orderBy("v")
+    w_pair = Window.partitionBy("sa", "sb")
+    cum = spine.select(
+        "sa",
+        "sb",
+        "v",
+        F.sum(_d38(F.col("ca"))).over(w_cum).alias("cfa"),
+        F.sum(_d38(F.col("cb"))).over(w_cum).alias("cfb"),
+        F.lead("v").over(w_ord).alias("v_next"),
+        F.sum("ca").over(w_pair).cast("bigint").alias("n"),
+        F.sum("cb").over(w_pair).cast("bigint").alias("m"),
+    )
+    seg = F.when(
+        F.col("v_next").isNotNull(),
+        _d38(F.col("v_next") - F.col("v"))
+        * F.abs(F.col("cfa") * _d38(F.col("m")) - F.col("cfb") * _d38(F.col("n"))),
+    ).otherwise(F.lit(0).cast("decimal(38,0)"))
+    sums = cum.groupBy("sa", "sb").agg(
+        F.max("n").alias("n"),
+        F.max("m").alias("m"),
+        F.sum(seg).cast("decimal(38,0)").alias("t"),
+    )
+    den = (_d38(F.col("n")) * _d38(F.col("m"))).cast("decimal(38,0)")
+    scaled = (F.col("t") * F.lit(1000000).cast("decimal(38,0)")).cast("decimal(38,0)")
+    w1_micro = ((scaled - F.pmod(scaled, den)) / den).cast("bigint")
+    return sums.select(
+        F.col("sa").alias("source_a"),
+        F.col("sb").alias("source_b"),
+        F.col("n").alias("n_a"),
+        F.col("m").alias("n_b"),
+        (w1_micro.cast("double") / F.lit(1000000.0)).alias("w1"),
+    ).orderBy("source_a", "source_b")

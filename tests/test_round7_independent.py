@@ -932,3 +932,31 @@ def test_energy_distance(spark, con):
         assert r["n_a"] == n and r["n_b"] == m
         assert abs(r["energy_d2"] - d2_micro / 1e6) <= 1e-12, (a, b)
         assert r["energy_d2"] >= 0
+
+
+def test_wasserstein_1d(spark, con):
+    """q368: W1 recomputed as the mean |difference of sorted quantile
+    functions| via the classic sorted-samples formulation (scaled to
+    the common n*m grid) — an entirely different derivation from the
+    query's CDF-gap segments."""
+    rows = con.execute("SELECT source, n_chars FROM documents").fetchall()
+    per: dict[str, list[int]] = {}
+    for s, v in rows:
+        per.setdefault(s, []).append(v)
+    got = {
+        (r["source_a"], r["source_b"]): r
+        for r in QUERIES["q368_wasserstein_1d"](spark, SF).collect()
+    }
+    for (a, b), r in got.items():
+        xs, ys = sorted(per[a]), sorted(per[b])
+        n, m = len(xs), len(ys)
+        # quantile functions on the lcm grid: sample i/(nm) of A is
+        # xs[i*n // (n*m) ... ] -> expand each x_i m times, y_j n times
+        t = 0
+        xi = [x for x in xs for _ in range(m)]
+        yi = [y for y in ys for _ in range(n)]
+        t = sum(abs(p - q) for p, q in zip(xi, yi))
+        w1_micro = (t * 1_000_000) // (n * m)
+        assert r["n_a"] == n and r["n_b"] == m
+        assert abs(r["w1"] - w1_micro / 1e6) <= 1e-12, (a, b)
+        assert r["w1"] >= 0
