@@ -288,6 +288,7 @@ _R07_LATE: tuple[str, ...] = (
     "q366_isotonic_calibration",
     "q367_energy_distance",
     "q368_wasserstein_1d",
+    "q369_hellinger_distance",
 )
 
 

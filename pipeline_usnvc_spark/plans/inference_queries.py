@@ -2990,3 +2990,109 @@ def q368_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m").alias("n_b"),
         (w1_micro.cast("double") / F.lit(1000000.0)).alias("w1"),
     ).orderBy("source_a", "source_b")
+
+
+# ---------------------------------------------------------------------------
+# q369 — Hellinger distance of each source's unigram distribution
+# from the corpus distribution over the top-100 corpus terms (add-1
+# smoothed, q330's setup so KL/JS/Hellinger are directly comparable):
+# BC = sum sqrt(p*q) with each per-term sqrt micro-rounded from an
+# exact integer ratio argument (the q217/q330 transcendental
+# discipline — round(1e6 * sqrt((ca*expr)/(na*expr)))) and summed
+# exactly; H = sqrt(1 - BC) is the single final expression, 6dp.
+# Completes the f-divergence family: KL (q330), JS (q237), Hellinger.
+# ---------------------------------------------------------------------------
+@query(
+    "q369_hellinger_distance",
+    oracle="""
+    WITH toks AS (
+        SELECT source, unnest(list_filter(
+            string_split_regex(lower(text), '[^a-zA-Z0-9]+'), t -> t <> '')) AS term
+        FROM documents
+    ),
+    tc AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2),
+    top_terms AS (
+        SELECT term, CAST(sum(c) AS BIGINT) AS cc FROM tc
+        GROUP BY term ORDER BY cc DESC, term LIMIT 100
+    ),
+    corpus_tot AS (SELECT CAST(sum(cc) AS BIGINT) AS nq FROM top_terms),
+    src_tot AS (
+        SELECT source, CAST(sum(c) AS BIGINT) AS np
+        FROM tc JOIN top_terms USING (term) GROUP BY source
+    ),
+    cells AS (
+        SELECT s.source, t.term, t.cc, coalesce(c.c, 0) AS ca, st.np, ct.nq
+        FROM (SELECT DISTINCT source FROM tc) s
+        JOIN top_terms t ON TRUE
+        LEFT JOIN tc c ON c.source = s.source AND c.term = t.term
+        JOIN src_tot st ON st.source = s.source
+        CROSS JOIN corpus_tot ct
+    ),
+    bc AS (
+        SELECT source, max(np) AS n_tokens,
+               CAST(sum(CAST(round(1000000.0 * sqrt(
+                   (CAST(ca + 1 AS DOUBLE) / CAST(np + 100 AS DOUBLE))
+                   * (CAST(cc + 1 AS DOUBLE) / CAST(nq + 100 AS DOUBLE))))
+                   AS BIGINT)) AS BIGINT) AS bc_micro
+        FROM cells GROUP BY source
+    )
+    SELECT source, n_tokens,
+           round(CAST(bc_micro AS DOUBLE) / 1000000.0, 6) AS bhattacharyya,
+           round(sqrt(greatest(1.0 - CAST(bc_micro AS DOUBLE) / 1000000.0, 0.0)), 6)
+               AS hellinger
+    FROM bc ORDER BY source
+    """,
+)
+def q369_hellinger_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select("source", F.explode(tokens("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    top_terms = (
+        tc.groupBy("term")
+        .agg(F.sum("c").cast("bigint").alias("cc"))
+        .orderBy(F.col("cc").desc(), F.col("term"))
+        .limit(100)
+    )
+    corpus_tot = top_terms.agg(F.sum("cc").cast("bigint").alias("nq"))
+    with_top = tc.join(F.broadcast(top_terms.select("term")), "term")
+    src_tot = with_top.groupBy("source").agg(F.sum("c").cast("bigint").alias("np"))
+    cells = (
+        tc.select("source")
+        .distinct()
+        .crossJoin(F.broadcast(top_terms))
+        .join(F.broadcast(tc.withColumnRenamed("c", "ca")), ["source", "term"], "left")
+        .join(F.broadcast(src_tot), "source")
+        .crossJoin(F.broadcast(corpus_tot))
+        .select(
+            "source",
+            F.coalesce("ca", F.lit(0).cast("bigint")).alias("ca"),
+            "cc",
+            "np",
+            "nq",
+        )
+    )
+    term_micro = F.round(
+        F.lit(1000000.0)
+        * F.sqrt(
+            ((F.col("ca") + 1).cast("double") / (F.col("np") + 100).cast("double"))
+            * ((F.col("cc") + 1).cast("double") / (F.col("nq") + 100).cast("double"))
+        )
+    ).cast("bigint")
+    bc = cells.groupBy("source").agg(
+        F.max("np").alias("n_tokens"),
+        F.sum(term_micro).cast("bigint").alias("bc_micro"),
+    )
+    bcd = F.col("bc_micro").cast("double") / F.lit(1000000.0)
+    return bc.select(
+        "source",
+        "n_tokens",
+        F.round(bcd, 6).alias("bhattacharyya"),
+        F.round(F.sqrt(F.greatest(F.lit(1.0) - bcd, F.lit(0.0))), 6).alias(
+            "hellinger"
+        ),
+    ).orderBy("source")

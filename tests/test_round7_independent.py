@@ -960,3 +960,37 @@ def test_wasserstein_1d(spark, con):
         assert r["n_a"] == n and r["n_b"] == m
         assert abs(r["w1"] - w1_micro / 1e6) <= 1e-12, (a, b)
         assert r["w1"] >= 0
+
+
+def test_hellinger_distance(spark, con):
+    """q369: BC/Hellinger recomputed from a Counter over the same
+    tokens with the same add-1 smoothing and micro-rounded sqrt."""
+    from collections import Counter
+
+    rows = con.execute("SELECT source, text FROM documents").fetchall()
+    per: dict[str, Counter] = {}
+    for s, t in rows:
+        per.setdefault(s, Counter()).update(_toks(t))
+    corpus = Counter()
+    for c in per.values():
+        corpus.update(c)
+    top = sorted(corpus.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    nq = sum(c for _, c in top)
+    got = {r["source"]: r for r in QUERIES["q369_hellinger_distance"](spark, SF).collect()}
+    assert set(got) == set(per)
+    for s, r in got.items():
+        np_ = sum(per[s][t] for t, _ in top)
+        bc_micro = sum(
+            round(
+                1e6
+                * math.sqrt(
+                    ((per[s][t] + 1) / (np_ + 100)) * ((cc + 1) / (nq + 100))
+                )
+            )
+            for t, cc in top
+        )
+        assert r["n_tokens"] == np_
+        assert abs(r["bhattacharyya"] - round(bc_micro / 1e6, 6)) <= 1e-9
+        h = round(math.sqrt(max(1.0 - bc_micro / 1e6, 0.0)), 6)
+        assert abs(r["hellinger"] - h) <= 1e-9
+        assert 0.0 <= r["hellinger"] <= 1.0
