@@ -289,6 +289,7 @@ _R07_LATE: tuple[str, ...] = (
     "q367_energy_distance",
     "q368_wasserstein_1d",
     "q369_hellinger_distance",
+    "q370_bucketed_join",
 )
 
 

@@ -3096,3 +3096,71 @@ def q369_hellinger_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hellinger"
         ),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# q370 — bucketed co-located join: write orders and customer as
+# Hive-bucketed tables (8 buckets on the join key, sorted in-bucket),
+# then join WITHOUT a shuffle — the bucketing story the 100 TB design
+# leans on: a fact table bucketed at write time pays its exchange
+# once, and every subsequent key join rides the stored layout (the
+# persisted-layout sibling of operators/layout.py's range-sorted
+# sink). The join itself is exchange-free (plan-audited in
+# tests/test_plans.py); the only shuffle left is the final
+# nation-grain aggregate. Results are layout-independent, so the
+# DuckDB oracle is the plain join — correctness certifies the
+# bucketed path end-to-end.
+# ---------------------------------------------------------------------------
+@query(
+    "q370_bucketed_join",
+    oracle="""
+    SELECT c.c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q370_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    spark.sql("CREATE DATABASE IF NOT EXISTS bucketed_demo")
+    # a FRESH session's in-memory catalog doesn't know tables a prior
+    # session wrote, so DROP TABLE alone leaves the physical location
+    # behind and saveAsTable fails with LOCATION_ALREADY_EXISTS —
+    # clear both the catalog entry and the directory
+    import shutil
+    from urllib.parse import urlparse
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for name, df, key in (
+        ("bucketed_demo.orders_bkt", o, "o_custkey"),
+        ("bucketed_demo.customer_bkt", c, "c_custkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(
+            f"{warehouse}/bucketed_demo.db/{name.split('.')[1]}", ignore_errors=True
+        )
+        (
+            df.repartition(8, key)
+            .write.bucketBy(8, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    ob = spark.table("bucketed_demo.orders_bkt")
+    cb = spark.table("bucketed_demo.customer_bkt")
+    # MERGE hint: without it the small side broadcasts and the
+    # bucketed layout goes unused — the point here is the
+    # exchange-free sort-merge join over the stored bucketing
+    joined = ob.hint("merge").join(cb.hint("merge"), ob["o_custkey"] == cb["c_custkey"])
+    return (
+        joined.groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -742,3 +742,23 @@ def test_inference_family_aggregates_before_windows(spark, sf_dir):
         )
         assert "BroadcastExchange" in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_bucketed_join_has_no_pre_join_exchange(spark, sf_dir):
+    # q370: the whole point of bucketing — the SortMergeJoin consumes
+    # the two bucketed scans DIRECTLY; every Exchange in the plan sits
+    # above the join (aggregate / final sort), never between a scan
+    # and the join.
+    plan = (
+        QUERIES["q370_bucketed_join"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" in plan
+    smj = plan.index("SortMergeJoin")
+    below = plan[smj:]
+    assert "Exchange" not in below, (
+        "exchange below the bucketed join:\n" + below[:1500]
+    )
+    assert below.count("Bucketed: true") == 2, below[:1500]
