@@ -3125,26 +3125,27 @@ def q370_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     spark.sql("CREATE DATABASE IF NOT EXISTS bucketed_demo")
-    # a FRESH session's in-memory catalog doesn't know tables a prior
-    # session wrote, so DROP TABLE alone leaves the physical location
-    # behind and saveAsTable fails with LOCATION_ALREADY_EXISTS —
-    # clear both the catalog entry and the directory
+    # External tables under an EXPLICIT /tmp path: the harness session
+    # may run with an arbitrary (possibly read-only) CWD, so never
+    # rely on the default spark-warehouse location. A fresh session's
+    # in-memory catalog also doesn't know tables a prior session
+    # wrote, so DROP TABLE alone leaves the physical location behind
+    # (LOCATION_ALREADY_EXISTS) — clear the directory too.
     import shutil
-    from urllib.parse import urlparse
 
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    base = "/tmp/pipeline_usnvc_spark_bucketed"
     for name, df, key in (
         ("bucketed_demo.orders_bkt", o, "o_custkey"),
         ("bucketed_demo.customer_bkt", c, "c_custkey"),
     ):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
-        shutil.rmtree(
-            f"{warehouse}/bucketed_demo.db/{name.split('.')[1]}", ignore_errors=True
-        )
+        loc = f"{base}/{name.split('.')[1]}"
+        shutil.rmtree(loc, ignore_errors=True)
         (
             df.repartition(8, key)
             .write.bucketBy(8, key)
             .sortBy(key)
+            .option("path", loc)
             .mode("overwrite")
             .saveAsTable(name)
         )
