@@ -2234,8 +2234,6 @@ def q361_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q362_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd  # noqa: F401 (Arrow batch interface)
-
     emb = load_table(spark, sf_dir, "embeddings").select("embedding")
     out_schema = "dim_i bigint, dim_j bigint, partial long"
 
