@@ -62,6 +62,13 @@ EXTENDED = [
     # round-6 stats family: the two heaviest row-grain entries
     "q312_spearman_corr",
     "q321_episode_mining",
+    # round-7: the heaviest new surfaces (Arrow int64-matmul kernel,
+    # shingle-grain scaling curve, pairwise ECDF spine, bucketed join
+    # incl. its table writes)
+    "q362_gram_matrix",
+    "q346_dedup_scaling_curve",
+    "q349_cvm_two_sample",
+    "q370_bucketed_join",
 ]
 
 
