@@ -290,6 +290,7 @@ _R07_LATE: tuple[str, ...] = (
     "q368_wasserstein_1d",
     "q369_hellinger_distance",
     "q370_bucketed_join",
+    "q371_markov_accuracy",
 )
 
 

@@ -3163,3 +3163,67 @@ def q370_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# q371 — Markov next-event prediction accuracy: for each from-type,
+# predict the argmax next-type from the transition counts (tie-free:
+# count desc, then type asc) and measure in-sample top-1 accuracy —
+# the eval that tells you whether q121's transition matrix carries
+# any signal beyond the marginal. One user-keyed lead window at
+# event grain (the q332 spine), then everything is exact integers on
+# the <=25-cell transition lattice.
+# ---------------------------------------------------------------------------
+@query(
+    "q371_markov_accuracy",
+    oracle="""
+    WITH stepped AS (
+        SELECT event_type AS a,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b
+        FROM events
+    ),
+    cnt AS (
+        SELECT a, b, CAST(count(*) AS BIGINT) AS n
+        FROM stepped WHERE b IS NOT NULL GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT a, b, n,
+               row_number() OVER (PARTITION BY a ORDER BY n DESC, b ASC) AS rk,
+               CAST(sum(n) OVER (PARTITION BY a) AS BIGINT) AS na
+        FROM cnt
+    )
+    SELECT a AS from_type, b AS predicted_next,
+           na AS n_transitions, n AS n_correct,
+           round(CAST(n AS DOUBLE) / CAST(na AS DOUBLE), 6) AS top1_accuracy
+    FROM ranked WHERE rk = 1 ORDER BY from_type
+    """,
+)
+def q371_markov_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = ev.select(
+        F.col("event_type").alias("a"), F.lead("event_type").over(w).alias("b")
+    ).filter(F.col("b").isNotNull())
+    cnt = stepped.groupBy("a", "b").agg(F.count("*").cast("bigint").alias("n"))
+    w_rank = Window.partitionBy("a").orderBy(F.col("n").desc(), F.col("b").asc())
+    w_a = Window.partitionBy("a")
+    ranked = cnt.select(
+        "a",
+        "b",
+        "n",
+        F.row_number().over(w_rank).alias("rk"),
+        F.sum("n").over(w_a).cast("bigint").alias("na"),
+    )
+    return (
+        ranked.filter(F.col("rk") == 1)
+        .select(
+            F.col("a").alias("from_type"),
+            F.col("b").alias("predicted_next"),
+            F.col("na").alias("n_transitions"),
+            F.col("n").alias("n_correct"),
+            F.round(F.col("n").cast("double") / F.col("na").cast("double"), 6).alias(
+                "top1_accuracy"
+            ),
+        )
+        .orderBy("from_type")
+    )

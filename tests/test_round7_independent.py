@@ -994,3 +994,35 @@ def test_hellinger_distance(spark, con):
         h = round(math.sqrt(max(1.0 - bc_micro / 1e6, 0.0)), 6)
         assert abs(r["hellinger"] - h) <= 1e-9
         assert 0.0 <= r["hellinger"] <= 1.0
+
+
+def test_markov_accuracy(spark, con):
+    """q371: transition counts, argmax prediction, and accuracy
+    replayed from raw per-user event sequences."""
+    rows = con.execute(
+        """SELECT user_id, event_type,
+                  CAST(epoch_us(ts) AS BIGINT), event_id
+           FROM events"""
+    ).fetchall()
+    per: dict[int, list] = {}
+    for uid, et, us, eid in rows:
+        per.setdefault(uid, []).append((us, eid, et))
+    cnt: dict[tuple, int] = {}
+    for evs in per.values():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            cnt[(a, b)] = cnt.get((a, b), 0) + 1
+    by_a: dict[str, dict] = {}
+    for (a, b), n in cnt.items():
+        by_a.setdefault(a, {})[b] = n
+    got = {r["from_type"]: r for r in QUERIES["q371_markov_accuracy"](spark, SF).collect()}
+    assert set(got) == set(by_a)
+    for a, nexts in by_a.items():
+        pred = min(nexts, key=lambda b: (-nexts[b], b))
+        na = sum(nexts.values())
+        r = got[a]
+        assert r["predicted_next"] == pred, (a, pred, r)
+        assert r["n_transitions"] == na and r["n_correct"] == nexts[pred]
+        assert abs(r["top1_accuracy"] - round(nexts[pred] / na, 6)) <= 1e-9
+        # top-1 must beat or match the uniform baseline over observed nexts
+        assert r["top1_accuracy"] >= 1.0 / len(nexts) - 1e-9
