@@ -291,6 +291,7 @@ _R07_LATE: tuple[str, ...] = (
     "q369_hellinger_distance",
     "q370_bucketed_join",
     "q371_markov_accuracy",
+    "q372_hll_intersection",
 )
 
 

@@ -3227,3 +3227,95 @@ def q371_markov_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q372 — HLL set algebra (rows-only: sketch estimates): audience
+# intersection/overlap between every pair of event types via
+# inclusion-exclusion over mergeable sketches — |A n B| ~ est(A) +
+# est(B) - est(A u B), where est(A u B) = estimate(hll_union(skA,
+# skB)) needs NO re-scan (the whole point of mergeable sketches at
+# 100 TB: per-segment sketches are KBs and compose). The executed
+# contract compares each estimate against the exact intersection
+# (computable at test scale) with the compounded three-estimate
+# error budget 3 * rsd * (|A| + |B| + |A u B|), plus Jaccard from
+# the same numbers.
+# ---------------------------------------------------------------------------
+@query("q372_hll_intersection")
+def q372_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.contracts import contract_filter
+
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").cast("bigint").alias("n_exact"),
+    )
+    a = per_type.select(
+        F.col("event_type").alias("type_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("n_exact").alias("n_a"),
+    )
+    b = per_type.select(
+        F.col("event_type").alias("type_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("n_exact").alias("n_b"),
+    )
+    pairs = a.join(b, F.col("type_a") < F.col("type_b")).select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        F.hll_sketch_estimate("sk_a").alias("est_a"),
+        F.hll_sketch_estimate("sk_b").alias("est_b"),
+        F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b")).alias("est_union"),
+    )
+    # exact intersection on the (type, user) grain for the contract
+    tu = ev.select("event_type", "user_id").distinct()
+    inter = (
+        tu.alias("x")
+        .join(
+            tu.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("exact_inter"))
+    )
+    joined = pairs.join(inter, ["type_a", "type_b"], "left").select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        F.coalesce("exact_inter", F.lit(0).cast("bigint")).alias("exact_inter"),
+        (F.col("est_a") + F.col("est_b") - F.col("est_union"))
+        .cast("bigint")
+        .alias("approx_inter"),
+        F.round(
+            (F.col("est_a") + F.col("est_b") - F.col("est_union"))
+            / F.greatest(F.col("est_union"), F.lit(1.0)),
+            6,
+        ).alias("approx_jaccard"),
+    )
+    # lgConfigK=12 -> rsd ~ 1.6%; inclusion-exclusion compounds three
+    # estimates, so the budget scales with all three cardinalities
+    budget = F.lit(3 * 0.016) * (
+        F.col("n_a") + F.col("n_b") + (F.col("n_a") + F.col("n_b"))
+    ).cast("double")
+    return contract_filter(
+        joined,
+        F.abs(F.col("approx_inter") - F.col("exact_inter")).cast("double")
+        <= F.greatest(budget, F.lit(16.0)),
+        F.concat(
+            F.lit("HLL intersection estimate outside budget for ("),
+            F.col("type_a"),
+            F.lit(", "),
+            F.col("type_b"),
+            F.lit("): approx="),
+            F.col("approx_inter").cast("string"),
+            F.lit(" exact="),
+            F.col("exact_inter").cast("string"),
+        ),
+    ).orderBy("type_a", "type_b")

@@ -1026,3 +1026,27 @@ def test_markov_accuracy(spark, con):
         assert abs(r["top1_accuracy"] - round(nexts[pred] / na, 6)) <= 1e-9
         # top-1 must beat or match the uniform baseline over observed nexts
         assert r["top1_accuracy"] >= 1.0 / len(nexts) - 1e-9
+
+
+def test_hll_intersection(spark, con):
+    """q372: exact pairwise intersections from raw (type, user) pairs;
+    at test cardinalities the sketches are in exact sparse mode, so
+    the inclusion-exclusion estimate must recover the truth."""
+    rows = con.execute("SELECT DISTINCT event_type, user_id FROM events").fetchall()
+    per: dict[str, set] = {}
+    for et, uid in rows:
+        per.setdefault(et, set()).add(uid)
+    got = {
+        (r["type_a"], r["type_b"]): r
+        for r in QUERIES["q372_hll_intersection"](spark, SF).collect()
+    }
+    types = sorted(per)
+    assert set(got) == {(a, b) for i, a in enumerate(types) for b in types[i + 1 :]}
+    for (a, b), r in got.items():
+        inter = len(per[a] & per[b])
+        union = len(per[a] | per[b])
+        assert r["n_a"] == len(per[a]) and r["n_b"] == len(per[b])
+        assert r["exact_inter"] == inter
+        # sparse-mode sketches are exact at this scale
+        assert r["approx_inter"] == inter, (a, b, r["approx_inter"], inter)
+        assert abs(r["approx_jaccard"] - round(inter / union, 6)) <= 2e-6
