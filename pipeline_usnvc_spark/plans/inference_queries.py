@@ -3319,3 +3319,152 @@ def q372_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("exact_inter").cast("string"),
         ),
     ).orderBy("type_a", "type_b")
+
+
+# ---------------------------------------------------------------------------
+# q373 — whitening transform (rows-only: the Cholesky solve is not
+# SQL-expressible): decorrelate the embeddings with W = L^-1 where
+# C + eps*I = L L^T — the standard preprocessing before semantic
+# dedup / retrieval when raw dimensions are correlated (q364's
+# covariance made actionable). Shape: the covariance cells come from
+# the exact Arrow kernel (one pass, bounded collect), the 64x64
+# Cholesky happens driver-side, the transform applies distributed
+# via mapInPandas with the broadcast W, and the VERIFICATION is
+# distributed too: the whitened covariance is recomputed with the
+# same exact kernel and an executed in-plan contract pins every cell
+# to the identity within 0.02 (in-sample whitening is exact up to
+# the eps ridge and quantization).
+# ---------------------------------------------------------------------------
+@query("q373_whitening_transform")
+def q373_whitening_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from pipeline_usnvc_spark.operators.contracts import contract_filter
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+
+    def cov_cells(df):
+        out_schema = "dim_i int, dim_j int, partial long"
+
+        def chunks(it):
+            import numpy as np
+            import pandas as pd
+
+            CHUNK = 8192
+            for pdf in it:
+                X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                q = np.floor(X * 10_000_000).astype(np.int64)
+                d = q.shape[1]
+                iu = np.triu_indices(d)
+                for lo in range(0, X.shape[0], CHUNK):
+                    qc = q[lo : lo + CHUNK]
+                    g = qc.T @ qc
+                    s = qc.sum(axis=0)
+                    yield pd.DataFrame(
+                        {
+                            "dim_i": np.concatenate(
+                                [iu[0] + 1, np.arange(1, d + 1), [-3]]
+                            ),
+                            "dim_j": np.concatenate(
+                                [iu[1] + 1, np.full(d, -1), [-3]]
+                            ),
+                            "partial": np.concatenate([g[iu], s, [len(qc)]]),
+                        }
+                    )
+
+        return (
+            df.mapInPandas(chunks, schema=out_schema)
+            .groupBy("dim_i", "dim_j")
+            .agg(F.sum(_d38(F.col("partial"))).cast("decimal(38,0)").alias("s"))
+        )
+
+    def to_cov(cells_rows):
+        gram: dict = {}
+        sums: dict = {}
+        n = 0
+        for r in cells_rows:
+            i, j, s = r["dim_i"], r["dim_j"], int(r["s"])
+            if i == -3:
+                n = s
+            elif j == -1:
+                sums[i] = s
+            else:
+                gram[(i, j)] = s
+        d = max(i for i, _ in gram)
+        C = np.zeros((d, d))
+        mu = np.array([sums[i] / (n * 1e7) for i in range(1, d + 1)])
+        for (i, j), g in gram.items():
+            c = (n * g - sums[i] * sums[j]) / (n * n * 1e14)
+            C[i - 1, j - 1] = C[j - 1, i - 1] = c
+        return C, mu, n
+
+    C, mu, n = to_cov(cov_cells(emb).collect())  # bounded grain
+    d = C.shape[0]
+    L = np.linalg.cholesky(C + 1e-6 * np.eye(d))
+    W = np.linalg.inv(L)
+
+    out_schema = "embedding array<double>"
+    W_list, mu_list = W.tolist(), mu.tolist()
+
+    def whiten(it):
+        import numpy as np
+        import pandas as pd
+
+        Wm = np.array(W_list)
+        mv = np.array(mu_list)
+        for pdf in it:
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Z = (X - mv) @ Wm.T
+            yield pd.DataFrame({"embedding": list(Z)})
+
+    whitened = emb.mapInPandas(whiten, schema=out_schema)
+    zcells = cov_cells(whitened)
+    gram = zcells.filter((F.col("dim_i") > 0) & (F.col("dim_j") > 0)).select(
+        "dim_i", "dim_j", F.col("s").alias("qsum")
+    )
+    margins = zcells.filter(F.col("dim_j") == -1).select(
+        F.col("dim_i").alias("dim"), F.col("s").alias("msum")
+    )
+    nrow = zcells.filter(F.col("dim_i") == -3).select(F.col("s").alias("n"))
+    j = (
+        gram.join(
+            F.broadcast(
+                margins.select(F.col("dim").alias("dim_i"), F.col("msum").alias("si"))
+            ),
+            "dim_i",
+        )
+        .join(
+            F.broadcast(
+                margins.select(F.col("dim").alias("dim_j"), F.col("msum").alias("sj"))
+            ),
+            "dim_j",
+        )
+        .crossJoin(F.broadcast(nrow))
+    )
+    cov_w = (
+        (F.col("n") * F.col("qsum") - F.col("si") * F.col("sj")).cast("double")
+        / (F.col("n").cast("double") * F.col("n").cast("double") * F.lit(1e14))
+    )
+    target = F.when(F.col("dim_i") == F.col("dim_j"), F.lit(1.0)).otherwise(F.lit(0.0))
+    out = j.select(
+        F.col("dim_i").cast("bigint").alias("dim_i"),
+        F.col("dim_j").cast("bigint").alias("dim_j"),
+        F.round(cov_w, 6).alias("cov_whitened"),
+        target.alias("_target"),
+    )
+    return (
+        contract_filter(
+            out,
+            F.abs(F.col("cov_whitened") - F.col("_target")) <= 0.02,
+            F.concat(
+                F.lit("whitening failed to decorrelate cell ("),
+                F.col("dim_i").cast("string"),
+                F.lit(", "),
+                F.col("dim_j").cast("string"),
+                F.lit("): cov="),
+                F.col("cov_whitened").cast("string"),
+            ),
+        )
+        .drop("_target")
+        .orderBy("dim_i", "dim_j")
+    )

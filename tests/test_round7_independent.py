@@ -1050,3 +1050,34 @@ def test_hll_intersection(spark, con):
         # sparse-mode sketches are exact at this scale
         assert r["approx_inter"] == inter, (a, b, r["approx_inter"], inter)
         assert abs(r["approx_jaccard"] - round(inter / union, 6)) <= 2e-6
+
+
+def test_whitening_transform(spark, con):
+    """q373: numpy end-to-end replication — same quantized covariance,
+    same Cholesky whitening — must reproduce every whitened-covariance
+    cell; and the output must be near-identity."""
+    rows = con.execute("SELECT embedding FROM embeddings").fetchall()
+    X = np.array([e for (e,) in rows], dtype=np.float64)
+    n, d = X.shape
+    q = np.floor(X * 1e7).astype(object)
+    G = q.T @ q
+    S = q.sum(axis=0)
+    C = np.zeros((d, d))
+    for i in range(d):
+        for j in range(i, d):
+            C[i, j] = C[j, i] = (n * int(G[i, j]) - int(S[i]) * int(S[j])) / (n * n * 1e14)
+    mu = np.array([int(s) / (n * 1e7) for s in S])
+    L = np.linalg.cholesky(C + 1e-6 * np.eye(d))
+    W = np.linalg.inv(L)
+    Z = (X - mu) @ W.T
+    qz = np.floor(Z * 1e7).astype(object)
+    Gz = qz.T @ qz
+    Sz = qz.sum(axis=0)
+    got = QUERIES["q373_whitening_transform"](spark, SF).collect()
+    assert len(got) == d * (d + 1) // 2
+    for r in got:
+        i, j = r["dim_i"] - 1, r["dim_j"] - 1
+        want = (n * int(Gz[i, j]) - int(Sz[i]) * int(Sz[j])) / (n * n * 1e14)
+        assert abs(r["cov_whitened"] - round(want, 6)) <= 2e-6, (i, j)
+        target = 1.0 if i == j else 0.0
+        assert abs(r["cov_whitened"] - target) <= 0.02
