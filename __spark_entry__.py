@@ -292,7 +292,6 @@ _R07_LATE: tuple[str, ...] = (
     "q370_bucketed_join",
     "q371_markov_accuracy",
     "q372_hll_intersection",
-    # beyond the 50-slot sample — round 8's head:
     "q373_whitening_transform",
 )
 
