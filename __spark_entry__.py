@@ -293,6 +293,8 @@ _R07_LATE: tuple[str, ...] = (
     "q371_markov_accuracy",
     "q372_hll_intersection",
     "q373_whitening_transform",
+    # beyond the 50-slot sample — round 8's head:
+    "q374_markov_absorption",
 )
 
 

@@ -3468,3 +3468,87 @@ def q373_whitening_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_target")
         .orderBy("dim_i", "dim_j")
     )
+
+
+# ---------------------------------------------------------------------------
+# q374 — Markov absorption probability (rows-only: the fundamental-
+# matrix solve is not SQL-expressible): for each transient state, the
+# probability a user's event chain reaches 'purchase' before the
+# sequence ends — the absorbing-chain analysis that completes the
+# Markov family (q121 matrix, q332 entropy, q371 accuracy). Chains:
+# per-user sequences with an explicit END state at termination;
+# 'purchase' and END absorb. Counts aggregate distributed on the
+# bounded state lattice; the <=25-variable solve (I - Q)p = r runs
+# driver-side; and the result is verified DISTRIBUTED by its own
+# defining fixed-point equation — an executed in-plan contract checks
+# n_s*p_s = sum_b n_sb*p_b (p=1 at purchase, 0 at END) within 1e-6
+# per outgoing edge, which no wrong vector can satisfy.
+# ---------------------------------------------------------------------------
+@query("q374_markov_absorption")
+def q374_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from pipeline_usnvc_spark.operators.contracts import contract_filter
+
+    TARGET = "purchase"
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = ev.select(
+        F.col("event_type").alias("a"),
+        F.coalesce(F.lead("event_type").over(w), F.lit("__END__")).alias("b"),
+    ).filter(F.col("a") != TARGET)  # target absorbs: no transitions out
+    cnt = stepped.groupBy("a", "b").agg(F.count("*").cast("bigint").alias("n"))
+    rows = cnt.collect()  # bounded lattice (<= |types|^2 + |types|)
+    states = sorted({r["a"] for r in rows})
+    idx = {s: i for i, s in enumerate(states)}
+    k = len(states)
+    n_out = [0] * k
+    Q = np.zeros((k, k))
+    r = np.zeros(k)
+    for row in rows:
+        i = idx[row["a"]]
+        n_out[i] += row["n"]
+    for row in rows:
+        i, b, n = idx[row["a"]], row["b"], row["n"]
+        if b == TARGET:
+            r[i] += n / n_out[i]
+        elif b in idx:
+            Q[i, idx[b]] += n / n_out[i]
+        # __END__ and unknown absorbers contribute 0
+    p = np.linalg.solve(np.eye(k) - Q, r)
+    p_map = {s: float(p[idx[s]]) for s in states}
+    p_map[TARGET] = 1.0
+    p_map["__END__"] = 0.0
+    p_df = F.broadcast(
+        spark.createDataFrame(
+            [(s, v) for s, v in p_map.items()], "state string, p double"
+        )
+    )
+    # distributed fixed-point audit on the edge lattice
+    edges = (
+        cnt.join(p_df.select(F.col("state").alias("a"), F.col("p").alias("p_a")), "a")
+        .join(p_df.select(F.col("state").alias("b"), F.col("p").alias("p_b")), "b")
+    )
+    audit = edges.groupBy("a").agg(
+        F.sum("n").cast("bigint").alias("n_s"),
+        F.max("p_a").alias("p_s"),
+        F.sum(F.col("n").cast("double") * F.col("p_b")).alias("flow"),
+    )
+    checked = contract_filter(
+        audit,
+        F.abs(F.col("n_s").cast("double") * F.col("p_s") - F.col("flow"))
+        <= F.lit(1e-6) * F.col("n_s").cast("double"),
+        F.concat(
+            F.lit("absorption fixed-point violated at state "),
+            F.col("a"),
+            F.lit(": n*p="),
+            (F.col("n_s").cast("double") * F.col("p_s")).cast("string"),
+            F.lit(" flow="),
+            F.col("flow").cast("string"),
+        ),
+    )
+    return checked.select(
+        F.col("a").alias("state"),
+        F.col("n_s").alias("n_transitions_out"),
+        F.round(F.col("p_s"), 6).alias("p_absorb_purchase"),
+    ).orderBy("state")

@@ -1081,3 +1081,44 @@ def test_whitening_transform(spark, con):
         assert abs(r["cov_whitened"] - round(want, 6)) <= 2e-6, (i, j)
         target = 1.0 if i == j else 0.0
         assert abs(r["cov_whitened"] - target) <= 0.02
+
+
+def test_markov_absorption(spark, con):
+    """q374: absorption probabilities recomputed by VALUE ITERATION
+    (a different algorithm from the query's direct linear solve) —
+    must converge to the same vector; plus range sanity."""
+    rows = con.execute(
+        """SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT), event_id
+           FROM events"""
+    ).fetchall()
+    per: dict[int, list] = {}
+    for uid, et, us, eid in rows:
+        per.setdefault(uid, []).append((us, eid, et))
+    cnt: dict[tuple, int] = {}
+    for evs in per.values():
+        evs.sort()
+        seq = [et for _, _, et in evs] + ["__END__"]
+        for a, b in zip(seq, seq[1:]):
+            if a != "purchase":
+                cnt[(a, b)] = cnt.get((a, b), 0) + 1
+    states = sorted({a for a, _ in cnt})
+    n_out = {s: sum(n for (a, _), n in cnt.items() if a == s) for s in states}
+    p = {s: 0.0 for s in states}
+    p["purchase"] = 1.0
+    p["__END__"] = 0.0
+    for _ in range(10_000):
+        new = {
+            s: sum(n * p.get(b, 0.0) for (a, b), n in cnt.items() if a == s)
+            / n_out[s]
+            for s in states
+        }
+        delta = max(abs(new[s] - p[s]) for s in states)
+        p.update(new)
+        if delta < 1e-13:
+            break
+    got = QUERIES["q374_markov_absorption"](spark, SF).collect()
+    assert {r["state"] for r in got} == set(states)
+    for r in got:
+        assert r["n_transitions_out"] == n_out[r["state"]]
+        assert abs(r["p_absorb_purchase"] - round(p[r["state"]], 6)) <= 2e-6
+        assert 0.0 <= r["p_absorb_purchase"] <= 1.0
