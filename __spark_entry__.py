@@ -296,6 +296,7 @@ _R07_LATE: tuple[str, ...] = (
     # beyond the 50-slot sample — round 8's head:
     "q374_markov_absorption",
     "q375_ks_decision",
+    "q376_negbin_fit",
 )
 
 

@@ -3693,3 +3693,89 @@ def q375_ks_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q376 — negative-binomial overdispersion fit (method of moments) on
+# per-type daily event counts: q257's Fano factor says counts are
+# overdispersed; this fits the NB model a capacity planner actually
+# uses. Every statistic is an EXACT integer ratio: with S = sum x,
+# SS = sum x^2, D days, V = D*SS - S^2, the MoM estimates reduce to
+# mean = S/D, var = V/D^2, r = S^2/(V - S*D), p = S*D/V — all
+# floor-divided to micro before their single double divisions (q318),
+# and the overdispersion flag is the exact integer comparison
+# V > S*D. Day-spine grain per type.
+# ---------------------------------------------------------------------------
+@query(
+    "q376_negbin_fit",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_diff('day', DATE '1992-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(count(*) AS HUGEINT) AS dd,
+               CAST(sum(x) AS HUGEINT) AS s,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS ss
+        FROM daily GROUP BY event_type
+    ),
+    v AS (SELECT event_type, dd, s, ss, dd * ss - s * s AS vnum FROM agg)
+    SELECT event_type, CAST(dd AS BIGINT) AS n_days,
+           CAST((s * 1000000 - (s * 1000000) % dd) // dd AS BIGINT) / 1000000.0 AS mean_daily,
+           CAST((vnum * 1000000 - (vnum * 1000000) % (dd * dd)) // (dd * dd) AS BIGINT)
+               / 1000000.0 AS var_daily,
+           CASE WHEN vnum > s * dd
+                THEN CAST((s * s * 1000000 - (s * s * 1000000) % (vnum - s * dd))
+                          // (vnum - s * dd) AS BIGINT) / 1000000.0 END AS nb_r,
+           CASE WHEN vnum > 0
+                THEN CAST((s * dd * 1000000 - (s * dd * 1000000) % vnum) // vnum AS BIGINT)
+                     / 1000000.0 END AS nb_p,
+           vnum > s * dd AS overdispersed
+    FROM v ORDER BY event_type
+    """,
+)
+def q376_negbin_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1992-01-01")).cast("bigint").alias("d"),
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    agg = daily.groupBy("event_type").agg(
+        F.count("*").cast("decimal(38,0)").alias("dd"),
+        F.sum("x").cast("decimal(38,0)").alias("s"),
+        F.sum(_d38(F.col("x")) * _d38(F.col("x"))).cast("decimal(38,0)").alias("ss"),
+    )
+    v = agg.withColumn("vnum", (F.col("dd") * F.col("ss") - F.col("s") * F.col("s")).cast("decimal(38,0)"))
+
+    def fdiv_micro(num, den):
+        scaled = (num * F.lit(1000000).cast("decimal(38,0)")).cast("decimal(38,0)")
+        return ((scaled - F.pmod(scaled, den)) / den).cast("bigint").cast(
+            "double"
+        ) / F.lit(1000000.0)
+
+    over = F.col("vnum") > F.col("s") * F.col("dd")
+    return v.select(
+        "event_type",
+        F.col("dd").cast("bigint").alias("n_days"),
+        fdiv_micro(F.col("s"), F.col("dd")).alias("mean_daily"),
+        fdiv_micro(F.col("vnum"), (F.col("dd") * F.col("dd")).cast("decimal(38,0)")).alias(
+            "var_daily"
+        ),
+        F.when(
+            over,
+            fdiv_micro(
+                (F.col("s") * F.col("s")).cast("decimal(38,0)"),
+                (F.col("vnum") - F.col("s") * F.col("dd")).cast("decimal(38,0)"),
+            ),
+        ).alias("nb_r"),
+        F.when(
+            F.col("vnum") > 0,
+            fdiv_micro(
+                (F.col("s") * F.col("dd")).cast("decimal(38,0)"), F.col("vnum")
+            ),
+        ).alias("nb_p"),
+        over.alias("overdispersed"),
+    ).orderBy("event_type")

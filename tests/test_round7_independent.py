@@ -1164,3 +1164,33 @@ def test_ks_decision(spark, con):
         assert abs(r["p_value"] - p) <= 1e-9
         assert r["drift_detected"] == (p < 0.05)
         assert 0.0 <= r["p_value"] <= 1.0
+
+
+def test_negbin_fit(spark, con):
+    """q376: method-of-moments NB fit replayed with arbitrary
+    precision integers, plus the moment identity check."""
+    rows = con.execute(
+        """SELECT event_type,
+                  CAST(date_diff('day', DATE '1992-01-01', CAST(ts AS DATE)) AS BIGINT),
+                  CAST(count(*) AS BIGINT)
+           FROM events GROUP BY 1, 2"""
+    ).fetchall()
+    per: dict[str, list[int]] = {}
+    for et, _, x in rows:
+        per.setdefault(et, []).append(x)
+    got = {r["event_type"]: r for r in QUERIES["q376_negbin_fit"](spark, SF).collect()}
+    assert set(got) == set(per)
+    for et, xs in per.items():
+        D, S, SS = len(xs), sum(xs), sum(x * x for x in xs)
+        V = D * SS - S * S
+        r = got[et]
+        assert r["n_days"] == D
+        assert abs(r["mean_daily"] - ((S * 10**6) // D) / 1e6) <= 1e-12
+        assert abs(r["var_daily"] - ((V * 10**6) // (D * D)) / 1e6) <= 1e-12
+        assert r["overdispersed"] == (V > S * D)
+        if V > S * D:
+            assert abs(r["nb_r"] - ((S * S * 10**6) // (V - S * D)) / 1e6) <= 1e-12
+            assert abs(r["nb_p"] - ((S * D * 10**6) // V) / 1e6) <= 1e-12
+            # NB moment identity: mean = r(1-p)/p within micro rounding
+            rr, pp = r["nb_r"], r["nb_p"]
+            assert abs(rr * (1 - pp) / pp - r["mean_daily"]) < 0.01 * max(r["mean_daily"], 1)
