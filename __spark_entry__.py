@@ -297,6 +297,7 @@ _R07_LATE: tuple[str, ...] = (
     "q374_markov_absorption",
     "q375_ks_decision",
     "q376_negbin_fit",
+    "q377_nelson_aalen",
 )
 
 

@@ -3779,3 +3779,113 @@ def q376_negbin_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("nb_p"),
         over.alias("overdispersed"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# q377 — Nelson-Aalen cumulative hazard of time-to-repeat-purchase
+# (right-censored, q352's spine): H(t) = sum_{t_i<=t} d_i/n_i — the
+# estimator that stays stable where Kaplan-Meier's product degenerates
+# and whose exp(-H) is the standard KM cross-check. Per-event-time
+# hazard increments are micro-rounded from exact integer ratios and
+# summed exactly over the bounded duration spine; exp(-H) rides along
+# for the Breslow comparison.
+# ---------------------------------------------------------------------------
+@query(
+    "q377_nelson_aalen",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, CAST(date_diff('day', DATE '1992-01-01', CAST(ts AS DATE)) AS BIGINT) AS d
+        FROM events WHERE event_type = 'purchase'
+    ),
+    horizon AS (SELECT max(d) AS dmax FROM p),
+    per_user AS (
+        SELECT user_id, min(d) AS first_d,
+               min(CASE WHEN d > (SELECT min(d) FROM p p2 WHERE p2.user_id = p.user_id) THEN d END)
+                   AS next_d
+        FROM p GROUP BY user_id
+    ),
+    durations AS (
+        SELECT CASE WHEN next_d IS NOT NULL THEN next_d - first_d
+                    ELSE h.dmax - first_d END AS t,
+               CASE WHEN next_d IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM per_user CROSS JOIN horizon h
+    ),
+    spine AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS n_all, CAST(sum(ev) AS BIGINT) AS n_ev
+        FROM durations GROUP BY t
+    ),
+    risk AS (
+        SELECT t, n_ev,
+               CAST(sum(n_all) OVER () AS BIGINT)
+                 - CAST(coalesce(sum(n_all) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                 AS n_risk
+        FROM spine
+    ),
+    haz AS (
+        SELECT t, n_ev, n_risk,
+               CAST((n_ev * 1000000 - (n_ev * 1000000) % n_risk) // n_risk AS BIGINT)
+                   AS h_micro
+        FROM risk WHERE n_ev > 0
+    )
+    SELECT t AS duration_days, n_risk AS n_at_risk, n_ev AS n_events,
+           round(CAST(sum(h_micro) OVER (ORDER BY t) AS DOUBLE) / 1000000.0, 6)
+               AS cum_hazard,
+           round(exp(-CAST(sum(h_micro) OVER (ORDER BY t) AS DOUBLE) / 1000000.0), 6)
+               AS breslow_survival
+    FROM haz ORDER BY t
+    """,
+)
+def q377_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1992-01-01")).cast("bigint").alias("d"),
+    )
+    horizon = p.agg(F.max("d").alias("dmax"))
+    per_user = p.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    nexts = (
+        p.join(per_user, "user_id")
+        .filter(F.col("d") > F.col("first_d"))
+        .groupBy("user_id")
+        .agg(F.min("d").alias("next_d"))
+    )
+    durations = (
+        per_user.join(nexts, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(F.col("next_d").isNotNull(), F.col("next_d") - F.col("first_d"))
+            .otherwise(F.col("dmax") - F.col("first_d"))
+            .alias("t"),
+            F.when(F.col("next_d").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    spine = durations.groupBy("t").agg(
+        F.count("*").cast("bigint").alias("n_all"),
+        F.sum("ev").cast("bigint").alias("n_ev"),
+    )
+    w_all = Window.partitionBy()
+    w_before = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = spine.select(
+        "t",
+        "n_ev",
+        (
+            F.sum("n_all").over(w_all).cast("bigint")
+            - F.coalesce(F.sum("n_all").over(w_before), F.lit(0)).cast("bigint")
+        ).alias("n_risk"),
+    ).filter(F.col("n_ev") > 0)
+    scaled = _d38(F.col("n_ev")) * F.lit(1000000).cast("decimal(38,0)")
+    den = _d38(F.col("n_risk"))
+    h_micro = ((scaled - F.pmod(scaled, den)) / den).cast("bigint")
+    haz = risk.select("t", "n_ev", "n_risk", h_micro.alias("h_micro"))
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    cum = F.sum("h_micro").over(w_cum).cast("bigint")
+    return haz.select(
+        F.col("t").alias("duration_days"),
+        F.col("n_risk").alias("n_at_risk"),
+        F.col("n_ev").alias("n_events"),
+        F.round(cum.cast("double") / F.lit(1000000.0), 6).alias("cum_hazard"),
+        F.round(F.exp(-cum.cast("double") / F.lit(1000000.0)), 6).alias(
+            "breslow_survival"
+        ),
+    ).orderBy("duration_days")

@@ -1194,3 +1194,51 @@ def test_negbin_fit(spark, con):
             # NB moment identity: mean = r(1-p)/p within micro rounding
             rr, pp = r["nb_r"], r["nb_p"]
             assert abs(rr * (1 - pp) / pp - r["mean_daily"]) < 0.01 * max(r["mean_daily"], 1)
+
+
+def test_nelson_aalen(spark, con):
+    """q377: NA cumulative hazard replayed in pure Python, plus the
+    Breslow-vs-KM consistency check (exp(-H) >= KM survival, both
+    non-increasing, close where hazards are small)."""
+    rows = con.execute(
+        """SELECT user_id,
+                  CAST(date_diff('day', DATE '1992-01-01', CAST(ts AS DATE)) AS BIGINT)
+           FROM events WHERE event_type = 'purchase'"""
+    ).fetchall()
+    per: dict[int, list[int]] = {}
+    for uid, d in rows:
+        per.setdefault(uid, []).append(d)
+    dmax = max(d for _, d in rows)
+    durations = []
+    for ds in per.values():
+        ds.sort()
+        nxt = next((d for d in ds if d > ds[0]), None)
+        durations.append(
+            (nxt - ds[0], 1) if nxt is not None else (dmax - ds[0], 0)
+        )
+    spine: dict[int, tuple] = {}
+    for t, ev in durations:
+        n_all, n_ev = spine.get(t, (0, 0))
+        spine[t] = (n_all + 1, n_ev + ev)
+    n_total = len(durations)
+    cum_before = 0
+    h_cum = 0
+    want = {}
+    for t in sorted(spine):
+        n_all, n_ev = spine[t]
+        n_risk = n_total - cum_before
+        cum_before += n_all
+        if n_ev == 0:
+            continue
+        h_cum += (n_ev * 10**6) // n_risk
+        want[t] = (n_risk, n_ev, round(h_cum / 1e6, 6), round(math.exp(-h_cum / 1e6), 6))
+    got = QUERIES["q377_nelson_aalen"](spark, SF).collect()
+    assert {r["duration_days"] for r in got} == set(want)
+    km = {r["duration_days"]: r["survival"] for r in QUERIES["q352_kaplan_meier"](spark, SF).collect()}
+    for r in got:
+        n_risk, n_ev, h, bs = want[r["duration_days"]]
+        assert r["n_at_risk"] == n_risk and r["n_events"] == n_ev
+        assert abs(r["cum_hazard"] - h) <= 1e-9
+        assert abs(r["breslow_survival"] - bs) <= 1e-9
+        # Breslow dominates KM: 1 - x <= exp(-x) per factor
+        assert r["breslow_survival"] >= km[r["duration_days"]] - 1e-6
