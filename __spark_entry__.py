@@ -204,115 +204,74 @@ _R06_VERIFIED = frozenset(
     }
 )
 
+# Green rows from CORRECTNESS_r07.json: 41/41 sampled oracle rows
+# hash-green and 9/9 rows-only entries executed clean (including the
+# q70/q199 canonicalizer-crash rechecks). q342 and q369 are
+# deliberately ABSENT: q342's green row verified an EMPTY result at
+# sf0.01 (degenerate `r <= 10` cap — vacuous signal) and q369's plan
+# changed this round (vocab-grain broadcast removed), so both are
+# re-pinned at the head of the round-8 sample for a fresh row
+# (VERDICT r07 items 2/3).
+_R07_VERIFIED = frozenset(
+    {
+        "q70_multimodal_features", "q199_thumbnail_grid",
+        "q326_waterfill_budget", "q327_periodogram",
+        "q328_pythagorean_means", "q329_tukey_outliers",
+        "q330_kl_divergence", "q331_simpson_diversity",
+        "q332_transition_entropy", "q333_holt_smoothing",
+        "q334_cramers_v", "q335_image_phash_neardup",
+        "q336_range_interval_window", "q337_stream_outer_join",
+        "q338_systematic_sample", "q339_span_corruption",
+        "q340_shapley_attribution", "q341_bh_fdr",
+        "q343_jackknife_source", "q344_cochran_armitage",
+        "q345_calibration_ece", "q346_dedup_scaling_curve",
+        "q347_page_hinkley", "q348_info_gain", "q349_cvm_two_sample",
+        "q350_binseg_changepoint", "q351_seasonal_decompose",
+        "q352_kaplan_meier", "q353_capture_recapture", "q354_mi_matrix",
+        "q355_ndcg_eval", "q356_auc_roc", "q357_cohens_kappa",
+        "q358_pr_curve", "q359_pca_power_iteration", "q360_holt_winters",
+        "q361_stream_session_window", "q362_gram_matrix",
+        "q363_ridge_probe", "q364_covariance_matrix",
+        "q365_conformal_quantile", "q366_isotonic_calibration",
+        "q367_energy_distance", "q368_wasserstein_1d",
+        "q370_bucketed_join", "q371_markov_accuracy",
+        "q372_hll_intersection", "q373_whitening_transform",
+    }
+)
+
 _DRIVER_VERIFIED = (
     _R01_VERIFIED | _R02_VERIFIED | _R03_VERIFIED | _R04_VERIFIED
-    | _R05_VERIFIED | _R06_VERIFIED
+    | _R05_VERIFIED | _R06_VERIFIED | _R07_VERIFIED
 )
 
 
-# Round 7 sample head (VERDICT r06 items 1 and 5). First: q70/q199,
-# whose r06 driver rows crashed in the driver's own pandas
-# canonicalizer on raw array<float> columns — the final driver-facing
-# selects now serialize the arrays (6dp fixed-point JSON strings, the
-# q113 "plan changed after a driver row → re-pin" precedent applies).
-_R07_RECHECK: tuple[str, ...] = (
-    "q70_multimodal_features",
-    "q199_thumbnail_grid",
-)
-
-# Queries ADDED in round 6, in driver-sample order. The first 13 got
-# green rows in CORRECTNESS_r06.json (now in _R06_VERIFIED); the
-# remaining 15 (13 oracle-paired stats + the 2 rows-only q335/q337)
-# are pinned directly after _R07_RECHECK so round 7's 50-row sample
-# closes external verification of the ENTIRE registry.
-_R06_LATE: tuple[str, ...] = (
-    "q312_spearman_corr",
-    "q313_mann_whitney",
-    "q314_anova_f",
-    "q315_two_proportion_z",
-    "q316_theil_index",
-    "q317_assortativity",
-    "q318_burrows_delta",
-    "q319_flesch_readability",
-    "q320_poisson_bootstrap",
-    "q321_episode_mining",
-    "q322_cohens_d",
-    "q323_kendall_tau_b",
-    "q326_waterfill_budget",
-    "q327_periodogram",
-    "q328_pythagorean_means",
-    "q329_tukey_outliers",
-    "q330_kl_divergence",
-    "q331_simpson_diversity",
-    "q332_transition_entropy",
-    "q333_holt_smoothing",
-    "q334_cramers_v",
-    "q335_image_phash_neardup",
-    "q336_range_interval_window",
-    "q337_stream_outer_join",
-    "q338_systematic_sample",
-    "q339_span_corruption",
-    "q340_shapley_attribution",
-)
-
-# Queries ADDED in round 7: they sort after the pending backlog above
-# so they cannot displace the planned verification (VERDICT r06
-# item 5); 2 + 15 = 17 backlog slots leave 33 sample slots for the
-# head of this tuple.
-_R07_LATE: tuple[str, ...] = (
-    "q341_bh_fdr",
-    "q342_good_turing",
-    "q343_jackknife_source",
-    "q344_cochran_armitage",
-    "q345_calibration_ece",
-    "q346_dedup_scaling_curve",
-    "q347_page_hinkley",
-    "q348_info_gain",
-    "q349_cvm_two_sample",
-    "q350_binseg_changepoint",
-    "q351_seasonal_decompose",
-    "q352_kaplan_meier",
-    "q353_capture_recapture",
-    "q354_mi_matrix",
-    "q355_ndcg_eval",
-    "q356_auc_roc",
-    "q357_cohens_kappa",
-    "q358_pr_curve",
-    "q359_pca_power_iteration",
-    "q360_holt_winters",
-    "q361_stream_session_window",
-    "q362_gram_matrix",
-    "q363_ridge_probe",
-    "q364_covariance_matrix",
-    "q365_conformal_quantile",
-    "q366_isotonic_calibration",
-    "q367_energy_distance",
-    "q368_wasserstein_1d",
-    "q369_hellinger_distance",
-    "q370_bucketed_join",
-    "q371_markov_accuracy",
-    "q372_hll_intersection",
-    "q373_whitening_transform",
-    # beyond the 50-slot sample — round 8's head:
+# Round 8 sample head (VERDICT r07 items 1-3). First the four
+# round-7 tail queries that have never had a driver row (closing
+# external verification of the ENTIRE registry), then the two
+# re-pins: q369 (plan changed — vocab-grain broadcast replaced with
+# the bounded with_top frame) and q342 (de-degenerated — now emits
+# the 10 smallest observed frequencies so the sf0.01 row verifies a
+# NON-EMPTY result).
+_R08_HEAD: tuple[str, ...] = (
     "q374_markov_absorption",
     "q375_ks_decision",
     "q376_negbin_fit",
     "q377_nelson_aalen",
+    "q369_hellinger_distance",
+    "q342_good_turing",
 )
-
 
 def _ordered_names() -> list[str]:
     from pipeline_usnvc_spark.plans import ORACLES, QUERIES
 
     names = list(QUERIES)
-    # Canonicalizer-crash fixes go FIRST so the sample prefix is
-    # guaranteed to re-record them (the q113 precedent).
-    recheck = [n for n in _R07_RECHECK if n in names]
-    pending_r06 = [
-        n for n in _R06_LATE if n in names and n not in _DRIVER_VERIFIED
-    ]
-    r07_late = [n for n in _R07_LATE if n in names]
-    pinned = set(recheck) | set(pending_r06) | set(r07_late)
+    # Round-8 head: the four never-sampled round-7 tail queries plus
+    # the two re-pins, then every remaining never-driver-verified
+    # query (oracle-paired before rows-only, registration order —
+    # i.e. round-8 additions fill the rest of the 50-slot sample),
+    # then the verified backlog.
+    head = [n for n in _R08_HEAD if n in names]
+    pinned = set(head)
     fresh_oracle = [
         n
         for n in names
@@ -324,10 +283,7 @@ def _ordered_names() -> list[str]:
         if n not in _DRIVER_VERIFIED and n not in ORACLES and n not in pinned
     ]
     seen = [n for n in names if n in _DRIVER_VERIFIED and n not in pinned]
-    return (
-        recheck + pending_r06 + r07_late + fresh_oracle
-        + fresh_rows_only + seen
-    )
+    return head + fresh_oracle + fresh_rows_only + seen
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

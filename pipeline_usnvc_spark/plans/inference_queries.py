@@ -241,7 +241,7 @@ def q341_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ff a
     LEFT JOIN ff b ON b.r = a.r + 1
     CROSS JOIN tot t
-    WHERE a.r <= 10
+    WHERE a.r IN (SELECT r FROM ff ORDER BY r LIMIT 10)
     ORDER BY a.r
     """,
 )
@@ -266,8 +266,15 @@ def q342_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n1"),
     )
     nxt = ff.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r_next"))
+    # The 10 SMALLEST observed frequencies, not a fixed `r <= 10` cap:
+    # at sf0.01 every term occurs > 10 times, so the fixed threshold is
+    # degenerate (empty result => vacuous driver row, VERDICT r07
+    # item 3). orderBy+limit over the tiny frequency-of-frequencies
+    # spine is a TakeOrdered, deterministic because r is unique by
+    # construction (GROUP BY c).
+    lowest = ff.orderBy("r").limit(10)
     return (
-        ff.filter(F.col("r") <= 10)
+        lowest
         .join(F.broadcast(nxt), "r", "left")
         .crossJoin(F.broadcast(tot))
         .select(
@@ -893,15 +900,20 @@ def q349_cvm_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(srcs.select(F.col("source").alias("sb")), F.col("sa") < F.col("sb"))
     )
     vals = cnt.select("v").distinct()
+    # Plain (un-hinted) joins against the per-source count frame: its
+    # grain is (source x distinct value) — bounded here, but hinting a
+    # broadcast hard-commits the plan at any scale. Left to AQE, Spark
+    # broadcasts when the runtime size is small and shuffles otherwise
+    # (VERDICT r07 item 4).
     spine = (
         pairs.crossJoin(F.broadcast(vals))
         .join(
-            F.broadcast(cnt.select(F.col("source").alias("sa"), "v", F.col("c").alias("ca"))),
+            cnt.select(F.col("source").alias("sa"), "v", F.col("c").alias("ca")),
             ["sa", "v"],
             "left",
         )
         .join(
-            F.broadcast(cnt.select(F.col("source").alias("sb"), "v", F.col("c").alias("cb"))),
+            cnt.select(F.col("source").alias("sb"), "v", F.col("c").alias("cb")),
             ["sb", "v"],
             "left",
         )
@@ -2370,10 +2382,17 @@ def q363_ridge_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_arr = F.array(*[F.lit(float(x)) for x in w[:-1]])
     pred = dot(to_double_array("embedding"), w_arr) + F.lit(float(w[-1]))
     ybar = ys / n
+    # Quantize-first discipline (VERDICT r07 item 7): per-row squared
+    # residuals micro-round to integers BEFORE the cross-row sum, so
+    # the DECIMAL(38,0) accumulation is fold-order independent and the
+    # reported r2 is bit-stable across partitionings; a raw
+    # sum(double) here would drift with shuffle layout.
+    res = F.col("label").cast("double") - pred
+    res_micro = F.round(F.lit(1000000.0) * res * res).cast("bigint")
     sses = emb.agg(
-        F.sum((F.col("label").cast("double") - pred) * (F.col("label").cast("double") - pred)).alias("sse_w"),
+        F.sum(_d38(res_micro)).cast("decimal(38,0)").alias("sse_w_micro"),
     ).collect()[0]
-    sse_w = float(sses["sse_w"])
+    sse_w = float(int(sses["sse_w_micro"])) / 1e6
     sse_mean = yy - n * ybar * ybar
     r2 = 1.0 - sse_w / sse_mean
     out = spark.createDataFrame(
@@ -2780,19 +2799,17 @@ def q367_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         srcs.select(F.col("source").alias("sb")), F.col("sa") < F.col("sb")
     )
     vals = cnt.select("v").distinct()
+    # Un-hinted count-frame joins (AQE decides broadcast vs shuffle at
+    # runtime) — see q349 for the rationale (VERDICT r07 item 4).
     spine = (
         pairs.crossJoin(F.broadcast(vals))
         .join(
-            F.broadcast(
-                cnt.select(F.col("source").alias("sa"), "v", F.col("c").alias("ca"))
-            ),
+            cnt.select(F.col("source").alias("sa"), "v", F.col("c").alias("ca")),
             ["sa", "v"],
             "left",
         )
         .join(
-            F.broadcast(
-                cnt.select(F.col("source").alias("sb"), "v", F.col("c").alias("cb"))
-            ),
+            cnt.select(F.col("source").alias("sb"), "v", F.col("c").alias("cb")),
             ["sb", "v"],
             "left",
         )
@@ -2928,19 +2945,17 @@ def q368_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         srcs.select(F.col("source").alias("sb")), F.col("sa") < F.col("sb")
     )
     vals = cnt.select("v").distinct()
+    # Un-hinted count-frame joins (AQE decides broadcast vs shuffle at
+    # runtime) — see q349 for the rationale (VERDICT r07 item 4).
     spine = (
         pairs.crossJoin(F.broadcast(vals))
         .join(
-            F.broadcast(
-                cnt.select(F.col("source").alias("sa"), "v", F.col("c").alias("ca"))
-            ),
+            cnt.select(F.col("source").alias("sa"), "v", F.col("c").alias("ca")),
             ["sa", "v"],
             "left",
         )
         .join(
-            F.broadcast(
-                cnt.select(F.col("source").alias("sb"), "v", F.col("c").alias("cb"))
-            ),
+            cnt.select(F.col("source").alias("sb"), "v", F.col("c").alias("cb")),
             ["sb", "v"],
             "left",
         )
@@ -3063,7 +3078,16 @@ def q369_hellinger_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         tc.select("source")
         .distinct()
         .crossJoin(F.broadcast(top_terms))
-        .join(F.broadcast(tc.withColumnRenamed("c", "ca")), ["source", "term"], "left")
+        # Bounded-frame broadcast only: with_top is (source x top-100
+        # term) counts, <= 100*|sources| rows. Broadcasting the full
+        # vocab-grain `tc` here would OOM the driver at 100 TB scale
+        # (VERDICT r07 item 2) — the spine only needs counts for the
+        # top terms, which with_top already holds.
+        .join(
+            F.broadcast(with_top.withColumnRenamed("c", "ca")),
+            ["source", "term"],
+            "left",
+        )
         .join(F.broadcast(src_tot), "source")
         .crossJoin(F.broadcast(corpus_tot))
         .select(
@@ -3131,13 +3155,21 @@ def q370_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (LOCATION_ALREADY_EXISTS) — clear the directory too.
     import shutil
 
-    base = "/tmp/pipeline_usnvc_spark_bucketed"
-    for name, df, key in (
-        ("bucketed_demo.orders_bkt", o, "o_custkey"),
-        ("bucketed_demo.customer_bkt", c, "c_custkey"),
+    # Session-scoped location + table names (ADVICE r07): a fixed
+    # /tmp path and shared table names race when two sessions (or
+    # parallel pytest workers) run this query concurrently — each
+    # rmtree/overwrite can corrupt the other's tables. applicationId
+    # is unique per SparkSession, so concurrent runs write disjoint
+    # locations and catalog entries.
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    base = f"/tmp/pipeline_usnvc_spark_bucketed_{app}"
+    for short, df, key in (
+        ("orders_bkt", o, "o_custkey"),
+        ("customer_bkt", c, "c_custkey"),
     ):
+        name = f"bucketed_demo.{short}_{app}"
         spark.sql(f"DROP TABLE IF EXISTS {name}")
-        loc = f"{base}/{name.split('.')[1]}"
+        loc = f"{base}/{short}"
         shutil.rmtree(loc, ignore_errors=True)
         (
             df.repartition(8, key)
@@ -3147,8 +3179,8 @@ def q370_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .mode("overwrite")
             .saveAsTable(name)
         )
-    ob = spark.table("bucketed_demo.orders_bkt")
-    cb = spark.table("bucketed_demo.customer_bkt")
+    ob = spark.table(f"bucketed_demo.orders_bkt_{app}")
+    cb = spark.table(f"bucketed_demo.customer_bkt_{app}")
     # MERGE hint: without it the small side broadcasts and the
     # bucketed layout goes unused — the point here is the
     # exchange-free sort-merge join over the stored bucketing
@@ -3289,6 +3321,7 @@ def q372_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "type_b",
         "n_a",
         "n_b",
+        "est_union",
         F.coalesce("exact_inter", F.lit(0).cast("bigint")).alias("exact_inter"),
         (F.col("est_a") + F.col("est_b") - F.col("est_union"))
         .cast("bigint")
@@ -3300,10 +3333,15 @@ def q372_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("approx_jaccard"),
     )
     # lgConfigK=12 -> rsd ~ 1.6%; inclusion-exclusion compounds three
-    # estimates, so the budget scales with all three cardinalities
+    # estimates, so the budget scales with |A| + |B| + |A u B| — the
+    # union term uses the estimated union itself (ADVICE r07: the old
+    # (n_a + n_b) stand-in only upper-bounds the union, loosening the
+    # contract beyond what the comment promised).
     budget = F.lit(3 * 0.016) * (
-        F.col("n_a") + F.col("n_b") + (F.col("n_a") + F.col("n_b"))
-    ).cast("double")
+        F.col("n_a").cast("double")
+        + F.col("n_b").cast("double")
+        + F.col("est_union")
+    )
     return contract_filter(
         joined,
         F.abs(F.col("approx_inter") - F.col("exact_inter")).cast("double")
@@ -3318,7 +3356,7 @@ def q372_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(" exact="),
             F.col("exact_inter").cast("string"),
         ),
-    ).orderBy("type_a", "type_b")
+    ).drop("est_union").orderBy("type_a", "type_b")
 
 
 # ---------------------------------------------------------------------------
@@ -3585,8 +3623,9 @@ def q374_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     d AS (
         SELECT event_type,
-               max(abs(CAST(cum1 AS DOUBLE) / CAST(n1 AS DOUBLE)
-                       - CAST(cum2 AS DOUBLE) / CAST(n2 AS DOUBLE))) AS ks_d,
+               max(CASE WHEN n1 > 0 AND n2 > 0
+                        THEN abs(CAST(cum1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                                 - CAST(cum2 AS DOUBLE) / CAST(n2 AS DOUBLE)) END) AS ks_d,
                CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2
         FROM stepped GROUP BY event_type
     ),
@@ -3610,10 +3649,13 @@ def q374_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l.event_type
     )
     SELECT l.event_type, round(l.ks_d, 6) AS ks_d, l.n1 AS n_early, l.n2 AS n_late,
-           round(least(greatest(2.0 * CAST(s.s_nano AS DOUBLE) / 1000000000.0, 0.0), 1.0), 6)
-               AS p_value,
-           round(least(greatest(2.0 * CAST(s.s_nano AS DOUBLE) / 1000000000.0, 0.0), 1.0), 6)
-               < 0.05 AS drift_detected
+           CASE WHEN l.n1 > 0 AND l.n2 > 0 THEN
+               round(least(greatest(2.0 * CAST(s.s_nano AS DOUBLE) / 1000000000.0, 0.0), 1.0), 6)
+           END AS p_value,
+           CASE WHEN l.n1 > 0 AND l.n2 > 0 THEN
+               round(least(greatest(2.0 * CAST(s.s_nano AS DOUBLE) / 1000000000.0, 0.0), 1.0), 6)
+               < 0.05
+           END AS drift_detected
     FROM lam l JOIN series s ON s.event_type = l.event_type
     ORDER BY l.event_type
     """,
@@ -3638,11 +3680,18 @@ def q375_ks_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c1").over(w_all).alias("n1"),
         F.sum("c2").over(w_all).alias("n2"),
     )
+    # Positivity guard (the q341 `valid` pattern): with every event of
+    # a type on one side of the split, Spark's 0/0 is NaN while
+    # DuckDB's is NULL — guard the division so both engines emit the
+    # same NULL row for such a type.
     d = stepped.groupBy("event_type").agg(
         F.max(
-            F.abs(
-                F.col("cum1").cast("double") / F.col("n1").cast("double")
-                - F.col("cum2").cast("double") / F.col("n2").cast("double")
+            F.when(
+                (F.col("n1") > 0) & (F.col("n2") > 0),
+                F.abs(
+                    F.col("cum1").cast("double") / F.col("n1").cast("double")
+                    - F.col("cum2").cast("double") / F.col("n2").cast("double")
+                ),
             )
         ).alias("ks_d"),
         F.max("n1").cast("bigint").alias("n1"),
@@ -3672,14 +3721,19 @@ def q375_ks_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("decimal(38,0)"),
         lambda acc, k: acc + term(k),
     ).cast("bigint")
-    p = F.round(
-        F.least(
-            F.greatest(
-                F.lit(2.0) * s_nano.cast("double") / F.lit(1000000000.0), F.lit(0.0)
+    valid = (F.col("n1") > 0) & (F.col("n2") > 0)
+    p = F.when(
+        valid,
+        F.round(
+            F.least(
+                F.greatest(
+                    F.lit(2.0) * s_nano.cast("double") / F.lit(1000000000.0),
+                    F.lit(0.0),
+                ),
+                F.lit(1.0),
             ),
-            F.lit(1.0),
+            6,
         ),
-        6,
     )
     return (
         lam.withColumn("s_nano", s_nano)
@@ -3689,7 +3743,7 @@ def q375_ks_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n1").alias("n_early"),
             F.col("n2").alias("n_late"),
             p.alias("p_value"),
-            (p < F.lit(0.05)).alias("drift_detected"),
+            F.when(valid, p < F.lit(0.05)).alias("drift_detected"),
         )
         .orderBy("event_type")
     )

@@ -2135,7 +2135,16 @@ def q338_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q340_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    return shapley_attribution(load_table(spark, sf_dir, "events"))
+
+
+def shapley_attribution(ev: DataFrame) -> DataFrame:
+    """Exact Shapley channel attribution over an events frame.
+
+    Factored out of q340 so the exponential-lattice guard is unit-
+    testable against synthetic high-cardinality channel sets without
+    touching the parquet fixtures.
+    """
     channels = (
         ev.filter(F.col("event_type") != "purchase")
         .select(F.col("event_type").alias("ch"))
@@ -2147,6 +2156,22 @@ def q340_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bit"),
         )
     )
+    # Exponential-lattice guard (VERDICT r07 item 8, COVERAGE.md theta
+    # table): the coalition lattice is 2^|channels| x |channels| rows —
+    # fine for the single-digit event_type domain, a 20M-row broadcast
+    # at 20 channels and game over at 30. Fail fast and name the
+    # fallback instead of expanding. The count() is a bounded-grain
+    # action on the distinct channel domain.
+    n_channels = channels.count()
+    if n_channels > 16:
+        raise ValueError(
+            f"shapley_attribution: {n_channels} channels would expand a "
+            f"2^{n_channels}-row coalition lattice; exact Shapley is capped "
+            "at 16 channels — for high-cardinality channel keys use "
+            "permutation-sampling Shapley (sample k random channel orderings "
+            "per conversion and average marginal contributions: unbiased, "
+            "O(k*|channels|) per row, fully distributable)"
+        )
     n_ch = channels.agg(F.count("*").cast("bigint").alias("n"))
     users = (
         ev.join(F.broadcast(channels), ev["event_type"] == channels["ch"], "left")
@@ -2223,27 +2248,22 @@ def q340_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     def factorial_col(c):
-        # n ≤ 5 channels: a literal CASE keeps it native and portable
-        return (
-            F.when(c == 0, 1)
-            .when(c == 1, 1)
-            .when(c == 2, 2)
-            .when(c == 3, 6)
-            .when(c == 4, 24)
-            .otherwise(120)
-            .cast("bigint")
-        )
+        # native factorial on both engines (Spark F.factorial / DuckDB
+        # factorial), valid through the 16-channel guard above — the
+        # old literal CASE silently capped at 5! and would have
+        # diverged from the oracle at >= 6 channels.
+        return F.factorial(c.cast("int")).cast("bigint")
 
     return (
         marg.groupBy("ch")
         .agg(
             F.round(
                 F.sum(
-                    factorial_col(F.col("ssize"))
-                    * factorial_col(F.col("n") - F.col("ssize") - 1)
-                    * F.col("m_micro")
+                    _d38(factorial_col(F.col("ssize")))
+                    * _d38(factorial_col(F.col("n") - F.col("ssize") - 1))
+                    * _d38(F.col("m_micro"))
                 )
-                .cast("bigint")
+                .cast("decimal(38,0)")
                 .cast("double")
                 / (factorial_col(F.max("n")).cast("double") * F.lit(1000000.0)),
                 6,

@@ -250,6 +250,11 @@ def test_doc_registry_counts_match_code():
     )
     assert f"({no} of {nq};" in readme, f"README oracle count != {no} of {nq}"
     assert f"**{no}/{no} oracle queries hash-exact**" in readme
+    # VERDICT r07 item 5: the rows-only claim drifted (23 vs 31).
+    # Enforce it equals len(QUERIES) - len(ORACLES).
+    assert f"plus {nq - no} rows-only" in readme, (
+        f"README rows-only count != {nq - no}"
+    )
     roadmap = (repo / "ROADMAP.md").read_text()
     assert f"**{nq} queries / {no} oracle-paired**" in roadmap, (
         f"ROADMAP final registry line != {nq}/{no}"

@@ -148,28 +148,17 @@ def test_comparator_rejects_int_float_coercion():
 
 def test_driver_sample_prefix_contains_rechecks():
     """The driver samples a 50-query prefix of queries() in dict
-    order. Round-7 contract (VERDICT r06 items 1 and 5): the two
-    canonicalizer-fix rechecks (q70/q199) lead, the 15 pending
-    _R06_LATE queries follow (closing external verification of the
-    entire registry), and round-7 additions (_R07_LATE) take only the
-    remaining slots so they cannot displace the planned
-    verification."""
+    order. Round-8 contract (VERDICT r07 items 1-3): the four
+    never-sampled round-7 tail queries (q374-q377) lead — closing
+    external verification of the entire registry — followed by the
+    two re-pins (q369 plan change, q342 de-degeneracy), then round-8
+    additions fill the remaining slots; nothing already verified may
+    displace a fresh query."""
     import __spark_entry__ as e
 
     names = list(e.queries())
-    prefix = set(names[:50])
-    # canonicalizer-crash fixes are pinned first (q113 precedent)
-    assert names[: len(e._R07_RECHECK)] == list(e._R07_RECHECK)
-    pending_r06 = [
-        n for n in e._R06_LATE if n in names and n not in e._DRIVER_VERIFIED
-    ]
-    missing_pending = [n for n in pending_r06 if n not in prefix]
-    assert not missing_pending, f"pending r06 queries outside sample: {missing_pending}"
-    n_head = len(e._R07_RECHECK) + len(pending_r06)
-    assert names[len(e._R07_RECHECK) : n_head] == pending_r06
-    # _R07_LATE fills the remaining slots in tuple order, nothing else
-    expected_r07 = [n for n in e._R07_LATE if n in names][: 50 - n_head]
-    assert names[n_head : n_head + len(expected_r07)] == expected_r07
+    # the round-8 head is pinned verbatim
+    assert names[: len(e._R08_HEAD)] == list(e._R08_HEAD)
     # every never-driver-verified query sorts before every verified one
     first_seen = min(
         (names.index(n) for n in e._DRIVER_VERIFIED if n in names),
@@ -179,6 +168,23 @@ def test_driver_sample_prefix_contains_rechecks():
         n for n in names[first_seen:] if n not in e._DRIVER_VERIFIED
     ]
     assert not fresh_after, f"fresh queries ordered after verified ones: {fresh_after[:5]}"
+    # oracle-paired fresh queries outrank rows-only ones inside the
+    # free slots (maximizes hash-checked signal per sample)
+    from pipeline_usnvc_spark.plans import ORACLES
+
+    free = [
+        n
+        for n in names
+        if n not in e._DRIVER_VERIFIED and n not in e._R08_HEAD
+    ]
+    seen_rows_only = False
+    for n in free:
+        if n not in ORACLES:
+            seen_rows_only = True
+        else:
+            assert not seen_rows_only, (
+                f"oracle-paired fresh query {n} ordered after a rows-only one"
+            )
 
 
 def test_contract_filter_evaluates_under_count(spark):

@@ -762,3 +762,97 @@ def test_bucketed_join_has_no_pre_join_exchange(spark, sf_dir):
         "exchange below the bucketed join:\n" + below[:1500]
     )
     assert below.count("Bucketed: true") == 2, below[:1500]
+
+
+def test_inference_broadcast_targets_are_bounded_frames():
+    """VERDICT r07 items 2/4: q369 once broadcast the full vocab-grain
+    (source x term) count frame — a driver OOM at 100 TB. Enforce
+    mechanically: every F.broadcast(...) target in
+    inference_queries.py must be one of the known bounded-grain frame
+    names (scalar aggregates, frequency spines, top-k slices, value
+    domains, transition lattices). Adding a new broadcast means
+    consciously extending this allowlist with a bounded frame."""
+    import re
+    from pathlib import Path
+
+    src = (
+        Path(__file__).resolve().parent.parent
+        / "pipeline_usnvc_spark"
+        / "plans"
+        / "inference_queries.py"
+    ).read_text()
+    # First identifier token following each F.broadcast( — empty for
+    # multi-line calls, whose next non-space token we grab instead.
+    targets = set()
+    for m in re.finditer(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*|spark)", src):
+        targets.add(m.group(1))
+    bounded = {
+        "tot",        # scalar aggregate (one row)
+        "nxt",        # frequency-of-frequencies spine
+        "lowest",     # 10 smallest observed frequencies
+        "vals",       # distinct value domain (bounded: n_chars lengths)
+        "n",          # nation dim
+        "nn",         # nation dim
+        "new_per_bucket",  # per-bucket counts (fixed bucket count)
+        "per_bin",    # fixed calibration-bin spine
+        "chance",     # scalar aggregate
+        "norm",       # scalar aggregate
+        "wm",         # scalar watermark aggregate
+        "margins",    # per-dim margins (64 rows)
+        "nrow",       # scalar aggregate
+        "mass",       # scalar aggregate
+        "seas",       # 7-row seasonal spine
+        "horizon",    # scalar aggregate
+        "top_terms",  # top-100 slice
+        "with_top",   # (source x top-100 term) counts
+        "src_tot",    # per-source totals
+        "corpus_tot", # scalar aggregate
+        "spark",      # spark.createDataFrame of a driver-bounded list
+    }
+    assert targets <= bounded, (
+        "unreviewed F.broadcast targets in inference_queries.py: "
+        f"{sorted(targets - bounded)} — verify the frame is bounded at "
+        "100 TB (not data-grain or vocab-grain) and extend the allowlist"
+    )
+    # The specific regression: never broadcast the vocab-grain tc.
+    assert not re.search(r"F\.broadcast\(\s*tc\b", src)
+
+
+def test_no_raw_double_cross_row_sums_in_inference():
+    """VERDICT r07 item 7: cross-row sums of raw doubles are
+    fold-order nondeterministic — outputs must ride quantized integer
+    or DECIMAL(38,0) accumulations. Sweep inference_queries.py for
+    F.sum(...) whose argument casts to double; the only allowed site
+    is q374's fixed-point flow audit (a tolerance contract, not a
+    driver-facing value)."""
+    import re
+    from pathlib import Path
+
+    src = (
+        Path(__file__).resolve().parent.parent
+        / "pipeline_usnvc_spark"
+        / "plans"
+        / "inference_queries.py"
+    ).read_text()
+    hits = []
+    for m in re.finditer(r"F\.sum\(", src):
+        # scan to the matching close paren
+        depth, i = 0, m.end() - 1
+        while i < len(src):
+            if src[i] == "(":
+                depth += 1
+            elif src[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            i += 1
+        arg = src[m.end() : i]
+        if 'cast("double")' in arg:
+            line = src[: m.start()].count("\n") + 1
+            hits.append((line, arg.replace("\n", " ")[:80]))
+    allowed_args = {'F.col("n").cast("double") * F.col("p_b")'}
+    bad = [(ln, a) for ln, a in hits if a.strip() not in allowed_args]
+    assert not bad, (
+        "raw-double cross-row sums in inference_queries.py (quantize to "
+        f"integer micro-units first): {bad}"
+    )

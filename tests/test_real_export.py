@@ -82,8 +82,15 @@ def test_real_export_end_to_end_or_documented_skip(spark):
     from pipeline_usnvc_spark.usnvc.docs import build_documents
     from pipeline_usnvc_spark.usnvc.ingest import build_silver, read_export
 
+    # Restore the shared session-scoped fixture's conf afterwards
+    # (ADVICE r07): leaking caseSensitive=true would silently change
+    # the semantics of every test that runs after this one.
+    prior = spark.conf.get("spark.sql.caseSensitive")
     spark.conf.set("spark.sql.caseSensitive", "true")
-    silver = build_silver(read_export(spark, str(EXPORT_DIR)))
-    docs = build_documents(silver, run_timestamp="2026-01-01T00:00:00")
-    n = docs.count()
-    assert n > 0, "real-export pipeline produced no documents"
+    try:
+        silver = build_silver(read_export(spark, str(EXPORT_DIR)))
+        docs = build_documents(silver, run_timestamp="2026-01-01T00:00:00")
+        n = docs.count()
+        assert n > 0, "real-export pipeline produced no documents"
+    finally:
+        spark.conf.set("spark.sql.caseSensitive", prior)

@@ -648,3 +648,21 @@ def test_shapley_attribution(spark, con):
             total += fact[ssize] * fact[n - ssize - 1] * m
         want = round(total / (fact[n] * 1e6), 6)
         assert abs(got[c] - want) <= 1e-9
+
+
+def test_shapley_channel_cardinality_guard(spark):
+    """VERDICT r07 item 8: feeding a high-cardinality key as
+    "channels" must fail fast with a loud error naming the
+    permutation-sampling fallback — never expand the 2^20-row
+    coalition lattice."""
+    import pytest
+
+    from pipeline_usnvc_spark.plans.stats_queries import shapley_attribution
+
+    ev = spark.createDataFrame(
+        [(f"u{i % 7}", f"channel_{i:02d}") for i in range(20)]
+        + [("u0", "purchase")],
+        "user_id string, event_type string",
+    )
+    with pytest.raises(ValueError, match="permutation-sampling"):
+        shapley_attribution(ev)
