@@ -908,3 +908,783 @@ def q385_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.lit(1.0)
         ).alias("kappa_w"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q386 — log-rank test comparing time-to-repeat-purchase between two
+# user cohorts (even vs odd user_id — the deterministic A/B split):
+# the significance test on top of q352's Kaplan-Meier curves. At
+# each event time: O1 = observed group-1 events, E1 = d*n1/n and the
+# hypergeometric variance d*n1*n2*(n-d) / (n^2*(n-1)) — each an
+# exact integer rational floored to micro on the bounded duration
+# spine, summed exactly; chi2 = (O1-E1)^2/V is one exact integer
+# floor at the end. Groups never share a user, risk sets are exact
+# cumulative counts.
+# ---------------------------------------------------------------------------
+@query(
+    "q386_logrank_test",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, CAST(user_id % 2 AS BIGINT) AS g,
+               CAST(date_diff('day', DATE '1992-01-01', CAST(ts AS DATE)) AS BIGINT) AS d
+        FROM events WHERE event_type = 'purchase'
+    ),
+    horizon AS (SELECT max(d) AS dmax FROM p),
+    per_user AS (
+        SELECT user_id, CAST(max(g) AS BIGINT) AS g, min(d) AS first_d,
+               min(CASE WHEN d > (SELECT min(d) FROM p p2 WHERE p2.user_id = p.user_id) THEN d END)
+                   AS next_d
+        FROM p GROUP BY user_id
+    ),
+    durations AS (
+        SELECT g,
+               CASE WHEN next_d IS NOT NULL THEN next_d - first_d
+                    ELSE h.dmax - first_d END AS t,
+               CASE WHEN next_d IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM per_user CROSS JOIN horizon h
+    ),
+    spine AS (
+        SELECT t,
+               CAST(count(*) FILTER (WHERE g = 1) AS BIGINT) AS a1,
+               CAST(count(*) FILTER (WHERE g = 0) AS BIGINT) AS a0,
+               CAST(coalesce(sum(ev) FILTER (WHERE g = 1), 0) AS BIGINT) AS d1,
+               CAST(coalesce(sum(ev) FILTER (WHERE g = 0), 0) AS BIGINT) AS d0
+        FROM durations GROUP BY t
+    ),
+    risk AS (
+        SELECT t, d1, d0, d1 + d0 AS d,
+               CAST(sum(a1) OVER () AS BIGINT)
+                 - CAST(coalesce(sum(a1) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n1,
+               CAST(sum(a0) OVER () AS BIGINT)
+                 - CAST(coalesce(sum(a0) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n0
+        FROM spine
+    ),
+    terms AS (
+        SELECT d1, d,
+               CAST((CAST(d AS HUGEINT) * n1 * 1000000
+                     - (CAST(d AS HUGEINT) * n1 * 1000000) % (n1 + n0))
+                    // (n1 + n0) AS BIGINT) AS e1_micro,
+               CASE WHEN n1 + n0 > 1
+                    THEN CAST((CAST(d AS HUGEINT) * n1 * n0 * (n1 + n0 - d) * 1000000
+                               - (CAST(d AS HUGEINT) * n1 * n0 * (n1 + n0 - d) * 1000000)
+                                 % (CAST(n1 + n0 AS HUGEINT) * (n1 + n0) * (n1 + n0 - 1)))
+                              // (CAST(n1 + n0 AS HUGEINT) * (n1 + n0) * (n1 + n0 - 1))
+                              AS BIGINT)
+                    ELSE 0 END AS v_micro
+        FROM risk WHERE d > 0
+    ),
+    sums AS (
+        SELECT CAST(sum(d1) AS BIGINT) AS o1,
+               CAST(sum(e1_micro) AS BIGINT) AS e1_sum,
+               CAST(sum(v_micro) AS BIGINT) AS v_sum
+        FROM terms
+    )
+    SELECT o1 AS observed_g1,
+           round(CAST(e1_sum AS DOUBLE) / 1000000.0, 6) AS expected_g1,
+           CASE WHEN v_sum > 0
+                THEN CAST(((CAST(o1 AS HUGEINT) * 1000000 - e1_sum)
+                           * (CAST(o1 AS HUGEINT) * 1000000 - e1_sum))
+                          // (CAST(v_sum AS HUGEINT) * 1000000) AS BIGINT) / 1000000.0
+           END AS logrank_chi2,
+           CASE WHEN v_sum > 0
+                THEN CAST(((CAST(o1 AS HUGEINT) * 1000000 - e1_sum)
+                           * (CAST(o1 AS HUGEINT) * 1000000 - e1_sum))
+                          // (CAST(v_sum AS HUGEINT) * 1000000) AS BIGINT) / 1000000.0
+                     > 3.841459
+           END AS significant_05
+    FROM sums
+    """,
+)
+def q386_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.pmod(F.col("user_id"), F.lit(2)).cast("bigint").alias("g"),
+        F.datediff(F.to_date("ts"), F.lit("1992-01-01")).cast("bigint").alias("d"),
+    )
+    horizon = p.agg(F.max("d").alias("dmax"))
+    per_user = p.groupBy("user_id").agg(
+        F.max("g").cast("bigint").alias("g"), F.min("d").alias("first_d")
+    )
+    nexts = (
+        p.join(per_user.select("user_id", "first_d"), "user_id")
+        .filter(F.col("d") > F.col("first_d"))
+        .groupBy("user_id")
+        .agg(F.min("d").alias("next_d"))
+    )
+    durations = (
+        per_user.join(nexts, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "g",
+            F.when(F.col("next_d").isNotNull(), F.col("next_d") - F.col("first_d"))
+            .otherwise(F.col("dmax") - F.col("first_d"))
+            .alias("t"),
+            F.when(F.col("next_d").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    spine = durations.groupBy("t").agg(
+        F.count(F.when(F.col("g") == 1, 1)).cast("bigint").alias("a1"),
+        F.count(F.when(F.col("g") == 0, 1)).cast("bigint").alias("a0"),
+        F.sum(F.when(F.col("g") == 1, F.col("ev")).otherwise(0))
+        .cast("bigint")
+        .alias("d1"),
+        F.sum(F.when(F.col("g") == 0, F.col("ev")).otherwise(0))
+        .cast("bigint")
+        .alias("d0"),
+    )
+    w_all = Window.partitionBy()
+    w_before = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = spine.select(
+        "t",
+        "d1",
+        "d0",
+        (F.col("d1") + F.col("d0")).alias("d"),
+        (
+            F.sum("a1").over(w_all).cast("bigint")
+            - F.coalesce(F.sum("a1").over(w_before), F.lit(0)).cast("bigint")
+        ).alias("n1"),
+        (
+            F.sum("a0").over(w_all).cast("bigint")
+            - F.coalesce(F.sum("a0").over(w_before), F.lit(0)).cast("bigint")
+        ).alias("n0"),
+    )
+    m = F.lit(1000000).cast("decimal(38,0)")
+    nn = _d38(F.col("n1") + F.col("n0"))
+    e1_num = _d38(F.col("d")) * _d38(F.col("n1")) * m
+    v_num = (
+        _d38(F.col("d"))
+        * _d38(F.col("n1"))
+        * _d38(F.col("n0"))
+        * _d38(F.col("n1") + F.col("n0") - F.col("d"))
+        * m
+    )
+    v_den = nn * nn * _d38(F.col("n1") + F.col("n0") - 1)
+    terms = risk.filter(F.col("d") > 0).select(
+        "d1",
+        ((e1_num - F.pmod(e1_num, nn)) / nn).cast("bigint").alias("e1_micro"),
+        F.when(
+            F.col("n1") + F.col("n0") > 1,
+            ((v_num - F.pmod(v_num, v_den)) / v_den).cast("bigint"),
+        )
+        .otherwise(0)
+        .alias("v_micro"),
+    )
+    sums = terms.agg(
+        F.sum("d1").cast("bigint").alias("o1"),
+        F.sum("e1_micro").cast("bigint").alias("e1_sum"),
+        F.sum("v_micro").cast("bigint").alias("v_sum"),
+    )
+    diff = _d38(F.col("o1")) * m - _d38(F.col("e1_sum"))
+    chi_num = diff * diff
+    chi_den = _d38(F.col("v_sum")) * m
+    chi2 = F.when(
+        F.col("v_sum") > 0,
+        ((chi_num - F.pmod(chi_num, chi_den)) / chi_den)
+        .cast("bigint")
+        .cast("double")
+        / F.lit(1000000.0),
+    )
+    return sums.select(
+        F.col("o1").alias("observed_g1"),
+        F.round(F.col("e1_sum").cast("double") / F.lit(1000000.0), 6).alias(
+            "expected_g1"
+        ),
+        chi2.alias("logrank_chi2"),
+        (chi2 > F.lit(3.841459)).alias("significant_05"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q387 — Durbin-Watson autocorrelation diagnostic on daily order
+# counts: DW = sum (e_t - e_{t-1})^2 / sum e_t^2 on mean-centered
+# residuals. Centering never touches a float: e_t scales to the
+# exact integer d_t = D*x_t - S (D = days, S = total), the D^2
+# factors cancel in the ratio, and both sums are exact
+# DECIMAL(38,0) on the calendar-bounded day spine. The companion
+# rho_hat = 1 - DW/2 derives from the already-floored micro value.
+# ---------------------------------------------------------------------------
+@query(
+    "q387_durbin_watson",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS dd, CAST(sum(x) AS BIGINT) AS s FROM daily),
+    resid AS (
+        SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i,
+               CAST(t.dd AS HUGEINT) * x - t.s AS e
+        FROM daily CROSS JOIN tot t
+    ),
+    stepped AS (
+        SELECT e, lag(e) OVER (ORDER BY i) AS e_prev FROM resid
+    ),
+    sums AS (
+        SELECT CAST(sum(CASE WHEN e_prev IS NOT NULL
+                             THEN (e - e_prev) * (e - e_prev) ELSE 0 END) AS HUGEINT) AS num,
+               CAST(sum(e * e) AS HUGEINT) AS den,
+               CAST(count(*) AS BIGINT) AS n
+        FROM stepped
+    )
+    SELECT n AS n_days,
+           CAST((num * 1000000 - (num * 1000000) % den) // den AS BIGINT) / 1000000.0 AS dw,
+           1.0 - CAST((num * 1000000 - (num * 1000000) % den) // den AS BIGINT) / 2000000.0 AS rho_hat
+    FROM sums
+    """,
+)
+def q387_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast("bigint")
+        .alias("d")
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    tot = daily.agg(
+        F.count("*").cast("bigint").alias("dd"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    w_ord = Window.orderBy("d")
+    resid = daily.crossJoin(F.broadcast(tot)).select(
+        "d",
+        (_d38(F.col("dd")) * _d38(F.col("x")) - _d38(F.col("s"))).alias("e"),
+    )
+    stepped = resid.select("e", F.lag("e").over(w_ord).alias("e_prev"))
+    sums = stepped.agg(
+        F.sum(
+            F.when(
+                F.col("e_prev").isNotNull(),
+                (F.col("e") - F.col("e_prev")) * (F.col("e") - F.col("e_prev")),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        )
+        .cast("decimal(38,0)")
+        .alias("num"),
+        F.sum(F.col("e") * F.col("e")).cast("decimal(38,0)").alias("den"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    m = F.lit(1000000).cast("decimal(38,0)")
+    s = F.col("num") * m
+    dw_micro = ((s - F.pmod(s, F.col("den"))) / F.col("den")).cast("bigint")
+    return sums.select(
+        F.col("n").alias("n_days"),
+        (dw_micro.cast("double") / F.lit(1000000.0)).alias("dw"),
+        (F.lit(1.0) - dw_micro.cast("double") / F.lit(2000000.0)).alias("rho_hat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q388 — Wald-Wolfowitz runs test on the sign sequence of the same
+# centered daily counts (above/below the mean; exact-zero residuals
+# count as above by convention): the non-parametric randomness check
+# that catches regime clustering DW's lag-1 view can miss. R, n+,
+# n- are exact integers off the day spine; the normal approximation
+# z = (R - mu)/sigma is one identical double tree from those
+# integers, rounded 6dp.
+# ---------------------------------------------------------------------------
+@query(
+    "q388_runs_test",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS dd, CAST(sum(x) AS BIGINT) AS s FROM daily),
+    signs AS (
+        SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i,
+               CASE WHEN CAST(t.dd AS HUGEINT) * x - t.s >= 0 THEN 1 ELSE 0 END AS sgn
+        FROM daily CROSS JOIN tot t
+    ),
+    flips AS (
+        SELECT sgn, CASE WHEN lag(sgn) OVER (ORDER BY i) IS NOT NULL
+                          AND lag(sgn) OVER (ORDER BY i) <> sgn THEN 1 ELSE 0 END AS flip
+        FROM signs
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(sgn) AS BIGINT) AS n_up,
+               CAST(count(*) - sum(sgn) AS BIGINT) AS n_dn,
+               CAST(1 + sum(flip) AS BIGINT) AS r
+        FROM flips
+    )
+    SELECT n AS n_days, n_up AS n_above, n_dn AS n_below, r AS n_runs,
+           CASE WHEN n_up > 0 AND n_dn > 0 AND n > 1 THEN
+               round((CAST(r AS DOUBLE)
+                      - (1.0 + 2.0 * CAST(n_up AS DOUBLE) * CAST(n_dn AS DOUBLE)
+                               / CAST(n AS DOUBLE)))
+                     / sqrt(2.0 * CAST(n_up AS DOUBLE) * CAST(n_dn AS DOUBLE)
+                            * (2.0 * CAST(n_up AS DOUBLE) * CAST(n_dn AS DOUBLE)
+                               - CAST(n AS DOUBLE))
+                            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                               * (CAST(n AS DOUBLE) - 1.0))), 6)
+           END AS z,
+           CASE WHEN n_up > 0 AND n_dn > 0 AND n > 1 THEN
+               abs(round((CAST(r AS DOUBLE)
+                      - (1.0 + 2.0 * CAST(n_up AS DOUBLE) * CAST(n_dn AS DOUBLE)
+                               / CAST(n AS DOUBLE)))
+                     / sqrt(2.0 * CAST(n_up AS DOUBLE) * CAST(n_dn AS DOUBLE)
+                            * (2.0 * CAST(n_up AS DOUBLE) * CAST(n_dn AS DOUBLE)
+                               - CAST(n AS DOUBLE))
+                            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                               * (CAST(n AS DOUBLE) - 1.0))), 6)) > 1.959964
+           END AS nonrandom_05
+    FROM agg
+    """,
+)
+def q388_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast("bigint")
+        .alias("d")
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    tot = daily.agg(
+        F.count("*").cast("bigint").alias("dd"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    signs = daily.crossJoin(F.broadcast(tot)).select(
+        "d",
+        F.when(
+            _d38(F.col("dd")) * _d38(F.col("x")) - _d38(F.col("s")) >= 0, 1
+        )
+        .otherwise(0)
+        .alias("sgn"),
+    )
+    w_ord = Window.orderBy("d")
+    flips = signs.select(
+        "sgn",
+        F.when(
+            F.lag("sgn").over(w_ord).isNotNull()
+            & (F.lag("sgn").over(w_ord) != F.col("sgn")),
+            1,
+        )
+        .otherwise(0)
+        .alias("flip"),
+    )
+    agg = flips.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("sgn").cast("bigint").alias("n_up"),
+        (F.count("*") - F.sum("sgn")).cast("bigint").alias("n_dn"),
+        (F.lit(1) + F.sum("flip")).cast("bigint").alias("r"),
+    )
+    nd = F.col("n").cast("double")
+    up, dn = F.col("n_up").cast("double"), F.col("n_dn").cast("double")
+    mu = F.lit(1.0) + F.lit(2.0) * up * dn / nd
+    var = (
+        F.lit(2.0)
+        * up
+        * dn
+        * (F.lit(2.0) * up * dn - nd)
+        / (nd * nd * (nd - F.lit(1.0)))
+    )
+    z = F.when(
+        (F.col("n_up") > 0) & (F.col("n_dn") > 0) & (F.col("n") > 1),
+        F.round((F.col("r").cast("double") - mu) / F.sqrt(var), 6),
+    )
+    return agg.select(
+        F.col("n").alias("n_days"),
+        F.col("n_up").alias("n_above"),
+        F.col("n_dn").alias("n_below"),
+        F.col("r").alias("n_runs"),
+        z.alias("z"),
+        (F.abs(z) > F.lit(1.959964)).alias("nonrandom_05"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q389 — Ljung-Box portmanteau test over lags 1..7 of the centered
+# daily order counts: "is there ANY autocorrelation structure" — the
+# gate before trusting q194's per-lag ACF readings. Each rho_k is an
+# exact integer rational on the D-scaled residuals (shift-floored to
+# micro — rho can be negative); each Q contribution
+# n(n+2) rho_k^2/(n-k) is floored to micro from the integer
+# rho_micro; the statistic is their exact sum, surfaced per lag with
+# the cumulative Q. The lag spine is 7 rows; the lag-k products ride
+# one index-shifted self-join of the bounded day spine.
+# ---------------------------------------------------------------------------
+@query(
+    "q389_ljung_box",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS dd, CAST(sum(x) AS BIGINT) AS s FROM daily),
+    resid AS (
+        SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i,
+               CAST(t.dd AS HUGEINT) * x - t.s AS e, t.dd AS n
+        FROM daily CROSS JOIN tot t
+    ),
+    den AS (SELECT CAST(sum(e * e) AS HUGEINT) AS d2, CAST(max(n) AS BIGINT) AS n FROM resid),
+    lags AS (SELECT unnest(range(1, 8)) AS k),
+    rho AS (
+        SELECT l.k,
+               CAST((CAST(sum(a.e * b.e) AS HUGEINT) * 1000000 + 1000000 * dn.d2
+                     - (CAST(sum(a.e * b.e) AS HUGEINT) * 1000000 + 1000000 * dn.d2) % dn.d2)
+                    // dn.d2 - 1000000 AS BIGINT) AS rho_micro,
+               CAST(max(dn.n) AS BIGINT) AS n
+        FROM lags l
+        JOIN resid a ON TRUE
+        JOIN resid b ON b.i = a.i - l.k
+        CROSS JOIN den dn
+        GROUP BY l.k, dn.d2
+    ),
+    terms AS (
+        SELECT k, rho_micro, n,
+               CAST((CAST(n AS HUGEINT) * (n + 2) * rho_micro * rho_micro
+                     - (CAST(n AS HUGEINT) * (n + 2) * rho_micro * rho_micro)
+                       % (CAST(n - k AS HUGEINT) * 1000000))
+                    // (CAST(n - k AS HUGEINT) * 1000000) AS BIGINT) AS q_micro
+        FROM rho
+    )
+    SELECT k AS lag, n AS n_days,
+           CAST(rho_micro AS DOUBLE) / 1000000.0 AS rho,
+           CAST(sum(q_micro) OVER (ORDER BY k) AS BIGINT) / 1000000.0 AS lb_q_cum
+    FROM terms ORDER BY k
+    """,
+)
+def q389_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast("bigint")
+        .alias("d")
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    tot = daily.agg(
+        F.count("*").cast("bigint").alias("dd"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    w_ord = Window.orderBy("d")
+    resid = daily.crossJoin(F.broadcast(tot)).select(
+        F.row_number().over(w_ord).cast("bigint").alias("i"),
+        (_d38(F.col("dd")) * _d38(F.col("x")) - _d38(F.col("s"))).alias("e"),
+        F.col("dd").alias("n"),
+    )
+    den = resid.agg(
+        F.sum(F.col("e") * F.col("e")).cast("decimal(38,0)").alias("d2"),
+        F.max("n").cast("bigint").alias("n"),
+    )
+    lags = F.broadcast(
+        resid.sparkSession.range(1, 8).select(F.col("id").cast("bigint").alias("k"))
+    )
+    a = resid.select(F.col("i").alias("ia"), F.col("e").alias("ea"))
+    b = resid.select(F.col("i").alias("ib"), F.col("e").alias("eb"))
+    m = F.lit(1000000).cast("decimal(38,0)")
+    pairs = (
+        a.crossJoin(lags)
+        .join(b, F.col("ib") == F.col("ia") - F.col("k"))
+        .groupBy("k")
+        .agg(F.sum(F.col("ea") * F.col("eb")).cast("decimal(38,0)").alias("num"))
+        .crossJoin(F.broadcast(den))
+    )
+    shifted = F.col("num") * m + m * F.col("d2")
+    rho = pairs.select(
+        "k",
+        (
+            (shifted - F.pmod(shifted, F.col("d2"))) / F.col("d2")
+        ).cast("bigint").alias("rho_shift"),
+        "n",
+    ).select(
+        "k",
+        (F.col("rho_shift") - 1000000).alias("rho_micro"),
+        "n",
+    )
+    q_num = (
+        _d38(F.col("n"))
+        * _d38(F.col("n") + 2)
+        * _d38(F.col("rho_micro"))
+        * _d38(F.col("rho_micro"))
+    )
+    q_den = _d38(F.col("n") - F.col("k")) * m
+    terms = rho.select(
+        "k",
+        "rho_micro",
+        "n",
+        ((q_num - F.pmod(q_num, q_den)) / q_den).cast("bigint").alias("q_micro"),
+    )
+    w_cum = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    return terms.select(
+        F.col("k").alias("lag"),
+        F.col("n").alias("n_days"),
+        (F.col("rho_micro").cast("double") / F.lit(1000000.0)).alias("rho"),
+        (
+            F.sum("q_micro").over(w_cum).cast("bigint").cast("double")
+            / F.lit(1000000.0)
+        ).alias("lb_q_cum"),
+    ).orderBy("lag")
+
+
+# ---------------------------------------------------------------------------
+# q390 — partial autocorrelation (lags 1..3) via the Durbin-Levinson
+# recursion on the Ljung-Box rho's: the AR-order fingerprint (PACF
+# cutoff picks p) computed as pure scalar algebra over the three
+# 6dp-micro-rounded autocorrelations — the recursion is unrolled
+# into ONE identical expression tree on both engines, so no
+# sequential state crosses rows at all. Denominators are guarded at
+# 1e-12 on identical doubles, so both engines take the same branch.
+# ---------------------------------------------------------------------------
+@query(
+    "q390_pacf_durbin",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS dd, CAST(sum(x) AS BIGINT) AS s FROM daily),
+    resid AS (
+        SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i,
+               CAST(t.dd AS HUGEINT) * x - t.s AS e, t.dd AS n
+        FROM daily CROSS JOIN tot t
+    ),
+    den AS (SELECT CAST(sum(e * e) AS HUGEINT) AS d2, CAST(max(n) AS BIGINT) AS n FROM resid),
+    lags AS (SELECT unnest(range(1, 4)) AS k),
+    rho AS (
+        SELECT l.k,
+               CAST((CAST(sum(a.e * b.e) AS HUGEINT) * 1000000 + 1000000 * dn.d2
+                     - (CAST(sum(a.e * b.e) AS HUGEINT) * 1000000 + 1000000 * dn.d2) % dn.d2)
+                    // dn.d2 - 1000000 AS BIGINT) AS rho_micro,
+               CAST(max(dn.n) AS BIGINT) AS n
+        FROM lags l
+        JOIN resid a ON TRUE
+        JOIN resid b ON b.i = a.i - l.k
+        CROSS JOIN den dn
+        GROUP BY l.k, dn.d2
+    ),
+    wide AS (
+        SELECT CAST(max(n) AS BIGINT) AS n,
+               max(CASE WHEN k = 1 THEN CAST(rho_micro AS DOUBLE) / 1000000.0 END) AS r1,
+               max(CASE WHEN k = 2 THEN CAST(rho_micro AS DOUBLE) / 1000000.0 END) AS r2,
+               max(CASE WHEN k = 3 THEN CAST(rho_micro AS DOUBLE) / 1000000.0 END) AS r3
+        FROM rho
+    ),
+    lvl2 AS (
+        SELECT n, r1, r2, r3,
+               CASE WHEN abs(1.0 - r1 * r1) > 1e-12
+                    THEN (r2 - r1 * r1) / (1.0 - r1 * r1) END AS p22
+        FROM wide
+    ),
+    lvl3 AS (
+        SELECT n, r1, r2, r3, p22, r1 * (1.0 - p22) AS p21 FROM lvl2
+    )
+    SELECT n AS n_days,
+           round(r1, 6) AS pacf_1,
+           round(p22, 6) AS pacf_2,
+           CASE WHEN abs(1.0 - p21 * r1 - p22 * r2) > 1e-12
+                THEN round((r3 - p21 * r2 - p22 * r1)
+                           / (1.0 - p21 * r1 - p22 * r2), 6) END AS pacf_3
+    FROM lvl3
+    """,
+)
+def q390_pacf_durbin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast("bigint")
+        .alias("d")
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    tot = daily.agg(
+        F.count("*").cast("bigint").alias("dd"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    w_ord = Window.orderBy("d")
+    resid = daily.crossJoin(F.broadcast(tot)).select(
+        F.row_number().over(w_ord).cast("bigint").alias("i"),
+        (_d38(F.col("dd")) * _d38(F.col("x")) - _d38(F.col("s"))).alias("e"),
+        F.col("dd").alias("n"),
+    )
+    den = resid.agg(
+        F.sum(F.col("e") * F.col("e")).cast("decimal(38,0)").alias("d2"),
+        F.max("n").cast("bigint").alias("n"),
+    )
+    lags = F.broadcast(
+        resid.sparkSession.range(1, 4).select(F.col("id").cast("bigint").alias("k"))
+    )
+    a = resid.select(F.col("i").alias("ia"), F.col("e").alias("ea"))
+    b = resid.select(F.col("i").alias("ib"), F.col("e").alias("eb"))
+    m = F.lit(1000000).cast("decimal(38,0)")
+    pairs = (
+        a.crossJoin(lags)
+        .join(b, F.col("ib") == F.col("ia") - F.col("k"))
+        .groupBy("k")
+        .agg(F.sum(F.col("ea") * F.col("eb")).cast("decimal(38,0)").alias("num"))
+        .crossJoin(F.broadcast(den))
+    )
+    shifted = F.col("num") * m + m * F.col("d2")
+    rho = pairs.select(
+        "k",
+        (
+            ((shifted - F.pmod(shifted, F.col("d2"))) / F.col("d2")).cast("bigint")
+            - 1000000
+        ).alias("rho_micro"),
+        "n",
+    )
+    wide = rho.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max(
+            F.when(F.col("k") == 1, F.col("rho_micro").cast("double") / 1000000.0)
+        ).alias("r1"),
+        F.max(
+            F.when(F.col("k") == 2, F.col("rho_micro").cast("double") / 1000000.0)
+        ).alias("r2"),
+        F.max(
+            F.when(F.col("k") == 3, F.col("rho_micro").cast("double") / 1000000.0)
+        ).alias("r3"),
+    )
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    p22 = F.when(
+        F.abs(F.lit(1.0) - r1 * r1) > 1e-12, (r2 - r1 * r1) / (F.lit(1.0) - r1 * r1)
+    )
+    lvl2 = wide.select("n", "r1", "r2", "r3", p22.alias("p22"))
+    lvl3 = lvl2.select(
+        "n", "r1", "r2", "r3", "p22", (r1 * (F.lit(1.0) - F.col("p22"))).alias("p21")
+    )
+    p21, p22c = F.col("p21"), F.col("p22")
+    den3 = F.lit(1.0) - p21 * r1 - p22c * r2
+    return lvl3.select(
+        F.col("n").alias("n_days"),
+        F.round(r1, 6).alias("pacf_1"),
+        F.round(p22c, 6).alias("pacf_2"),
+        F.when(
+            F.abs(den3) > 1e-12,
+            F.round((r3 - p21 * r2 - p22c * r1) / den3, 6),
+        ).alias("pacf_3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q391 — EWMA control chart (lambda=0.2, L=3, asymptotic limits) on
+# daily order counts: the monitoring decision layer over q181's EWMA
+# — how many days would have alarmed, and where the statistic ended.
+# The EWMA recurrence folds LEFT-TO-RIGHT with the IDENTICAL
+# floating-point tree on both engines (the q333/q360 sequential-fold
+# parity argument; Spark: one F.aggregate over the calendar-bounded
+# collected array carrying (z, violations, last_violation_day);
+# DuckDB: a recursive CTE stepping the same arithmetic). Limits
+# derive from exact integer moments (mu = S/D, sigma^2 =
+# (D*SS - S^2)/D^2) in one identical scalar tree.
+# ---------------------------------------------------------------------------
+@query(
+    "q391_ewma_control",
+    oracle="""
+    WITH RECURSIVE daily AS (
+        SELECT CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ),
+    series AS (
+        SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i, d,
+               CAST(x AS DOUBLE) AS y
+        FROM daily
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS s,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS ss
+        FROM daily
+    ),
+    lim AS (
+        SELECT n, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+               CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+               + 3.0 * sqrt(CAST(CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s AS DOUBLE)
+                            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                            * (0.2 / 1.8)) AS ucl,
+               CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+               - 3.0 * sqrt(CAST(CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s AS DOUBLE)
+                            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                            * (0.2 / 1.8)) AS lcl
+        FROM stats
+    ),
+    chart(i, z, viol, last_d) AS (
+        SELECT CAST(0 AS BIGINT), (SELECT mu FROM lim), CAST(0 AS BIGINT),
+               CAST(NULL AS BIGINT)
+        UNION ALL
+        SELECT c.i + 1,
+               0.2 * s.y + 0.8 * c.z,
+               c.viol + CASE WHEN 0.2 * s.y + 0.8 * c.z > (SELECT ucl FROM lim)
+                               OR 0.2 * s.y + 0.8 * c.z < (SELECT lcl FROM lim)
+                             THEN 1 ELSE 0 END,
+               CASE WHEN 0.2 * s.y + 0.8 * c.z > (SELECT ucl FROM lim)
+                      OR 0.2 * s.y + 0.8 * c.z < (SELECT lcl FROM lim)
+                    THEN s.d ELSE c.last_d END
+        FROM chart c JOIN series s ON s.i = c.i + 1
+    )
+    SELECT (SELECT n FROM lim) AS n_days,
+           round((SELECT mu FROM lim), 6) AS center,
+           round((SELECT ucl FROM lim), 6) AS ucl,
+           round((SELECT lcl FROM lim), 6) AS lcl,
+           round(z, 6) AS final_ewma,
+           viol AS n_violations, last_d AS last_violation_day
+    FROM chart WHERE i = (SELECT n FROM lim)
+    """,
+)
+def q391_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast("bigint")
+        .alias("d")
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    stats = daily.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(_d38(F.col("x")) * _d38(F.col("x"))).cast("decimal(38,0)").alias("ss"),
+    )
+    nd = F.col("n").cast("double")
+    mu = F.col("s").cast("double") / nd
+    sig = F.sqrt(
+        (_d38(F.col("n")) * F.col("ss") - _d38(F.col("s")) * _d38(F.col("s"))).cast(
+            "double"
+        )
+        / (nd * nd)
+        * (F.lit(0.2) / F.lit(1.8))
+    )
+    lim = stats.select(
+        "n",
+        mu.alias("mu"),
+        (mu + F.lit(3.0) * sig).alias("ucl"),
+        (mu - F.lit(3.0) * sig).alias("lcl"),
+    )
+    one = daily.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("d"), F.col("x").cast("double").alias("y"))
+            )
+        ).alias("arr")
+    ).crossJoin(F.broadcast(lim))
+    arr = F.col("arr")
+    init = F.struct(
+        F.col("mu").alias("z"),
+        F.lit(0).cast("bigint").alias("viol"),
+        F.lit(None).cast("bigint").alias("last_d"),
+    )
+
+    def step(acc, s):
+        z_new = F.lit(0.2) * s["y"] + F.lit(0.8) * acc["z"]
+        hit = (z_new > F.col("ucl")) | (z_new < F.col("lcl"))
+        return F.struct(
+            z_new.alias("z"),
+            (acc["viol"] + F.when(hit, 1).otherwise(0)).cast("bigint").alias("viol"),
+            F.when(hit, s["d"]).otherwise(acc["last_d"]).alias("last_d"),
+        )
+
+    folded = one.select(
+        F.col("n").alias("n_days"),
+        F.round(F.col("mu"), 6).alias("center"),
+        F.round(F.col("ucl"), 6).alias("ucl"),
+        F.round(F.col("lcl"), 6).alias("lcl"),
+        F.aggregate(arr, init, step).alias("st"),
+    )
+    return folded.select(
+        "n_days",
+        "center",
+        "ucl",
+        "lcl",
+        F.round(F.col("st.z"), 6).alias("final_ewma"),
+        F.col("st.viol").alias("n_violations"),
+        F.col("st.last_d").alias("last_violation_day"),
+    )
