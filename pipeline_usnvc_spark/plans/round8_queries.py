@@ -1688,3 +1688,579 @@ def q391_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("st.viol").alias("n_violations"),
         F.col("st.last_d").alias("last_violation_day"),
     )
+
+
+def banded_wasserstein(
+    spark: SparkSession, sf_dir: str, reference_source: str | None = None
+) -> DataFrame:
+    """W1 (earth-mover) distance of every source's length distribution
+    vs ONE reference source — the linear-pair-count drift spine
+    (VERDICT r07 item 9): q368's all-pairs formulation is quadratic in
+    |sources| (fine for dozens, wrong for thousands); banding every
+    comparison to a chosen baseline keeps the spine at |sources| - 1
+    pairs while answering the monitoring question drift checks
+    actually ask ("who moved vs the reference crawl"). reference_source
+    defaults to the lexicographically-first source (deterministic).
+
+    Same exactness as q368: ECDF gaps ride exact integer prefix
+    counts on the (source, distinct-length) spine; each segment
+    contribution |F_a - F_ref| * (v_next - v) is an exact integer
+    rational floored to micro.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    if reference_source is None:
+        ref = cnt.agg(F.min("source").alias("ref"))
+    else:
+        ref = spark.createDataFrame([(reference_source,)], "ref string")
+    others = (
+        cnt.select("source")
+        .distinct()
+        .crossJoin(F.broadcast(ref))
+        .filter(F.col("source") != F.col("ref"))
+        .select(F.col("ref").alias("sa"), F.col("source").alias("sb"))
+    )
+    vals = cnt.select("v").distinct()
+    spine = (
+        others.crossJoin(F.broadcast(vals))
+        .join(
+            cnt.select(F.col("source").alias("sa"), "v", F.col("c").alias("ca")),
+            ["sa", "v"],
+            "left",
+        )
+        .join(
+            cnt.select(F.col("source").alias("sb"), "v", F.col("c").alias("cb")),
+            ["sb", "v"],
+            "left",
+        )
+        .select(
+            "sa",
+            "sb",
+            "v",
+            F.coalesce("ca", F.lit(0).cast("bigint")).alias("ca"),
+            F.coalesce("cb", F.lit(0).cast("bigint")).alias("cb"),
+        )
+        .filter(F.col("ca") + F.col("cb") > 0)
+    )
+    w_cum = Window.partitionBy("sa", "sb").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_ord = Window.partitionBy("sa", "sb").orderBy("v")
+    w_pair = Window.partitionBy("sa", "sb")
+    cum = spine.select(
+        "sa",
+        "sb",
+        "v",
+        F.sum(_d38(F.col("ca"))).over(w_cum).alias("cfa"),
+        F.sum(_d38(F.col("cb"))).over(w_cum).alias("cfb"),
+        F.lead("v").over(w_ord).alias("v_next"),
+        F.sum("ca").over(w_pair).cast("bigint").alias("n"),
+        F.sum("cb").over(w_pair).cast("bigint").alias("m"),
+    )
+    seg = cum.filter(F.col("v_next").isNotNull())
+    gap = F.abs(
+        F.col("cfa") * _d38(F.col("m")) - F.col("cfb") * _d38(F.col("n"))
+    ) * _d38(F.col("v_next") - F.col("v"))
+    mm = F.lit(1000000).cast("decimal(38,0)")
+    nm = _d38(F.col("n")) * _d38(F.col("m"))
+    seg_micro = (
+        ((gap * mm) - F.pmod(gap * mm, nm)) / nm
+    ).cast("bigint")
+    agg = seg.groupBy("sa", "sb").agg(
+        F.max("n").cast("bigint").alias("n_ref"),
+        F.max("m").cast("bigint").alias("n_src"),
+        F.sum(seg_micro).cast("bigint").alias("w1_micro_sum"),
+    )
+    return agg.select(
+        F.col("sa").alias("reference_source"),
+        F.col("sb").alias("source"),
+        "n_ref",
+        "n_src",
+        (F.col("w1_micro_sum").cast("double") / F.lit(1000000.0)).alias("w1_chars"),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# q392 — the registered banded-drift query: W1 vs the
+# lexicographically-first reference source (banded_wasserstein with
+# the default parameter). |sources| - 1 pairs — LINEAR in source
+# count where q368's full pair matrix is quadratic; at thousands of
+# crawl sources this is the only shape that survives.
+# ---------------------------------------------------------------------------
+@query(
+    "q392_banded_drift_reference",
+    oracle="""
+    WITH cnt AS (
+        SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2
+    ),
+    ref AS (SELECT min(source) AS ref FROM cnt),
+    pairs AS (
+        SELECT r.ref AS sa, s.source AS sb
+        FROM (SELECT DISTINCT source FROM cnt) s CROSS JOIN ref r
+        WHERE s.source <> r.ref
+    ),
+    spine AS (
+        SELECT p.sa, p.sb, v.v,
+               coalesce(ca.c, 0) AS ca, coalesce(cb.c, 0) AS cb
+        FROM pairs p
+        JOIN (SELECT DISTINCT cnt.v FROM cnt) v ON TRUE
+        LEFT JOIN cnt ca ON ca.source = p.sa AND ca.v = v.v
+        LEFT JOIN cnt cb ON cb.source = p.sb AND cb.v = v.v
+        WHERE coalesce(ca.c, 0) + coalesce(cb.c, 0) > 0
+    ),
+    cum AS (
+        SELECT sa, sb, v, ca, cb,
+               CAST(sum(ca) OVER w AS HUGEINT) AS cfa,
+               CAST(sum(cb) OVER w AS HUGEINT) AS cfb,
+               lead(v) OVER (PARTITION BY sa, sb ORDER BY v) AS v_next,
+               CAST(sum(ca) OVER (PARTITION BY sa, sb) AS BIGINT) AS n,
+               CAST(sum(cb) OVER (PARTITION BY sa, sb) AS BIGINT) AS m
+        FROM spine
+        WINDOW w AS (PARTITION BY sa, sb ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    segs AS (
+        SELECT sa, sb, n, m,
+               CAST((abs(cfa * m - cfb * n) * (v_next - v) * 1000000
+                     - (abs(cfa * m - cfb * n) * (v_next - v) * 1000000)
+                       % (CAST(n AS HUGEINT) * m))
+                    // (CAST(n AS HUGEINT) * m) AS BIGINT) AS seg_micro
+        FROM cum WHERE v_next IS NOT NULL
+    )
+    SELECT sa AS reference_source, sb AS source,
+           CAST(max(n) AS BIGINT) AS n_ref, CAST(max(m) AS BIGINT) AS n_src,
+           CAST(sum(seg_micro) AS BIGINT) / 1000000.0 AS w1_chars
+    FROM segs GROUP BY sa, sb ORDER BY source
+    """,
+)
+def q392_banded_drift_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return banded_wasserstein(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# q393 — Chao1 species-richness estimate of each source's vocabulary:
+# "how many distinct terms does this crawl REALLY have, counting the
+# ones we haven't seen yet" — the coverage planner's companion to
+# q342's Good-Turing unseen mass. Bias-corrected form
+# S + f1*(f1-1)/(2*(f2+1)) never divides by zero; everything is
+# exact integers off the (source, term-frequency) spine, the
+# correction floors to micro.
+# ---------------------------------------------------------------------------
+@query(
+    "q393_chao1_richness",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, unnest({_TOKS_SQL}) AS term FROM documents
+    ),
+    tc AS (
+        SELECT source, term, CAST(count(*) AS BIGINT) AS c
+        FROM toks GROUP BY 1, 2
+    ),
+    ff AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS s_obs,
+               CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS f1,
+               CAST(count(*) FILTER (WHERE c = 2) AS BIGINT) AS f2
+        FROM tc GROUP BY source
+    )
+    SELECT source, s_obs, f1, f2,
+           s_obs + CAST((CAST(f1 AS HUGEINT) * (f1 - 1) * 1000000
+                         - (CAST(f1 AS HUGEINT) * (f1 - 1) * 1000000)
+                           % (2 * (f2 + 1)))
+                        // (2 * (f2 + 1)) AS BIGINT) / 1000000.0 AS chao1
+    FROM ff ORDER BY source
+    """,
+)
+def q393_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select("source", F.explode(tokens("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    ff = tc.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("s_obs"),
+        F.count(F.when(F.col("c") == 1, 1)).cast("bigint").alias("f1"),
+        F.count(F.when(F.col("c") == 2, 1)).cast("bigint").alias("f2"),
+    )
+    num = _d38(F.col("f1")) * _d38(F.col("f1") - 1) * F.lit(1000000).cast(
+        "decimal(38,0)"
+    )
+    den = _d38(F.lit(2) * (F.col("f2") + 1))
+    return ff.select(
+        "source",
+        "s_obs",
+        "f1",
+        "f2",
+        (
+            F.col("s_obs").cast("double")
+            + ((num - F.pmod(num, den)) / den).cast("bigint").cast("double")
+            / F.lit(1000000.0)
+        ).alias("chao1"),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# q394 — Heaps' law fit V = K * N^beta over 10 nested id-range corpus
+# prefixes: the vocabulary-growth exponent that prices "how much new
+# vocab does the next 10x of crawl buy" (q393's Chao1 asks the same
+# question at fixed N; Heaps extrapolates in N). Prefixes are
+# doc_id-range cuts (NO global rank window — id bounds come from one
+# scalar max); V_k counts terms whose FIRST occurrence id is within
+# the bound (one min per term), N_k sums tokens per prefix — both
+# ride single groupBys joined to the bounded 10-row prefix spine.
+# The ln-ln OLS runs on micro-rounded logs with exact integer sums;
+# the slope/intercept are identical final trees.
+# ---------------------------------------------------------------------------
+@query(
+    "q394_heaps_law",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+    ),
+    bounds AS (SELECT max(doc_id) AS mx FROM documents),
+    spine AS (
+        SELECT k, CAST((SELECT mx FROM bounds) * k // 10 AS BIGINT) AS id_bound
+        FROM (SELECT unnest(range(1, 11)) AS k)
+    ),
+    term_first AS (SELECT term, min(doc_id) AS first_id FROM toks GROUP BY term),
+    doc_tokens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt FROM toks GROUP BY doc_id),
+    pts AS (
+        SELECT s.k,
+               (SELECT CAST(count(*) AS BIGINT) FROM term_first t
+                WHERE t.first_id <= s.id_bound) AS v,
+               (SELECT CAST(coalesce(sum(nt), 0) AS BIGINT) FROM doc_tokens d
+                WHERE d.doc_id <= s.id_bound) AS n
+        FROM spine s
+    ),
+    lg AS (
+        SELECT k,
+               CAST(round(1000000.0 * ln(CAST(n AS DOUBLE))) AS BIGINT) AS x,
+               CAST(round(1000000.0 * ln(CAST(v AS DOUBLE))) AS BIGINT) AS y
+        FROM pts WHERE n > 0 AND v > 0
+    ),
+    sums AS (
+        SELECT CAST(count(*) AS HUGEINT) AS g,
+               CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+               CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+        FROM lg
+    )
+    SELECT CAST(g AS BIGINT) AS n_prefixes,
+           CASE WHEN g * sxx - sx * sx <> 0
+                THEN round(CAST(g * sxy - sx * sy AS DOUBLE)
+                           / CAST(g * sxx - sx * sx AS DOUBLE), 6) END AS heaps_beta,
+           CASE WHEN g * sxx - sx * sx <> 0
+                THEN round((CAST(sy AS DOUBLE)
+                            - (CAST(g * sxy - sx * sy AS DOUBLE)
+                               / CAST(g * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+                           / CAST(g AS DOUBLE) / 1000000.0, 6) END AS ln_k
+    FROM sums
+    """,
+)
+def q394_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    bounds = docs.agg(F.max("doc_id").alias("mx"))
+    spine = (
+        spark.range(1, 11)
+        .select(F.col("id").cast("bigint").alias("k"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "k",
+            F.floor(F.col("mx") * F.col("k") / 10).cast("bigint").alias("id_bound"),
+        )
+    )
+    term_first = toks.groupBy("term").agg(F.min("doc_id").alias("first_id"))
+    doc_tokens = toks.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("nt"))
+    v_per = (
+        term_first.crossJoin(F.broadcast(spine))
+        .filter(F.col("first_id") <= F.col("id_bound"))
+        .groupBy("k")
+        .agg(F.count("*").cast("bigint").alias("v"))
+    )
+    n_per = (
+        doc_tokens.crossJoin(F.broadcast(spine))
+        .filter(F.col("doc_id") <= F.col("id_bound"))
+        .groupBy("k")
+        .agg(F.sum("nt").cast("bigint").alias("n"))
+    )
+    pts = spine.join(v_per, "k", "left").join(n_per, "k", "left").select(
+        "k",
+        F.coalesce("v", F.lit(0).cast("bigint")).alias("v"),
+        F.coalesce("n", F.lit(0).cast("bigint")).alias("n"),
+    )
+    lg = pts.filter((F.col("n") > 0) & (F.col("v") > 0)).select(
+        "k",
+        F.round(F.lit(1000000.0) * F.log(F.col("n").cast("double")))
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.lit(1000000.0) * F.log(F.col("v").cast("double")))
+        .cast("bigint")
+        .alias("y"),
+    )
+    sums = lg.agg(
+        F.count("*").cast("decimal(38,0)").alias("g"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(_d38(F.col("x")) * _d38(F.col("y"))).cast("decimal(38,0)").alias("sxy"),
+        F.sum(_d38(F.col("x")) * _d38(F.col("x"))).cast("decimal(38,0)").alias("sxx"),
+    )
+    det = (F.col("g") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    beta = (F.col("g") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / det
+    return sums.select(
+        F.col("g").cast("bigint").alias("n_prefixes"),
+        F.when(det != 0, F.round(beta, 6)).alias("heaps_beta"),
+        F.when(
+            det != 0,
+            F.round(
+                (F.col("sy").cast("double") - beta * F.col("sx").cast("double"))
+                / F.col("g").cast("double")
+                / F.lit(1000000.0),
+                6,
+            ),
+        ).alias("ln_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q395 — Atkinson inequality index (epsilon = 0.5) of positive
+# customer balances: the welfare-economics companion to q232's Gini —
+# how much total balance society would give up for equality. For
+# eps=0.5 the index closes to 1 - (mean of sqrt(x))^2 / mean(x); the
+# per-row sqrt micro-rounds to an exact integer (the q217
+# transcendental rule), both moments are exact sums, and the final
+# ratio floors to micro. Positive filter documented: the generalized
+# mean is undefined below zero.
+# ---------------------------------------------------------------------------
+@query(
+    "q395_atkinson_index",
+    oracle="""
+    WITH pos AS (
+        SELECT CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer WHERE c_acctbal > 0
+    ),
+    sums AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS s,
+               CAST(sum(CAST(round(1000000.0 * sqrt(CAST(cents AS DOUBLE) / 100.0))
+                             AS BIGINT)) AS HUGEINT) AS rs
+        FROM pos
+    )
+    SELECT n AS n_accounts,
+           round(CAST(s AS DOUBLE) / 100.0 / CAST(n AS DOUBLE), 6) AS mean_balance,
+           1.0 - CAST((rs * rs - (rs * rs) % (CAST(n AS HUGEINT) * s * 10000000000))
+                      // (CAST(n AS HUGEINT) * s * 10000000000) AS BIGINT) / 1000000.0
+               AS atkinson_05
+    FROM sums
+    """,
+)
+def q395_atkinson_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    pos = cust.filter(F.col("c_acctbal") > 0).select(
+        F.floor(F.col("c_acctbal") * 100).cast("bigint").alias("cents")
+    )
+    sums = pos.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.sum(
+            F.round(
+                F.lit(1000000.0) * F.sqrt(F.col("cents").cast("double") / F.lit(100.0))
+            ).cast("bigint")
+        )
+        .cast("decimal(38,0)")
+        .alias("rs"),
+    )
+    num = F.col("rs") * F.col("rs")
+    den = (
+        _d38(F.col("n"))
+        * _d38(F.col("s"))
+        * F.lit(10000000000).cast("decimal(38,0)")
+    )
+    return sums.select(
+        F.col("n").alias("n_accounts"),
+        F.round(
+            F.col("s").cast("double") / F.lit(100.0) / F.col("n").cast("double"), 6
+        ).alias("mean_balance"),
+        (
+            F.lit(1.0)
+            - ((num - F.pmod(num, den)) / den).cast("bigint").cast("double")
+            / F.lit(1000000.0)
+        ).alias("atkinson_05"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q396 — Lorenz curve at deciles of positive customer balances
+# WITHOUT a data-grain rank window: group to the distinct-cents
+# value spine first, then cumulative counts/cents; the k-th decile
+# boundary ceil(k*n/10) lands inside a spine row, where every
+# account holds the SAME value — so the boundary share interpolates
+# exactly in integers: cents_before + (boundary - count_before) * v.
+# The curve q232's Gini scalar summarizes, point by point.
+# ---------------------------------------------------------------------------
+@query(
+    "q396_lorenz_deciles",
+    oracle="""
+    WITH pos AS (
+        SELECT CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer WHERE c_acctbal > 0
+    ),
+    vals AS (
+        SELECT cents, CAST(count(*) AS BIGINT) AS c FROM pos GROUP BY cents
+    ),
+    cum AS (
+        SELECT cents, c,
+               CAST(sum(c) OVER w AS BIGINT) AS cnt_cum,
+               CAST(sum(CAST(cents AS HUGEINT) * c) OVER w AS HUGEINT) AS cents_cum,
+               CAST(sum(c) OVER () AS BIGINT) AS n,
+               CAST(sum(CAST(cents AS HUGEINT) * c) OVER () AS HUGEINT) AS total
+        FROM vals
+        WINDOW w AS (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    deciles AS (
+        SELECT k, CAST((k * (SELECT max(n) FROM cum) + 9) // 10 AS BIGINT) AS b
+        FROM (SELECT unnest(range(1, 11)) AS k)
+    ),
+    hit AS (
+        SELECT d.k, d.b, c.cents, c.c, c.cnt_cum, c.cents_cum, c.n, c.total,
+               row_number() OVER (PARTITION BY d.k ORDER BY c.cents) AS rn
+        FROM deciles d JOIN cum c ON c.cnt_cum >= d.b
+    )
+    SELECT k AS decile, b AS n_poorest,
+           CAST((CAST((cents_cum - CAST(cnt_cum - b AS HUGEINT) * cents) AS HUGEINT) * 1000000
+                 - (CAST((cents_cum - CAST(cnt_cum - b AS HUGEINT) * cents) AS HUGEINT) * 1000000)
+                   % total)
+                // total AS BIGINT) / 1000000.0 AS cum_share
+    FROM hit WHERE rn = 1 ORDER BY k
+    """,
+)
+def q396_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    pos = cust.filter(F.col("c_acctbal") > 0).select(
+        F.floor(F.col("c_acctbal") * 100).cast("bigint").alias("cents")
+    )
+    vals = pos.groupBy("cents").agg(F.count("*").cast("bigint").alias("c"))
+    w_cum = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = vals.select(
+        "cents",
+        "c",
+        F.sum("c").over(w_cum).cast("bigint").alias("cnt_cum"),
+        F.sum(_d38(F.col("cents")) * _d38(F.col("c")))
+        .over(w_cum)
+        .cast("decimal(38,0)")
+        .alias("cents_cum"),
+        F.sum("c").over(w_all).cast("bigint").alias("n"),
+        F.sum(_d38(F.col("cents")) * _d38(F.col("c")))
+        .over(w_all)
+        .cast("decimal(38,0)")
+        .alias("total"),
+    )
+    n_tot = cum.agg(F.max("n").alias("n"))
+    deciles = (
+        spark.range(1, 11)
+        .select(F.col("id").cast("bigint").alias("k"))
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "k",
+            F.floor((F.col("k") * F.col("n") + 9) / 10).cast("bigint").alias("b"),
+        )
+    )
+    hit = deciles.join(cum, F.col("cnt_cum") >= F.col("b"))
+    w_first = Window.partitionBy("k").orderBy("cents")
+    first = hit.withColumn("rn", F.row_number().over(w_first)).filter(
+        F.col("rn") == 1
+    )
+    at_b = (
+        F.col("cents_cum")
+        - _d38(F.col("cnt_cum") - F.col("b")) * _d38(F.col("cents"))
+    ).cast("decimal(38,0)")
+    m = F.lit(1000000).cast("decimal(38,0)")
+    s = at_b * m
+    return first.select(
+        F.col("k").alias("decile"),
+        F.col("b").alias("n_poorest"),
+        (
+            ((s - F.pmod(s, F.col("total"))) / F.col("total"))
+            .cast("bigint")
+            .cast("double")
+            / F.lit(1000000.0)
+        ).alias("cum_share"),
+    ).orderBy("decile")
+
+
+# ---------------------------------------------------------------------------
+# q397 — term burstiness (variance-to-mean ratio of per-document
+# counts) for the corpus top-50 terms: bursty terms (VMR >> 1)
+# cluster in few documents — topical signal; VMR ~ 1 is Poisson
+# background — function words. The dedup/quality families key on
+# exactly this distinction. Top-50 selection is tie-free (count
+# desc, term asc) on the term spine; VMR = (df*SS - S^2)/(df*S) is
+# an exact integer rational over occurring documents, floored to
+# micro.
+# ---------------------------------------------------------------------------
+@query(
+    "q397_term_burstiness",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+    ),
+    td AS (
+        SELECT term, doc_id, CAST(count(*) AS BIGINT) AS x
+        FROM toks GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df,
+               CAST(sum(x) AS BIGINT) AS s,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS ss
+        FROM td GROUP BY term
+    ),
+    top AS (
+        SELECT term, df, s, ss FROM stats
+        ORDER BY s DESC, term ASC LIMIT 50
+    )
+    SELECT term, df AS n_docs, s AS total_count,
+           CAST((CAST(df AS HUGEINT) * ss - CAST(s AS HUGEINT) * s) * 1000000
+                // (CAST(df AS HUGEINT) * s) AS BIGINT) / 1000000.0 AS vmr
+    FROM top ORDER BY term
+    """,
+)
+def q397_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    td = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").cast("bigint").alias("x"))
+    )
+    stats = td.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(_d38(F.col("x")) * _d38(F.col("x"))).cast("decimal(38,0)").alias("ss"),
+    )
+    top = stats.orderBy(F.col("s").desc(), F.col("term").asc()).limit(50)
+    num = (
+        (_d38(F.col("df")) * F.col("ss") - _d38(F.col("s")) * _d38(F.col("s")))
+        * F.lit(1000000).cast("decimal(38,0)")
+    ).cast("decimal(38,0)")
+    den = _d38(F.col("df")) * _d38(F.col("s"))
+    return top.select(
+        "term",
+        F.col("df").alias("n_docs"),
+        F.col("s").alias("total_count"),
+        (
+            ((num - F.pmod(num, den)) / den).cast("bigint").cast("double")
+            / F.lit(1000000.0)
+        ).alias("vmr"),
+    ).orderBy("term")
