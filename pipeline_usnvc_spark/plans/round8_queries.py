@@ -2264,3 +2264,263 @@ def q397_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("vmr"),
     ).orderBy("term")
+
+
+# ---------------------------------------------------------------------------
+# q398 — exact audience Jaccard between every pair of event types:
+# the overlap matrix behind cross-sell and dedup decisions, computed
+# EXACTLY (q372 estimates the same quantity from HLL sketches — this
+# is its ground truth as a first-class query). One (type, user)
+# dedup, one self-join on user at the bounded type-pair lattice;
+# J = |A n B| / (|A| + |B| - |A n B|) floors to micro.
+# ---------------------------------------------------------------------------
+@query(
+    "q398_audience_jaccard",
+    oracle="""
+    WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+    sizes AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM tu GROUP BY 1),
+    inter AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS n_inter
+        FROM tu a JOIN tu b ON b.user_id = a.user_id
+                 AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT sa.event_type AS type_a, sb.event_type AS type_b,
+           sa.n AS n_a, sb.n AS n_b,
+           coalesce(i.n_inter, 0) AS n_intersection,
+           CAST((CAST(coalesce(i.n_inter, 0) AS HUGEINT) * 1000000
+                 - (CAST(coalesce(i.n_inter, 0) AS HUGEINT) * 1000000)
+                   % (sa.n + sb.n - coalesce(i.n_inter, 0)))
+                // (sa.n + sb.n - coalesce(i.n_inter, 0)) AS BIGINT) / 1000000.0
+               AS jaccard
+    FROM sizes sa JOIN sizes sb ON sa.event_type < sb.event_type
+    LEFT JOIN inter i ON i.type_a = sa.event_type AND i.type_b = sb.event_type
+    ORDER BY type_a, type_b
+    """,
+)
+def q398_audience_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    tu = ev.select("event_type", "user_id").distinct()
+    sizes = tu.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n"))
+    inter = (
+        tu.alias("a")
+        .join(
+            tu.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_inter"))
+    )
+    pairs = (
+        sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+        .join(
+            sizes.select(
+                F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
+            ),
+            F.col("type_a") < F.col("type_b"),
+        )
+        .join(F.broadcast(inter), ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            F.coalesce("n_inter", F.lit(0).cast("bigint")).alias("n_intersection"),
+        )
+    )
+    m = F.lit(1000000).cast("decimal(38,0)")
+    num = _d38(F.col("n_intersection")) * m
+    den = _d38(F.col("n_a") + F.col("n_b") - F.col("n_intersection"))
+    return pairs.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        "n_intersection",
+        (
+            ((num - F.pmod(num, den)) / den).cast("bigint").cast("double")
+            / F.lit(1000000.0)
+        ).alias("jaccard"),
+    ).orderBy("type_a", "type_b")
+
+
+# ---------------------------------------------------------------------------
+# q399 — functional-dependency violation profile: does source -> lang
+# hold in the documents table, and how badly not? For each source:
+# the majority lang, how many docs deviate from it, and the
+# violation rate — the schema-inference / data-contract audit a
+# curation pipeline runs before trusting a column as a partition
+# key. Majority pick is tie-free (count desc, lang asc) on the
+# bounded (source, lang) spine; rates floor to micro.
+# ---------------------------------------------------------------------------
+@query(
+    "q399_fd_violation_profile",
+    oracle="""
+    WITH sl AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT source, lang, c,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY c DESC, lang ASC) AS rk,
+               CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n,
+               CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_langs
+        FROM sl
+    )
+    SELECT source, lang AS majority_lang, n AS n_docs, n_langs,
+           n - c AS n_violations,
+           CAST((CAST(n - c AS HUGEINT) * 1000000
+                 - (CAST(n - c AS HUGEINT) * 1000000) % n) // n AS BIGINT) / 1000000.0
+               AS violation_rate,
+           n_langs = 1 AS fd_holds
+    FROM ranked WHERE rk = 1 ORDER BY source
+    """,
+)
+def q399_fd_violation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sl = docs.groupBy("source", "lang").agg(F.count("*").cast("bigint").alias("c"))
+    w_rank = Window.partitionBy("source").orderBy(
+        F.col("c").desc(), F.col("lang").asc()
+    )
+    w_src = Window.partitionBy("source")
+    ranked = sl.select(
+        "source",
+        "lang",
+        "c",
+        F.row_number().over(w_rank).alias("rk"),
+        F.sum("c").over(w_src).cast("bigint").alias("n"),
+        F.count("*").over(w_src).cast("bigint").alias("n_langs"),
+    )
+    m = F.lit(1000000).cast("decimal(38,0)")
+    viol = _d38(F.col("n") - F.col("c")) * m
+    return (
+        ranked.filter(F.col("rk") == 1)
+        .select(
+            "source",
+            F.col("lang").alias("majority_lang"),
+            F.col("n").alias("n_docs"),
+            "n_langs",
+            (F.col("n") - F.col("c")).alias("n_violations"),
+            (
+                ((viol - F.pmod(viol, _d38(F.col("n")))) / _d38(F.col("n")))
+                .cast("bigint")
+                .cast("double")
+                / F.lit(1000000.0)
+            ).alias("violation_rate"),
+            (F.col("n_langs") == 1).alias("fd_holds"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q400 — Bloom-filter membership audit (rows-only: the filter is a
+# probabilistic structure with no DuckDB twin): build a 65536-bit /
+# 5-hash Bloom filter over the first half-window's users as a SPARSE
+# OCCUPIED-BIT SET (xxhash64 with 5 seeds — Spark's internal
+# bloom_filter_agg is not in the public registry, and the sparse-set
+# formulation keeps every step a plain distinct/join, exactly how a
+# 100 TB join-pruning filter ships between stages), probe the second
+# half's users, and measure FPR against the EXACT membership join.
+# Two executed in-plan contracts: (1) ZERO false negatives — the
+# Bloom guarantee, any miss is a bug, not noise; (2) measured FPR
+# within budget for these fill levels.
+# ---------------------------------------------------------------------------
+@query("q400_bloom_filter_audit")
+def q400_bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.contracts import contract_filter
+
+    M_BITS = 65536
+    K = 5
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit("2024-01-16").cast("timestamp")
+    early = ev.filter(F.col("ts") < split).select("user_id").distinct()
+    late = ev.filter(F.col("ts") >= split).select("user_id").distinct()
+    seeds = F.broadcast(
+        spark.range(1, K + 1).select(F.col("id").cast("int").alias("seed"))
+    )
+
+    def positions(df):
+        return df.crossJoin(seeds).select(
+            "user_id",
+            "seed",
+            F.pmod(
+                F.xxhash64(F.col("user_id"), F.col("seed")), F.lit(M_BITS)
+            ).alias("pos"),
+        )
+
+    occupied = positions(early).select("pos").distinct()
+    probe = positions(late)
+    # a probe user is a Bloom hit iff ALL K of its bit positions are
+    # occupied; the join is an equi-join on the bounded bit domain
+    hits = (
+        probe.join(occupied.withColumnRenamed("pos", "occ"),
+                   F.col("pos") == F.col("occ"), "left")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("occ").isNotNull(), 1).otherwise(0)).alias("n_set")
+        )
+        .select("user_id", (F.col("n_set") == K).alias("bloom_hit"))
+    )
+    exact = late.join(
+        early.withColumnRenamed("user_id", "e_user"),
+        F.col("user_id") == F.col("e_user"),
+        "left",
+    ).select("user_id", F.col("e_user").isNotNull().alias("truly_member"))
+    joined = hits.join(exact, "user_id")
+    audit = joined.agg(
+        F.count("*").cast("bigint").alias("n_probes"),
+        F.sum(F.when(F.col("truly_member"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_members"),
+        F.sum(
+            F.when(F.col("truly_member") & ~F.col("bloom_hit"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("false_negatives"),
+        F.sum(
+            F.when(~F.col("truly_member") & F.col("bloom_hit"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("false_positives"),
+    )
+    with_rate = audit.select(
+        "n_probes",
+        "n_members",
+        "false_negatives",
+        "false_positives",
+        F.round(
+            F.when(
+                F.col("n_probes") > F.col("n_members"),
+                F.col("false_positives").cast("double")
+                / (F.col("n_probes") - F.col("n_members")).cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("fpr"),
+    )
+    checked = contract_filter(
+        with_rate,
+        F.col("false_negatives") == 0,
+        F.concat(
+            F.lit("bloom filter false negative(s): "),
+            F.col("false_negatives").cast("string"),
+            F.lit(" of "),
+            F.col("n_members").cast("string"),
+        ),
+    )
+    # theoretical fpp = (1 - exp(-K*n/M))^K; at these fill levels it
+    # is well under 5%, so budget 0.2 + small-sample slack is generous
+    # without being vacuous
+    return contract_filter(
+        checked,
+        F.col("fpr") <= F.lit(0.2) + F.lit(10.0) / F.greatest(
+            (F.col("n_probes") - F.col("n_members")).cast("double"), F.lit(1.0)
+        ),
+        F.concat(F.lit("bloom FPR out of budget: "), F.col("fpr").cast("string")),
+    )
