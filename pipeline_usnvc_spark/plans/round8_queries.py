@@ -2058,7 +2058,8 @@ def q394_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n AS n_accounts,
            round(CAST(s AS DOUBLE) / 100.0 / CAST(n AS DOUBLE), 6) AS mean_balance,
-           1.0 - CAST((rs * rs - (rs * rs) % (CAST(n AS HUGEINT) * s * 10000000000))
+           1.0 - CAST((rs * rs * 1000000
+                       - (rs * rs * 1000000) % (CAST(n AS HUGEINT) * s * 10000000000))
                       // (CAST(n AS HUGEINT) * s * 10000000000) AS BIGINT) / 1000000.0
                AS atkinson_05
     FROM sums
@@ -2080,7 +2081,7 @@ def q395_atkinson_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,0)")
         .alias("rs"),
     )
-    num = F.col("rs") * F.col("rs")
+    num = F.col("rs") * F.col("rs") * F.lit(1000000).cast("decimal(38,0)")
     den = (
         _d38(F.col("n"))
         * _d38(F.col("s"))
