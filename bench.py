@@ -69,6 +69,11 @@ EXTENDED = [
     "q346_dedup_scaling_curve",
     "q349_cvm_two_sample",
     "q370_bucketed_join",
+    # round-8: the banded drift spine (linear-pair counterpart of
+    # q368, worth tracking side-by-side) and the heaviest token-grain
+    # addition (double token-grain groupBy + prefix spine)
+    "q392_banded_drift_reference",
+    "q394_heaps_law",
 ]
 
 

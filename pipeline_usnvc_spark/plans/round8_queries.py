@@ -236,7 +236,10 @@ def q379_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     classes = conf.select(F.col("truth").alias("cls")).distinct()
     per_class = (
-        classes.crossJoin(conf)
+        # conf is the bounded |langs| x |langs| confusion lattice —
+        # broadcast so the class-spine expansion never plans a
+        # distributed CartesianProduct
+        classes.crossJoin(F.broadcast(conf))
         .groupBy("cls")
         .agg(
             F.coalesce(
