@@ -41,6 +41,8 @@ data-grain results.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2527,4 +2529,407 @@ def q400_bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_probes") - F.col("n_members")).cast("double"), F.lit(1.0)
         ),
         F.concat(F.lit("bloom FPR out of budget: "), F.col("fpr").cast("string")),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q401 — Hill tail-index estimator on order values: alpha^-1 = mean
+# of ln(x_i / x_(k+1)) over the top-k order statistics — the
+# heavy-tail diagnostic that says whether mean-based capacity
+# planning is even meaningful. The top-(k+1) slice is a TakeOrdered
+# (tie-free: cents desc, orderkey), k = 100 fixed; per-row ln ratios
+# micro-round before the exact sum (the q217 rule); the index and
+# its reciprocal floor to micro. Everything after the slice is
+# bounded-spine arithmetic.
+# ---------------------------------------------------------------------------
+@query(
+    "q401_hill_tail_index",
+    oracle="""
+    WITH cents AS (
+        SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+        FROM orders
+    ),
+    topk AS (
+        SELECT o_orderkey, c,
+               CAST(row_number() OVER (ORDER BY c DESC, o_orderkey) AS BIGINT) AS rk
+        FROM cents QUALIFY rk <= 101
+    ),
+    thresh AS (SELECT c AS x_k1 FROM topk WHERE rk = 101),
+    terms AS (
+        SELECT CAST(round(1000000.0 * ln(CAST(t.c AS DOUBLE) / CAST(th.x_k1 AS DOUBLE)))
+                    AS BIGINT) AS ln_micro
+        FROM topk t CROSS JOIN thresh th WHERE t.rk <= 100
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ln_micro) AS BIGINT) AS s
+        FROM terms
+    )
+    SELECT k,
+           CAST((s - s % k) // k AS BIGINT) / 1000000.0 AS hill_inv_alpha,
+           CASE WHEN s > 0
+                THEN CAST((CAST(k AS HUGEINT) * 1000000000000
+                           - (CAST(k AS HUGEINT) * 1000000000000) % s) // s AS BIGINT)
+                     / 1000000.0 END AS hill_alpha
+    FROM agg
+    """,
+)
+def q401_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cents = o.select(
+        "o_orderkey", F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("c")
+    )
+    topk = cents.orderBy(F.col("c").desc(), F.col("o_orderkey")).limit(101)
+    w = Window.orderBy(F.col("c").desc(), F.col("o_orderkey"))
+    ranked = topk.select(
+        "c", F.row_number().over(w).cast("bigint").alias("rk")
+    )
+    thresh = ranked.filter(F.col("rk") == 101).select(F.col("c").alias("x_k1"))
+    terms = (
+        ranked.filter(F.col("rk") <= 100)
+        .crossJoin(F.broadcast(thresh))
+        .select(
+            F.round(
+                F.lit(1000000.0)
+                * F.log(F.col("c").cast("double") / F.col("x_k1").cast("double"))
+            )
+            .cast("bigint")
+            .alias("ln_micro")
+        )
+    )
+    agg = terms.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("ln_micro").cast("bigint").alias("s"),
+    )
+    inv = (
+        (F.col("s") - F.pmod(F.col("s"), F.col("k"))) / F.col("k")
+    ).cast("bigint").cast("double") / F.lit(1000000.0)
+    alpha_num = _d38(F.col("k")) * F.lit(1000000000000).cast("decimal(38,0)")
+    alpha = F.when(
+        F.col("s") > 0,
+        ((alpha_num - F.pmod(alpha_num, _d38(F.col("s")))) / _d38(F.col("s")))
+        .cast("bigint")
+        .cast("double")
+        / F.lit(1000000.0),
+    )
+    return agg.select(
+        "k", inv.alias("hill_inv_alpha"), alpha.alias("hill_alpha")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q402 — Gumbel extreme-value fit on monthly maxima of daily order
+# counts (method of moments: beta = sd*sqrt(6)/pi, mu = mean -
+# gamma*beta): the capacity question "what daily peak should next
+# year expect" answered with the right distribution instead of a
+# normal. Daily counts -> month-spine maxima (bounded ~80 rows);
+# moments are exact integer sums over that spine; the fit and the
+# 99th-percentile return level mu - beta*ln(-ln 0.99) are one
+# identical final tree, rounded 6dp.
+# ---------------------------------------------------------------------------
+@query(
+    "q402_gumbel_maxima",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS mon,
+               CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS x
+        FROM orders GROUP BY 1, 2
+    ),
+    monthly AS (
+        SELECT mon, CAST(max(x) AS BIGINT) AS mx FROM daily GROUP BY mon
+    ),
+    mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(mx) AS BIGINT) AS s,
+               CAST(sum(CAST(mx AS HUGEINT) * mx) AS HUGEINT) AS ss
+        FROM monthly
+    )
+    SELECT n AS n_months,
+           round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_peak,
+           round(sqrt(CAST(CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                 * sqrt(6.0) / pi(), 6) AS gumbel_beta,
+           round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                 - 0.5772156649015329
+                   * (sqrt(CAST(CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s AS DOUBLE)
+                           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                      * sqrt(6.0) / pi()), 6) AS gumbel_mu,
+           round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                 - 0.5772156649015329
+                   * (sqrt(CAST(CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s AS DOUBLE)
+                           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                      * sqrt(6.0) / pi())
+                 - (sqrt(CAST(CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                    * sqrt(6.0) / pi()) * ln(-ln(0.99)), 6) AS return_level_p99
+    FROM mom
+    """,
+)
+def q402_gumbel_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.trunc(F.to_date("o_orderdate"), "month").alias("mon"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast("bigint")
+        .alias("d"),
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    monthly = daily.groupBy("mon").agg(F.max("x").cast("bigint").alias("mx"))
+    mom = monthly.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("mx").cast("bigint").alias("s"),
+        F.sum(_d38(F.col("mx")) * _d38(F.col("mx"))).cast("decimal(38,0)").alias("ss"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / nd
+    sd = F.sqrt(
+        (_d38(F.col("n")) * F.col("ss") - _d38(F.col("s")) * _d38(F.col("s"))).cast(
+            "double"
+        )
+        / (nd * nd)
+    )
+    beta = sd * F.sqrt(F.lit(6.0)) / F.lit(math.pi)
+    mu = mean - F.lit(0.5772156649015329) * beta
+    return mom.select(
+        F.col("n").alias("n_months"),
+        F.round(mean, 6).alias("mean_peak"),
+        F.round(beta, 6).alias("gumbel_beta"),
+        F.round(mu, 6).alias("gumbel_mu"),
+        F.round(
+            mu - beta * F.log(-F.log(F.lit(0.99))), 6
+        ).alias("return_level_p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q403 — standardized-mean-difference covariate balance audit: per
+# nation, the SMD of customer account balance between F-status-order
+# customers ("treated") and the rest — the table-one check run
+# before any causal read of an experiment (|SMD| < 0.1 = balanced).
+# Group moments are exact integer cent sums on the nation spine; SMD
+# = (m1-m0)/sqrt((v1+v0)/2) is one identical final tree with the
+# variance clamped at 0 (the round-3 DuckDB sqrt(-ulp) hard-error
+# trap) and guarded on both groups being non-degenerate.
+# ---------------------------------------------------------------------------
+@query(
+    "q403_smd_balance",
+    oracle="""
+    WITH treated AS (
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    ),
+    base AS (
+        SELECT c.c_nationkey, CAST(floor(c.c_acctbal * 100) AS BIGINT) AS cents,
+               CASE WHEN t.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS g
+        FROM customer c LEFT JOIN treated t ON t.o_custkey = c.c_custkey
+    ),
+    moments AS (
+        SELECT c_nationkey,
+               CAST(coalesce(sum(CASE WHEN g = 1 THEN 1 END), 0) AS BIGINT) AS n1,
+               CAST(coalesce(sum(CASE WHEN g = 1 THEN cents END), 0) AS BIGINT) AS s1,
+               CAST(coalesce(sum(CASE WHEN g = 1 THEN CAST(cents AS HUGEINT) * cents END), 0) AS HUGEINT) AS ss1,
+               CAST(coalesce(sum(CASE WHEN g = 0 THEN 1 END), 0) AS BIGINT) AS n0,
+               CAST(coalesce(sum(CASE WHEN g = 0 THEN cents END), 0) AS BIGINT) AS s0,
+               CAST(coalesce(sum(CASE WHEN g = 0 THEN CAST(cents AS HUGEINT) * cents END), 0) AS HUGEINT) AS ss0
+        FROM base GROUP BY c_nationkey
+    )
+    SELECT n.n_name, m.n1 AS n_treated, m.n0 AS n_control,
+           CASE WHEN m.n1 > 1 AND m.n0 > 1
+                     AND greatest(CAST(CAST(m.n1 AS HUGEINT) * m.ss1 - CAST(m.s1 AS HUGEINT) * m.s1 AS DOUBLE)
+                                  / (CAST(m.n1 AS DOUBLE) * CAST(m.n1 AS DOUBLE)), 0.0)
+                         + greatest(CAST(CAST(m.n0 AS HUGEINT) * m.ss0 - CAST(m.s0 AS HUGEINT) * m.s0 AS DOUBLE)
+                                    / (CAST(m.n0 AS DOUBLE) * CAST(m.n0 AS DOUBLE)), 0.0) > 0
+                THEN round((CAST(m.s1 AS DOUBLE) / CAST(m.n1 AS DOUBLE)
+                            - CAST(m.s0 AS DOUBLE) / CAST(m.n0 AS DOUBLE))
+                           / sqrt((greatest(CAST(CAST(m.n1 AS HUGEINT) * m.ss1 - CAST(m.s1 AS HUGEINT) * m.s1 AS DOUBLE)
+                                            / (CAST(m.n1 AS DOUBLE) * CAST(m.n1 AS DOUBLE)), 0.0)
+                                   + greatest(CAST(CAST(m.n0 AS HUGEINT) * m.ss0 - CAST(m.s0 AS HUGEINT) * m.s0 AS DOUBLE)
+                                              / (CAST(m.n0 AS DOUBLE) * CAST(m.n0 AS DOUBLE)), 0.0)) / 2.0), 6)
+           END AS smd,
+           CASE WHEN m.n1 > 1 AND m.n0 > 1
+                     AND greatest(CAST(CAST(m.n1 AS HUGEINT) * m.ss1 - CAST(m.s1 AS HUGEINT) * m.s1 AS DOUBLE)
+                                  / (CAST(m.n1 AS DOUBLE) * CAST(m.n1 AS DOUBLE)), 0.0)
+                         + greatest(CAST(CAST(m.n0 AS HUGEINT) * m.ss0 - CAST(m.s0 AS HUGEINT) * m.s0 AS DOUBLE)
+                                    / (CAST(m.n0 AS DOUBLE) * CAST(m.n0 AS DOUBLE)), 0.0) > 0
+                THEN abs(round((CAST(m.s1 AS DOUBLE) / CAST(m.n1 AS DOUBLE)
+                            - CAST(m.s0 AS DOUBLE) / CAST(m.n0 AS DOUBLE))
+                           / sqrt((greatest(CAST(CAST(m.n1 AS HUGEINT) * m.ss1 - CAST(m.s1 AS HUGEINT) * m.s1 AS DOUBLE)
+                                            / (CAST(m.n1 AS DOUBLE) * CAST(m.n1 AS DOUBLE)), 0.0)
+                                   + greatest(CAST(CAST(m.n0 AS HUGEINT) * m.ss0 - CAST(m.s0 AS HUGEINT) * m.s0 AS DOUBLE)
+                                              / (CAST(m.n0 AS DOUBLE) * CAST(m.n0 AS DOUBLE)), 0.0)) / 2.0), 6)) < 0.1
+           END AS balanced
+    FROM moments m JOIN nation n ON n.n_nationkey = m.c_nationkey
+    ORDER BY n.n_name
+    """,
+)
+def q403_smd_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    treated = (
+        o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    )
+    base = c.join(
+        treated, c["c_custkey"] == treated["o_custkey"], "left"
+    ).select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+        F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0).alias("g"),
+    )
+    z38 = F.lit(0).cast("decimal(38,0)")
+    moments = base.groupBy("c_nationkey").agg(
+        F.coalesce(F.sum(F.when(F.col("g") == 1, 1)), F.lit(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.coalesce(F.sum(F.when(F.col("g") == 1, F.col("cents"))), F.lit(0))
+        .cast("bigint")
+        .alias("s1"),
+        F.coalesce(
+            F.sum(F.when(F.col("g") == 1, _d38(F.col("cents")) * _d38(F.col("cents")))),
+            z38,
+        )
+        .cast("decimal(38,0)")
+        .alias("ss1"),
+        F.coalesce(F.sum(F.when(F.col("g") == 0, 1)), F.lit(0))
+        .cast("bigint")
+        .alias("n0"),
+        F.coalesce(F.sum(F.when(F.col("g") == 0, F.col("cents"))), F.lit(0))
+        .cast("bigint")
+        .alias("s0"),
+        F.coalesce(
+            F.sum(F.when(F.col("g") == 0, _d38(F.col("cents")) * _d38(F.col("cents")))),
+            z38,
+        )
+        .cast("decimal(38,0)")
+        .alias("ss0"),
+    )
+
+    def var_of(nn, s, ss):
+        ndd = F.col(nn).cast("double")
+        return F.greatest(
+            (_d38(F.col(nn)) * F.col(ss) - _d38(F.col(s)) * _d38(F.col(s))).cast(
+                "double"
+            )
+            / (ndd * ndd),
+            F.lit(0.0),
+        )
+
+    v1 = var_of("n1", "s1", "ss1")
+    v0 = var_of("n0", "s0", "ss0")
+    valid = (F.col("n1") > 1) & (F.col("n0") > 1) & (v1 + v0 > 0)
+    smd = F.round(
+        (
+            F.col("s1").cast("double") / F.col("n1").cast("double")
+            - F.col("s0").cast("double") / F.col("n0").cast("double")
+        )
+        / F.sqrt((v1 + v0) / F.lit(2.0)),
+        6,
+    )
+    return (
+        moments.join(
+            F.broadcast(n), n["n_nationkey"] == moments["c_nationkey"]
+        )
+        .select(
+            "n_name",
+            F.col("n1").alias("n_treated"),
+            F.col("n0").alias("n_control"),
+            F.when(valid, smd).alias("smd"),
+            F.when(valid, F.abs(smd) < 0.1).alias("balanced"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q404 — SPRT (sequential probability ratio test) monitor on daily
+# purchase-share: fold the log-likelihood ratio for H1: p=0.25 vs
+# H0: p=0.2 day by day with Wald boundaries (alpha=beta=0.05),
+# reporting the final LLR, the decision, and the first crossing day
+# — the sequential-testing counterpart of q315's fixed-horizon z.
+# Per-day increments are exact integer combinations of the two
+# micro-rounded log ratios (computed ONCE as literals of the
+# identical expression); the fold is an exact integer cumulative sum
+# on the bounded day spine with the first-crossing argmin made
+# tie-free by day order.
+# ---------------------------------------------------------------------------
+@query(
+    "q404_sprt_monitor",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(ts AS DATE) AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ),
+    consts AS (
+        SELECT CAST(round(1000000.0 * ln(0.25 / 0.2)) AS BIGINT) AS l1,
+               CAST(round(1000000.0 * ln(0.75 / 0.8)) AS BIGINT) AS l0,
+               CAST(round(1000000.0 * ln(0.95 / 0.05)) AS BIGINT) AS up,
+               CAST(round(1000000.0 * ln(0.05 / 0.95)) AS BIGINT) AS lo
+    ),
+    cum AS (
+        SELECT d, n, x,
+               CAST(sum(x * c.l1 + (n - x) * c.l0) OVER (ORDER BY d) AS BIGINT) AS llr_micro,
+               c.up, c.lo
+        FROM daily CROSS JOIN consts c
+    ),
+    crossing AS (
+        SELECT min(CASE WHEN llr_micro >= up OR llr_micro <= lo THEN d END) AS first_cross
+        FROM cum
+    ),
+    final AS (
+        SELECT d, llr_micro, up, lo FROM cum ORDER BY d DESC LIMIT 1
+    )
+    SELECT CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days,
+           CAST(f.llr_micro AS DOUBLE) / 1000000.0 AS final_llr,
+           CASE WHEN f.llr_micro >= f.up THEN 'accept_h1'
+                WHEN f.llr_micro <= f.lo THEN 'accept_h0'
+                ELSE 'continue' END AS decision,
+           CAST(c.first_cross AS VARCHAR) AS first_crossing_day
+    FROM final f CROSS JOIN crossing c
+    """,
+)
+def q404_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("bigint")
+        .alias("x"),
+    )
+    l1 = int(round(1000000.0 * math.log(0.25 / 0.2)))
+    l0 = int(round(1000000.0 * math.log(0.75 / 0.8)))
+    up = int(round(1000000.0 * math.log(0.95 / 0.05)))
+    lo = int(round(1000000.0 * math.log(0.05 / 0.95)))
+    w_cum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "d",
+        F.sum(
+            F.col("x") * F.lit(l1) + (F.col("n") - F.col("x")) * F.lit(l0)
+        )
+        .over(w_cum)
+        .cast("bigint")
+        .alias("llr_micro"),
+    )
+    crossing = cum.agg(
+        F.min(
+            F.when(
+                (F.col("llr_micro") >= up) | (F.col("llr_micro") <= lo), F.col("d")
+            )
+        ).alias("first_cross")
+    )
+    final = cum.orderBy(F.col("d").desc()).limit(1)
+    n_days = daily.agg(F.count("*").cast("bigint").alias("n_days"))
+    return (
+        final.crossJoin(F.broadcast(crossing))
+        .crossJoin(F.broadcast(n_days))
+        .select(
+            "n_days",
+            (F.col("llr_micro").cast("double") / F.lit(1000000.0)).alias(
+                "final_llr"
+            ),
+            F.when(F.col("llr_micro") >= up, F.lit("accept_h1"))
+            .when(F.col("llr_micro") <= lo, F.lit("accept_h0"))
+            .otherwise(F.lit("continue"))
+            .alias("decision"),
+            F.col("first_cross").cast("string").alias("first_crossing_day"),
+        )
     )

@@ -195,7 +195,10 @@ def test_bh_fdr(spark, con):
 
 def test_good_turing(spark, con):
     """q342: frequency-of-frequencies and smoothed counts from a
-    Counter over the same whitespace tokens."""
+    Counter over the same whitespace tokens. Round-8 semantics
+    (VERDICT r07 item 3): the query emits the 10 SMALLEST observed
+    frequencies, not a fixed r <= 10 cap (which was degenerate at
+    sf0.01 where every term occurs more than 10 times)."""
     from collections import Counter
 
     texts = [t for (t,) in con.execute("SELECT text FROM documents").fetchall()]
@@ -205,7 +208,8 @@ def test_good_turing(spark, con):
     ff = Counter(tc.values())
     n_tokens = sum(tc.values())
     got = QUERIES["q342_good_turing"](spark, SF).collect()
-    assert {r["r"] for r in got} == {r for r in ff if r <= 10}
+    assert {r["r"] for r in got} == set(sorted(ff)[:10])
+    assert len(got) == min(10, len(ff))
     for g in got:
         r = g["r"]
         assert g["n_r"] == ff[r]

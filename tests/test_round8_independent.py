@@ -678,3 +678,102 @@ def test_bloom_filter_audit(spark, con):
     if non_members > 0:
         assert abs(r["fpr"] - round(r["false_positives"] / non_members, 6)) <= 1e-9
     assert 0 <= r["false_positives"] <= non_members
+
+
+def test_hill_tail_index(spark, con):
+    rows = con.execute(
+        "SELECT o_orderkey, CAST(floor(o_totalprice*100) AS BIGINT) FROM orders"
+    ).fetchall()
+    top = sorted(rows, key=lambda t: (-t[1], t[0]))[:101]
+    x_k1 = top[100][1]
+    s = sum(_rhu(1000000.0 * math.log(c / x_k1)) for _, c in top[:100])
+    r = QUERIES["q401_hill_tail_index"](spark, SF).collect()[0]
+    assert r["k"] == 100
+    assert abs(r["hill_inv_alpha"] - (s // 100) / 1000000.0) <= 1e-9
+    assert abs(r["hill_alpha"] - (100 * 10**12 // s) / 1000000.0) <= 1e-9
+    # alpha * inv_alpha ~ 1 by construction
+    assert abs(r["hill_alpha"] * r["hill_inv_alpha"] - 1.0) <= 0.01
+
+
+def test_gumbel_maxima(spark, con):
+    rows = con.execute(
+        """SELECT date_trunc('month', CAST(o_orderdate AS DATE)),
+                  CAST(o_orderdate AS DATE), count(*)
+           FROM orders GROUP BY 1, 2"""
+    ).fetchall()
+    monthly: dict = {}
+    for mon, _, c in rows:
+        monthly[mon] = max(monthly.get(mon, 0), int(c))
+    vals = list(monthly.values())
+    n, s, ss = len(vals), sum(vals), sum(v * v for v in vals)
+    mean = s / n
+    sd = math.sqrt((n * ss - s * s) / (n * n))
+    beta = sd * math.sqrt(6.0) / math.pi
+    mu = mean - 0.5772156649015329 * beta
+    r = QUERIES["q402_gumbel_maxima"](spark, SF).collect()[0]
+    assert r["n_months"] == n
+    assert abs(r["mean_peak"] - round(mean, 6)) <= 1e-9
+    assert abs(r["gumbel_beta"] - round(beta, 6)) <= 1e-9
+    assert abs(r["gumbel_mu"] - round(mu, 6)) <= 1e-9
+    assert abs(
+        r["return_level_p99"] - round(mu - beta * math.log(-math.log(0.99)), 6)
+    ) <= 1e-9
+    # the p99 return level must exceed the fitted location
+    assert r["return_level_p99"] > r["gumbel_mu"]
+
+
+def test_smd_balance(spark, con):
+    treated = {
+        u
+        for (u,) in con.execute(
+            "SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'"
+        ).fetchall()
+    }
+    rows = con.execute(
+        """SELECT c.c_custkey, n.n_name, CAST(floor(c.c_acctbal*100) AS BIGINT)
+           FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey"""
+    ).fetchall()
+    groups: dict[str, tuple[list[int], list[int]]] = {}
+    for ck, nm, cents in rows:
+        t, ctl = groups.setdefault(nm, ([], []))
+        (t if ck in treated else ctl).append(cents)
+    got = {r["n_name"]: r for r in QUERIES["q403_smd_balance"](spark, SF).collect()}
+    assert sorted(got) == sorted(groups)
+    for nm, (t, ctl) in groups.items():
+        r = got[nm]
+        assert (r["n_treated"], r["n_control"]) == (len(t), len(ctl))
+        if len(t) > 1 and len(ctl) > 1:
+            n1, s1, ss1 = len(t), sum(t), sum(v * v for v in t)
+            n0, s0, ss0 = len(ctl), sum(ctl), sum(v * v for v in ctl)
+            v1 = max((n1 * ss1 - s1 * s1) / (n1 * n1), 0.0)
+            v0 = max((n0 * ss0 - s0 * s0) / (n0 * n0), 0.0)
+            if v1 + v0 > 0:
+                smd = round(
+                    (s1 / n1 - s0 / n0) / math.sqrt((v1 + v0) / 2.0), 6
+                )
+                assert abs(r["smd"] - smd) <= 1e-9
+                assert r["balanced"] == (abs(smd) < 0.1)
+
+
+def test_sprt_monitor(spark, con):
+    rows = con.execute(
+        """SELECT CAST(ts AS DATE), count(*),
+                  count(CASE WHEN event_type = 'purchase' THEN 1 END)
+           FROM events GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    l1 = _rhu(1000000.0 * math.log(0.25 / 0.2))
+    l0 = _rhu(1000000.0 * math.log(0.75 / 0.8))
+    up = _rhu(1000000.0 * math.log(0.95 / 0.05))
+    lo = _rhu(1000000.0 * math.log(0.05 / 0.95))
+    llr = 0
+    first = None
+    for d, n, x in rows:
+        llr += x * l1 + (n - x) * l0
+        if first is None and (llr >= up or llr <= lo):
+            first = d
+    r = QUERIES["q404_sprt_monitor"](spark, SF).collect()[0]
+    assert r["n_days"] == len(rows)
+    assert abs(r["final_llr"] - llr / 1000000.0) <= 1e-9
+    want = "accept_h1" if llr >= up else "accept_h0" if llr <= lo else "continue"
+    assert r["decision"] == want
+    assert r["first_crossing_day"] == (str(first) if first is not None else None)
