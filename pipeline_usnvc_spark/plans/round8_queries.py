@@ -851,10 +851,12 @@ def q384_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n AS n_docs,
            CAST(wo AS BIGINT) AS weighted_disagreement,
-           CAST(((we - CAST(n AS HUGEINT) * wo) * 1000000
-                 + 1000000 * we
-                 - ((we - CAST(n AS HUGEINT) * wo) * 1000000 + 1000000 * we) % we)
-                // we AS BIGINT) / 1000000.0 - 1.0 AS kappa_w
+           CASE WHEN we > 0 THEN
+                CAST(((we - CAST(n AS HUGEINT) * wo) * 1000000
+                      + 1000000 * we
+                      - ((we - CAST(n AS HUGEINT) * wo) * 1000000 + 1000000 * we) % we)
+                     // we AS BIGINT) / 1000000.0 - 1.0
+           END AS kappa_w
     FROM sums
     """,
 )
@@ -905,12 +907,13 @@ def q385_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select(
         F.col("n").alias("n_docs"),
         F.col("wo").cast("bigint").alias("weighted_disagreement"),
-        (
+        F.when(  # we = 0 when both raters collapse to one band: kappa undefined
+            F.col("we") > 0,
             ((shifted - F.pmod(shifted, F.col("we"))) / F.col("we"))
             .cast("bigint")
             .cast("double")
             / F.lit(1000000.0)
-            - F.lit(1.0)
+            - F.lit(1.0),
         ).alias("kappa_w"),
     )
 
@@ -991,12 +994,12 @@ def q385_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN v_sum > 0
                 THEN CAST(((CAST(o1 AS HUGEINT) * 1000000 - e1_sum)
                            * (CAST(o1 AS HUGEINT) * 1000000 - e1_sum))
-                          // (CAST(v_sum AS HUGEINT) * 1000000) AS BIGINT) / 1000000.0
+                          // CAST(v_sum AS HUGEINT) AS BIGINT) / 1000000.0
            END AS logrank_chi2,
            CASE WHEN v_sum > 0
                 THEN CAST(((CAST(o1 AS HUGEINT) * 1000000 - e1_sum)
                            * (CAST(o1 AS HUGEINT) * 1000000 - e1_sum))
-                          // (CAST(v_sum AS HUGEINT) * 1000000) AS BIGINT) / 1000000.0
+                          // CAST(v_sum AS HUGEINT) AS BIGINT) / 1000000.0
                      > 3.841459
            END AS significant_05
     FROM sums
@@ -1084,7 +1087,10 @@ def q386_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     diff = _d38(F.col("o1")) * m - _d38(F.col("e1_sum"))
     chi_num = diff * diff
-    chi_den = _d38(F.col("v_sum")) * m
+    # chi_num is (O1-E1)^2 * 1e12 and v_sum is V * 1e6, so dividing by
+    # v_sum alone yields chi2 in micro units (the extra *m here was the
+    # round-8 double-scaling bug that deflated chi2 by 1e6).
+    chi_den = _d38(F.col("v_sum"))
     chi2 = F.when(
         F.col("v_sum") > 0,
         ((chi_num - F.pmod(chi_num, chi_den)) / chi_den)
@@ -2427,27 +2433,37 @@ def q399_fd_violation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q400 — Bloom-filter membership audit (rows-only: the filter is a
-# probabilistic structure with no DuckDB twin): build a 65536-bit /
+# probabilistic structure with no DuckDB twin): build a ~10-bits/key
 # 5-hash Bloom filter over the first half-window's users as a SPARSE
 # OCCUPIED-BIT SET (xxhash64 with 5 seeds — Spark's internal
 # bloom_filter_agg is not in the public registry, and the sparse-set
 # formulation keeps every step a plain distinct/join, exactly how a
 # 100 TB join-pruning filter ships between stages), probe the second
 # half's users, and measure FPR against the EXACT membership join.
-# Two executed in-plan contracts: (1) ZERO false negatives — the
-# Bloom guarantee, any miss is a bug, not noise; (2) measured FPR
-# within budget for these fill levels.
+# M is sized from the early keyset (next power of two of 10 bits/key,
+# floor 2^16) so the filter never saturates as SF grows — a fixed
+# 65536-bit filter would hit fill→1 past ~20k keys and abort (round-8
+# advisor finding). Two executed in-plan contracts: (1) ZERO false
+# negatives — the Bloom guarantee, any miss is a bug, not noise;
+# (2) measured FPR within a budget derived IN-PLAN from the observed
+# fill, 3*(n_occ/M)^K + small-sample slack, not a scale-fragile
+# constant.
 # ---------------------------------------------------------------------------
 @query("q400_bloom_filter_audit")
 def q400_bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     from pipeline_usnvc_spark.operators.contracts import contract_filter
 
-    M_BITS = 65536
     K = 5
     ev = load_table(spark, sf_dir, "events")
     split = F.lit("2024-01-16").cast("timestamp")
     early = ev.filter(F.col("ts") < split).select("user_id").distinct()
     late = ev.filter(F.col("ts") >= split).select("user_id").distinct()
+    # scalar count (bounded driver value) sizes the bit domain; at 10
+    # bits/key the theoretical fpp = (1-exp(-K*n/M))^K stays under ~1%
+    n_early = early.count()
+    M_BITS = 1 << max(16, math.ceil(math.log2(max(10 * n_early, 2))))
     seeds = F.broadcast(
         spark.range(1, K + 1).select(F.col("id").cast("int").alias("seed"))
     )
@@ -2496,7 +2512,8 @@ def q400_bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("false_positives"),
     )
-    with_rate = audit.select(
+    occ_count = occupied.agg(F.count("*").cast("bigint").alias("n_occ"))
+    with_rate = audit.crossJoin(F.broadcast(occ_count)).select(
         "n_probes",
         "n_members",
         "false_negatives",
@@ -2509,6 +2526,12 @@ def q400_bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0.0)),
             6,
         ).alias("fpr"),
+        F.round(
+            F.pow(
+                F.col("n_occ").cast("double") / F.lit(float(M_BITS)), F.lit(K)
+            ),
+            6,
+        ).alias("fpp_theory"),
     )
     checked = contract_filter(
         with_rate,
@@ -2520,12 +2543,16 @@ def q400_bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_members").cast("string"),
         ),
     )
-    # theoretical fpp = (1 - exp(-K*n/M))^K; at these fill levels it
-    # is well under 5%, so budget 0.2 + small-sample slack is generous
-    # without being vacuous
+    # budget rides the observed fill: a non-member probe with K
+    # independent positions false-positives with prob ~= (n_occ/M)^K;
+    # allow 3x that plus Poisson small-sample slack so the contract is
+    # tight at every SF instead of a constant that saturates or gapes
     return contract_filter(
         checked,
-        F.col("fpr") <= F.lit(0.2) + F.lit(10.0) / F.greatest(
+        F.col("fpr")
+        <= F.lit(3.0) * F.col("fpp_theory")
+        + F.lit(10.0)
+        / F.greatest(
             (F.col("n_probes") - F.col("n_members")).cast("double"), F.lit(1.0)
         ),
         F.concat(F.lit("bloom FPR out of budget: "), F.col("fpr").cast("string")),

@@ -335,12 +335,17 @@ def test_logrank(spark, con):
                 )
         at1 -= sum(1 for g, tt, _ in durations if g == 1 and tt == t)
         at0 -= sum(1 for g, tt, _ in durations if g == 0 and tt == t)
-    chi2 = ((o1 * 1000000 - e1_sum) ** 2 // (v_sum * 1000000)) / 1000000.0
+    # Recompute chi2 in plain floats from O1/E1/V rather than mirroring
+    # the query's integer floor expression — a shared scaling bug in the
+    # micro-unit arithmetic must fail here (the round-8 1e6 deflation did
+    # not, because this test copied the expression verbatim).
+    chi2 = (o1 - e1_sum / 1e6) ** 2 / (v_sum / 1e6)
     r = QUERIES["q386_logrank_test"](spark, SF).collect()[0]
     assert r["observed_g1"] == o1
     assert abs(r["expected_g1"] - round(e1_sum / 1000000.0, 6)) <= 1e-9
-    assert abs(r["logrank_chi2"] - chi2) <= 1e-9
-    assert r["significant_05"] == (chi2 > 3.841459)
+    # query floors to micro units: allow one micro step plus float drift
+    assert abs(r["logrank_chi2"] - chi2) <= 2e-6 + 1e-9 * abs(chi2)
+    assert r["significant_05"] == (r["logrank_chi2"] > 3.841459)
 
 
 def test_durbin_watson(spark, con):
@@ -678,6 +683,10 @@ def test_bloom_filter_audit(spark, con):
     if non_members > 0:
         assert abs(r["fpr"] - round(r["false_positives"] / non_members, 6)) <= 1e-9
     assert 0 <= r["false_positives"] <= non_members
+    # the fill-derived budget must be non-degenerate (filter sized from
+    # the keyset, so fill stays well below saturation at every SF)
+    assert 0.0 <= r["fpp_theory"] < 0.5
+    assert r["fpr"] <= 3.0 * r["fpp_theory"] + 10.0 / max(non_members, 1)
 
 
 def test_hill_tail_index(spark, con):
