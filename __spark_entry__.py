@@ -239,38 +239,79 @@ _R07_VERIFIED = frozenset(
     }
 )
 
+# Green rows from CORRECTNESS_r08.json: 48/48 sampled oracle rows
+# hash-green and 2/2 rows-only entries executed clean (q374
+# fixed-point contract, q400 Bloom contracts). With this merge every
+# registry query has had an external driver row at least once
+# (VERDICT r08: "the registry is now fully externally verified").
+# Only the names not already in an earlier round's set are listed.
+_R08_VERIFIED = frozenset(
+    {
+        "q342_good_turing", "q369_hellinger_distance",
+        "q374_markov_absorption", "q375_ks_decision", "q376_negbin_fit",
+        "q377_nelson_aalen", "q378_confusion_mcc", "q379_macro_f1",
+        "q380_mrr_eval", "q381_map_eval", "q382_brier_decomposition",
+        "q383_hosmer_lemeshow", "q384_log_loss", "q385_weighted_kappa",
+        "q386_logrank_test", "q387_durbin_watson", "q388_runs_test",
+        "q389_ljung_box", "q390_pacf_durbin", "q391_ewma_control",
+        "q392_banded_drift_reference", "q393_chao1_richness",
+        "q394_heaps_law", "q395_atkinson_index", "q396_lorenz_deciles",
+        "q397_term_burstiness", "q398_audience_jaccard",
+        "q399_fd_violation_profile", "q400_bloom_filter_audit",
+        "q401_hill_tail_index", "q402_gumbel_maxima", "q403_smd_balance",
+        "q404_sprt_monitor",
+    }
+)
+
 _DRIVER_VERIFIED = (
     _R01_VERIFIED | _R02_VERIFIED | _R03_VERIFIED | _R04_VERIFIED
-    | _R05_VERIFIED | _R06_VERIFIED | _R07_VERIFIED
+    | _R05_VERIFIED | _R06_VERIFIED | _R07_VERIFIED | _R08_VERIFIED
 )
 
 
-# Round 8 sample head (VERDICT r07 items 1-3). First the four
-# round-7 tail queries that have never had a driver row (closing
-# external verification of the ENTIRE registry), then the two
-# re-pins: q369 (plan changed — vocab-grain broadcast replaced with
-# the bounded with_top frame) and q342 (de-degenerated — now emits
-# the 10 smallest observed frequencies so the sf0.01 row verifies a
-# NON-EMPTY result).
-_R08_HEAD: tuple[str, ...] = (
-    "q374_markov_absorption",
-    "q375_ks_decision",
-    "q376_negbin_fit",
-    "q377_nelson_aalen",
-    "q369_hellinger_distance",
-    "q342_good_turing",
+# Round index driving the verified-backlog rotation (bump per round).
+_ROUND = 9
+
+# Round 9 sample head: the three round-8 queries whose PLANS changed
+# this round and therefore need a fresh driver row — q386 (chi2
+# double-scaling fix: the old green row verified a 1e6-deflated
+# value in both engines), q385 (we=0 division guard), q400 (Bloom
+# bit domain now sized from the keyset; fill-derived FPR budget;
+# fpp_theory column added).
+_R09_HEAD: tuple[str, ...] = (
+    "q386_logrank_test",
+    "q385_weighted_kappa",
+    "q400_bloom_filter_audit",
 )
+
+
+def _rotated_seen(seen: list[str], round_no: int) -> list[str]:
+    """Rotate the verified backlog by a fixed per-round stride so the
+    driver's free tail slots cycle through ALL verified queries over
+    ~10 rounds instead of re-verifying the same registry prefix
+    forever (VERDICT r08 item 1: with the registry fully verified,
+    the 50-slot sample's job shifts from closure to stale-green
+    regression detection). Anchor 17 = where round 8's tail stopped
+    (its ~17 free slots re-verified the registry prefix q01..q28), so
+    round 9 resumes at the STALEST un-re-checked green; stride 37 ≈
+    the typical free-tail width and is coprime with the backlog
+    length in practice, so consecutive rounds sample near-disjoint
+    windows."""
+    if not seen:
+        return seen
+    off = (17 + (round_no - 9) * 37) % len(seen)
+    return seen[off:] + seen[:off]
+
 
 def _ordered_names() -> list[str]:
     from pipeline_usnvc_spark.plans import ORACLES, QUERIES
 
     names = list(QUERIES)
-    # Round-8 head: the four never-sampled round-7 tail queries plus
-    # the two re-pins, then every remaining never-driver-verified
-    # query (oracle-paired before rows-only, registration order —
-    # i.e. round-8 additions fill the rest of the 50-slot sample),
-    # then the verified backlog.
-    head = [n for n in _R08_HEAD if n in names]
+    # Head: this round's re-pins, then every never-driver-verified
+    # query (oracle-paired before rows-only, registration order — new
+    # round-9 additions fill the rest of the 50-slot sample), then the
+    # verified backlog rotated by round index (regression monitor).
+    head = [n for n in _R09_HEAD if n in names]
     pinned = set(head)
     fresh_oracle = [
         n
@@ -283,7 +324,7 @@ def _ordered_names() -> list[str]:
         if n not in _DRIVER_VERIFIED and n not in ORACLES and n not in pinned
     ]
     seen = [n for n in names if n in _DRIVER_VERIFIED and n not in pinned]
-    return head + fresh_oracle + fresh_rows_only + seen
+    return head + fresh_oracle + fresh_rows_only + _rotated_seen(seen, _ROUND)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -148,26 +148,51 @@ def test_comparator_rejects_int_float_coercion():
 
 def test_driver_sample_prefix_contains_rechecks():
     """The driver samples a 50-query prefix of queries() in dict
-    order. Round-8 contract (VERDICT r07 items 1-3): the four
-    never-sampled round-7 tail queries (q374-q377) lead — closing
-    external verification of the entire registry — followed by the
-    two re-pins (q369 plan change, q342 de-degeneracy), then round-8
-    additions fill the remaining slots; nothing already verified may
-    displace a fresh query."""
+    order. Round-9 contract (VERDICT r08 items 1/5): the three
+    plan-changed re-pins (q386 chi2 fix, q385 we-guard, q400 Bloom
+    resize) lead, then any never-driver-verified queries (round-9
+    additions), then the fully-verified backlog ROTATED by round
+    index so the free tail slots act as a stale-green regression
+    monitor cycling through all ~373 queries over ~10-16 rounds;
+    nothing already verified may displace a fresh query."""
     import __spark_entry__ as e
 
     names = list(e.queries())
-    # the round-8 head is pinned verbatim
-    assert names[: len(e._R08_HEAD)] == list(e._R08_HEAD)
+    # the round-9 head is pinned verbatim
+    assert names[: len(e._R09_HEAD)] == list(e._R09_HEAD)
     # every never-driver-verified query sorts before every verified one
+    # (head pins are verified-but-re-pinned, so they don't count)
     first_seen = min(
-        (names.index(n) for n in e._DRIVER_VERIFIED if n in names),
+        (
+            names.index(n)
+            for n in e._DRIVER_VERIFIED
+            if n in names and n not in e._R09_HEAD
+        ),
         default=len(names),
     )
     fresh_after = [
         n for n in names[first_seen:] if n not in e._DRIVER_VERIFIED
     ]
     assert not fresh_after, f"fresh queries ordered after verified ones: {fresh_after[:5]}"
+    # the verified backlog is rotated by round index — the tail must
+    # NOT start at the registry prefix (q01...) once _ROUND > 0, and
+    # the rotation is a permutation of the whole backlog
+    backlog = [
+        n
+        for n in names
+        if n in e._DRIVER_VERIFIED and n not in e._R09_HEAD
+    ]
+    from pipeline_usnvc_spark.plans import QUERIES
+
+    registry_order = [
+        n
+        for n in QUERIES
+        if n in e._DRIVER_VERIFIED and n not in e._R09_HEAD
+    ]
+    assert sorted(backlog) == sorted(registry_order)
+    expected_off = (17 + (e._ROUND - 9) * 37) % len(registry_order)
+    assert backlog == registry_order[expected_off:] + registry_order[:expected_off]
+    assert expected_off != 0, "rotation degenerate: tail re-samples the registry prefix"
     # oracle-paired fresh queries outrank rows-only ones inside the
     # free slots (maximizes hash-checked signal per sample)
     from pipeline_usnvc_spark.plans import ORACLES
@@ -175,7 +200,7 @@ def test_driver_sample_prefix_contains_rechecks():
     free = [
         n
         for n in names
-        if n not in e._DRIVER_VERIFIED and n not in e._R08_HEAD
+        if n not in e._DRIVER_VERIFIED and n not in e._R09_HEAD
     ]
     seen_rows_only = False
     for n in free:
