@@ -1,0 +1,390 @@
+"""Round-9 query family: scale-path twins for the two documented
+quadratic/exponential exact baselines that still lacked one
+(VERDICT r08 item 6 — "grow the registry only where a pair-discipline
+row exists").
+
+- q405 banded Kendall τ-b ↔ q323 exact Kendall τ-b: q323's
+  concordant/discordant counts ride the O(days²) day-pair theta join
+  (calendar-bounded, documented in COVERAGE.md's theta table). q405
+  is the unbounded-series answer: band each axis into 16 fixed bands,
+  collapse the series to the ≤256-cell contingency lattice in ONE
+  exchange, and count concordant/discordant/tied pairs as exact
+  integer products over cell pairs — O(B⁴) lattice work, O(1) in the
+  number of days. τ-b's tie correction absorbs the banding ties, so
+  the statistic stays well-defined at any scale.
+- q406 permutation-sampling Shapley ↔ q340 exact Shapley: q340
+  expands the 2^|channels| coalition lattice and fails fast above 16
+  channels, naming permutation sampling as the fallback
+  (COVERAGE.md theta table; the guard is regression-locked). q406 IS
+  that fallback, made deterministic: K = 24 permutations are derived
+  by ranking channels on md5(k || '-' || channel) — identical hex in
+  Spark and DuckDB, so both engines walk the SAME "random" orders —
+  and each channel's credit is the average marginal contribution
+  v(prefix ∪ {c}) − v(prefix) over the K prefixes. Cost is
+  O(K·|channels|) lattice rows + two equi-joins against the
+  OBSERVED-coalition value table (data-bounded, never 2^n), fully
+  distributable at any channel cardinality.
+
+Reference scope note: the reference pipeline (usnvc/usnvc.py) has no
+statistics at all — this family belongs to the mandated LLM-pipeline
+/ analytics extension surface.
+
+Oracle-parity discipline as plans/round8_queries.py: exact integer /
+DECIMAL(38,0) sufficient statistics, micro-quantized transcendentals
+(round(1e6·x) before any cross-row sum), guarded divisions, tie-free
+rankings (md5 keys tie-broken by channel name), and one final double
+expression per output rounded to 6dp with the IDENTICAL tree on both
+engines.
+
+Scale shape: both queries aggregate row-grain data to a bounded spine
+first (16×16 band lattice; K×|channels| permutation spine + the
+observed-coalition aggregate); every window partitions on the sample
+index (K partitions of |channels| rows); the coalition-value join is
+a plain equi-join sized by the data (AQE broadcasts it when small,
+shuffles it when not) — deliberately NOT hint-broadcast, since at
+high channel cardinality observed coalitions approach user grain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pipeline_usnvc_spark.plans.registry import query
+from pipeline_usnvc_spark.sources.tables import load_table
+
+
+def _d38(c):
+    return c.cast("decimal(38,0)")
+
+
+_N_BANDS = 16
+_N_PERMS = 24
+
+
+# ---------------------------------------------------------------------------
+# q405 — banded Kendall τ-b between the daily view series and the
+# daily purchase series (the q323 pair's scale path): each axis is
+# banded into 16 equal-width integer bands over its observed range,
+# the day series collapses to the (bx, by) contingency lattice, and
+# C/D/ties are exact integer products over ordered cell pairs
+# (b.bx > a.bx), x-ties from per-bx column sums, y-ties from per-by
+# row sums, both-ties from within-cell pairs. The banding is exact
+# integer floor division on non-negative operands (identical in both
+# engines); n0 = N(N−1)/2 exactly.
+# ---------------------------------------------------------------------------
+@query(
+    "q405_banded_kendall_tau",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS x,
+               CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    bounds AS (
+        SELECT min(x) AS mnx, max(x) AS mxx, min(y) AS mny, max(y) AS mxy
+        FROM daily
+    ),
+    banded AS (
+        SELECT ((x - b.mnx) * 16) // (b.mxx - b.mnx + 1) AS bx,
+               ((y - b.mny) * 16) // (b.mxy - b.mny + 1) AS by
+        FROM daily CROSS JOIN bounds b
+    ),
+    cells AS (
+        SELECT bx, by, CAST(count(*) AS BIGINT) AS n FROM banded GROUP BY bx, by
+    ),
+    cross_pairs AS (
+        SELECT CAST(sum(CASE WHEN b.by > a.by THEN a.n * b.n ELSE 0 END) AS BIGINT) AS c,
+               CAST(sum(CASE WHEN b.by < a.by THEN a.n * b.n ELSE 0 END) AS BIGINT) AS dd
+        FROM cells a JOIN cells b ON b.bx > a.bx
+    ),
+    x_ties AS (
+        SELECT CAST(sum(tx * (tx - 1) / 2) AS BIGINT) AS n1
+        FROM (SELECT sum(n) AS tx FROM cells GROUP BY bx)
+    ),
+    y_ties AS (
+        SELECT CAST(sum(ty * (ty - 1) / 2) AS BIGINT) AS n2
+        FROM (SELECT sum(n) AS ty FROM cells GROUP BY by)
+    ),
+    tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS nd,
+               CAST(sum(n) * (sum(n) - 1) / 2 AS BIGINT) AS n0,
+               CAST(count(*) AS BIGINT) AS n_cells
+        FROM cells
+    )
+    SELECT t.nd AS n_days, t.n_cells AS n_cells,
+           p.c AS concordant_w, p.dd AS discordant_w,
+           CASE WHEN t.n0 > x.n1 AND t.n0 > y.n2
+                THEN round(CAST(p.c - p.dd AS DOUBLE)
+                           / sqrt(CAST(t.n0 - x.n1 AS DOUBLE) * CAST(t.n0 - y.n2 AS DOUBLE)), 6)
+                ELSE NULL END AS tau_b_banded
+    FROM tot t CROSS JOIN cross_pairs p CROSS JOIN x_ties x CROSS JOIN y_ties y
+    """,
+)
+def q405_banded_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.when(F.col("event_type") == "view", 1)).cast("bigint").alias("x"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("bigint")
+        .alias("y"),
+    )
+    bounds = daily.agg(
+        F.min("x").alias("mnx"),
+        F.max("x").alias("mxx"),
+        F.min("y").alias("mny"),
+        F.max("y").alias("mxy"),
+    )
+    # non-negative operands: integral `div` truncation == floor,
+    # identical to DuckDB's `//`
+    banded = daily.crossJoin(F.broadcast(bounds)).select(
+        F.expr("((x - mnx) * 16) div (mxx - mnx + 1)").alias("bx"),
+        F.expr("((y - mny) * 16) div (mxy - mny + 1)").alias("by"),
+    )
+    cells = banded.groupBy("bx", "by").agg(F.count("*").cast("bigint").alias("n"))
+    a, b = cells.alias("a"), cells.alias("b")
+    cross_pairs = (
+        a.join(F.broadcast(b), F.col("b.bx") > F.col("a.bx"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("b.by") > F.col("a.by"), F.col("a.n") * F.col("b.n")
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("c"),
+            F.sum(
+                F.when(
+                    F.col("b.by") < F.col("a.by"), F.col("a.n") * F.col("b.n")
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("dd"),
+        )
+    )
+    x_ties = (
+        cells.groupBy("bx")
+        .agg(F.sum("n").alias("tx"))
+        .agg(
+            F.sum(F.col("tx") * (F.col("tx") - 1) / 2).cast("bigint").alias("n1")
+        )
+    )
+    y_ties = (
+        cells.groupBy("by")
+        .agg(F.sum("n").alias("ty"))
+        .agg(
+            F.sum(F.col("ty") * (F.col("ty") - 1) / 2).cast("bigint").alias("n2")
+        )
+    )
+    tot = cells.agg(
+        F.sum("n").cast("bigint").alias("nd"),
+        (F.sum("n") * (F.sum("n") - 1) / 2).cast("bigint").alias("n0"),
+        F.count("*").cast("bigint").alias("n_cells"),
+    )
+    joined = (
+        tot.crossJoin(F.broadcast(cross_pairs))
+        .crossJoin(F.broadcast(x_ties))
+        .crossJoin(F.broadcast(y_ties))
+    )
+    n0, n1, n2 = F.col("n0"), F.col("n1"), F.col("n2")
+    tau = F.when(
+        (n0 > n1) & (n0 > n2),
+        F.round(
+            (F.col("c") - F.col("dd")).cast("double")
+            / F.sqrt((n0 - n1).cast("double") * (n0 - n2).cast("double")),
+            6,
+        ),
+    )
+    return joined.select(
+        F.col("nd").alias("n_days"),
+        "n_cells",
+        F.col("c").alias("concordant_w"),
+        F.col("dd").alias("discordant_w"),
+        tau.alias("tau_b_banded"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q406 — permutation-sampling Shapley channel attribution (the q340
+# pair's scale path, and the exact fallback its 16-channel guard
+# names): K = 24 channel orderings are derived deterministically by
+# ranking channels on md5(k || '-' || channel) (identical hex in both
+# engines — the "seeded PRNG" both sides share), each (k, channel)
+# row computes the marginal contribution v(prefix ∪ {c}) − v(prefix)
+# against the OBSERVED-coalition value table (same v_micro
+# quantization as q340), and the credit is the exact-integer average
+# over the K samples. No 2^n lattice anywhere: the spine is
+# K·|channels| rows and the value joins are plain equi-joins on mask.
+# ---------------------------------------------------------------------------
+@query(
+    "q406_permutation_shapley",
+    oracle="""
+    WITH channels AS (
+        SELECT event_type AS ch,
+               CAST(row_number() OVER (ORDER BY event_type) - 1 AS BIGINT) AS bit
+        FROM (SELECT DISTINCT event_type FROM events WHERE event_type <> 'purchase')
+    ),
+    samples AS (SELECT CAST(unnest(range(0, 24)) AS BIGINT) AS k),
+    perm AS (
+        SELECT s.k, c.ch, c.bit,
+               CAST(row_number() OVER (
+                   PARTITION BY s.k
+                   ORDER BY md5(CAST(s.k AS VARCHAR) || '-' || c.ch), c.ch
+               ) AS BIGINT) AS pos
+        FROM channels c CROSS JOIN samples s
+    ),
+    pref AS (
+        SELECT k, ch, bit,
+               CAST(COALESCE(sum(1 << bit) OVER (
+                   PARTITION BY k ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS mask_before
+        FROM perm
+    ),
+    users AS (
+        SELECT e.user_id,
+               CAST(COALESCE(sum(DISTINCT CASE WHEN e.event_type <> 'purchase'
+                    THEN (1 << c.bit) END), 0) AS BIGINT) AS mask,
+               CAST(max(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS conv
+        FROM events e LEFT JOIN channels c ON c.ch = e.event_type
+        GROUP BY e.user_id
+    ),
+    coal AS (
+        SELECT mask, CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(conv) AS BIGINT) AS n_conv
+        FROM users GROUP BY mask
+    ),
+    v AS (
+        SELECT mask, CAST(round(1000000.0 * CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)) AS BIGINT) AS v_micro
+        FROM coal
+    ),
+    marg AS (
+        SELECT p.ch,
+               COALESCE(v1.v_micro, 0) - COALESCE(v0.v_micro, 0) AS m_micro
+        FROM pref p
+        LEFT JOIN v v0 ON v0.mask = p.mask_before
+        LEFT JOIN v v1 ON v1.mask = p.mask_before + (1 << p.bit)
+    )
+    SELECT ch AS channel,
+           CAST(24 AS BIGINT) AS n_samples,
+           round(CAST(sum(m_micro) AS DOUBLE) / 24000000.0, 6) AS shapley_credit_sampled
+    FROM marg GROUP BY ch ORDER BY ch
+    """,
+)
+def q406_permutation_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    channels = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select(F.col("event_type").alias("ch"))
+        .distinct()
+        .select(
+            "ch",
+            (F.row_number().over(Window.orderBy("ch")) - 1)
+            .cast("bigint")
+            .alias("bit"),
+        )
+    )
+    samples = spark.range(0, _N_PERMS).select(F.col("id").cast("bigint").alias("k"))
+    perm = channels.crossJoin(F.broadcast(samples)).select(
+        "k",
+        "ch",
+        "bit",
+        F.row_number()
+        .over(
+            Window.partitionBy("k").orderBy(
+                F.md5(F.concat(F.col("k").cast("string"), F.lit("-"), F.col("ch"))),
+                "ch",
+            )
+        )
+        .cast("bigint")
+        .alias("pos"),
+    )
+    w_prefix = (
+        Window.partitionBy("k")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pref = perm.select(
+        "k",
+        "ch",
+        "bit",
+        F.coalesce(
+            F.sum(F.expr("shiftleft(1L, CAST(bit AS INT))")).over(w_prefix),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("mask_before"),
+    )
+    users = (
+        ev.join(F.broadcast(channels), ev["event_type"] == channels["ch"], "left")
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum_distinct(
+                    F.when(
+                        F.col("event_type") != "purchase",
+                        F.expr("shiftleft(1L, CAST(bit AS INT))"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("mask"),
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("conv"),
+        )
+    )
+    coal = users.groupBy("mask").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("conv").cast("bigint").alias("n_conv"),
+    )
+    v = coal.select(
+        "mask",
+        F.round(
+            F.lit(1000000.0)
+            * F.col("n_conv").cast("double")
+            / F.col("n_users").cast("double")
+        )
+        .cast("bigint")
+        .alias("v_micro"),
+    )
+    # plain equi-joins on mask — observed-coalition grain is
+    # data-bounded (≤ distinct user journeys); AQE broadcasts it when
+    # small instead of a forced hint that would OOM at high channel
+    # cardinality
+    v0 = v.select(F.col("mask").alias("mask_before"), F.col("v_micro").alias("v0"))
+    v1 = v.select(F.col("mask").alias("m1"), F.col("v_micro").alias("v1"))
+    marg = (
+        pref.join(v0, "mask_before", "left")
+        .join(
+            v1,
+            F.col("m1")
+            == F.col("mask_before")
+            + F.expr("shiftleft(1L, CAST(bit AS INT))").cast("bigint"),
+            "left",
+        )
+        .select(
+            "ch",
+            (F.coalesce("v1", F.lit(0)) - F.coalesce("v0", F.lit(0))).alias(
+                "m_micro"
+            ),
+        )
+    )
+    return (
+        marg.groupBy("ch")
+        .agg(
+            F.round(
+                F.sum("m_micro").cast("bigint").cast("double")
+                / F.lit(float(_N_PERMS) * 1000000.0),
+                6,
+            ).alias("shapley_credit_sampled")
+        )
+        .select(
+            F.col("ch").alias("channel"),
+            F.lit(_N_PERMS).cast("bigint").alias("n_samples"),
+            "shapley_credit_sampled",
+        )
+        .orderBy("channel")
+    )

@@ -428,7 +428,7 @@ def q316_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     cc = c.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
     spend = (
-        o.join(F.broadcast(cc), "o_custkey")
+        o.join(cc, "o_custkey")
         .groupBy(F.col("c_mktsegment").alias("seg"), "o_custkey")
         .agg(
             F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))

@@ -156,10 +156,11 @@ def q36_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q38 — per-source corpus statistics: token Shannon entropy (diversity
 # signal for source weighting). Probabilities are exact int ratios;
-# ln() results rounded to 6 dp before the (order-insensitive) sum —
-# summation runs over DISTINCT terms via a deterministic formulation:
-# entropy = ln(N) - sum(c*ln(c))/N, each ln rounded, both engines
-# computing the identical rounded values.
+# each c*ln(c) term is quantized to an INTEGER micro value
+# (round(1e6*x), the q217 idiom) and summed exactly as DECIMAL(38,0),
+# so the cross-row sum is fold-order deterministic at any executor
+# count — entropy = ln(N) - micro_sum/1e6/N, both engines computing
+# the identical rounded integers.
 # ---------------------------------------------------------------------------
 @query(
     "q38_source_entropy",
@@ -172,7 +173,9 @@ def q36_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.source,
            t.n AS n_tokens,
            CAST(count(*) AS BIGINT) AS n_distinct_terms,
-           round(ln(CAST(t.n AS DOUBLE)) - sum(round(CAST(c.c AS DOUBLE) * ln(CAST(c.c AS DOUBLE)), 6)) / CAST(t.n AS DOUBLE), 4) AS entropy
+           round(ln(CAST(t.n AS DOUBLE))
+                 - (CAST(sum(CAST(round(1000000.0 * CAST(c.c AS DOUBLE) * ln(CAST(c.c AS DOUBLE))) AS HUGEINT)) AS DOUBLE) / 1000000.0)
+                   / CAST(t.n AS DOUBLE), 4) AS entropy
     FROM counts c JOIN totals t ON c.source = t.source
     GROUP BY c.source, t.n
     """,
@@ -189,7 +192,16 @@ def q38_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_distinct_terms"),
         F.round(
             F.log(F.col("n").cast("double"))
-            - F.sum(F.round(F.col("c").cast("double") * F.log(F.col("c").cast("double")), 6))
+            - (
+                F.sum(
+                    F.round(
+                        F.lit(1000000.0)
+                        * F.col("c").cast("double")
+                        * F.log(F.col("c").cast("double"))
+                    ).cast("decimal(38,0)")
+                ).cast("double")
+                / F.lit(1000000.0)
+            )
             / F.col("n").cast("double"),
             4,
         ).alias("entropy"),

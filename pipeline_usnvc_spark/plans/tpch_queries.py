@@ -18,6 +18,14 @@ a 1000-executor / 100 TB run):
   shuffles lineitem three times).
 - Scalar global aggregates join via ``F.broadcast`` (1-row
   BroadcastNestedLoopJoin), never a driver collect.
+- SF-SCALING tables (part / supplier / customer and their filtered
+  slices) carry NO explicit broadcast hint: at bench scale the
+  size-threshold/AQE planner broadcasts them anyway, and at 100 TB a
+  forced ``F.broadcast`` on a table that grows with the data is a
+  driver OOM. Explicit hints are reserved for frames bounded by
+  construction (nation/region, scalar aggregates, value-domain
+  spines) — enforced repo-wide by
+  ``tests/test_plans.py::test_broadcast_targets_are_bounded_frames``.
 - Absolute thresholds are chosen on SF-invariant distributions
   (per-order quantity, ship-minus-order lag), so the queries stay
   selective-but-nonempty at any scale factor.
@@ -86,7 +94,7 @@ def q124_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
     w = Window.partitionBy("l_partkey")
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+    joined = li.join(part, li.l_partkey == part.p_partkey).select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
     with_avg = joined.withColumn(
@@ -188,7 +196,7 @@ def q126_top_part_family_suppliers(spark: SparkSession, sf_dir: str) -> DataFram
     part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
     supp = load_table(spark, sf_dir, "supplier")
     supp_qty = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum(_dec("l_quantity")).cast("double").alias("family_qty"))
     )
@@ -259,7 +267,7 @@ def q127_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
     )
     return (
-        per_order.join(F.broadcast(supp), per_order.late_supp == supp.s_suppkey)
+        per_order.join(supp, per_order.late_supp == supp.s_suppkey)
         .groupBy("s_suppkey", "s_name")
         .agg(F.count("*").alias("numwait"))
     )
@@ -369,7 +377,7 @@ def q129_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(market_cust, orders.o_custkey == market_cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(ns), supp.s_nationkey == F.col("ns_nationkey"))
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
@@ -424,7 +432,7 @@ def q136_local_commerce_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (supp.s_nationkey == cust.c_nationkey),
         )
         .join(F.broadcast(n), cust.c_nationkey == F.col("n_nationkey"))
@@ -540,7 +548,7 @@ def q139_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((part.p_brand == "Brand#25") & part.p_size.between(20, 50) & li.l_quantity.between(25, 50))
     )
     return (
-        li.join(F.broadcast(part), (li.l_partkey == part.p_partkey) & cond)
+        li.join(part, (li.l_partkey == part.p_partkey) & cond)
         .agg(
             F.sum(_rev_col()).cast("double").alias("revenue"),
             F.count("*").alias("n_lines"),
@@ -650,7 +658,7 @@ def q145_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
         .filter(pair)
@@ -694,8 +702,8 @@ def q146_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(18,2)"
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("ns_key"))
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("nation", F.year("o_orderdate").cast("int").alias("o_year"))
@@ -762,7 +770,7 @@ def q155_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = _rev_col()
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,2)"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             (F.lit(100.0) * F.sum(promo).cast("double") / F.sum(rev).cast("double")).alias(
                 "promo_share_pct"
@@ -809,7 +817,7 @@ def q156_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev0.crossJoin(F.broadcast(mx))
         .filter(F.col("total_rev") == F.col("m"))
-        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .join(supp, F.col("supplier_no") == supp.s_suppkey)
         .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue"))
     )
 
@@ -960,8 +968,8 @@ def q213_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("p_partkey")
     ranked = (
-        ps.join(F.broadcast(asia), ps.ps_suppkey == F.col("s_suppkey"))
-        .join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        ps.join(asia, ps.ps_suppkey == F.col("s_suppkey"))
+        .join(part, ps.ps_partkey == part.p_partkey)
         .withColumn("min_cents", F.min("ps_supplycost_cents").over(w))
         .filter(F.col("ps_supplycost_cents") == F.col("min_cents"))
     )
@@ -1026,7 +1034,7 @@ def q214_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_nationkey")
     )
     eu = (
-        ps.join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
+        ps.join(supp, ps.ps_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
             "ps_partkey",
@@ -1094,8 +1102,8 @@ def q215_supplier_exclusion_count(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("s_suppkey")
     )
     return (
-        ps.join(F.broadcast(blacklist), ps.ps_suppkey == F.col("s_suppkey"), "left_anti")
-        .join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        ps.join(blacklist, ps.ps_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(part, ps.ps_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("ps_suppkey").cast("bigint").alias("supplier_cnt"))
     )
@@ -1405,7 +1413,7 @@ def q297_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     supp_rev = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .groupBy("s_nationkey", "l_suppkey")
         .agg(
             F.sum(F.floor(F.col("l_extendedprice") * 100).cast("bigint"))

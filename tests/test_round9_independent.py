@@ -1,0 +1,138 @@
+"""Independent third-implementation checks for the round-9 family
+(q405-q406): raw values come back via DuckDB fetch only — no SQL
+math — and every statistic is re-derived in pure Python (including
+the md5 permutation keys via hashlib), so a formula bug shared by
+BOTH engines still fails here."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import duckdb
+import pytest
+
+from pipeline_usnvc_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    return c
+
+
+def _rhu(x: float) -> int:
+    """round-half-away-from-zero, matching Spark/DuckDB round()."""
+    return int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
+
+
+def _daily_xy(con) -> list[tuple[int, int]]:
+    rows = con.execute(
+        """SELECT CAST(ts AS DATE) AS d,
+                  count(*) FILTER (WHERE event_type = 'view'),
+                  count(*) FILTER (WHERE event_type = 'purchase')
+           FROM events GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    return [(int(x), int(y)) for _, x, y in rows]
+
+
+def test_banded_kendall_tau(spark, con):
+    """Recompute τ-b directly over DAY PAIRS of banded values —
+    the O(n²) definition the 16×16 lattice query must equal."""
+    xy = _daily_xy(con)
+    mnx, mxx = min(x for x, _ in xy), max(x for x, _ in xy)
+    mny, mxy_ = min(y for _, y in xy), max(y for _, y in xy)
+    banded = [
+        ((x - mnx) * 16 // (mxx - mnx + 1), (y - mny) * 16 // (mxy_ - mny + 1))
+        for x, y in xy
+    ]
+    nd = len(banded)
+    c = d = n1 = n2 = 0
+    for i in range(nd):
+        for j in range(i + 1, nd):
+            dx = banded[j][0] - banded[i][0]
+            dy = banded[j][1] - banded[i][1]
+            if dx == 0:
+                n1 += 1
+            if dy == 0:
+                n2 += 1
+            if dx * dy > 0:
+                c += 1
+            elif dx * dy < 0:
+                d += 1
+    n0 = nd * (nd - 1) // 2
+    tau = (
+        round((c - d) / math.sqrt((n0 - n1) * (n0 - n2)), 6)
+        if n0 > n1 and n0 > n2
+        else None
+    )
+    r = QUERIES["q405_banded_kendall_tau"](spark, SF).collect()[0]
+    assert r["n_days"] == nd
+    assert r["n_cells"] == len(set(banded))
+    assert r["concordant_w"] == c
+    assert r["discordant_w"] == d
+    if tau is None:
+        assert r["tau_b_banded"] is None
+    else:
+        assert abs(r["tau_b_banded"] - tau) <= 1e-9
+
+
+def test_permutation_shapley(spark, con):
+    """Re-derive the K=24 md5-keyed permutations with hashlib, the
+    observed-coalition values from raw user journeys, and the
+    averaged marginal contributions — all in pure Python."""
+    chans = sorted(
+        ch
+        for (ch,) in con.execute(
+            "SELECT DISTINCT event_type FROM events WHERE event_type <> 'purchase'"
+        ).fetchall()
+    )
+    bit = {ch: i for i, ch in enumerate(chans)}
+    rows = con.execute("SELECT user_id, event_type FROM events").fetchall()
+    masks: dict[int, int] = {}
+    convs: dict[int, int] = {}
+    for uid, et in rows:
+        if et == "purchase":
+            convs[uid] = 1
+        else:
+            masks[uid] = masks.get(uid, 0) | (1 << bit[et])
+        masks.setdefault(uid, masks.get(uid, 0))
+        convs.setdefault(uid, convs.get(uid, 0))
+    coal: dict[int, list[int]] = {}
+    for uid in masks:
+        n_users, n_conv = coal.get(masks[uid], [0, 0])
+        coal[masks[uid]] = [n_users + 1, n_conv + convs[uid]]
+    v = {m: _rhu(1000000.0 * nc / nu) for m, (nu, nc) in coal.items()}
+    credits = {ch: 0 for ch in chans}
+    for k in range(24):
+        order = sorted(
+            chans, key=lambda ch: (hashlib.md5(f"{k}-{ch}".encode()).hexdigest(), ch)
+        )
+        prefix = 0
+        for ch in order:
+            with_c = prefix | (1 << bit[ch])
+            credits[ch] += v.get(with_c, 0) - v.get(prefix, 0)
+            prefix = with_c
+    got = {
+        r["channel"]: r
+        for r in QUERIES["q406_permutation_shapley"](spark, SF).collect()
+    }
+    assert sorted(got) == chans
+    for ch in chans:
+        assert got[ch]["n_samples"] == 24
+        assert abs(
+            got[ch]["shapley_credit_sampled"] - round(credits[ch] / 24e6, 6)
+        ) <= 1e-9
+    # efficiency sanity: the sampled credits of a permutation estimator
+    # sum to v(grand coalition) - v(empty) EXACTLY for every sample,
+    # hence for the average too
+    grand = 0
+    for ch in chans:
+        grand |= 1 << bit[ch]
+    total = sum(credits.values()) / 24e6
+    assert abs(total - (v.get(grand, 0) - v.get(0, 0)) / 1e6) <= 1e-9
