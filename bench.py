@@ -198,14 +198,26 @@ def main() -> None:
             )
 
     # Regression tracking vs the previous round's recorded bench
-    # (BENCH_r{N}.json at the repo root): name any query > 1.5x its
-    # prior time (after the adaptive retries above). Comparison only
-    # holds at the same scale factor.
+    # (BENCH_r{N}.json at the repo root). Spread-aware rule (VERDICT
+    # r08 item 8): sub-second queries like q98/q42 only ever move
+    # inside their own sample noise band, so a flat 1.5x threshold
+    # reads noise as signal — flag only moves above
+    # max(1.5, 1 + 3*spread) x prior, where spread is THIS round's
+    # measured relative spread ((max-min)/median over the samples).
+    # A real plan regression reproduces in every sample (tight spread,
+    # large ratio); a contention spike inflates the spread along with
+    # the median and stays unflagged. Comparison only holds at the
+    # same scale factor.
     regressions: dict[str, dict[str, float]] = {}
     for name, sec in {**timings, **extended}.items():
         old = prior.get(name)
-        if old and sec > 1.5 * old:
-            regressions[name] = {"prev_sec": old, "now_sec": sec}
+        threshold = max(1.5, 1.0 + 3.0 * spreads.get(name, 0.0))
+        if old and sec > threshold * old:
+            regressions[name] = {
+                "prev_sec": old,
+                "now_sec": sec,
+                "threshold_x": round(threshold, 3),
+            }
 
     payload = {
         "metric": "headline_suite_sec",
@@ -214,7 +226,10 @@ def main() -> None:
         "queries": timings,
         "queries_extended": extended,
         "spread": spreads,
-        "protocol": "median-of-3 (warm-up dropped; adaptive to 5 on >1.5x)",
+        "protocol": (
+            "median-of-3 (warm-up dropped; adaptive to 5 on >1.5x; "
+            "regressions flagged above max(1.5, 1+3*spread)x prior)"
+        ),
         "sf": sf_val,
         "baseline": baseline_round,
         "regressions": regressions,

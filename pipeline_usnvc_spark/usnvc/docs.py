@@ -127,11 +127,18 @@ def build_documents(silver: dict[str, DataFrame], run_timestamp: str | None = No
     obs_parents = _all_cols_struct(silver["obsoleteParents"], "obsoleteparentcode")
 
     # --- hierarchy (G1-G3): closure once for all units ---------------
+    # max_depth=32 (the operator default): USNVC's real tree is 8
+    # levels, but a tighter 16 cap SILENTLY truncated deeper synthetic
+    # trees (caught by tests/test_usnvc_deep_fixture.py's 24-level
+    # graft in round 9). The bound still terminates parent cycles —
+    # the fixpoint loop exits early on real trees, so a generous cap
+    # costs nothing (depth rounds run only while frontiers are
+    # non-empty).
     clos = ancestor_closure(
         units.select(F.col("element_global_id").alias("id"), F.col("parent_id")),
         "id",
         "parent_id",
-        max_depth=16,
+        max_depth=32,
     )
     anc_payload = (
         clos.join(
