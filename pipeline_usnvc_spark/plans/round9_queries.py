@@ -388,3 +388,99 @@ def q406_permutation_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# q407 — windowed Theil-Sen trend of daily revenue (the q235 pair's
+# scale path, making COVERAGE.md's `_THEIL_SEN_MAX_SPAN_DAYS` knob a
+# first-class oracle-paired query): the pairwise-slope lattice is
+# banded to |d_j − d_i| ≤ 30 days, so the theta join becomes a range
+# join with O(days·30) pairs — linear in the calendar instead of
+# quadratic — at the cost of the textbook all-pairs estimator (the
+# standard windowed/banded Theil-Sen trade). Median extraction is the
+# identical two-middle-ranks construction as q235 (exact micro-int
+# slopes, tie-broken total order, no single-partition sort).
+# ---------------------------------------------------------------------------
+@query(
+    "q407_windowed_theil_sen",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    slopes AS (
+        SELECT a.d AS d_i, b.d AS d_j,
+               CAST(round(1000000.0 * CAST(b.cents - a.cents AS DOUBLE)
+                          / CAST(b.d - a.d AS DOUBLE)) AS BIGINT) AS slope_micro
+        FROM daily a JOIN daily b ON b.d > a.d AND b.d - a.d <= 30
+    ),
+    ranked AS (
+        SELECT slope_micro,
+               row_number() OVER (ORDER BY slope_micro, d_i, d_j) AS r,
+               count(*) OVER () AS m
+        FROM slopes
+    )
+    SELECT CAST(30 AS BIGINT) AS window_days,
+           CAST(max(m) AS BIGINT) AS n_pairs,
+           CAST(sum(slope_micro) AS BIGINT) AS mid_sum_micro,
+           CAST(count(*) AS BIGINT) AS n_mid,
+           CAST(sum(slope_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0
+             AS slope_cents_per_day
+    FROM ranked
+    WHERE r IN ((m + 1) // 2, m // 2 + 1)
+    """,
+)
+def q407_windowed_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.checkpoint import materialize
+    from pipeline_usnvc_spark.operators.rank import with_global_rank
+
+    WINDOW_DAYS = 30
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast("bigint")
+        .alias("d")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("b.d") > F.col("a.d"))
+        & (F.col("b.d") - F.col("a.d") <= F.lit(WINDOW_DAYS)),
+    ).select(
+        F.col("a.d").alias("d_i"),
+        F.col("b.d").alias("d_j"),
+        F.round(
+            F.lit(1000000.0)
+            * (F.col("b.cents") - F.col("a.cents")).cast("double")
+            / (F.col("b.d") - F.col("a.d")).cast("double")
+        )
+        .cast("bigint")
+        .alias("slope_micro"),
+    )
+    ranked = materialize(
+        with_global_rank(slopes, "slope_micro", "d_i", "d_j", rank_col="r")
+    )
+    m = ranked.agg(F.count("*").cast("bigint").alias("m"))
+    return (
+        ranked.crossJoin(F.broadcast(m))
+        .filter(
+            (F.col("r") == F.floor((F.col("m") + 1) / 2))
+            | (F.col("r") == F.floor(F.col("m") / 2) + 1)
+        )
+        .agg(
+            F.lit(WINDOW_DAYS).cast("bigint").alias("window_days"),
+            F.max("m").cast("bigint").alias("n_pairs"),
+            F.sum("slope_micro").cast("bigint").alias("mid_sum_micro"),
+            F.count("*").cast("bigint").alias("n_mid"),
+            (
+                F.sum("slope_micro").cast("double")
+                / F.count("*").cast("double")
+                / F.lit(1000000.0)
+            ).alias("slope_cents_per_day"),
+        )
+    )

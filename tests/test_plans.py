@@ -857,6 +857,7 @@ _BROADCAST_ALLOWLIST = {
         "cross_pairs", "x_ties", "y_ties",  # scalar pair/tie aggregates
         "channels",  # distinct event types
         "samples",  # spark.range(24) permutation spine
+        "m",  # scalar pair-count aggregate (q407 median ranks)
     },
     "similarity_queries.py": {
         "b",  # per-label centroid frame (label domain)

@@ -1,5 +1,5 @@
 """Independent third-implementation checks for the round-9 family
-(q405-q406): raw values come back via DuckDB fetch only — no SQL
+(q405-q407): raw values come back via DuckDB fetch only — no SQL
 math — and every statistic is re-derived in pure Python (including
 the md5 permutation keys via hashlib), so a formula bug shared by
 BOTH engines still fails here."""
@@ -136,3 +136,36 @@ def test_permutation_shapley(spark, con):
         grand |= 1 << bit[ch]
     total = sum(credits.values()) / 24e6
     assert abs(total - (v.get(grand, 0) - v.get(0, 0)) / 1e6) <= 1e-9
+
+
+def test_windowed_theil_sen(spark, con):
+    """Recompute the banded median slope from raw order rows: daily
+    cent totals, all (i, j) day pairs within 30 days, micro-rounded
+    slopes, and the exact two-middle-ranks median."""
+    rows = con.execute(
+        """SELECT CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT),
+                  sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+           FROM read_parquet('{sf}/orders.parquet') GROUP BY 1 ORDER BY 1""".format(
+            sf=SF
+        )
+    ).fetchall()
+    daily = [(int(d), int(c)) for d, c in rows]
+    slopes = []
+    for i in range(len(daily)):
+        for j in range(i + 1, len(daily)):
+            di, ci = daily[i]
+            dj, cj = daily[j]
+            if 0 < dj - di <= 30:
+                slopes.append((_rhu(1000000.0 * (cj - ci) / (dj - di)), di, dj))
+    slopes.sort()
+    m = len(slopes)
+    mids = sorted({(m + 1) // 2, m // 2 + 1})
+    mid_vals = [slopes[r - 1][0] for r in mids]
+    r = QUERIES["q407_windowed_theil_sen"](spark, SF).collect()[0]
+    assert r["window_days"] == 30
+    assert r["n_pairs"] == m
+    assert r["n_mid"] == len(mids)
+    assert r["mid_sum_micro"] == sum(mid_vals)
+    assert abs(
+        r["slope_cents_per_day"] - sum(mid_vals) / len(mids) / 1e6
+    ) <= 1e-9
