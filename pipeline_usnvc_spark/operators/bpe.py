@@ -132,6 +132,7 @@ def train_bpe(
     syms_df = materialize(word_symbol_table(docs, text_col))
     merges: list[tuple] = []
     for r in range(1, n_merges + 1):
+        # bounded: top-1 pair slice per merge round
         best = (
             adjacent_pair_counts(syms_df)
             .orderBy(F.desc("n"), F.asc("pair"))

@@ -57,6 +57,7 @@ def connected_components(
     # jobs re-read the already-materialized blocks, so the local path
     # pays one extra cheap scan, not a recompute.
     if sym.limit(local_threshold + 1).count() <= local_threshold:
+        # bounded: gate above proved <= local_threshold edges
         return _local_components(sym, sym.collect())
     # Seed with min(self, neighbors): exactly round 1 of HashMin, but
     # folded into initialization so the loop starts one hop ahead.
@@ -76,6 +77,7 @@ def connected_components(
     # collision).
     # decimal sum: int64 hash values summed as longs overflow ANSI
     # arithmetic on any non-trivial graph
+    # bounded: one-row scalar signature aggregate
     sig = lambda df: df.agg(  # noqa: E731
         F.sum(F.xxhash64("label").cast("decimal(38,0)"))
     ).collect()[0][0]

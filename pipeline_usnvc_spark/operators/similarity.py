@@ -134,6 +134,7 @@ def kmeans_centroids(
     corpus itself never leaves the executors.
     """
     v = vectors.select(F.col(id_col), to_double_array(vec_col).alias("v"))
+    # bounded: k seed rows (the coarse-quantizer footprint)
     centroids = [
         [float(x) for x in r["v"]]
         for r in v.orderBy(id_col).limit(k).collect()
@@ -144,6 +145,7 @@ def kmeans_centroids(
     k = len(centroids)
     for _ in range(iters):
         assigned = v.withColumn("c", _nearest_centroid(F.col("v"), centroids))
+        # bounded: k x dim centroid-stat rows
         per_dim = (
             assigned.select("c", F.posexplode("v").alias("pos", "x"))
             .groupBy("c", "pos")
@@ -655,6 +657,7 @@ def batched_cosine_topk(
     import pandas as pd
 
     id_type = vectors.schema[id_col].dataType.simpleString()
+    # bounded: the eval query set is driver-sized by contract
     q_pdf = queries.select(F.col(id_col), to_double_array(vec_col).alias("qv")).toPandas()
     if len(q_pdf) == 0:
         raise ValueError("query set is empty")

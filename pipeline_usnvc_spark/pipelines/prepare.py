@@ -164,7 +164,7 @@ def prepare_training_data(
             F.count("*").alias("docs"),
             F.sum("n_tokens").cast("long").alias("tokens"),
         )
-        .collect()
+        .collect()  # bounded: |curation stages| rows
     }
 
     labelled = label_and_shard(
@@ -177,12 +177,14 @@ def prepare_training_data(
     sharded.write.partitionBy("shard").mode("overwrite").parquet(f"{out_dir}/train")
     evald.write.mode("overwrite").parquet(f"{out_dir}/eval")
 
+    # bounded: n_shards rows
     shard_stats = {
         int(r["shard"]): {"docs": r["docs"], "tokens": r["tokens"]}
         for r in sharded.groupBy("shard")
         .agg(F.count("*").alias("docs"), F.sum("n_tokens").cast("long").alias("tokens"))
         .collect()
     }
+    # bounded: 2 split rows
     split_stats = {
         r["split"]: r["n"]
         for r in labelled.groupBy("split").agg(F.count("*").alias("n")).collect()

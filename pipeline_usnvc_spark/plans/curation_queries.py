@@ -1791,6 +1791,7 @@ def q219_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_usnvc_spark.operators.bpe import merge_pair, train_bpe, word_symbol_table
 
     docs = load_table(spark, sf_dir, "documents")
+    # bounded: n_merges (=5) vocab-grain merge rules, never corpus rows
     merges = [
         (r["left"], r["right"])
         for r in train_bpe(docs, n_merges=5).orderBy("merge_round").collect()

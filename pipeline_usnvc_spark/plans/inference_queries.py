@@ -2389,6 +2389,7 @@ def q363_ridge_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sum(double) here would drift with shuffle layout.
     res = F.col("label").cast("double") - pred
     res_micro = F.round(F.lit(1000000.0) * res * res).cast("bigint")
+    # bounded: one-row scalar aggregate
     sses = emb.agg(
         F.sum(_d38(res_micro)).cast("decimal(38,0)").alias("sse_w_micro"),
     ).collect()[0]

@@ -118,6 +118,7 @@ class LatestStateStore:
         # the merge below — without it the upstream batch plan runs
         # twice per epoch.
         batch = batch_df.withColumn(_BUCKET, bucket).localCheckpoint()
+        # bounded: <= n_buckets distinct bucket ids
         touched = sorted(
             r[_BUCKET] for r in batch.select(_BUCKET).distinct().collect()
         )

@@ -990,3 +990,36 @@ def test_no_raw_double_cross_row_sums_in_plans():
         "raw-double cross-row sums (quantize to integer micro-units "
         f"before the sum, or justify in allowed_args): {bad}"
     )
+
+
+def test_driver_side_collects_are_documented_bounded():
+    """Mechanizes the per-round anti-pattern sweep (VERDICT r08
+    'Anti-pattern sweep' section): every driver-side materialization
+    (.collect() / .toPandas()) in plans/ and the operator modules must
+    state WHY its grain is bounded — the word 'bounded', 'scalar',
+    'seed', 'vocab-grain', 'spine', or 'lattice' on the hit line or
+    within the 6 lines above (multi-line expressions put the note at
+    the statement head). A new data-grain collect therefore can't
+    land without either a written justification or tripping this."""
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent / "pipeline_usnvc_spark"
+    markers = re.compile(
+        r"bounded|scalar|seed|vocab-grain|spine|lattice|driver-sized|k rows",
+        re.IGNORECASE,
+    )
+    undocumented = []
+    for sub in ("plans", "operators", "streaming", "pipelines"):
+        for p in sorted((root / sub).glob("*.py")):
+            lines = p.read_text().split("\n")
+            for i, line in enumerate(lines):
+                if not re.search(r"\.collect\(\)|\.toPandas\(\)", line):
+                    continue
+                window = "\n".join(lines[max(0, i - 6) : i + 1])
+                if not markers.search(window):
+                    undocumented.append(f"{sub}/{p.name}:{i + 1}")
+    assert not undocumented, (
+        "driver-side collects without a boundedness note (add a "
+        f"comment saying why the grain is bounded): {undocumented}"
+    )
