@@ -272,16 +272,18 @@ _DRIVER_VERIFIED = (
 # Round index driving the verified-backlog rotation (bump per round).
 _ROUND = 9
 
-# Round 9 sample head: the three round-8 queries whose PLANS changed
-# this round and therefore need a fresh driver row — q386 (chi2
-# double-scaling fix: the old green row verified a 1e6-deflated
-# value in both engines), q385 (we=0 division guard), q400 (Bloom
-# bit domain now sized from the keyset; fill-derived FPR budget;
-# fpp_theory column added).
+# Round 9 sample head: the queries whose PLANS changed this round and
+# therefore need a fresh driver row — q386 (chi2 double-scaling fix:
+# the old green row verified a 1e6-deflated value in both engines),
+# q385 (we=0 division guard), q400 (Bloom bit domain now sized from
+# the keyset; fill-derived FPR budget; fpp_theory column added), and
+# q38 (entropy sum re-quantized to exact micro-integers in both
+# engines).
 _R09_HEAD: tuple[str, ...] = (
     "q386_logrank_test",
     "q385_weighted_kappa",
     "q400_bloom_filter_audit",
+    "q38_source_entropy",
 )
 
 
