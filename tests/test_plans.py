@@ -1023,3 +1023,67 @@ def test_driver_side_collects_are_documented_bounded():
         "driver-side collects without a boundedness note (add a "
         f"comment saying why the grain is bounded): {undocumented}"
     )
+
+
+def test_round9_plan_shapes(spark, sf_dir, monkeypatch):
+    """q405: the cell-pair theta join must run on the <=256-row band
+    lattice (the only join inputs below it are Aggregates, never the
+    raw day/event stream); q406: the permutation windows partition on
+    the sample index (never a single-partition data-grain window) and
+    nothing plans a distributed CartesianProduct; q407: the slope join
+    carries the 30-day band predicate (range join, not all-pairs)."""
+    import re
+
+    plan405 = (
+        QUERIES["q405_banded_kendall_tau"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan405
+    # the pair join consumes the aggregated cell lattice: an Aggregate
+    # must appear above (before) the first BroadcastNestedLoopJoin's
+    # inputs in the top-down tree
+    bnlj = plan405.find("BroadcastNestedLoopJoin")
+    assert bnlj != -1, "banded pair join missing"
+    assert "Aggregate" in plan405[bnlj:], (
+        "pair join input is not the aggregated cell lattice"
+    )
+
+    plan406 = (
+        QUERIES["q406_permutation_shapley"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan406
+    # every Window except the channel-domain bit-rank (bounded by the
+    # distinct event_type domain, q340's shape) partitions on the
+    # sample index k — never a single-partition window over data
+    win_frags = [
+        plan406[m.start() : m.start() + 400]
+        for m in re.finditer(r"Window \[", plan406)
+    ]
+    assert win_frags, "q406 lost its permutation windows"
+    for frag in win_frags:
+        is_channel_rank = "ch#" in frag and "k#" not in frag and "md5" not in frag
+        if not is_channel_rank:
+            assert "k#" in frag, (
+                "q406 window not partitioned on sample k:\n" + frag
+            )
+
+    # materialize() checkpoints mid-plan and hides the slope join from
+    # explain — stub it to identity (the verify-recipe workaround)
+    import pipeline_usnvc_spark.operators.checkpoint as ckpt_mod
+    import pipeline_usnvc_spark.operators.rank as rank_mod
+
+    monkeypatch.setattr(ckpt_mod, "materialize", lambda df, eager=True: df)
+    monkeypatch.setattr(rank_mod, "materialize", lambda df, eager=True: df)
+    plan407 = (
+        QUERIES["q407_windowed_theil_sen"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan407
+    assert re.search(r"<= 30", plan407), "30-day band predicate lost"
