@@ -54,11 +54,6 @@ from pipeline_usnvc_spark.plans.registry import query
 from pipeline_usnvc_spark.sources.tables import load_table
 
 
-def _d38(c):
-    return c.cast("decimal(38,0)")
-
-
-_N_BANDS = 16
 _N_PERMS = 24
 
 
