@@ -214,6 +214,23 @@ def test_brier_decomposition(spark, con):
         abs(r["uncertainty"] - (xx * (nn - xx) * 1000000 // (nn * nn)) / 1000000.0)
         <= 1e-9
     )
+    # q386-class scaling guard: recompute each statistic in plain
+    # floats from probabilities — a shared micro-unit scaling bug in
+    # the final expressions (the advisor's round-8 finding) fails here
+    ps = [(v / 1e6, y) for b in bins.values() for v, y in b]
+    ybar = xx / nn
+    brier_f = sum((pv - y) ** 2 for pv, y in ps) / nn
+    rel_f = res_f = 0.0
+    for b in bins.values():
+        n_b = len(b)
+        pbar = sum(v for v, _ in b) / n_b / 1e6
+        ybar_b = sum(y for _, y in b) / n_b
+        rel_f += n_b * (pbar - ybar_b) ** 2 / nn
+        res_f += n_b * (ybar_b - ybar) ** 2 / nn
+    assert abs(r["brier"] - brier_f) <= 1e-5
+    assert abs(r["reliability"] - rel_f) <= 1e-5
+    assert abs(r["resolution"] - res_f) <= 1e-5
+    assert abs(r["uncertainty"] - ybar * (1 - ybar)) <= 1e-5
     # Murphy identity (collapsed-to-bin scores): brier ~ rel - res + unc
     assert (
         abs(r["brier"] - (r["reliability"] - r["resolution"] + r["uncertainty"]))
@@ -242,6 +259,14 @@ def test_hosmer_lemeshow(spark, con):
     for k in bins:
         assert abs(got[k]["hl_stat"] - hl_total / 1000000.0) <= 1e-9
         assert got[k]["df"] == len(bins) - 2
+    # q386-class scaling guard: float recompute of the HL statistic
+    hl_f = 0.0
+    for b in bins.values():
+        n_b, x_b = len(b), sum(y for _, y in b)
+        e_b = sum(v for v, _ in b) / 1e6
+        hl_f += (x_b - e_b) ** 2 / (e_b * (1 - e_b / n_b))
+    any_bin = next(iter(bins))
+    assert abs(got[any_bin]["hl_stat"] - hl_f) <= 2e-5 * (1 + abs(hl_f))
 
 
 def test_log_loss(spark, con):
@@ -286,6 +311,8 @@ def test_weighted_kappa(spark, con):
     assert r["n_docs"] == n
     assert r["weighted_disagreement"] == wo
     assert abs(r["kappa_w"] - kappa) <= 1e-9
+    # q386-class scaling guard: kappa_w = 1 - n*wo/we in plain floats
+    assert abs(r["kappa_w"] - (1.0 - n * wo / we)) <= 2e-6
 
 
 # ---------------------------------------------------------------------------
@@ -401,6 +428,16 @@ def test_ljung_box(spark, con):
         assert got[k]["n_days"] == n
         assert abs(got[k]["rho"] - rho / 1000000.0) <= 1e-9
         assert abs(got[k]["lb_q_cum"] - cum / 1000000.0) <= 1e-9
+    # q386-class scaling guard: rho and Q recomputed in plain floats
+    D, S = len(xs), sum(xs)
+    e = [D * x - S for x in xs]
+    d2 = sum(v * v for v in e)
+    q_f = 0.0
+    for k in range(1, 8):
+        rho_f = sum(e[i] * e[i - k] for i in range(k, len(e))) / d2
+        assert abs(got[k]["rho"] - rho_f) <= 2e-6
+        q_f += n * (n + 2) * rho_f * rho_f / (n - k)
+    assert abs(got[7]["lb_q_cum"] - q_f) <= 0.05 * (1 + abs(q_f))
 
 
 def test_pacf_durbin(spark, con):
@@ -553,6 +590,10 @@ def test_atkinson(spark, con):
     assert abs(r["mean_balance"] - round(s / 100.0 / n, 6)) <= 1e-9
     assert abs(r["atkinson_05"] - atk) <= 1e-9
     assert 0.0 <= r["atkinson_05"] < 1.0
+    # q386-class scaling guard: Atkinson(0.5) in plain floats
+    vals = [c / 100.0 for c in cents]
+    atk_f = 1.0 - (sum(math.sqrt(v) for v in vals) / n) ** 2 / (sum(vals) / n)
+    assert abs(r["atkinson_05"] - atk_f) <= 1e-4
 
 
 def test_lorenz_deciles(spark, con):
@@ -599,6 +640,10 @@ def test_term_burstiness(spark, con):
         assert got[t]["n_docs"] == df and got[t]["total_count"] == s
         assert abs(got[t]["vmr"] - vmr) <= 1e-9
         assert vmr >= 0.0
+        # q386-class scaling guard: VMR = var/mean in plain floats
+        mean_f = s / df
+        vmr_f = (ss / df - mean_f * mean_f) / mean_f
+        assert abs(got[t]["vmr"] - vmr_f) <= 2e-6 * (1 + abs(vmr_f))
 
 
 # ---------------------------------------------------------------------------
@@ -702,6 +747,10 @@ def test_hill_tail_index(spark, con):
     assert abs(r["hill_alpha"] - (100 * 10**12 // s) / 1000000.0) <= 1e-9
     # alpha * inv_alpha ~ 1 by construction
     assert abs(r["hill_alpha"] * r["hill_inv_alpha"] - 1.0) <= 0.01
+    # q386-class scaling guard: Hill estimator in plain floats
+    inv_f = sum(math.log(c / x_k1) for _, c in top[:100]) / 100.0
+    assert abs(r["hill_inv_alpha"] - inv_f) <= 1e-5
+    assert abs(r["hill_alpha"] - 1.0 / inv_f) <= 1e-4 * (1 + 1.0 / inv_f)
 
 
 def test_gumbel_maxima(spark, con):
