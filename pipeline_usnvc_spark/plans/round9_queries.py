@@ -479,3 +479,137 @@ def q407_windowed_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("slope_cents_per_day"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q408 — banded Cramér-von-Mises drift vs ONE reference source (the
+# q349 pair's scale path, completing the ECDF family's banding:
+# q368→q392 did it for W1, this does it for CvM, closing the SCALE.md
+# round-7 note "pairs are quadratic in SOURCE COUNT … band to a
+# reference source each, linear"): |sources|−1 pairs against the
+# lexicographically-first source, the identical exact integer ECDF
+# machinery as q349 (value-spine prefix counts, HUGEINT gap products,
+# one 6dp double per pair).
+# ---------------------------------------------------------------------------
+@query(
+    "q408_banded_cvm_reference",
+    oracle="""
+    WITH cnt AS (
+        SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2
+    ),
+    ref AS (SELECT min(source) AS ref FROM cnt),
+    pairs AS (
+        SELECT r.ref AS sa, s.source AS sb
+        FROM (SELECT DISTINCT source FROM cnt) s CROSS JOIN ref r
+        WHERE s.source <> r.ref
+    ),
+    spine AS (
+        SELECT p.sa, p.sb, v.v,
+               coalesce(ca.c, 0) AS ca, coalesce(cb.c, 0) AS cb
+        FROM pairs p
+        JOIN (SELECT DISTINCT cnt.v FROM cnt) v ON TRUE
+        LEFT JOIN cnt ca ON ca.source = p.sa AND ca.v = v.v
+        LEFT JOIN cnt cb ON cb.source = p.sb AND cb.v = v.v
+        WHERE coalesce(ca.c, 0) + coalesce(cb.c, 0) > 0
+    ),
+    cum AS (
+        SELECT sa, sb, ca, cb,
+               CAST(sum(ca) OVER w AS BIGINT) AS cfa,
+               CAST(sum(cb) OVER w AS BIGINT) AS cfb,
+               CAST(sum(ca) OVER (PARTITION BY sa, sb) AS BIGINT) AS n,
+               CAST(sum(cb) OVER (PARTITION BY sa, sb) AS BIGINT) AS m
+        FROM spine
+        WINDOW w AS (PARTITION BY sa, sb ORDER BY v)
+    ),
+    agg AS (
+        SELECT sa, sb, max(n) AS n, max(m) AS m,
+               CAST(sum(CAST(ca + cb AS HUGEINT)
+                        * CAST(cfa * m - cfb * n AS HUGEINT)
+                        * CAST(cfa * m - cfb * n AS HUGEINT)) AS HUGEINT) AS num
+        FROM cum GROUP BY sa, sb
+    )
+    SELECT sa AS reference_source, sb AS source, n AS n_ref, m AS n_src,
+           round(CAST(num AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(m AS DOUBLE)
+                    * CAST(n + m AS DOUBLE) * CAST(n + m AS DOUBLE)), 6) AS cvm_t
+    FROM agg ORDER BY source
+    """,
+)
+def q408_banded_cvm_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    ref = cnt.agg(F.min("source").alias("ref"))
+    pairs = (
+        cnt.select("source")
+        .distinct()
+        .crossJoin(F.broadcast(ref))
+        .filter(F.col("source") != F.col("ref"))
+        .select(F.col("ref").alias("sa"), F.col("source").alias("sb"))
+    )
+    vals = cnt.select("v").distinct()
+    # per-source count frame joins stay UN-hinted (q349's rule): AQE
+    # broadcasts the (source x distinct value) frame when small and
+    # shuffles it otherwise
+    spine = (
+        pairs.crossJoin(F.broadcast(vals))
+        .join(
+            cnt.select(F.col("source").alias("sa"), "v", F.col("c").alias("ca")),
+            ["sa", "v"],
+            "left",
+        )
+        .join(
+            cnt.select(F.col("source").alias("sb"), "v", F.col("c").alias("cb")),
+            ["sb", "v"],
+            "left",
+        )
+        .select(
+            "sa",
+            "sb",
+            "v",
+            F.coalesce("ca", F.lit(0).cast("bigint")).alias("ca"),
+            F.coalesce("cb", F.lit(0).cast("bigint")).alias("cb"),
+        )
+        .filter(F.col("ca") + F.col("cb") > 0)
+    )
+    w_cum = Window.partitionBy("sa", "sb").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_pair = Window.partitionBy("sa", "sb")
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    cum = spine.select(
+        "sa",
+        "sb",
+        "ca",
+        "cb",
+        F.sum("ca").over(w_cum).cast("bigint").alias("cfa"),
+        F.sum("cb").over(w_cum).cast("bigint").alias("cfb"),
+        F.sum("ca").over(w_pair).cast("bigint").alias("n"),
+        F.sum("cb").over(w_pair).cast("bigint").alias("m"),
+    )
+    gap = d38(F.col("cfa")) * d38(F.col("m")) - d38(F.col("cfb")) * d38(F.col("n"))
+    agg = cum.groupBy("sa", "sb").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max("m").cast("bigint").alias("m"),
+        F.sum(d38(F.col("ca") + F.col("cb")) * gap * gap)
+        .cast("decimal(38,0)")
+        .alias("num"),
+    )
+    return agg.select(
+        F.col("sa").alias("reference_source"),
+        F.col("sb").alias("source"),
+        F.col("n").alias("n_ref"),
+        F.col("m").alias("n_src"),
+        F.round(
+            F.col("num").cast("double")
+            / (
+                F.col("n").cast("double")
+                * F.col("m").cast("double")
+                * (F.col("n") + F.col("m")).cast("double")
+                * (F.col("n") + F.col("m")).cast("double")
+            ),
+            6,
+        ).alias("cvm_t"),
+    ).orderBy("source")

@@ -858,6 +858,8 @@ _BROADCAST_ALLOWLIST = {
         "channels",  # distinct event types
         "samples",  # spark.range(24) permutation spine
         "m",  # scalar pair-count aggregate (q407 median ranks)
+        "ref",  # scalar reference-source aggregate (q408)
+        "vals",  # distinct value domain (n_chars lengths, q408)
     },
     "similarity_queries.py": {
         "b",  # per-label centroid frame (label domain)

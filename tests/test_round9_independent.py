@@ -169,3 +169,45 @@ def test_windowed_theil_sen(spark, con):
     assert abs(
         r["slope_cents_per_day"] - sum(mid_vals) / len(mids) / 1e6
     ) <= 1e-9
+
+
+def test_banded_cvm_reference(spark, con):
+    """Recompute each source-vs-reference CvM T in plain floats from
+    raw per-source length lists (the textbook two-sample ECDF form),
+    independent of the query's integer prefix-count machinery."""
+    rows = con.execute(
+        "SELECT source, n_chars FROM read_parquet('{sf}/documents.parquet')".format(
+            sf=SF
+        )
+    ).fetchall()
+    by_src: dict[str, list[int]] = {}
+    for s, v in rows:
+        by_src.setdefault(s, []).append(int(v))
+    ref = min(by_src)
+    got = {
+        r["source"]: r
+        for r in QUERIES["q408_banded_cvm_reference"](spark, SF).collect()
+    }
+    assert sorted(got) == sorted(s for s in by_src if s != ref)
+    a = sorted(by_src[ref])
+    n = len(a)
+    for s in got:
+        b = sorted(by_src[s])
+        m = len(b)
+        vals = sorted(set(a) | set(b))
+        num = 0.0
+        cfa = cfb = 0
+        for v in vals:
+            ca = sum(1 for x in a if x == v)
+            cb = sum(1 for x in b if x == v)
+            cfa += ca
+            cfb += cb
+            num += (ca + cb) * (cfa * m - cfb * n) ** 2
+        t = num / (n * m * (n + m) ** 2)
+        r = got[s]
+        assert r["reference_source"] == ref
+        assert (r["n_ref"], r["n_src"]) == (n, m)
+        assert abs(r["cvm_t"] - round(t, 6)) <= 1e-9
+        # scaling guard redundancy: T for two-sample CvM lives in
+        # [0, ~(2m n)/(6(n+m)) scale]; a 1e6 scaling slip is enormous
+        assert 0.0 <= r["cvm_t"] < (n * m) / (n + m)
