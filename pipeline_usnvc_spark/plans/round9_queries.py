@@ -268,7 +268,19 @@ def q405_banded_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q406_permutation_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    return permutation_shapley(load_table(spark, sf_dir, "events"))
+
+
+def permutation_shapley(ev: DataFrame, n_perms: int = _N_PERMS) -> DataFrame:
+    """Permutation-sampling Shapley attribution over an events frame.
+
+    Factored out of q406 (mirroring q340's ``shapley_attribution``
+    factoring) so the high-cardinality path is unit-testable: this
+    estimator has NO channel-count guard — it is the documented
+    fallback that keeps working exactly where the exact coalition
+    lattice fails fast above 16 channels.
+    """
+    spark = ev.sparkSession
     channels = (
         ev.filter(F.col("event_type") != "purchase")
         .select(F.col("event_type").alias("ch"))
@@ -280,7 +292,7 @@ def q406_permutation_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bit"),
         )
     )
-    samples = spark.range(0, _N_PERMS).select(F.col("id").cast("bigint").alias("k"))
+    samples = spark.range(0, n_perms).select(F.col("id").cast("bigint").alias("k"))
     perm = channels.crossJoin(F.broadcast(samples)).select(
         "k",
         "ch",
@@ -372,13 +384,13 @@ def q406_permutation_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 F.sum("m_micro").cast("bigint").cast("double")
-                / F.lit(float(_N_PERMS) * 1000000.0),
+                / F.lit(float(n_perms) * 1000000.0),
                 6,
             ).alias("shapley_credit_sampled")
         )
         .select(
             F.col("ch").alias("channel"),
-            F.lit(_N_PERMS).cast("bigint").alias("n_samples"),
+            F.lit(n_perms).cast("bigint").alias("n_samples"),
             "shapley_credit_sampled",
         )
         .orderBy("channel")

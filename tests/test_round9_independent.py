@@ -211,3 +211,39 @@ def test_banded_cvm_reference(spark, con):
         # scaling guard redundancy: T for two-sample CvM lives in
         # [0, ~(2m n)/(6(n+m)) scale]; a 1e6 scaling slip is enormous
         assert 0.0 <= r["cvm_t"] < (n * m) / (n + m)
+
+
+def test_permutation_shapley_survives_high_channel_cardinality(spark):
+    """The pair claim made executable: at 24 channels q340's exact
+    coalition lattice FAILS FAST (2^24 rows — the regression-locked
+    guard), while the q406 estimator runs the same frame fine and its
+    credits still satisfy the exact efficiency identity
+    sum(credits) = v(grand) - v(empty) (grand/empty are the only
+    coalitions every permutation touches, so sampling cannot break
+    it: each sampled ordering telescopes exactly)."""
+    import pytest as _pytest
+
+    from pipeline_usnvc_spark.plans.round9_queries import permutation_shapley
+    from pipeline_usnvc_spark.plans.stats_queries import shapley_attribution
+
+    n_ch = 24
+    rows = []
+    for uid in range(200):
+        # each user touches 3 deterministic channels; converts when
+        # the channel-index sum is even
+        chs = [(uid + j * 7) % n_ch for j in range(3)]
+        for c in chs:
+            rows.append((uid, f"ch{c:02d}"))
+        if sum(chs) % 2 == 0:
+            rows.append((uid, "purchase"))
+    ev = spark.createDataFrame(rows, "user_id bigint, event_type string")
+    with _pytest.raises(ValueError, match="permutation-sampling"):
+        shapley_attribution(ev).collect()
+    got = permutation_shapley(ev, n_perms=8).collect()
+    assert len(got) == n_ch
+    total = sum(r["shapley_credit_sampled"] for r in got)
+    # v(empty)=0 here only if no user has an empty journey (all have 3
+    # channels), and v(grand)=0 unless some user's mask is the full
+    # set (none is, with 3 of 24 bits) — so the telescoped total is
+    # v(grand)-v(empty) = 0 - 0 = 0 exactly
+    assert abs(total) <= 1e-6 * n_ch
