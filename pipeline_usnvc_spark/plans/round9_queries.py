@@ -625,3 +625,157 @@ def q408_banded_cvm_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cvm_t"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# q409 — banded energy distance vs ONE reference source, completing
+# the banded ECDF drift trio (q368→q392 W1, q349→q408 CvM, q367→this):
+# |sources|−1 pairs against the lexicographically-first source, the
+# identical exact integer machinery as q367 (value-spine below-counts
+# and below-sums give Σ|x−y| without a pair join; the energy form
+# 2·E|X−Y| − E|X−X'| − E|Y−Y'| floors to micro once per pair).
+# ---------------------------------------------------------------------------
+@query(
+    "q409_banded_energy_reference",
+    oracle="""
+    WITH cnt AS (
+        SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2
+    ),
+    ref AS (SELECT min(source) AS ref FROM cnt),
+    pairs AS (
+        SELECT r.ref AS sa, s.source AS sb
+        FROM (SELECT DISTINCT source FROM cnt) s CROSS JOIN ref r
+        WHERE s.source <> r.ref
+    ),
+    spine AS (
+        SELECT p.sa, p.sb, v.v,
+               coalesce(ca.c, 0) AS ca, coalesce(cb.c, 0) AS cb
+        FROM pairs p
+        JOIN (SELECT DISTINCT cnt.v FROM cnt) v ON TRUE
+        LEFT JOIN cnt ca ON ca.source = p.sa AND ca.v = v.v
+        LEFT JOIN cnt cb ON cb.source = p.sb AND cb.v = v.v
+        WHERE coalesce(ca.c, 0) + coalesce(cb.c, 0) > 0
+    ),
+    cum AS (
+        SELECT sa, sb, v, ca, cb,
+               CAST(coalesce(sum(ca) OVER wb, 0) AS HUGEINT) AS cnt_a_below,
+               CAST(coalesce(sum(CAST(ca AS HUGEINT) * v) OVER wb, 0) AS HUGEINT) AS sum_a_below,
+               CAST(coalesce(sum(cb) OVER wb, 0) AS HUGEINT) AS cnt_b_below,
+               CAST(coalesce(sum(CAST(cb AS HUGEINT) * v) OVER wb, 0) AS HUGEINT) AS sum_b_below,
+               CAST(sum(ca) OVER wp AS HUGEINT) AS n,
+               CAST(sum(cb) OVER wp AS HUGEINT) AS m
+        FROM spine
+        WINDOW wb AS (PARTITION BY sa, sb ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               wp AS (PARTITION BY sa, sb)
+    ),
+    sums AS (
+        SELECT sa, sb, max(n) AS n, max(m) AS m,
+               CAST(sum(CAST(ca AS HUGEINT) * (v * cnt_b_below - sum_b_below)
+                        + CAST(cb AS HUGEINT) * (v * cnt_a_below - sum_a_below)) AS HUGEINT) AS t_ab,
+               CAST(sum(2 * CAST(ca AS HUGEINT) * (v * cnt_a_below - sum_a_below)) AS HUGEINT) AS t_aa,
+               CAST(sum(2 * CAST(cb AS HUGEINT) * (v * cnt_b_below - sum_b_below)) AS HUGEINT) AS t_bb
+        FROM cum GROUP BY sa, sb
+    )
+    SELECT sa AS reference_source, sb AS source,
+           CAST(n AS BIGINT) AS n_ref, CAST(m AS BIGINT) AS n_src,
+           CAST((2 * t_ab * n * m - t_aa * m * m - t_bb * n * n) * 1000000
+                - ((2 * t_ab * n * m - t_aa * m * m - t_bb * n * n) * 1000000)
+                  % (n * n * m * m)
+                AS HUGEINT) // (n * n * m * m) / 1000000.0 AS energy_d2
+    FROM sums ORDER BY source
+    """,
+)
+def q409_banded_energy_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    ref = cnt.agg(F.min("source").alias("ref"))
+    pairs = (
+        cnt.select("source")
+        .distinct()
+        .crossJoin(F.broadcast(ref))
+        .filter(F.col("source") != F.col("ref"))
+        .select(F.col("ref").alias("sa"), F.col("source").alias("sb"))
+    )
+    vals = cnt.select("v").distinct()
+    # un-hinted count-frame joins, q349/q408's rule (AQE decides)
+    spine = (
+        pairs.crossJoin(F.broadcast(vals))
+        .join(
+            cnt.select(F.col("source").alias("sa"), "v", F.col("c").alias("ca")),
+            ["sa", "v"],
+            "left",
+        )
+        .join(
+            cnt.select(F.col("source").alias("sb"), "v", F.col("c").alias("cb")),
+            ["sb", "v"],
+            "left",
+        )
+        .select(
+            "sa",
+            "sb",
+            "v",
+            F.coalesce("ca", F.lit(0).cast("bigint")).alias("ca"),
+            F.coalesce("cb", F.lit(0).cast("bigint")).alias("cb"),
+        )
+        .filter(F.col("ca") + F.col("cb") > 0)
+    )
+    w_below = (
+        Window.partitionBy("sa", "sb")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_pair = Window.partitionBy("sa", "sb")
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    z = F.lit(0).cast("decimal(38,0)")
+    cum = spine.select(
+        "sa",
+        "sb",
+        "v",
+        "ca",
+        "cb",
+        F.coalesce(F.sum(d38(F.col("ca"))).over(w_below), z).alias("cnt_a_below"),
+        F.coalesce(
+            F.sum(d38(F.col("ca")) * d38(F.col("v"))).over(w_below), z
+        ).alias("sum_a_below"),
+        F.coalesce(F.sum(d38(F.col("cb"))).over(w_below), z).alias("cnt_b_below"),
+        F.coalesce(
+            F.sum(d38(F.col("cb")) * d38(F.col("v"))).over(w_below), z
+        ).alias("sum_b_below"),
+        F.sum("ca").over(w_pair).cast("bigint").alias("n"),
+        F.sum("cb").over(w_pair).cast("bigint").alias("m"),
+    )
+    gap_b = d38(F.col("v")) * F.col("cnt_b_below") - F.col("sum_b_below")
+    gap_a = d38(F.col("v")) * F.col("cnt_a_below") - F.col("sum_a_below")
+    sums = cum.groupBy("sa", "sb").agg(
+        F.max("n").alias("n"),
+        F.max("m").alias("m"),
+        F.sum(d38(F.col("ca")) * gap_b + d38(F.col("cb")) * gap_a)
+        .cast("decimal(38,0)")
+        .alias("t_ab"),
+        F.sum(F.lit(2).cast("decimal(38,0)") * d38(F.col("ca")) * gap_a)
+        .cast("decimal(38,0)")
+        .alias("t_aa"),
+        F.sum(F.lit(2).cast("decimal(38,0)") * d38(F.col("cb")) * gap_b)
+        .cast("decimal(38,0)")
+        .alias("t_bb"),
+    )
+    n38, m38 = d38(F.col("n")), d38(F.col("m"))
+    num = (
+        F.lit(2).cast("decimal(38,0)") * F.col("t_ab") * n38 * m38
+        - F.col("t_aa") * m38 * m38
+        - F.col("t_bb") * n38 * n38
+    ).cast("decimal(38,0)")
+    den = (n38 * n38 * m38 * m38).cast("decimal(38,0)")
+    scaled = (num * F.lit(1000000).cast("decimal(38,0)")).cast("decimal(38,0)")
+    d2_micro = ((scaled - F.pmod(scaled, den)) / den).cast("bigint")
+    return sums.select(
+        F.col("sa").alias("reference_source"),
+        F.col("sb").alias("source"),
+        F.col("n").alias("n_ref"),
+        F.col("m").alias("n_src"),
+        (d2_micro.cast("double") / F.lit(1000000.0)).alias("energy_d2"),
+    ).orderBy("source")

@@ -247,3 +247,38 @@ def test_permutation_shapley_survives_high_channel_cardinality(spark):
     # set (none is, with 3 of 24 bits) — so the telescoped total is
     # v(grand)-v(empty) = 0 - 0 = 0 exactly
     assert abs(total) <= 1e-6 * n_ch
+
+
+def test_banded_energy_reference(spark, con):
+    """Recompute each source-vs-reference energy distance by the
+    O(n·m) textbook double loops over raw length lists — independent
+    of the query's prefix-sum identity."""
+    rows = con.execute(
+        "SELECT source, n_chars FROM read_parquet('{sf}/documents.parquet')".format(
+            sf=SF
+        )
+    ).fetchall()
+    by_src: dict[str, list[int]] = {}
+    for s, v in rows:
+        by_src.setdefault(s, []).append(int(v))
+    ref = min(by_src)
+    got = {
+        r["source"]: r
+        for r in QUERIES["q409_banded_energy_reference"](spark, SF).collect()
+    }
+    assert sorted(got) == sorted(s for s in by_src if s != ref)
+    a = by_src[ref]
+    n = len(a)
+    for s in got:
+        b = by_src[s]
+        m = len(b)
+        e_ab = sum(abs(x - y) for x in a for y in b) / (n * m)
+        e_aa = sum(abs(x - y) for x in a for y in a) / (n * n)
+        e_bb = sum(abs(x - y) for x in b for y in b) / (m * m)
+        d2 = 2 * e_ab - e_aa - e_bb
+        r = got[s]
+        assert r["reference_source"] == ref
+        assert (r["n_ref"], r["n_src"]) == (n, m)
+        # query floors the exact rational to micro: one-quantum tol
+        assert abs(r["energy_d2"] - d2) <= 2e-6 * (1 + abs(d2))
+        assert r["energy_d2"] >= 0.0  # energy distance is a metric
