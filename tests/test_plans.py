@@ -1089,3 +1089,20 @@ def test_round9_plan_shapes(spark, sf_dir, monkeypatch):
     )
     assert "CartesianProduct" not in plan407
     assert re.search(r"<= 30", plan407), "30-day band predicate lost"
+
+    # q408/q409: the banded ECDF twins must window on the (sa, sb)
+    # pair key (never a single-partition window over the value spine)
+    # and plan no cartesian anywhere
+    for name in ("q408_banded_cvm_reference", "q409_banded_energy_reference"):
+        plan = (
+            QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan, name
+        for m in re.finditer(r"Window \[", plan):
+            frag = plan[m.start() : m.start() + 500]
+            assert "sa#" in frag and "sb#" in frag, (
+                f"{name}: window not partitioned on the pair key:\n" + frag
+            )
