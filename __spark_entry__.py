@@ -263,27 +263,37 @@ _R08_VERIFIED = frozenset(
     }
 )
 
+# Green rows from CORRECTNESS_r09.json: 48/48 sampled oracle rows
+# hash-green and 2/2 rows-only entries executed clean (q400 Bloom
+# contracts, q113 heavy-hitters contract). The 4 re-pins re-proved and
+# the 41 rotated stale greens all held; only the round-9 additions are
+# new names here.
+_R09_VERIFIED = frozenset(
+    {
+        "q405_banded_kendall_tau", "q406_permutation_shapley",
+        "q407_windowed_theil_sen", "q408_banded_cvm_reference",
+        "q409_banded_energy_reference",
+    }
+)
+
 _DRIVER_VERIFIED = (
     _R01_VERIFIED | _R02_VERIFIED | _R03_VERIFIED | _R04_VERIFIED
     | _R05_VERIFIED | _R06_VERIFIED | _R07_VERIFIED | _R08_VERIFIED
+    | _R09_VERIFIED
 )
 
 
 # Round index driving the verified-backlog rotation (bump per round).
-_ROUND = 9
+_ROUND = 10
 
-# Round 9 sample head: the queries whose PLANS changed this round and
-# therefore need a fresh driver row — q386 (chi2 double-scaling fix:
-# the old green row verified a 1e6-deflated value in both engines),
-# q385 (we=0 division guard), q400 (Bloom bit domain now sized from
-# the keyset; fill-derived FPR budget; fpp_theory column added), and
-# q38 (entropy sum re-quantized to exact micro-integers in both
-# engines).
-_R09_HEAD: tuple[str, ...] = (
-    "q386_logrank_test",
-    "q385_weighted_kappa",
-    "q400_bloom_filter_audit",
-    "q38_source_entropy",
+# Round 10 sample head: the queries whose PLANS changed this round
+# (ADVICE r09 closures) and therefore need a fresh driver row — q405
+# (tie/pair counts moved off the double-division detour onto exact
+# integer `div 2` / `//` in BOTH engines) and q406 (63-channel
+# coalition-mask guard added ahead of the shiftleft arithmetic).
+_R10_HEAD: tuple[str, ...] = (
+    "q405_banded_kendall_tau",
+    "q406_permutation_shapley",
 )
 
 
@@ -313,7 +323,7 @@ def _ordered_names() -> list[str]:
     # query (oracle-paired before rows-only, registration order — new
     # round-9 additions fill the rest of the 50-slot sample), then the
     # verified backlog rotated by round index (regression monitor).
-    head = [n for n in _R09_HEAD if n in names]
+    head = [n for n in _R10_HEAD if n in names]
     pinned = set(head)
     fresh_oracle = [
         n

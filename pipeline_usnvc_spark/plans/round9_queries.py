@@ -23,7 +23,9 @@ row exists").
   v(prefix ∪ {c}) − v(prefix) over the K prefixes. Cost is
   O(K·|channels|) lattice rows + two equi-joins against the
   OBSERVED-coalition value table (data-bounded, never 2^n), fully
-  distributable at any channel cardinality.
+  distributable up to 63 channels — the 64-bit coalition-mask key's
+  domain (shift amounts wrap mod 64 on both engines, so the estimator
+  fails fast there rather than silently colliding masks; ADVICE r09).
 
 Reference scope note: the reference pipeline (usnvc/usnvc.py) has no
 statistics at all — this family belongs to the mandated LLM-pipeline
@@ -95,16 +97,16 @@ _N_PERMS = 24
         FROM cells a JOIN cells b ON b.bx > a.bx
     ),
     x_ties AS (
-        SELECT CAST(sum(tx * (tx - 1) / 2) AS BIGINT) AS n1
+        SELECT CAST(sum(tx * (tx - 1) // 2) AS BIGINT) AS n1
         FROM (SELECT sum(n) AS tx FROM cells GROUP BY bx)
     ),
     y_ties AS (
-        SELECT CAST(sum(ty * (ty - 1) / 2) AS BIGINT) AS n2
+        SELECT CAST(sum(ty * (ty - 1) // 2) AS BIGINT) AS n2
         FROM (SELECT sum(n) AS ty FROM cells GROUP BY by)
     ),
     tot AS (
         SELECT CAST(sum(n) AS BIGINT) AS nd,
-               CAST(sum(n) * (sum(n) - 1) / 2 AS BIGINT) AS n0,
+               CAST((sum(n) * (sum(n) - 1)) // 2 AS BIGINT) AS n0,
                CAST(count(*) AS BIGINT) AS n_cells
         FROM cells
     )
@@ -158,23 +160,23 @@ def q405_banded_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dd"),
         )
     )
+    # tie pair counts stay in exact integer arithmetic end-to-end:
+    # t*(t-1) is always even, so `div 2` is exact, and the cross-row
+    # sum never touches doubles (a double detour is exact only below
+    # 2^53 tie products — ADVICE r09)
     x_ties = (
         cells.groupBy("bx")
         .agg(F.sum("n").alias("tx"))
-        .agg(
-            F.sum(F.col("tx") * (F.col("tx") - 1) / 2).cast("bigint").alias("n1")
-        )
+        .agg(F.sum(F.expr("tx * (tx - 1) div 2")).cast("bigint").alias("n1"))
     )
     y_ties = (
         cells.groupBy("by")
         .agg(F.sum("n").alias("ty"))
-        .agg(
-            F.sum(F.col("ty") * (F.col("ty") - 1) / 2).cast("bigint").alias("n2")
-        )
+        .agg(F.sum(F.expr("ty * (ty - 1) div 2")).cast("bigint").alias("n2"))
     )
     tot = cells.agg(
         F.sum("n").cast("bigint").alias("nd"),
-        (F.sum("n") * (F.sum("n") - 1) / 2).cast("bigint").alias("n0"),
+        F.expr("(sum(n) * (sum(n) - 1)) div 2").cast("bigint").alias("n0"),
         F.count("*").cast("bigint").alias("n_cells"),
     )
     joined = (
@@ -275,10 +277,17 @@ def permutation_shapley(ev: DataFrame, n_perms: int = _N_PERMS) -> DataFrame:
     """Permutation-sampling Shapley attribution over an events frame.
 
     Factored out of q406 (mirroring q340's ``shapley_attribution``
-    factoring) so the high-cardinality path is unit-testable: this
-    estimator has NO channel-count guard — it is the documented
-    fallback that keeps working exactly where the exact coalition
-    lattice fails fast above 16 channels.
+    factoring) so the high-cardinality path is unit-testable: the
+    O(K·|channels|) spine keeps working exactly where the exact
+    coalition lattice fails fast above 16 channels — but ONLY up to
+    63 channels, because coalitions are keyed as 64-bit masks
+    (``shiftleft(1L, bit)`` / ``1 << bit``) and BOTH engines silently
+    wrap shift amounts mod 64, so above bit 62 masks would collide and
+    credits would be wrong without any error (ADVICE r09). Fail fast
+    there, mirroring q340's regression-locked guard; past 63 channels
+    the coalition key must become a sorted channel-set string (the
+    estimator's math is unchanged — only the join key representation
+    caps out).
     """
     spark = ev.sparkSession
     channels = (
@@ -292,6 +301,18 @@ def permutation_shapley(ev: DataFrame, n_perms: int = _N_PERMS) -> DataFrame:
             .alias("bit"),
         )
     )
+    # bounded eager action (q340 pattern): one count over the distinct
+    # channel domain — tiny by definition, and the guard must run
+    # before any mask arithmetic is planned
+    n_channels = channels.count()
+    if n_channels > 63:
+        raise ValueError(
+            f"permutation_shapley: {n_channels} channels exceed the 63-bit "
+            "coalition-mask domain — shiftleft/`<<` wrap shift amounts mod "
+            "64 on both engines, so masks would silently collide; re-key "
+            "coalitions as a sorted channel-set string (array_join("
+            "array_sort(collect_set(ch)))) to go past 63 channels"
+        )
     samples = spark.range(0, n_perms).select(F.col("id").cast("bigint").alias("k"))
     perm = channels.crossJoin(F.broadcast(samples)).select(
         "k",

@@ -249,6 +249,28 @@ def test_permutation_shapley_survives_high_channel_cardinality(spark):
     assert abs(total) <= 1e-6 * n_ch
 
 
+def test_permutation_shapley_mask_domain_guard(spark):
+    """ADVICE r09: coalition keys are 64-bit masks and shiftleft/`<<`
+    wrap shift amounts mod 64 on both engines, so above 63 channels
+    masks silently collide — the estimator must fail fast there (the
+    q340 guard pattern), naming the sorted channel-set re-keying as
+    the path past the mask domain."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pipeline_usnvc_spark.plans.round9_queries import permutation_shapley
+
+    rows = [(i % 11, f"channel_{i:03d}") for i in range(64)] + [(0, "purchase")]
+    ev = spark.createDataFrame(rows, "user_id bigint, event_type string")
+    with _pytest.raises(ValueError, match="sorted channel-set"):
+        permutation_shapley(ev, n_perms=4)
+    # 63 channels is the last cardinality inside the mask domain — the
+    # guard must NOT fire there (bit 62 is the highest shift used:
+    # masks stay below 2^63)
+    ev63 = ev.filter(F.col("event_type") != "channel_063")
+    assert permutation_shapley(ev63, n_perms=2).count() == 63
+
+
 def test_banded_energy_reference(spark, con):
     """Recompute each source-vs-reference energy distance by the
     O(n·m) textbook double loops over raw length lists — independent

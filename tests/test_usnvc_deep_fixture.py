@@ -131,8 +131,37 @@ def test_fan_parent_rewrite_and_titles(deep):
         d = docs[str(500 + j)]
         assert d["parent"] == 112
         assert d["title"] == f"D{500 + j} Name {500 + j}"
-    # absent unitDescription rows must not fabricate fields
-    assert "typeconcept" not in json.dumps(docs[str(300)]).lower() or True
+
+_UNITDESC_OVERVIEW_KEYS = {
+    "Type Concept Sentence",
+    "Type Concept",
+    "Diagnostic Characteristics",
+    "Rationale for Nonimal Species or Physiognomic Features",
+    "Classification Comments",
+    "Other Comments",
+    "Similar NVC Type Comments",
+}
+
+
+def test_absent_unitdescription_fabricates_no_fields(deep):
+    """ADVICE r09: the old `... or True` form of this assertion was
+    vacuous. The real property: NO grafted unit has a unitDescription
+    row, so its document must carry none of the unitDescription-derived
+    Overview keys and empty Vegetation/Environment sections — the
+    null-guarded field inclusion (SURVEY P5) must drop absent fields,
+    not fabricate them."""
+    docs, _ = deep
+    grafted = [300 + i for i in range(DEPTH)] + [500 + j for j in range(FAN)]
+    for eid in grafted:
+        d = docs[str(eid)]
+        fabricated = _UNITDESC_OVERVIEW_KEYS & set(d["Overview"])
+        assert not fabricated, (eid, fabricated)
+        assert d["Vegetation"] == {}, eid
+        assert d["Environment"] == {}, eid
+        assert "typeconcept" not in json.dumps(d).lower(), eid
+    # and the base units that DO have unitDescription rows keep their
+    # described fields (the guard drops absent values, not the section)
+    assert "Colloquial Name" in docs["110"]["Overview"]
 
 
 def test_descendant_closure_is_consistent(deep):
