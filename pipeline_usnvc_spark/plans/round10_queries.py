@@ -1,0 +1,467 @@
+"""Round-10 query family: physical design / table maintenance — the
+operations a 100 TB lakehouse actually schedules — plus the last
+documented-but-unimplemented trap mitigation from COVERAGE.md's
+domain-bounded theta-join table.
+
+- q410 capped episode mining ↔ q321 exact episode mining: q321's
+  user-keyed band self-join is linear in users but QUADRATIC in
+  events-per-user-per-window (SCALE.md measured ×145 pair volume at
+  4× density — the one measured blow-up in the repo). COVERAGE.md
+  names the mitigation: "cap pairs per anchor event (next-K rank
+  inside the window)". q410 IS that mitigation, and it drops the
+  self-join entirely: K=8 `lead` windows per user stream give each
+  anchor its K nearest subsequent events, and the 30-minute predicate
+  filters the array BEFORE the explode — O(K·n) rows, ONE exchange
+  (the user-keyed window sort), no join. Because the per-user stream
+  order (t, event_id) is primarily by time, the in-window successors
+  are a PREFIX of the stream successors, so lead(1..K) + time filter
+  is EXACTLY "row_number ≤ K inside the window" (the oracle's
+  formulation).
+- q411 zone-map skipping audit: the file-skipping question every
+  columnar table format (parquet row groups, Delta/Iceberg data-file
+  stats) answers with min/max zone maps — how much of the table does
+  a month-range predicate scan under a given physical layout? Blocks
+  of 512 rows are assigned by exact global rank under two layouts
+  (natural o_orderkey order vs clustered by o_orderdate); per-block
+  min/max dates join the ~84-month calendar spine on range overlap.
+  The global rank rides operators/rank.with_global_rank (range
+  exchange + map-side id decode — never a single-partition window).
+- q412 compaction bin planner: small-file compaction planning —
+  concatenation-order bin packing. Each document is a "file" of
+  n_chars bytes; within a source files pack greedily into 64 KiB
+  target groups via group = cum_bytes_before div target (one
+  source-partitioned cumulative window over exact integer bytes).
+  Output is the per-source maintenance summary a compaction scheduler
+  reads (file count, group count, largest planned group).
+- q413 RLE run-count audit: encoding effectiveness of a sort order —
+  the run count of o_orderpriority under natural vs clustered layout
+  (runs = rows − adjacent-equal pairs). Clustered run count equals
+  the distinct-value count (the RLE best case); the adjacency is a
+  distributed rank equi-join (y.r = x.r + 1), NOT a single-partition
+  lag window — the oracle uses the lag formulation, making the pair
+  a real cross-formulation check.
+
+Reference scope note: the reference pipeline (usnvc/usnvc.py) has no
+physical-design tooling — this family belongs to the mandated
+LLM-pipeline / analytics extension surface (layout family: q370
+bucketed co-located join was its only prior member).
+
+Oracle-parity discipline as plans/round9_queries.py: exact integer
+sufficient statistics end-to-end (counts, byte sums, block ids, run
+counts), integer `div` / `//` for every ratio quantization (micro
+units), and the single final double per output produced by the
+IDENTICAL expression tree on both engines (micro / 1e6 — exact in
+double, no rounding step that could land on a half).
+
+Scale shape: q410 is one window exchange at user grain; q411/q413
+pay one range exchange per layout (the price of any global sort) and
+join block stats against a calendar-bounded month spine / the
+shifted-rank twin; q412 is one hash exchange at source grain. No
+data-grain broadcasts anywhere — the only broadcast is the ~84-row
+month spine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pipeline_usnvc_spark.plans.registry import query
+from pipeline_usnvc_spark.sources.tables import load_table
+
+_CAP_K = 8
+_EPISODE_WINDOW_US = 1_800_000_000  # 30 minutes
+_BLOCK_ROWS = 512
+_COMPACT_TARGET_BYTES = 65_536
+
+
+# ---------------------------------------------------------------------------
+# q410 — capped episode mining (the q321 pair's density-safe path):
+# ordered event-type pairs (a → b) within 30 minutes of one user's
+# stream, counting AT MOST the K=8 nearest successors per anchor
+# event. lead(1..K) over the (t, event_id)-ordered user stream + an
+# in-array time filter ≡ row_number ≤ K inside the window (the
+# in-window successor set is a prefix of the stream successor set).
+# O(K·n) pair rows, one exchange, no self-join.
+# ---------------------------------------------------------------------------
+@query(
+    "q410_capped_episode_mining",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events
+    ),
+    nxt AS (
+        SELECT a.user_id, a.event_type AS type_a, b.event_type AS type_b,
+               row_number() OVER (
+                   PARTITION BY a.user_id, a.event_id
+                   ORDER BY b.t, b.event_id
+               ) AS k
+        FROM e a JOIN e b
+          ON a.user_id = b.user_id
+         AND (b.t > a.t OR (b.t = a.t AND b.event_id > a.event_id))
+         AND b.t <= a.t + 1800000000
+    )
+    SELECT type_a, type_b,
+           CAST(8 AS BIGINT) AS cap_k,
+           CAST(count(*) AS BIGINT) AS n_occurrences_capped,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM nxt WHERE k <= 8
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q410_capped_episode_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    return capped_episode_mining(ev)
+
+
+def capped_episode_mining(
+    ev: DataFrame,
+    cap_k: int = _CAP_K,
+    window_us: int = _EPISODE_WINDOW_US,
+) -> DataFrame:
+    """Capped episode mining over a (user_id, event_id, event_type, t)
+    frame. Factored out of q410 (the q406/q340 factoring pattern) so
+    the K-prefix truncation is unit-testable on a synthetic DENSE
+    stream — the shipped test data's max in-window out-degree is 3, so
+    the default cap never binds there and only a dense fixture proves
+    the truncation semantics."""
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    nexts = F.array(
+        *[
+            F.struct(
+                F.lead("t", k).over(w).alias("tb"),
+                F.lead("event_type", k).over(w).alias("type_b"),
+            )
+            for k in range(1, cap_k + 1)
+        ]
+    )
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("type_a"),
+            "t",
+            nexts.alias("nx"),
+        )
+        .select(
+            "user_id",
+            "type_a",
+            F.explode(
+                F.filter(
+                    "nx",
+                    lambda s: s["tb"].isNotNull()
+                    & (s["tb"] <= F.col("t") + F.lit(window_us)),
+                )
+            ).alias("b"),
+        )
+    )
+    return (
+        pairs.groupBy("type_a", F.col("b.type_b").alias("type_b"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_occurrences_capped"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .select(
+            "type_a",
+            "type_b",
+            F.lit(cap_k).cast("bigint").alias("cap_k"),
+            "n_occurrences_capped",
+            "n_users",
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+def _order_blocks(o: DataFrame, layout: str, *order_cols: str) -> DataFrame:
+    """Per-block (512 rows) min/max order date under an exact global
+    rank — with_global_rank is the distributed two-phase rank (range
+    exchange + map-side id decode), never a single-partition window."""
+    from pipeline_usnvc_spark.operators.rank import with_global_rank
+
+    ranked = with_global_rank(o, *order_cols, rank_col="r")
+    return (
+        ranked.select(F.expr(f"(r - 1) div {_BLOCK_ROWS}").alias("blk"), "od")
+        .groupBy("blk")
+        .agg(F.min("od").alias("mn"), F.max("od").alias("mx"))
+        .withColumn("layout", F.lit(layout))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q411 — zone-map skipping audit: fraction of 512-row blocks a
+# min/max zone map lets a one-month range predicate skip, under the
+# natural (o_orderkey) layout vs the date-clustered layout. The month
+# spine is the distinct calendar months present (~84 — broadcast);
+# a block is SCANNED for month m iff [mn, mx] overlaps [m0, m1].
+# scan_fraction = scanned block-month pairs / (blocks × months),
+# quantized by exact integer division to micro units.
+# ---------------------------------------------------------------------------
+@query(
+    "q411_zonemap_skipping",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od FROM orders
+    ),
+    nat AS (
+        SELECT od, (row_number() OVER (ORDER BY o_orderkey) - 1) // 512 AS blk
+        FROM o
+    ),
+    clu AS (
+        SELECT od, (row_number() OVER (ORDER BY od, o_orderkey) - 1) // 512 AS blk
+        FROM o
+    ),
+    nb AS (
+        SELECT 'clustered_by_date' AS layout, blk, min(od) AS mn, max(od) AS mx
+        FROM clu GROUP BY blk
+        UNION ALL
+        SELECT 'natural_orderkey' AS layout, blk, min(od) AS mn, max(od) AS mx
+        FROM nat GROUP BY blk
+    ),
+    months AS (
+        SELECT DISTINCT date_trunc('month', od) AS m0, last_day(od) AS m1 FROM o
+    ),
+    scans AS (
+        SELECT b.layout,
+               CAST(count(*) AS BIGINT) AS scanned
+        FROM nb b JOIN months m ON b.mn <= m.m1 AND b.mx >= m.m0
+        GROUP BY 1
+    ),
+    sizes AS (
+        SELECT layout, CAST(count(*) AS BIGINT) AS n_blocks FROM nb GROUP BY 1
+    ),
+    nm AS (SELECT CAST(count(*) AS BIGINT) AS n_months FROM months)
+    SELECT s.layout,
+           CAST(512 AS BIGINT) AS block_rows,
+           z.n_blocks, nm.n_months,
+           s.scanned AS scanned_block_months,
+           CAST((1000000 * s.scanned) // (z.n_blocks * nm.n_months) AS BIGINT)
+               AS scan_fraction_micro,
+           CAST((1000000 * s.scanned) // (z.n_blocks * nm.n_months) AS BIGINT)
+               / 1000000.0 AS scan_fraction
+    FROM scans s JOIN sizes z USING (layout) CROSS JOIN nm
+    ORDER BY s.layout
+    """,
+)
+def q411_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("od")
+    )
+    blocks = _order_blocks(o, "natural_orderkey", "o_orderkey").unionByName(
+        _order_blocks(o, "clustered_by_date", "od", "o_orderkey")
+    )
+    # calendar-bounded month spine (~84 rows) — the one broadcast here
+    months = (
+        o.select(F.trunc("od", "month").alias("m0")).distinct()
+        .select("m0", F.last_day("m0").alias("m1"))
+    )
+    scans = (
+        blocks.join(
+            F.broadcast(months),
+            (F.col("mn") <= F.col("m1")) & (F.col("mx") >= F.col("m0")),
+        )
+        .groupBy("layout")
+        .agg(F.count("*").cast("bigint").alias("scanned"))
+    )
+    sizes = blocks.groupBy("layout").agg(
+        F.count("*").cast("bigint").alias("n_blocks")
+    )
+    nm = months.agg(F.count("*").cast("bigint").alias("n_months"))
+    return (
+        scans.join(sizes, "layout")
+        .crossJoin(F.broadcast(nm))
+        .select(
+            "layout",
+            F.lit(_BLOCK_ROWS).cast("bigint").alias("block_rows"),
+            "n_blocks",
+            "n_months",
+            F.col("scanned").alias("scanned_block_months"),
+            F.expr("(1000000 * scanned) div (n_blocks * n_months)")
+            .cast("bigint")
+            .alias("scan_fraction_micro"),
+            (
+                F.expr("(1000000 * scanned) div (n_blocks * n_months)").cast(
+                    "bigint"
+                )
+                / F.lit(1000000.0)
+            ).alias("scan_fraction"),
+        )
+        .orderBy("layout")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q412 — compaction bin planner: pack each source's document "files"
+# (n_chars bytes, doc_id order) into 64 KiB target groups by
+# concatenation-order bin packing — group = cumulative bytes BEFORE
+# the file, div target. One source-partitioned cumulative window over
+# exact integer bytes; output is the per-source compaction summary.
+# ---------------------------------------------------------------------------
+@query(
+    "q412_compaction_plan",
+    oracle="""
+    WITH f AS (
+        SELECT source, doc_id, CAST(n_chars AS BIGINT) AS bytes FROM documents
+    ),
+    g AS (
+        SELECT source, bytes,
+               CAST(COALESCE(sum(bytes) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   // 65536 AS grp
+        FROM f
+    ),
+    grouped AS (
+        SELECT source, grp,
+               CAST(count(*) AS BIGINT) AS n_files,
+               CAST(sum(bytes) AS BIGINT) AS grp_bytes
+        FROM g GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(65536 AS BIGINT) AS target_bytes,
+           CAST(sum(n_files) AS BIGINT) AS n_files,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(grp_bytes) AS BIGINT) AS total_bytes,
+           CAST(max(grp_bytes) AS BIGINT) AS max_group_bytes,
+           CAST(min(n_files) AS BIGINT) AS min_group_files,
+           CAST(max(n_files) AS BIGINT) AS max_group_files
+    FROM grouped GROUP BY 1 ORDER BY 1
+    """,
+)
+def q412_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.col("n_chars").cast("bigint").alias("bytes")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    g = f.select(
+        "source",
+        "bytes",
+        F.coalesce(F.sum("bytes").over(w), F.lit(0))
+        .cast("bigint")
+        .alias("cum_before"),
+    ).select(
+        "source",
+        "bytes",
+        F.expr(f"cum_before div {_COMPACT_TARGET_BYTES}").alias("grp"),
+    )
+    grouped = g.groupBy("source", "grp").agg(
+        F.count("*").cast("bigint").alias("n_files"),
+        F.sum("bytes").cast("bigint").alias("grp_bytes"),
+    )
+    return (
+        grouped.groupBy("source")
+        .agg(
+            F.sum("n_files").cast("bigint").alias("n_files"),
+            F.count("*").cast("bigint").alias("n_groups"),
+            F.sum("grp_bytes").cast("bigint").alias("total_bytes"),
+            F.max("grp_bytes").cast("bigint").alias("max_group_bytes"),
+            F.min("n_files").cast("bigint").alias("min_group_files"),
+            F.max("n_files").cast("bigint").alias("max_group_files"),
+        )
+        .select(
+            "source",
+            F.lit(_COMPACT_TARGET_BYTES).cast("bigint").alias("target_bytes"),
+            "n_files",
+            "n_groups",
+            "total_bytes",
+            "max_group_bytes",
+            "min_group_files",
+            "max_group_files",
+        )
+        .orderBy("source")
+    )
+
+
+def _run_count(o: DataFrame, layout: str, *order_cols: str) -> DataFrame:
+    """Run count of o_orderpriority under an exact global rank via the
+    DISTRIBUTED adjacency formulation: runs = rows − |{i : v(i) =
+    v(i+1)}|, with adjacency as a rank equi-join (y.r = x.r + 1) —
+    never a single-partition lag window. The oracle side uses the lag
+    formulation, so the parity check crosses formulations."""
+    from pipeline_usnvc_spark.operators.rank import with_global_rank
+
+    ranked = with_global_rank(
+        o.select("o_orderkey", F.col("o_orderpriority").alias("v")),
+        *order_cols,
+        rank_col="r",
+    ).select("v", "r")
+    x, y = ranked.alias("x"), ranked.alias("y")
+    adj = x.join(y, F.col("y.r") == F.col("x.r") + 1).agg(
+        F.sum(F.when(F.col("x.v") == F.col("y.v"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_equal_adjacent")
+    )
+    n = ranked.agg(F.count("*").cast("bigint").alias("n_rows"))
+    return (
+        n.crossJoin(F.broadcast(adj))
+        .select(
+            F.lit(layout).alias("layout"),
+            "n_rows",
+            (F.col("n_rows") - F.col("n_equal_adjacent"))
+            .cast("bigint")
+            .alias("n_runs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q413 — RLE run-count audit: how well would run-length encoding
+# compress o_orderpriority under the natural layout vs clustered by
+# the column itself? Clustered runs = the distinct-value count (the
+# RLE best case); mean run length is quantized by exact integer
+# division to micro units.
+# ---------------------------------------------------------------------------
+@query(
+    "q413_rle_run_audit",
+    oracle="""
+    WITH nat AS (
+        SELECT o_orderpriority AS v,
+               row_number() OVER (ORDER BY o_orderkey) AS r
+        FROM orders
+    ),
+    clu AS (
+        SELECT o_orderpriority AS v,
+               row_number() OVER (ORDER BY o_orderpriority, o_orderkey) AS r
+        FROM orders
+    ),
+    runs AS (
+        SELECT 'clustered_by_value' AS layout,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) FILTER (WHERE pv IS NULL OR pv <> v) AS BIGINT)
+                   AS n_runs
+        FROM (SELECT v, lag(v) OVER (ORDER BY r) AS pv FROM clu)
+        UNION ALL
+        SELECT 'natural_orderkey' AS layout,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) FILTER (WHERE pv IS NULL OR pv <> v) AS BIGINT)
+                   AS n_runs
+        FROM (SELECT v, lag(v) OVER (ORDER BY r) AS pv FROM nat)
+    )
+    SELECT layout, n_rows, n_runs,
+           CAST((n_rows * 1000000) // n_runs AS BIGINT) AS mean_run_len_micro,
+           CAST((n_rows * 1000000) // n_runs AS BIGINT) / 1000000.0
+               AS mean_run_len
+    FROM runs ORDER BY layout
+    """,
+)
+def q413_rle_run_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    runs = _run_count(o, "natural_orderkey", "o_orderkey").unionByName(
+        _run_count(o, "clustered_by_value", "v", "o_orderkey")
+    )
+    return runs.select(
+        "layout",
+        "n_rows",
+        "n_runs",
+        F.expr("(n_rows * 1000000) div n_runs")
+        .cast("bigint")
+        .alias("mean_run_len_micro"),
+        (
+            F.expr("(n_rows * 1000000) div n_runs").cast("bigint")
+            / F.lit(1000000.0)
+        ).alias("mean_run_len"),
+    ).orderBy("layout")

@@ -851,6 +851,11 @@ _BROADCAST_ALLOWLIST = {
         "spark",  # spark.range / createDataFrame of bounded spines
         "spine", "vals",  # day spine / value domain
     },
+    "round10_queries.py": {
+        "months",  # calendar-bounded month spine (~84 rows)
+        "nm",  # scalar month-count aggregate
+        "adj",  # scalar adjacent-equal-count aggregate
+    },
     "round9_queries.py": {
         "bounds",  # scalar min/max aggregate
         "b",  # 16x16 band-cell lattice (<=256 rows)
@@ -1106,3 +1111,79 @@ def test_round9_plan_shapes(spark, sf_dir, monkeypatch):
             assert "sa#" in frag and "sb#" in frag, (
                 f"{name}: window not partitioned on the pair key:\n" + frag
             )
+
+
+def test_round10_plan_shapes(spark, sf_dir, monkeypatch):
+    """q410: NO join anywhere — the capped episode miner is lead
+    windows + explode (the whole point vs q321's band self-join), and
+    every window partitions on user_id; q411/q413: the global ranks
+    ride a RANGE exchange (with_global_rank), never a single-partition
+    row_number window — the only Window in those plans is the
+    partition-count offsets cumulative (_pid grain); q412: the packing
+    cumsum window partitions on source."""
+    import re
+
+    import pipeline_usnvc_spark.operators.checkpoint as ckpt_mod
+    import pipeline_usnvc_spark.operators.rank as rank_mod
+
+    plan410 = (
+        QUERIES["q410_capped_episode_mining"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for op in (
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+        "ShuffledHashJoin",
+    ):
+        assert op not in plan410, f"q410 must not join — found {op}"
+    win_frags = [
+        plan410[m.start() : m.start() + 400]
+        for m in re.finditer(r"Window \[", plan410)
+    ]
+    assert win_frags, "q410 lost its lead windows"
+    for frag in win_frags:
+        assert "user_id#" in frag, (
+            "q410 window not partitioned on user_id:\n" + frag
+        )
+
+    # materialize() inside with_global_rank checkpoints mid-plan and
+    # hides the range exchange from explain — stub it to identity
+    monkeypatch.setattr(ckpt_mod, "materialize", lambda df, eager=True: df)
+    monkeypatch.setattr(rank_mod, "materialize", lambda df, eager=True: df)
+    for name in ("q411_zonemap_skipping", "q413_rle_run_audit"):
+        plan = (
+            QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan, name
+        assert "rangepartitioning" in plan, (
+            f"{name}: global rank lost its range exchange"
+        )
+        for m in re.finditer(r"Window \[", plan):
+            frag = plan[m.start() : m.start() + 400]
+            assert "_pid#" in frag, (
+                f"{name}: data-grain window found (the only allowed "
+                "window is the partition-count offsets cumulative):\n" + frag
+            )
+
+    plan412 = (
+        QUERIES["q412_compaction_plan"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    win_frags = [
+        plan412[m.start() : m.start() + 400]
+        for m in re.finditer(r"Window \[", plan412)
+    ]
+    assert win_frags, "q412 lost its packing window"
+    for frag in win_frags:
+        assert "source#" in frag, (
+            "q412 window not partitioned on source:\n" + frag
+        )

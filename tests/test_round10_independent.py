@@ -1,0 +1,213 @@
+"""Independent third-implementation checks for the round-10 family
+(q410-q413): raw values come back via DuckDB fetch only — no SQL
+math — and every statistic is re-derived in pure Python (the capped
+episode scan as an explicit per-user stream walk, zone-map overlap
+as a literal interval test per block×month, bin packing as a running
+accumulator, run counting as a linear scan), so a formula bug shared
+by BOTH engines still fails here."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+import pytest
+
+from pipeline_usnvc_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ("events", "orders", "documents"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return c
+
+
+def test_capped_episode_mining(spark, con):
+    """Walk each user's (t, event_id)-sorted stream in Python: for
+    every anchor, take AT MOST the 8 nearest subsequent events within
+    30 minutes and tally (type_a, type_b) occurrence and user support.
+    This is the definition; the query's lead-array formulation must
+    equal it exactly."""
+    rows = con.execute(
+        "SELECT user_id, event_id, event_type, epoch_us(ts) FROM events"
+    ).fetchall()
+    streams: dict[int, list[tuple[int, int, str]]] = {}
+    for uid, eid, etype, t in rows:
+        streams.setdefault(uid, []).append((int(t), int(eid), etype))
+    occ: dict[tuple[str, str], int] = {}
+    users: dict[tuple[str, str], set[int]] = {}
+    for uid, evs in streams.items():
+        evs.sort()
+        for i, (t_a, _eid_a, type_a) in enumerate(evs):
+            taken = 0
+            for t_b, _eid_b, type_b in evs[i + 1 :]:
+                if t_b > t_a + 1_800_000_000 or taken == 8:
+                    break
+                taken += 1
+                key = (type_a, type_b)
+                occ[key] = occ.get(key, 0) + 1
+                users.setdefault(key, set()).add(uid)
+    got = {
+        (r["type_a"], r["type_b"]): (r["n_occurrences_capped"], r["n_users"])
+        for r in QUERIES["q410_capped_episode_mining"](spark, SF).collect()
+    }
+    want = {k: (occ[k], len(users[k])) for k in occ}
+    assert got == want
+
+
+def test_capped_episode_mining_truncation_binds(spark):
+    """The shipped test data's max in-window out-degree is 3 at every
+    SF, so the K=8 cap never binds there and the parity above cannot
+    distinguish q410 from q321's uncapped semantics. Prove the
+    truncation on a synthetic DENSE stream (one event per minute —
+    out-degree ~29 inside the 30-minute window) against a pure-Python
+    capped walk, and check it counts strictly fewer pairs than the
+    uncapped definition."""
+    from pipeline_usnvc_spark.plans.round10_queries import capped_episode_mining
+
+    rows = []
+    for uid in range(3):
+        for i in range(40):
+            # types cycle so several (a, b) lattice cells fill
+            rows.append((uid, uid * 1000 + i, f"t{(i + uid) % 3}",
+                         1_000_000_000 + i * 60_000_000))
+    ev = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, event_type string, t bigint"
+    )
+    K, WIN = 4, 1_800_000_000
+    occ: dict[tuple[str, str], int] = {}
+    users: dict[tuple[str, str], set[int]] = {}
+    uncapped = 0
+    streams: dict[int, list[tuple[int, int, str]]] = {}
+    for uid, eid, ty, t in rows:
+        streams.setdefault(uid, []).append((t, eid, ty))
+    for uid, evs in streams.items():
+        evs.sort()
+        for i, (t_a, _e, type_a) in enumerate(evs):
+            taken = 0
+            for t_b, _e2, type_b in evs[i + 1 :]:
+                if t_b > t_a + WIN:
+                    break
+                uncapped += 1
+                if taken < K:
+                    taken += 1
+                    key = (type_a, type_b)
+                    occ[key] = occ.get(key, 0) + 1
+                    users.setdefault(key, set()).add(uid)
+    got = {
+        (r["type_a"], r["type_b"]): (r["n_occurrences_capped"], r["n_users"])
+        for r in capped_episode_mining(ev, cap_k=K).collect()
+    }
+    assert got == {k: (occ[k], len(users[k])) for k in occ}
+    assert sum(occ.values()) < uncapped, "dense fixture failed to bind the cap"
+
+
+def test_zonemap_skipping(spark, con):
+    """Rebuild both layouts' 512-row blocks by explicit sort, take
+    literal per-block min/max dates, and test interval overlap against
+    every calendar month present — per block, per month, in Python."""
+    rows = con.execute("SELECT o_orderkey, CAST(o_orderdate AS DATE) FROM orders").fetchall()
+    dates = [(int(k), d) for k, d in rows]
+
+    def month_end(d: dt.date) -> dt.date:
+        nxt = dt.date(d.year + (d.month == 12), d.month % 12 + 1, 1)
+        return nxt - dt.timedelta(days=1)
+
+    months = sorted({dt.date(d.year, d.month, 1) for _, d in dates})
+
+    def audit(ordered: list[dt.date]) -> tuple[int, int]:
+        blocks = [
+            ordered[i : i + 512] for i in range(0, len(ordered), 512)
+        ]
+        scanned = 0
+        for blk in blocks:
+            mn, mx = min(blk), max(blk)
+            for m0 in months:
+                if mn <= month_end(m0) and mx >= m0:
+                    scanned += 1
+        return len(blocks), scanned
+
+    nat = [d for _, d in sorted(dates, key=lambda kv: kv[0])]
+    clu = [d for _, d in sorted(dates, key=lambda kv: (kv[1], kv[0]))]
+    got = {
+        r["layout"]: r
+        for r in QUERIES["q411_zonemap_skipping"](spark, SF).collect()
+    }
+    for layout, ordered in (("natural_orderkey", nat), ("clustered_by_date", clu)):
+        nb, scanned = audit(ordered)
+        r = got[layout]
+        assert r["n_blocks"] == nb
+        assert r["n_months"] == len(months)
+        assert r["scanned_block_months"] == scanned
+        micro = (1_000_000 * scanned) // (nb * len(months))
+        assert r["scan_fraction_micro"] == micro
+        assert r["scan_fraction"] == micro / 1e6
+    # clustering by date must never scan MORE than the natural layout
+    assert (
+        got["clustered_by_date"]["scanned_block_months"]
+        <= got["natural_orderkey"]["scanned_block_months"]
+    )
+
+
+def test_compaction_plan(spark, con):
+    """Replay the concatenation-order packing with a plain running
+    accumulator per source and re-derive every summary column."""
+    rows = con.execute(
+        "SELECT source, doc_id, n_chars FROM documents ORDER BY source, doc_id"
+    ).fetchall()
+    per_source: dict[str, dict[int, tuple[int, int]]] = {}
+    cum: dict[str, int] = {}
+    groups: dict[str, dict[int, list[int]]] = {}
+    for src, _doc, nb in rows:
+        before = cum.get(src, 0)
+        grp = before // 65_536
+        groups.setdefault(src, {}).setdefault(grp, []).append(int(nb))
+        cum[src] = before + int(nb)
+    got = {
+        r["source"]: r for r in QUERIES["q412_compaction_plan"](spark, SF).collect()
+    }
+    assert set(got) == set(groups)
+    for src, grps in groups.items():
+        r = got[src]
+        sizes = [sum(g) for g in grps.values()]
+        counts = [len(g) for g in grps.values()]
+        assert r["n_files"] == sum(counts)
+        assert r["n_groups"] == len(grps)
+        assert r["total_bytes"] == sum(sizes)
+        assert r["max_group_bytes"] == max(sizes)
+        assert r["min_group_files"] == min(counts)
+        assert r["max_group_files"] == max(counts)
+        # packing invariant: every group except possibly the last
+        # STARTS below the target (greedy concatenation order)
+        assert len(grps) == (cum[src] - 1) // 65_536 + 1 if cum[src] else 0
+
+
+def test_rle_run_audit(spark, con):
+    """Count runs by a literal linear scan over both explicit sorts."""
+    rows = con.execute("SELECT o_orderkey, o_orderpriority FROM orders").fetchall()
+    rows = [(int(k), v) for k, v in rows]
+
+    def runs(seq: list[str]) -> int:
+        return sum(1 for i, v in enumerate(seq) if i == 0 or seq[i - 1] != v)
+
+    nat = [v for _, v in sorted(rows, key=lambda kv: kv[0])]
+    clu = [v for _, v in sorted(rows, key=lambda kv: (kv[1], kv[0]))]
+    got = {
+        r["layout"]: r for r in QUERIES["q413_rle_run_audit"](spark, SF).collect()
+    }
+    for layout, seq in (("natural_orderkey", nat), ("clustered_by_value", clu)):
+        r = got[layout]
+        n_runs = runs(seq)
+        assert r["n_rows"] == len(seq)
+        assert r["n_runs"] == n_runs
+        micro = (len(seq) * 1_000_000) // n_runs
+        assert r["mean_run_len_micro"] == micro
+        assert r["mean_run_len"] == micro / 1e6
+    # the RLE best case: clustered runs == distinct values
+    assert got["clustered_by_value"]["n_runs"] == len(set(clu))
