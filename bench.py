@@ -74,6 +74,11 @@ EXTENDED = [
     # addition (double token-grain groupBy + prefix spine)
     "q392_banded_drift_reference",
     "q394_heaps_law",
+    # round-10: the capped-episode twin tracked side-by-side with
+    # q321 (the pair's two plans on the same frame), and the heaviest
+    # physical-design addition (two range exchanges + overlap join)
+    "q410_capped_episode_mining",
+    "q411_zonemap_skipping",
 ]
 
 

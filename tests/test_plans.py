@@ -982,7 +982,13 @@ def test_no_raw_double_cross_row_sums_in_plans():
                         break
                 i += 1
             arg = src[m.end() : i]
-            if 'cast("double")' not in arg:
+            # two ways a summed expression goes double: an explicit
+            # cast, or an implicit one via plain `/` division (ADVICE
+            # r09 — q405's tx*(tx-1)/2 carried no cast and slipped the
+            # original sweep; integer paths must use `div` / floor-div)
+            explicit = 'cast("double")' in arg
+            implicit = bool(re.search(r"(?<!/)/(?!/)", arg))
+            if not explicit and not implicit:
                 continue
             quantized = "F.round(" in arg and (
                 '.cast("bigint")' in arg or '.cast("decimal' in arg

@@ -183,9 +183,12 @@ def test_compaction_plan(spark, con):
         assert r["max_group_bytes"] == max(sizes)
         assert r["min_group_files"] == min(counts)
         assert r["max_group_files"] == max(counts)
-        # packing invariant: every group except possibly the last
-        # STARTS below the target (greedy concatenation order)
-        assert len(grps) == (cum[src] - 1) // 65_536 + 1 if cum[src] else 0
+        # packing invariant: the last group STARTS strictly inside the
+        # total byte span (group = cum_before // target is
+        # nondecreasing, so the planner never splits a group; an
+        # oversized file may legitimately SKIP ids, so contiguity is
+        # deliberately NOT asserted)
+        assert max(grps) * 65_536 < cum[src]
 
 
 def test_rle_run_audit(spark, con):
