@@ -214,3 +214,59 @@ def test_rle_run_audit(spark, con):
         assert r["mean_run_len"] == micro / 1e6
     # the RLE best case: clustered runs == distinct values
     assert got["clustered_by_value"]["n_runs"] == len(set(clu))
+
+
+def test_capped_episode_mining_adversarial_edges(spark):
+    """Seeded adversarial streams aimed at q410's two sharp edges:
+    (1) EQUAL timestamps — the stream order and the oracle's
+    row_number both tie-break on event_id, and the lead-k prefix
+    argument only holds because the window predicate depends on t
+    alone; (2) successors landing EXACTLY on t_a + WIN (inclusive on
+    both engines). Recomputed by the pure-Python capped walk."""
+    import random
+
+    from pipeline_usnvc_spark.plans.round10_queries import capped_episode_mining
+
+    rng = random.Random(20260815)
+    WIN = 1_800_000_000
+    K = 3
+    rows = []
+    eid = 0
+    for uid in range(5):
+        t = 1_000_000_000
+        for _ in range(30):
+            burst = rng.randint(1, 4)  # equal-t bursts of 1-4 events
+            for _ in range(burst):
+                rows.append((uid, eid, f"t{rng.randint(0, 2)}", t))
+                eid += 1
+            step = rng.choice([0, 1, WIN // 3, WIN, WIN + 1])
+            t += step
+        # one engineered exact-boundary pair per user
+        rows.append((uid, eid, "edge_a", t)); eid += 1
+        rows.append((uid, eid, "edge_b", t + WIN)); eid += 1
+    ev = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, event_type string, t bigint"
+    )
+    streams: dict[int, list[tuple[int, int, str]]] = {}
+    for uid, e_, ty, t in rows:
+        streams.setdefault(uid, []).append((t, e_, ty))
+    occ: dict[tuple[str, str], int] = {}
+    users: dict[tuple[str, str], set[int]] = {}
+    for uid, evs in streams.items():
+        evs.sort()
+        for i, (t_a, _e, type_a) in enumerate(evs):
+            taken = 0
+            for t_b, _e2, type_b in evs[i + 1 :]:
+                if t_b > t_a + WIN or taken == K:
+                    break
+                taken += 1
+                key = (type_a, type_b)
+                occ[key] = occ.get(key, 0) + 1
+                users.setdefault(key, set()).add(uid)
+    got = {
+        (r["type_a"], r["type_b"]): (r["n_occurrences_capped"], r["n_users"])
+        for r in capped_episode_mining(ev, cap_k=K).collect()
+    }
+    assert got == {k: (occ[k], len(users[k])) for k in occ}
+    # the engineered boundary successor must be counted (inclusive <=)
+    assert ("edge_a", "edge_b") in got
