@@ -465,3 +465,79 @@ def q413_rle_run_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("mean_run_len"),
     ).orderBy("layout")
+
+
+# ---------------------------------------------------------------------------
+# q414 — streaming zone-map maintenance (rows-only: stateful
+# streaming): the INCREMENTAL side of q411. A lakehouse doesn't
+# rebuild file-stats from scratch on every commit — per-partition
+# zone maps (min/max/count) are maintained as data arrives. Here the
+# day-partitioned zone stats (min/max user_id, min/max event-time
+# micros, row count) are maintained by a streaming aggregation over
+# the event arrival stream (complete mode — min/max/count are
+# mergeable, so state is one row per day) and audited row-for-row
+# against the batch recompute via the q81/q83 full-outer
+# batch-equivalence pattern: a missing day, a phantom day, or ANY
+# stat divergence EXISTS as an audit row and the executed in-plan
+# contract evaluates on it.
+# ---------------------------------------------------------------------------
+@query("q414_streaming_zonemap_maintenance")
+def q414_streaming_zonemap_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pipeline_usnvc_spark.operators.contracts import contract_filter
+    from pipeline_usnvc_spark.streaming.pipeline import (
+        read_event_stream,
+        run_stream_to_memory,
+    )
+
+    def zone_stats(ev: DataFrame) -> DataFrame:
+        return ev.groupBy(
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("zone_day")
+        ).agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("user_id").cast("bigint").alias("min_user"),
+            F.max("user_id").cast("bigint").alias("max_user"),
+            F.min(F.unix_micros("ts")).cast("bigint").alias("min_t"),
+            F.max(F.unix_micros("ts")).cast("bigint").alias("max_t"),
+        )
+
+    streamed = run_stream_to_memory(
+        zone_stats(read_event_stream(spark, sf_dir)),
+        "q414_zonemap_stream",
+        output_mode="complete",
+    )
+    batch = zone_stats(
+        load_table(spark, sf_dir, "events").select("user_id", "ts")
+    ).select(
+        F.col("zone_day").alias("b_day"),
+        F.col("n_rows").alias("b_n"),
+        F.col("min_user").alias("b_min_user"),
+        F.col("max_user").alias("b_max_user"),
+        F.col("min_t").alias("b_min_t"),
+        F.col("max_t").alias("b_max_t"),
+    )
+    audit = streamed.join(
+        batch, streamed["zone_day"] == batch["b_day"], "full_outer"
+    )
+    ok = (
+        F.col("zone_day").isNotNull()
+        & F.col("b_day").isNotNull()
+        & (F.col("n_rows") == F.col("b_n"))
+        & (F.col("min_user") == F.col("b_min_user"))
+        & (F.col("max_user") == F.col("b_max_user"))
+        & (F.col("min_t") == F.col("b_min_t"))
+        & (F.col("max_t") == F.col("b_max_t"))
+    )
+    return (
+        contract_filter(
+            audit,
+            ok,
+            F.concat(
+                F.lit("zone-map maintenance divergence for day "),
+                F.coalesce(F.col("zone_day"), F.col("b_day")),
+            ),
+        )
+        .select("zone_day", "n_rows", "min_user", "max_user", "min_t", "max_t")
+        .orderBy("zone_day")
+    )
