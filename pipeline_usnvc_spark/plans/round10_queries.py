@@ -541,3 +541,208 @@ def q414_streaming_zonemap_maintenance(
         .select("zone_day", "n_rows", "min_user", "max_user", "min_t", "max_t")
         .orderBy("zone_day")
     )
+
+
+def _z_expr(d_col: str, c_col: str, bits: int, *, duck: bool) -> str:
+    """Bit-interleave two non-negative ints (12 bits each) into a
+    Z-order key — the SAME arithmetic emitted as engine-native text
+    for both sides (Spark lacks `<<`/`>>` operators; DuckDB lacks
+    shiftleft/shiftright functions), so the oracle runs the identical
+    expression tree."""
+    terms = []
+    for i in range(bits):
+        if duck:
+            terms.append(f"((({d_col} >> {i}) & 1) << {2 * i})")
+            terms.append(f"((({c_col} >> {i}) & 1) << {2 * i + 1})")
+        else:
+            terms.append(
+                f"shiftleft(shiftright({d_col}, {i}) & 1, {2 * i})"
+            )
+            terms.append(
+                f"shiftleft(shiftright({c_col}, {i}) & 1, {2 * i + 1})"
+            )
+    return " + ".join(terms)
+
+
+_Z_BITS = 12  # day index < 2600 and custkey residue < 4096 both fit
+
+
+# ---------------------------------------------------------------------------
+# q415 — Z-order skipping audit (q411's multi-dimensional sequel):
+# a single-column sort serves ONE predicate class perfectly and the
+# orthogonal one not at all; Z-ordering (bit-interleaving the day
+# index with a custkey residue) spreads locality across BOTH. Blocks
+# of 512 rows carry min/max zone maps for BOTH dimensions; the audit
+# measures the scanned-block fraction for two predicate workloads —
+# calendar months (od ranges) and 16 equal custkey-residue slices —
+# under the date-clustered layout vs the Z-ordered layout. The
+# classic lakehouse trade, measured: date-clustering wins months and
+# full-scans residue slices; Z-order is moderate on both.
+# ---------------------------------------------------------------------------
+@query(
+    "q415_zorder_skipping",
+    oracle=f"""
+    WITH o AS (
+        SELECT o_orderkey,
+               CAST(o_orderdate AS DATE) AS od,
+               CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               CAST(o_custkey % 4096 AS BIGINT) AS c
+        FROM orders
+    ),
+    keyed AS (
+        SELECT *, CAST({_z_expr('d', 'c', _Z_BITS, duck=True)} AS BIGINT) AS z FROM o
+    ),
+    lin AS (
+        SELECT od, c, (row_number() OVER (ORDER BY od, o_orderkey) - 1) // 512 AS blk
+        FROM keyed
+    ),
+    zord AS (
+        SELECT od, c, (row_number() OVER (ORDER BY z, o_orderkey) - 1) // 512 AS blk
+        FROM keyed
+    ),
+    nb AS (
+        SELECT 'clustered_by_date' AS layout, blk,
+               min(od) AS mn_d, max(od) AS mx_d,
+               min(c) AS mn_c, max(c) AS mx_c
+        FROM lin GROUP BY blk
+        UNION ALL
+        SELECT 'zorder_date_custkey' AS layout, blk,
+               min(od) AS mn_d, max(od) AS mx_d,
+               min(c) AS mn_c, max(c) AS mx_c
+        FROM zord GROUP BY blk
+    ),
+    months AS (
+        SELECT DISTINCT date_trunc('month', od) AS m0, last_day(od) AS m1 FROM o
+    ),
+    cslices AS (
+        SELECT CAST(k * 256 AS BIGINT) AS c0, CAST(k * 256 + 255 AS BIGINT) AS c1
+        FROM (SELECT unnest(range(0, 16)) AS k)
+    ),
+    month_scans AS (
+        SELECT layout, 'month_range' AS predicate_class,
+               CAST(count(*) AS BIGINT) AS scanned,
+               CAST((SELECT count(*) FROM months) AS BIGINT) AS n_preds
+        FROM nb b JOIN months m ON b.mn_d <= m.m1 AND b.mx_d >= m.m0
+        GROUP BY 1
+    ),
+    slice_scans AS (
+        SELECT layout, 'custkey_slice' AS predicate_class,
+               CAST(count(*) AS BIGINT) AS scanned,
+               CAST(16 AS BIGINT) AS n_preds
+        FROM nb b JOIN cslices s ON b.mn_c <= s.c1 AND b.mx_c >= s.c0
+        GROUP BY 1
+    ),
+    sizes AS (
+        SELECT layout, CAST(count(*) AS BIGINT) AS n_blocks FROM nb GROUP BY 1
+    ),
+    allscans AS (
+        SELECT * FROM month_scans UNION ALL SELECT * FROM slice_scans
+    )
+    SELECT a.layout, a.predicate_class, z.n_blocks, a.n_preds,
+           a.scanned AS scanned_block_preds,
+           CAST((1000000 * a.scanned) // (z.n_blocks * a.n_preds) AS BIGINT)
+               AS scan_fraction_micro,
+           CAST((1000000 * a.scanned) // (z.n_blocks * a.n_preds) AS BIGINT)
+               / 1000000.0 AS scan_fraction
+    FROM allscans a JOIN sizes z USING (layout)
+    ORDER BY a.layout, a.predicate_class
+    """,
+)
+def q415_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.rank import with_global_rank
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("od"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast("bigint")
+        .alias("d"),
+        (F.col("o_custkey") % 4096).cast("bigint").alias("c"),
+    )
+    keyed = o.withColumn(
+        "z", F.expr(_z_expr("d", "c", _Z_BITS, duck=False)).cast("bigint")
+    )
+
+    def blocks(order_cols: list[str], layout: str) -> DataFrame:
+        ranked = with_global_rank(keyed, *order_cols, rank_col="r")
+        return (
+            ranked.select(
+                F.expr(f"(r - 1) div {_BLOCK_ROWS}").alias("blk"), "od", "c"
+            )
+            .groupBy("blk")
+            .agg(
+                F.min("od").alias("mn_d"),
+                F.max("od").alias("mx_d"),
+                F.min("c").alias("mn_c"),
+                F.max("c").alias("mx_c"),
+            )
+            .withColumn("layout", F.lit(layout))
+        )
+
+    nb = blocks(["od", "o_orderkey"], "clustered_by_date").unionByName(
+        blocks(["z", "o_orderkey"], "zorder_date_custkey")
+    )
+    # calendar-bounded month spine + fixed 16-slice residue spine —
+    # the only broadcasts here
+    months = (
+        o.select(F.trunc("od", "month").alias("m0")).distinct()
+        .select("m0", F.last_day("m0").alias("m1"))
+    )
+    cslices = spark.range(0, 16).select(
+        (F.col("id") * 256).cast("bigint").alias("c0"),
+        (F.col("id") * 256 + 255).cast("bigint").alias("c1"),
+    )
+    n_months = months.agg(F.count("*").cast("bigint").alias("nm"))
+    month_scans = (
+        nb.join(
+            F.broadcast(months),
+            (F.col("mn_d") <= F.col("m1")) & (F.col("mx_d") >= F.col("m0")),
+        )
+        .groupBy("layout")
+        .agg(F.count("*").cast("bigint").alias("scanned"))
+        .crossJoin(F.broadcast(n_months))
+        .select(
+            "layout",
+            F.lit("month_range").alias("predicate_class"),
+            "scanned",
+            F.col("nm").alias("n_preds"),
+        )
+    )
+    slice_scans = (
+        nb.join(
+            F.broadcast(cslices),
+            (F.col("mn_c") <= F.col("c1")) & (F.col("mx_c") >= F.col("c0")),
+        )
+        .groupBy("layout")
+        .agg(F.count("*").cast("bigint").alias("scanned"))
+        .select(
+            "layout",
+            F.lit("custkey_slice").alias("predicate_class"),
+            "scanned",
+            F.lit(16).cast("bigint").alias("n_preds"),
+        )
+    )
+    sizes = nb.groupBy("layout").agg(
+        F.count("*").cast("bigint").alias("n_blocks")
+    )
+    return (
+        month_scans.unionByName(slice_scans)
+        .join(sizes, "layout")
+        .select(
+            "layout",
+            "predicate_class",
+            "n_blocks",
+            "n_preds",
+            F.col("scanned").alias("scanned_block_preds"),
+            F.expr("(1000000 * scanned) div (n_blocks * n_preds)")
+            .cast("bigint")
+            .alias("scan_fraction_micro"),
+            (
+                F.expr("(1000000 * scanned) div (n_blocks * n_preds)").cast(
+                    "bigint"
+                )
+                / F.lit(1000000.0)
+            ).alias("scan_fraction"),
+        )
+        .orderBy("layout", "predicate_class")
+    )

@@ -855,6 +855,8 @@ _BROADCAST_ALLOWLIST = {
         "months",  # calendar-bounded month spine (~84 rows)
         "nm",  # scalar month-count aggregate
         "adj",  # scalar adjacent-equal-count aggregate
+        "cslices",  # fixed 16-row custkey-residue spine (q415)
+        "n_months",  # scalar month-count aggregate (q415)
     },
     "round9_queries.py": {
         "bounds",  # scalar min/max aggregate
@@ -1160,7 +1162,11 @@ def test_round10_plan_shapes(spark, sf_dir, monkeypatch):
     # hides the range exchange from explain — stub it to identity
     monkeypatch.setattr(ckpt_mod, "materialize", lambda df, eager=True: df)
     monkeypatch.setattr(rank_mod, "materialize", lambda df, eager=True: df)
-    for name in ("q411_zonemap_skipping", "q413_rle_run_audit"):
+    for name in (
+        "q411_zonemap_skipping",
+        "q413_rle_run_audit",
+        "q415_zorder_skipping",
+    ):
         plan = (
             QUERIES[name](spark, sf_dir)
             ._jdf.queryExecution()

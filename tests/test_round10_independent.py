@@ -270,3 +270,75 @@ def test_capped_episode_mining_adversarial_edges(spark):
     assert got == {k: (occ[k], len(users[k])) for k in occ}
     # the engineered boundary successor must be counted (inclusive <=)
     assert ("edge_a", "edge_b") in got
+
+
+def test_zorder_skipping(spark, con):
+    """Re-derive q415 entirely in Python: re-interleave the Z-bits
+    with plain integer arithmetic, rebuild both layouts' 512-row
+    blocks by explicit sort, and count block×predicate overlaps for
+    both workloads (months and residue slices) literally."""
+    rows = con.execute(
+        "SELECT o_orderkey, CAST(o_orderdate AS DATE), o_custkey FROM orders"
+    ).fetchall()
+    epoch = dt.date(1992, 1, 1)
+
+    def z(d: int, c: int) -> int:
+        out = 0
+        for i in range(12):
+            out |= ((d >> i) & 1) << (2 * i)
+            out |= ((c >> i) & 1) << (2 * i + 1)
+        return out
+
+    recs = [
+        (int(k), od, (od - epoch).days, int(ck) % 4096)
+        for k, od, ck in rows
+    ]
+    months = sorted({dt.date(od.year, od.month, 1) for _, od, _, _ in recs})
+
+    def month_end(m: dt.date) -> dt.date:
+        nxt = dt.date(m.year + (m.month == 12), m.month % 12 + 1, 1)
+        return nxt - dt.timedelta(days=1)
+
+    def audit(ordered):
+        blocks = [ordered[i : i + 512] for i in range(0, len(ordered), 512)]
+        m_scan = s_scan = 0
+        for blk in blocks:
+            ods = [od for od, _ in blk]
+            cs = [c for _, c in blk]
+            mn_d, mx_d, mn_c, mx_c = min(ods), max(ods), min(cs), max(cs)
+            for m0 in months:
+                if mn_d <= month_end(m0) and mx_d >= m0:
+                    m_scan += 1
+            for k in range(16):
+                if mn_c <= k * 256 + 255 and mx_c >= k * 256:
+                    s_scan += 1
+        return len(blocks), m_scan, s_scan
+
+    lin = [
+        (od, c)
+        for _, od, _, c in sorted(recs, key=lambda r: (r[1], r[0]))
+    ]
+    zord = [
+        (od, c)
+        for _, od, _, c in sorted(recs, key=lambda r: (z(r[2], r[3]), r[0]))
+    ]
+    got = {
+        (r["layout"], r["predicate_class"]): r
+        for r in QUERIES["q415_zorder_skipping"](spark, SF).collect()
+    }
+    for layout, ordered in (
+        ("clustered_by_date", lin),
+        ("zorder_date_custkey", zord),
+    ):
+        nb, m_scan, s_scan = audit(ordered)
+        for cls, scanned, n_preds in (
+            ("month_range", m_scan, len(months)),
+            ("custkey_slice", s_scan, 16),
+        ):
+            r = got[(layout, cls)]
+            assert r["n_blocks"] == nb
+            assert r["n_preds"] == n_preds
+            assert r["scanned_block_preds"] == scanned
+            micro = (1_000_000 * scanned) // (nb * n_preds)
+            assert r["scan_fraction_micro"] == micro
+            assert r["scan_fraction"] == micro / 1e6
