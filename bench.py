@@ -79,6 +79,7 @@ EXTENDED = [
     # physical-design addition (two range exchanges + overlap join)
     "q410_capped_episode_mining",
     "q411_zonemap_skipping",
+    "q415_zorder_skipping",
 ]
 
 
