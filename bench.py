@@ -80,6 +80,9 @@ EXTENDED = [
     "q410_capped_episode_mining",
     "q411_zonemap_skipping",
     "q415_zorder_skipping",
+    # round-10 second batch: the heaviest maintenance addition (two
+    # range exchanges + two-level stats + four spine joins)
+    "q417_manifest_cascade_pruning",
 ]
 
 

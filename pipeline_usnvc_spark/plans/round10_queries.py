@@ -746,3 +746,710 @@ def q415_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout", "predicate_class")
     )
+
+
+_TTL_CUTOFF = "1997-01-01"
+_SCATTER_MOD = 97
+_FILE_BLOCKS = 8
+_RANGE_PARTS = 32
+
+
+# ---------------------------------------------------------------------------
+# q416 — deletion-vector staleness audit: row-level deletes (Delta /
+# Iceberg deletion vectors) never rewrite the data files, so the
+# per-block zone maps KEEP advertising deleted rows — a month
+# predicate scans blocks whose only matching rows are dead. Two
+# deterministic delete policies over the date-clustered layout:
+# a retention TTL (everything before 1997-01-01 — the delete that
+# correlates with the clustering key, leaving whole blocks dead) and
+# a scatter delete (o_orderkey % 97 == 0 — the GDPR-style delete that
+# touches every block a little). Per policy: vacuum set (fully-dead
+# blocks), rewrite candidates (>=25% dead), and the scan
+# amplification of stale stats vs freshly recomputed live stats over
+# the month workload. Everything is exact-integer: block ids from the
+# exact global rank, date interval overlaps, counts, and one micro
+# floor-division for the amplification ratio.
+# ---------------------------------------------------------------------------
+@query(
+    "q416_deletion_staleness_audit",
+    oracle=f"""
+    WITH o AS (
+        SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od FROM orders
+    ),
+    b AS (
+        SELECT od,
+               (row_number() OVER (ORDER BY od, o_orderkey) - 1) // 512 AS blk,
+               CASE WHEN od < DATE '{_TTL_CUTOFF}' THEN 0 ELSE 1 END AS live_ttl,
+               CASE WHEN o_orderkey % {_SCATTER_MOD} = 0 THEN 0 ELSE 1 END AS live_sct
+        FROM o
+    ),
+    blocks AS (
+        SELECT blk,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               min(od) AS mn_s, max(od) AS mx_s,
+               CAST(sum(live_ttl) AS BIGINT) AS nl_ttl,
+               min(CASE WHEN live_ttl = 1 THEN od END) AS mn_ttl,
+               max(CASE WHEN live_ttl = 1 THEN od END) AS mx_ttl,
+               CAST(sum(live_sct) AS BIGINT) AS nl_sct,
+               min(CASE WHEN live_sct = 1 THEN od END) AS mn_sct,
+               max(CASE WHEN live_sct = 1 THEN od END) AS mx_sct
+        FROM b GROUP BY blk
+    ),
+    pol AS (
+        SELECT blk, n_rows, mn_s, mx_s, 'ttl_before_1997' AS policy,
+               nl_ttl AS n_live, mn_ttl AS mn_f, mx_ttl AS mx_f FROM blocks
+        UNION ALL
+        SELECT blk, n_rows, mn_s, mx_s, 'scatter_mod97' AS policy,
+               nl_sct AS n_live, mn_sct AS mn_f, mx_sct AS mx_f FROM blocks
+    ),
+    months AS (
+        SELECT DISTINCT date_trunc('month', od) AS m0, last_day(od) AS m1 FROM o
+    ),
+    stale AS (
+        SELECT CAST(count(*) AS BIGINT) AS scanned_stale
+        FROM blocks x JOIN months m ON x.mn_s <= m.m1 AND x.mx_s >= m.m0
+    ),
+    fresh AS (
+        SELECT policy, CAST(count(*) AS BIGINT) AS scanned_fresh
+        FROM pol p JOIN months m ON p.mn_f <= m.m1 AND p.mx_f >= m.m0
+        WHERE p.n_live > 0
+        GROUP BY policy
+    ),
+    summary AS (
+        SELECT policy,
+               CAST(count(*) AS BIGINT) AS n_blocks,
+               CAST(sum(n_rows) AS BIGINT) AS n_rows,
+               CAST(sum(n_rows - n_live) AS BIGINT) AS n_deleted,
+               CAST(count(*) FILTER (WHERE n_live = 0) AS BIGINT)
+                   AS fully_dead_blocks,
+               CAST(count(*) FILTER (
+                   WHERE n_live > 0 AND 4 * (n_rows - n_live) >= n_rows
+               ) AS BIGINT) AS rewrite_blocks
+        FROM pol GROUP BY policy
+    )
+    SELECT s.policy, s.n_blocks, s.n_rows, s.n_deleted,
+           s.fully_dead_blocks, s.rewrite_blocks,
+           st.scanned_stale AS scanned_stale_block_months,
+           f.scanned_fresh AS scanned_fresh_block_months,
+           CAST((1000000 * st.scanned_stale) // f.scanned_fresh AS BIGINT)
+               AS scan_amplification_micro,
+           CAST((1000000 * st.scanned_stale) // f.scanned_fresh AS BIGINT)
+               / 1000000.0 AS scan_amplification
+    FROM summary s JOIN fresh f USING (policy) CROSS JOIN stale st
+    ORDER BY s.policy
+    """,
+)
+def q416_deletion_staleness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.rank import with_global_rank
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("od")
+    )
+    ranked = with_global_rank(o, "od", "o_orderkey", rank_col="r")
+    b = ranked.select(
+        F.expr(f"(r - 1) div {_BLOCK_ROWS}").alias("blk"),
+        "od",
+        F.when(F.col("od") < F.lit(_TTL_CUTOFF).cast("date"), 0)
+        .otherwise(1)
+        .alias("live_ttl"),
+        F.when(F.col("o_orderkey") % _SCATTER_MOD == 0, 0)
+        .otherwise(1)
+        .alias("live_sct"),
+    )
+    blocks = b.groupBy("blk").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.min("od").alias("mn_s"),
+        F.max("od").alias("mx_s"),
+        F.sum("live_ttl").cast("bigint").alias("nl_ttl"),
+        F.min(F.when(F.col("live_ttl") == 1, F.col("od"))).alias("mn_ttl"),
+        F.max(F.when(F.col("live_ttl") == 1, F.col("od"))).alias("mx_ttl"),
+        F.sum("live_sct").cast("bigint").alias("nl_sct"),
+        F.min(F.when(F.col("live_sct") == 1, F.col("od"))).alias("mn_sct"),
+        F.max(F.when(F.col("live_sct") == 1, F.col("od"))).alias("mx_sct"),
+    )
+    pol = blocks.select(
+        "blk", "n_rows", "mn_s", "mx_s",
+        F.lit("ttl_before_1997").alias("policy"),
+        F.col("nl_ttl").alias("n_live"),
+        F.col("mn_ttl").alias("mn_f"),
+        F.col("mx_ttl").alias("mx_f"),
+    ).unionByName(
+        blocks.select(
+            "blk", "n_rows", "mn_s", "mx_s",
+            F.lit("scatter_mod97").alias("policy"),
+            F.col("nl_sct").alias("n_live"),
+            F.col("mn_sct").alias("mn_f"),
+            F.col("mx_sct").alias("mx_f"),
+        )
+    )
+    months = (
+        o.select(F.trunc("od", "month").alias("m0")).distinct()
+        .select("m0", F.last_day("m0").alias("m1"))
+    )
+    stale = (
+        blocks.join(
+            F.broadcast(months),
+            (F.col("mn_s") <= F.col("m1")) & (F.col("mx_s") >= F.col("m0")),
+        )
+        .agg(F.count("*").cast("bigint").alias("scanned_stale"))
+    )
+    fresh = (
+        pol.filter(F.col("n_live") > 0)
+        .join(
+            F.broadcast(months),
+            (F.col("mn_f") <= F.col("m1")) & (F.col("mx_f") >= F.col("m0")),
+        )
+        .groupBy("policy")
+        .agg(F.count("*").cast("bigint").alias("scanned_fresh"))
+    )
+    summary = pol.groupBy("policy").agg(
+        F.count("*").cast("bigint").alias("n_blocks"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.sum(F.col("n_rows") - F.col("n_live")).cast("bigint").alias("n_deleted"),
+        F.sum(F.when(F.col("n_live") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("fully_dead_blocks"),
+        F.sum(
+            F.when(
+                (F.col("n_live") > 0)
+                & (4 * (F.col("n_rows") - F.col("n_live")) >= F.col("n_rows")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("rewrite_blocks"),
+    )
+    return (
+        summary.join(fresh, "policy")
+        .crossJoin(F.broadcast(stale))
+        .select(
+            "policy", "n_blocks", "n_rows", "n_deleted",
+            "fully_dead_blocks", "rewrite_blocks",
+            F.col("scanned_stale").alias("scanned_stale_block_months"),
+            F.col("scanned_fresh").alias("scanned_fresh_block_months"),
+            F.expr("(1000000 * scanned_stale) div scanned_fresh")
+            .cast("bigint")
+            .alias("scan_amplification_micro"),
+            (
+                F.expr("(1000000 * scanned_stale) div scanned_fresh")
+                .cast("bigint")
+                / F.lit(1000000.0)
+            ).alias("scan_amplification"),
+        )
+        .orderBy("policy")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q417 — hierarchical manifest pruning (Iceberg's manifest → data-file
+# → row-group cascade): stats live at TWO granularities — files of
+# 8×512 rows and blocks of 512 — and a scan consults per-block stats
+# only inside files that survive file-level pruning. The audit
+# measures, per layout (natural vs date-clustered), both the scan
+# fractions at each granularity AND the metadata-read economics: flat
+# reads n_blocks stats entries per predicate; the cascade reads
+# n_files file entries plus block entries only for surviving files.
+# On a clustered layout the cascade reads a fraction of the metadata;
+# on a natural layout every file survives and the cascade DEGRADES to
+# flat + file overhead — the audit shows both, exact-integer.
+# ---------------------------------------------------------------------------
+@query(
+    "q417_manifest_cascade_pruning",
+    oracle=f"""
+    WITH o AS (
+        SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od FROM orders
+    ),
+    nat AS (
+        SELECT od, (row_number() OVER (ORDER BY o_orderkey) - 1) // 512 AS blk
+        FROM o
+    ),
+    clu AS (
+        SELECT od, (row_number() OVER (ORDER BY od, o_orderkey) - 1) // 512 AS blk
+        FROM o
+    ),
+    nb AS (
+        SELECT 'clustered_by_date' AS layout, blk, blk // {_FILE_BLOCKS} AS fil,
+               min(od) AS mn, max(od) AS mx
+        FROM clu GROUP BY blk
+        UNION ALL
+        SELECT 'natural_orderkey' AS layout, blk, blk // {_FILE_BLOCKS} AS fil,
+               min(od) AS mn, max(od) AS mx
+        FROM nat GROUP BY blk
+    ),
+    nf AS (
+        SELECT layout, fil, min(mn) AS mn, max(mx) AS mx,
+               CAST(count(*) AS BIGINT) AS nb_in_file
+        FROM nb GROUP BY layout, fil
+    ),
+    months AS (
+        SELECT DISTINCT date_trunc('month', od) AS m0, last_day(od) AS m1 FROM o
+    ),
+    fscan AS (
+        SELECT layout,
+               CAST(count(*) AS BIGINT) AS file_scanned,
+               CAST(sum(nb_in_file) AS BIGINT) AS cascade_block_entries
+        FROM nf f JOIN months m ON f.mn <= m.m1 AND f.mx >= m.m0
+        GROUP BY layout
+    ),
+    bscan AS (
+        SELECT layout, CAST(count(*) AS BIGINT) AS block_scanned
+        FROM nb b JOIN months m ON b.mn <= m.m1 AND b.mx >= m.m0
+        GROUP BY layout
+    ),
+    sizes AS (
+        SELECT layout,
+               CAST(count(*) AS BIGINT) AS n_blocks,
+               CAST(count(DISTINCT fil) AS BIGINT) AS n_files
+        FROM nb GROUP BY layout
+    ),
+    nm AS (SELECT CAST(count(*) AS BIGINT) AS n_months FROM months)
+    SELECT z.layout, z.n_files, z.n_blocks, nm.n_months,
+           f.file_scanned, b.block_scanned,
+           CAST((1000000 * f.file_scanned) // (z.n_files * nm.n_months) AS BIGINT)
+               AS file_scan_fraction_micro,
+           CAST((1000000 * b.block_scanned) // (z.n_blocks * nm.n_months) AS BIGINT)
+               AS block_scan_fraction_micro,
+           CAST(z.n_blocks * nm.n_months AS BIGINT) AS stats_entries_flat,
+           CAST(z.n_files * nm.n_months + f.cascade_block_entries AS BIGINT)
+               AS stats_entries_cascade,
+           CAST((1000000 * (z.n_files * nm.n_months + f.cascade_block_entries))
+                // (z.n_blocks * nm.n_months) AS BIGINT)
+               AS cascade_read_ratio_micro,
+           CAST((1000000 * (z.n_files * nm.n_months + f.cascade_block_entries))
+                // (z.n_blocks * nm.n_months) AS BIGINT) / 1000000.0
+               AS cascade_read_ratio
+    FROM sizes z JOIN fscan f USING (layout) JOIN bscan b USING (layout)
+    CROSS JOIN nm
+    ORDER BY z.layout
+    """,
+)
+def q417_manifest_cascade_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("od")
+    )
+    nb = (
+        _order_blocks(o, "natural_orderkey", "o_orderkey")
+        .unionByName(_order_blocks(o, "clustered_by_date", "od", "o_orderkey"))
+        .select(
+            "layout", "blk",
+            F.expr(f"blk div {_FILE_BLOCKS}").alias("fil"),
+            "mn", "mx",
+        )
+    )
+    nf = nb.groupBy("layout", "fil").agg(
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+        F.count("*").cast("bigint").alias("nb_in_file"),
+    )
+    months = (
+        o.select(F.trunc("od", "month").alias("m0")).distinct()
+        .select("m0", F.last_day("m0").alias("m1"))
+    )
+    fscan = (
+        nf.join(
+            F.broadcast(months),
+            (F.col("mn") <= F.col("m1")) & (F.col("mx") >= F.col("m0")),
+        )
+        .groupBy("layout")
+        .agg(
+            F.count("*").cast("bigint").alias("file_scanned"),
+            F.sum("nb_in_file").cast("bigint").alias("cascade_block_entries"),
+        )
+    )
+    bscan = (
+        nb.join(
+            F.broadcast(months),
+            (F.col("mn") <= F.col("m1")) & (F.col("mx") >= F.col("m0")),
+        )
+        .groupBy("layout")
+        .agg(F.count("*").cast("bigint").alias("block_scanned"))
+    )
+    sizes = nb.groupBy("layout").agg(
+        F.count("*").cast("bigint").alias("n_blocks"),
+        F.countDistinct("fil").cast("bigint").alias("n_files"),
+    )
+    nm = months.agg(F.count("*").cast("bigint").alias("n_months"))
+    return (
+        sizes.join(fscan, "layout")
+        .join(bscan, "layout")
+        .crossJoin(F.broadcast(nm))
+        .select(
+            "layout", "n_files", "n_blocks", "n_months",
+            "file_scanned", "block_scanned",
+            F.expr("(1000000 * file_scanned) div (n_files * n_months)")
+            .cast("bigint")
+            .alias("file_scan_fraction_micro"),
+            F.expr("(1000000 * block_scanned) div (n_blocks * n_months)")
+            .cast("bigint")
+            .alias("block_scan_fraction_micro"),
+            (F.col("n_blocks") * F.col("n_months"))
+            .cast("bigint")
+            .alias("stats_entries_flat"),
+            (F.col("n_files") * F.col("n_months") + F.col("cascade_block_entries"))
+            .cast("bigint")
+            .alias("stats_entries_cascade"),
+            F.expr(
+                "(1000000 * (n_files * n_months + cascade_block_entries))"
+                " div (n_blocks * n_months)"
+            )
+            .cast("bigint")
+            .alias("cascade_read_ratio_micro"),
+            (
+                F.expr(
+                    "(1000000 * (n_files * n_months + cascade_block_entries))"
+                    " div (n_blocks * n_months)"
+                ).cast("bigint")
+                / F.lit(1000000.0)
+            ).alias("cascade_read_ratio"),
+        )
+        .orderBy("layout")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q418 — range-partition boundary planner: pick the B=32 range split
+# points a repartitionByRange / range-partitioned table should use.
+# Spark's RangePartitioner answers this with reservoir SAMPLING; this
+# is the exact version — equi-depth boundaries as exact integer order
+# statistics on the value spine (boundary_k = smallest value whose
+# cumulative count reaches ceil(k·n/B)), audited against naive
+# equal-width boundaries on the same skewed column (events.value in
+# cents — right-skewed, so equal-width crams most rows into the first
+# few partitions). Output per scheme: non-empty partitions, max/min
+# partition sizes, and the imbalance ratio max/(n/B) in exact micro
+# units. The spine is VALUE-grain (bounded by the metric's cent
+# domain, not by row count); boundaries/bounds are ≤31-row/scalar
+# broadcasts; rows never leave aggregate grain.
+# ---------------------------------------------------------------------------
+@query(
+    "q418_range_boundary_plan",
+    oracle=f"""
+    WITH v AS (
+        SELECT CAST(floor(value * 100) AS BIGINT) AS vc FROM events
+        WHERE value IS NOT NULL
+    ),
+    spine AS (
+        SELECT vc, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY vc
+    ),
+    cum AS (
+        SELECT vc, c,
+               CAST(sum(c) OVER (
+                   ORDER BY vc ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cc
+        FROM spine
+    ),
+    nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM spine),
+    bounds AS (SELECT min(vc) AS mn, max(vc) AS mx FROM spine),
+    ks AS (SELECT CAST(unnest(range(1, {_RANGE_PARTS})) AS BIGINT) AS k),
+    bnds AS (
+        SELECT k, min(vc) AS b
+        FROM cum, ks, nn
+        WHERE cc >= (k * n + {_RANGE_PARTS} - 1) // {_RANGE_PARTS}
+        GROUP BY k
+    ),
+    depth_parts AS (
+        SELECT p, CAST(sum(c) AS BIGINT) AS rows_in_part FROM (
+            SELECT s.vc, s.c, CAST(count(b.b) AS BIGINT) AS p
+            FROM spine s LEFT JOIN bnds b ON b.b <= s.vc
+            GROUP BY s.vc, s.c
+        ) GROUP BY p
+    ),
+    width_parts AS (
+        SELECT ((s.vc - bo.mn) * {_RANGE_PARTS}) // (bo.mx - bo.mn + 1) AS p,
+               CAST(sum(s.c) AS BIGINT) AS rows_in_part
+        FROM spine s, bounds bo GROUP BY 1
+    ),
+    both_parts AS (
+        SELECT 'equi_depth' AS scheme, p, rows_in_part FROM depth_parts
+        UNION ALL
+        SELECT 'equal_width' AS scheme, p, rows_in_part FROM width_parts
+    )
+    SELECT scheme,
+           nn.n AS n_rows,
+           CAST({_RANGE_PARTS} AS BIGINT) AS n_partitions,
+           CAST(count(*) AS BIGINT) AS nonempty_partitions,
+           CAST(max(rows_in_part) AS BIGINT) AS max_part_rows,
+           CAST(min(rows_in_part) AS BIGINT) AS min_part_rows,
+           CAST((max(rows_in_part) * {_RANGE_PARTS} * 1000000) // nn.n AS BIGINT)
+               AS imbalance_micro,
+           CAST((max(rows_in_part) * {_RANGE_PARTS} * 1000000) // nn.n AS BIGINT)
+               / 1000000.0 AS imbalance
+    FROM both_parts, nn GROUP BY scheme, nn.n ORDER BY scheme
+    """,
+)
+def q418_range_boundary_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(F.floor(F.col("value") * 100).cast("bigint").alias("vc"))
+    )
+    spine = ev.groupBy("vc").agg(F.count("*").cast("bigint").alias("c"))
+    # value-grain cumulative window: the spine is bounded by the cent
+    # domain of the metric (max(value)*100 cells), not by row count
+    w = Window.orderBy("vc").rowsBetween(Window.unboundedPreceding, 0)
+    cum = spine.select(
+        "vc", "c", F.sum("c").over(w).cast("bigint").alias("cc")
+    )
+    nn = spine.agg(F.sum("c").cast("bigint").alias("n"))
+    bounds = spine.agg(F.min("vc").alias("mn"), F.max("vc").alias("mx"))
+    ks = spark.range(1, _RANGE_PARTS).select(F.col("id").cast("bigint").alias("k"))
+    bnds = (
+        cum.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(nn))
+        .filter(
+            F.col("cc")
+            >= F.expr(f"(k * n + {_RANGE_PARTS} - 1) div {_RANGE_PARTS}")
+        )
+        .groupBy("k")
+        .agg(F.min("vc").alias("b"))
+    )
+    depth_parts = (
+        spine.join(F.broadcast(bnds), F.col("b") <= F.col("vc"), "left")
+        .groupBy("vc", "c")
+        .agg(F.count("b").cast("bigint").alias("p"))
+        .groupBy("p")
+        .agg(F.sum("c").cast("bigint").alias("rows_in_part"))
+    )
+    width_parts = (
+        spine.crossJoin(F.broadcast(bounds))
+        .select(
+            F.expr(f"((vc - mn) * {_RANGE_PARTS}) div (mx - mn + 1)").alias("p"),
+            "c",
+        )
+        .groupBy("p")
+        .agg(F.sum("c").cast("bigint").alias("rows_in_part"))
+    )
+    both = depth_parts.select(
+        F.lit("equi_depth").alias("scheme"), "p", "rows_in_part"
+    ).unionByName(
+        width_parts.select(
+            F.lit("equal_width").alias("scheme"), "p", "rows_in_part"
+        )
+    )
+    return (
+        both.crossJoin(F.broadcast(nn))
+        .groupBy("scheme", "n")
+        .agg(
+            F.count("*").cast("bigint").alias("nonempty_partitions"),
+            F.max("rows_in_part").cast("bigint").alias("max_part_rows"),
+            F.min("rows_in_part").cast("bigint").alias("min_part_rows"),
+        )
+        .select(
+            "scheme",
+            F.col("n").alias("n_rows"),
+            F.lit(_RANGE_PARTS).cast("bigint").alias("n_partitions"),
+            "nonempty_partitions",
+            "max_part_rows",
+            "min_part_rows",
+            F.expr(f"(max_part_rows * {_RANGE_PARTS} * 1000000) div n")
+            .cast("bigint")
+            .alias("imbalance_micro"),
+            (
+                F.expr(f"(max_part_rows * {_RANGE_PARTS} * 1000000) div n")
+                .cast("bigint")
+                / F.lit(1000000.0)
+            ).alias("imbalance"),
+        )
+        .orderBy("scheme")
+    )
+
+
+_ADVISOR_W_MONTH = 3  # month-range predicates dominate this workload
+_ADVISOR_W_SLICE = 1
+
+
+# ---------------------------------------------------------------------------
+# q419 — clustering-layout advisor: the DECISION query on top of the
+# measurement family (q411 single-dim zone maps, q415 Z-order). Four
+# candidate layouts — natural, date-clustered, custkey-clustered,
+# Z-ordered — are evaluated against a weighted two-class workload
+# (month ranges weight 3, custkey-residue slices weight 1); each
+# layout gets both per-class scan fractions and one weighted cost,
+# and exactly ONE row carries recommended=true (tie-broken by layout
+# name on the 4-row frame). This is the query a table-maintenance
+# scheduler runs before choosing a cluster/Z-order key. Everything is
+# exact-integer; the final ranking happens on a 4-row frame.
+# ---------------------------------------------------------------------------
+@query(
+    "q419_layout_advisor",
+    oracle=f"""
+    WITH o AS (
+        SELECT o_orderkey,
+               CAST(o_orderdate AS DATE) AS od,
+               CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               CAST(o_custkey % 4096 AS BIGINT) AS c
+        FROM orders
+    ),
+    keyed AS (
+        SELECT *, CAST({_z_expr('d', 'c', _Z_BITS, duck=True)} AS BIGINT) AS z FROM o
+    ),
+    nb AS (
+        SELECT 'natural_orderkey' AS layout, blk,
+               min(od) AS mn_d, max(od) AS mx_d, min(c) AS mn_c, max(c) AS mx_c
+        FROM (SELECT od, c, (row_number() OVER (ORDER BY o_orderkey) - 1) // 512 AS blk FROM keyed)
+        GROUP BY blk
+        UNION ALL
+        SELECT 'clustered_by_date' AS layout, blk,
+               min(od) AS mn_d, max(od) AS mx_d, min(c) AS mn_c, max(c) AS mx_c
+        FROM (SELECT od, c, (row_number() OVER (ORDER BY od, o_orderkey) - 1) // 512 AS blk FROM keyed)
+        GROUP BY blk
+        UNION ALL
+        SELECT 'clustered_by_custkey' AS layout, blk,
+               min(od) AS mn_d, max(od) AS mx_d, min(c) AS mn_c, max(c) AS mx_c
+        FROM (SELECT od, c, (row_number() OVER (ORDER BY c, o_orderkey) - 1) // 512 AS blk FROM keyed)
+        GROUP BY blk
+        UNION ALL
+        SELECT 'zorder_date_custkey' AS layout, blk,
+               min(od) AS mn_d, max(od) AS mx_d, min(c) AS mn_c, max(c) AS mx_c
+        FROM (SELECT od, c, (row_number() OVER (ORDER BY z, o_orderkey) - 1) // 512 AS blk FROM keyed)
+        GROUP BY blk
+    ),
+    months AS (
+        SELECT DISTINCT date_trunc('month', od) AS m0, last_day(od) AS m1 FROM o
+    ),
+    cslices AS (
+        SELECT CAST(k * 256 AS BIGINT) AS c0, CAST(k * 256 + 255 AS BIGINT) AS c1
+        FROM (SELECT unnest(range(0, 16)) AS k)
+    ),
+    mscan AS (
+        SELECT layout, CAST(count(*) AS BIGINT) AS scanned,
+               CAST((SELECT count(*) FROM months) AS BIGINT) AS n_preds
+        FROM nb b JOIN months m ON b.mn_d <= m.m1 AND b.mx_d >= m.m0
+        GROUP BY layout
+    ),
+    sscan AS (
+        SELECT layout, CAST(count(*) AS BIGINT) AS scanned,
+               CAST(16 AS BIGINT) AS n_preds
+        FROM nb b JOIN cslices s ON b.mn_c <= s.c1 AND b.mx_c >= s.c0
+        GROUP BY layout
+    ),
+    sizes AS (
+        SELECT layout, CAST(count(*) AS BIGINT) AS n_blocks FROM nb GROUP BY layout
+    ),
+    costed AS (
+        SELECT z.layout, z.n_blocks,
+               CAST((1000000 * m.scanned) // (z.n_blocks * m.n_preds) AS BIGINT)
+                   AS month_scan_fraction_micro,
+               CAST((1000000 * s.scanned) // (z.n_blocks * s.n_preds) AS BIGINT)
+                   AS custkey_scan_fraction_micro,
+               CAST(({_ADVISOR_W_MONTH} * ((1000000 * m.scanned) // (z.n_blocks * m.n_preds))
+                     + {_ADVISOR_W_SLICE} * ((1000000 * s.scanned) // (z.n_blocks * s.n_preds)))
+                    // {_ADVISOR_W_MONTH + _ADVISOR_W_SLICE} AS BIGINT)
+                   AS weighted_cost_micro
+        FROM sizes z JOIN mscan m USING (layout) JOIN sscan s USING (layout)
+    )
+    SELECT layout, n_blocks,
+           month_scan_fraction_micro, custkey_scan_fraction_micro,
+           weighted_cost_micro,
+           weighted_cost_micro / 1000000.0 AS weighted_cost,
+           row_number() OVER (ORDER BY weighted_cost_micro, layout) = 1
+               AS recommended
+    FROM costed
+    ORDER BY layout
+    """,
+)
+def q419_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.rank import with_global_rank
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("od"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast("bigint")
+        .alias("d"),
+        (F.col("o_custkey") % 4096).cast("bigint").alias("c"),
+    )
+    keyed = o.withColumn(
+        "z", F.expr(_z_expr("d", "c", _Z_BITS, duck=False)).cast("bigint")
+    )
+
+    def blocks(order_cols: list[str], layout: str) -> DataFrame:
+        ranked = with_global_rank(keyed, *order_cols, rank_col="r")
+        return (
+            ranked.select(
+                F.expr(f"(r - 1) div {_BLOCK_ROWS}").alias("blk"), "od", "c"
+            )
+            .groupBy("blk")
+            .agg(
+                F.min("od").alias("mn_d"),
+                F.max("od").alias("mx_d"),
+                F.min("c").alias("mn_c"),
+                F.max("c").alias("mx_c"),
+            )
+            .withColumn("layout", F.lit(layout))
+        )
+
+    nb = (
+        blocks(["o_orderkey"], "natural_orderkey")
+        .unionByName(blocks(["od", "o_orderkey"], "clustered_by_date"))
+        .unionByName(blocks(["c", "o_orderkey"], "clustered_by_custkey"))
+        .unionByName(blocks(["z", "o_orderkey"], "zorder_date_custkey"))
+    )
+    months = (
+        o.select(F.trunc("od", "month").alias("m0")).distinct()
+        .select("m0", F.last_day("m0").alias("m1"))
+    )
+    cslices = spark.range(0, 16).select(
+        (F.col("id") * 256).cast("bigint").alias("c0"),
+        (F.col("id") * 256 + 255).cast("bigint").alias("c1"),
+    )
+    n_months = months.agg(F.count("*").cast("bigint").alias("nm"))
+    mscan = (
+        nb.join(
+            F.broadcast(months),
+            (F.col("mn_d") <= F.col("m1")) & (F.col("mx_d") >= F.col("m0")),
+        )
+        .groupBy("layout")
+        .agg(F.count("*").cast("bigint").alias("m_scanned"))
+        .crossJoin(F.broadcast(n_months))
+    )
+    sscan = (
+        nb.join(
+            F.broadcast(cslices),
+            (F.col("mn_c") <= F.col("c1")) & (F.col("mx_c") >= F.col("c0")),
+        )
+        .groupBy("layout")
+        .agg(F.count("*").cast("bigint").alias("s_scanned"))
+    )
+    sizes = nb.groupBy("layout").agg(
+        F.count("*").cast("bigint").alias("n_blocks")
+    )
+    w_tot = _ADVISOR_W_MONTH + _ADVISOR_W_SLICE
+    costed = (
+        sizes.join(mscan, "layout")
+        .join(sscan, "layout")
+        .select(
+            "layout",
+            "n_blocks",
+            F.expr("(1000000 * m_scanned) div (n_blocks * nm)")
+            .cast("bigint")
+            .alias("month_scan_fraction_micro"),
+            F.expr("(1000000 * s_scanned) div (n_blocks * 16)")
+            .cast("bigint")
+            .alias("custkey_scan_fraction_micro"),
+        )
+        .withColumn(
+            "weighted_cost_micro",
+            F.expr(
+                f"({_ADVISOR_W_MONTH} * month_scan_fraction_micro"
+                f" + {_ADVISOR_W_SLICE} * custkey_scan_fraction_micro)"
+                f" div {w_tot}"
+            ).cast("bigint"),
+        )
+    )
+    # the ranking window runs on the 4-row candidate frame — bounded
+    # by the layout-candidate list, never by data
+    w = Window.orderBy("weighted_cost_micro", "layout")
+    return (
+        costed.withColumn("recommended", F.row_number().over(w) == 1)
+        .select(
+            "layout", "n_blocks",
+            "month_scan_fraction_micro", "custkey_scan_fraction_micro",
+            "weighted_cost_micro",
+            (F.col("weighted_cost_micro") / F.lit(1000000.0)).alias(
+                "weighted_cost"
+            ),
+            "recommended",
+        )
+        .orderBy("layout")
+    )

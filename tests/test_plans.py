@@ -857,6 +857,11 @@ _BROADCAST_ALLOWLIST = {
         "adj",  # scalar adjacent-equal-count aggregate
         "cslices",  # fixed 16-row custkey-residue spine (q415)
         "n_months",  # scalar month-count aggregate (q415)
+        "stale",  # scalar stale-scan-count aggregate (q416)
+        "ks",  # fixed 31-row boundary-index spine (q418)
+        "nn",  # scalar row-count aggregate (q418)
+        "bnds",  # <=31-row boundary frame (q418)
+        "bounds",  # scalar min/max aggregate (q418)
     },
     "round9_queries.py": {
         "bounds",  # scalar min/max aggregate
@@ -1198,4 +1203,92 @@ def test_round10_plan_shapes(spark, sf_dir, monkeypatch):
     for frag in win_frags:
         assert "source#" in frag, (
             "q412 window not partitioned on source:\n" + frag
+        )
+
+
+def test_round10b_plan_shapes(spark, sf_dir, monkeypatch):
+    """q416/q417 inherit q411's physical contract: the exact global
+    rank rides a RANGE exchange and the only Window in the plan is
+    the partition-count offsets cumulative (_pid grain); no
+    CartesianProduct anywhere (the month spine joins are broadcast).
+    q418's single Window is the VALUE-grain cumulative over the
+    aggregated cent spine (its input is the groupBy(vc) aggregate —
+    bounded by the metric's domain, never row count), and its
+    crossJoins are broadcast scalars/spines only."""
+    import re
+
+    import pipeline_usnvc_spark.operators.checkpoint as ckpt_mod
+    import pipeline_usnvc_spark.operators.rank as rank_mod
+
+    monkeypatch.setattr(ckpt_mod, "materialize", lambda df, eager=True: df)
+    monkeypatch.setattr(rank_mod, "materialize", lambda df, eager=True: df)
+    for name in (
+        "q416_deletion_staleness_audit",
+        "q417_manifest_cascade_pruning",
+    ):
+        plan = (
+            QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan, name
+        assert "rangepartitioning" in plan, (
+            f"{name}: global rank lost its range exchange"
+        )
+        for m in re.finditer(r"Window \[", plan):
+            frag = plan[m.start() : m.start() + 400]
+            assert "_pid#" in frag, (
+                f"{name}: data-grain window found (the only allowed "
+                "window is the partition-count offsets cumulative):\n" + frag
+            )
+
+    plan418 = (
+        QUERIES["q418_range_boundary_plan"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan418
+    win_frags = [
+        plan418[m.start() : m.start() + 400]
+        for m in re.finditer(r"Window \[", plan418)
+    ]
+    assert win_frags, "q418 lost its cumulative-count window"
+    for frag in win_frags:
+        assert "vc#" in frag, (
+            "q418 window must ride the value spine:\n" + frag
+        )
+    # the cumulative window's input is the aggregated spine, never raw
+    # rows: a HashAggregate must appear below the Window in the plan
+    first_win = plan418.index("Window [")
+    assert "HashAggregate" in plan418[first_win:], (
+        "q418 window input is not the aggregated value spine"
+    )
+
+
+def test_layout_advisor_plan_shape(spark, sf_dir, monkeypatch):
+    """q419 runs four exact global ranks (range exchanges) and joins
+    only broadcast spines; the single non-offsets window is the
+    final candidate ranking over the 4-row costed frame (bounded by
+    the layout-candidate list, never data)."""
+    import re
+
+    import pipeline_usnvc_spark.operators.checkpoint as ckpt_mod
+    import pipeline_usnvc_spark.operators.rank as rank_mod
+
+    monkeypatch.setattr(ckpt_mod, "materialize", lambda df, eager=True: df)
+    monkeypatch.setattr(rank_mod, "materialize", lambda df, eager=True: df)
+    plan = (
+        QUERIES["q419_layout_advisor"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" in plan, "global ranks lost the range exchange"
+    for m in re.finditer(r"Window \[", plan):
+        frag = plan[m.start() : m.start() + 400]
+        assert "_pid#" in frag or "weighted_cost_micro#" in frag, (
+            "q419: unexpected data-grain window:\n" + frag
         )

@@ -342,3 +342,256 @@ def test_zorder_skipping(spark, con):
             micro = (1_000_000 * scanned) // (nb * n_preds)
             assert r["scan_fraction_micro"] == micro
             assert r["scan_fraction"] == micro / 1e6
+
+
+def test_deletion_staleness_audit(spark, con):
+    """Replay the deletes in Python: sort by (od, key) into 512-row
+    blocks, apply each policy's literal delete predicate row by row,
+    re-derive stale vs live per-block intervals, and count the
+    block×month overlaps for both stats generations — plus the vacuum
+    and rewrite sets — from first principles."""
+    rows = con.execute(
+        "SELECT o_orderkey, CAST(o_orderdate AS DATE) FROM orders"
+    ).fetchall()
+    data = sorted(((d, int(k)) for k, d in rows))
+    blocks = [data[i : i + 512] for i in range(0, len(data), 512)]
+
+    def month_end(d: dt.date) -> dt.date:
+        nxt = dt.date(d.year + (d.month == 12), d.month % 12 + 1, 1)
+        return nxt - dt.timedelta(days=1)
+
+    months = sorted({dt.date(d.year, d.month, 1) for d, _ in data})
+
+    def overlaps(mn: dt.date, mx: dt.date) -> int:
+        return sum(1 for m0 in months if mn <= month_end(m0) and mx >= m0)
+
+    cutoff = dt.date(1997, 1, 1)
+    policies = {
+        "ttl_before_1997": lambda d, k: d < cutoff,
+        "scatter_mod97": lambda d, k: k % 97 == 0,
+    }
+    scanned_stale = sum(
+        overlaps(min(d for d, _ in blk), max(d for d, _ in blk))
+        for blk in blocks
+    )
+    got = {
+        r["policy"]: r
+        for r in QUERIES["q416_deletion_staleness_audit"](spark, SF).collect()
+    }
+    for policy, deleted in policies.items():
+        n_deleted = fully_dead = rewrite = scanned_fresh = 0
+        for blk in blocks:
+            live = [d for d, k in blk if not deleted(d, k)]
+            dead = len(blk) - len(live)
+            n_deleted += dead
+            if not live:
+                fully_dead += 1
+            else:
+                if 4 * dead >= len(blk):
+                    rewrite += 1
+                scanned_fresh += overlaps(min(live), max(live))
+        r = got[policy]
+        assert r["n_blocks"] == len(blocks)
+        assert r["n_rows"] == len(data)
+        assert r["n_deleted"] == n_deleted
+        assert r["fully_dead_blocks"] == fully_dead
+        assert r["rewrite_blocks"] == rewrite
+        assert r["scanned_stale_block_months"] == scanned_stale
+        assert r["scanned_fresh_block_months"] == scanned_fresh
+        micro = (1_000_000 * scanned_stale) // scanned_fresh
+        assert r["scan_amplification_micro"] == micro
+        assert r["scan_amplification"] == micro / 1e6
+    # stale stats can never scan FEWER block-months than fresh ones
+    # (a live interval is contained in its block's stored interval)
+    for r in got.values():
+        assert (
+            r["scanned_stale_block_months"] >= r["scanned_fresh_block_months"]
+        )
+
+
+def test_manifest_cascade_pruning(spark, con):
+    """Rebuild the two-level stats hierarchy literally — 512-row
+    blocks, 8-block files — and re-count month overlaps at each level
+    plus the exact metadata entries a cascaded reader touches."""
+    rows = con.execute(
+        "SELECT o_orderkey, CAST(o_orderdate AS DATE) FROM orders"
+    ).fetchall()
+    dates = [(int(k), d) for k, d in rows]
+
+    def month_end(d: dt.date) -> dt.date:
+        nxt = dt.date(d.year + (d.month == 12), d.month % 12 + 1, 1)
+        return nxt - dt.timedelta(days=1)
+
+    months = sorted({dt.date(d.year, d.month, 1) for _, d in dates})
+
+    def audit(ordered):
+        blocks = [ordered[i : i + 512] for i in range(0, len(ordered), 512)]
+        files = [blocks[i : i + 8] for i in range(0, len(blocks), 8)]
+        f_scan = b_scan = cascade_entries = 0
+        for fil in files:
+            f_mn = min(min(b) for b in fil)
+            f_mx = max(max(b) for b in fil)
+            for m0 in months:
+                if f_mn <= month_end(m0) and f_mx >= m0:
+                    f_scan += 1
+                    cascade_entries += len(fil)
+        for blk in blocks:
+            mn, mx = min(blk), max(blk)
+            for m0 in months:
+                if mn <= month_end(m0) and mx >= m0:
+                    b_scan += 1
+        return len(files), len(blocks), f_scan, b_scan, cascade_entries
+
+    nat = [d for _, d in sorted(dates, key=lambda kv: kv[0])]
+    clu = [d for _, d in sorted(dates, key=lambda kv: (kv[1], kv[0]))]
+    got = {
+        r["layout"]: r
+        for r in QUERIES["q417_manifest_cascade_pruning"](spark, SF).collect()
+    }
+    for layout, ordered in (("natural_orderkey", nat), ("clustered_by_date", clu)):
+        nf, nb, f_scan, b_scan, casc = audit(ordered)
+        r = got[layout]
+        assert r["n_files"] == nf
+        assert r["n_blocks"] == nb
+        assert r["n_months"] == len(months)
+        assert r["file_scanned"] == f_scan
+        assert r["block_scanned"] == b_scan
+        assert r["file_scan_fraction_micro"] == (1_000_000 * f_scan) // (
+            nf * len(months)
+        )
+        assert r["block_scan_fraction_micro"] == (1_000_000 * b_scan) // (
+            nb * len(months)
+        )
+        flat = nb * len(months)
+        cascade = nf * len(months) + casc
+        assert r["stats_entries_flat"] == flat
+        assert r["stats_entries_cascade"] == cascade
+        micro = (1_000_000 * cascade) // flat
+        assert r["cascade_read_ratio_micro"] == micro
+        assert r["cascade_read_ratio"] == micro / 1e6
+    # block-level pruning is at least as selective as file-level
+    # pruning on the SAME layout (a block interval is inside its file's)
+    for r in got.values():
+        assert r["block_scan_fraction_micro"] <= 1_000_000
+        assert r["block_scanned"] <= r["file_scanned"] * 8
+
+
+def test_range_boundary_plan(spark, con):
+    """Re-derive both boundary schemes from the raw cent values: sort
+    them, pick the ceil(k·n/32)-th order statistic per cut (then snap
+    ties to whole values — range partitioning assigns by VALUE), pack
+    rows into partitions with plain comparisons, and recompute every
+    balance column."""
+    vals = [
+        int(v)
+        for (v,) in con.execute(
+            "SELECT CAST(floor(value * 100) AS BIGINT) FROM events"
+            " WHERE value IS NOT NULL"
+        ).fetchall()
+    ]
+    n, B = len(vals), 32
+    svals = sorted(vals)
+    # equi-depth: boundary_k = smallest value whose cumulative count
+    # reaches ceil(k*n/B) == the ceil(k*n/B)-th smallest value
+    bnds = sorted({svals[-(-k * n // B) - 1] for k in range(1, B)})
+    depth_parts: dict[int, int] = {}
+    for v in vals:
+        p = sum(1 for b in bnds if b <= v)
+        depth_parts[p] = depth_parts.get(p, 0) + 1
+    mn, mx = svals[0], svals[-1]
+    width_parts: dict[int, int] = {}
+    for v in vals:
+        p = ((v - mn) * B) // (mx - mn + 1)
+        width_parts[p] = width_parts.get(p, 0) + 1
+    got = {
+        r["scheme"]: r
+        for r in QUERIES["q418_range_boundary_plan"](spark, SF).collect()
+    }
+    for scheme, parts in (("equi_depth", depth_parts), ("equal_width", width_parts)):
+        r = got[scheme]
+        assert r["n_rows"] == n
+        assert r["n_partitions"] == B
+        assert r["nonempty_partitions"] == len(parts)
+        assert r["max_part_rows"] == max(parts.values())
+        assert r["min_part_rows"] == min(parts.values())
+        micro = (max(parts.values()) * B * 1_000_000) // n
+        assert r["imbalance_micro"] == micro
+        assert r["imbalance"] == micro / 1e6
+    # the planner's whole point: exact equi-depth boundaries beat
+    # equal-width ones on a skewed column
+    assert (
+        got["equi_depth"]["imbalance_micro"]
+        < got["equal_width"]["imbalance_micro"]
+    )
+
+
+def test_layout_advisor(spark, con):
+    """Re-derive q419's whole decision in Python: four explicit
+    sorts, literal block stats on BOTH dimensions, per-class overlap
+    counts, the weighted cost in exact integer micro units, and the
+    tie-broken argmin — then check exactly one row is recommended and
+    it is the true minimum."""
+    rows = con.execute(
+        "SELECT o_orderkey, CAST(o_orderdate AS DATE), o_custkey FROM orders"
+    ).fetchall()
+    epoch = dt.date(1992, 1, 1)
+
+    def z(d: int, c: int) -> int:
+        out = 0
+        for i in range(12):
+            out |= ((d >> i) & 1) << (2 * i)
+            out |= ((c >> i) & 1) << (2 * i + 1)
+        return out
+
+    recs = [
+        (int(k), od, (od - epoch).days, int(ck) % 4096)
+        for k, od, ck in rows
+    ]
+    months = sorted({dt.date(od.year, od.month, 1) for _, od, _, _ in recs})
+
+    def month_end(m: dt.date) -> dt.date:
+        nxt = dt.date(m.year + (m.month == 12), m.month % 12 + 1, 1)
+        return nxt - dt.timedelta(days=1)
+
+    layouts = {
+        "natural_orderkey": sorted(recs, key=lambda r: r[0]),
+        "clustered_by_date": sorted(recs, key=lambda r: (r[1], r[0])),
+        "clustered_by_custkey": sorted(recs, key=lambda r: (r[3], r[0])),
+        "zorder_date_custkey": sorted(recs, key=lambda r: (z(r[2], r[3]), r[0])),
+    }
+    want = {}
+    for layout, ordered in layouts.items():
+        pairs = [(od, c) for _, od, _, c in ordered]
+        blocks = [pairs[i : i + 512] for i in range(0, len(pairs), 512)]
+        m_scan = s_scan = 0
+        for blk in blocks:
+            ods = [od for od, _ in blk]
+            cs = [c for _, c in blk]
+            mn_d, mx_d, mn_c, mx_c = min(ods), max(ods), min(cs), max(cs)
+            m_scan += sum(
+                1 for m0 in months if mn_d <= month_end(m0) and mx_d >= m0
+            )
+            s_scan += sum(
+                1
+                for k in range(16)
+                if mn_c <= k * 256 + 255 and mx_c >= k * 256
+            )
+        nb = len(blocks)
+        m_micro = (1_000_000 * m_scan) // (nb * len(months))
+        s_micro = (1_000_000 * s_scan) // (nb * 16)
+        want[layout] = (nb, m_micro, s_micro, (3 * m_micro + s_micro) // 4)
+    best = min(want, key=lambda l: (want[l][3], l))
+    got = {
+        r["layout"]: r
+        for r in QUERIES["q419_layout_advisor"](spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for layout, (nb, m_micro, s_micro, cost) in want.items():
+        r = got[layout]
+        assert r["n_blocks"] == nb
+        assert r["month_scan_fraction_micro"] == m_micro
+        assert r["custkey_scan_fraction_micro"] == s_micro
+        assert r["weighted_cost_micro"] == cost
+        assert r["weighted_cost"] == cost / 1e6
+        assert r["recommended"] == (layout == best)
+    assert sum(1 for r in got.values() if r["recommended"]) == 1
