@@ -73,6 +73,7 @@ def main() -> None:
         "q416_deletion_staleness_audit",
         "q417_manifest_cascade_pruning",
         "q418_range_boundary_plan",
+        "q419_layout_advisor",
     ):
         b = run(name, SF)
         s10 = run(name, str(big))
