@@ -188,6 +188,46 @@ def _order_blocks(o: DataFrame, layout: str, *order_cols: str) -> DataFrame:
     )
 
 
+def _month_spine(o: DataFrame) -> DataFrame:
+    """The distinct calendar months present as [m0, m1] intervals —
+    the calendar-bounded (~84-row) broadcast spine every zone-map
+    workload in this family joins against."""
+    return (
+        o.select(F.trunc("od", "month").alias("m0")).distinct()
+        .select("m0", F.last_day("m0").alias("m1"))
+    )
+
+
+def _two_dim_blocks(
+    keyed: DataFrame, order_cols: list[str], layout: str
+) -> DataFrame:
+    """Per-block (512 rows) min/max for BOTH zone-map dimensions
+    (order date, custkey residue) under an exact global rank — the
+    q415/q419 block-stats builder. Only the rank keys plus (od, c)
+    ride the range exchange: callers project before ranking so dead
+    columns (e.g. the Z key for non-Z layouts) never shuffle."""
+    from pipeline_usnvc_spark.operators.rank import with_global_rank
+
+    ranked = with_global_rank(
+        keyed.select(*dict.fromkeys([*order_cols, "od", "c"])),
+        *order_cols,
+        rank_col="r",
+    )
+    return (
+        ranked.select(
+            F.expr(f"(r - 1) div {_BLOCK_ROWS}").alias("blk"), "od", "c"
+        )
+        .groupBy("blk")
+        .agg(
+            F.min("od").alias("mn_d"),
+            F.max("od").alias("mx_d"),
+            F.min("c").alias("mn_c"),
+            F.max("c").alias("mx_c"),
+        )
+        .withColumn("layout", F.lit(layout))
+    )
+
+
 # ---------------------------------------------------------------------------
 # q411 — zone-map skipping audit: fraction of 512-row blocks a
 # min/max zone map lets a one-month range predicate skip, under the
@@ -251,10 +291,7 @@ def q411_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         _order_blocks(o, "clustered_by_date", "od", "o_orderkey")
     )
     # calendar-bounded month spine (~84 rows) — the one broadcast here
-    months = (
-        o.select(F.trunc("od", "month").alias("m0")).distinct()
-        .select("m0", F.last_day("m0").alias("m1"))
-    )
+    months = _month_spine(o)
     scans = (
         blocks.join(
             F.broadcast(months),
@@ -649,8 +686,6 @@ _Z_BITS = 12  # day index < 2600 and custkey residue < 4096 both fit
     """,
 )
 def q415_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pipeline_usnvc_spark.operators.rank import with_global_rank
-
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.to_date("o_orderdate").alias("od"),
@@ -662,32 +697,14 @@ def q415_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = o.withColumn(
         "z", F.expr(_z_expr("d", "c", _Z_BITS, duck=False)).cast("bigint")
     )
-
-    def blocks(order_cols: list[str], layout: str) -> DataFrame:
-        ranked = with_global_rank(keyed, *order_cols, rank_col="r")
-        return (
-            ranked.select(
-                F.expr(f"(r - 1) div {_BLOCK_ROWS}").alias("blk"), "od", "c"
-            )
-            .groupBy("blk")
-            .agg(
-                F.min("od").alias("mn_d"),
-                F.max("od").alias("mx_d"),
-                F.min("c").alias("mn_c"),
-                F.max("c").alias("mx_c"),
-            )
-            .withColumn("layout", F.lit(layout))
-        )
-
-    nb = blocks(["od", "o_orderkey"], "clustered_by_date").unionByName(
-        blocks(["z", "o_orderkey"], "zorder_date_custkey")
+    nb = _two_dim_blocks(
+        keyed, ["od", "o_orderkey"], "clustered_by_date"
+    ).unionByName(
+        _two_dim_blocks(keyed, ["z", "o_orderkey"], "zorder_date_custkey")
     )
     # calendar-bounded month spine + fixed 16-slice residue spine —
     # the only broadcasts here
-    months = (
-        o.select(F.trunc("od", "month").alias("m0")).distinct()
-        .select("m0", F.last_day("m0").alias("m1"))
-    )
+    months = _month_spine(o)
     cslices = spark.range(0, 16).select(
         (F.col("id") * 256).cast("bigint").alias("c0"),
         (F.col("id") * 256 + 255).cast("bigint").alias("c1"),
@@ -856,16 +873,24 @@ def q416_deletion_staleness_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         .otherwise(1)
         .alias("live_sct"),
     )
-    blocks = b.groupBy("blk").agg(
-        F.count("*").cast("bigint").alias("n_rows"),
-        F.min("od").alias("mn_s"),
-        F.max("od").alias("mx_s"),
-        F.sum("live_ttl").cast("bigint").alias("nl_ttl"),
-        F.min(F.when(F.col("live_ttl") == 1, F.col("od"))).alias("mn_ttl"),
-        F.max(F.when(F.col("live_ttl") == 1, F.col("od"))).alias("mx_ttl"),
-        F.sum("live_sct").cast("bigint").alias("nl_sct"),
-        F.min(F.when(F.col("live_sct") == 1, F.col("od"))).alias("mn_sct"),
-        F.max(F.when(F.col("live_sct") == 1, F.col("od"))).alias("mx_sct"),
+    from pipeline_usnvc_spark.operators.checkpoint import materialize
+
+    # materialized ONCE: three consumers below (the policy unpivot —
+    # read twice — and the stale scan) would each re-run the
+    # data-grain aggregate over the ranked frame otherwise; the
+    # checkpointed frame is block-grain (rows/512)
+    blocks = materialize(
+        b.groupBy("blk").agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("od").alias("mn_s"),
+            F.max("od").alias("mx_s"),
+            F.sum("live_ttl").cast("bigint").alias("nl_ttl"),
+            F.min(F.when(F.col("live_ttl") == 1, F.col("od"))).alias("mn_ttl"),
+            F.max(F.when(F.col("live_ttl") == 1, F.col("od"))).alias("mx_ttl"),
+            F.sum("live_sct").cast("bigint").alias("nl_sct"),
+            F.min(F.when(F.col("live_sct") == 1, F.col("od"))).alias("mn_sct"),
+            F.max(F.when(F.col("live_sct") == 1, F.col("od"))).alias("mx_sct"),
+        )
     )
     pol = blocks.select(
         "blk", "n_rows", "mn_s", "mx_s",
@@ -882,10 +907,7 @@ def q416_deletion_staleness_audit(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("mx_sct").alias("mx_f"),
         )
     )
-    months = (
-        o.select(F.trunc("od", "month").alias("m0")).distinct()
-        .select("m0", F.last_day("m0").alias("m1"))
-    )
+    months = _month_spine(o)
     stale = (
         blocks.join(
             F.broadcast(months),
@@ -1041,10 +1063,7 @@ def q417_manifest_cascade_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
         F.max("mx").alias("mx"),
         F.count("*").cast("bigint").alias("nb_in_file"),
     )
-    months = (
-        o.select(F.trunc("od", "month").alias("m0")).distinct()
-        .select("m0", F.last_day("m0").alias("m1"))
-    )
+    months = _month_spine(o)
     fscan = (
         nf.join(
             F.broadcast(months),
@@ -1349,46 +1368,37 @@ _ADVISOR_W_SLICE = 1
     """,
 )
 def q419_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pipeline_usnvc_spark.operators.rank import with_global_rank
-
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.to_date("o_orderdate").alias("od"),
-        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date"))
-        .cast("bigint")
-        .alias("d"),
         (F.col("o_custkey") % 4096).cast("bigint").alias("c"),
     )
-    keyed = o.withColumn(
+    # the Z key exists ONLY on the Z-ordered candidate's branch — the
+    # other three layouts never compute or shuffle it (its 24-term
+    # interleave is per-row work and 8 bytes/row through the range
+    # exchange); _two_dim_blocks projects each branch to its own rank
+    # keys + (od, c) before ranking
+    zkeyed = o.withColumn(
+        "d",
+        F.datediff(F.col("od"), F.lit("1992-01-01").cast("date")).cast(
+            "bigint"
+        ),
+    ).withColumn(
         "z", F.expr(_z_expr("d", "c", _Z_BITS, duck=False)).cast("bigint")
     )
-
-    def blocks(order_cols: list[str], layout: str) -> DataFrame:
-        ranked = with_global_rank(keyed, *order_cols, rank_col="r")
-        return (
-            ranked.select(
-                F.expr(f"(r - 1) div {_BLOCK_ROWS}").alias("blk"), "od", "c"
-            )
-            .groupBy("blk")
-            .agg(
-                F.min("od").alias("mn_d"),
-                F.max("od").alias("mx_d"),
-                F.min("c").alias("mn_c"),
-                F.max("c").alias("mx_c"),
-            )
-            .withColumn("layout", F.lit(layout))
-        )
-
     nb = (
-        blocks(["o_orderkey"], "natural_orderkey")
-        .unionByName(blocks(["od", "o_orderkey"], "clustered_by_date"))
-        .unionByName(blocks(["c", "o_orderkey"], "clustered_by_custkey"))
-        .unionByName(blocks(["z", "o_orderkey"], "zorder_date_custkey"))
+        _two_dim_blocks(o, ["o_orderkey"], "natural_orderkey")
+        .unionByName(
+            _two_dim_blocks(o, ["od", "o_orderkey"], "clustered_by_date")
+        )
+        .unionByName(
+            _two_dim_blocks(o, ["c", "o_orderkey"], "clustered_by_custkey")
+        )
+        .unionByName(
+            _two_dim_blocks(zkeyed, ["z", "o_orderkey"], "zorder_date_custkey")
+        )
     )
-    months = (
-        o.select(F.trunc("od", "month").alias("m0")).distinct()
-        .select("m0", F.last_day("m0").alias("m1"))
-    )
+    months = _month_spine(o)
     cslices = spark.range(0, 16).select(
         (F.col("id") * 256).cast("bigint").alias("c0"),
         (F.col("id") * 256 + 255).cast("bigint").alias("c1"),

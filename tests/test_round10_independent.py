@@ -18,6 +18,11 @@ from pipeline_usnvc_spark.plans import QUERIES
 SF = "/root/testdata/sf0.001"
 
 
+def _month_end(d: dt.date) -> dt.date:
+    nxt = dt.date(d.year + (d.month == 12), d.month % 12 + 1, 1)
+    return nxt - dt.timedelta(days=1)
+
+
 @pytest.fixture(scope="module")
 def con():
     c = duckdb.connect()
@@ -115,10 +120,6 @@ def test_zonemap_skipping(spark, con):
     rows = con.execute("SELECT o_orderkey, CAST(o_orderdate AS DATE) FROM orders").fetchall()
     dates = [(int(k), d) for k, d in rows]
 
-    def month_end(d: dt.date) -> dt.date:
-        nxt = dt.date(d.year + (d.month == 12), d.month % 12 + 1, 1)
-        return nxt - dt.timedelta(days=1)
-
     months = sorted({dt.date(d.year, d.month, 1) for _, d in dates})
 
     def audit(ordered: list[dt.date]) -> tuple[int, int]:
@@ -129,7 +130,7 @@ def test_zonemap_skipping(spark, con):
         for blk in blocks:
             mn, mx = min(blk), max(blk)
             for m0 in months:
-                if mn <= month_end(m0) and mx >= m0:
+                if mn <= _month_end(m0) and mx >= m0:
                     scanned += 1
         return len(blocks), scanned
 
@@ -295,10 +296,6 @@ def test_zorder_skipping(spark, con):
     ]
     months = sorted({dt.date(od.year, od.month, 1) for _, od, _, _ in recs})
 
-    def month_end(m: dt.date) -> dt.date:
-        nxt = dt.date(m.year + (m.month == 12), m.month % 12 + 1, 1)
-        return nxt - dt.timedelta(days=1)
-
     def audit(ordered):
         blocks = [ordered[i : i + 512] for i in range(0, len(ordered), 512)]
         m_scan = s_scan = 0
@@ -307,7 +304,7 @@ def test_zorder_skipping(spark, con):
             cs = [c for _, c in blk]
             mn_d, mx_d, mn_c, mx_c = min(ods), max(ods), min(cs), max(cs)
             for m0 in months:
-                if mn_d <= month_end(m0) and mx_d >= m0:
+                if mn_d <= _month_end(m0) and mx_d >= m0:
                     m_scan += 1
             for k in range(16):
                 if mn_c <= k * 256 + 255 and mx_c >= k * 256:
@@ -356,14 +353,10 @@ def test_deletion_staleness_audit(spark, con):
     data = sorted(((d, int(k)) for k, d in rows))
     blocks = [data[i : i + 512] for i in range(0, len(data), 512)]
 
-    def month_end(d: dt.date) -> dt.date:
-        nxt = dt.date(d.year + (d.month == 12), d.month % 12 + 1, 1)
-        return nxt - dt.timedelta(days=1)
-
     months = sorted({dt.date(d.year, d.month, 1) for d, _ in data})
 
     def overlaps(mn: dt.date, mx: dt.date) -> int:
-        return sum(1 for m0 in months if mn <= month_end(m0) and mx >= m0)
+        return sum(1 for m0 in months if mn <= _month_end(m0) and mx >= m0)
 
     cutoff = dt.date(1997, 1, 1)
     policies = {
@@ -418,10 +411,6 @@ def test_manifest_cascade_pruning(spark, con):
     ).fetchall()
     dates = [(int(k), d) for k, d in rows]
 
-    def month_end(d: dt.date) -> dt.date:
-        nxt = dt.date(d.year + (d.month == 12), d.month % 12 + 1, 1)
-        return nxt - dt.timedelta(days=1)
-
     months = sorted({dt.date(d.year, d.month, 1) for _, d in dates})
 
     def audit(ordered):
@@ -432,13 +421,13 @@ def test_manifest_cascade_pruning(spark, con):
             f_mn = min(min(b) for b in fil)
             f_mx = max(max(b) for b in fil)
             for m0 in months:
-                if f_mn <= month_end(m0) and f_mx >= m0:
+                if f_mn <= _month_end(m0) and f_mx >= m0:
                     f_scan += 1
                     cascade_entries += len(fil)
         for blk in blocks:
             mn, mx = min(blk), max(blk)
             for m0 in months:
-                if mn <= month_end(m0) and mx >= m0:
+                if mn <= _month_end(m0) and mx >= m0:
                     b_scan += 1
         return len(files), len(blocks), f_scan, b_scan, cascade_entries
 
@@ -549,10 +538,6 @@ def test_layout_advisor(spark, con):
     ]
     months = sorted({dt.date(od.year, od.month, 1) for _, od, _, _ in recs})
 
-    def month_end(m: dt.date) -> dt.date:
-        nxt = dt.date(m.year + (m.month == 12), m.month % 12 + 1, 1)
-        return nxt - dt.timedelta(days=1)
-
     layouts = {
         "natural_orderkey": sorted(recs, key=lambda r: r[0]),
         "clustered_by_date": sorted(recs, key=lambda r: (r[1], r[0])),
@@ -569,7 +554,7 @@ def test_layout_advisor(spark, con):
             cs = [c for _, c in blk]
             mn_d, mx_d, mn_c, mx_c = min(ods), max(ods), min(cs), max(cs)
             m_scan += sum(
-                1 for m0 in months if mn_d <= month_end(m0) and mx_d >= m0
+                1 for m0 in months if mn_d <= _month_end(m0) and mx_d >= m0
             )
             s_scan += sum(
                 1
