@@ -289,3 +289,61 @@ def label_propagation(
         .otherwise(F.lit("unreached"))
         .alias("origin"),
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 200,
+) -> DataFrame:
+    """(node, core_degree) for the k-core of the undirected simple
+    graph: the unique maximal subgraph in which every node has degree
+    >= k, computed by standard iterative peeling (drop all nodes of
+    degree < k, recompute, repeat to fixed point).
+
+    Distributed shape: each round is ONE degree aggregate over the
+    surviving symmetrized edge set plus TWO semi-joins filtering both
+    endpoints against the keep set — the same bounded-round
+    join+agg+checkpoint loop as connected_components. Peeling removes
+    at least one node per non-final round, so rounds <= peeled nodes
+    (real graphs converge in a handful; a path graph peels from both
+    ends and needs ~n/2 rounds for k=2 — the adversarial worst case
+    is tested). The convergence probe is a one-row scalar count per
+    round. ``max_rounds`` is a fail-fast guard, not a truncation: if
+    the loop exits without converging, a ValueError names the bound
+    (silent truncation would return a superset of the k-core).
+
+    May return an EMPTY frame (graphs with no k-core, e.g. trees for
+    k >= 2) — callers/contracts must tolerate zero rows.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v")).filter(
+                F.col("u") != F.col("v")
+            )
+        )
+        .distinct()
+        .transform(materialize)
+    )
+    for _ in range(max_rounds):
+        deg = sym.groupBy("u").agg(F.count("*").alias("d"))
+        # bounded: one-row scalar convergence probe per round
+        n_low = deg.filter(F.col("d") < k).limit(1).count()
+        if n_low == 0:
+            return deg.select("u", "d").select(
+                F.col("u").alias("node"), F.col("d").alias("core_degree")
+            )
+        keep = deg.filter(F.col("d") >= k).select("u")
+        sym = (
+            sym.join(keep, "u", "left_semi")
+            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+            .transform(materialize)
+        )
+    raise ValueError(
+        f"k_core did not converge within max_rounds={max_rounds}; "
+        "raise the bound for pathological long-chain graphs"
+    )

@@ -98,6 +98,27 @@ def cap_items_per_key(op, key: str, item: str, max_items: int):
     )
 
 
+def supported_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The support-filtered co-purchase graph shared by the graph family (q97
+    triangles, q420 k-core): undirected (pa < pb) part pairs
+    appearing in >= 2 common orders, with the per-order basket capped
+    (cap_items_per_key) so the pair join stays bounded."""
+    op = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    op = cap_items_per_key(op, "l_orderkey", "l_partkey", _BFS_MAX_ITEMS_PER_KEY)
+    a, b = op.alias("a"), op.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count("*").alias("_support"))
+        .filter(F.col("_support") >= 2)
+        .select("pa", "pb")
+    )
+
+
 # ---------------------------------------------------------------------------
 # q97 — triangle counting on the co-purchase graph (parts appearing in
 # the same order ≥2 times). The support filter is the real-world guard
@@ -133,20 +154,7 @@ def cap_items_per_key(op, key: str, item: str, max_items: int):
     """,
 )
 def q97_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    op = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    op = cap_items_per_key(op, "l_orderkey", "l_partkey", _BFS_MAX_ITEMS_PER_KEY)
-    a, b = op.alias("a"), op.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
-        .agg(F.count("*").alias("_support"))
-        .filter(F.col("_support") >= 2)
-        .select("pa", "pb")
-    )
+    edges = supported_copurchase_edges(spark, sf_dir)
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.pb") == F.col("e2.pa"))

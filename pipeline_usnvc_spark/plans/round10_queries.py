@@ -1463,3 +1463,80 @@ def q419_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout")
     )
+
+
+_KCORE_K = 2
+
+
+# ---------------------------------------------------------------------------
+# q420 — k-core decomposition (rows-only: iterative fixed point) of
+# q97's support-filtered co-purchase graph: the unique maximal
+# subgraph where every part keeps >= 2 repeat co-purchase partners.
+# k=2 is the measured sweet spot across SFs — the graph thins
+# quadratically as the part domain grows (all 200 parts survive at
+# sf0.001; peeling runs 4 rounds to 1535 of 1880 at sf0.01; 6 rounds
+# down to exactly ONE surviving triangle at sf0.1 — q97's densest
+# structure), while k=3 is genuinely EMPTY at sf0.1 and the
+# unfiltered graph is near-regular (nothing peels below k~56). The
+# k-core is the standard
+# graph-densification / community-seed primitive the graph family
+# still lacked (alongside CC, PageRank, label propagation, triangles,
+# Markov absorption). Iterative peeling via operators/graph.k_core
+# (one degree aggregate + two semi-joins per round, checkpointed,
+# fail-fast round guard). The result is certified by its own DEFINING
+# fixed-point property as an EXECUTED in-plan contract (the q374
+# pattern): each surviving node's degree, recomputed independently
+# from the ORIGINAL edge set restricted to the survivor set, must
+# equal the reported core_degree and be >= k. A missing/phantom
+# survivor or any degree divergence exists as an audit row the
+# contract evaluates on. The independent pytest recompute
+# (test_kcore_decomposition) peels in pure Python and pins set
+# equality — including MAXIMALITY, which the fixed-point contract
+# alone cannot see (a strict subgraph of the k-core can also satisfy
+# degree >= k).
+# ---------------------------------------------------------------------------
+@query("q420_kcore_decomposition")
+def q420_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.contracts import contract_filter
+    from pipeline_usnvc_spark.operators.graph import k_core
+    from pipeline_usnvc_spark.plans.analytics_queries import (
+        supported_copurchase_edges,
+    )
+
+    edges = supported_copurchase_edges(spark, sf_dir)
+    core = k_core(edges, _KCORE_K, src="pa", dst="pb")
+    # independent fixed-point recompute: symmetrize the ORIGINAL edge
+    # set, restrict both endpoints to the survivor set, recount
+    surv = core.select(F.col("node").alias("u"))
+    sym = edges.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionByName(
+        edges.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+    ).distinct()
+    indep = (
+        sym.join(surv, "u", "left_semi")
+        .join(surv.withColumnRenamed("u", "v"), "v", "left_semi")
+        .groupBy("u")
+        .agg(F.count("*").cast("bigint").alias("d_indep"))
+    )
+    audit = core.join(indep, core["node"] == indep["u"], "full_outer")
+    ok = (
+        F.col("node").isNotNull()
+        & F.col("u").isNotNull()
+        & (F.col("core_degree") == F.col("d_indep"))
+        & (F.col("d_indep") >= F.lit(_KCORE_K))
+    )
+    return (
+        contract_filter(
+            audit,
+            ok,
+            F.concat(
+                F.lit("k-core fixed-point violation at node "),
+                F.coalesce(F.col("node"), F.col("u")).cast("string"),
+            ),
+        )
+        .select(
+            "node",
+            F.col("core_degree").cast("bigint").alias("core_degree"),
+            F.lit(_KCORE_K).cast("bigint").alias("k"),
+        )
+        .orderBy("node")
+    )

@@ -26,7 +26,7 @@ def _month_end(d: dt.date) -> dt.date:
 @pytest.fixture(scope="module")
 def con():
     c = duckdb.connect()
-    for t in ("events", "orders", "documents"):
+    for t in ("events", "orders", "documents", "lineitem"):
         c.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
@@ -580,3 +580,96 @@ def test_layout_advisor(spark, con):
         assert r["weighted_cost"] == cost / 1e6
         assert r["recommended"] == (layout == best)
     assert sum(1 for r in got.values() if r["recommended"]) == 1
+
+
+def test_kcore_decomposition(spark, con):
+    """Peel the co-purchase graph in pure Python — rebuild q97's
+    support-filtered edge set from raw lineitem rows, then repeatedly
+    remove nodes of degree < 2 with a plain dict — and pin SET
+    EQUALITY with q420's survivors plus per-node degrees. Set
+    equality checks MAXIMALITY, which q420's in-plan fixed-point
+    contract alone cannot (any strict sub-core also satisfies
+    degree >= k)."""
+    rows = con.execute(
+        "SELECT DISTINCT l_orderkey, l_partkey FROM lineitem"
+    ).fetchall()
+    baskets: dict[int, list[int]] = {}
+    for ok_, pk in rows:
+        baskets.setdefault(int(ok_), []).append(int(pk))
+    from collections import Counter
+
+    support: Counter = Counter()
+    for items in baskets.values():
+        items = sorted(items)[:32]  # cap_items_per_key, lowest ids win
+        for i, a in enumerate(items):
+            for b in items[i + 1 :]:
+                support[(a, b)] += 1
+    adj: dict[int, set[int]] = {}
+    for (a, b), s in support.items():
+        if s >= 2:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    k = 2
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, nb in adj.items() if len(nb) < k]:
+            for m in adj.pop(n):
+                adj[m].discard(n)
+            changed = True
+    got = {
+        r["node"]: r["core_degree"]
+        for r in QUERIES["q420_kcore_decomposition"](spark, SF).collect()
+    }
+    want = {n: len(nb) for n, nb in adj.items()}
+    assert got == want
+    assert all(d >= k for d in got.values())
+
+
+def test_kcore_operator_edge_cases(spark):
+    """The operator itself on adversarial shapes: a path graph has an
+    EMPTY 2-core and peels one layer per round (the slow-convergence
+    worst case — also proves the empty result is returned, not an
+    error); a pendant vertex on two fused triangles is peeled while
+    the triangles survive; an insufficient max_rounds fails FAST with
+    a ValueError instead of silently returning a superset."""
+    import pytest as _pytest
+
+    from pipeline_usnvc_spark.operators.graph import k_core
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "src int, dst int"
+    )
+    assert k_core(path, 2).count() == 0
+    tri2 = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 3), (5, 99)],
+        "src int, dst int",
+    )
+    rows = {r["node"]: r["core_degree"] for r in k_core(tri2, 2).collect()}
+    assert rows == {1: 2, 2: 2, 3: 4, 4: 2, 5: 2}
+    with _pytest.raises(ValueError, match="max_rounds"):
+        k_core(path, 2, max_rounds=2)
+
+
+def test_kcore_contract_fires_on_corruption(spark, monkeypatch):
+    """q420's executed fixed-point contract must TRIP when the core
+    result is corrupted — a phantom node (never in the graph) and a
+    degree-inflated survivor both violate the independent recompute
+    audit."""
+    from pyspark.sql import functions as F
+
+    import pipeline_usnvc_spark.operators.graph as graph_mod
+    from pipeline_usnvc_spark.plans import QUERIES
+
+    real = graph_mod.k_core
+
+    def corrupted(edges, k, **kw):
+        good = real(edges, k, **kw)
+        phantom = good.sparkSession.createDataFrame(
+            [(-12345, 99)], "node long, core_degree long"
+        )
+        return good.unionByName(phantom)
+
+    monkeypatch.setattr(graph_mod, "k_core", corrupted)
+    with pytest.raises(Exception, match="fixed-point violation"):
+        QUERIES["q420_kcore_decomposition"](spark, SF).collect()
