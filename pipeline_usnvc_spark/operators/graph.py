@@ -303,17 +303,21 @@ def k_core(
     >= k, computed by standard iterative peeling (drop all nodes of
     degree < k, recompute, repeat to fixed point).
 
-    Distributed shape: each round is ONE degree aggregate over the
-    surviving symmetrized edge set plus TWO semi-joins filtering both
-    endpoints against the keep set — the same bounded-round
-    join+agg+checkpoint loop as connected_components. Peeling removes
-    at least one node per non-final round, so rounds <= peeled nodes
-    (real graphs converge in a handful; a path graph peels from both
-    ends and needs ~n/2 rounds for k=2 — the adversarial worst case
-    is tested). The convergence probe is a one-row scalar count per
-    round. ``max_rounds`` is a fail-fast guard, not a truncation: if
-    the loop exits without converging, a ValueError names the bound
-    (silent truncation would return a superset of the k-core).
+    Distributed shape: each round is ONE degree aggregate
+    (checkpointed — the convergence probe, the keep semi-joins and
+    the final return all reuse it) over the surviving symmetrized
+    edge set plus TWO semi-joins filtering both endpoints against the
+    keep set — the same bounded-round join+agg+checkpoint loop as
+    connected_components. Peeling removes at least one node per
+    non-final round, so PEELING rounds <= peeled nodes (real graphs
+    converge in a handful; a path graph peels from both ends and
+    needs ~n/2 rounds for k=2 — the adversarial worst case is
+    tested). ``max_rounds`` bounds the PEELING rounds; one extra
+    observing pass runs after the last allowed peel, so a graph that
+    converges exactly at the bound still returns its answer. The
+    guard is fail-fast, not a truncation: exceeding it raises a
+    ValueError (silent truncation would return a superset of the
+    k-core).
 
     May return an EMPTY frame (graphs with no k-core, e.g. trees for
     k >= 2) — callers/contracts must tolerate zero rows.
@@ -329,12 +333,13 @@ def k_core(
         .distinct()
         .transform(materialize)
     )
-    for _ in range(max_rounds):
-        deg = sym.groupBy("u").agg(F.count("*").alias("d"))
+    for _ in range(max_rounds + 1):
+        # checkpointed: three consumers (probe, keep filter, return)
+        deg = materialize(sym.groupBy("u").agg(F.count("*").alias("d")))
         # bounded: one-row scalar convergence probe per round
         n_low = deg.filter(F.col("d") < k).limit(1).count()
         if n_low == 0:
-            return deg.select("u", "d").select(
+            return deg.select(
                 F.col("u").alias("node"), F.col("d").alias("core_degree")
             )
         keep = deg.filter(F.col("d") >= k).select("u")

@@ -1503,14 +1503,23 @@ def q420_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         supported_copurchase_edges,
     )
 
-    edges = supported_copurchase_edges(spark, sf_dir)
+    from pipeline_usnvc_spark.operators.checkpoint import materialize
+
+    # materialized ONCE: the quadratic lineitem pair join feeds both
+    # the peeling loop and the contract's independent recompute below
+    edges = materialize(supported_copurchase_edges(spark, sf_dir))
     core = k_core(edges, _KCORE_K, src="pa", dst="pb")
     # independent fixed-point recompute: symmetrize the ORIGINAL edge
-    # set, restrict both endpoints to the survivor set, recount
+    # set (dropping self-loops exactly as k_core does — none exist on
+    # this pa < pb graph, but the contract is the template for other
+    # callers), restrict both endpoints to the survivor set, recount
     surv = core.select(F.col("node").alias("u"))
-    sym = edges.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionByName(
-        edges.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
-    ).distinct()
+    sym = (
+        edges.select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        .unionByName(edges.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
     indep = (
         sym.join(surv, "u", "left_semi")
         .join(surv.withColumnRenamed("u", "v"), "v", "left_semi")

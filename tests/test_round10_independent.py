@@ -633,8 +633,6 @@ def test_kcore_operator_edge_cases(spark):
     error); a pendant vertex on two fused triangles is peeled while
     the triangles survive; an insufficient max_rounds fails FAST with
     a ValueError instead of silently returning a superset."""
-    import pytest as _pytest
-
     from pipeline_usnvc_spark.operators.graph import k_core
 
     path = spark.createDataFrame(
@@ -647,29 +645,40 @@ def test_kcore_operator_edge_cases(spark):
     )
     rows = {r["node"]: r["core_degree"] for r in k_core(tri2, 2).collect()}
     assert rows == {1: 2, 2: 2, 3: 4, 4: 2, 5: 2}
-    with _pytest.raises(ValueError, match="max_rounds"):
+    with pytest.raises(ValueError, match="max_rounds"):
         k_core(path, 2, max_rounds=2)
+    # exactly-at-the-bound convergence must SUCCEED: P10 with k=2
+    # peels one layer from each end per round (5 peeling rounds), and
+    # max_rounds bounds the peels, not the final observing pass
+    assert k_core(path, 2, max_rounds=5).count() == 0
 
 
 def test_kcore_contract_fires_on_corruption(spark, monkeypatch):
     """q420's executed fixed-point contract must TRIP when the core
-    result is corrupted — a phantom node (never in the graph) and a
-    degree-inflated survivor both violate the independent recompute
-    audit."""
+    result is corrupted — BOTH failure modes: a phantom node (never in
+    the graph — trips the existence branch) and a degree-inflated real
+    survivor (trips the core_degree == d_indep recount branch, which a
+    phantom alone never exercises)."""
     from pyspark.sql import functions as F
 
     import pipeline_usnvc_spark.operators.graph as graph_mod
-    from pipeline_usnvc_spark.plans import QUERIES
 
     real = graph_mod.k_core
 
-    def corrupted(edges, k, **kw):
+    def phantom_node(edges, k, **kw):
         good = real(edges, k, **kw)
-        phantom = good.sparkSession.createDataFrame(
+        extra = good.sparkSession.createDataFrame(
             [(-12345, 99)], "node long, core_degree long"
         )
-        return good.unionByName(phantom)
+        return good.unionByName(extra)
 
-    monkeypatch.setattr(graph_mod, "k_core", corrupted)
-    with pytest.raises(Exception, match="fixed-point violation"):
-        QUERIES["q420_kcore_decomposition"](spark, SF).collect()
+    def inflated_degree(edges, k, **kw):
+        return real(edges, k, **kw).withColumn(
+            "core_degree", F.col("core_degree") + 1
+        )
+
+    for corrupted in (phantom_node, inflated_degree):
+        monkeypatch.setattr(graph_mod, "k_core", corrupted)
+        with pytest.raises(Exception, match="fixed-point violation"):
+            QUERIES["q420_kcore_decomposition"](spark, SF).collect()
+    monkeypatch.setattr(graph_mod, "k_core", real)
