@@ -294,6 +294,18 @@ _ROUND = 10
 _R10_HEAD: tuple[str, ...] = (
     "q405_banded_kendall_tau",
     "q406_permutation_shapley",
+    # late-round-10 review closures on round-1 queries — re-pinned for
+    # fresh driver rows: q111's share column moved off round(double, 9)
+    # onto the exact nano integer division (schema + values changed);
+    # q05's n_orders is ANSI-mode-robust; q06's ORACLE gained the
+    # nullif that its Spark side always had (the E6 fallback path no
+    # longer crashes DuckDB on k-less props); q10 lost star_join's
+    # forced broadcast of the SF-scaling part/supplier dims (planner
+    # decides now).
+    "q111_global_share",
+    "q05_nest_orders_per_customer",
+    "q06_conditional_extract",
+    "q10_star_join",
 )
 
 

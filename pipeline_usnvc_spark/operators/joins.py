@@ -25,6 +25,10 @@ def decode_dimension(
 ) -> DataFrame:
     """Join a fact to a code/dimension table, broadcasting the dim.
 
+    CONTRACT: ``dim`` must be a genuinely bounded code/description
+    table (the reference's tiny d_* dimensions, nation/region) — never
+    an SF-scaling table; use star_join (no hint) for those.
+
     ``rename`` pre-renames dim columns (the reference's
     ``D_CLASSIF_CONFIDENCE_ID`` → ``classif_confidence_id`` step,
     usnvc.py:115-116). When ``dim_key`` differs from ``fact_key`` the
@@ -46,8 +50,17 @@ def star_join(
     dims: list[tuple[DataFrame, str]],
     how: str = "inner",
 ) -> DataFrame:
-    """Chain of broadcast dimension joins (reference J4-J9 pattern)."""
+    """Chain of dimension equi-joins (reference J4-J9 pattern).
+
+    No forced broadcast hint: star_join's callers pass SF-SCALING
+    tables (q10 joins part and supplier), and a hard F.broadcast on a
+    table that grows with the data is a driver OOM at 100 TB — the
+    size-threshold/AQE planner broadcasts them at bench scale and
+    correctly refuses at cluster scale (the same rule the r09 sweep
+    applied to the TPC-H dim hints). decode_dimension keeps its hint
+    because its contract is genuinely bounded code tables.
+    """
     out = fact
     for dim, key in dims:
-        out = out.join(F.broadcast(dim), key, how)
+        out = out.join(dim, key, how)
     return out

@@ -140,7 +140,6 @@ def q53_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q57_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
     from pipeline_usnvc_spark.functions.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")

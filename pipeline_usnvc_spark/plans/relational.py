@@ -181,7 +181,13 @@ def q05_nest_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return nested.select(
         "c_custkey",
-        F.coalesce(F.size("order_structs"), F.lit(0)).cast("long").alias("n_orders"),
+        # robust to both ANSI modes: legacy size(NULL) = -1, so coalesce
+        # alone would leak -1 for order-less customers on an ANSI-off
+        # runtime — branch on the null explicitly
+        F.when(F.col("order_structs").isNull(), F.lit(0))
+        .otherwise(F.size("order_structs"))
+        .cast("long")
+        .alias("n_orders"),
         F.when(
             F.col("order_structs").isNotNull(),
             F.concat_ws(",", F.transform(F.col("order_structs"), lambda s: s["o_orderkey"].cast("string"))),
@@ -197,7 +203,7 @@ def q05_nest_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q06_conditional_extract",
     oracle="""
     SELECT event_id, event_type,
-           coalesce(CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS BIGINT), 0) AS k_value,
+           coalesce(CAST(nullif(regexp_extract(props, '"k": (-?[0-9]+)', 1), '') AS BIGINT), 0) AS k_value,
            CASE WHEN value IS NOT NULL AND value > 50 THEN CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) END AS big_value
     FROM events
     WHERE event_type IN ('click', 'purchase')
@@ -495,7 +501,11 @@ def q28_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     total AS (SELECT sum(rev) AS total_rev FROM per_part)
     SELECT p.l_partkey,
            CAST(p.rev AS DOUBLE) AS part_rev,
-           round(CAST(p.rev AS DOUBLE) / CAST(t.total_rev AS DOUBLE), 9) AS share
+           CAST((CAST(p.rev * 10000 AS HUGEINT) * 1000000000)
+                // CAST(t.total_rev * 10000 AS HUGEINT) AS BIGINT) AS share_nano,
+           CAST((CAST(p.rev * 10000 AS HUGEINT) * 1000000000)
+                // CAST(t.total_rev * 10000 AS HUGEINT) AS BIGINT) / 1000000000.0
+               AS share
     FROM per_part p CROSS JOIN total t
     WHERE CAST(p.rev AS DOUBLE) > 0.001 * CAST(t.total_rev AS DOUBLE)
     """,
@@ -513,6 +523,20 @@ def q111_global_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_partkey",
             F.col("rev").cast("double").alias("part_rev"),
-            F.round(F.col("rev").cast("double") / F.col("total_rev").cast("double"), 9).alias("share"),
+            # exact-integer share: revenues have exact scale 4, so
+            # rev*10000 is integral; nano-share by integer division —
+            # round(double, 9) is NOT engine-identical on half-boundary
+            # doubles (quantize-first rule)
+            F.expr(
+                "CAST((CAST(rev * 10000 AS DECIMAL(38,0)) * 1000000000)"
+                " div CAST(total_rev * 10000 AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("share_nano"),
+            (
+                F.expr(
+                    "CAST((CAST(rev * 10000 AS DECIMAL(38,0)) * 1000000000)"
+                    " div CAST(total_rev * 10000 AS DECIMAL(38,0)) AS BIGINT)"
+                )
+                / F.lit(1000000000.0)
+            ).alias("share"),
         )
     )

@@ -1110,46 +1110,6 @@ def q215_supplier_exclusion_count(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
-# q216 — TPC-H Q6: the forecasting-revenue-change scan. With
-# q213/q214/q215 this completes all 22 classic TPC-H shapes. Trivial
-# relationally but the canonical PUSHDOWN benchmark: no join, no
-# window — the whole query is one parquet scan whose three predicates
-# must reach the reader (PushedFilters) and whose ReadSchema must be
-# exactly the four referenced columns, then a map-side-combined
-# 1-row decimal sum. At 100 TB this is the difference between
-# scanning 4 columns of the pruned date range and scanning the table.
-# ---------------------------------------------------------------------------
-@query(
-    "q216_forecast_revenue_change",
-    oracle="""
-    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
-           count(*) AS n_lines
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
-      AND l_discount BETWEEN 0.05 AND 0.07
-      AND l_quantity < 24
-    """,
-)
-def q216_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
-            & F.col("l_discount").between(0.05, 0.07)
-            & (F.col("l_quantity") < 24)
-        )
-        .agg(
-            (F.sum(_dec("l_extendedprice") * _dec("l_discount")))
-            .cast("double")
-            .alias("revenue"),
-            F.count("*").alias("n_lines"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
 # q234 — shipping SLA report: per order priority, the share of line
 # items shipped within 365 days of order date, plus p90 ship lag
 # (exact integer-day quantile via the rank method — no
@@ -1579,8 +1539,6 @@ def q309_inventory_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q262_leadtime_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     gaps = (

@@ -275,3 +275,27 @@ def test_q234_p90_never_null(spark, sf_dir):
     pdf = QUERIES["q234_shipping_sla"](spark, sf_dir).toPandas()
     assert len(pdf) > 0
     assert pdf["p90_lag_days"].notna().all()
+
+
+def test_q06_oracle_survives_unparseable_props():
+    """Round-10 review: the q06 ORACLE used a bare CAST on
+    regexp_extract output, so DuckDB hard-errored (CAST('' AS BIGINT))
+    on exactly the unparseable-props case the E6 fallback exists for —
+    an untestable-by-parity bug because the shipped data always
+    carries '"k": N'. Pin the fixed oracle against a k-less fixture."""
+    import duckdb
+
+    from pipeline_usnvc_spark.plans import ORACLES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS "
+        "SELECT 1::BIGINT AS event_id, 'click' AS event_type, "
+        "10.0 AS \"value\", '{}' AS props "
+        "UNION ALL SELECT 2, 'purchase', 60.0, '{\"k\": 7}'"
+    )
+    rows = {
+        r[0]: r[2]
+        for r in con.execute(ORACLES["q06_conditional_extract"]).fetchall()
+    }
+    assert rows == {1: 0, 2: 7}

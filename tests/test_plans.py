@@ -911,6 +911,24 @@ _BROADCAST_ALLOWLIST = {
 }
 
 
+# Non-plans packages (operators/streaming/usnvc/...): every
+# F.broadcast target outside plans/ — reviewed bounded by construction
+# or by documented contract. star_join deliberately has NO entry: its
+# callers pass SF-scaling tables and the hint was removed (round-10
+# review); decode_dimension's `dim` is contract-bound to tiny code
+# tables (its docstring states it).
+_PKG_BROADCAST_ALLOWLIST: dict[str, set[str]] = {
+    "timeseries.py": {"bounds"},  # scalar min/max aggregate
+    "skyline.py": {"carry"},  # #partitions-row carry frame
+    "rank.py": {"offsets"},  # #partitions-row offsets table
+    "layout.py": {"total"},  # scalar aggregate
+    "joins.py": {"dim"},  # decode_dimension contract: bounded code dims only
+    "similarity.py": {"q", "q_tables"},  # query-grain eval frames (documented)
+    "pipeline.py": {"users", "ref_counts", "totals"},  # reference dim / bin lattice / event_type grain
+    "ingest.py": {"conf", "t"},  # USNVC d_* code tables (reference-bounded)
+}
+
+
 def test_broadcast_targets_are_bounded_frames():
     """VERDICT r07 items 2/4 + r08 item 2: q369 once broadcast the
     full vocab-grain (source x term) count frame — a driver OOM at
@@ -937,10 +955,28 @@ def test_broadcast_targets_are_bounded_frames():
         extra = targets - allowed
         if extra:
             problems.append(f"{p.name}: {sorted(extra)}")
+    # The q10 lesson (round-10 review): a hint smuggled through an
+    # operators/ helper evades a plans-only sweep — walk the whole
+    # package, not just plans/.
+    pkg_dir = plans_dir.parent
+    for p in sorted(pkg_dir.rglob("*.py")):
+        if p.parent == plans_dir:
+            continue
+        src = p.read_text()
+        targets = {
+            m.group(1)
+            for m in re.finditer(
+                r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*|spark)", src
+            )
+        }
+        allowed = _PKG_BROADCAST_ALLOWLIST.get(p.name, set())
+        extra = targets - allowed
+        if extra:
+            problems.append(f"{p.relative_to(pkg_dir)}: {sorted(extra)}")
     assert not problems, (
         "unreviewed F.broadcast targets (verify each frame is bounded at "
         "100 TB — not data-grain or vocab-grain — then extend "
-        f"_BROADCAST_ALLOWLIST): {problems}"
+        f"_BROADCAST_ALLOWLIST / _PKG_BROADCAST_ALLOWLIST): {problems}"
     )
     # The specific regressions: never broadcast the vocab-grain tc, and
     # never re-hint the SF-scaling TPC-H tables.
