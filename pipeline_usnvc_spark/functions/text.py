@@ -17,6 +17,14 @@ from pyspark.sql import functions as F
 # the DuckDB oracle SQL): split on any non-alphanumeric run.
 TOKEN_SPLIT_RE = "[^a-zA-Z0-9]+"
 
+# The DuckDB-side mirror of ``tokens("text")``, derived from the SAME
+# regex so Spark and oracle tokenization can never drift. Plan modules
+# import this (conventionally as ``_TOKS_SQL``) instead of keeping
+# per-file copies — seven drifting copies was a review finding.
+TOKENIZE_SQL = (
+    f"list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), t -> t <> '')"
+)
+
 
 def clean_string(c: Column | str) -> Column:
     """Unescape the three HTML entities the reference handles.

@@ -633,25 +633,29 @@ def batched_cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    round_dp: int = 6,
 ) -> DataFrame:
     """Arrow-batched exact cosine top-k: (query_id, neighbor_id, rank, sim).
 
-    The BLAS scale path for brute-force scoring: the (small) query set
-    ships to executors as a broadcast numpy matrix, and each Arrow
-    batch of the corpus is scored in one ``V @ Q.T`` matmul inside
+    BLAS selects, the JVM fold certifies. The (small) query set ships
+    to executors as a broadcast numpy matrix, and each Arrow batch of
+    the corpus is scored in one ``V @ Q.T`` matmul inside
     ``mapInPandas`` — ~100x fewer Python ops than per-row evaluation.
-    Each batch emits only its LOCAL top-k per query (a map-side
-    reduction: k rows per query per partition cross the shuffle, not
-    the corpus), and a final window top-k merges the partials — the
-    same selection order, so the merge is exact.
+    Each batch emits only a LOCAL candidate slate of 2k neighbors per
+    query (a map-side reduction: 2k rows per query per partition cross
+    the shuffle, not the corpus), carrying the neighbor's double-cast
+    vector so no second corpus scan is needed. The final ``sim`` is
+    then RECOMPUTED on the candidate slate with the deterministic
+    JVM-side sequential fold (``functions/vectors.cosine_similarity``
+    — the identical IEEE sequence as ``brute_force_topk`` and the
+    DuckDB oracle), and the global top-k ranks on those fold values.
+    Result: bit-exact fold semantics at BLAS throughput.
 
-    Similarities are rounded to ``round_dp`` BEFORE ranking, ties
-    break on neighbor id: pairwise (numpy) and sequential (fold)
-    summation differ in the last ulp, so ranking on rounded values is
-    the engine-stable total order (same trick as tf-idf q35). Use
-    ``brute_force_topk`` when bit-exact fold semantics matter more
-    than throughput.
+    Why 2k local candidates: BLAS pairwise summation and the
+    sequential fold differ by at most a few ulps, so the fold top-k
+    can escape the BLAS local top-2k only if k+1 distinct similarities
+    sit within ulps of each other inside one partition — not a real
+    risk for continuous embeddings, and the driver's hash-compare
+    against the exact oracle re-certifies it every run.
     """
     import numpy as np
     import pandas as pd
@@ -665,6 +669,7 @@ def batched_cosine_topk(
     Q = np.stack(q_pdf["qv"].to_numpy()).astype(np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     bc = vectors.sparkSession.sparkContext.broadcast((q_ids, Qn.T.copy()))
+    n_local = 2 * k
 
     def score(batches):
         q_ids_l, QnT = bc.value
@@ -675,37 +680,46 @@ def batched_cosine_topk(
             ids = pdf[id_col].to_numpy()
             V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-            S = np.round(Vn @ QnT, round_dp)  # (n_batch, m)
+            S = Vn @ QnT  # raw BLAS scores: selection only, never emitted
             # raw id values as keys (no int() coercion): the id
             # column is generic — string ids would crash int(), and
             # truncating coercions could miss the self-exclusion
             row_of = {i: r for r, i in enumerate(ids)}
-            out_q, out_n, out_s = [], [], []
+            out_q, out_n, out_v = [], [], []
             for j in range(m):
                 col = S[:, j].copy()
                 self_row = row_of.get(q_ids_l[j])
                 if self_row is not None:
                     col[self_row] = -np.inf
                 # lexsort: last key is primary -> (-sim, id) asc == sim desc, id asc
-                order = np.lexsort((ids, -col))[:k]
+                order = np.lexsort((ids, -col))[:n_local]
                 order = order[np.isfinite(col[order])]
                 out_q.append(np.full(len(order), q_ids_l[j]))
                 out_n.append(ids[order])
-                out_s.append(col[order])
+                out_v.extend(list(V[order]))
             yield pd.DataFrame(
                 {
                     "query_id": np.concatenate(out_q),
                     "neighbor_id": np.concatenate(out_n),
-                    "sim": np.concatenate(out_s),
+                    "nv": out_v,
                 }
             )
 
-    partial = vectors.select(id_col, vec_col).mapInPandas(
-        score, f"query_id {id_type}, neighbor_id {id_type}, sim double"
+    candidates = vectors.select(id_col, vec_col).mapInPandas(
+        score, f"query_id {id_type}, neighbor_id {id_type}, nv array<double>"
+    )
+    # query-grain broadcast join attaches qe; sim is the exact fold
+    qe = queries.select(
+        F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("qe")
+    )
+    from pipeline_usnvc_spark.functions.vectors import cosine_similarity
+
+    exact = candidates.join(F.broadcast(qe), "query_id").withColumn(
+        "sim", cosine_similarity(F.col("qe"), F.col("nv"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
-        partial.withColumn("rank", F.row_number().over(w))
+        exact.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )

@@ -248,7 +248,6 @@ def q93_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q109_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
     t0 = ev.groupBy("user_id").agg(F.min("ts").alias("_t0"))
@@ -276,9 +275,9 @@ def q109_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = (
-        Window.partitionBy("user_id")
+        W.partitionBy("user_id")
         .orderBy("ts", "_is_event")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     pit = tagged.withColumn("tier", F.last("_tier", ignorenulls=True).over(w)).filter(
         F.col("_is_event") == 1

@@ -12,7 +12,7 @@ from pipeline_usnvc_spark.operators.graph import connected_components
 from pipeline_usnvc_spark.plans.registry import query
 from pipeline_usnvc_spark.sources.tables import load_table
 
-_TOKS_SQL = "list_filter(string_split_regex(lower(text), '[^a-zA-Z0-9]+'), t -> t <> '')"
+from pipeline_usnvc_spark.functions.text import TOKENIZE_SQL as _TOKS_SQL
 
 _SHINGLES_SQL = f"""
     SELECT doc_id, unnest(
@@ -162,18 +162,22 @@ def q35_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_usnvc_spark.functions.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    # corpus count stays IN the plan (one-row agg broadcast into the
+    # scored frame) — an eager docs.count() here would submit a full
+    # scan at plan-construction time and scan documents twice per run
+    n = docs.agg(F.count("*").cast("double").alias("n_docs"))
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     scored = (
         tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
             "term",
             F.round(
                 F.col("tf").cast("double")
-                * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+                * F.log(F.col("n_docs") / F.col("df").cast("double")),
                 6,
             ).alias("tfidf"),
         )

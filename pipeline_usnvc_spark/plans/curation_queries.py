@@ -34,7 +34,7 @@ def _d38(c):
     statistics — the suite-wide DECIMAL(38,0) discipline)."""
     return c.cast("decimal(38,0)")
 
-_TOKS_SQL = "list_filter(string_split_regex(lower(text), '[^a-zA-Z0-9]+'), t -> t <> '')"
+from pipeline_usnvc_spark.functions.text import TOKENIZE_SQL as _TOKS_SQL
 
 _FP_SQL = f"md5(list_aggregate({_TOKS_SQL}, 'string_agg', ' '))"
 

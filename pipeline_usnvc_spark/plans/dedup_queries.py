@@ -20,7 +20,7 @@ from pipeline_usnvc_spark.operators.dedup import (
 from pipeline_usnvc_spark.plans.registry import query
 from pipeline_usnvc_spark.sources.tables import load_table
 
-_TOKS_SQL = "list_filter(string_split_regex(lower(text), '[^a-zA-Z0-9]+'), t -> t <> '')"
+from pipeline_usnvc_spark.functions.text import TOKENIZE_SQL as _TOKS_SQL
 
 # 3-gram word shingles, 1-indexed (mirrors functions.text.word_shingles)
 _SHINGLES_SQL = f"""

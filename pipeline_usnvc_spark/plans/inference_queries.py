@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from pipeline_usnvc_spark.plans.registry import query
 from pipeline_usnvc_spark.sources.tables import load_table
 
-_TOKS_SQL = "list_filter(string_split_regex(lower(text), '[^a-zA-Z0-9]+'), t -> t <> '')"
+from pipeline_usnvc_spark.functions.text import TOKENIZE_SQL as _TOKS_SQL
 
 
 def _d38(c):

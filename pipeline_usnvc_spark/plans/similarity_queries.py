@@ -212,8 +212,9 @@ def q64_multiprobe_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q65 — product-quantization top-k by asymmetric distance: corpus
-# encoded to m=4 sub-codes, queries score via per-subspace distance
-# tables (rows-only; recall vs exact L2 asserted in tests).
+# encoded to m=16 sub-codes of 4 dims each (pq_topk defaults), queries
+# score via per-subspace distance tables (rows-only; recall vs exact
+# L2 asserted in tests).
 # ---------------------------------------------------------------------------
 @query("q65_pq_topk")
 def q65_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -229,9 +230,11 @@ def q65_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q66 — Arrow-batched exact cosine top-k: the BLAS scale path for the
-# same answer as q60. Similarities round to 6 dp BEFORE ranking on
-# BOTH engines, so pairwise (numpy) vs sequential (fold) summation
-# order cannot perturb the order — exact oracle, no tolerance.
+# same answer as q60. BLAS only SELECTS (a padded 2k-per-partition
+# candidate slate); the emitted sim is recomputed with the JVM
+# sequential fold — the identical IEEE sequence as q60 and this
+# oracle — so the compare is bit-exact with no rounding grid to
+# straddle (numpy banker's-rounding vs DuckDB half-away never enters).
 # ---------------------------------------------------------------------------
 @query(
     "q66_cosine_topk_arrow",
@@ -242,7 +245,7 @@ def q65_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     q AS (SELECT vec_id AS query_id, ve AS qe FROM v WHERE vec_id % 100 = 0),
     scored AS (
-        SELECT q.query_id, v.vec_id AS neighbor_id, round({_COS}, 6) AS sim
+        SELECT q.query_id, v.vec_id AS neighbor_id, {_COS} AS sim
         FROM v CROSS JOIN q
         WHERE v.vec_id <> q.query_id
     )
@@ -283,9 +286,16 @@ def q132_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = kmeans_centroids(emb, k=8, iters=4)
-    assigned = emb.select(
-        "vec_id",
-        _nearest_centroid(to_double_array("embedding"), centroids).alias("cluster"),
+    from pipeline_usnvc_spark.operators.checkpoint import materialize
+
+    # assigned feeds BOTH k_used and the contract frame: materialize
+    # so the 8-centroid x 64-dim argmin fold runs once per row, not
+    # twice (the q420 shared-frame rule).
+    assigned = materialize(
+        emb.select(
+            "vec_id",
+            _nearest_centroid(to_double_array("embedding"), centroids).alias("cluster"),
+        )
     )
     # Non-degeneracy contract (VERDICT r03 item 4): assignments stay
     # in [0, k) and the clustering actually separates the corpus
@@ -414,6 +424,11 @@ def q164_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_hit_partners"),
     )
+    # per_vec feeds BOTH the audit join and the recall totals below;
+    # materialize so the LSH + exact pair sweep upstream runs once.
+    from pipeline_usnvc_spark.operators.checkpoint import materialize
+
+    per_vec = materialize(per_vec)
     audit = (
         emb.select("vec_id", "label")
         # per_vec is corpus-grain (every endpoint of every pair): no
@@ -427,15 +442,25 @@ def q164_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_hit_partners", F.lit(0)).cast("bigint").alias("n_hit_partners"),
         )
     )
-    w = Window.partitionBy(F.lit(1))
-    tot_exact = F.sum("n_exact_partners").over(w)
-    tot_hit = F.sum("n_hit_partners").over(w)
-    audit = audit.withColumn(
-        "pair_recall",
-        F.when(tot_exact == 0, F.lit(1.0)).otherwise(
-            tot_hit.cast("double") / tot_exact.cast("double")
-        ),
-    ).drop("n_hit_partners")
+    # recall totals as a ONE-ROW agg broadcast back over the corpus
+    # spine (the q132 k_used pattern) — a lit(1) window here would
+    # funnel the whole corpus-grain audit frame through one task.
+    # coalesce: an empty per_vec (no pairs at either threshold) must
+    # read as 0 totals -> recall 1.0, as the old spine-window did
+    totals = per_vec.agg(
+        F.coalesce(F.sum("n_exact_partners"), F.lit(0)).cast("bigint").alias("tot_exact"),
+        F.coalesce(F.sum("n_hit_partners"), F.lit(0)).cast("bigint").alias("tot_hit"),
+    )
+    audit = (
+        audit.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "pair_recall",
+            F.when(F.col("tot_exact") == 0, F.lit(1.0)).otherwise(
+                F.col("tot_hit").cast("double") / F.col("tot_exact").cast("double")
+            ),
+        )
+        .drop("n_hit_partners", "tot_exact", "tot_hit")
+    )
     return contract_filter(
         audit,
         F.col("pair_recall") >= 0.95,
@@ -456,8 +481,10 @@ def q164_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # everything after runs on a |labels|×|dims| table ≪ corpus, and the
 # pairwise step is a broadcast self-join of |labels| rows.
 # ---------------------------------------------------------------------------
-_CENT_DOT = "list_reduce(list_transform(range(1, 65), i -> a.ce[i] * b.ce[i]), (x, y) -> x + y)"
-_CENT_NORM = "sqrt(list_reduce(list_transform({v}, x -> x * x), (x, y) -> x + y))"
+# derived from the module's single fold definitions so the
+# IEEE-identical shape can never drift between q60/q61 and q169
+_CENT_DOT = _DOT.format(a="a.ce", b="b.ce")
+_CENT_NORM = _NORM
 
 
 @query(
@@ -747,8 +774,6 @@ def q186_filtered_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q195_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", to_double_array("embedding").alias("ve")
     )
@@ -834,8 +859,6 @@ def q195_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q196_dim_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     emb = load_table(spark, sf_dir, "embeddings")
     comps = emb.select(
         "vec_id", F.posexplode(to_double_array("embedding")).alias("pos", "x")

@@ -22,7 +22,7 @@ from pipeline_usnvc_spark.plans.registry import query
 from pipeline_usnvc_spark.sources.tables import load_table
 
 # Shared DuckDB fragment: identical tokenization to functions.text.tokens
-_TOKS_SQL = "list_filter(string_split_regex(lower(text), '[^a-zA-Z0-9]+'), t -> t <> '')"
+from pipeline_usnvc_spark.functions.text import TOKENIZE_SQL as _TOKS_SQL
 
 
 # ---------------------------------------------------------------------------
@@ -701,7 +701,7 @@ def q114_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH toks AS (
         SELECT doc_id,
-               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS l
+               list_filter(string_split_regex(lower(text), '[^a-zA-Z0-9]+'), t -> t <> '') AS l
         FROM documents
     ),
     grams AS (

@@ -13,7 +13,7 @@ from pipeline_usnvc_spark.plans.hierarchy_queries import _EDGES_SQL, _edges
 from pipeline_usnvc_spark.operators.hierarchy import ancestors as ancestor_closure
 from pipeline_usnvc_spark.sources.tables import load_table
 
-_TOKS_SQL = "list_filter(string_split_regex(lower(text), '[^a-zA-Z0-9]+'), t -> t <> '')"
+from pipeline_usnvc_spark.functions.text import TOKENIZE_SQL as _TOKS_SQL
 
 
 # ---------------------------------------------------------------------------
@@ -184,7 +184,6 @@ def q24_hierarchy_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q226_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 50)
     t = ev.select(
@@ -195,10 +194,10 @@ def q226_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "seq",
         F.row_number().over(
-            Window.partitionBy("user_id").orderBy("ep", "event_id")
+            W.partitionBy("user_id").orderBy("ep", "event_id")
         ),
     )
-    w7 = Window.partitionBy("user_id").orderBy("seq").rowsBetween(-6, 0)
+    w7 = W.partitionBy("user_id").orderBy("seq").rowsBetween(-6, 0)
     win = F.sort_array(F.collect_list("cents").over(w7))
     t = t.withColumn("win", win)
     n = F.size("win")

@@ -64,15 +64,17 @@ def test_asof_join_single_shuffle(spark, sf_dir):
 
 def test_arrow_topk_partial_reduction(spark, sf_dir):
     # q66: the matmul scorer consumes the scan DIRECTLY (no exchange
-    # below it — the corpus never shuffles for scoring), and Spark
-    # adds a Partial WindowGroupLimit before the single merge
-    # exchange, so only local top-k rows cross the wire.
+    # below it — the corpus never shuffles for scoring), the exact-fold
+    # qe side re-attaches through a BROADCAST hash join (query-grain),
+    # and Spark adds a Partial WindowGroupLimit before the single merge
+    # exchange, so only local candidate rows cross the wire.
     import re
 
     plan = _plan(spark, "q66_cosine_topk_arrow", sf_dir)
-    assert re.search(r"MapInPandas \(\d+\)\s*\n\s*\+- Scan parquet", plan), (
+    assert re.search(r"MapInPandas \(\d+\)\s*\n[:\s]*\+- Scan parquet", plan), (
         "corpus shuffled before scoring"
     )
+    assert "BroadcastHashJoin" in plan, "qe re-attach fell out of broadcast"
     assert "row_number(), 5, Partial" in plan, "partial top-k pushdown missing"
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
 
@@ -786,6 +788,9 @@ _BROADCAST_ALLOWLIST = {
         "spine",  # day spine / 3-row percentile spine
         "ties",  # per-count tie groups on the day-grain frame
     },
+    "cluster_queries.py": {
+        "n",  # scalar corpus-count aggregate (q35 tf-idf)
+    },
     "curation_queries.py": {
         "bands",  # per-event-type / per-band percentile frames
         "best0",  # top-1 pair slice
@@ -879,6 +884,7 @@ _BROADCAST_ALLOWLIST = {
         "k_used", "stats",  # scalar / per-dim aggregates
         "q",  # eval QUERY side of brute-force ANN (see note above)
         "hits", "per_q_ann",  # recall-audit frames at eval-query grain
+        "totals",  # scalar recall-total aggregate (q164)
     },
     "stats_queries.py": {
         "channels",  # distinct event types
@@ -923,7 +929,7 @@ _PKG_BROADCAST_ALLOWLIST: dict[str, set[str]] = {
     "rank.py": {"offsets"},  # #partitions-row offsets table
     "layout.py": {"total"},  # scalar aggregate
     "joins.py": {"dim"},  # decode_dimension contract: bounded code dims only
-    "similarity.py": {"q", "q_tables"},  # query-grain eval frames (documented)
+    "similarity.py": {"q", "q_tables", "qe"},  # query-grain eval frames (documented)
     "pipeline.py": {"users", "ref_counts", "totals"},  # reference dim / bin lattice / event_type grain
     "ingest.py": {"conf", "t"},  # USNVC d_* code tables (reference-bounded)
 }
@@ -987,6 +993,34 @@ def test_broadcast_targets_are_bounded_frames():
         assert not re.search(
             r"F\.broadcast\(\s*(part|supp|cust|cc|asia|blacklist)\b", src
         ), f"{fn}: explicit broadcast of an SF-scaling table slice"
+
+
+def test_tokenizer_sql_single_canonical_regex():
+    """The DuckDB tokenizer mirror is defined ONCE (functions/text.py
+    TOKENIZE_SQL, derived from TOKEN_SPLIT_RE); plan modules import it
+    as _TOKS_SQL. Seven per-file copies were a review finding — this
+    pins the consolidation two ways: (a) no plan file re-defines its
+    own _TOKS_SQL literal, and (b) every remaining INLINE oracle
+    tokenization of lower(text) uses exactly TOKEN_SPLIT_RE, so a
+    regex change fails loudly on every stale copy instead of silently
+    desynchronizing Spark and oracle tokenization."""
+    import re
+    from pathlib import Path
+
+    from pipeline_usnvc_spark.functions.text import TOKEN_SPLIT_RE
+
+    pkg_dir = Path(__file__).resolve().parents[1] / "pipeline_usnvc_spark"
+    redefs, stale = [], []
+    for p in sorted((pkg_dir / "plans").glob("*.py")):
+        src = p.read_text()
+        if re.search(r"^_TOKS_SQL\s*=\s*[\"']", src, re.M):
+            redefs.append(p.name)
+        flat = re.sub(r"\s+", " ", src)
+        for m in re.finditer(r"string_split_regex\(lower\(text\), '([^']+)'\)", flat):
+            if m.group(1) != TOKEN_SPLIT_RE:
+                stale.append((p.name, m.group(1)))
+    assert not redefs, f"plan files re-defining _TOKS_SQL (import TOKENIZE_SQL): {redefs}"
+    assert not stale, f"inline tokenizations diverging from TOKEN_SPLIT_RE: {stale}"
 
 
 def test_no_raw_double_cross_row_sums_in_plans():
