@@ -174,39 +174,28 @@ def q45_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q42_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.asof import asof_attach
+
     ev = load_table(spark, sf_dir, "events")
     orders = load_table(spark, sf_dir, "orders")
-    # Tag and union both sides on a common (key, time) axis. Order rows
-    # sort before events at the same timestamp (is_event 0 < 1) so an
-    # order dated exactly at the event time matches; ties between
-    # orders resolve to the larger o_orderkey (matching the oracle's
-    # DESC, DESC row_number spec).
-    o = orders.select(
-        F.col("o_custkey").alias("user_id"),
-        F.col("o_orderdate").alias("t"),
-        F.lit(0).alias("is_event"),
-        F.lit(None).cast("bigint").alias("event_id"),
-        F.lit(None).cast("timestamp").alias("ts"),
-        F.col("o_orderkey"),
+    # Backward INCLUSIVE: an order dated exactly at the event time
+    # matches; equal-date ties resolve to the larger o_orderkey
+    # (operators/asof.py holds the side-flag/tie construction — the
+    # oracle's DESC, DESC row_number spec).
+    out = asof_attach(
+        ev.select("event_id", "user_id", "ts"),
+        orders.select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").cast("timestamp").alias("o_ts"),
+            "o_orderkey",
+        ),
+        key="user_id",
+        left_ts="ts",
+        right_ts="o_ts",
+        payloads=["o_orderkey"],
     )
-    e = ev.select(
-        "user_id",
-        F.col("ts").alias("t"),
-        F.lit(1).alias("is_event"),
-        "event_id",
-        "ts",
-        F.lit(None).cast("bigint").alias("o_orderkey"),
-    )
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("t", "is_event", "o_orderkey")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    merged = o.unionByName(e).withColumn(
-        "matched_orderkey", F.last("o_orderkey", ignorenulls=True).over(w)
-    )
-    return merged.filter(F.col("is_event") == 1).select(
-        "event_id", "user_id", "ts", "matched_orderkey"
+    return out.select(
+        "event_id", "user_id", "ts", F.col("asof_o_orderkey").alias("matched_orderkey")
     )
 
 
@@ -710,38 +699,29 @@ def q141_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q151_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.asof import asof_attach
+
     ev = load_table(spark, sf_dir, "events")
     orders = load_table(spark, sf_dir, "orders")
-    # Sort axis (t, is_sort, o_orderkey): orders carry is_sort=0 so a
-    # same-timestamp order lands BEFORE the event row and is excluded
-    # from the forward frame (strict '>'); ties between same-date
-    # orders resolve to the smallest o_orderkey (oracle's ASC, ASC).
-    o = orders.select(
-        F.col("o_custkey").alias("user_id"),
-        F.col("o_orderdate").alias("t"),
-        F.lit(0).alias("is_sort"),
-        F.lit(None).cast("bigint").alias("event_id"),
-        F.lit(None).cast("timestamp").alias("ts"),
-        F.col("o_orderkey"),
+    # Forward STRICT: a same-timestamp order is excluded ('>'), and
+    # equal-date ties resolve to the smallest o_orderkey (the oracle's
+    # ASC, ASC spec — operators/asof.py encodes both rules).
+    out = asof_attach(
+        ev.select("event_id", "user_id", "ts"),
+        orders.select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").cast("timestamp").alias("o_ts"),
+            "o_orderkey",
+        ),
+        key="user_id",
+        left_ts="ts",
+        right_ts="o_ts",
+        payloads=["o_orderkey"],
+        direction="forward",
+        strict=True,
     )
-    e = ev.select(
-        "user_id",
-        F.col("ts").alias("t"),
-        F.lit(1).alias("is_sort"),
-        "event_id",
-        "ts",
-        F.lit(None).cast("bigint").alias("o_orderkey"),
-    )
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("t", "is_sort", "o_orderkey")
-        .rowsBetween(W.currentRow, W.unboundedFollowing)
-    )
-    merged = o.unionByName(e).withColumn(
-        "next_orderkey", F.first("o_orderkey", ignorenulls=True).over(w)
-    )
-    return merged.filter(F.col("is_sort") == 1).select(
-        "event_id", "user_id", "ts", "next_orderkey"
+    return out.select(
+        "event_id", "user_id", "ts", F.col("asof_o_orderkey").alias("next_orderkey")
     )
 
 
@@ -863,54 +843,44 @@ def q181_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q201_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # As-of formulation (the q42 union trick), NOT a range join: a
+    # As-of formulation (operators/asof.py), NOT a range join: a
     # purchases×touches join fans out by touches-per-user-in-window —
     # measured 83 s at 10M events on a fixed user domain vs ~2 s here.
-    # Union both event kinds on the (user, time) axis, carry the last
-    # touch forward with last(ignorenulls) over ONE user-keyed window,
-    # and validate the 7-day lookback on the purchase row. Sort key
-    # (ts, kind 0=purchase<1=touch, event_id): a touch at exactly the
-    # purchase instant orders AFTER it (strict t_ts < ts, matching the
-    # oracle), and same-timestamp touches resolve to the larger
-    # event_id (the oracle's DESC, DESC row_number).
-    from pyspark.sql import Window
+    # Backward STRICT (a touch at exactly the purchase instant does
+    # not match, t_ts < ts as the oracle spells), equal-timestamp
+    # touches resolve to the larger event_id (DESC, DESC row_number);
+    # the (t_ts, t_type) payload rides ONE struct so both columns come
+    # from the same touch row. The 7-day lookback validates on the
+    # purchase row after the attach.
+    from pipeline_usnvc_spark.operators.asof import asof_attach
 
     ev = load_table(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        "ts",
-        F.lit(0).alias("kind"),
-        "event_id",
-        "value",
-        F.lit(None).cast("timestamp").alias("t_ts"),
-        F.lit(None).cast("string").alias("t_type"),
+        "user_id", "ts", "value"
     )
     touches = ev.filter(F.col("event_type").isin("click", "view")).select(
         "user_id",
-        "ts",
-        F.lit(1).alias("kind"),
+        F.col("ts").alias("r_ts"),
         "event_id",
-        F.lit(None).cast("double").alias("value"),
         F.col("ts").alias("t_ts"),
         F.col("event_type").alias("t_type"),
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "kind", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merged = asof_attach(
+        purchases,
+        touches,
+        key="user_id",
+        left_ts="ts",
+        right_ts="r_ts",
+        payloads=["t_ts", "t_type"],
+        direction="backward",
+        strict=True,
+        tie_col="event_id",
     )
-    merged = purchases.unionByName(touches).select(
-        "kind",
-        "value",
-        "ts",
-        F.last("t_ts", ignorenulls=True).over(w).alias("last_t_ts"),
-        F.last("t_type", ignorenulls=True).over(w).alias("last_t_type"),
-    )
-    attributed = merged.filter(F.col("kind") == 0).select(
+    attributed = merged.select(
         "value",
         F.when(
-            F.col("last_t_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAY"),
-            F.col("last_t_type"),
+            F.col("asof_t_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAY"),
+            F.col("asof_t_type"),
         ).alias("touch_type"),
     )
     return attributed.groupBy(
@@ -951,8 +921,10 @@ def q201_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
            s / CAST(n AS DOUBLE) AS mean_gap_us,
-           sqrt(greatest(0.0, ss / CAST(n AS DOUBLE) - (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE))))
-             / (s / CAST(n AS DOUBLE)) AS cv
+           CASE WHEN s > 0 THEN
+             sqrt(greatest(0.0, ss / CAST(n AS DOUBLE) - (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE))))
+               / (s / CAST(n AS DOUBLE))
+           ELSE NULL END AS cv
     FROM agg WHERE n >= 10
     """,
 )
@@ -977,12 +949,19 @@ def q202_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     # greatest(0, ·) clamp: a perfectly regular user (true variance 0)
     # with large gaps can round ss/n − mean² to −1 ulp, where DuckDB's
     # sqrt hard-errors (aborting the whole oracle run) and Spark
-    # returns NaN — the clamp pins cv = 0.0 on both engines
+    # returns NaN — the clamp pins cv = 0.0 on both engines.
+    # s > 0 guard (the q238 rule): a user whose ≥10 events all share
+    # one timestamp has every gap 0 → mean 0 → 0/0, where Spark's
+    # non-ANSI division yields NULL but DuckDB yields NaN; the exact
+    # integer-sum predicate pins both engines to NULL.
     return agg.filter(F.col("n") >= 10).select(
         "user_id",
         F.col("n").cast("bigint").alias("n_gaps"),
         mean.alias("mean_gap_us"),
-        (F.sqrt(F.greatest(F.lit(0.0), F.col("ss") / nd - mean * mean)) / mean).alias("cv"),
+        F.when(
+            F.col("s") > 0,
+            F.sqrt(F.greatest(F.lit(0.0), F.col("ss") / nd - mean * mean)) / mean,
+        ).alias("cv"),
     )
 
 
@@ -1073,12 +1052,19 @@ def q204_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q205_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     user_days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
-    spine = user_days.select("day").distinct().select(F.col("day").alias("s_day"))
+    # TRUE 7x fan-out: each user-day explodes into the 7 window days
+    # it contributes to, then one hash aggregate — a pure-inequality
+    # spine join here would plan as a BroadcastNestedLoopJoin scanning
+    # every user-day against every spine day (|user_days| x |days|
+    # predicate pairs; review finding). Exploded days with no activity
+    # of their own drop out in the inner join with daily below, which
+    # is exactly the oracle's spine semantics.
     rolling = (
-        spine.join(
-            user_days,
-            (F.col("day") <= F.col("s_day"))
-            & (F.col("day") >= F.date_sub(F.col("s_day"), 6)),
+        user_days.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+            ).alias("s_day"),
         )
         .groupBy("s_day")
         .agg(F.countDistinct("user_id").alias("wau"))
@@ -1374,10 +1360,13 @@ def q245_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM per_user
     )
     SELECT u.user_id, u.x_milli, u.y_milli,
-           (CAST(u.y_milli AS DOUBLE)
-             - ((CAST(s.n AS DOUBLE) * CAST(s.sxy AS DOUBLE) - CAST(s.sx AS DOUBLE) * CAST(s.sy AS DOUBLE))
-                / (CAST(s.n AS DOUBLE) * CAST(s.sxx AS DOUBLE) - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE)))
-               * (CAST(u.x_milli AS DOUBLE) - CAST(s.sx AS DOUBLE) / CAST(s.n AS DOUBLE))) / 1000.0 AS y_adjusted
+           CASE WHEN CAST(s.n AS DOUBLE) * CAST(s.sxx AS DOUBLE)
+                     - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE) > 0
+                THEN (CAST(u.y_milli AS DOUBLE)
+                  - ((CAST(s.n AS DOUBLE) * CAST(s.sxy AS DOUBLE) - CAST(s.sx AS DOUBLE) * CAST(s.sy AS DOUBLE))
+                     / (CAST(s.n AS DOUBLE) * CAST(s.sxx AS DOUBLE) - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE)))
+                    * (CAST(u.x_milli AS DOUBLE) - CAST(s.sx AS DOUBLE) / CAST(s.n AS DOUBLE))) / 1000.0
+                ELSE NULL END AS y_adjusted
     FROM per_user u CROSS JOIN stats s
     """,
 )
@@ -1401,13 +1390,19 @@ def q264_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_d38(F.col("x_milli")) * _d38(F.col("x_milli"))).cast("decimal(38,0)").alias("sxx"),
     )
     nd = F.col("n").cast("double")
-    theta = (nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")) / (
-        nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    den = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    theta = (nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")) / den
+    # Zero-variance guard (the q238 rule): constant x_milli makes den
+    # 0 — Spark non-ANSI 0-division yields NULL, DuckDB IEEE yields
+    # NaN/inf; the identical double predicate pins both engines to NULL.
+    y_adj = F.when(
+        den > 0,
+        (
+            F.col("y_milli").cast("double")
+            - theta * (F.col("x_milli").cast("double") - F.col("sx").cast("double") / nd)
+        )
+        / F.lit(1000.0),
     )
-    y_adj = (
-        F.col("y_milli").cast("double")
-        - theta * (F.col("x_milli").cast("double") - F.col("sx").cast("double") / nd)
-    ) / F.lit(1000.0)
     return (
         per_user.crossJoin(F.broadcast(stats))
         .select("user_id", "x_milli", "y_milli", y_adj.alias("y_adjusted"))

@@ -631,6 +631,15 @@ def q82_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = LatestStateStore(state, key_col="user_id", seq_cols=["ts", "event_id"])
     q = store.sink(stream).option("checkpointLocation", ckpt).start()
     q.awaitTermination()
+    # src/ckpt are dead once the stream finishes (review finding: the
+    # replay gates run this every round and leaked ~2 events-table
+    # copies per run). The state dir must OUTLIVE the function — the
+    # returned DataFrame reads it lazily — so it's reaped at exit.
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    import atexit
+
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     return store.read_state(spark)
 
 
@@ -1645,8 +1654,11 @@ def q335_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     base = load_table(spark, sf_dir, "documents")
+    # Replica ids are NEGATIVE (-(doc_id)-1): disjoint from the real
+    # id space at ANY corpus size by construction — a fixed +1M shift
+    # collides once the corpus passes ~1M docs (review finding).
     planted = base.filter(F.col("doc_id") % 10 == 0).withColumn(
-        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+        "doc_id", -F.col("doc_id") - F.lit(1)
     )
     docs = base.unionByName(planted).repartition("doc_id")
     feats = thumbnail_features(synthesize_binary_column(docs), grid=4)
