@@ -98,15 +98,18 @@ def cap_items_per_key(op, key: str, item: str, max_items: int):
     )
 
 
-def supported_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The support-filtered co-purchase graph shared by the graph family (q97
-    triangles, q420 k-core): undirected (pa < pb) part pairs
-    appearing in >= 2 common orders, with the per-order basket capped
+def supported_copurchase_edges(
+    spark: SparkSession, sf_dir: str, min_support: int = 2
+) -> DataFrame:
+    """The support-filtered co-purchase graph shared by the graph family
+    (q97 triangles, q277 degree power-law, q420 k-core): undirected
+    (pa < pb) part pairs appearing in >= ``min_support`` common orders
+    (1 = every distinct pair), with the per-order basket capped
     (cap_items_per_key) so the pair join stays bounded."""
     op = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     op = cap_items_per_key(op, "l_orderkey", "l_partkey", _BFS_MAX_ITEMS_PER_KEY)
     a, b = op.alias("a"), op.alias("b")
-    return (
+    edges = (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -114,9 +117,32 @@ def supported_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
         .agg(F.count("*").alias("_support"))
-        .filter(F.col("_support") >= 2)
-        .select("pa", "pb")
     )
+    if min_support > 1:
+        edges = edges.filter(F.col("_support") >= min_support)
+    return edges.select("pa", "pb")
+
+
+# The capped-basket CTE and the undirected edge construction, shared
+# VERBATIM by the q97/q277 oracles (review finding: three hand-kept
+# copies of the cap-then-self-join block; q120's directed variant
+# reuses the op CTE). One definition keeps the cap constant and the
+# pa < pb / support discipline engine-and-oracle identical.
+_OP_CTE_SQL = f"""op_all AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    op AS (
+        SELECT l_orderkey, l_partkey FROM op_all
+        QUALIFY row_number() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) <= {_BFS_MAX_ITEMS_PER_KEY}
+    )"""
+
+
+def _copurchase_edges_sql(min_support: int) -> str:
+    having = f" HAVING count(*) >= {min_support}" if min_support > 1 else ""
+    return f"""{_OP_CTE_SQL},
+    edges AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2{having}
+    )"""
 
 
 # ---------------------------------------------------------------------------
@@ -129,17 +155,7 @@ def supported_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q97_triangle_count",
     oracle=f"""
-    WITH op_all AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    op AS (
-        SELECT l_orderkey, l_partkey FROM op_all
-        QUALIFY row_number() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) <= {_BFS_MAX_ITEMS_PER_KEY}
-    ),
-    edges AS (
-        SELECT a.l_partkey AS pa, b.l_partkey AS pb
-        FROM op a JOIN op b
-          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        GROUP BY 1, 2 HAVING count(*) >= 2
-    ),
+    WITH {_copurchase_edges_sql(2)},
     tri AS (
         SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
         FROM edges e1
@@ -371,8 +387,6 @@ def copurchase_edges(
     (lowest item ids win) BEFORE the quadratic self-join. The cap
     window shuffles on the same key as the join, so AQE reuses the
     exchange — bounding fan-out costs no extra shuffle."""
-    from pyspark.sql import Window
-
     capped = cap_items_per_key(op, key, item, max_items_per_key)
     a, b = capped.alias("a"), capped.alias("b")
     return (
@@ -389,11 +403,7 @@ def copurchase_edges(
 @query(
     "q120_bfs_reachability",
     oracle=f"""
-    WITH RECURSIVE op_all AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    op AS (
-        SELECT l_orderkey, l_partkey FROM op_all
-        QUALIFY row_number() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) <= {_BFS_MAX_ITEMS_PER_KEY}
-    ),
+    WITH RECURSIVE {_OP_CTE_SQL},
     edges AS (
         SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
         FROM op a JOIN op b
@@ -738,15 +748,19 @@ def q212_rolling_actives_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     day_sketches = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.hll_sketch_agg("user_id").alias("sk"),
-        F.approx_count_distinct("user_id").alias("approx_dau"),
     )
     spine = day_sketches.select(F.col("day").alias("s_day"))
+    # TRUE 7x fan-out + equi-join back to the observed-day spine (the
+    # q205 review fix): the old pure-inequality spine join planned as
+    # a BroadcastNestedLoopJoin over |days|^2 predicate pairs. The
+    # spine join keeps gap days (activity within 7d but none that day)
+    # out of the result, exactly as the inner inequality join did.
     rolled = (
-        spine.join(
-            day_sketches,
-            (F.col("day") <= F.col("s_day"))
-            & (F.col("day") >= F.date_sub(F.col("s_day"), 6)),
+        day_sketches.select(
+            "sk",
+            F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias("s_day"),
         )
+        .join(spine, "s_day")
         .groupBy("s_day")
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias("approx_wau"))
     )
@@ -755,12 +769,14 @@ def q212_rolling_actives_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # — day×user grain, the q205 shape, never raw events — and
     # asserted within 3×rsd (lgConfigK=12 → rsd ≈ 1.6%) during
     # execution, so the rows-only driver row certifies the estimate.
+    # user-day grain explode (NOT an inequality spine join — that
+    # nested-loops the whole user-day table against every spine day);
+    # days outside the spine drop in the inner join with rolled below.
     day_users = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
     exact = (
-        spine.join(
-            day_users,
-            (F.col("day") <= F.col("s_day"))
-            & (F.col("day") >= F.date_sub(F.col("s_day"), 6)),
+        day_users.select(
+            "user_id",
+            F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias("s_day"),
         )
         .groupBy("s_day")
         .agg(F.countDistinct("user_id").cast("bigint").alias("exact_wau"))
@@ -1225,16 +1241,7 @@ def q232_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q277_degree_powerlaw",
     oracle=f"""
-    WITH op_all AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    op AS (
-        SELECT l_orderkey, l_partkey FROM op_all
-        QUALIFY row_number() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) <= {_BFS_MAX_ITEMS_PER_KEY}
-    ),
-    edges AS (
-        SELECT a.l_partkey AS pa, b.l_partkey AS pb
-        FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        GROUP BY 1, 2
-    ),
+    WITH {_copurchase_edges_sql(1)},
     deg AS (
         SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
             SELECT pa AS node FROM edges UNION ALL SELECT pb FROM edges
@@ -1266,22 +1273,9 @@ def q232_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q277_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    op = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    op = cap_items_per_key(op, "l_orderkey", "l_partkey", _BFS_MAX_ITEMS_PER_KEY)
-    a, b = op.alias("a"), op.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
-        .distinct()
-    )
+    # min_support=1: every distinct capped pair (the degree histogram
+    # wants the raw graph; q97/q420 use the >= 2 supported variant)
+    edges = supported_copurchase_edges(spark, sf_dir, min_support=1)
     deg = (
         edges.select(F.col("pa").alias("node"))
         .unionAll(edges.select(F.col("pb").alias("node")))

@@ -486,8 +486,11 @@ def q240_qq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.unix_micros("ts")).alias("mn"), F.max(F.unix_micros("ts")).alias("mx")
     )
     tagged = ev.crossJoin(F.broadcast(bounds)).select(
+        # exact integer midpoint: floor((mn+mx)/2) routes the bigint
+        # sum through DOUBLE division (off-by-one once mn+mx passes
+        # 2^53 us); `div` matches the oracle's // exactly (ADVICE r05)
         F.when(
-            F.unix_micros("ts") <= F.floor((F.col("mn") + F.col("mx")) / 2),
+            F.unix_micros("ts") <= F.expr("(mn + mx) div 2"),
             "early",
         )
         .otherwise("late")

@@ -84,7 +84,7 @@ def q49_scalar_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(list_reduce(list_prepend(0, list_transform(toks, t -> length(t))), (a, b) -> a + b) AS BIGINT) AS total_len
     FROM (
         SELECT doc_id,
-               list_filter(string_split_regex(lower(text), '[^a-zA-Z0-9]+'), t -> t <> '') AS toks
+               list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-zA-Z0-9]+'), t -> t <> '') AS toks
         FROM documents
     )
     """,
@@ -93,7 +93,12 @@ def q58_array_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_usnvc_spark.functions.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    d = docs.select("doc_id", tokens("text").alias("toks"))
+    # coalesce('') BOTH sides: a NULL text would otherwise fan out into
+    # engine-divergent NULL semantics across every column here (legacy
+    # Spark size(NULL) = -1 vs DuckDB len(NULL) = NULL, concat_ws(NULL
+    # array) = '' vs array_to_string = NULL, ... — the q05 d99cd3d
+    # class); empty-token-list is the one shape both engines agree on.
+    d = docs.select("doc_id", tokens(F.coalesce(F.col("text"), F.lit(""))).alias("toks"))
     return d.select(
         "doc_id",
         F.concat_ws(",", F.sort_array("toks")).alias("sorted_toks"),

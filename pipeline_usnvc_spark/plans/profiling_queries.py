@@ -596,8 +596,15 @@ def q274_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "acctbal_band",
         F.substring("o_orderpriority", 1, 1).cast("bigint").alias("lvl"),
     )
-    cells = f.groupBy("c_mktsegment", "c_nationkey", "acctbal_band", "lvl").agg(
-        F.count("*").cast("bigint").alias("c")
+    from pipeline_usnvc_spark.operators.checkpoint import materialize
+
+    # cells feeds THREE consumers (spine distinct, filled join, the
+    # global rollup below); materialize so the orders x customer fact
+    # join runs exactly once.
+    cells = materialize(
+        f.groupBy("c_mktsegment", "c_nationkey", "acctbal_band", "lvl").agg(
+            F.count("*").cast("bigint").alias("c")
+        )
     )
     lvl_spine = spark.createDataFrame([(i,) for i in range(1, 6)], "lvl bigint").coalesce(1)
     spine = (
@@ -625,8 +632,11 @@ def q274_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").over(w_ccum).cast("bigint").alias("cum_c"),
         F.sum("c").over(w_class).cast("bigint").alias("n_c"),
     )
-    # global 5-row CDF (1-row-per-level side table)
-    glob = f.groupBy("lvl").agg(F.count("*").cast("bigint").alias("g"))
+    # global 5-row CDF (1-row-per-level side table) — rolled up from
+    # the cells aggregate, NOT from f: a second consumer of the fact
+    # frame would re-execute the orders x customer join (review
+    # finding); cells partitions f exactly, so the sums are identical.
+    glob = cells.groupBy("lvl").agg(F.sum("c").cast("bigint").alias("g"))
     w_g = Window.orderBy("lvl").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_gall = Window.partitionBy(F.lit(1))
     gcum = (
