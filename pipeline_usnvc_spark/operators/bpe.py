@@ -116,11 +116,16 @@ def merge_pair(syms: Column, left: str, right: str) -> Column:
     return F.aggregate(syms, init, step, finish)
 
 
+# The default support floor for a merge; q171's in-plan contract
+# imports this so trainer and contract can never drift apart.
+MIN_PAIR_COUNT_DEFAULT = 2
+
+
 def train_bpe(
     docs: DataFrame,
     n_merges: int = 5,
     text_col: str = "text",
-    min_pair_count: int = 2,
+    min_pair_count: int = MIN_PAIR_COUNT_DEFAULT,
 ) -> DataFrame:
     """Learn the top-``n_merges`` BPE merges; returns the merge table
     (merge_round, left, right, merged, pair_count) in training order.

@@ -84,7 +84,7 @@ def q55_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q56_dedup_pipeline",
     oracle=f"""
     WITH RECURSIVE fp AS (
-        SELECT doc_id, md5(array_to_string({_TOKS_SQL}, ' ')) AS fp FROM documents
+        SELECT doc_id, md5(coalesce(array_to_string({_TOKS_SQL}, ' '), '')) AS fp FROM documents
     ),
     keeper AS (SELECT fp, min(doc_id) AS exact_keeper FROM fp GROUP BY fp),
     exact AS (

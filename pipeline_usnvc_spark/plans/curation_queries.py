@@ -36,7 +36,11 @@ def _d38(c):
 
 from pipeline_usnvc_spark.functions.text import TOKENIZE_SQL as _TOKS_SQL
 
-_FP_SQL = f"md5(list_aggregate({_TOKS_SQL}, 'string_agg', ' '))"
+# coalesce(''): DuckDB string_agg/array_to_string of an EMPTY or NULL
+# token list is NULL (md5 -> NULL) while the Spark spec md5(concat_ws)
+# yields md5('') — zero-token or NULL-text docs must fingerprint
+# identically on both engines (review finding).
+_FP_SQL = f"md5(coalesce(list_aggregate({_TOKS_SQL}, 'string_agg', ' '), ''))"
 
 _SHINGLES_SQL = f"""
     SELECT doc_id, unnest(
@@ -222,6 +226,31 @@ def q160_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The alpha = 0.3 temperature mixture spine shared by q161 (weight
+# report), q166 (quota fill) and q211 (epoch upsample) — ONE
+# definition each side so the alpha, the rounding and the
+# normalization can never drift between the report and the plans
+# that claim to materialize it (review finding: six drifting copies
+# counting the SQL strings).
+_TEMPERATURE_CTES = """counts AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+    ),
+    powed AS (
+        SELECT source, n_docs, pow(CAST(n_docs AS DOUBLE), 0.3) AS w FROM counts
+    )"""
+
+
+def _temperature_weights(docs: DataFrame) -> DataFrame:
+    """(source, n_docs, w, w_total): per-source counts, w = n^0.3 and
+    the normalizing total as an unpartitioned window over the
+    |sources|-row aggregate — NOT crossJoin(broadcast(powed.agg())),
+    which would re-execute the count subtree and scan the corpus a
+    second time (proven in test_plans)."""
+    counts = docs.groupBy("source").agg(F.count("*").cast("bigint").alias("n_docs"))
+    powed = counts.withColumn("w", F.pow(F.col("n_docs").cast("double"), F.lit(0.3)))
+    return powed.withColumn("w_total", F.sum("w").over(Window.partitionBy()))
+
+
 # ---------------------------------------------------------------------------
 # q161 — temperature-balanced source mixture: sampling weights
 # w_s ∝ n_s^α (α = 0.3) normalized over sources — the standard
@@ -234,9 +263,8 @@ def q160_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "q161_temperature_mix",
-    oracle="""
-    WITH counts AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source),
-    powed AS (SELECT source, n_docs, pow(CAST(n_docs AS DOUBLE), 0.3) AS w FROM counts)
+    oracle=f"""
+    WITH {_TEMPERATURE_CTES}
     SELECT source, n_docs,
            round(w / (SELECT sum(w) FROM powed), 6) AS mix_share
     FROM powed
@@ -244,13 +272,11 @@ def q160_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q161_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
-    powed = counts.withColumn("w", F.pow(F.col("n_docs").cast("double"), F.lit(0.3)))
-    w_total = F.sum("w").over(Window.partitionBy())
+    powed = _temperature_weights(docs)
     return powed.select(
         "source",
         "n_docs",
-        F.round(F.col("w") / w_total, 6).alias("mix_share"),
+        F.round(F.col("w") / F.col("w_total"), 6).alias("mix_share"),
     )
 
 
@@ -377,12 +403,7 @@ _MIX_BUDGET = 200
 @query(
     "q166_temperature_quota_fill",
     oracle=f"""
-    WITH counts AS (
-        SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
-    ),
-    powed AS (
-        SELECT source, n_docs, pow(CAST(n_docs AS DOUBLE), 0.3) AS w FROM counts
-    ),
+    WITH {_TEMPERATURE_CTES},
     quotas AS (
         SELECT source,
                greatest(1, CAST(floor({_MIX_BUDGET} * round(w / (SELECT sum(w) FROM powed), 6)) AS BIGINT)) AS quota
@@ -403,12 +424,8 @@ _MIX_BUDGET = 200
 )
 def q166_temperature_quota_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
-    powed = counts.withColumn("w", F.pow(F.col("n_docs").cast("double"), F.lit(0.3)))
-    # Normalizing sum as an unpartitioned window over the |sources|-row
-    # aggregate — NOT crossJoin(broadcast(powed.agg(...))), which would
-    # re-execute the count subtree and scan the corpus twice.
-    w_total = F.sum("w").over(Window.partitionBy())
+    powed = _temperature_weights(docs)
+    w_total = F.col("w_total")
     quotas = powed.select(
         "source",
         F.greatest(
@@ -636,6 +653,7 @@ def q172_neardup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q171_bpe_merge_train")
 def q171_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_usnvc_spark.operators.bpe import (
+        MIN_PAIR_COUNT_DEFAULT,
         adjacent_pair_counts,
         train_bpe,
         word_symbol_table,
@@ -676,7 +694,7 @@ def q171_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contract_filter(
         checked,
         (F.col("merged") == F.concat("left", "right"))
-        & (F.col("pair_count") >= 2)
+        & (F.col("pair_count") >= MIN_PAIR_COUNT_DEFAULT)
         & (F.col("pair_count") <= F.col("_prev_min"))
         & (
             (F.col("merge_round") != 1)
@@ -1088,7 +1106,7 @@ def q178_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH bucketed AS (
         SELECT doc_id,
-               CAST('0x' || substr(md5(md5(array_to_string({_TOKS_SQL}, ' '))), 1, 8) AS BIGINT) % 100 AS bucket
+               CAST('0x' || substr(md5(md5(coalesce(array_to_string({_TOKS_SQL}, ' '), ''))), 1, 8) AS BIGINT) % 100 AS bucket
         FROM documents
     ),
     sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_SQL})),
@@ -1235,6 +1253,13 @@ def q189_neardup_pair_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .distinct()
     )
+    # sh feeds sizes plus BOTH self-join sides: materialize so the
+    # tokenize + shingle + md5 map runs once, not three times (review
+    # finding; the full n_inter/sz diagnostics need the raw counts, so
+    # ngram_jaccard_pairs' jaccard-only contract can't serve here).
+    from pipeline_usnvc_spark.operators.checkpoint import materialize
+
+    sh = materialize(sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -1407,13 +1432,8 @@ def q206_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "q211_epoch_upsample",
-    oracle="""
-    WITH counts AS (
-        SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
-    ),
-    powed AS (
-        SELECT source, n_docs, pow(CAST(n_docs AS DOUBLE), 0.3) AS w FROM counts
-    ),
+    oracle=f"""
+    WITH {_TEMPERATURE_CTES},
     factors AS (
         SELECT source, n_docs,
                CAST(greatest(1, ceil((w / (SELECT sum(w) FROM powed)) * 3000.0
@@ -1431,9 +1451,8 @@ def q206_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q211_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    counts = docs.groupBy("source").agg(F.count("*").cast("bigint").alias("n_docs"))
-    powed = counts.withColumn("w", F.pow(F.col("n_docs").cast("double"), F.lit(0.3)))
-    w_total = F.sum("w").over(Window.partitionBy())
+    powed = _temperature_weights(docs)
+    w_total = F.col("w_total")
     factors = powed.select(
         "source",
         # -1e-9 before ceil: the share×budget ratio can land EXACTLY
@@ -1636,6 +1655,85 @@ def q217_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The Gopher metric frame + rule predicates, ONE definition each side:
+# q218 (the production gate report) and q272 (the gate-agreement
+# diagnostic) previously carried byte-identical copies of the metric
+# select, the stopword list and all five rule predicates in both
+# Spark and SQL (review finding) — a tweak to one would silently
+# leave the agreement diagnostic measuring a stale gate.
+_GOPHER_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is")
+
+_GOPHER_METRICS_SQL = f"""base AS (
+        SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
+               CAST(list_reduce(list_prepend(0, list_transform(toks, t -> length(t))), (a, b) -> a + b) AS BIGINT) AS sum_word_len,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_symbol_chars,
+               CAST(len(list_filter(['the','a','of','to','and','in','is'], s -> list_contains(toks, s))) AS BIGINT) AS n_stopwords
+        FROM base
+    )"""
+
+_GOPHER_RULES_SQL = {
+    "ok_word_count": "n_words >= 50 AND n_words <= 100000",
+    "ok_mean_word_len": (
+        "n_words > 0 AND CAST(sum_word_len AS DOUBLE) / CAST(n_words AS DOUBLE) >= 3.0"
+        " AND CAST(sum_word_len AS DOUBLE) / CAST(n_words AS DOUBLE) <= 10.0"
+    ),
+    "ok_symbol_ratio": "n_chars > 0 AND CAST(n_symbol_chars AS DOUBLE) / CAST(n_chars AS DOUBLE) <= 0.3",
+    "ok_stopwords": "n_stopwords >= 2",
+    "ok_unique_ratio": "n_words > 0 AND CAST(n_unique AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.1",
+}
+
+
+def _gopher_metrics(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_words, n_unique, sum_word_len, n_chars,
+    n_symbol_chars, n_stopwords) — the Spark mirror of
+    _GOPHER_METRICS_SQL; one corpus scan, all codegen expressions."""
+    t = docs.select("doc_id", "text", tokens("text").alias("toks"))
+    return t.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_words"),
+        F.size(F.array_distinct("toks")).cast("bigint").alias("n_unique"),
+        F.aggregate(
+            "toks", F.lit(0).cast("bigint"), lambda acc, tok: acc + F.length(tok)
+        ).alias("sum_word_len"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))
+        )
+        .cast("bigint")
+        .alias("n_symbol_chars"),
+        F.size(
+            F.filter(
+                F.array(*[F.lit(w) for w in _GOPHER_STOPWORDS]),
+                lambda w: F.array_contains("toks", w),
+            )
+        )
+        .cast("bigint")
+        .alias("n_stopwords"),
+    )
+
+
+def _gopher_rules() -> dict:
+    """rule-name -> boolean Column over a _gopher_metrics frame, in
+    the q218 fail-mask bit order."""
+    mean_len = F.col("sum_word_len").cast("double") / F.col("n_words").cast("double")
+    sym_ratio = F.col("n_symbol_chars").cast("double") / F.col("n_chars").cast("double")
+    return {
+        "ok_word_count": (F.col("n_words") >= 50) & (F.col("n_words") <= 100000),
+        "ok_mean_word_len": (F.col("n_words") > 0) & (mean_len >= 3.0) & (mean_len <= 10.0),
+        "ok_symbol_ratio": (F.col("n_chars") > 0) & (sym_ratio <= 0.3),
+        "ok_stopwords": F.col("n_stopwords") >= 2,
+        "ok_unique_ratio": (F.col("n_words") > 0)
+        & (F.col("n_unique").cast("double") / F.col("n_words").cast("double") >= 0.1),
+    }
+
+
 # ---------------------------------------------------------------------------
 # q218 — Gopher-style quality-rules profile (Rae et al. 2021 §A1.1 —
 # public heuristics): the multi-rule document gate with a per-rule
@@ -1656,27 +1754,10 @@ def q217_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q218_gopher_quality_gate",
     oracle=f"""
-    WITH base AS (
-        SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents
-    ),
-    m AS (
-        SELECT doc_id,
-               CAST(len(toks) AS BIGINT) AS n_words,
-               CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
-               CAST(list_reduce(list_prepend(0, list_transform(toks, t -> length(t))), (a, b) -> a + b) AS BIGINT) AS sum_word_len,
-               CAST(length(text) AS BIGINT) AS n_chars,
-               CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_symbol_chars,
-               CAST(len(list_filter(['the','a','of','to','and','in','is'], s -> list_contains(toks, s))) AS BIGINT) AS n_stopwords
-        FROM base
-    ),
+    WITH {_GOPHER_METRICS_SQL},
     rules AS (
         SELECT doc_id, n_words, n_unique, n_stopwords,
-               n_words >= 50 AND n_words <= 100000 AS ok_word_count,
-               n_words > 0 AND CAST(sum_word_len AS DOUBLE) / CAST(n_words AS DOUBLE) >= 3.0
-                   AND CAST(sum_word_len AS DOUBLE) / CAST(n_words AS DOUBLE) <= 10.0 AS ok_mean_word_len,
-               n_chars > 0 AND CAST(n_symbol_chars AS DOUBLE) / CAST(n_chars AS DOUBLE) <= 0.3 AS ok_symbol_ratio,
-               n_stopwords >= 2 AS ok_stopwords,
-               n_words > 0 AND CAST(n_unique AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.1 AS ok_unique_ratio
+               {", ".join(f"{sql} AS {name}" for name, sql in _GOPHER_RULES_SQL.items())}
         FROM m
     )
     SELECT doc_id, n_words, ok_word_count, ok_mean_word_len, ok_symbol_ratio,
@@ -1693,52 +1774,13 @@ def q217_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q218_gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select("doc_id", "text", tokens("text").alias("toks"))
-    m = t.select(
-        "doc_id",
-        F.size("toks").cast("bigint").alias("n_words"),
-        F.size(F.array_distinct("toks")).cast("bigint").alias("n_unique"),
-        F.aggregate(
-            "toks", F.lit(0).cast("bigint"), lambda acc, tok: acc + F.length(tok)
-        ).alias("sum_word_len"),
-        F.length("text").cast("bigint").alias("n_chars"),
-        (
-            F.length("text")
-            - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))
-        )
-        .cast("bigint")
-        .alias("n_symbol_chars"),
-        F.size(
-            F.filter(
-                F.array(*[F.lit(s) for s in ("the", "a", "of", "to", "and", "in", "is")]),
-                lambda s: F.array_contains("toks", s),
-            )
-        )
-        .cast("bigint")
-        .alias("n_stopwords"),
-    )
-    mean_len = F.col("sum_word_len").cast("double") / F.col("n_words").cast("double")
+    m = _gopher_metrics(docs)
     rules = m.select(
         "doc_id",
         "n_words",
         "n_unique",
         "n_stopwords",
-        ((F.col("n_words") >= 50) & (F.col("n_words") <= 100000)).alias("ok_word_count"),
-        ((F.col("n_words") > 0) & (mean_len >= 3.0) & (mean_len <= 10.0)).alias(
-            "ok_mean_word_len"
-        ),
-        (
-            (F.col("n_chars") > 0)
-            & (
-                F.col("n_symbol_chars").cast("double") / F.col("n_chars").cast("double")
-                <= 0.3
-            )
-        ).alias("ok_symbol_ratio"),
-        (F.col("n_stopwords") >= 2).alias("ok_stopwords"),
-        (
-            (F.col("n_words") > 0)
-            & (F.col("n_unique").cast("double") / F.col("n_words").cast("double") >= 0.1)
-        ).alias("ok_unique_ratio"),
+        *[col.alias(name) for name, col in _gopher_rules().items()],
     )
     fail_bit = lambda c, bit: F.when(F.col(c), 0).otherwise(bit)  # noqa: E731
     return rules.select(
@@ -2133,26 +2175,12 @@ def q263_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q272_gate_agreement",
     oracle=f"""
-    WITH m AS (
-        SELECT doc_id,
-               CAST(len({_TOKS_SQL}) AS BIGINT) AS n_words,
-               CAST(len(list_distinct({_TOKS_SQL})) AS BIGINT) AS n_unique,
-               CAST(list_reduce(list_prepend(0, list_transform({_TOKS_SQL}, t -> length(t))), (a, b) -> a + b) AS BIGINT) AS sum_word_len,
-               CAST(length(text) AS BIGINT) AS n_chars,
-               CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_symbol_chars,
-               CAST(len(list_filter(['the','a','of','to','and','in','is'], s -> list_contains({_TOKS_SQL}, s))) AS BIGINT) AS n_stopwords
-        FROM documents
-    ),
+    WITH {_GOPHER_METRICS_SQL},
     gates AS (
         SELECT doc_id,
                n_words >= 20 AND n_words <= 2000
                    AND (n_chars = 0 OR CAST(n_symbol_chars AS DOUBLE) / CAST(n_chars AS DOUBLE) <= 0.3) AS c4_pass,
-               n_words >= 50 AND n_words <= 100000
-                   AND n_words > 0 AND CAST(sum_word_len AS DOUBLE) / CAST(n_words AS DOUBLE) >= 3.0
-                   AND CAST(sum_word_len AS DOUBLE) / CAST(n_words AS DOUBLE) <= 10.0
-                   AND n_chars > 0 AND CAST(n_symbol_chars AS DOUBLE) / CAST(n_chars AS DOUBLE) <= 0.3
-                   AND n_stopwords >= 2
-                   AND CAST(n_unique AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.1 AS gopher_pass
+               {" AND ".join(f"({sql})" for sql in _GOPHER_RULES_SQL.values())} AS gopher_pass
         FROM m
     ),
     cm AS (
@@ -2181,44 +2209,17 @@ def q263_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q272_gate_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select("doc_id", "text", tokens("text").alias("toks"))
-    m = t.select(
-        "doc_id",
-        F.size("toks").cast("bigint").alias("n_words"),
-        F.size(F.array_distinct("toks")).cast("bigint").alias("n_unique"),
-        F.aggregate("toks", F.lit(0).cast("bigint"), lambda acc, tok: acc + F.length(tok)).alias("sum_word_len"),
-        F.length("text").cast("bigint").alias("n_chars"),
-        (F.length("text") - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", "")))
-        .cast("bigint")
-        .alias("n_symbol_chars"),
-        F.size(
-            F.filter(
-                F.array(*[F.lit(s) for s in ("the", "a", "of", "to", "and", "in", "is")]),
-                lambda s: F.array_contains("toks", s),
-            )
-        )
-        .cast("bigint")
-        .alias("n_stopwords"),
-    )
+    m = _gopher_metrics(docs)
     sym_ratio = F.col("n_symbol_chars").cast("double") / F.col("n_chars").cast("double")
-    mean_len = F.col("sum_word_len").cast("double") / F.col("n_words").cast("double")
     c4 = (
         (F.col("n_words") >= 20)
         & (F.col("n_words") <= 2000)
         & ((F.col("n_chars") == 0) | (sym_ratio <= 0.3))
     )
-    gopher = (
-        (F.col("n_words") >= 50)
-        & (F.col("n_words") <= 100000)
-        & (F.col("n_words") > 0)
-        & (mean_len >= 3.0)
-        & (mean_len <= 10.0)
-        & (F.col("n_chars") > 0)
-        & (sym_ratio <= 0.3)
-        & (F.col("n_stopwords") >= 2)
-        & (F.col("n_unique").cast("double") / F.col("n_words").cast("double") >= 0.1)
-    )
+    gopher = reduce(lambda a, b: a & b, _gopher_rules().values())
     gates = m.select("doc_id", c4.alias("c4_pass"), gopher.alias("gopher_pass"))
     cell = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")  # noqa: E731
     cm = gates.agg(

@@ -46,7 +46,7 @@ _MINHASH_SQL = f"""
 @query(
     "q50_exact_dedup",
     oracle=f"""
-    SELECT md5(array_to_string({_TOKS_SQL}, ' ')) AS fingerprint,
+    SELECT md5(coalesce(array_to_string({_TOKS_SQL}, ' '), '')) AS fingerprint,
            count(*) AS n_copies,
            min(doc_id) AS keeper_id
     FROM documents
@@ -380,7 +380,7 @@ def q246_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q249_incremental_dedup",
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
-    fp AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM toks),
+    fp AS (SELECT doc_id, md5(coalesce(array_to_string(toks, ' '), '')) AS fp FROM toks),
     incoming AS (SELECT doc_id, fp FROM fp WHERE doc_id % 5 = 0),
     existing AS (SELECT doc_id, fp FROM fp WHERE doc_id % 5 <> 0),
     exact_m AS (
@@ -486,7 +486,7 @@ def q249_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q252_dedup_survivorship",
     oracle=f"""
     WITH keyed AS (
-        SELECT md5(array_to_string({_TOKS_SQL}, ' ')) AS digest, doc_id, n_chars
+        SELECT md5(coalesce(array_to_string({_TOKS_SQL}, ' '), '')) AS digest, doc_id, n_chars
         FROM documents
     ),
     groups AS (

@@ -1312,8 +1312,8 @@ def q352_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
     keys AS (
         SELECT doc_id,
-               md5(array_to_string(tk[1:greatest(len(tk) // 2, 1)], ' ')) AS k_a,
-               md5(array_to_string(tk[greatest(len(tk) // 2, 1) + 1:], ' ')) AS k_b
+               md5(coalesce(array_to_string(tk[1:greatest(len(tk) // 2, 1)], ' '), '')) AS k_a,
+               md5(coalesce(array_to_string(tk[greatest(len(tk) // 2, 1) + 1:], ' '), '')) AS k_b
         FROM toks
     ),
     caught_a AS (
@@ -1343,12 +1343,18 @@ def q353_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tk = tokens("text")
     half = F.greatest(F.floor(F.size(tk) / 2).cast("int"), F.lit(1))
+    # coalesce(''): a NULL text makes the slices NULL on Spark
+    # (md5 -> NULL) while the pinned oracle spec is md5('') — same
+    # rule as the fingerprint family (review finding).
     keys = docs.select(
         "doc_id",
-        F.md5(F.array_join(F.slice(tk, 1, half), " ")).alias("k_a"),
+        F.md5(F.coalesce(F.array_join(F.slice(tk, 1, half), " "), F.lit(""))).alias("k_a"),
         F.md5(
-            F.array_join(
-                F.slice(tk, half + 1, F.greatest(F.size(tk) - half, F.lit(0))), " "
+            F.coalesce(
+                F.array_join(
+                    F.slice(tk, half + 1, F.greatest(F.size(tk) - half, F.lit(0))), " "
+                ),
+                F.lit(""),
             )
         ).alias("k_b"),
     )

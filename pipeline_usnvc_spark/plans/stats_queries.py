@@ -41,6 +41,18 @@ def _d38(c):
     return c.cast("decimal(38,0)")
 
 
+def _idiv(x, y):
+    """Exact integer floor division (operators/rank.py's ADVICE-r05
+    idiom, promoted module-level — the review found six unlabeled
+    copies): subtract the remainder FIRST so the division operates on
+    an exact multiple of y; a bare floor(x / y) is off-by-one whenever
+    x/y lands on an unrepresentable double just below an integer.
+    Exact while the multiple stays below 2^53 (DECIMAL operands:
+    exact unconditionally). Returns the uncast quotient — callers
+    cast to their target type."""
+    return (x - F.pmod(x, y)) / y
+
+
 # ---------------------------------------------------------------------------
 # q312 — Spearman rank correlation (tie-corrected, exact) between
 # discount and quantity per returnflag. Mid-ranks with ties are
@@ -862,7 +874,7 @@ def q318_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             # exact floor division: subtract the remainder first so
             # the decimal division operates on an exact multiple
-            ((scaled - F.pmod(scaled, _d38(F.col("total")))) / _d38(F.col("total")))
+            _idiv(scaled, _d38(F.col("total")))
             .cast("bigint")
             .alias("f_ppb"),
         )
@@ -915,10 +927,7 @@ def q318_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source_a",
             "source_b",
             "n_terms",
-            (
-                (F.col("_sum_abs") - F.pmod(F.col("_sum_abs"), _d38(F.col("n_terms"))))
-                / _d38(F.col("n_terms"))
-            )
+            _idiv(F.col("_sum_abs"), _d38(F.col("n_terms")))
             .cast("bigint")
             .alias("delta_micro"),
         )
@@ -1090,7 +1099,7 @@ def q320_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb = F.col("nb")
     var_num = _d38(nb) * F.col("smm") - F.col("sm") * F.col("sm")
     mean_cents = (
-        ((F.col("sm") - F.pmod(F.col("sm"), _d38(nb))) / _d38(nb))
+        _idiv(F.col("sm"), _d38(nb))
         .cast("bigint")
         .cast("double")
         / F.lit(1000000.0)
@@ -1322,7 +1331,7 @@ def q326_waterfill_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def idiv(x, y):
-        return ((x - F.pmod(x, y)) / y).cast("bigint")
+        return _idiv(x, y).cast("bigint")
 
     budget = ordered.withColumn("b", idiv(F.col("total"), F.lit(2)))
     kdet = budget.withColumn(
@@ -1576,7 +1585,7 @@ def q329_tukey_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def idiv(x, y):
-        return ((x - F.pmod(x, y)) / y).cast("bigint")
+        return _idiv(x, y).cast("bigint")
 
     r1 = idiv(F.col("nt") + 3, F.lit(4))  # ceil(nt/4)
     r3 = idiv(3 * F.col("nt") + 3, F.lit(4))  # ceil(3nt/4)
@@ -1666,7 +1675,7 @@ def q331_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scaled = F.col("num") * F.lit(1000000000).cast("decimal(38,0)")
     den = _d38(F.col("nt")) * _d38(F.col("nt") - 1)
-    d_ppb = ((scaled - F.pmod(scaled, den)) / den).cast("bigint")
+    d_ppb = _idiv(scaled, den).cast("bigint")
     return (
         agg.filter(F.col("nt") > 1)
         .select(
@@ -1930,7 +1939,11 @@ def q333_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(arr).cast("bigint").alias("n_days"),
         F.aggregate(rest, init, step).alias("st"),
     )
-    return folded.select(
+    # n_days > 0 guard: on an EMPTY orders table the ungrouped agg
+    # still emits one all-NULL row while the oracle's recursive CTE
+    # anchor matches nothing (0 rows) — row-count mismatch (review
+    # finding; never fires at the shipped SFs).
+    return folded.filter(F.col("n_days") > 0).select(
         "n_days",
         F.round(F.col("st.l") / F.lit(100.0), 6).alias("level_dollars"),
         F.round(F.col("st.b") / F.lit(100.0), 6).alias("trend_dollars"),

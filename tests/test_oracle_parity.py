@@ -299,3 +299,37 @@ def test_q06_oracle_survives_unparseable_props():
         for r in con.execute(ORACLES["q06_conditional_extract"]).fetchall()
     }
     assert rows == {1: 0, 2: 7}
+
+
+def test_fingerprint_oracles_pin_null_and_zero_token_texts(spark):
+    """Round-10 review: DuckDB's array_to_string/string_agg over an
+    EMPTY or NULL token list is NULL (md5 -> NULL) while the Spark
+    spec md5(concat_ws(' ', tokens)) yields md5('') — before the
+    coalesce fix, a NULL-text or symbols-only document silently
+    diverged the whole fingerprint family (q33/q50/q157/q162/...).
+    Pin both engines on exactly those degenerate rows."""
+    import duckdb
+
+    from pipeline_usnvc_spark.functions.text import doc_fingerprint
+    from pipeline_usnvc_spark.plans import ORACLES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        "SELECT 1::BIGINT AS doc_id, NULL::VARCHAR AS text "
+        "UNION ALL SELECT 2, '!!! ... !!!' "
+        "UNION ALL SELECT 3, 'real words here'"
+    )
+    oracle_fp = {
+        r[0]: r[1]
+        for r in con.execute(ORACLES["q33_fingerprint"]).fetchall()
+    }
+    sdf = spark.createDataFrame(
+        [(1, None), (2, "!!! ... !!!"), (3, "real words here")],
+        "doc_id bigint, text string",
+    ).select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+    spark_fp = {r["doc_id"]: r["fingerprint"] for r in sdf.collect()}
+    assert oracle_fp == spark_fp
+    # the degenerate rows share md5('') — never NULL on either engine
+    empty_md5 = "d41d8cd98f00b204e9800998ecf8427e"
+    assert spark_fp[1] == spark_fp[2] == empty_md5
