@@ -216,13 +216,17 @@ def q405_banded_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "q406_permutation_shapley",
-    oracle="""
+    # f-string: the sample count and its micro divisor derive from
+    # _N_PERMS so editing the constant can never desynchronize the
+    # Spark plan from the oracle (review finding: 24 was baked in at
+    # three places in a plain string).
+    oracle=f"""
     WITH channels AS (
         SELECT event_type AS ch,
                CAST(row_number() OVER (ORDER BY event_type) - 1 AS BIGINT) AS bit
         FROM (SELECT DISTINCT event_type FROM events WHERE event_type <> 'purchase')
     ),
-    samples AS (SELECT CAST(unnest(range(0, 24)) AS BIGINT) AS k),
+    samples AS (SELECT CAST(unnest(range(0, {_N_PERMS})) AS BIGINT) AS k),
     perm AS (
         SELECT s.k, c.ch, c.bit,
                CAST(row_number() OVER (
@@ -264,8 +268,8 @@ def q405_banded_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         LEFT JOIN v v1 ON v1.mask = p.mask_before + (1 << p.bit)
     )
     SELECT ch AS channel,
-           CAST(24 AS BIGINT) AS n_samples,
-           round(CAST(sum(m_micro) AS DOUBLE) / 24000000.0, 6) AS shapley_credit_sampled
+           CAST({_N_PERMS} AS BIGINT) AS n_samples,
+           round(CAST(sum(m_micro) AS DOUBLE) / ({_N_PERMS} * 1000000.0), 6) AS shapley_credit_sampled
     FROM marg GROUP BY ch ORDER BY ch
     """,
 )

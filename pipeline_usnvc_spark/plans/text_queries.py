@@ -181,7 +181,6 @@ def q36_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q38_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pipeline_usnvc_spark.functions.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("source", F.explode(tokens("text")).alias("term"))
@@ -224,7 +223,7 @@ def q38_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
     FROM (
         SELECT doc_id,
-               CAST('0x' || substr(md5(md5(array_to_string({_TOKS_SQL}, ' '))), 1, 8) AS BIGINT) % 100 AS bucket
+               CAST('0x' || substr(md5(md5(coalesce(array_to_string({_TOKS_SQL}, ' '), ''))), 1, 8) AS BIGINT) % 100 AS bucket
         FROM documents
     )
     """,
@@ -249,7 +248,7 @@ def q37_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q33_fingerprint",
     oracle=f"""
-    SELECT doc_id, md5(array_to_string({_TOKS_SQL}, ' ')) AS fingerprint
+    SELECT doc_id, md5(coalesce(array_to_string({_TOKS_SQL}, ' '), '')) AS fingerprint
     FROM documents
     """,
 )
@@ -432,7 +431,6 @@ def q89_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window
 
-    from pipeline_usnvc_spark.functions.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokens("text").alias("toks"))
@@ -549,7 +547,7 @@ from pipeline_usnvc_spark.plans.dedup_queries import _SHINGLES_SQL  # noqa: E402
     oracle=f"""
     WITH bucketed AS (
         SELECT doc_id,
-               CAST('0x' || substr(md5(md5(array_to_string({_TOKS_SQL}, ' '))), 1, 8) AS BIGINT) % 100 AS bucket
+               CAST('0x' || substr(md5(md5(coalesce(array_to_string({_TOKS_SQL}, ' '), ''))), 1, 8) AS BIGINT) % 100 AS bucket
         FROM documents
     ),
     sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_SQL})),
@@ -572,7 +570,7 @@ from pipeline_usnvc_spark.plans.dedup_queries import _SHINGLES_SQL  # noqa: E402
     """,
 )
 def q110_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pipeline_usnvc_spark.functions.text import doc_fingerprint, tokens, word_shingles
+    from pipeline_usnvc_spark.functions.text import word_shingles
 
     docs = load_table(spark, sf_dir, "documents")
     bucket = (
@@ -698,10 +696,9 @@ def q114_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "q115_repetition_stats",
-    oracle="""
+    oracle=f"""
     WITH toks AS (
-        SELECT doc_id,
-               list_filter(string_split_regex(lower(text), '[^a-zA-Z0-9]+'), t -> t <> '') AS l
+        SELECT doc_id, {_TOKS_SQL} AS l
         FROM documents
     ),
     grams AS (
@@ -1050,7 +1047,8 @@ def q134_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     w1_tot AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS tot FROM stats GROUP BY w1)
     SELECT b.doc_id,
            count(*) AS n_bigrams,
-           round(sum(round(ln(CAST(t.tot AS DOUBLE)) - ln(CAST(s.cnt AS DOUBLE)), 6)) / count(*), 4) AS avg_surprisal
+           CAST((sum(CAST(round((ln(CAST(t.tot AS DOUBLE)) - ln(CAST(s.cnt AS DOUBLE))) * 1000000.0) AS BIGINT))
+                 + 50 * count(*)) // (100 * count(*)) AS DOUBLE) / 10000.0 AS avg_surprisal
     FROM bigrams b
     JOIN stats s ON s.w1 = b.w1 AND s.w2 = b.w2
     JOIN w1_tot t ON t.w1 = b.w1
@@ -1072,9 +1070,20 @@ def q147_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "bg.w1", "bg.w2")
     stats = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("cnt"))
     w1_tot = stats.groupBy("w1").agg(F.sum("cnt").cast("bigint").alias("tot"))
-    surprisal = F.round(
-        F.log(F.col("tot").cast("double")) - F.log(F.col("cnt").cast("double")), 6
-    )
+    # integer micro-units BEFORE the cross-row sum (the q38/q237/q268
+    # discipline — review finding): summing 6dp-rounded DOUBLES is
+    # fold-order dependent across the join shuffles; the micro round
+    # absorbs JVM-vs-libm ln ulps exactly like the old 6dp round did
+    # (surprisal >= 0, so Spark HALF_UP == DuckDB half-away). The 4dp
+    # average is then an EXACT integer half-up division — a final
+    # round(double, 4) is NOT engine-identical on half-boundary
+    # doubles (the d99cd3d q111 class; DuckDB rounded
+    # 3.4063499999999998 UP at sf0.1 where Spark's HALF_UP on the
+    # exact expansion went down).
+    surp_micro = F.round(
+        (F.log(F.col("tot").cast("double")) - F.log(F.col("cnt").cast("double")))
+        * F.lit(1000000.0)
+    ).cast("bigint")
     return (
         # stats/w1_tot are bigram- and unigram-VOCABULARY grain — they
         # grow with the corpus, so no broadcast hints: the (w1, w2) and
@@ -1084,7 +1093,15 @@ def q147_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
-            F.round(F.sum(surprisal) / F.count("*"), 4).alias("avg_surprisal"),
+            F.sum(surp_micro).cast("bigint").alias("_s_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (
+                F.expr("(_s_micro + 50 * n_bigrams) div (100 * n_bigrams)").cast("double")
+                / F.lit(10000.0)
+            ).alias("avg_surprisal"),
         )
     )
 
@@ -1318,7 +1335,7 @@ def q200_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, round(logit, 6) AS logit,
            round(1.0 / (1.0 + exp(-logit)), 6) AS score,
-           CAST(1.0 / (1.0 + exp(-logit)) >= 0.5 AS BOOLEAN) AS keep
+           CAST(round(1.0 / (1.0 + exp(-logit)), 6) >= 0.5 AS BOOLEAN) AS keep
     FROM scored
     """,
 )
@@ -1340,7 +1357,11 @@ def q203_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.round("logit", 6).alias("logit"),
             F.round(score, 6).alias("score"),
-            (score >= F.lit(0.5)).alias("keep"),
+            # keep derives from the SAME 6dp-rounded score as the
+            # reported column (review finding): comparing the raw
+            # sigmoid left a JVM-vs-libm exp ulp boundary at 0.5 and
+            # could emit the inconsistent row (score=0.5, keep=false)
+            (F.round(score, 6) >= F.lit(0.5)).alias("keep"),
         )
     )
 
@@ -1650,7 +1671,6 @@ def q237_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q251_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from pipeline_usnvc_spark.functions.text import lang_id
 
     docs = load_table(spark, sf_dir, "documents")
     cells = (
