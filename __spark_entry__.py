@@ -306,6 +306,24 @@ _R10_HEAD: tuple[str, ...] = (
     "q05_nest_orders_per_customer",
     "q06_conditional_extract",
     "q10_star_join",
+    # round-10 continuation review closures — re-pinned for fresh
+    # driver rows: q66's sim is now the exact UNROUNDED fold (BLAS
+    # selects, JVM fold certifies — values changed from the rounded
+    # form); q147's 4dp average moved off round(double, 4) onto exact
+    # integer half-up division (the d99cd3d q111 class — DuckDB and
+    # Spark disagreed on a half-boundary double at sf0.1); q203's keep
+    # now derives from the same 6dp-rounded score it reports; the q42/
+    # q151/q201 as-of family was rebuilt on operators/asof.asof_attach
+    # (values identical, plans changed); q218/q272 share one Gopher
+    # metric/rule definition.
+    "q66_cosine_topk_arrow",
+    "q147_lm_surprisal",
+    "q203_quality_logit",
+    "q42_asof_join",
+    "q151_asof_forward",
+    "q201_last_touch_attribution",
+    "q218_gopher_quality_gate",
+    "q272_gate_agreement",
 )
 
 

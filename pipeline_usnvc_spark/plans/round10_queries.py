@@ -1549,3 +1549,366 @@ def q420_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+# ---------------------------------------------------------------------------
+# q421 — randomization-test p-value for q313's Mann-Whitney z (the
+# COVERAGE pair row q313 lacked: exact normal-APPROXIMATION z ↔
+# distribution-free resampled p). The bounded formulation the round-10
+# pre-plan asked for: ranks are label-INDEPENDENT, so the doubled
+# mid-ranks (r2x) are computed ONCE on the value-grain length spine
+# (the q313/q262 convention) and every pseudo-sample reuses them —
+# never K data-grain rank windows. Each of the K=32 deterministic
+# md5-keyed relabelings (doc_id:k prefix-8 parity — the q406
+# machinery) re-splits the corpus, the per-sample z uses the same
+# tie-corrected formula as q313 with that sample's group sizes, and
+# p = (1 + #{|z_k| >= |z_obs|}) / (1 + #valid) — exact integer counts,
+# single final division. Note this is the RANDOMIZATION-test variant
+# (binomial split sizes), not a fixed-size permutation — documented
+# deliberately: it keeps the reassignment a pure per-row expression.
+#
+# Scale shape: one value-grain spine (bounded by the length domain),
+# one doc-grain equi-join to attach r2x, a K-way explode with
+# map-side partial aggregation into 32 groups, and a 1-row broadcast
+# of the observed stats. No data-grain windows, no self-joins.
+# ---------------------------------------------------------------------------
+_MW_PERMS = 32
+
+_MW_Z_SQL = """CASE WHEN {n1} > 0 AND ({nt} - {n1}) > 0 AND {nt} > 1
+                     AND CAST({nt} + 1 AS HUGEINT) * {nt} * ({nt} - 1) > ties * 1
+                THEN CAST({r1x2} - CAST({n1} AS HUGEINT) * ({n1} + 1)
+                         - CAST({n1} AS HUGEINT) * ({nt} - {n1}) AS DOUBLE)
+                    / (2.0 * sqrt(
+                        CAST({n1} AS DOUBLE) * CAST({nt} - {n1} AS DOUBLE) / 12.0
+                        * (CAST({nt} + 1 AS DOUBLE)
+                           - CAST(ties AS DOUBLE)
+                             / (CAST({nt} AS DOUBLE) * CAST({nt} - 1 AS DOUBLE)))))
+                ELSE NULL END"""
+
+
+def _mw_z_col(n1, r1x2, nt, ties):
+    """The q313 tie-corrected z as a Column — ONE definition reused by
+    the observed and per-sample branches so the trees stay identical."""
+    n2 = nt - n1
+    num = (r1x2 - _mw_d38(n1) * _mw_d38(n1 + 1) - _mw_d38(n1) * _mw_d38(n2)).cast(
+        "double"
+    )
+    sigma2 = (
+        n1.cast("double")
+        * n2.cast("double")
+        / F.lit(12.0)
+        * (
+            (nt + 1).cast("double")
+            - ties.cast("double") / (nt.cast("double") * (nt - 1).cast("double"))
+        )
+    )
+    tie_guard = _mw_d38(nt + 1) * _mw_d38(nt) * _mw_d38(nt - 1) > ties
+    return F.when(
+        (n1 > 0) & (n2 > 0) & (nt > 1) & tie_guard,
+        num / (F.lit(2.0) * F.sqrt(sigma2)),
+    )
+
+
+def _mw_d38(c):
+    return c.cast("decimal(38,0)")
+
+
+@query(
+    "q421_mannwhitney_randomization",
+    oracle=f"""
+    WITH vals AS (
+        SELECT n_chars AS v,
+               CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n1v,
+               CAST(count(*) AS BIGINT) AS ntv
+        FROM documents GROUP BY 1
+    ),
+    ranked AS (
+        SELECT v, n1v, ntv,
+               2 * COALESCE(sum(ntv) OVER (
+                   ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + ntv + 1 AS r2x
+        FROM vals
+    ),
+    gstats AS (
+        SELECT CAST(sum(n1v) AS BIGINT) AS n1_obs,
+               CAST(sum(ntv) AS BIGINT) AS nt,
+               CAST(sum(CAST(n1v AS HUGEINT) * r2x) AS HUGEINT) AS r1x2_obs,
+               CAST(sum(CAST(ntv AS HUGEINT) * ntv * ntv - ntv) AS HUGEINT) AS ties
+        FROM ranked
+    ),
+    perdoc AS (
+        SELECT d.doc_id, r.r2x
+        FROM documents d JOIN ranked r ON r.v = d.n_chars
+    ),
+    samples AS (SELECT CAST(unnest(range(0, {_MW_PERMS})) AS BIGINT) AS k),
+    perk AS (
+        SELECT s.k,
+               CAST(sum(CASE WHEN CAST('0x' || substr(md5(CAST(p.doc_id AS VARCHAR) || ':' || CAST(s.k AS VARCHAR)), 1, 8) AS BIGINT) % 2 = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n1k,
+               CAST(sum(CASE WHEN CAST('0x' || substr(md5(CAST(p.doc_id AS VARCHAR) || ':' || CAST(s.k AS VARCHAR)), 1, 8) AS BIGINT) % 2 = 0
+                             THEN CAST(p.r2x AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS HUGEINT) AS r1x2k
+        FROM perdoc p CROSS JOIN samples s
+        GROUP BY s.k
+    ),
+    zk AS (
+        SELECT k,
+               {_MW_Z_SQL.format(n1="n1k", r1x2="r1x2k", nt="nt")} AS z
+        FROM perk CROSS JOIN gstats
+    ),
+    zo AS (
+        SELECT {_MW_Z_SQL.format(n1="n1_obs", r1x2="r1x2_obs", nt="nt")} AS z_obs
+        FROM gstats
+    )
+    SELECT CAST({_MW_PERMS} AS BIGINT) AS n_samples,
+           CAST(count(z) AS BIGINT) AS n_valid,
+           CAST(sum(CASE WHEN z IS NOT NULL AND abs(z) >= abs(zo.z_obs)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+           round(zo.z_obs, 6) AS z_obs,
+           CAST(1 + sum(CASE WHEN z IS NOT NULL AND abs(z) >= abs(zo.z_obs)
+                             THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(1 + count(z) AS DOUBLE) AS p_value
+    FROM zk CROSS JOIN zo
+    GROUP BY zo.z_obs
+    """,
+)
+def q421_mannwhitney_randomization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    vals = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.when(F.col("lang") == "en", 1)).cast("bigint").alias("n1v"),
+        F.count("*").cast("bigint").alias("ntv"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vals.select(
+        "v",
+        "n1v",
+        "ntv",
+        (2 * F.coalesce(F.sum("ntv").over(w), F.lit(0)) + F.col("ntv") + 1).alias("r2x"),
+    )
+    gstats = ranked.agg(
+        F.sum("n1v").cast("bigint").alias("n1_obs"),
+        F.sum("ntv").cast("bigint").alias("nt"),
+        F.sum(_mw_d38(F.col("n1v")) * _mw_d38(F.col("r2x")))
+        .cast("decimal(38,0)")
+        .alias("r1x2_obs"),
+        F.sum(
+            _mw_d38(F.col("ntv")) * _mw_d38(F.col("ntv")) * _mw_d38(F.col("ntv"))
+            - _mw_d38(F.col("ntv"))
+        )
+        .cast("decimal(38,0)")
+        .alias("ties"),
+    )
+    # doc-grain attach of the label-independent doubled ranks, then the
+    # K-way explode; the md5 parity is the q406 deterministic-hash
+    # machinery (conv(substr(md5, 1, 8)) is non-negative, so % 2 agrees
+    # with DuckDB's truncating %)
+    perdoc = docs.select("doc_id", F.col("n_chars").alias("v")).join(
+        ranked.select("v", "r2x"), "v"
+    )
+    samples = perdoc.select(
+        "doc_id",
+        "r2x",
+        F.explode(F.sequence(F.lit(0), F.lit(_MW_PERMS - 1))).alias("k"),
+    )
+    in_a = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("doc_id").cast("string"), F.col("k").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+        == 0
+    )
+    perk = samples.groupBy("k").agg(
+        F.sum(F.when(in_a, 1).otherwise(0)).cast("bigint").alias("n1k"),
+        F.sum(F.when(in_a, _mw_d38(F.col("r2x"))).otherwise(_mw_d38(F.lit(0))))
+        .cast("decimal(38,0)")
+        .alias("r1x2k"),
+    )
+    zk = perk.crossJoin(F.broadcast(gstats)).select(
+        _mw_z_col(F.col("n1k"), F.col("r1x2k"), F.col("nt"), F.col("ties")).alias("z"),
+        _mw_z_col(
+            F.col("n1_obs"), F.col("r1x2_obs"), F.col("nt"), F.col("ties")
+        ).alias("z_obs"),
+    )
+    extreme = F.when(F.col("z").isNotNull() & (F.abs("z") >= F.abs("z_obs")), 1).otherwise(0)
+    return zk.groupBy("z_obs").agg(
+        F.lit(_MW_PERMS).cast("bigint").alias("n_samples"),
+        F.count("z").cast("bigint").alias("n_valid"),
+        F.sum(extreme).cast("bigint").alias("n_extreme"),
+        (
+            (F.lit(1) + F.sum(extreme)).cast("double")
+            / (F.lit(1) + F.count("z")).cast("double")
+        ).alias("p_value"),
+    ).select(
+        "n_samples",
+        "n_valid",
+        "n_extreme",
+        F.round("z_obs", 6).alias("z_obs"),
+        "p_value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q422 — incremental re-cluster advisor: q419's missing maintenance
+# half (the round-10 pre-plan item). q419 costs candidate layouts by
+# REBUILDING the whole table once per candidate; the question a
+# scheduler actually asks between rebuilds is cheaper: appends have
+# landed as unsorted tail files since the last cluster — has zone-map
+# quality drifted enough to justify paying the re-sort? Base rows
+# (o_orderkey % 10 <> 0) keep their date-clustered blocks UNCHANGED
+# (at maintenance time their stats would be read from the manifest,
+# q414's streaming zone-map state — nothing base-grain recomputes on
+# the incremental path by design); the delta (% 10 = 0) blocks in
+# arrival order as appended files. The advisor compares that
+# composite state's month-workload scan fraction against the
+# hypothetical full re-cluster and recommends the rebuild when the
+# gain clears _RECLUSTER_GAIN_MICRO.
+#
+# Scale shape: one range exchange for the base blocks, one (much
+# smaller) for the delta, one for the hypothetical rebuild; the
+# month spine (~84 rows) is the only broadcast; the decision frame
+# is 2 rows. Exact integers end-to-end (the q411 discipline).
+# ---------------------------------------------------------------------------
+_RECLUSTER_GAIN_MICRO = 50_000  # recommend at >= 5 points of scan fraction
+
+
+@query(
+    "q422_recluster_advisor",
+    oracle=f"""
+    WITH o AS (
+        SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od FROM orders
+    ),
+    blocks AS (
+        SELECT 'clustered_plus_appends' AS state, blk, min(od) AS mn, max(od) AS mx
+        FROM (SELECT od, (row_number() OVER (ORDER BY od, o_orderkey) - 1) // 512 AS blk
+              FROM o WHERE o_orderkey % 10 <> 0)
+        GROUP BY blk
+        UNION ALL
+        SELECT 'clustered_plus_appends' AS state, 1000000000 + blk, min(od), max(od)
+        FROM (SELECT od, (row_number() OVER (ORDER BY o_orderkey) - 1) // 512 AS blk
+              FROM o WHERE o_orderkey % 10 = 0)
+        GROUP BY blk
+        UNION ALL
+        SELECT 'reclustered_full' AS state, blk, min(od), max(od)
+        FROM (SELECT od, (row_number() OVER (ORDER BY od, o_orderkey) - 1) // 512 AS blk
+              FROM o)
+        GROUP BY blk
+    ),
+    months AS (
+        SELECT DISTINCT date_trunc('month', od) AS m0, last_day(od) AS m1 FROM o
+    ),
+    scans AS (
+        SELECT b.state, CAST(count(*) AS BIGINT) AS scanned
+        FROM blocks b JOIN months m ON b.mn <= m.m1 AND b.mx >= m.m0
+        GROUP BY 1
+    ),
+    sizes AS (
+        SELECT state, CAST(count(*) AS BIGINT) AS n_blocks FROM blocks GROUP BY 1
+    ),
+    nm AS (SELECT CAST(count(*) AS BIGINT) AS n_months FROM months),
+    per AS (
+        SELECT s.state, z.n_blocks, nm.n_months,
+               s.scanned AS scanned_block_months,
+               CAST((1000000 * s.scanned) // (z.n_blocks * nm.n_months) AS BIGINT)
+                   AS scan_fraction_micro
+        FROM scans s JOIN sizes z USING (state) CROSS JOIN nm
+    ),
+    gain AS (
+        SELECT CAST(max(CASE WHEN state = 'clustered_plus_appends' THEN scan_fraction_micro END)
+                    - max(CASE WHEN state = 'reclustered_full' THEN scan_fraction_micro END)
+                    AS BIGINT) AS recluster_gain_micro
+        FROM per
+    )
+    SELECT p.state,
+           CAST(512 AS BIGINT) AS block_rows,
+           p.n_blocks, p.n_months, p.scanned_block_months,
+           p.scan_fraction_micro,
+           p.scan_fraction_micro / 1000000.0 AS scan_fraction,
+           g.recluster_gain_micro,
+           g.recluster_gain_micro >= {_RECLUSTER_GAIN_MICRO} AS recommend_recluster
+    FROM per p CROSS JOIN gain g
+    ORDER BY p.state
+    """,
+)
+def q422_recluster_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("od")
+    )
+    base = o.filter(F.col("o_orderkey") % 10 != 0)
+    delta = o.filter(F.col("o_orderkey") % 10 == 0)
+    incr = _order_blocks(base, "clustered_plus_appends", "od", "o_orderkey").unionByName(
+        _order_blocks(delta, "clustered_plus_appends", "o_orderkey")
+    )
+    recl = _order_blocks(o, "reclustered_full", "od", "o_orderkey")
+    from pipeline_usnvc_spark.operators.checkpoint import materialize
+
+    # block-grain (rows/512 — tiny) and consumed by scans + sizes:
+    # materialize so the three global range exchanges run once
+    blocks = materialize(incr.unionByName(recl))
+    months = _month_spine(o)
+    scans = (
+        blocks.join(
+            F.broadcast(months),
+            (F.col("mn") <= F.col("m1")) & (F.col("mx") >= F.col("m0")),
+        )
+        .groupBy("layout")
+        .agg(F.count("*").cast("bigint").alias("scanned"))
+    )
+    sizes = blocks.groupBy("layout").agg(F.count("*").cast("bigint").alias("n_blocks"))
+    nm = months.agg(F.count("*").cast("bigint").alias("n_months"))
+    per = (
+        scans.join(sizes, "layout")
+        .crossJoin(F.broadcast(nm))
+        .select(
+            F.col("layout").alias("state"),
+            "n_blocks",
+            "n_months",
+            F.col("scanned").alias("scanned_block_months"),
+            F.expr("(1000000 * scanned) div (n_blocks * n_months)")
+            .cast("bigint")
+            .alias("scan_fraction_micro"),
+        )
+    )
+    # 2-row decision frame: the gain rides a one-row conditional agg
+    gain = per.agg(
+        (
+            F.max(
+                F.when(
+                    F.col("state") == "clustered_plus_appends",
+                    F.col("scan_fraction_micro"),
+                )
+            )
+            - F.max(
+                F.when(
+                    F.col("state") == "reclustered_full", F.col("scan_fraction_micro")
+                )
+            )
+        )
+        .cast("bigint")
+        .alias("recluster_gain_micro")
+    )
+    return (
+        per.crossJoin(F.broadcast(gain))
+        .select(
+            "state",
+            F.lit(_BLOCK_ROWS).cast("bigint").alias("block_rows"),
+            "n_blocks",
+            "n_months",
+            "scanned_block_months",
+            "scan_fraction_micro",
+            (F.col("scan_fraction_micro") / F.lit(1000000.0)).alias("scan_fraction"),
+            "recluster_gain_micro",
+            (F.col("recluster_gain_micro") >= F.lit(_RECLUSTER_GAIN_MICRO)).alias(
+                "recommend_recluster"
+            ),
+        )
+        .orderBy("state")
+    )

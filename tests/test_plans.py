@@ -864,6 +864,8 @@ _BROADCAST_ALLOWLIST = {
         "n_months",  # scalar month-count aggregate (q415)
         "stale",  # scalar stale-scan-count aggregate (q416)
         "ks",  # fixed 31-row boundary-index spine (q418)
+        "gstats",  # one-row observed Mann-Whitney stats (q421)
+        "gain",  # scalar recluster-gain aggregate on the 2-row frame (q422)
         "nn",  # scalar row-count aggregate (q418)
         "bnds",  # <=31-row boundary frame (q418)
         "bounds",  # scalar min/max aggregate (q418)

@@ -682,3 +682,110 @@ def test_kcore_contract_fires_on_corruption(spark, monkeypatch):
         with pytest.raises(Exception, match="fixed-point violation"):
             QUERIES["q420_kcore_decomposition"](spark, SF).collect()
     monkeypatch.setattr(graph_mod, "k_core", real)
+
+
+def test_mannwhitney_randomization(spark, con):
+    """q421 re-derived in pure Python: mid-ranks from a literal sorted
+    scan of raw (n_chars, lang) rows, each of the 32 md5-parity
+    relabelings re-split row by row, the tie-corrected z recomputed
+    with math.sqrt, and the p-value as a literal count — a formula bug
+    shared by both engines still fails here."""
+    import hashlib
+    import math
+
+    rows = con.execute("SELECT doc_id, n_chars, lang FROM documents").fetchall()
+    # doubled mid-ranks per value (label-independent)
+    by_v: dict[int, int] = {}
+    for _did, v, _lang in rows:
+        by_v[v] = by_v.get(v, 0) + 1
+    r2x: dict[int, int] = {}
+    before = 0
+    for v in sorted(by_v):
+        r2x[v] = 2 * before + by_v[v] + 1
+        before += by_v[v]
+    nt = len(rows)
+    ties = sum(c**3 - c for c in by_v.values())
+
+    def z_of(n1: int, r1x2: int) -> float | None:
+        n2 = nt - n1
+        if n1 <= 0 or n2 <= 0 or nt <= 1 or (nt + 1) * nt * (nt - 1) <= ties:
+            return None
+        sigma2 = n1 * n2 / 12.0 * ((nt + 1) - ties / (nt * (nt - 1)))
+        return (r1x2 - n1 * (n1 + 1) - n1 * n2) / (2.0 * math.sqrt(sigma2))
+
+    n1_obs = sum(1 for _d, _v, lang in rows if lang == "en")
+    r1x2_obs = sum(r2x[v] for _d, v, lang in rows if lang == "en")
+    z_obs = z_of(n1_obs, r1x2_obs)
+    assert z_obs is not None
+
+    def in_a(doc_id: int, k: int) -> bool:
+        h = hashlib.md5(f"{doc_id}:{k}".encode()).hexdigest()[:8]
+        return int(h, 16) % 2 == 0
+
+    n_extreme = n_valid = 0
+    for k in range(32):
+        n1k = sum(1 for did, _v, _l in rows if in_a(did, k))
+        r1x2k = sum(r2x[v] for did, v, _l in rows if in_a(did, k))
+        zk = z_of(n1k, r1x2k)
+        if zk is not None:
+            n_valid += 1
+            if abs(zk) >= abs(z_obs):
+                n_extreme += 1
+
+    got = QUERIES["q421_mannwhitney_randomization"](spark, SF).collect()
+    assert len(got) == 1
+    row = got[0]
+    assert row["n_samples"] == 32
+    assert row["n_valid"] == n_valid
+    assert row["n_extreme"] == n_extreme
+    assert row["z_obs"] == pytest.approx(z_obs, abs=5e-7)
+    assert row["p_value"] == pytest.approx((1 + n_extreme) / (1 + n_valid), abs=1e-12)
+
+
+def test_recluster_advisor(spark, con):
+    """q422 re-derived in pure Python: blocks built by literal sorted
+    slicing (base by (od, key), delta appended in key order, rebuild
+    over everything), the month workload costed as an explicit
+    interval test per block x month, and the gain/recommendation
+    recomputed from those counts."""
+    rows = con.execute(
+        "SELECT o_orderkey, CAST(o_orderdate AS DATE) FROM orders"
+    ).fetchall()
+
+    def blocks_of(rs, keyfn):
+        srt = sorted(rs, key=keyfn)
+        out = []
+        for i in range(0, len(srt), 512):
+            chunk = [d for _k, d in (
+                (keyfn(r), r[1]) for r in srt[i : i + 512]
+            )]
+            out.append((min(chunk), max(chunk)))
+        return out
+
+    base = [r for r in rows if r[0] % 10 != 0]
+    delta = [r for r in rows if r[0] % 10 == 0]
+    incr = blocks_of(base, lambda r: (r[1], r[0])) + blocks_of(delta, lambda r: r[0])
+    recl = blocks_of(rows, lambda r: (r[1], r[0]))
+    months = sorted({dt.date(d.year, d.month, 1) for _k, d in rows})
+    spans = [(m, _month_end(m)) for m in months]
+
+    def cost(blks):
+        scanned = sum(
+            1 for mn, mx in blks for m0, m1 in spans if mn <= m1 and mx >= m0
+        )
+        micro = (1_000_000 * scanned) // (len(blks) * len(spans))
+        return scanned, micro
+
+    sc_i, mi_i = cost(incr)
+    sc_r, mi_r = cost(recl)
+    got = {r["state"]: r for r in QUERIES["q422_recluster_advisor"](spark, SF).collect()}
+    a, b = got["clustered_plus_appends"], got["reclustered_full"]
+    assert (a["n_blocks"], a["scanned_block_months"], a["scan_fraction_micro"]) == (
+        len(incr), sc_i, mi_i,
+    )
+    assert (b["n_blocks"], b["scanned_block_months"], b["scan_fraction_micro"]) == (
+        len(recl), sc_r, mi_r,
+    )
+    assert a["n_months"] == b["n_months"] == len(spans)
+    assert a["recluster_gain_micro"] == b["recluster_gain_micro"] == mi_i - mi_r
+    assert a["recommend_recluster"] == ((mi_i - mi_r) >= 50_000)
