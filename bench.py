@@ -83,6 +83,10 @@ EXTENDED = [
     # round-10 second batch: the heaviest maintenance addition (two
     # range exchanges + two-level stats + four spine joins)
     "q417_manifest_cascade_pruning",
+    # round-10 continuation: the 32-way randomization explode and the
+    # three-range-exchange incremental advisor
+    "q421_mannwhitney_randomization",
+    "q422_recluster_advisor",
 ]
 
 

@@ -26,6 +26,28 @@ TOKENIZE_SQL = (
 )
 
 
+# The suite's shared deterministic document classifier: a logistic
+# confidence (micro-units) from n_chars alone — the SAME expression
+# feeds the whole eval-metric family (q345 ECE, q356 AUC, q358 PR,
+# q365 conformal, q366 isotonic, round8's metric tier), so the six
+# copies the review found are now one definition per engine side.
+DOC_SCORE_SQL = (
+    "CAST(round(1000000.0 / (1.0 + exp(-(CAST(n_chars AS DOUBLE) - 500.0) / 250.0)))"
+    " AS BIGINT)"
+)
+
+
+def doc_score_micro() -> Column:
+    """Spark mirror of ``DOC_SCORE_SQL`` (reads column ``n_chars``)."""
+    return F.round(
+        F.lit(1000000.0)
+        / (
+            F.lit(1.0)
+            + F.exp(-(F.col("n_chars").cast("double") - F.lit(500.0)) / F.lit(250.0))
+        )
+    ).cast("bigint")
+
+
 def clean_string(c: Column | str) -> Column:
     """Unescape the three HTML entities the reference handles.
 

@@ -729,6 +729,10 @@ def gram_matrix_quantized(
     vectors: DataFrame,
     vec_col: str = "embedding",
     quant: int = 10_000_000,
+    *,
+    with_dim_sums: bool = False,
+    label_col: str | None = None,
+    add_bias: bool = False,
 ) -> DataFrame:
     """Exact upper-triangle Gram matrix Σ qᵢ·qⱼ over the quantized
     components (q = floor(x·quant)) — the X^T X accumulator that is
@@ -748,9 +752,27 @@ def gram_matrix_quantized(
     Returns (dim_i, dim_j, sxy) with 1-based dims, dim_i <= dim_j —
     diagonal included (the per-dim second moments), so one pass
     yields everything Pearson needs.
+
+    This is also the suite's ONE quantized-kernel definition (the
+    round-10 review found four per-query copies); the extra
+    per-query outputs ride as SENTINEL cells on the same stream:
+
+    - ``with_dim_sums`` (the q364 covariance / q373 whitening shape):
+      per-dim component sums at (i, -1) and the row count at
+      (-3, -3).
+    - ``label_col`` (the q363 ridge-probe shape; combine with
+      ``add_bias`` to append an exactly-quantized bias feature,
+      q = quant): the X^T y matvec at (i, -1) and the exact label
+      moments Σy / Σy² / n at (-1,-1) / (-2,-2) / (-3,-3). The
+      chunk bound also covers the q·y products whenever
+      max|y| <= max|q| (integer labels against micro-quantized
+      features — asserted by the caller's grain).
     """
     import numpy as np
     import pandas as pd
+
+    if with_dim_sums and label_col:
+        raise ValueError("with_dim_sums and label_col sentinel encodings collide")
 
     # int64 safety bound PER CHUNK: rows × max|q|² must stay below
     # 2^63, with max|q| measured from the batch itself (≈92k rows at
@@ -763,6 +785,11 @@ def gram_matrix_quantized(
         for pdf in it:
             mat = np.stack(pdf["v"].to_numpy())  # rows × d, float64
             q = np.floor(mat * quant).astype(np.int64)
+            if add_bias:
+                q = np.concatenate(
+                    [q, np.full((q.shape[0], 1), quant, dtype=np.int64)], axis=1
+                )
+            y = pdf["y"].to_numpy().astype(np.int64) if label_col else None
             # chunk bound from the BATCH's actual magnitude, not an
             # assumed |x| <= 1: unnormalized embeddings make |q|
             # exceed quant, and rows × max|q|² past 2^63 wraps
@@ -770,14 +797,34 @@ def gram_matrix_quantized(
             maxq = int(np.abs(q).max()) if q.size else 0
             max_rows = max(1, int(9.0e18 / float(max(1, maxq)) ** 2))
             for lo in range(0, len(q), max_rows):
-                g = q[lo : lo + max_rows].T @ q[lo : lo + max_rows]
+                qc = q[lo : lo + max_rows]
+                g = qc.T @ qc
                 d = g.shape[0]
                 iu, ju = np.triu_indices(d)
+                cols_i = [iu + 1]
+                cols_j = [ju + 1]
+                vals = [g[iu, ju]]
+                if with_dim_sums:
+                    cols_i += [np.arange(1, d + 1), [-3]]
+                    cols_j += [np.full(d, -1), [-3]]
+                    vals += [qc.sum(axis=0), [len(qc)]]
+                if label_col:
+                    yc = y[lo : lo + max_rows]
+                    cols_i += [np.arange(1, d + 1), [-1, -2, -3]]
+                    cols_j += [np.full(d, -1), [-1, -2, -3]]
+                    vals += [qc.T @ yc, [int(yc.sum()), int((yc * yc).sum()), len(yc)]]
                 yield pd.DataFrame(
-                    {"dim_i": iu + 1, "dim_j": ju + 1, "part_sxy": g[iu, ju]}
+                    {
+                        "dim_i": np.concatenate(cols_i),
+                        "dim_j": np.concatenate(cols_j),
+                        "part_sxy": np.concatenate(vals),
+                    }
                 )
 
-    v = vectors.select(to_double_array(vec_col).alias("v"))
+    sel = [to_double_array(vec_col).alias("v")]
+    if label_col:
+        sel.append(F.col(label_col).alias("y"))
+    v = vectors.select(*sel)
     parts = v.mapInPandas(partials, schema="dim_i int, dim_j int, part_sxy long")
     return parts.groupBy("dim_i", "dim_j").agg(
         F.sum(F.col("part_sxy").cast("decimal(38,0)")).alias("sxy")

@@ -39,7 +39,9 @@ from pyspark.sql import functions as F
 from pipeline_usnvc_spark.plans.registry import query
 from pipeline_usnvc_spark.sources.tables import load_table
 
+from pipeline_usnvc_spark.functions.text import DOC_SCORE_SQL as _DOC_SCORE_SQL
 from pipeline_usnvc_spark.functions.text import TOKENIZE_SQL as _TOKS_SQL
+from pipeline_usnvc_spark.functions.text import doc_score_micro
 
 
 def _d38(c):
@@ -479,10 +481,9 @@ def q344_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "q345_calibration_ece",
-    oracle="""
+    oracle=f"""
     WITH scored AS (
-        SELECT CAST(round(1000000.0 / (1.0 + exp(-(CAST(n_chars AS DOUBLE) - 500.0) / 250.0)))
-                    AS BIGINT) AS conf_micro,
+        SELECT {_DOC_SCORE_SQL} AS conf_micro,
                CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
         FROM documents
     ),
@@ -511,13 +512,7 @@ def q344_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q345_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    conf_micro = F.round(
-        F.lit(1000000.0)
-        / (
-            F.lit(1.0)
-            + F.exp(-(F.col("n_chars").cast("double") - F.lit(500.0)) / F.lit(250.0))
-        )
-    ).cast("bigint")
+    conf_micro = doc_score_micro()
     scored = docs.select(
         conf_micro.alias("conf_micro"),
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
@@ -831,24 +826,13 @@ def q348_info_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# q349 — Cramér-von Mises two-sample statistic between every pair of
-# sources' document-length distributions: the drift test that weighs
-# the WHOLE ECDF gap (KS, q191, sees only the max). Computed in the
-# standard tied-data form T = sum_x w_x*(F_a - F_b)^2 * nm/(n+m)^2
-# over the pooled value spine, with the ECDF gap kept as the EXACT
-# integer cf_a*m - cf_b*n — the numerator sum is exact DECIMAL(38,0)
-# and one final division produces the statistic. Grain: (source pair)
-# x (distinct lengths) — both value-domain-bounded; the only row-
-# grain op is the first groupBy. DECIMAL(38,0) headroom note: the
-# summed term is w*(cf_a*m - cf_b*n)^2 <= (n+m)*(nm)^2 — fine through
-# ~1e9-row sides, beyond which the gap should be banded to micro
-# before squaring.
-# ---------------------------------------------------------------------------
-@query(
-    "q349_cvm_two_sample",
-    oracle="""
-    WITH cnt AS (
+# The all-pairs two-sample scaffold shared by q349 (CvM), q367
+# (energy distance) and q368 (1-D Wasserstein): per-(source, value)
+# counts, the sa < sb source-pair lattice, and the padded pair x
+# value spine. ONE definition each side (review finding: ~45 verbatim
+# lines x3 on each engine side; the r07 item-4 de-hinting was already
+# hand-applied three times).
+_PAIR_VALUE_SPINE_CTES = """cnt AS (
         SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
         FROM documents GROUP BY 1, 2
     ),
@@ -865,7 +849,66 @@ def q348_info_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         LEFT JOIN cnt ca ON ca.source = p.sa AND ca.v = v.v
         LEFT JOIN cnt cb ON cb.source = p.sb AND cb.v = v.v
         WHERE coalesce(ca.c, 0) + coalesce(cb.c, 0) > 0
-    ),
+    )"""
+
+
+def _source_pair_value_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark mirror of ``_PAIR_VALUE_SPINE_CTES``'s ``spine`` CTE:
+    (sa, sb, v, ca, cb) with zero-padded counts. Un-hinted count-frame
+    joins on purpose — its grain is (source x distinct value), bounded
+    here, but hinting a broadcast hard-commits the plan at any scale;
+    left to AQE, Spark broadcasts when the runtime size is small and
+    shuffles otherwise (VERDICT r07 item 4)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    srcs = cnt.select("source").distinct()
+    pairs = srcs.select(F.col("source").alias("sa")).join(
+        srcs.select(F.col("source").alias("sb")), F.col("sa") < F.col("sb")
+    )
+    vals = cnt.select("v").distinct()
+    return (
+        pairs.crossJoin(F.broadcast(vals))
+        .join(
+            cnt.select(F.col("source").alias("sa"), "v", F.col("c").alias("ca")),
+            ["sa", "v"],
+            "left",
+        )
+        .join(
+            cnt.select(F.col("source").alias("sb"), "v", F.col("c").alias("cb")),
+            ["sb", "v"],
+            "left",
+        )
+        .select(
+            "sa",
+            "sb",
+            "v",
+            F.coalesce("ca", F.lit(0).cast("bigint")).alias("ca"),
+            F.coalesce("cb", F.lit(0).cast("bigint")).alias("cb"),
+        )
+        .filter(F.col("ca") + F.col("cb") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q349 — Cramér-von Mises two-sample statistic between every pair of
+# sources' document-length distributions: the drift test that weighs
+# the WHOLE ECDF gap (KS, q191, sees only the max). Computed in the
+# standard tied-data form T = sum_x w_x*(F_a - F_b)^2 * nm/(n+m)^2
+# over the pooled value spine, with the ECDF gap kept as the EXACT
+# integer cf_a*m - cf_b*n — the numerator sum is exact DECIMAL(38,0)
+# and one final division produces the statistic. Grain: (source pair)
+# x (distinct lengths) — both value-domain-bounded; the only row-
+# grain op is the first groupBy. DECIMAL(38,0) headroom note: the
+# summed term is w*(cf_a*m - cf_b*n)^2 <= (n+m)*(nm)^2 — fine through
+# ~1e9-row sides, beyond which the gap should be banded to micro
+# before squaring.
+# ---------------------------------------------------------------------------
+@query(
+    "q349_cvm_two_sample",
+    oracle=f"""
+    WITH {_PAIR_VALUE_SPINE_CTES},
     cum AS (
         SELECT sa, sb, v, ca, cb,
                CAST(sum(ca) OVER w AS BIGINT) AS cfa,
@@ -890,42 +933,7 @@ def q348_info_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q349_cvm_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    cnt = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
-        F.count("*").cast("bigint").alias("c")
-    )
-    srcs = cnt.select("source").distinct()
-    pairs = (
-        srcs.select(F.col("source").alias("sa"))
-        .join(srcs.select(F.col("source").alias("sb")), F.col("sa") < F.col("sb"))
-    )
-    vals = cnt.select("v").distinct()
-    # Plain (un-hinted) joins against the per-source count frame: its
-    # grain is (source x distinct value) — bounded here, but hinting a
-    # broadcast hard-commits the plan at any scale. Left to AQE, Spark
-    # broadcasts when the runtime size is small and shuffles otherwise
-    # (VERDICT r07 item 4).
-    spine = (
-        pairs.crossJoin(F.broadcast(vals))
-        .join(
-            cnt.select(F.col("source").alias("sa"), "v", F.col("c").alias("ca")),
-            ["sa", "v"],
-            "left",
-        )
-        .join(
-            cnt.select(F.col("source").alias("sb"), "v", F.col("c").alias("cb")),
-            ["sb", "v"],
-            "left",
-        )
-        .select(
-            "sa",
-            "sb",
-            "v",
-            F.coalesce("ca", F.lit(0).cast("bigint")).alias("ca"),
-            F.coalesce("cb", F.lit(0).cast("bigint")).alias("cb"),
-        )
-        .filter(F.col("ca") + F.col("cb") > 0)
-    )
+    spine = _source_pair_value_spine(spark, sf_dir)
     w_cum = Window.partitionBy("sa", "sb").orderBy("v").rowsBetween(
         Window.unboundedPreceding, 0
     )
@@ -1151,21 +1159,14 @@ def q351_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# q352 — Kaplan-Meier product-limit survival of time-to-repeat-
-# purchase WITH right-censoring (q270's discrete-week ratios ignore
-# censoring; this is the estimator a churn analysis actually wants).
-# Users without a second purchase are censored at the corpus horizon.
-# S(t) = prod_{t_i<=t} (1 - d_i/n_i) is computed as exp of the EXACT
-# cumulative sum of micro-rounded ln((n-d)/n) terms over the event-
-# time spine (the q217/q330 transcendental discipline); once the risk
-# set dies out entirely (n == d) survival pins to 0 from that point.
-# Grain: one user-level aggregate, then the bounded duration spine.
-# ---------------------------------------------------------------------------
-@query(
-    "q352_kaplan_meier",
-    oracle="""
-    WITH p AS (
+# The right-censored repeat-purchase duration construction shared by
+# q352 (Kaplan-Meier) and q377 (Nelson-Aalen) — first purchase per
+# user, next purchase if any (censored at the corpus horizon
+# otherwise), duration spine with per-t event counts, and the at-risk
+# decrement. ONE definition each side (review finding: ~40 verbatim
+# lines per estimator; a censoring-rule change applied to one would
+# silently de-sync the other and their exp(-H) cross-check).
+_DURATION_RISK_CTES = """p AS (
         SELECT user_id, CAST(date_diff('day', DATE '1992-01-01', CAST(ts AS DATE)) AS BIGINT) AS d
         FROM events WHERE event_type = 'purchase'
     ),
@@ -1194,7 +1195,67 @@ def q351_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
                  AS n_risk
         FROM spine
-    ),
+    )"""
+
+
+def _duration_risk_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark mirror of ``_DURATION_RISK_CTES``'s final ``risk`` CTE:
+    (t, n_ev, n_risk), unfiltered — estimators filter/transform from
+    here."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1992-01-01")).cast("bigint").alias("d"),
+    )
+    horizon = p.agg(F.max("d").alias("dmax"))
+    per_user = p.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    nexts = (
+        p.join(per_user, "user_id")
+        .filter(F.col("d") > F.col("first_d"))
+        .groupBy("user_id")
+        .agg(F.min("d").alias("next_d"))
+    )
+    durations = (
+        per_user.join(nexts, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(F.col("next_d").isNotNull(), F.col("next_d") - F.col("first_d"))
+            .otherwise(F.col("dmax") - F.col("first_d"))
+            .alias("t"),
+            F.when(F.col("next_d").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    spine = durations.groupBy("t").agg(
+        F.count("*").cast("bigint").alias("n_all"),
+        F.sum("ev").cast("bigint").alias("n_ev"),
+    )
+    w_all = Window.partitionBy()
+    w_before = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    return spine.select(
+        "t",
+        "n_ev",
+        (
+            F.sum("n_all").over(w_all).cast("bigint")
+            - F.coalesce(F.sum("n_all").over(w_before), F.lit(0)).cast("bigint")
+        ).alias("n_risk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q352 — Kaplan-Meier product-limit survival of time-to-repeat-
+# purchase WITH right-censoring (q270's discrete-week ratios ignore
+# censoring; this is the estimator a churn analysis actually wants).
+# Users without a second purchase are censored at the corpus horizon.
+# S(t) = prod_{t_i<=t} (1 - d_i/n_i) is computed as exp of the EXACT
+# cumulative sum of micro-rounded ln((n-d)/n) terms over the event-
+# time spine (the q217/q330 transcendental discipline); once the risk
+# set dies out entirely (n == d) survival pins to 0 from that point.
+# Grain: one user-level aggregate, then the bounded duration spine.
+# ---------------------------------------------------------------------------
+@query(
+    "q352_kaplan_meier",
+    oracle=f"""
+    WITH {_DURATION_RISK_CTES},
     terms AS (
         SELECT t, n_ev, n_risk,
                CASE WHEN n_ev < n_risk
@@ -1217,45 +1278,7 @@ def q351_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q352_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    p = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        F.datediff(F.to_date("ts"), F.lit("1992-01-01")).cast("bigint").alias("d"),
-    )
-    horizon = p.agg(F.max("d").alias("dmax"))
-    per_user = p.groupBy("user_id").agg(F.min("d").alias("first_d"))
-    nexts = (
-        p.join(per_user, "user_id")
-        .filter(F.col("d") > F.col("first_d"))
-        .groupBy("user_id")
-        .agg(F.min("d").alias("next_d"))
-    )
-    durations = (
-        per_user.join(nexts, "user_id", "left")
-        .crossJoin(F.broadcast(horizon))
-        .select(
-            F.when(
-                F.col("next_d").isNotNull(), F.col("next_d") - F.col("first_d")
-            )
-            .otherwise(F.col("dmax") - F.col("first_d"))
-            .alias("t"),
-            F.when(F.col("next_d").isNotNull(), 1).otherwise(0).alias("ev"),
-        )
-    )
-    spine = durations.groupBy("t").agg(
-        F.count("*").cast("bigint").alias("n_all"),
-        F.sum("ev").cast("bigint").alias("n_ev"),
-    )
-    w_all = Window.partitionBy()
-    w_before = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
-    risk = spine.select(
-        "t",
-        "n_ev",
-        (
-            F.sum("n_all").over(w_all).cast("bigint")
-            - F.coalesce(F.sum("n_all").over(w_before), F.lit(0)).cast("bigint")
-        ).alias("n_risk"),
-    )
+    risk = _duration_risk_spine(spark, sf_dir)
     ln_micro = F.when(
         F.col("n_ev") < F.col("n_risk"),
         F.round(
@@ -1358,6 +1381,13 @@ def q353_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("k_b"),
     )
+    # keys feeds FOUR plan branches (each caught() aggregate build
+    # side + join probe side, twice): materialize so the corpus
+    # tokenize + md5 lineage runs once, not four times (review
+    # finding; the subplans differ so AQE exchange reuse can't help).
+    from pipeline_usnvc_spark.operators.checkpoint import materialize
+
+    keys = materialize(keys)
 
     def caught(col: str) -> DataFrame:
         # bucket sizes are bucket-grain (unbounded) — a plain shuffle
@@ -1625,10 +1655,9 @@ def q355_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "q356_auc_roc",
-    oracle="""
+    oracle=f"""
     WITH scored AS (
-        SELECT CAST(round(1000000.0 / (1.0 + exp(-(CAST(n_chars AS DOUBLE) - 500.0) / 250.0)))
-                    AS BIGINT) AS v,
+        SELECT {_DOC_SCORE_SQL} AS v,
                CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
         FROM documents
     ),
@@ -1658,13 +1687,7 @@ def q355_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q356_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    v = F.round(
-        F.lit(1000000.0)
-        / (
-            F.lit(1.0)
-            + F.exp(-(F.col("n_chars").cast("double") - F.lit(500.0)) / F.lit(250.0))
-        )
-    ).cast("bigint")
+    v = doc_score_micro()
     scored = docs.select(
         v.alias("v"), F.when(F.col("lang") == "en", 1).otherwise(0).alias("y")
     )
@@ -1807,10 +1830,9 @@ def q357_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "q358_pr_curve",
-    oracle="""
+    oracle=f"""
     WITH scored AS (
-        SELECT least(CAST(round(1000000.0 / (1.0 + exp(-(CAST(n_chars AS DOUBLE) - 500.0) / 250.0)))
-                     AS BIGINT) // 100000, 9) AS bin,
+        SELECT least({_DOC_SCORE_SQL} // 100000, 9) AS bin,
                CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
         FROM documents
     ),
@@ -1841,13 +1863,7 @@ def q357_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q358_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    conf_micro = F.round(
-        F.lit(1000000.0)
-        / (
-            F.lit(1.0)
-            + F.exp(-(F.col("n_chars").cast("double") - F.lit(500.0)) / F.lit(250.0))
-        )
-    ).cast("bigint")
+    conf_micro = doc_score_micro()
     scored = docs.select(
         F.least(F.floor(conf_micro / 100000).cast("bigint"), F.lit(9)).alias("bin"),
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
@@ -1855,7 +1871,7 @@ def q358_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_bin = scored.groupBy("bin").agg(
         F.count("*").cast("bigint").alias("n"), F.sum("y").cast("bigint").alias("x")
     )
-    thresholds = load_table(spark, sf_dir, "documents").sparkSession.range(0, 10).select(
+    thresholds = spark.range(0, 10).select(
         F.col("id").cast("bigint").alias("t")
     )
     cum = (
@@ -2252,41 +2268,22 @@ def q361_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q362_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the suite's ONE quantized-gram kernel (operators/similarity.py —
+    # the round-10 review retired this query's inline copy); chunking
+    # differences are value-invisible: the cross-chunk merge is the
+    # exact DECIMAL sum
+    from pipeline_usnvc_spark.operators.similarity import gram_matrix_quantized
+
     emb = load_table(spark, sf_dir, "embeddings").select("embedding")
-    out_schema = "dim_i bigint, dim_j bigint, partial long"
-
-    def gram_chunks(it):
-        import numpy as np
-        import pandas as pd
-
-        CHUNK = 8192
-        for pdf in it:
-            arrs = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            q = np.floor(arrs * 10_000_000).astype(np.int64)
-            d = q.shape[1]
-            iu = np.triu_indices(d)
-            for lo in range(0, q.shape[0], CHUNK):
-                g = q[lo : lo + CHUNK].T @ q[lo : lo + CHUNK]
-                yield pd.DataFrame(
-                    {
-                        "dim_i": iu[0] + 1,
-                        "dim_j": iu[1] + 1,
-                        "partial": g[iu],
-                    }
-                )
-
-    partials = emb.mapInPandas(gram_chunks, schema=out_schema)
-    agg = partials.groupBy("dim_i", "dim_j").agg(
-        F.sum(_d38(F.col("partial"))).cast("decimal(38,0)").alias("qsum")
-    )
+    agg = gram_matrix_quantized(emb)
     # driver-facing qsum is BIGINT (exact through ~3.7e5 vectors at
     # |q|<=5e6; the internal merge stays DECIMAL(38,0) — at larger
     # corpora report m only)
     return agg.select(
-        "dim_i",
-        "dim_j",
-        F.col("qsum").cast("bigint").alias("qsum"),
-        F.round(F.col("qsum").cast("double") / F.lit(1e14), 6).alias("m"),
+        F.col("dim_i").cast("bigint").alias("dim_i"),
+        F.col("dim_j").cast("bigint").alias("dim_j"),
+        F.col("sxy").cast("bigint").alias("qsum"),
+        F.round(F.col("sxy").cast("double") / F.lit(1e14), 6).alias("m"),
     ).orderBy("dim_i", "dim_j")
 
 
@@ -2315,55 +2312,19 @@ def q363_ridge_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lam = 1.0
     emb = load_table(spark, sf_dir, "embeddings").select("embedding", "label")
-    out_schema = "dim_i int, dim_j int, partial long"
+    # the shared kernel in label mode: gram cells at (i, j); X^T y at
+    # (i, -1); exact label moments at (-1,-1)/(-2,-2)/(-3,-3); the
+    # bias feature (x = 1.0 -> q = 1e7) appended inside the kernel
+    from pipeline_usnvc_spark.operators.similarity import gram_matrix_quantized
 
-    def stats_chunks(it):
-        import numpy as np
-        import pandas as pd
-
-        CHUNK = 8192
-        for pdf in it:
-            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            q = np.floor(X * 10_000_000).astype(np.int64)
-            # exactly-quantized bias feature (x = 1.0 -> q = 1e7)
-            q = np.concatenate(
-                [q, np.full((q.shape[0], 1), 10_000_000, dtype=np.int64)], axis=1
-            )
-            y = pdf["label"].to_numpy().astype(np.int64)
-            d = q.shape[1]
-            iu = np.triu_indices(d)
-            for lo in range(0, q.shape[0], CHUNK):
-                qc, yc = q[lo : lo + CHUNK], y[lo : lo + CHUNK]
-                g = qc.T @ qc
-                qy = qc.T @ yc
-                ys = int(yc.sum())
-                yy = int((yc * yc).sum())
-                n = int(len(yc))
-                # gram cells at (i, j); X^T y at (i, -1); the scalar
-                # moments of y at (-1, -1)/(-2,-2)/(-3,-3)
-                yield pd.DataFrame(
-                    {
-                        "dim_i": np.concatenate(
-                            [iu[0] + 1, np.arange(1, d + 1), [-1, -2, -3]]
-                        ),
-                        "dim_j": np.concatenate(
-                            [iu[1] + 1, np.full(d, -1), [-1, -2, -3]]
-                        ),
-                        "partial": np.concatenate([g[iu], qy, [ys, yy, n]]),
-                    }
-                )
-
-    cells = (
-        emb.mapInPandas(stats_chunks, schema=out_schema)
-        .groupBy("dim_i", "dim_j")
-        .agg(F.sum(_d38(F.col("partial"))).cast("decimal(38,0)").alias("s"))
-        .collect()  # bounded grain: 2080 + 64 + 3 exact integers
-    )
+    cells = gram_matrix_quantized(
+        emb, label_col="label", add_bias=True
+    ).collect()  # bounded grain: 2080 + 64 + 3 exact integers
     gram: dict = {}
     qy: dict = {}
     ys = yy = n = 0
     for r in cells:
-        i, j, s = r["dim_i"], r["dim_j"], int(r["s"])
+        i, j, s = r["dim_i"], r["dim_j"], int(r["sxy"])
         if i == -1:
             ys = s
         elif i == -2:
@@ -2401,14 +2362,27 @@ def q363_ridge_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]
     sse_w = float(int(sses["sse_w_micro"])) / 1e6
     sse_mean = yy - n * ybar * ybar
-    r2 = 1.0 - sse_w / sse_mean
+    # Degenerate-label guard (review finding): a CONSTANT label column
+    # makes sse_mean exactly 0 — plain Python division would abort the
+    # whole run with ZeroDivisionError; report r2 = NULL instead (no
+    # variance to explain) and let the contract pass that row through.
+    r2 = None if sse_mean <= 0.0 else 1.0 - sse_w / sse_mean
     out = spark.createDataFrame(
-        [(i + 1, round(float(w[i]), 6), round(r2, 6), n) for i in range(d)],
+        [
+            (i + 1, round(float(w[i]), 6), None if r2 is None else round(r2, 6), n)
+            for i in range(d)
+        ],
         "dim bigint, weight double, r2 double, n_vectors bigint",
     )
+    # r2 >= -1e-6 (not 0): w is solved on floor(x*1e7) QUANTIZED
+    # features but SSE(w) is measured on raw doubles, so on
+    # near-zero-signal data the measured r2 can legitimately dip a
+    # quantization-hair below zero; the tolerance keeps the contract
+    # about "beats the baseline", not about the quantizer's last ulp.
     return contract_filter(
         out,
-        (F.col("r2") >= 0.0) & (F.col("r2") <= 1.0),
+        F.col("r2").isNull()
+        | ((F.col("r2") >= -1e-6) & (F.col("r2") <= 1.0)),
         F.concat(
             F.lit("ridge probe failed to beat the intercept baseline: r2="),
             F.col("r2").cast("string"),
@@ -2467,37 +2441,13 @@ def q363_ridge_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q364_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the shared kernel in dim-sums mode: gram cells at (i, j),
+    # per-dim component sums at (i, -1), row count at (-3, -3)
+    from pipeline_usnvc_spark.operators.similarity import gram_matrix_quantized
+
     emb = load_table(spark, sf_dir, "embeddings").select("embedding")
-    out_schema = "dim_i int, dim_j int, partial long"
-
-    def cov_chunks(it):
-        import numpy as np
-        import pandas as pd
-
-        CHUNK = 8192
-        for pdf in it:
-            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            q = np.floor(X * 10_000_000).astype(np.int64)
-            d = q.shape[1]
-            iu = np.triu_indices(d)
-            for lo in range(0, q.shape[0], CHUNK):
-                qc = q[lo : lo + CHUNK]
-                g = qc.T @ qc
-                s = qc.sum(axis=0)
-                yield pd.DataFrame(
-                    {
-                        "dim_i": np.concatenate(
-                            [iu[0] + 1, np.arange(1, d + 1), [-3]]
-                        ),
-                        "dim_j": np.concatenate([iu[1] + 1, np.full(d, -1), [-3]]),
-                        "partial": np.concatenate([g[iu], s, [len(qc)]]),
-                    }
-                )
-
-    cells = (
-        emb.mapInPandas(cov_chunks, schema=out_schema)
-        .groupBy("dim_i", "dim_j")
-        .agg(F.sum(_d38(F.col("partial"))).cast("decimal(38,0)").alias("s"))
+    cells = gram_matrix_quantized(emb, with_dim_sums=True).withColumnRenamed(
+        "sxy", "s"
     )
     gram = cells.filter((F.col("dim_i") > 0) & (F.col("dim_j") > 0)).select(
         F.col("dim_i"), F.col("dim_j"), F.col("s").alias("qsum")
@@ -2545,11 +2495,10 @@ def q364_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "q365_conformal_quantile",
-    oracle="""
+    oracle=f"""
     WITH scored AS (
         SELECT abs(CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END
-                   - CAST(round(1000000.0 / (1.0 + exp(-(CAST(n_chars AS DOUBLE) - 500.0) / 250.0)))
-                          AS BIGINT)) AS s
+                   - {_DOC_SCORE_SQL}) AS s
         FROM documents
     ),
     spine AS (SELECT s, CAST(count(*) AS BIGINT) AS c FROM scored GROUP BY s),
@@ -2576,13 +2525,7 @@ def q365_conformal_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_usnvc_spark.operators.contracts import contract_filter
 
     docs = load_table(spark, sf_dir, "documents")
-    conf_micro = F.round(
-        F.lit(1000000.0)
-        / (
-            F.lit(1.0)
-            + F.exp(-(F.col("n_chars").cast("double") - F.lit(500.0)) / F.lit(250.0))
-        )
-    ).cast("bigint")
+    conf_micro = doc_score_micro()
     scored = docs.select(
         F.abs(
             F.when(F.col("lang") == "en", F.lit(1000000)).otherwise(F.lit(0))
@@ -2648,13 +2591,7 @@ def q366_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_usnvc_spark.operators.contracts import contract_filter
 
     docs = load_table(spark, sf_dir, "documents")
-    conf_micro = F.round(
-        F.lit(1000000.0)
-        / (
-            F.lit(1.0)
-            + F.exp(-(F.col("n_chars").cast("double") - F.lit(500.0)) / F.lit(250.0))
-        )
-    ).cast("bigint")
+    conf_micro = doc_score_micro()
     per_bin = (
         docs.select(
             F.least(F.floor(conf_micro / 100000).cast("bigint"), F.lit(9)).alias("bin"),
@@ -2747,25 +2684,8 @@ def q366_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "q367_energy_distance",
-    oracle="""
-    WITH cnt AS (
-        SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
-        FROM documents GROUP BY 1, 2
-    ),
-    pairs AS (
-        SELECT a.source AS sa, b.source AS sb
-        FROM (SELECT DISTINCT source FROM cnt) a
-        JOIN (SELECT DISTINCT source FROM cnt) b ON a.source < b.source
-    ),
-    spine AS (
-        SELECT p.sa, p.sb, v.v,
-               coalesce(ca.c, 0) AS ca, coalesce(cb.c, 0) AS cb
-        FROM pairs p
-        JOIN (SELECT DISTINCT cnt.v FROM cnt) v ON TRUE
-        LEFT JOIN cnt ca ON ca.source = p.sa AND ca.v = v.v
-        LEFT JOIN cnt cb ON cb.source = p.sb AND cb.v = v.v
-        WHERE coalesce(ca.c, 0) + coalesce(cb.c, 0) > 0
-    ),
+    oracle=f"""
+    WITH {_PAIR_VALUE_SPINE_CTES},
     cum AS (
         SELECT sa, sb, v, ca, cb,
                CAST(coalesce(sum(ca) OVER wb, 0) AS HUGEINT) AS cnt_a_below,
@@ -2797,38 +2717,7 @@ def q366_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q367_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    cnt = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
-        F.count("*").cast("bigint").alias("c")
-    )
-    srcs = cnt.select("source").distinct()
-    pairs = srcs.select(F.col("source").alias("sa")).join(
-        srcs.select(F.col("source").alias("sb")), F.col("sa") < F.col("sb")
-    )
-    vals = cnt.select("v").distinct()
-    # Un-hinted count-frame joins (AQE decides broadcast vs shuffle at
-    # runtime) — see q349 for the rationale (VERDICT r07 item 4).
-    spine = (
-        pairs.crossJoin(F.broadcast(vals))
-        .join(
-            cnt.select(F.col("source").alias("sa"), "v", F.col("c").alias("ca")),
-            ["sa", "v"],
-            "left",
-        )
-        .join(
-            cnt.select(F.col("source").alias("sb"), "v", F.col("c").alias("cb")),
-            ["sb", "v"],
-            "left",
-        )
-        .select(
-            "sa",
-            "sb",
-            "v",
-            F.coalesce("ca", F.lit(0).cast("bigint")).alias("ca"),
-            F.coalesce("cb", F.lit(0).cast("bigint")).alias("cb"),
-        )
-        .filter(F.col("ca") + F.col("cb") > 0)
-    )
+    spine = _source_pair_value_spine(spark, sf_dir)
     w_below = (
         Window.partitionBy("sa", "sb")
         .orderBy("v")
@@ -2897,25 +2786,8 @@ def q367_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "q368_wasserstein_1d",
-    oracle="""
-    WITH cnt AS (
-        SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
-        FROM documents GROUP BY 1, 2
-    ),
-    pairs AS (
-        SELECT a.source AS sa, b.source AS sb
-        FROM (SELECT DISTINCT source FROM cnt) a
-        JOIN (SELECT DISTINCT source FROM cnt) b ON a.source < b.source
-    ),
-    spine AS (
-        SELECT p.sa, p.sb, v.v,
-               coalesce(ca.c, 0) AS ca, coalesce(cb.c, 0) AS cb
-        FROM pairs p
-        JOIN (SELECT DISTINCT cnt.v FROM cnt) v ON TRUE
-        LEFT JOIN cnt ca ON ca.source = p.sa AND ca.v = v.v
-        LEFT JOIN cnt cb ON cb.source = p.sb AND cb.v = v.v
-        WHERE coalesce(ca.c, 0) + coalesce(cb.c, 0) > 0
-    ),
+    oracle=f"""
+    WITH {_PAIR_VALUE_SPINE_CTES},
     cum AS (
         SELECT sa, sb, v, ca, cb,
                CAST(sum(ca) OVER w AS HUGEINT) AS cfa,
@@ -2943,38 +2815,7 @@ def q367_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q368_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    cnt = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
-        F.count("*").cast("bigint").alias("c")
-    )
-    srcs = cnt.select("source").distinct()
-    pairs = srcs.select(F.col("source").alias("sa")).join(
-        srcs.select(F.col("source").alias("sb")), F.col("sa") < F.col("sb")
-    )
-    vals = cnt.select("v").distinct()
-    # Un-hinted count-frame joins (AQE decides broadcast vs shuffle at
-    # runtime) — see q349 for the rationale (VERDICT r07 item 4).
-    spine = (
-        pairs.crossJoin(F.broadcast(vals))
-        .join(
-            cnt.select(F.col("source").alias("sa"), "v", F.col("c").alias("ca")),
-            ["sa", "v"],
-            "left",
-        )
-        .join(
-            cnt.select(F.col("source").alias("sb"), "v", F.col("c").alias("cb")),
-            ["sb", "v"],
-            "left",
-        )
-        .select(
-            "sa",
-            "sb",
-            "v",
-            F.coalesce("ca", F.lit(0).cast("bigint")).alias("ca"),
-            F.coalesce("cb", F.lit(0).cast("bigint")).alias("cb"),
-        )
-        .filter(F.col("ca") + F.col("cb") > 0)
-    )
+    spine = _source_pair_value_spine(spark, sf_dir)
     w_cum = Window.partitionBy("sa", "sb").orderBy("v").rowsBetween(
         Window.unboundedPreceding, 0
     )
@@ -3024,10 +2865,9 @@ def q368_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "q369_hellinger_distance",
-    oracle="""
+    oracle=f"""
     WITH toks AS (
-        SELECT source, unnest(list_filter(
-            string_split_regex(lower(text), '[^a-zA-Z0-9]+'), t -> t <> '')) AS term
+        SELECT source, unnest({_TOKS_SQL}) AS term
         FROM documents
     ),
     tc AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2),
@@ -3153,7 +2993,13 @@ def q369_hellinger_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q370_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    spark.sql("CREATE DATABASE IF NOT EXISTS bucketed_demo")
+    # LOCATION is explicit: without it CREATE DATABASE mkdirs under
+    # the default spark-warehouse (CWD) — exactly the read-only-CWD
+    # dependency the note below exists to avoid (review finding).
+    spark.sql(
+        "CREATE DATABASE IF NOT EXISTS bucketed_demo "
+        "LOCATION '/tmp/pipeline_usnvc_spark_bucketed_demo_db'"
+    )
     # External tables under an EXPLICIT /tmp path: the harness session
     # may run with an arbitrary (possibly read-only) CWD, so never
     # rely on the default spark-warehouse location. A fresh session's
@@ -3170,6 +3016,14 @@ def q370_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # locations and catalog entries.
     app = spark.sparkContext.applicationId.replace("-", "_")
     base = f"/tmp/pipeline_usnvc_spark_bucketed_{app}"
+    # The returned DataFrame reads the bucketed tables LAZILY, so they
+    # must outlive this function — reap the per-run directory at
+    # process exit instead (review finding: each run leaked two table
+    # copies under /tmp plus two catalog entries, unbounded across
+    # bench/replay runs; the catalog itself is in-memory per session).
+    import atexit
+
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     for short, df, key in (
         ("orders_bkt", o, "o_custkey"),
         ("customer_bkt", c, "c_custkey"),
@@ -3389,38 +3243,11 @@ def q373_whitening_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("embedding")
 
     def cov_cells(df):
-        out_schema = "dim_i int, dim_j int, partial long"
+        # the shared kernel in dim-sums mode (operators/similarity.py)
+        from pipeline_usnvc_spark.operators.similarity import gram_matrix_quantized
 
-        def chunks(it):
-            import numpy as np
-            import pandas as pd
-
-            CHUNK = 8192
-            for pdf in it:
-                X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-                q = np.floor(X * 10_000_000).astype(np.int64)
-                d = q.shape[1]
-                iu = np.triu_indices(d)
-                for lo in range(0, X.shape[0], CHUNK):
-                    qc = q[lo : lo + CHUNK]
-                    g = qc.T @ qc
-                    s = qc.sum(axis=0)
-                    yield pd.DataFrame(
-                        {
-                            "dim_i": np.concatenate(
-                                [iu[0] + 1, np.arange(1, d + 1), [-3]]
-                            ),
-                            "dim_j": np.concatenate(
-                                [iu[1] + 1, np.full(d, -1), [-3]]
-                            ),
-                            "partial": np.concatenate([g[iu], s, [len(qc)]]),
-                        }
-                    )
-
-        return (
-            df.mapInPandas(chunks, schema=out_schema)
-            .groupBy("dim_i", "dim_j")
-            .agg(F.sum(_d38(F.col("partial"))).cast("decimal(38,0)").alias("s"))
+        return gram_matrix_quantized(df, with_dim_sums=True).withColumnRenamed(
+            "sxy", "s"
         )
 
     def to_cov(cells_rows):
@@ -3853,36 +3680,8 @@ def q376_negbin_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "q377_nelson_aalen",
-    oracle="""
-    WITH p AS (
-        SELECT user_id, CAST(date_diff('day', DATE '1992-01-01', CAST(ts AS DATE)) AS BIGINT) AS d
-        FROM events WHERE event_type = 'purchase'
-    ),
-    horizon AS (SELECT max(d) AS dmax FROM p),
-    per_user AS (
-        SELECT user_id, min(d) AS first_d,
-               min(CASE WHEN d > (SELECT min(d) FROM p p2 WHERE p2.user_id = p.user_id) THEN d END)
-                   AS next_d
-        FROM p GROUP BY user_id
-    ),
-    durations AS (
-        SELECT CASE WHEN next_d IS NOT NULL THEN next_d - first_d
-                    ELSE h.dmax - first_d END AS t,
-               CASE WHEN next_d IS NOT NULL THEN 1 ELSE 0 END AS ev
-        FROM per_user CROSS JOIN horizon h
-    ),
-    spine AS (
-        SELECT t, CAST(count(*) AS BIGINT) AS n_all, CAST(sum(ev) AS BIGINT) AS n_ev
-        FROM durations GROUP BY t
-    ),
-    risk AS (
-        SELECT t, n_ev,
-               CAST(sum(n_all) OVER () AS BIGINT)
-                 - CAST(coalesce(sum(n_all) OVER (ORDER BY t
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-                 AS n_risk
-        FROM spine
-    ),
+    oracle=f"""
+    WITH {_DURATION_RISK_CTES},
     haz AS (
         SELECT t, n_ev, n_risk,
                CAST((n_ev * 1000000 - (n_ev * 1000000) % n_risk) // n_risk AS BIGINT)
@@ -3898,43 +3697,7 @@ def q376_negbin_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q377_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    p = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        F.datediff(F.to_date("ts"), F.lit("1992-01-01")).cast("bigint").alias("d"),
-    )
-    horizon = p.agg(F.max("d").alias("dmax"))
-    per_user = p.groupBy("user_id").agg(F.min("d").alias("first_d"))
-    nexts = (
-        p.join(per_user, "user_id")
-        .filter(F.col("d") > F.col("first_d"))
-        .groupBy("user_id")
-        .agg(F.min("d").alias("next_d"))
-    )
-    durations = (
-        per_user.join(nexts, "user_id", "left")
-        .crossJoin(F.broadcast(horizon))
-        .select(
-            F.when(F.col("next_d").isNotNull(), F.col("next_d") - F.col("first_d"))
-            .otherwise(F.col("dmax") - F.col("first_d"))
-            .alias("t"),
-            F.when(F.col("next_d").isNotNull(), 1).otherwise(0).alias("ev"),
-        )
-    )
-    spine = durations.groupBy("t").agg(
-        F.count("*").cast("bigint").alias("n_all"),
-        F.sum("ev").cast("bigint").alias("n_ev"),
-    )
-    w_all = Window.partitionBy()
-    w_before = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
-    risk = spine.select(
-        "t",
-        "n_ev",
-        (
-            F.sum("n_all").over(w_all).cast("bigint")
-            - F.coalesce(F.sum("n_all").over(w_before), F.lit(0)).cast("bigint")
-        ).alias("n_risk"),
-    ).filter(F.col("n_ev") > 0)
+    risk = _duration_risk_spine(spark, sf_dir).filter(F.col("n_ev") > 0)
     scaled = _d38(F.col("n_ev")) * F.lit(1000000).cast("decimal(38,0)")
     den = _d38(F.col("n_risk"))
     h_micro = ((scaled - F.pmod(scaled, den)) / den).cast("bigint")

@@ -54,24 +54,12 @@ from pipeline_usnvc_spark.functions.text import TOKENIZE_SQL as _TOKS_SQL
 # The shared deterministic document classifier (q345/q356/q358's
 # logistic length score, micro-quantized): P(lang='en') ~
 # sigmoid((n_chars - 500)/250), stored as an integer in [0, 1e6].
-_SCORE_SQL = (
-    "CAST(round(1000000.0 / (1.0 + exp(-(CAST(n_chars AS DOUBLE) - 500.0) / 250.0)))"
-    " AS BIGINT)"
-)
+from pipeline_usnvc_spark.functions.text import DOC_SCORE_SQL as _SCORE_SQL
+from pipeline_usnvc_spark.functions.text import doc_score_micro as _score_micro
 
 
 def _d38(c):
     return c.cast("decimal(38,0)")
-
-
-def _score_micro():
-    return F.round(
-        F.lit(1000000.0)
-        / (
-            F.lit(1.0)
-            + F.exp(-(F.col("n_chars").cast("double") - F.lit(500.0)) / F.lit(250.0))
-        )
-    ).cast("bigint")
 
 
 def _fdiv_micro(num, den):

@@ -541,7 +541,7 @@ def test_q335_phash_contract_fires_on_nondeterminism(spark, sf_dir, monkeypatch)
         return out.withColumn(
             "features",
             F.when(
-                F.col("doc_id") >= 1_000_000,
+                F.col("doc_id") < 0,  # planted replicas are negative ids
                 F.concat(
                     F.array(F.element_at("features", 1) + F.lit(0.5).cast("float")),
                     F.slice("features", 2, 15),

@@ -101,9 +101,11 @@ def test_image_phash_clusters(spark, con):
     cluster aggregate — sizes, distinct-text counts, min doc ids."""
     texts = dict(con.execute("SELECT doc_id, text FROM documents").fetchall())
     corpus = dict(texts)
+    # replicas now plant under NEGATIVE ids (-(doc_id)-1): disjoint
+    # from the real id space at any corpus size (round-10 review)
     for did, t in texts.items():
         if did % 10 == 0:
-            corpus[did + 1_000_000] = t
+            corpus[-did - 1] = t
     clusters: dict[int, list[int]] = {}
     for did, t in corpus.items():
         clusters.setdefault(_phash24(t), []).append(did)
