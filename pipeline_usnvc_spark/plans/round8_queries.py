@@ -56,6 +56,7 @@ from pipeline_usnvc_spark.functions.text import TOKENIZE_SQL as _TOKS_SQL
 # sigmoid((n_chars - 500)/250), stored as an integer in [0, 1e6].
 from pipeline_usnvc_spark.functions.text import DOC_SCORE_SQL as _SCORE_SQL
 from pipeline_usnvc_spark.functions.text import doc_score_micro as _score_micro
+from pipeline_usnvc_spark.functions.text import tokens
 
 
 def _d38(c):
@@ -298,6 +299,55 @@ def q379_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The graded-catalog construction shared by q380 (MRR) and q381 (MAP):
+# per-part revenue cents, the 4-level ntile relevance grade per brand,
+# and the retail-price ranking window. ONE definition each side
+# (review finding: the whole rev/graded/ranked block was duplicated
+# verbatim in both Spark code and oracle SQL).
+_GRADED_CTES = """rev AS (
+        SELECT l_partkey AS p_partkey,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM lineitem GROUP BY 1
+    ),
+    graded AS (
+        SELECT p.p_brand, p.p_partkey, p.p_retailprice,
+               4 - ntile(4) OVER (PARTITION BY p.p_brand
+                                  ORDER BY r.rev_cents DESC, p.p_partkey) AS grade
+        FROM part p JOIN rev r ON r.p_partkey = p.p_partkey
+    )"""
+
+
+def _graded_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark mirror of ``_GRADED_CTES``'s ``graded`` CTE."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = li.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    w_grade = Window.partitionBy("p_brand").orderBy(
+        F.col("rev_cents").desc(), F.col("p_partkey")
+    )
+    return part.join(rev, "p_partkey").select(
+        "p_brand",
+        "p_partkey",
+        "p_retailprice",
+        (F.lit(4) - F.ntile(4).over(w_grade)).alias("grade"),
+    )
+
+
+def _retail_pos_window():
+    return Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # q380 — per-brand reciprocal rank (MRR's per-query term): rank parts
 # by retail price (q355's retrieval ranking, tie-broken by partkey),
@@ -310,18 +360,7 @@ def q379_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q380_mrr_eval",
     oracle=f"""
-    WITH rev AS (
-        SELECT l_partkey AS p_partkey,
-               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
-                    AS BIGINT) AS rev_cents
-        FROM lineitem GROUP BY 1
-    ),
-    graded AS (
-        SELECT p.p_brand, p.p_partkey, p.p_retailprice,
-               4 - ntile(4) OVER (PARTITION BY p.p_brand
-                                  ORDER BY r.rev_cents DESC, p.p_partkey) AS grade
-        FROM part p JOIN rev r ON r.p_partkey = p.p_partkey
-    ),
+    WITH {_GRADED_CTES},
     ranked AS (
         SELECT p_brand, grade,
                CAST(row_number() OVER (PARTITION BY p_brand
@@ -340,29 +379,8 @@ def q379_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q380_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part")
-    rev = li.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
-        F.sum(
-            F.floor(
-                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100
-            ).cast("bigint")
-        )
-        .cast("bigint")
-        .alias("rev_cents")
-    )
-    w_grade = Window.partitionBy("p_brand").orderBy(
-        F.col("rev_cents").desc(), F.col("p_partkey")
-    )
-    graded = part.join(rev, "p_partkey").select(
-        "p_brand",
-        "p_partkey",
-        "p_retailprice",
-        (F.lit(4) - F.ntile(4).over(w_grade)).alias("grade"),
-    )
-    w_pos = Window.partitionBy("p_brand").orderBy(
-        F.col("p_retailprice").desc(), F.col("p_partkey")
-    )
+    graded = _graded_parts(spark, sf_dir)
+    w_pos = _retail_pos_window()
     ranked = graded.select(
         "p_brand",
         "grade",
@@ -393,18 +411,7 @@ def q380_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q381_map_eval",
     oracle=f"""
-    WITH rev AS (
-        SELECT l_partkey AS p_partkey,
-               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
-                    AS BIGINT) AS rev_cents
-        FROM lineitem GROUP BY 1
-    ),
-    graded AS (
-        SELECT p.p_brand, p.p_partkey, p.p_retailprice,
-               4 - ntile(4) OVER (PARTITION BY p.p_brand
-                                  ORDER BY r.rev_cents DESC, p.p_partkey) AS grade
-        FROM part p JOIN rev r ON r.p_partkey = p.p_partkey
-    ),
+    WITH {_GRADED_CTES},
     ranked AS (
         SELECT p_brand, CASE WHEN grade = 3 THEN 1 ELSE 0 END AS rel,
                CAST(row_number() OVER (PARTITION BY p_brand
@@ -439,29 +446,8 @@ def q380_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q381_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part")
-    rev = li.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
-        F.sum(
-            F.floor(
-                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100
-            ).cast("bigint")
-        )
-        .cast("bigint")
-        .alias("rev_cents")
-    )
-    w_grade = Window.partitionBy("p_brand").orderBy(
-        F.col("rev_cents").desc(), F.col("p_partkey")
-    )
-    graded = part.join(rev, "p_partkey").select(
-        "p_brand",
-        "p_partkey",
-        "p_retailprice",
-        (F.lit(4) - F.ntile(4).over(w_grade)).alias("grade"),
-    )
-    w_pos = Window.partitionBy("p_brand").orderBy(
-        F.col("p_retailprice").desc(), F.col("p_partkey")
-    )
+    graded = _graded_parts(spark, sf_dir)
+    w_pos = _retail_pos_window()
     ranked = graded.select(
         "p_brand",
         F.when(F.col("grade") == 3, 1).otherwise(0).alias("rel"),
@@ -759,9 +745,11 @@ def q383_hosmer_lemeshow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n AS n_docs,
            CAST((s - s % n) // n AS BIGINT) / 1000000.0 AS mean_log_loss,
-           round(-(CAST(x AS DOUBLE) / n) * ln(CAST(x AS DOUBLE) / n)
-                 - (1.0 - CAST(x AS DOUBLE) / n) * ln(1.0 - CAST(x AS DOUBLE) / n),
-                 6) AS base_rate_entropy
+           CASE WHEN x > 0 AND x < n THEN
+             round(-(CAST(x AS DOUBLE) / n) * ln(CAST(x AS DOUBLE) / n)
+                   - (1.0 - CAST(x AS DOUBLE) / n) * ln(1.0 - CAST(x AS DOUBLE) / n),
+                   6)
+           ELSE 0.0 END AS base_rate_entropy
     FROM agg
     """,
 )
@@ -787,14 +775,27 @@ def q384_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         F.col("n").alias("n_docs"),
         (
-            ((F.col("s") - F.pmod(F.col("s"), F.col("n"))) / F.col("n"))
+            # DECIMAL operands (the file's _d38 discipline): a bigint/
+            # bigint `/` is DOUBLE division in Spark, exact only below
+            # 2^53 — the oracle's HUGEINT // has no such cliff
+            ((_d38(F.col("s")) - F.pmod(_d38(F.col("s")), _d38(F.col("n"))))
+             / _d38(F.col("n")))
             .cast("bigint")
             .cast("double")
             / F.lit(1000000.0)
         ).alias("mean_log_loss"),
-        F.round(
-            -rate * F.log(rate) - (F.lit(1.0) - rate) * F.log(F.lit(1.0) - rate), 6
-        ).alias("base_rate_entropy"),
+        # 0 < x < n guard: a one-class corpus makes ln(0) — a HARD
+        # DuckDB error (aborting the oracle run) vs Spark's NULL;
+        # entropy of a degenerate balance is 0 on both engines
+        F.when(
+            (F.col("x") > 0) & (F.col("x") < F.col("n")),
+            F.round(
+                -rate * F.log(rate) - (F.lit(1.0) - rate) * F.log(F.lit(1.0) - rate),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("base_rate_entropy"),
     )
 
 
@@ -849,7 +850,6 @@ def q384_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q385_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pipeline_usnvc_spark.functions.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
     nw = F.size(tokens("text"))
@@ -1096,6 +1096,68 @@ def q386_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _daily_count_spine(o: DataFrame):
+    """(daily, tot): per-day order counts on the 1992-01-01-anchored
+    day index plus the (n_days, total) scalar — the shared spine of
+    the q387-q391 residual-diagnostics family (review finding: the
+    identical block was rebuilt four times)."""
+    daily = o.groupBy(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast("bigint")
+        .alias("d")
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    tot = daily.agg(
+        F.count("*").cast("bigint").alias("dd"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    return daily, tot
+
+
+def _lag_autocorr_micro(o: DataFrame, max_lag: int) -> DataFrame:
+    """(k, rho_micro, n) for k = 1..max_lag: exact-integer lag
+    autocorrelations of the mean-centered daily counts (dd*x - s
+    residuals, shift-floored to micro units) — the shared front half
+    of q389 (Ljung-Box) and q390 (PACF); the review found the whole
+    resid/rho pipeline duplicated with only the lag range differing.
+    Scale shape: the day spine is calendar-bounded; the k-lag join is
+    a shifted-rank equi-join against the broadcast lag lattice."""
+    daily, tot = _daily_count_spine(o)
+    w_ord = Window.orderBy("d")
+    resid = daily.crossJoin(F.broadcast(tot)).select(
+        F.row_number().over(w_ord).cast("bigint").alias("i"),
+        (_d38(F.col("dd")) * _d38(F.col("x")) - _d38(F.col("s"))).alias("e"),
+        F.col("dd").alias("n"),
+    )
+    den = resid.agg(
+        F.sum(F.col("e") * F.col("e")).cast("decimal(38,0)").alias("d2"),
+        F.max("n").cast("bigint").alias("n"),
+    )
+    lags = F.broadcast(
+        resid.sparkSession.range(1, max_lag + 1).select(
+            F.col("id").cast("bigint").alias("k")
+        )
+    )
+    a = resid.select(F.col("i").alias("ia"), F.col("e").alias("ea"))
+    b = resid.select(F.col("i").alias("ib"), F.col("e").alias("eb"))
+    m = F.lit(1000000).cast("decimal(38,0)")
+    pairs = (
+        a.crossJoin(lags)
+        .join(b, F.col("ib") == F.col("ia") - F.col("k"))
+        .groupBy("k")
+        .agg(F.sum(F.col("ea") * F.col("eb")).cast("decimal(38,0)").alias("num"))
+        .crossJoin(F.broadcast(den))
+    )
+    shifted = F.col("num") * m + m * F.col("d2")
+    return pairs.select(
+        "k",
+        (
+            ((shifted - F.pmod(shifted, F.col("d2"))) / F.col("d2")).cast("bigint")
+            - 1000000
+        ).alias("rho_micro"),
+        "n",
+    )
+
+
 # ---------------------------------------------------------------------------
 # q387 — Durbin-Watson autocorrelation diagnostic on daily order
 # counts: DW = sum (e_t - e_{t-1})^2 / sum e_t^2 on mean-centered
@@ -1137,15 +1199,7 @@ def q386_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q387_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    daily = o.groupBy(
-        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date"))
-        .cast("bigint")
-        .alias("d")
-    ).agg(F.count("*").cast("bigint").alias("x"))
-    tot = daily.agg(
-        F.count("*").cast("bigint").alias("dd"),
-        F.sum("x").cast("bigint").alias("s"),
-    )
+    daily, tot = _daily_count_spine(o)
     w_ord = Window.orderBy("d")
     resid = daily.crossJoin(F.broadcast(tot)).select(
         "d",
@@ -1235,15 +1289,7 @@ def q387_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q388_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    daily = o.groupBy(
-        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date"))
-        .cast("bigint")
-        .alias("d")
-    ).agg(F.count("*").cast("bigint").alias("x"))
-    tot = daily.agg(
-        F.count("*").cast("bigint").alias("dd"),
-        F.sum("x").cast("bigint").alias("s"),
-    )
+    daily, tot = _daily_count_spine(o)
     signs = daily.crossJoin(F.broadcast(tot)).select(
         "d",
         F.when(
@@ -1348,50 +1394,8 @@ def q388_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q389_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    daily = o.groupBy(
-        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date"))
-        .cast("bigint")
-        .alias("d")
-    ).agg(F.count("*").cast("bigint").alias("x"))
-    tot = daily.agg(
-        F.count("*").cast("bigint").alias("dd"),
-        F.sum("x").cast("bigint").alias("s"),
-    )
-    w_ord = Window.orderBy("d")
-    resid = daily.crossJoin(F.broadcast(tot)).select(
-        F.row_number().over(w_ord).cast("bigint").alias("i"),
-        (_d38(F.col("dd")) * _d38(F.col("x")) - _d38(F.col("s"))).alias("e"),
-        F.col("dd").alias("n"),
-    )
-    den = resid.agg(
-        F.sum(F.col("e") * F.col("e")).cast("decimal(38,0)").alias("d2"),
-        F.max("n").cast("bigint").alias("n"),
-    )
-    lags = F.broadcast(
-        resid.sparkSession.range(1, 8).select(F.col("id").cast("bigint").alias("k"))
-    )
-    a = resid.select(F.col("i").alias("ia"), F.col("e").alias("ea"))
-    b = resid.select(F.col("i").alias("ib"), F.col("e").alias("eb"))
     m = F.lit(1000000).cast("decimal(38,0)")
-    pairs = (
-        a.crossJoin(lags)
-        .join(b, F.col("ib") == F.col("ia") - F.col("k"))
-        .groupBy("k")
-        .agg(F.sum(F.col("ea") * F.col("eb")).cast("decimal(38,0)").alias("num"))
-        .crossJoin(F.broadcast(den))
-    )
-    shifted = F.col("num") * m + m * F.col("d2")
-    rho = pairs.select(
-        "k",
-        (
-            (shifted - F.pmod(shifted, F.col("d2"))) / F.col("d2")
-        ).cast("bigint").alias("rho_shift"),
-        "n",
-    ).select(
-        "k",
-        (F.col("rho_shift") - 1000000).alias("rho_micro"),
-        "n",
-    )
+    rho = _lag_autocorr_micro(o, max_lag=7)
     q_num = (
         _d38(F.col("n"))
         * _d38(F.col("n") + 2)
@@ -1481,47 +1485,7 @@ def q389_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q390_pacf_durbin(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    daily = o.groupBy(
-        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date"))
-        .cast("bigint")
-        .alias("d")
-    ).agg(F.count("*").cast("bigint").alias("x"))
-    tot = daily.agg(
-        F.count("*").cast("bigint").alias("dd"),
-        F.sum("x").cast("bigint").alias("s"),
-    )
-    w_ord = Window.orderBy("d")
-    resid = daily.crossJoin(F.broadcast(tot)).select(
-        F.row_number().over(w_ord).cast("bigint").alias("i"),
-        (_d38(F.col("dd")) * _d38(F.col("x")) - _d38(F.col("s"))).alias("e"),
-        F.col("dd").alias("n"),
-    )
-    den = resid.agg(
-        F.sum(F.col("e") * F.col("e")).cast("decimal(38,0)").alias("d2"),
-        F.max("n").cast("bigint").alias("n"),
-    )
-    lags = F.broadcast(
-        resid.sparkSession.range(1, 4).select(F.col("id").cast("bigint").alias("k"))
-    )
-    a = resid.select(F.col("i").alias("ia"), F.col("e").alias("ea"))
-    b = resid.select(F.col("i").alias("ib"), F.col("e").alias("eb"))
-    m = F.lit(1000000).cast("decimal(38,0)")
-    pairs = (
-        a.crossJoin(lags)
-        .join(b, F.col("ib") == F.col("ia") - F.col("k"))
-        .groupBy("k")
-        .agg(F.sum(F.col("ea") * F.col("eb")).cast("decimal(38,0)").alias("num"))
-        .crossJoin(F.broadcast(den))
-    )
-    shifted = F.col("num") * m + m * F.col("d2")
-    rho = pairs.select(
-        "k",
-        (
-            ((shifted - F.pmod(shifted, F.col("d2"))) / F.col("d2")).cast("bigint")
-            - 1000000
-        ).alias("rho_micro"),
-        "n",
-    )
+    rho = _lag_autocorr_micro(o, max_lag=3)
     wide = rho.agg(
         F.max("n").cast("bigint").alias("n"),
         F.max(
@@ -1874,7 +1838,6 @@ def q392_banded_drift_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q393_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pipeline_usnvc_spark.functions.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
     tc = (
@@ -1963,7 +1926,6 @@ def q393_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q394_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pipeline_usnvc_spark.functions.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
@@ -2236,7 +2198,6 @@ def q396_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q397_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pipeline_usnvc_spark.functions.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
     td = (
@@ -2439,7 +2400,6 @@ def q399_fd_violation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query("q400_bloom_filter_audit")
 def q400_bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import math
 
     from pipeline_usnvc_spark.operators.contracts import contract_filter
 
