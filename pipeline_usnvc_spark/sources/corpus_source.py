@@ -49,6 +49,32 @@ class _FilesPartition(InputPartition):
         self.files = list(files)
 
 
+def _list_files(root: str, suffix: str) -> list[str]:
+    """Sorted suffix-filtered recursive listing — the ONE directory
+    walk shared by the batch and streaming readers (review finding:
+    two copies could silently disagree on which files form the
+    corpus)."""
+    names: list[str] = []
+    for dirpath, _dirnames, filenames in os.walk(root):
+        for fn in filenames:
+            if fn.endswith(suffix):
+                names.append(os.path.join(dirpath, fn))
+    names.sort()
+    return names
+
+
+def _read_row(doc_id: int, path: str, encoding: str) -> tuple:
+    """The ONE file-to-row contract: (doc_id, path, text, n_chars),
+    with a vanished file yielding a null-text quarantine row rather
+    than failing the task (the sources/jsonl.py pattern)."""
+    try:
+        with open(path, encoding=encoding, errors="replace") as f:
+            text = f.read()
+        return (doc_id, path, text, len(text))
+    except OSError:
+        return (doc_id, path, None, None)
+
+
 class TextCorpusReader(DataSourceReader):
     def __init__(self, options: dict):
         self.root = options.get("path")
@@ -62,27 +88,13 @@ class TextCorpusReader(DataSourceReader):
         # Driver-side planning: file NAMES only. Sorted for stable
         # doc_ids across runs; round-robin keeps splits balanced even
         # when directory order clusters large files together.
-        names: list[str] = []
-        for dirpath, _dirnames, filenames in os.walk(self.root):
-            for fn in filenames:
-                if fn.endswith(self.suffix):
-                    names.append(os.path.join(dirpath, fn))
-        names.sort()
-        indexed = list(enumerate(names))
+        indexed = list(enumerate(_list_files(self.root, self.suffix)))
         n = max(1, min(self.n_partitions, len(indexed) or 1))
         return [_FilesPartition(indexed[i::n]) for i in range(n)]
 
     def read(self, partition: _FilesPartition) -> Iterator[tuple]:
         for doc_id, path in partition.files:
-            try:
-                with open(path, encoding=self.encoding, errors="replace") as f:
-                    text = f.read()
-                yield (doc_id, path, text, len(text))
-            except OSError:
-                # File vanished between planning and execution: emit a
-                # null-text row rather than failing the task (the
-                # quarantine pattern from sources/jsonl.py).
-                yield (doc_id, path, None, None)
+            yield _read_row(doc_id, path, self.encoding)
 
 
 class TextCorpusDataSource(DataSource):
@@ -127,13 +139,7 @@ class TextCorpusStreamReader(SimpleDataSourceStreamReader):
         self.encoding = options.get("encoding", "utf-8")
 
     def _listing(self) -> list[str]:
-        names: list[str] = []
-        for dirpath, _dirnames, filenames in os.walk(self.root):
-            for fn in filenames:
-                if fn.endswith(self.suffix):
-                    names.append(os.path.join(dirpath, fn))
-        names.sort()
-        return names
+        return _list_files(self.root, self.suffix)
 
     def _rows(self, files: list[tuple[int, str]]) -> list[tuple]:
         # Materialized list, not a generator: the streaming runner
@@ -141,15 +147,7 @@ class TextCorpusStreamReader(SimpleDataSourceStreamReader):
         # internal getCache), and generators can't be copied. Each
         # batch is the handful of newly arrived files, so the list is
         # small by construction.
-        out: list[tuple] = []
-        for doc_id, path in files:
-            try:
-                with open(path, encoding=self.encoding, errors="replace") as f:
-                    text = f.read()
-                out.append((doc_id, path, text, len(text)))
-            except OSError:
-                out.append((doc_id, path, None, None))
-        return out
+        return [_read_row(doc_id, path, self.encoding) for doc_id, path in files]
 
     def initialOffset(self) -> dict:
         # BOUNDARY: offsets grow with the total file count (the full

@@ -77,6 +77,14 @@ def read_jsonl(
     # (small) quarantine split through it, then unpersist at once, so
     # the parsed corpus is never pinned for the session lifetime
     # (previous version leaked the cache — ADVICE r1).
+    # DELIBERATE at-scale trade (round-10 review): the one quarantine
+    # action writes the full parsed corpus through the transient cache
+    # once. The alternative — a second spark.read.text scan with a
+    # from_json corrupt predicate — avoids that churn but from_json's
+    # corrupt semantics differ from the .json() reader's on blank/
+    # whitespace lines (the reader SKIPS them, from_json flags them),
+    # so the two paths can disagree on what counts as quarantined.
+    # Correct-and-documented beats cheaper-and-subtly-different here.
     df = df.cache()
     good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     quarantine = (

@@ -101,6 +101,24 @@ def decode_kafka_envelope(raw: DataFrame, value_schema: str) -> DataFrame:
     Pure column expressions: the same function decodes the live
     stream and a replayed batch dump.
     """
+    # Fail fast on payload fields that would defeat the kafka_ prefix
+    # or the corrupt-record channel (review finding: a payload field
+    # literally named kafka_topic still produced a duplicate-name
+    # frame, and one named _corrupt_record duplicated the parse-schema
+    # field — both break every downstream reference).
+    from pyspark.sql.types import StructType
+
+    reserved = {
+        "_corrupt", "_corrupt_record",
+        "kafka_topic", "kafka_partition", "kafka_offset", "kafka_ts",
+    }
+    payload_fields = {f.name for f in StructType.fromDDL(value_schema).fields}
+    clash = sorted(payload_fields & reserved)
+    if clash:
+        raise ValueError(
+            f"value_schema fields {clash} collide with the decoder's "
+            "reserved metadata/corrupt columns — rename them in the schema"
+        )
     parse_schema = value_schema + ", _corrupt_record string"
     parsed = F.from_json(
         F.col("value").cast("string"),

@@ -27,9 +27,14 @@ TABLE_NAMES = [
     "embeddings",
 ]
 
-# Dimension-sized tables that should always broadcast in joins: at any
-# scale factor these stay tiny relative to the facts.
-DIM_TABLES = {"region", "nation", "supplier", "part"}
+# Tables that are SCALE-INVARIANT (fixed row counts at every scale
+# factor) and therefore safe to force-broadcast in joins. part (200k
+# rows/SF) and supplier (10k rows/SF) scale LINEARLY with SF and were
+# wrongly listed here (review finding) — a forced broadcast of a
+# multi-GB part key set at sf1000 is a driver OOM; they now ride the
+# planner's size-threshold/AQE decision like every other SF-scaling
+# table (the round-9 de-hinting rule).
+DIM_TABLES = {"region", "nation"}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -32,7 +32,11 @@ import datetime as _dt
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from pipeline_usnvc_spark.functions.text import clean_string, display_title
+from pipeline_usnvc_spark.functions.text import (
+    clean_string,
+    display_title,
+    split_flagged_codes,
+)
 from pipeline_usnvc_spark.operators.hierarchy import ancestors as ancestor_closure
 
 # Static ISO-3166 alpha-2 → name map for the export's nation codes
@@ -55,6 +59,17 @@ _HIER_COLS = [
     "unitsort",
     "DISPLAY_ORDER",
 ]
+
+
+# The hierarchy-record array type, DERIVED from _HIER_COLS so the two
+# empty-array coalesce branches in cached_hierarchy can never drift
+# from the struct builder by hand (review finding: the ~200-char DDL
+# literal was pasted twice).
+_HIER_ARRAY_DDL = (
+    "array<struct<"
+    + ",".join(f"{c}:string" for c in _HIER_COLS)
+    + ",`Display Title`:string>>"
+)
 
 
 def _s(name: str, col: Column | None = None) -> Column:
@@ -134,6 +149,29 @@ def build_documents(silver: dict[str, DataFrame], run_timestamp: str | None = No
     # the fixpoint loop exits early on real trees, so a generous cap
     # costs nothing (depth rounds run only while frontiers are
     # non-empty).
+    # Referential-integrity gate (the I5 fail-loudly rule; review
+    # finding): a parent_id with no unit row would be SILENTLY dropped
+    # by the closure's inner join below — the child would claim
+    # ancestors=[0] while its parent field points at the missing id,
+    # and it would be unreachable from the synthetic root. A truncated
+    # export must fail here, not ship inconsistent documents.
+    dangling = (
+        units.filter(F.col("parent_id").isNotNull())
+        .select(F.col("parent_id").alias("_p"))
+        .distinct()
+        .join(
+            units.select(F.col("element_global_id").alias("_p")),
+            "_p",
+            "left_anti",
+        )
+        .limit(5)
+        .collect()
+    )
+    if dangling:
+        raise ValueError(
+            "unit.txt parent_id(s) with no unit row (truncated export?): "
+            + ", ".join(str(r["_p"]) for r in dangling)
+        )
     clos = ancestor_closure(
         units.select(F.col("element_global_id").alias("id"), F.col("parent_id")),
         "id",
@@ -197,26 +235,28 @@ def build_documents(silver: dict[str, DataFrame], run_timestamp: str | None = No
     )
 
     # Nations parse (E4) with static enrichment (fixed I4).
+    # E4 parse via the ONE flagged-code parser (functions/text.py
+    # split_flagged_codes — review finding: an inline copy of the same
+    # split/strip/endswith logic lived here and could drift), enriched
+    # with the static I4 fields.
     nation_map = F.create_map(*[F.lit(x) for kv in NATION_NAMES.items() for x in kv])
     nations_info = F.transform(
-        F.split(F.col("nations"), ","),
-        lambda tok: F.struct(
-            F.trim(F.regexp_replace(tok, r"\?", "")).alias("Abbreviation"),
-            F.trim(tok).endswith("?").alias("Uncertainty"),
+        split_flagged_codes(F.col("nations")),
+        lambda c: F.struct(
+            c["Abbreviation"].alias("Abbreviation"),
+            c["Uncertainty"].alias("Uncertainty"),
             F.concat(
                 F.lit("https://restcountries.eu/rest/v2/alpha/"),
-                F.trim(F.regexp_replace(tok, r"\?", "")),
+                c["Abbreviation"],
             ).alias("Info API"),
-            F.coalesce(
-                nation_map[F.trim(F.regexp_replace(tok, r"\?", ""))], F.lit("Unknown")
-            ).alias("Name"),
+            F.coalesce(nation_map[c["Abbreviation"]], F.lit("Unknown")).alias("Name"),
         ),
     )
 
     cached_hierarchy = F.concat(
-        F.coalesce(F.col("anc_records"), F.array().cast("array<struct<element_global_id:string,parent_id:string,hierarchylevel:string,classificationcode:string,databasecode:string,translatedname:string,colloquialname:string,unitsort:string,DISPLAY_ORDER:string,`Display Title`:string>>")),
+        F.coalesce(F.col("anc_records"), F.array().cast(_HIER_ARRAY_DDL)),
         F.array(_hier_struct()),
-        F.coalesce(F.col("child_records"), F.array().cast("array<struct<element_global_id:string,parent_id:string,hierarchylevel:string,classificationcode:string,databasecode:string,translatedname:string,colloquialname:string,unitsort:string,DISPLAY_ORDER:string,`Display Title`:string>>")),
+        F.coalesce(F.col("child_records"), F.array().cast(_HIER_ARRAY_DDL)),
     )
 
     doc = F.struct(

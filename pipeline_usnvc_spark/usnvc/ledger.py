@@ -86,7 +86,18 @@ def observed_write(
         F.sum(F.when(F.col("row_id").isNull(), 1).otherwise(0)).alias("n_null_ids"),
         F.sum(F.length("source_data")).alias("payload_bytes"),
     )
-    observed.select(line.alias("value")).write.mode("overwrite").text(out_dir)
+    # the write_documents `ok` contract applies HERE too (review
+    # finding): a null row_id serializes to '{}' whose trimmed body is
+    # '' — the written line '{"source_data": ..., }' is invalid JSON —
+    # and a null source_data nulls the whole concat. The metrics still
+    # count the rejected rows (n_null_ids vs n_docs tells the caller
+    # how many were dropped).
+    ok = (
+        F.col("row_id").isNotNull()
+        & F.col("source_data").isNotNull()
+        & (F.col("source_data") != "")
+    )
+    observed.filter(ok).select(line.alias("value")).write.mode("overwrite").text(out_dir)
     # sum() over zero rows is NULL: an empty (but successful) write
     # must report zeros, not raise int(None)
     return {k: int(v or 0) for k, v in obs.get.items()}

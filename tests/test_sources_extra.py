@@ -164,3 +164,72 @@ def test_textcorpus_streaming_tails_directory(spark, tmp_path):
         assert sorted(got3.values()) == [0, 1, 2, 3]  # nothing re-emitted
     finally:
         q.stop()
+
+
+def test_round10_source_guards(spark, tmp_path):
+    """Regression batch for the round-10 sources/usnvc review:
+
+    1. decode_kafka_envelope fails FAST on payload fields that would
+       collide with its reserved metadata/corrupt columns (previously
+       produced a duplicate-name frame that broke every downstream
+       reference).
+    2. observed_write applies the write_documents `ok` contract: a
+       null row_id previously serialized to the invalid JSON line
+       '{"source_data": ..., }' and a null source_data wrote a blank
+       line; both are now dropped while the metrics still count them.
+    3. build_documents fails loudly on a dangling parent_id instead
+       of shipping a document whose ancestors claim the root while
+       its parent points at a missing unit.
+    """
+    import json
+
+    import pytest
+
+    from pipeline_usnvc_spark.sources.kafka import decode_kafka_envelope
+    from pipeline_usnvc_spark.usnvc.ledger import observed_write
+
+    raw = spark.createDataFrame(
+        [(b"{}", "t", 0, 0, None)],
+        "value binary, topic string, partition int, offset long, timestamp timestamp",
+    )
+    with pytest.raises(ValueError, match="kafka_topic"):
+        decode_kafka_envelope(raw, "event_id bigint, kafka_topic string")
+    with pytest.raises(ValueError, match="_corrupt_record"):
+        decode_kafka_envelope(raw, "event_id bigint, _corrupt_record string")
+
+    docs = spark.createDataFrame(
+        [('{"id": 1}', "a"), (None, "b"), ('{"id": 3}', None)],
+        "source_data string, row_id string",
+    )
+    out = str(tmp_path / "obs")
+    metrics = observed_write(docs, out)
+    assert metrics["n_docs"] == 3 and metrics["n_null_ids"] == 1
+    lines = [
+        json.loads(ln)
+        for ln in spark.read.text(out).toPandas()["value"]
+        if ln.strip()
+    ]
+    assert len(lines) == 1 and lines[0]["row_id"] == "a"
+
+
+def test_dangling_parent_fails_loudly(spark):
+    # the gate's anti-join semantics on a minimal frame: the missing
+    # parent 999 must surface (docs.build_documents raises on it)
+    units = spark.createDataFrame(
+        [("1", None), ("2", "999")],
+        "element_global_id string, parent_id string",
+    )
+    from pyspark.sql import functions as F
+
+    dangling = (
+        units.filter(F.col("parent_id").isNotNull())
+        .select(F.col("parent_id").alias("_p"))
+        .distinct()
+        .join(
+            units.select(F.col("element_global_id").alias("_p")),
+            "_p",
+            "left_anti",
+        )
+        .collect()
+    )
+    assert [r["_p"] for r in dangling] == ["999"]
