@@ -1912,3 +1912,227 @@ def q422_recluster_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("state")
     )
+
+
+# ---------------------------------------------------------------------------
+# q423 — deletion-aware re-cluster advisor: the composition the
+# maintenance family was missing (q416 measures what deletion vectors
+# do to zone maps; q422 decides on append drift; a REAL rewrite
+# decision weighs BOTH). State 1 is the production table as it
+# actually sits: the q422 composite layout (clustered base + appended
+# tail) carrying q416's TTL deletion vectors — files never rewritten,
+# so every block's zone map is STALE (min/max over dead rows too) and
+# the month workload scans blocks whose matching rows are all dead.
+# State 2 is the hypothetical rewrite: LIVE rows only, re-clustered,
+# fresh stats. The advisor reports both scan fractions, the global
+# dead mass, the vacuumable (fully-dead) block count, and recommends
+# the rewrite when the scan-fraction gain clears
+# _RECLUSTER_GAIN_MICRO OR the dead fraction clears 25% (the q416
+# rewrite-candidate threshold, applied table-wide).
+#
+# Scale shape: three range exchanges (base / delta / live rebuild),
+# block-grain everything after, the ~84-row month spine as the only
+# broadcast, and 1-row scalar aggregates for the decision columns.
+# Exact integers end-to-end.
+# ---------------------------------------------------------------------------
+_DEAD_FRACTION_MICRO = 250_000  # rewrite at >= 25% dead rows
+
+
+@query(
+    "q423_deletion_aware_recluster",
+    oracle=f"""
+    WITH o AS (
+        SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od,
+               CASE WHEN CAST(o_orderdate AS DATE) < DATE '{_TTL_CUTOFF}' THEN 0 ELSE 1 END AS live
+        FROM orders
+    ),
+    blocks AS (
+        SELECT 'stale_composite' AS state, blk,
+               min(od) AS mn, max(od) AS mx,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(live) AS BIGINT) AS n_live
+        FROM (SELECT od, live, (row_number() OVER (ORDER BY od, o_orderkey) - 1) // 512 AS blk
+              FROM o WHERE o_orderkey % 10 <> 0)
+        GROUP BY blk
+        UNION ALL
+        SELECT 'stale_composite', 1000000000 + blk, min(od), max(od),
+               CAST(count(*) AS BIGINT), CAST(sum(live) AS BIGINT)
+        FROM (SELECT od, live, (row_number() OVER (ORDER BY o_orderkey) - 1) // 512 AS blk
+              FROM o WHERE o_orderkey % 10 = 0)
+        GROUP BY blk
+        UNION ALL
+        SELECT 'rewritten_live', blk, min(od), max(od),
+               CAST(count(*) AS BIGINT), CAST(count(*) AS BIGINT)
+        FROM (SELECT od, (row_number() OVER (ORDER BY od, o_orderkey) - 1) // 512 AS blk
+              FROM o WHERE live = 1)
+        GROUP BY blk
+    ),
+    months AS (
+        SELECT DISTINCT date_trunc('month', od) AS m0, last_day(od) AS m1 FROM o
+    ),
+    scans AS (
+        SELECT b.state, CAST(count(*) AS BIGINT) AS scanned
+        FROM blocks b JOIN months m ON b.mn <= m.m1 AND b.mx >= m.m0
+        GROUP BY 1
+    ),
+    sizes AS (
+        SELECT state,
+               CAST(count(*) AS BIGINT) AS n_blocks,
+               CAST(sum(CASE WHEN n_live = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_vacuum_blocks
+        FROM blocks GROUP BY 1
+    ),
+    nm AS (SELECT CAST(count(*) AS BIGINT) AS n_months FROM months),
+    dead AS (
+        SELECT CAST(sum(1 - live) AS BIGINT) AS dead_rows,
+               CAST((1000000 * sum(1 - live)) // count(*) AS BIGINT) AS dead_fraction_micro
+        FROM o
+    ),
+    per AS (
+        SELECT s.state, z.n_blocks, z.n_vacuum_blocks, nm.n_months,
+               s.scanned AS scanned_block_months,
+               CAST((1000000 * s.scanned) // (z.n_blocks * nm.n_months) AS BIGINT)
+                   AS scan_fraction_micro
+        FROM scans s JOIN sizes z USING (state) CROSS JOIN nm
+    ),
+    gain AS (
+        SELECT CAST(max(CASE WHEN state = 'stale_composite' THEN scan_fraction_micro END)
+                    - max(CASE WHEN state = 'rewritten_live' THEN scan_fraction_micro END)
+                    AS BIGINT) AS rewrite_gain_micro
+        FROM per
+    )
+    SELECT p.state,
+           CAST(512 AS BIGINT) AS block_rows,
+           p.n_blocks, p.n_vacuum_blocks, p.n_months, p.scanned_block_months,
+           p.scan_fraction_micro,
+           p.scan_fraction_micro / 1000000.0 AS scan_fraction,
+           d.dead_rows, d.dead_fraction_micro,
+           g.rewrite_gain_micro,
+           g.rewrite_gain_micro >= {_RECLUSTER_GAIN_MICRO}
+               OR d.dead_fraction_micro >= {_DEAD_FRACTION_MICRO} AS recommend_rewrite
+    FROM per p CROSS JOIN gain g CROSS JOIN dead d
+    ORDER BY p.state
+    """,
+)
+def q423_deletion_aware_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.checkpoint import materialize
+    from pipeline_usnvc_spark.operators.rank import with_global_rank
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("od"),
+        F.when(
+            F.to_date("o_orderdate") < F.lit(_TTL_CUTOFF).cast("date"), 0
+        )
+        .otherwise(1)
+        .alias("live"),
+    )
+
+    def blocks_of(df: DataFrame, order_cols: list, offset: int) -> DataFrame:
+        ranked = with_global_rank(
+            df.select(*dict.fromkeys([*order_cols, "od", "live"])),
+            *order_cols,
+            rank_col="r",
+        )
+        return (
+            ranked.select(
+                (F.expr(f"(r - 1) div {_BLOCK_ROWS}") + F.lit(offset)).alias("blk"),
+                "od",
+                "live",
+            )
+            .groupBy("blk")
+            .agg(
+                F.min("od").alias("mn"),
+                F.max("od").alias("mx"),
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum("live").cast("bigint").alias("n_live"),
+            )
+        )
+
+    base = o.filter(F.col("o_orderkey") % 10 != 0)
+    delta = o.filter(F.col("o_orderkey") % 10 == 0)
+    live_rows = o.filter(F.col("live") == 1)
+    stale = blocks_of(base, ["od", "o_orderkey"], 0).unionByName(
+        blocks_of(delta, ["o_orderkey"], 1_000_000_000)
+    ).withColumn("state", F.lit("stale_composite"))
+    # the rewrite's fresh stats are over live rows only (n_live is
+    # n_rows by construction)
+    rewritten = blocks_of(live_rows, ["od", "o_orderkey"], 0).withColumn(
+        "state", F.lit("rewritten_live")
+    )
+    # block-grain (rows/512) with THREE range exchanges upstream and
+    # two consumers below: materialize so each exchange runs once
+    blocks = materialize(stale.unionByName(rewritten))
+    months = _month_spine(o)
+    scans = (
+        blocks.join(
+            F.broadcast(months),
+            (F.col("mn") <= F.col("m1")) & (F.col("mx") >= F.col("m0")),
+        )
+        .groupBy("state")
+        .agg(F.count("*").cast("bigint").alias("scanned"))
+    )
+    sizes = blocks.groupBy("state").agg(
+        F.count("*").cast("bigint").alias("n_blocks"),
+        F.sum(F.when(F.col("n_live") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_vacuum_blocks"),
+    )
+    nm = months.agg(F.count("*").cast("bigint").alias("n_months"))
+    dead = o.agg(
+        F.sum(F.lit(1) - F.col("live")).cast("bigint").alias("dead_rows"),
+        F.expr("(1000000 * sum(1 - live)) div count(*)")
+        .cast("bigint")
+        .alias("dead_fraction_micro"),
+    )
+    per = (
+        scans.join(sizes, "state")
+        .crossJoin(F.broadcast(nm))
+        .select(
+            "state",
+            "n_blocks",
+            "n_vacuum_blocks",
+            "n_months",
+            F.col("scanned").alias("scanned_block_months"),
+            F.expr("(1000000 * scanned) div (n_blocks * n_months)")
+            .cast("bigint")
+            .alias("scan_fraction_micro"),
+        )
+    )
+    gain = per.agg(
+        (
+            F.max(
+                F.when(
+                    F.col("state") == "stale_composite", F.col("scan_fraction_micro")
+                )
+            )
+            - F.max(
+                F.when(
+                    F.col("state") == "rewritten_live", F.col("scan_fraction_micro")
+                )
+            )
+        )
+        .cast("bigint")
+        .alias("rewrite_gain_micro")
+    )
+    return (
+        per.crossJoin(F.broadcast(gain))
+        .crossJoin(F.broadcast(dead))
+        .select(
+            "state",
+            F.lit(_BLOCK_ROWS).cast("bigint").alias("block_rows"),
+            "n_blocks",
+            "n_vacuum_blocks",
+            "n_months",
+            "scanned_block_months",
+            "scan_fraction_micro",
+            (F.col("scan_fraction_micro") / F.lit(1000000.0)).alias("scan_fraction"),
+            "dead_rows",
+            "dead_fraction_micro",
+            "rewrite_gain_micro",
+            (
+                (F.col("rewrite_gain_micro") >= F.lit(_RECLUSTER_GAIN_MICRO))
+                | (F.col("dead_fraction_micro") >= F.lit(_DEAD_FRACTION_MICRO))
+            ).alias("recommend_rewrite"),
+        )
+        .orderBy("state")
+    )

@@ -866,6 +866,7 @@ _BROADCAST_ALLOWLIST = {
         "ks",  # fixed 31-row boundary-index spine (q418)
         "gstats",  # one-row observed Mann-Whitney stats (q421)
         "gain",  # scalar recluster-gain aggregate on the 2-row frame (q422)
+        "dead",  # scalar dead-mass aggregate (q423)
         "nn",  # scalar row-count aggregate (q418)
         "bnds",  # <=31-row boundary frame (q418)
         "bounds",  # scalar min/max aggregate (q418)

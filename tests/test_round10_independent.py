@@ -789,3 +789,74 @@ def test_recluster_advisor(spark, con):
     assert a["n_months"] == b["n_months"] == len(spans)
     assert a["recluster_gain_micro"] == b["recluster_gain_micro"] == mi_i - mi_r
     assert a["recommend_recluster"] == ((mi_i - mi_r) >= 50_000)
+
+
+def test_deletion_aware_recluster(spark, con):
+    """q423 re-derived in pure Python: the TTL liveness flag applied
+    row by row, blocks built by literal sorted slicing (stale stats
+    over ALL rows, the rewrite over live rows only), the month
+    workload costed as an explicit interval test, and every decision
+    column (vacuum set, dead mass, gain, recommendation) recomputed
+    from those counts."""
+    rows = con.execute(
+        "SELECT o_orderkey, CAST(o_orderdate AS DATE) FROM orders"
+    ).fetchall()
+    cutoff = dt.date(1997, 1, 1)
+
+    def blocks_of(rs, keyfn, live_only=False):
+        srt = sorted(rs, key=keyfn)
+        if live_only:
+            srt = [r for r in srt if r[1] >= cutoff]
+        out = []
+        for i in range(0, len(srt), 512):
+            chunk = srt[i : i + 512]
+            ds = [d for _k, d in chunk]
+            n_live = sum(1 for _k, d in chunk if d >= cutoff)
+            out.append((min(ds), max(ds), len(chunk), n_live))
+        return out
+
+    base = [r for r in rows if r[0] % 10 != 0]
+    delta = [r for r in rows if r[0] % 10 == 0]
+    stale = blocks_of(base, lambda r: (r[1], r[0])) + blocks_of(delta, lambda r: r[0])
+    live_sorted = sorted(
+        [r for r in rows if r[1] >= cutoff], key=lambda r: (r[1], r[0])
+    )
+    rewritten = []
+    for i in range(0, len(live_sorted), 512):
+        chunk = live_sorted[i : i + 512]
+        ds = [d for _k, d in chunk]
+        rewritten.append((min(ds), max(ds), len(chunk), len(chunk)))
+
+    months = sorted({dt.date(d.year, d.month, 1) for _k, d in rows})
+    spans = [(m, _month_end(m)) for m in months]
+
+    def cost(blks):
+        scanned = sum(
+            1 for mn, mx, _n, _l in blks for m0, m1 in spans if mn <= m1 and mx >= m0
+        )
+        return scanned, (1_000_000 * scanned) // (len(blks) * len(spans))
+
+    sc_s, mi_s = cost(stale)
+    sc_r, mi_r = cost(rewritten)
+    dead = sum(1 for _k, d in rows if d < cutoff)
+    dead_micro = (1_000_000 * dead) // len(rows)
+    vac_s = sum(1 for _mn, _mx, _n, nl in stale if nl == 0)
+
+    got = {
+        r["state"]: r
+        for r in QUERIES["q423_deletion_aware_recluster"](spark, SF).collect()
+    }
+    a, b = got["stale_composite"], got["rewritten_live"]
+    assert (a["n_blocks"], a["scanned_block_months"], a["scan_fraction_micro"]) == (
+        len(stale), sc_s, mi_s,
+    )
+    assert (b["n_blocks"], b["scanned_block_months"], b["scan_fraction_micro"]) == (
+        len(rewritten), sc_r, mi_r,
+    )
+    assert a["n_vacuum_blocks"] == vac_s and b["n_vacuum_blocks"] == 0
+    assert a["dead_rows"] == b["dead_rows"] == dead
+    assert a["dead_fraction_micro"] == dead_micro
+    assert a["rewrite_gain_micro"] == mi_s - mi_r
+    assert a["recommend_rewrite"] == (
+        (mi_s - mi_r) >= 50_000 or dead_micro >= 250_000
+    )
