@@ -148,6 +148,21 @@ def main() -> None:
                     except json.JSONDecodeError:
                         pass
                     break
+        if prev is None:
+            # FRONT-truncated tail (r07/r09/r10): the line lost its
+            # head but — with the tail-ordered payload — still carries
+            # `"queries": {...} ... "value": ...}`. Reconstruct from
+            # the first surviving top-level key of interest.
+            tail = str(raw.get("tail", ""))
+            for key in ('"queries_extended"', '"queries"', '"sf"'):
+                idx = tail.find(key)
+                if idx >= 0:
+                    seg = tail[idx:].strip().splitlines()[0].strip()
+                    try:
+                        prev = json.loads("{" + seg)
+                    except json.JSONDecodeError:
+                        continue
+                    break
         if isinstance(prev, dict) and prev.get("sf") == sf_val:
             baseline_round = artifact.stem
             prior = {
@@ -155,6 +170,26 @@ def main() -> None:
                 for part in ("queries", "queries_extended")
                 for k, v in prev.get(part, {}).items()
             }
+            if not prior:
+                # Structured maps lost to truncation but the flat
+                # `"qNNN_name": 1.234` pairs that DID survive in the
+                # raw tail are unambiguous — regex-salvage them,
+                # excising the `spread` map first (same query names,
+                # relative-spread values — flat map, so its region
+                # ends at the first `}` after the key).
+                import re
+
+                blob = str(raw.get("tail", ""))
+                spr = blob.find('"spread"')
+                if spr >= 0:
+                    end = blob.find("}", spr)
+                    blob = blob[:spr] + (blob[end + 1 :] if end >= 0 else "")
+                prior = {
+                    m.group(1): float(m.group(2))
+                    for m in re.finditer(
+                        r'"((?:q\d+_|flagship_)\w+)":\s*(\d+(?:\.\d+)?)', blob
+                    )
+                }
             break
 
     def timed(build, old: float | None) -> tuple[float, float]:
@@ -232,20 +267,28 @@ def main() -> None:
                 "threshold_x": round(threshold, 3),
             }
 
+    # Key ORDER is load-bearing: the driver's artifact buffer FRONT-
+    # truncates long lines and keeps the tail (BENCH_r07/r09/r10 all
+    # recorded `parsed: null` and lost the leading `value` key —
+    # VERDICT r10 item 2). json.dumps preserves insertion order, so
+    # the bulky diagnostic maps go FIRST and every headline scalar
+    # goes LAST, with `_headline_sec` duplicated as the final key —
+    # any tail suffix that survives truncation carries the headline.
     payload = {
-        "metric": "headline_suite_sec",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "queries_extended": extended,
-        "spread": spreads,
         "protocol": (
             "median-of-3 (warm-up dropped; adaptive to 5 on >1.5x; "
             "regressions flagged above max(1.5, 1+3*spread)x prior)"
         ),
-        "sf": sf_val,
-        "baseline": baseline_round,
+        "spread": spreads,
+        "queries_extended": extended,
+        "queries": timings,
         "regressions": regressions,
+        "baseline": baseline_round,
+        "metric": "headline_suite_sec",
+        "unit": "sec",
+        "sf": sf_val,
+        "value": total,
+        "_headline_sec": total,
     }
     # Builder-side compact artifact (VERDICT r07 item 6): the driver's
     # BENCH_r07.json front-truncated its raw tail and lost the

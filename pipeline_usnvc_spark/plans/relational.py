@@ -481,14 +481,24 @@ def q28_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q111 — global-threshold aggregation (TPC-H Q11 shape): keep the
-# parts whose revenue exceeds a fixed fraction of GLOBAL revenue.
-# Scale pattern: the global total is a 1-row aggregate of the per-part
-# sums, broadcast back (BroadcastNestedLoopJoin on a single row) so
-# the threshold applies without a driver collect(). The per-part
-# aggregation subtree appears twice in the logical plan, but AQE's
-# exchange reuse dedupes it at runtime (ReusedExchange — asserted in
-# tests/test_plans.py), so the fact table is scanned and shuffled
-# once.
+# parts whose revenue exceeds a multiple of the AVERAGE per-part
+# revenue. TPC-H Q11 scales its fraction by 1/SF for exactly this
+# reason; a fixed fraction degenerates as part count grows (the r10
+# driver row verified an EMPTY frame at sf0.01 — VERDICT r10 item 1),
+# so the threshold here is data-adaptive: 2·rev·n_parts > 3·total_rev,
+# i.e. "more than 1.5× the mean share" (the testdata's per-part
+# revenue is near-uniform — max/mean ≈ 1.75–1.89 across SFs — so 1.5×
+# keeps ~1% of parts at every SF: 2/29/252 rows at sf0.001/0.01/0.1
+# while a 2× cut is empty everywhere). Scale-free (non-degenerate
+# at every SF, same semantics at 100 TB) and exact: the comparison is
+# pure decimal×integer arithmetic, no float threshold on either
+# engine. Scale pattern: the global total is a 1-row aggregate of the
+# per-part sums, broadcast back (BroadcastNestedLoopJoin on a single
+# row) so the threshold applies without a driver collect(). The
+# per-part aggregation subtree appears twice in the logical plan, but
+# AQE's exchange reuse dedupes it at runtime (ReusedExchange —
+# asserted in tests/test_plans.py), so the fact table is scanned and
+# shuffled once.
 # ---------------------------------------------------------------------------
 @query(
     "q111_global_share",
@@ -498,7 +508,7 @@ def q28_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev
         FROM lineitem GROUP BY l_partkey
     ),
-    total AS (SELECT sum(rev) AS total_rev FROM per_part)
+    total AS (SELECT sum(rev) AS total_rev, count(*) AS n_parts FROM per_part)
     SELECT p.l_partkey,
            CAST(p.rev AS DOUBLE) AS part_rev,
            CAST((CAST(p.rev * 10000 AS HUGEINT) * 1000000000)
@@ -507,7 +517,8 @@ def q28_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 // CAST(t.total_rev * 10000 AS HUGEINT) AS BIGINT) / 1000000000.0
                AS share
     FROM per_part p CROSS JOIN total t
-    WHERE CAST(p.rev AS DOUBLE) > 0.001 * CAST(t.total_rev AS DOUBLE)
+    WHERE 2 * CAST(p.rev * 10000 AS HUGEINT) * t.n_parts
+          > 3 * CAST(t.total_rev * 10000 AS HUGEINT)
     """,
 )
 def q111_global_share(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -516,10 +527,18 @@ def q111_global_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
     )
     per_part = li.groupBy("l_partkey").agg(rev.alias("rev"))
-    total = per_part.agg(F.sum("rev").alias("total_rev"))
+    total = per_part.agg(
+        F.sum("rev").alias("total_rev"), F.count(F.lit(1)).alias("n_parts")
+    )
     return (
         per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("rev").cast("double") > 0.001 * F.col("total_rev").cast("double"))
+        # exact decimal/integer threshold: 2·rev·n_parts > 3·total_rev
+        # (scale-4 decimals lifted to integral DECIMAL(38,0) so both
+        # engines compare the same integers — no float rounding)
+        .filter(
+            F.expr("2 * CAST(rev * 10000 AS DECIMAL(38,0)) * n_parts")
+            > F.expr("3 * CAST(total_rev * 10000 AS DECIMAL(38,0))")
+        )
         .select(
             "l_partkey",
             F.col("rev").cast("double").alias("part_rev"),
