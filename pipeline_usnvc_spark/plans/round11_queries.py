@@ -654,3 +654,245 @@ def q426_block_decorrelate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("var_b_dec_micro"),
     ).orderBy("blk")
+
+
+# Shared ledger scaffolding for q427/q428 (VERDICT r10 item 8: the
+# incremental/transactional-maintenance composition over
+# q93/q249/q412/q422). The documents table carries no natural exact
+# duplicates, so the ledger input PLANTS copies (the q174/q346
+# pattern): every doc_id % 7 == 0 doc gets one copy at id
+# 2*max - doc_id + 1 and every doc_id % 21 == 0 doc a second at
+# 3*max + 2 + doc_id — offsets chosen so copies land in DIFFERENT
+# arrival batches than their originals (the %4 batch of 2*max-d+1
+# varies with d), which is what makes MERGE re-pointing and
+# snapshot diffs non-trivial. Batches are doc_id % 4, applied in
+# order 0..3 — four MERGE commits into a fingerprint-keyed dedup
+# ledger whose update rule is "canonical = least(current, incoming)".
+_LEDGER_SQL = """
+    base AS (SELECT doc_id, text FROM documents),
+    mx AS (SELECT max(doc_id) AS mx FROM base),
+    ledger AS (
+        SELECT doc_id, text FROM base
+        UNION ALL
+        SELECT 2 * mx.mx - doc_id + 1, text FROM base CROSS JOIN mx
+        WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT 3 * mx.mx + 2 + doc_id, text FROM base CROSS JOIN mx
+        WHERE doc_id % 21 = 0
+    ),
+    oplog AS (
+        SELECT doc_id, doc_id % 4 AS batch,
+               md5(coalesce(array_to_string({toks}, ' '), '')) AS fp
+        FROM ledger
+    ),
+    per_key AS (
+        SELECT fp, min(batch) AS first_batch, min(doc_id) AS canonical,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM oplog GROUP BY fp
+    )
+"""
+
+
+def _ledger_oplog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.functions.text import doc_fingerprint
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mx = F.broadcast(base.agg(F.max("doc_id").alias("mx")))
+    copies1 = (
+        base.filter(F.col("doc_id") % 7 == 0)
+        .crossJoin(mx)
+        .select(
+            (F.lit(2) * F.col("mx") - F.col("doc_id") + 1).alias("doc_id"), "text"
+        )
+    )
+    copies2 = (
+        base.filter(F.col("doc_id") % 21 == 0)
+        .crossJoin(mx)
+        .select(
+            (F.lit(3) * F.col("mx") + 2 + F.col("doc_id")).alias("doc_id"), "text"
+        )
+    )
+    return (
+        base.unionByName(copies1)
+        .unionByName(copies2)
+        .select(
+            "doc_id",
+            (F.col("doc_id") % 4).alias("batch"),
+            doc_fingerprint("text").alias("fp"),
+        )
+    )
+
+
+def _q427_oracle() -> str:
+    from pipeline_usnvc_spark.functions.text import TOKENIZE_SQL
+
+    return f"""
+    WITH {_LEDGER_SQL.format(toks=TOKENIZE_SQL)},
+    ops AS (
+        SELECT o.batch,
+               CAST(count(DISTINCT o.fp) AS BIGINT) AS n_ops,
+               CAST(count(DISTINCT CASE WHEN o.batch = k.first_batch
+                                        THEN o.fp END) AS BIGINT) AS n_inserts,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM oplog o JOIN per_key k USING (fp)
+        GROUP BY o.batch
+    ),
+    keys_by_first AS (
+        SELECT first_batch, CAST(count(*) AS BIGINT) AS new_keys
+        FROM per_key GROUP BY first_batch
+    ),
+    summary AS (
+        SELECT CAST(sum(n_ops) AS BIGINT) AS log_rows_total FROM ops
+    ),
+    snap AS (SELECT CAST(count(*) AS BIGINT) AS snapshot_rows FROM per_key)
+    SELECT o.batch, o.n_docs, o.n_ops, o.n_inserts,
+           o.n_ops - o.n_inserts AS n_dup_ops,
+           CAST(sum(coalesce(kf.new_keys, 0))
+                    OVER (ORDER BY o.batch) AS BIGINT) AS cum_keys,
+           s.log_rows_total, p.snapshot_rows,
+           CAST((1000000 * (s.log_rows_total - p.snapshot_rows))
+                // s.log_rows_total AS BIGINT) AS reclaim_micro
+    FROM ops o
+    LEFT JOIN keys_by_first kf ON kf.first_batch = o.batch
+    CROSS JOIN summary s CROSS JOIN snap p
+    ORDER BY o.batch
+    """
+
+
+# ---------------------------------------------------------------------------
+# q427 — MERGE-ledger compaction audit: four batch commits into a
+# fingerprint-keyed dedup ledger (insert on first sight, dup-op
+# otherwise), then the compaction summary a maintenance scheduler
+# reads — per-batch op/insert/dup counts, cumulative key count, and
+# the log-to-snapshot reclaim fraction (how much the MERGE log
+# shrinks when folded to its final state). Composes q50's
+# fingerprint grouping, q93's MERGE semantics, and q412's
+# compaction-planning shape. Scale: fingerprint grain rides 16-byte
+# digests (never raw text); the only non-key-grain exchange is the
+# fp groupBy; batch grain is 4 rows, so the cumulative window is
+# spine-bounded, not data-bounded.
+# ---------------------------------------------------------------------------
+@query("q427_merge_ledger_compaction", oracle=_q427_oracle())
+def q427_merge_ledger_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from pipeline_usnvc_spark.operators.checkpoint import materialize
+
+    oplog = _ledger_oplog(spark, sf_dir)
+    # fp-grain fold consumed three times below: materialize once
+    per_key = materialize(
+        oplog.groupBy("fp").agg(
+            F.min("batch").alias("first_batch"),
+            F.min("doc_id").alias("canonical"),
+            F.count("*").cast("bigint").alias("n_docs"),
+        )
+    )
+    ops = (
+        oplog.join(per_key.select("fp", "first_batch"), "fp")
+        .groupBy("batch")
+        .agg(
+            F.countDistinct("fp").cast("bigint").alias("n_ops"),
+            F.countDistinct(
+                F.when(F.col("batch") == F.col("first_batch"), F.col("fp"))
+            )
+            .cast("bigint")
+            .alias("n_inserts"),
+            F.count("*").cast("bigint").alias("n_docs"),
+        )
+    )
+    keys_by_first = per_key.groupBy(
+        F.col("first_batch").alias("kb")
+    ).agg(F.count("*").cast("bigint").alias("new_keys"))
+    summary = ops.agg(F.sum("n_ops").cast("bigint").alias("log_rows_total"))
+    snap = per_key.agg(F.count("*").cast("bigint").alias("snapshot_rows"))
+    # batch spine is 4 rows: the cumulative window is bounded by the
+    # commit count, never the data
+    w = Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        ops.join(keys_by_first, ops["batch"] == keys_by_first["kb"], "left")
+        .drop("kb")
+        .withColumn(
+            "cum_keys",
+            F.sum(F.coalesce(F.col("new_keys"), F.lit(0))).over(w).cast("bigint"),
+        )
+        .drop("new_keys")
+        .crossJoin(F.broadcast(summary))
+        .crossJoin(F.broadcast(snap))
+        .select(
+            "batch",
+            "n_docs",
+            "n_ops",
+            "n_inserts",
+            (F.col("n_ops") - F.col("n_inserts")).alias("n_dup_ops"),
+            "cum_keys",
+            "log_rows_total",
+            "snapshot_rows",
+            F.expr(
+                "CAST((1000000 * (log_rows_total - snapshot_rows))"
+                " div log_rows_total AS BIGINT)"
+            ).alias("reclaim_micro"),
+        )
+        .orderBy("batch")
+    )
+
+
+def _q428_oracle() -> str:
+    from pipeline_usnvc_spark.functions.text import TOKENIZE_SQL
+
+    return f"""
+    WITH {_LEDGER_SQL.format(toks=TOKENIZE_SQL)},
+    v1 AS (
+        SELECT fp, min(doc_id) AS canonical_v1
+        FROM oplog WHERE batch <= 1 GROUP BY fp
+    ),
+    diff AS (
+        SELECT k.fp, k.n_docs,
+               CASE WHEN v1.fp IS NULL THEN 'added'
+                    WHEN k.canonical <> v1.canonical_v1 THEN 'repointed'
+                    ELSE 'unchanged' END AS status
+        FROM per_key k LEFT JOIN v1 USING (fp)
+    )
+    SELECT status,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs
+    FROM diff GROUP BY status
+    ORDER BY status
+    """
+
+
+# ---------------------------------------------------------------------------
+# q428 — snapshot-isolation diff: reconstruct the ledger state AS OF
+# version 1 (batches 0-1) and version 3 (all batches) from the same
+# op log and classify every key — added (absent at v1), repointed
+# (canonical changed: a later batch delivered a smaller id, the MERGE
+# WHEN MATCHED case), unchanged. The time-travel diff a lakehouse
+# answers from snapshot metadata, computed set-based from the log.
+# Composes q249's incremental ledger and q92's table-diff shape.
+# ---------------------------------------------------------------------------
+@query("q428_snapshot_diff", oracle=_q428_oracle())
+def q428_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    oplog = _ledger_oplog(spark, sf_dir)
+    per_key = oplog.groupBy("fp").agg(
+        F.min("doc_id").alias("canonical"),
+        F.count("*").cast("bigint").alias("n_docs"),
+    )
+    v1 = (
+        oplog.filter(F.col("batch") <= 1)
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("canonical_v1"))
+    )
+    status = (
+        F.when(F.col("canonical_v1").isNull(), F.lit("added"))
+        .when(F.col("canonical") != F.col("canonical_v1"), F.lit("repointed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        per_key.join(v1, "fp", "left")
+        .select(status.alias("status"), "n_docs")
+        .groupBy("status")
+        .agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+        )
+        .orderBy("status")
+    )

@@ -224,3 +224,119 @@ def test_block_decorrelate(spark, con):
     for v in want.values():
         assert abs(v[6]) <= 3
         assert v[7] <= v[5] + 3
+
+
+def _ledger_rows(con):
+    """The planted-copy ledger, materialized row-by-row in Python
+    (ids and texts only; fingerprints computed below with hashlib on
+    the SAME normalization, independent of both engines' md5/tokenize
+    SQL)."""
+    import re as _re
+
+    base = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    mx = max(d for d, _ in base)
+    rows = [(int(d), t) for d, t in base]
+    rows += [(2 * mx - d + 1, t) for d, t in base if d % 7 == 0]
+    rows += [(3 * mx + 2 + d, t) for d, t in base if d % 21 == 0]
+
+    import hashlib
+
+    def fp(text: str) -> str:
+        toks = [t for t in _re.split(r"[^0-9a-z]+", (text or "").lower()) if t]
+        return hashlib.md5(" ".join(toks).encode()).hexdigest()
+
+    return [(d, d % 4, fp(t)) for d, t in rows]
+
+
+@pytest.fixture(scope="module")
+def doc_con():
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    return c
+
+
+def test_merge_ledger_compaction(spark, doc_con):
+    """Fold the op log in a literal Python dict walk — batch by batch,
+    insert-on-first-sight, canonical = least(current, incoming) — and
+    re-derive every q427 column from the walk."""
+    rows = _ledger_rows(doc_con)
+    state: dict[str, int] = {}
+    per_batch = {b: {"n_docs": 0, "ops": set(), "inserts": set()} for b in range(4)}
+    for b in range(4):
+        for d, bb, f in rows:
+            if bb != b:
+                continue
+            per_batch[b]["n_docs"] += 1
+            per_batch[b]["ops"].add(f)
+            if f not in state:
+                state[f] = d
+                per_batch[b]["inserts"].add(f)
+            else:
+                state[f] = min(state[f], d)
+    log_total = sum(len(v["ops"]) for v in per_batch.values())
+    snapshot = len(state)
+    reclaim = (1_000_000 * (log_total - snapshot)) // log_total
+    cum = 0
+    want = {}
+    for b in range(4):
+        cum += len(per_batch[b]["inserts"])
+        want[b] = (
+            per_batch[b]["n_docs"],
+            len(per_batch[b]["ops"]),
+            len(per_batch[b]["inserts"]),
+            len(per_batch[b]["ops"]) - len(per_batch[b]["inserts"]),
+            cum,
+            log_total,
+            snapshot,
+            reclaim,
+        )
+    got = {
+        r["batch"]: (
+            r["n_docs"],
+            r["n_ops"],
+            r["n_inserts"],
+            r["n_dup_ops"],
+            r["cum_keys"],
+            r["log_rows_total"],
+            r["snapshot_rows"],
+            r["reclaim_micro"],
+        )
+        for r in QUERIES["q427_merge_ledger_compaction"](spark, SF).collect()
+    }
+    assert got == want
+    # the planted copies must make the compaction non-trivial
+    assert log_total > snapshot
+
+
+def test_snapshot_diff(spark, doc_con):
+    """Reconstruct both snapshots independently and classify keys in
+    Python; the planted-offset scheme must produce all three statuses
+    (a diff that can't observe re-pointing wouldn't test MERGE's
+    WHEN MATCHED path)."""
+    rows = _ledger_rows(doc_con)
+    all_min: dict[str, int] = {}
+    v1_min: dict[str, int] = {}
+    n_docs: dict[str, int] = {}
+    for d, b, f in rows:
+        all_min[f] = min(all_min.get(f, d), d)
+        n_docs[f] = n_docs.get(f, 0) + 1
+        if b <= 1:
+            v1_min[f] = min(v1_min.get(f, d), d)
+    want = {"added": [0, 0], "repointed": [0, 0], "unchanged": [0, 0]}
+    for f, canon in all_min.items():
+        if f not in v1_min:
+            s = "added"
+        elif canon != v1_min[f]:
+            s = "repointed"
+        else:
+            s = "unchanged"
+        want[s][0] += 1
+        want[s][1] += n_docs[f]
+    got = {
+        r["status"]: [r["n_keys"], r["n_docs"]]
+        for r in QUERIES["q428_snapshot_diff"](spark, SF).collect()
+    }
+    assert got == {k: v for k, v in want.items() if v[0] > 0}
+    assert all(want[s][0] > 0 for s in ("added", "repointed", "unchanged"))
