@@ -87,6 +87,11 @@ EXTENDED = [
     # three-range-exchange incremental advisor
     "q421_mannwhitney_randomization",
     "q422_recluster_advisor",
+    # round-11: the two heaviest new surfaces — the double row-grain
+    # pass (fit explode + transform explode) and the planted-copy
+    # MERGE ledger (union + fp-grain fold + batch spine)
+    "q426_block_decorrelate",
+    "q427_merge_ledger_compaction",
 ]
 
 

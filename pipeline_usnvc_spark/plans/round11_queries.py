@@ -250,7 +250,7 @@ def _q425_oracle() -> str:
     # magnitude bounds at quant=1e7, n <= 1e5 vectors, |label| <= 9:
     # g <= n*1e14 = 1e19, b <= n*9e7 = 9e12, A = g + 1e14,
     # det = A11*A22 - gab^2 <= 1e38 (HUGEINT holds 1.7e38),
-    # num = A*b二 <= 2e31; after div 1e14: numr <= 2e17, detr >= 1 and
+    # num = A*b <= 2e31; after div 1e14: numr <= 2e17, detr >= 1 and
     # det >= lam^2 = 1e28 -> detr >= 1e14. |w_micro| <= sqrt(yy)/2e-6
     # by Cauchy-Schwarz (< 1e9 here), so shift 1e11 covers the solve
     # div; shifts below are each a >=10x guard over the bound.
@@ -779,12 +779,16 @@ def q427_merge_ledger_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_usnvc_spark.operators.checkpoint import materialize
 
     oplog = _ledger_oplog(spark, sf_dir)
-    # fp-grain fold consumed three times below: materialize once
+    # fp-grain fold consumed three times below: materialize once.
+    # n_batches rides the same fold so the log/snapshot summary never
+    # needs a second data pass (log rows = sum of per-key distinct
+    # batches).
     per_key = materialize(
         oplog.groupBy("fp").agg(
             F.min("batch").alias("first_batch"),
             F.min("doc_id").alias("canonical"),
             F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("batch").cast("bigint").alias("n_batches"),
         )
     )
     ops = (
@@ -803,8 +807,10 @@ def q427_merge_ledger_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys_by_first = per_key.groupBy(
         F.col("first_batch").alias("kb")
     ).agg(F.count("*").cast("bigint").alias("new_keys"))
-    summary = ops.agg(F.sum("n_ops").cast("bigint").alias("log_rows_total"))
-    snap = per_key.agg(F.count("*").cast("bigint").alias("snapshot_rows"))
+    summary = per_key.agg(
+        F.sum("n_batches").cast("bigint").alias("log_rows_total"),
+        F.count("*").cast("bigint").alias("snapshot_rows"),
+    )
     # batch spine is 4 rows: the cumulative window is bounded by the
     # commit count, never the data
     w = Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, 0)
@@ -817,7 +823,6 @@ def q427_merge_ledger_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("new_keys")
         .crossJoin(F.broadcast(summary))
-        .crossJoin(F.broadcast(snap))
         .select(
             "batch",
             "n_docs",
@@ -872,14 +877,13 @@ def _q428_oracle() -> str:
 @query("q428_snapshot_diff", oracle=_q428_oracle())
 def q428_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     oplog = _ledger_oplog(spark, sf_dir)
+    # ONE fold computes both snapshots: v1's canonical is the
+    # conditional min over batches <= 1 (null when the key is absent
+    # at v1) — no second data pass, no self-join
     per_key = oplog.groupBy("fp").agg(
         F.min("doc_id").alias("canonical"),
+        F.min(F.when(F.col("batch") <= 1, F.col("doc_id"))).alias("canonical_v1"),
         F.count("*").cast("bigint").alias("n_docs"),
-    )
-    v1 = (
-        oplog.filter(F.col("batch") <= 1)
-        .groupBy("fp")
-        .agg(F.min("doc_id").alias("canonical_v1"))
     )
     status = (
         F.when(F.col("canonical_v1").isNull(), F.lit("added"))
@@ -887,8 +891,7 @@ def q428_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("unchanged"))
     )
     return (
-        per_key.join(v1, "fp", "left")
-        .select(status.alias("status"), "n_docs")
+        per_key.select(status.alias("status"), "n_docs")
         .groupBy("status")
         .agg(
             F.count("*").cast("bigint").alias("n_keys"),

@@ -1365,3 +1365,29 @@ def test_layout_advisor_plan_shape(spark, sf_dir, monkeypatch):
         assert "_pid#" in frag or "weighted_cost_micro#" in frag, (
             "q419: unexpected data-grain window:\n" + frag
         )
+
+
+def test_block_decorrelate_jvm_only(spark, sf_dir):
+    """q426's docstring claims the whole fit-transform-reverify path
+    is pure JVM (in-row block explode, no Python). Assert it: no
+    Arrow/Python eval operator anywhere in the executed plan, no
+    cartesian product (the 32-row beta frame joins broadcast)."""
+    df = QUERIES["q426_block_decorrelate"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # betas broadcast back
+
+
+def test_ledger_queries_no_cartesian_no_python(spark, sf_dir):
+    """q427/q428 are pure relational folds over the planted-copy
+    ledger: digests group map-side, the batch spine is 4 rows, and
+    the only nested-loop joins are 1-row broadcast summaries."""
+    for name in ("q427_merge_ledger_compaction", "q428_snapshot_diff"):
+        df = QUERIES[name](spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "EvalPython" not in plan, name
