@@ -917,6 +917,13 @@ _BROADCAST_ALLOWLIST = {
         "stats",  # scalar histogram stats
         "supp_n",  # scalar supplier count
     },
+    "round11_queries.py": {
+        "base",  # _ledger_oplog's max-doc-id scalar (1-row agg of base)
+        "n", "yy",  # q425 scalar kernel sentinels (row count / label moment)
+        "solved",  # q426's 32-row per-block beta frame
+        "summary",  # q427 1-row log/snapshot totals
+        "table",  # q424 1-row table-level dead fraction
+    },
 }
 
 
