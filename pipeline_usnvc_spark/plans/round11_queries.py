@@ -1,5 +1,7 @@
 """Round-11 query family: verification-depth companions (VERDICT r10
-items 4 and 6).
+items 4 and 6) plus the incremental/transactional-maintenance pair
+(item 8: q427 MERGE-ledger compaction, q428 snapshot diff — described
+at their definitions below).
 
 q363 (ridge probe) and q373 (whitening) are rows-only because their
 64x64 LAPACK factorizations (solve / Cholesky) produce float64 bit
