@@ -311,9 +311,10 @@ _ROUND = 11
 # 0.1%-of-global threshold — whose r10 driver row verified an EMPTY
 # frame at sf0.01 — became the scale-adaptive 1.5×-mean cut, VERDICT
 # r10 item 1), so it is re-pinned for a non-degenerate fresh row. The
-# round-11 additions (q424 streaming staleness twin, q425/q426
-# closed-form block probe/decorrelation) are not in _DRIVER_VERIFIED
-# and enter the sample automatically as fresh entries.
+# five round-11 additions (q424 streaming staleness twin, q425/q426
+# closed-form block probe/decorrelation, q427/q428 MERGE-ledger
+# compaction and snapshot diff) are not in _DRIVER_VERIFIED and
+# enter the sample automatically as fresh entries.
 _R11_HEAD: tuple[str, ...] = (
     "q111_global_share",
 )

@@ -175,26 +175,25 @@ def main() -> None:
                 for part in ("queries", "queries_extended")
                 for k, v in prev.get(part, {}).items()
             }
-            if not prior:
-                # Structured maps lost to truncation but the flat
-                # `"qNNN_name": 1.234` pairs that DID survive in the
-                # raw tail are unambiguous — regex-salvage them,
-                # excising the `spread` map first (same query names,
-                # relative-spread values — flat map, so its region
-                # ends at the first `}` after the key).
-                import re
+            # Flat `"qNNN_name": 1.234` pairs that survive in the raw
+            # tail are unambiguous — regex-salvage them as a UNION
+            # with whatever structured maps parsed (a surviving
+            # queries_extended map must not suppress recovery of the
+            # main-suite timings also visible in the tail — round-11
+            # review finding), excising the `spread` map first (same
+            # query names, relative-spread values — flat map, so its
+            # region ends at the first `}` after the key).
+            import re
 
-                blob = str(raw.get("tail", ""))
-                spr = blob.find('"spread"')
-                if spr >= 0:
-                    end = blob.find("}", spr)
-                    blob = blob[:spr] + (blob[end + 1 :] if end >= 0 else "")
-                prior = {
-                    m.group(1): float(m.group(2))
-                    for m in re.finditer(
-                        r'"((?:q\d+_|flagship_)\w+)":\s*(\d+(?:\.\d+)?)', blob
-                    )
-                }
+            blob = str(raw.get("tail", ""))
+            spr = blob.find('"spread"')
+            if spr >= 0:
+                end = blob.find("}", spr)
+                blob = blob[:spr] + (blob[end + 1 :] if end >= 0 else "")
+            for m in re.finditer(
+                r'"((?:q\d+_|flagship_)\w+)":\s*(\d+(?:\.\d+)?)', blob
+            ):
+                prior.setdefault(m.group(1), float(m.group(2)))
             break
 
     def timed(build, old: float | None) -> tuple[float, float]:

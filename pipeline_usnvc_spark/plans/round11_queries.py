@@ -250,23 +250,36 @@ def _q425_oracle() -> str:
     lam = _LAMBDA_Q2
     red = _R_REDUCE
     # magnitude bounds at quant=1e7, n <= 1e5 vectors, |label| <= 9:
-    # g <= n*1e14 = 1e19, b <= n*9e7 = 9e12, A = g + 1e14,
-    # det = A11*A22 - gab^2 <= 1e38 (HUGEINT holds 1.7e38),
-    # num = A*b <= 2e31; after div 1e14: numr <= 2e17, detr >= 1 and
-    # det >= lam^2 = 1e28 -> detr >= 1e14. |w_micro| <= sqrt(yy)/2e-6
-    # by Cauchy-Schwarz (< 1e9 here), so shift 1e11 covers the solve
+    # g <= n*1e14 = 1e19, b <= n*9e7 = 9e12, num = A*b <= 2e31; after
+    # div 1e14: numr <= 2e17. The determinant is formed from cells
+    # PRE-REDUCED by 1e4 (gr = g div 1e4, lam_hat = 1e10) because the
+    # raw product (gaa+lam)*(gbb+lam) reaches ~1e38 at the n=1e5
+    # envelope — inside DuckDB's HUGEINT (1.7e38) but ABOVE Spark's
+    # DECIMAL(38,0) ceiling (~9.99e37), and a one-sided overflow null
+    # would silently desync the engines (round-11 review finding).
+    # det_hat <= (1e15+1e10)^2 ~ 1.00002e30 fits BOTH with 8 digits
+    # of headroom; det_hat >= lam_hat^2 = 1e20 -> detr >= 1e14 > 0.
+    # The reduction's relative error (<= ~2e-6 when g ~ lam,
+    # ~1e-8 at this data's g) lands below the micro quantization of
+    # the reported weights. |w_micro| <= sqrt(yy)/2 * 1e6 by
+    # Cauchy-Schwarz (< 1e9 here), so shift 1e11 covers the solve
     # div; shifts below are each a >=10x guard over the bound.
     numa = f"(gbb + {lam}) * ba - gab * bb"
     numb = f"(gaa + {lam}) * bb - gab * ba"
-    det = f"(gaa + {lam}) * (gbb + {lam}) - gab * gab"
+    grab = _sfdiv_sql("gab", "10000", 10**16)  # gab may be negative
+    det_hat = (
+        f"(gaa // 10000 + 10000000000) * (gbb // 10000 + 10000000000)"
+        f" - ({grab}) * ({grab})"
+    )
+    detr = f"greatest(({det_hat}) // 1000000, 1)"
     wa = _sfdiv_sql(
         f"{_sfdiv_sql(numa, str(red), 10**18)} * 10000000000000",
-        f"greatest(({det}) // {red}, 1)",
+        detr,
         10**11,
     )
     wb = _sfdiv_sql(
         f"{_sfdiv_sql(numb, str(red), 10**18)} * 10000000000000",
-        f"greatest(({det}) // {red}, 1)",
+        detr,
         10**11,
     )
     cross = _sfdiv_sql("2 * (w_a_micro * ba + w_b_micro * bb)", "10000000", 10**16)
@@ -384,21 +397,26 @@ def q425_block_ridge_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n))
     )
     lam = _d38(F.lit(_LAMBDA_Q2))
-    det = (_d38(F.col("gaa")) + lam) * (_d38(F.col("gbb")) + lam) - _d38(
-        F.col("gab")
-    ) * _d38(F.col("gab"))
     num_a = (_d38(F.col("gbb")) + lam) * _d38(F.col("ba")) - _d38(
         F.col("gab")
     ) * _d38(F.col("bb"))
     num_b = (_d38(F.col("gaa")) + lam) * _d38(F.col("bb")) - _d38(
         F.col("gab")
     ) * _d38(F.col("ba"))
-    # common-factor reduction keeps every operand under DECIMAL(38,0)
-    # / HUGEINT headroom (bounds in the oracle builder's comment);
-    # det >= lam^2 = 1e28 so detr >= 1e14 > 0 (greatest() is a
-    # belt-and-suspenders identical on both engines)
+    # determinant from PRE-REDUCED cells (g div 1e4, lam_hat = 1e10):
+    # the raw (gaa+lam)*(gbb+lam) product clears DuckDB's HUGEINT but
+    # overflows Spark's DECIMAL(38,0) at the documented n~1e5
+    # envelope, and a one-sided overflow null would silently desync
+    # the engines (round-11 review finding). det_hat <= ~1e30 fits
+    # both; det_hat >= lam_hat^2 = 1e20 so detr >= 1e14 > 0
+    # (greatest() is a belt-and-suspenders identical on both engines).
+    lam_hat = _d38(F.lit(10**10))
+    graa = F.expr("CAST(gaa AS DECIMAL(38,0)) div 10000").cast("decimal(38,0)")
+    grbb = F.expr("CAST(gbb AS DECIMAL(38,0)) div 10000").cast("decimal(38,0)")
+    grab = _sfdiv(F.col("gab"), _d38(F.lit(10**4)), 10**16)  # signed
+    det_hat = (graa + lam_hat) * (grbb + lam_hat) - grab * grab
     detr = F.greatest(
-        _sfdiv(det, _d38(F.lit(_R_REDUCE)), 1),  # det > 0: plain reduce
+        _sfdiv(det_hat, _d38(F.lit(10**6)), 1),  # det_hat > 0: plain reduce
         _d38(F.lit(1)),
     )
     solved = j.select(

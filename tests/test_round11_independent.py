@@ -120,14 +120,21 @@ def test_block_ridge_probe(spark, con):
         det = (gaa + LAM) * (gbb + LAM) - gab * gab
         num_a = (gbb + LAM) * ba - gab * bb
         num_b = (gaa + LAM) * bb - gab * ba
-        detr = max(det // RED, 1)
+        # the engines form the determinant from cells PRE-REDUCED by
+        # 1e4 (Spark DECIMAL(38,0) headroom at the n~1e5 envelope —
+        # see the plan comment); mirror it exactly
+        grab = _fdiv(gab, 10**4)
+        det_hat = (gaa // 10**4 + 10**10) * (gbb // 10**4 + 10**10) - grab * grab
+        detr = max(det_hat // 10**6, 1)
         wa = _fdiv(_fdiv(num_a, RED) * 10**13, detr)
         wb = _fdiv(_fdiv(num_b, RED) * 10**13, detr)
-        # reduced-pipeline drift vs the Fraction-exact solve is
-        # bounded by the two floor steps (documented in the plan)
+        # reduced-pipeline drift vs the Fraction-exact solve: the two
+        # floor steps cost <= a few micro absolute; the det reduction
+        # costs <= ~2e-6 relative in the worst (g ~ lam) case — a
+        # gross solve bug still lands far outside this band
         for w_micro, num in ((wa, num_a), (wb, num_b)):
             exact = Fraction(num * 10**13, det)
-            assert abs(w_micro - exact) <= 2 + abs(exact) * Fraction(2 * RED, det)
+            assert abs(w_micro - exact) <= 4 + abs(exact) * Fraction(1, 10**5)
         cross = _fdiv(2 * (wa * ba + wb * bb), Q)
         quad = _fdiv(wa * wa * gaa + 2 * wa * wb * gab + wb * wb * gbb, 10**20)
         sse = yy * 10**6 - cross + quad
