@@ -60,9 +60,13 @@ numerators n^2*1e14. All divisions are the q364 sign-correct
 floor-div idiom (shift positive, strip the remainder, divide
 exactly, unshift) so Spark's `div`-on-DECIMAL and DuckDB's
 `//`-on-HUGEINT produce the same integer for NEGATIVE numerators
-too. Magnitude headroom is documented per division; the bounds hold
-through ~1e5 vectors at quant=1e7 (the q362 caveat: larger corpora
-reduce quant — the driver SFs carry 500/2000 vectors).
+too. Magnitude headroom is documented per division; the BINDING
+envelope is the driver-facing BIGINT stats columns (sum-of-q^2 <=
+9.22e18 -> ~9e4 unit-magnitude vectors, ~3e5 at E[x^2]=0.3 — proved
+by the envelope-boundary test, which found the g_aa output cast, not
+the solve, fails first on both engines); the q362 caveat applies
+beyond it: larger corpora reduce quant (the driver SFs carry
+500/2000 vectors).
 
 Scale shape: q425 is the kernel's map-side d^2-per-partition
 accumulation plus a 32-row solve — no row-grain shuffle beyond the
@@ -249,16 +253,20 @@ _ORACLE_PAIRS = """
 def _q425_oracle() -> str:
     lam = _LAMBDA_Q2
     red = _R_REDUCE
-    # magnitude bounds at quant=1e7, n <= 1e5 vectors, |label| <= 9:
-    # g <= n*1e14 = 1e19, b <= n*9e7 = 9e12, num = A*b <= 2e31; after
-    # div 1e14: numr <= 2e17. The determinant is formed from cells
-    # PRE-REDUCED by 1e4 (gr = g div 1e4, lam_hat = 1e10) because the
-    # raw product (gaa+lam)*(gbb+lam) reaches ~1e38 at the n=1e5
-    # envelope — inside DuckDB's HUGEINT (1.7e38) but ABOVE Spark's
-    # DECIMAL(38,0) ceiling (~9.99e37), and a one-sided overflow null
-    # would silently desync the engines (round-11 review finding).
-    # det_hat <= (1e15+1e10)^2 ~ 1.00002e30 fits BOTH with 8 digits
-    # of headroom; det_hat >= lam_hat^2 = 1e20 -> detr >= 1e14 > 0.
+    # magnitude bounds at quant=1e7, |label| <= 9, g = sum q^2 <=
+    # 9.22e18 (the BIGINT g_aa/g_bb output columns are the BINDING
+    # envelope — ~9e4 unit-magnitude vectors; the envelope-boundary
+    # test runs the maximal corpus end-to-end): b <= 8.3e12,
+    # num = A*b <= 1.6e32; after div 1e14: numr <= 1.6e18. The
+    # determinant is formed from cells PRE-REDUCED by 1e4
+    # (gr = g div 1e4, lam_hat = 1e10) as headroom: the raw
+    # (gaa+lam)*(gbb+lam) product sits ~8.5e37 at the envelope —
+    # within DuckDB's HUGEINT (1.7e38) but only ~15% under Spark's
+    # DECIMAL(38,0) ceiling (~9.99e37), and the two ceilings differ,
+    # so a one-sided overflow would desync the engines the moment the
+    # envelope moves (round-11 review finding). det_hat <=
+    # (1e15+1e10)^2 ~ 1e30 fits BOTH with 8 digits of headroom;
+    # det_hat >= lam_hat^2 = 1e20 -> detr >= 1e14 > 0.
     # The reduction's relative error (<= ~2e-6 when g ~ lam,
     # ~1e-8 at this data's g) lands below the micro quantization of
     # the reported weights. |w_micro| <= sqrt(yy)/2 * 1e6 by

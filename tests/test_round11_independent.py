@@ -347,3 +347,57 @@ def test_snapshot_diff(spark, doc_con):
     }
     assert got == {k: v for k, v in want.items() if v[0] > 0}
     assert all(want[s][0] > 0 for s in ("added", "repointed", "unchanged"))
+
+
+def test_block_ridge_probe_envelope_boundary(spark, tmp_path):
+    """Regression lock on the q425 envelope: the binding constraint
+    is the driver-facing BIGINT stats columns (g_aa = sum of q^2 must
+    stay <= 9.22e18 — building THIS test at n=1e5 proved the g cast,
+    not the determinant, fails first on BOTH engines), so the maximal
+    reportable corpus at unit magnitude is ~92k vectors. At that
+    envelope the whole pipeline — kernel, pre-reduced det_hat solve,
+    SSE, output casts — must stay hash-exact, non-null, and equal to
+    the symmetric-2x2 closed form."""
+    import duckdb as _duck
+
+    from pipeline_usnvc_spark.sources.tables import TABLE_NAMES
+    from tests.oracle_compare import assert_frames_match, run_oracle
+    from pipeline_usnvc_spark.plans import ORACLES, QUERIES
+
+    d = tmp_path / "envelope"
+    d.mkdir()
+    con = _duck.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT i AS vec_id,
+                 list_transform(range(64), x -> CAST(1.0 AS FLOAT)) AS embedding,
+                 CAST(9 AS INTEGER) AS label
+          FROM (SELECT unnest(range(92000)) AS i)
+        ) TO '{d}/embeddings.parquet' (FORMAT parquet)
+        """
+    )
+    # run_oracle registers every table name; only embeddings is read
+    for t in TABLE_NAMES:
+        if t != "embeddings":
+            (d / f"{t}.parquet").symlink_to(f"{SF}/{t}.parquet")
+    n, lam_q2 = 92_000, LAM
+    g = n * Q * Q  # every component quantizes to exactly 1e7
+    assert g <= 2**63 - 1 < (g // 9) * 10  # just under the BIGINT ceiling
+    spdf = QUERIES["q425_block_ridge_probe"](spark, str(d)).toPandas()
+    assert len(spdf) == 32 and not spdf["w_a_micro"].isna().any()
+    assert_frames_match(
+        spdf,
+        run_oracle(ORACLES["q425_block_ridge_probe"], str(d)),
+        "q425_envelope",
+    )
+    # closed form at this degenerate corpus: every block identical,
+    # w_a = w_b = b/(2g + lam) exactly (symmetric 2x2)
+    b = n * Q * 9
+    grab = g // 10**4
+    det_hat = (g // 10**4 + 10**10) ** 2 - grab * grab
+    detr = max(det_hat // 10**6, 1)
+    num = (g + lam_q2) * b - g * b
+    want_w = ((num // RED) * 10**13) // detr
+    assert set(spdf["w_a_micro"]) == {want_w}
+    assert set(spdf["w_b_micro"]) == {want_w}
