@@ -317,6 +317,13 @@ _ROUND = 11
 # enter the sample automatically as fresh entries.
 _R11_HEAD: tuple[str, ...] = (
     "q111_global_share",
+    # the round-11 zero-row sweep (all 396 queries counted at sf0.01)
+    # found ONE more vacuous-green: q252's survivorship groups need
+    # exact duplicates and the documents table ships dup-free at
+    # every SF, so its r06 driver row verified an empty frame. The
+    # plan now plants controlled duplicate classes (48 agree / 24
+    # disagree groups at sf0.01) — re-pinned for a non-degenerate row.
+    "q252_dedup_survivorship",
 )
 
 

@@ -481,13 +481,37 @@ def q249_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lexicographic struct max ((n_chars, -doc_id) — tie-free by
 # construction), so no per-group window materializes a dup group in
 # one task.
+#
+# Planted duplicates (round 11): the shipped documents table carries
+# NO exact duplicates at ANY SF (the round-11 zero-row sweep found
+# this query's every green row — incl. its r06 driver row — verified
+# an EMPTY frame, the q342/q111 vacuous-signal class), so the query
+# plants its own controlled classes with the q427 ledger scaffolding:
+# every doc_id % 7 == 0 doc gets an EXACT copy (same text, same
+# n_chars — keep-first and keep-longest agree: the length tie breaks
+# to the lowest id), and every doc_id % 21 == 0 doc additionally a
+# punctuation-padded copy (' !!!' — the tokenizer collapses it, so
+# the digest is unchanged while n_chars grows by 4: keep-longest now
+# picks the copy and the policies DISAGREE). Both outcomes occur at
+# every SF, so the driver row certifies the argmax and the
+# disagreement flag, not an empty frame.
 # ---------------------------------------------------------------------------
 @query(
     "q252_dedup_survivorship",
     oracle=f"""
-    WITH keyed AS (
+    WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+    corpus AS (
+        SELECT doc_id, text, n_chars FROM documents
+        UNION ALL
+        SELECT 2 * mx.mx - doc_id + 1, text, n_chars
+        FROM documents CROSS JOIN mx WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT 3 * mx.mx + 2 + doc_id, text || ' !!!', n_chars + 4
+        FROM documents CROSS JOIN mx WHERE doc_id % 21 = 0
+    ),
+    keyed AS (
         SELECT md5(coalesce(array_to_string({_TOKS_SQL}, ' '), '')) AS digest, doc_id, n_chars
-        FROM documents
+        FROM corpus
     ),
     groups AS (
         SELECT digest,
@@ -505,8 +529,30 @@ def q249_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q252_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_usnvc_spark.functions.text import tokens
 
-    docs = load_table(spark, sf_dir, "documents")
-    keyed = docs.select(
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    mx = F.broadcast(docs.agg(F.max("doc_id").alias("mx")))
+    exact_copies = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .crossJoin(mx)
+        .select(
+            (F.lit(2) * F.col("mx") - F.col("doc_id") + 1).alias("doc_id"),
+            "text",
+            "n_chars",
+        )
+    )
+    padded_copies = (
+        docs.filter(F.col("doc_id") % 21 == 0)
+        .crossJoin(mx)
+        .select(
+            (F.lit(3) * F.col("mx") + 2 + F.col("doc_id")).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" !!!")).alias("text"),
+            (F.col("n_chars") + 4).alias("n_chars"),
+        )
+    )
+    corpus = docs.unionByName(exact_copies).unionByName(padded_copies)
+    keyed = corpus.select(
         F.md5(F.array_join(tokens("text"), " ")).alias("digest"),
         "doc_id",
         "n_chars",

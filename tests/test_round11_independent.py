@@ -401,3 +401,54 @@ def test_block_ridge_probe_envelope_boundary(spark, tmp_path):
     want_w = ((num // RED) * 10**13) // detr
     assert set(spdf["w_a_micro"]) == {want_w}
     assert set(spdf["w_b_micro"]) == {want_w}
+
+
+def test_dedup_survivorship_planted_classes(spark, doc_con):
+    """q252's round-11 de-vacuization: recompute the planted-corpus
+    survivorship in Python (hashlib digests, explicit keeper walk)
+    and pin the policy split analytically — %7-only groups tie on
+    n_chars and agree (keep-first wins the tie), %21 groups carry the
+    punctuation-padded longer copy and disagree."""
+    import hashlib
+    import re as _re
+
+    rows = doc_con.execute(
+        "SELECT doc_id, text, n_chars FROM documents"
+    ).fetchall()
+    mx = max(d for d, _, _ in rows)
+    corpus = [(int(d), t, int(n)) for d, t, n in rows]
+    corpus += [(2 * mx - d + 1, t, n) for d, t, n in corpus[: len(rows)] if d % 7 == 0]
+    corpus += [
+        (3 * mx + 2 + d, t + " !!!", n + 4)
+        for d, t, n in corpus[: len(rows)]
+        if d % 21 == 0
+    ]
+
+    def digest(text: str) -> str:
+        toks = [t for t in _re.split(r"[^0-9a-z]+", (text or "").lower()) if t]
+        return hashlib.md5(" ".join(toks).encode()).hexdigest()
+
+    groups: dict[str, list[tuple[int, int]]] = {}
+    for d, t, n in corpus:
+        groups.setdefault(digest(t), []).append((d, n))
+    want = {}
+    for dg, members in groups.items():
+        if len(members) <= 1:
+            continue
+        first = min(d for d, _ in members)
+        longest = max(members, key=lambda m: (m[1], -m[0]))[0]
+        want[dg] = (len(members), first, longest, first == longest)
+    got = {
+        r["digest"]: (
+            r["group_size"],
+            r["keeper_first"],
+            r["keeper_longest"],
+            r["policies_agree"],
+        )
+        for r in QUERIES["q252_dedup_survivorship"](spark, SF).collect()
+    }
+    assert got == want
+    n7 = sum(1 for d, _, _ in rows if d % 7 == 0)
+    n21 = sum(1 for d, _, _ in rows if d % 21 == 0)
+    assert sum(1 for v in want.values() if v[3]) == n7 - n21
+    assert sum(1 for v in want.values() if not v[3]) == n21
