@@ -917,6 +917,9 @@ _BROADCAST_ALLOWLIST = {
         "stats",  # scalar histogram stats
         "supp_n",  # scalar supplier count
     },
+    "dedup_queries.py": {
+        "docs",  # q252's max-doc-id scalar (1-row agg of documents)
+    },
     "round11_queries.py": {
         "base",  # _ledger_oplog's max-doc-id scalar (1-row agg of base)
         "n", "yy",  # q425 scalar kernel sentinels (row count / label moment)

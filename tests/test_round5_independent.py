@@ -200,11 +200,29 @@ def test_hapax_and_survivorship_consistency(spark, con):
     for s in vocab:
         assert rows[s]["vocab_size"] == vocab[s]
         assert rows[s]["n_hapax"] == hapax[s]
-    # survivorship: keeper_longest must have max n_chars in its group
-    docs = {
-        r[0]: (r[1], r[2])
-        for r in con.execute("SELECT doc_id, n_chars, md5(array_to_string(list_filter(string_split_regex(lower(text), '[^a-zA-Z0-9]+'), t -> t <> ''), ' ')) FROM documents").fetchall()
-    }
+    # survivorship: keeper_longest must have max n_chars in its group.
+    # Round 11 de-vacuized q252 by planting duplicate classes (the
+    # shipped table has no exact duplicates) — rebuild the SAME
+    # planted corpus before grouping.
+    base = con.execute(
+        "SELECT doc_id, n_chars, text FROM documents"
+    ).fetchall()
+    mx = max(r[0] for r in base)
+    corpus = [(int(d), int(n), t) for d, n, t in base]
+    corpus += [(2 * mx - d + 1, n, t) for d, n, t in corpus[: len(base)] if d % 7 == 0]
+    corpus += [
+        (3 * mx + 2 + d, n + 4, t + " !!!")
+        for d, n, t in corpus[: len(base)]
+        if d % 21 == 0
+    ]
+    import hashlib
+    import re as _re
+
+    def _dg(text):
+        toks = [t for t in _re.split(r"[^0-9a-z]+", (text or "").lower()) if t]
+        return hashlib.md5(" ".join(toks).encode()).hexdigest()
+
+    docs = {d: (n, _dg(t)) for d, n, t in corpus}
     groups = defaultdict(list)
     for doc_id, (n_chars, dg) in docs.items():
         groups[dg].append((doc_id, n_chars))
