@@ -190,10 +190,27 @@ def main() -> None:
             if spr >= 0:
                 end = blob.find("}", spr)
                 blob = blob[:spr] + (blob[end + 1 :] if end >= 0 else "")
+            else:
+                # Old-format artifact (r09/r10: spread FOLLOWS the
+                # queries maps) whose front-truncation landed inside
+                # the spread map: the '"spread"' key is gone, so the
+                # excision above can't fire and the surviving bare
+                # "qNNN": 0.0x pairs are SPREAD RATIOS, not timings —
+                # salvaging them as priors flags bogus regressions
+                # (e.g. 1.8 s vs a 0.04 "prior"; ADVICE r11). Only
+                # salvage from a region known to hold timings: after a
+                # surviving '"queries' key fragment if one exists,
+                # else nothing.
+                q_idx = blob.find('"queries')
+                blob = blob[q_idx:] if q_idx >= 0 else ""
             for m in re.finditer(
                 r'"((?:q\d+_|flagship_)\w+)":\s*(\d+(?:\.\d+)?)', blob
             ):
-                prior.setdefault(m.group(1), float(m.group(2)))
+                # Plausibility floor: no real query times under 10 ms
+                # on this box; sub-floor values are spread ratios that
+                # leaked past the region cut.
+                if float(m.group(2)) >= 0.01:
+                    prior.setdefault(m.group(1), float(m.group(2)))
             break
 
     def timed(build, old: float | None) -> tuple[float, float]:

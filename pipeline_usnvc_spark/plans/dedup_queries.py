@@ -527,7 +527,7 @@ def q249_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q252_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pipeline_usnvc_spark.functions.text import tokens
+    from pipeline_usnvc_spark.functions.text import doc_fingerprint
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "n_chars"
@@ -552,8 +552,14 @@ def q252_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     corpus = docs.unionByName(exact_copies).unionByName(padded_copies)
+    # doc_fingerprint (md5 of concat_ws) not md5(array_join): for a
+    # NULL text, array_join yields NULL -> NULL digest, while the
+    # oracle's md5(coalesce(array_to_string(...), '')) yields md5('')
+    # — concat_ws('') matches the oracle's NULL-safe behavior, and
+    # keeps q252 on the same keying as the q427/q428 ledger family
+    # (ADVICE r11).
     keyed = corpus.select(
-        F.md5(F.array_join(tokens("text"), " ")).alias("digest"),
+        doc_fingerprint("text").alias("digest"),
         "doc_id",
         "n_chars",
     )

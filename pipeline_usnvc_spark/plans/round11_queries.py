@@ -271,7 +271,13 @@ def _q425_oracle() -> str:
     # ~1e-8 at this data's g) lands below the micro quantization of
     # the reported weights. |w_micro| <= sqrt(yy)/2 * 1e6 by
     # Cauchy-Schwarz (< 1e9 here), so shift 1e11 covers the solve
-    # div; shifts below are each a >=10x guard over the bound.
+    # div. Inner numerator reduction: |num| <= ~8e31 at the envelope
+    # (g ~ 9.22e18, |b| ~ 8.6e12), so the shift must exceed
+    # |num|/den = 8e17 — shift 9e18 gives >11x headroom (the prior
+    # 1e18 had only ~1.25x, ADVICE r11; 1e19 would overflow py4j's
+    # long literal marshalling, see _dlit); shifted max ~9e18*1e14 =
+    # 9e32, 5 digits under both DECIMAL(38,0) and HUGEINT ceilings.
+    # The remaining shifts are each a >=10x guard over their bound.
     numa = f"(gbb + {lam}) * ba - gab * bb"
     numb = f"(gaa + {lam}) * bb - gab * ba"
     grab = _sfdiv_sql("gab", "10000", 10**16)  # gab may be negative
@@ -281,12 +287,12 @@ def _q425_oracle() -> str:
     )
     detr = f"greatest(({det_hat}) // 1000000, 1)"
     wa = _sfdiv_sql(
-        f"{_sfdiv_sql(numa, str(red), 10**18)} * 10000000000000",
+        f"{_sfdiv_sql(numa, str(red), 9 * 10**18)} * 10000000000000",
         detr,
         10**11,
     )
     wb = _sfdiv_sql(
-        f"{_sfdiv_sql(numb, str(red), 10**18)} * 10000000000000",
+        f"{_sfdiv_sql(numb, str(red), 9 * 10**18)} * 10000000000000",
         detr,
         10**11,
     )
@@ -436,13 +442,15 @@ def q425_block_ridge_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bb",
         "yy",
         "n",
+        # inner shift 9e18: >11x guard over |num|/den ~ 8e17 at the
+        # envelope (was 1e18 = ~1.25x, ADVICE r11); see _q425_oracle
         _sfdiv(
-            _sfdiv(num_a, _d38(F.lit(_R_REDUCE)), 10**18) * _d38(F.lit(10**13)),
+            _sfdiv(num_a, _d38(F.lit(_R_REDUCE)), 9 * 10**18) * _d38(F.lit(10**13)),
             detr,
             10**11,
         ).alias("w_a_micro"),
         _sfdiv(
-            _sfdiv(num_b, _d38(F.lit(_R_REDUCE)), 10**18) * _d38(F.lit(10**13)),
+            _sfdiv(num_b, _d38(F.lit(_R_REDUCE)), 9 * 10**18) * _d38(F.lit(10**13)),
             detr,
             10**11,
         ).alias("w_b_micro"),
@@ -500,6 +508,13 @@ def _q426_oracle() -> str:
     # beta_nano: |cov_ab * 1e9| <= n*g*1e9 <= 1e19*1e5*1e9... reduced
     # below; with n <= 1e5: cov <= n^2*1e14 = 1e24, *1e9 = 1e33,
     # shift 1e13 * var_aa <= 1e13*1e24 = 1e37 — inside HUGEINT.
+    # SHIFT SUFFICIENCY (ADVICE r11): the floor-shift idiom also needs
+    # shift*den > |num|, i.e. 1e13*caa > |cab|*1e9 -> |beta| < 1e4. A
+    # near-constant dim a (tiny caa) against a high-variance
+    # correlated b would break it — the Spark side asserts the
+    # envelope as an executed in-plan contract (|cab| < caa_eff*1e4),
+    # so a violating corpus fails LOUDLY on the engine half instead of
+    # silently desyncing beta_nano (DuckDB-trunc vs Spark-floor).
     beta = _sfdiv_sql("cab * 1000000000", "greatest(caa, 1)", 10**13)
     cov_micro = lambda num, n: _sfdiv_sql(  # noqa: E731
         f"({num}) * 1000000", f"({n}) * ({n}) * 100000000000000", 10**7
@@ -603,17 +618,39 @@ def q426_block_decorrelate(spark: SparkSession, sf_dir: str) -> DataFrame:
     cbb = (_d38(F.col("n")) * _d38(F.col("gbb")) - _d38(F.col("sb")) * _d38(F.col("sb"))).alias("cbb")
     from pipeline_usnvc_spark.operators.checkpoint import materialize
 
+    from pipeline_usnvc_spark.operators.contracts import contract_filter
+
     # 32-row fit frame with two consumers (the broadcast-back beta
     # join and the final output join): materialize so the fit
-    # aggregation pass runs once
+    # aggregation pass runs once. The contract asserts the beta-shift
+    # envelope (ADVICE r11): _sfdiv's shift 1e13 over den =
+    # greatest(caa, 1) is only sufficient when 1e13*caa > |cab|*1e9,
+    # i.e. |beta| < 1e4 — violated by a near-constant dim a paired
+    # with a high-variance correlated b. Executed at materialize time,
+    # so a violating corpus fails loudly instead of desyncing
+    # beta_nano against the oracle (DuckDB-trunc vs Spark-floor).
+    fit = raw.select(
+        "blk",
+        "n",
+        cab,
+        caa,
+        cbb,
+    )
+    fit = contract_filter(
+        fit,
+        F.abs(F.col("cab"))
+        < F.greatest(F.col("caa"), _d38(F.lit(1))) * _d38(F.lit(10**4)),
+        F.concat(
+            F.lit("q426 beta envelope |beta| < 1e4 violated at blk "),
+            F.col("blk").cast("string"),
+            F.lit(": cab="),
+            F.col("cab").cast("string"),
+            F.lit(" caa="),
+            F.col("caa").cast("string"),
+        ),
+    )
     solved = materialize(
-        raw.select(
-            "blk",
-            "n",
-            cab,
-            caa,
-            cbb,
-        ).withColumn(
+        fit.withColumn(
             "beta_nano",
             _sfdiv(
                 F.col("cab") * _d38(F.lit(10**9)),
