@@ -283,8 +283,9 @@ _R09_VERIFIED = frozenset(
 # re-proved; only the round-10 additions are new names here. q111 is
 # deliberately ABSENT: its r10 green row verified an EMPTY frame at
 # sf0.01 (fixed 0.1% threshold — vacuous signal, VERDICT r10 item 1);
-# the threshold is now scale-adaptive and q111 is re-pinned at the
-# head of the round-11 sample for a non-degenerate row.
+# the threshold is now scale-adaptive and q111 was re-pinned at the
+# head of the round-11 sample, where its fresh row verified a
+# non-degenerate 29-row frame (it re-enters via _R11_VERIFIED).
 _R10_VERIFIED = frozenset(
     {
         "q410_capped_episode_mining", "q411_zonemap_skipping",
@@ -297,32 +298,42 @@ _R10_VERIFIED = frozenset(
     }
 )
 
+# Green rows from CORRECTNESS_r11.json: 47/47 sampled oracle rows
+# hash-green and 3/3 rows-only entries executed clean. New names:
+# the five round-11 additions plus the two de-vacuized re-pins (q111
+# scale-adaptive threshold, 29 rows; q252 planted duplicate classes,
+# 72 rows) — with these, every one of the 396 registry queries has a
+# non-degenerate external driver row (VERDICT r11 cumulative record).
+_R11_VERIFIED = frozenset(
+    {
+        "q111_global_share", "q252_dedup_survivorship",
+        "q424_streaming_staleness_maintenance", "q425_block_ridge_probe",
+        "q426_block_decorrelate", "q427_merge_ledger_compaction",
+        "q428_snapshot_diff",
+    }
+)
+
 _DRIVER_VERIFIED = (
     _R01_VERIFIED | _R02_VERIFIED | _R03_VERIFIED | _R04_VERIFIED
     | _R05_VERIFIED | _R06_VERIFIED | _R07_VERIFIED | _R08_VERIFIED
-    | _R09_VERIFIED | _R10_VERIFIED
-) - {"q111_global_share"}
+    | _R09_VERIFIED | _R10_VERIFIED | _R11_VERIFIED
+)
 
 
 # Round index driving the verified-backlog rotation (bump per round).
-_ROUND = 11
+_ROUND = 12
 
-# Round 11 sample head: q111's plan changed this round (the fixed
-# 0.1%-of-global threshold — whose r10 driver row verified an EMPTY
-# frame at sf0.01 — became the scale-adaptive 1.5×-mean cut, VERDICT
-# r10 item 1), so it is re-pinned for a non-degenerate fresh row. The
-# five round-11 additions (q424 streaming staleness twin, q425/q426
-# closed-form block probe/decorrelation, q427/q428 MERGE-ledger
-# compaction and snapshot diff) are not in _DRIVER_VERIFIED and
-# enter the sample automatically as fresh entries.
-_R11_HEAD: tuple[str, ...] = (
-    "q111_global_share",
-    # the round-11 zero-row sweep (all 396 queries counted at sf0.01)
-    # found ONE more vacuous-green: q252's survivorship groups need
-    # exact duplicates and the documents table ships dup-free at
-    # every SF, so its r06 driver row verified an empty frame. The
-    # plan now plants controlled duplicate classes (48 agree / 24
-    # disagree groups at sf0.01) — re-pinned for a non-degenerate row.
+# Round 12 sample head: the three queries whose PLANS changed while
+# closing ADVICE r11 — q425 (inner-shift headroom raise on both
+# engine sides), q426 (executed beta-envelope contract), q252
+# (NULL-safe doc_fingerprint keying) — are re-pinned for fresh
+# driver rows. The round-12 additions (q429 exact isotonic, q430
+# coarse-chain absorption, q431 bucketed-ledger compaction, q432
+# update-mode staleness) are not in _DRIVER_VERIFIED and enter the
+# sample automatically as fresh entries.
+_R12_HEAD: tuple[str, ...] = (
+    "q425_block_ridge_probe",
+    "q426_block_decorrelate",
     "q252_dedup_survivorship",
 )
 
@@ -353,7 +364,7 @@ def _ordered_names() -> list[str]:
     # query (oracle-paired before rows-only, registration order — new
     # round-9 additions fill the rest of the 50-slot sample), then the
     # verified backlog rotated by round index (regression monitor).
-    head = [n for n in _R11_HEAD if n in names]
+    head = [n for n in _R12_HEAD if n in names]
     pinned = set(head)
     fresh_oracle = [
         n

@@ -148,25 +148,25 @@ def test_comparator_rejects_int_float_coercion():
 
 def test_driver_sample_prefix_contains_rechecks():
     """The driver samples a 50-query prefix of queries() in dict
-    order. Round-11 contract (VERDICT r10 item 1): the plan-changed
-    re-pin (q111's scale-adaptive threshold) leads, then any
-    never-driver-verified queries (round-11 additions), then the
-    fully-verified backlog ROTATED by round
-    index so the free tail slots act as a stale-green regression
-    monitor cycling through the whole registry over ~10-16 rounds;
-    nothing already verified may displace a fresh query."""
+    order. Standing contract (VERDICT r10 item 1 / r11 item 1): this
+    round's plan-changed re-pins lead, then any never-driver-verified
+    queries (the round's additions), then the fully-verified backlog
+    ROTATED by round index so the free tail slots act as a
+    stale-green regression monitor cycling through the whole registry
+    over ~10-16 rounds; nothing already verified may displace a fresh
+    query."""
     import __spark_entry__ as e
 
     names = list(e.queries())
-    # the round-11 head is pinned verbatim
-    assert names[: len(e._R11_HEAD)] == list(e._R11_HEAD)
+    # the round's head is pinned verbatim
+    assert names[: len(e._R12_HEAD)] == list(e._R12_HEAD)
     # every never-driver-verified query sorts before every verified one
     # (head pins are verified-but-re-pinned, so they don't count)
     first_seen = min(
         (
             names.index(n)
             for n in e._DRIVER_VERIFIED
-            if n in names and n not in e._R11_HEAD
+            if n in names and n not in e._R12_HEAD
         ),
         default=len(names),
     )
@@ -180,14 +180,14 @@ def test_driver_sample_prefix_contains_rechecks():
     backlog = [
         n
         for n in names
-        if n in e._DRIVER_VERIFIED and n not in e._R11_HEAD
+        if n in e._DRIVER_VERIFIED and n not in e._R12_HEAD
     ]
     from pipeline_usnvc_spark.plans import QUERIES
 
     registry_order = [
         n
         for n in QUERIES
-        if n in e._DRIVER_VERIFIED and n not in e._R11_HEAD
+        if n in e._DRIVER_VERIFIED and n not in e._R12_HEAD
     ]
     assert sorted(backlog) == sorted(registry_order)
     expected_off = (17 + (e._ROUND - 9) * 37) % len(registry_order)
@@ -200,7 +200,7 @@ def test_driver_sample_prefix_contains_rechecks():
     free = [
         n
         for n in names
-        if n not in e._DRIVER_VERIFIED and n not in e._R11_HEAD
+        if n not in e._DRIVER_VERIFIED and n not in e._R12_HEAD
     ]
     seen_rows_only = False
     for n in free:
