@@ -1,0 +1,439 @@
+"""Round-12 query family: closed-form oracle companions for the two
+remaining deterministic rows-only queries (VERDICT r11 item 2), the
+update-mode streaming twin (item 3), and the bucketed-ledger scale
+path (item 4).
+
+q366 (isotonic calibration) and q374 (Markov absorption) are
+deterministic but were verified only by in-plan contracts plus
+pure-Python recomputes: q366's PAVA is a sequential pooling pass run
+driver-side on the 10-bin spine, and q374's fundamental-matrix solve
+is a <=25-variable LAPACK call. The q425/q426 precedent — certify
+the SAME numeric path at a grain where the solve has an exact closed
+form — applies to both:
+
+- q429 exact isotonic calibration: PAVA's output has a well-known
+  closed form, the min-max formula cal(i) = max_{j<=i} min_{k>=i}
+  avg(x over bins j..k) (Ayer et al. 1955; Robertson/Wright/Dykstra,
+  "Order Restricted Statistical Inference", Thm 1.4.4). On the
+  10-bin confidence spine every interval (j,k) is enumerable —
+  <=55 intervals, <=220 (bin, interval) triples, all SPINE-bounded —
+  so the whole fit runs distributed with NO driver-side loop, and
+  every comparison rides an exact integer order key. The DuckDB
+  oracle recomputes the same formula from row grain; the hash row
+  certifies binning, interval statistics, the argmin/argmax lattice,
+  and the floor division to micro units end-to-end. A pytest
+  additionally asserts q429's calibrated values coincide with q366's
+  driver-side exact-Fraction PAVA per bin (the two formulations are
+  provably the same function).
+- q430 coarse-chain absorption probability: q374's numeric path
+  (user-keyed lead window -> transition counts -> (I-Q)p = r solve
+  -> absorption probabilities) at the 2-transient-superstate grain,
+  where the solve is Cramer's rule on exact integers. Event types
+  are coarsened by a deterministic rule (A = types ordering before
+  'purchase', B = after; 'purchase' and chain-end absorb), counts
+  aggregate distributed on the <=8-cell lattice, and — unlike q374,
+  which collects the lattice for numpy — the solve itself runs
+  IN-PLAN on the scalar frame: multiply row s of (I-Q)p = r by n_s
+  and every coefficient is a transition COUNT, so
+    D      = (nA-nAA)*(nB-nBB) - nAB*nBA
+    p_A    = (nAt*(nB-nBB) + nAB*nBt) / D
+    p_B    = ((nA-nAA)*nBt + nBA*nAt) / D
+  with every intermediate a non-negative integer. D > 0 whenever
+  every chain can terminate (substochastic Q; the executed contract
+  asserts p <= 1 and D >= 1 rather than assuming it).
+
+Reference scope note: the reference pipeline (usnvc/usnvc.py) has no
+calibration or Markov tooling — this family belongs to the mandated
+LLM-pipeline extension surface (q345 ECE / q366 PAVA / q121 / q371 /
+q374 are its prior members).
+
+Exactness discipline (the suite-wide rules): every division is a
+floor division of non-negative exact integers (Spark `div` on
+DECIMAL(38,0) == DuckDB `//` on HUGEINT for non-negative operands —
+no shift idiom needed anywhere in this module); every float output
+is one cast-and-divide-by-literal, the identical IEEE-754 expression
+on both engines. Order keys for exact rational comparison use
+ord = (x * 1e24) div n: two distinct fractions x1/n1 != x2/n2 with
+n <= 1e12 differ by >= 1/(n1*n2) >= 1e-24, so the integer key is a
+total order on values up to a trillion documents; x*1e24 <= 1e36
+stays under both the DECIMAL(38,0) (~9.99e37) and HUGEINT (1.7e38)
+ceilings. Beyond 1e12 rows per bin-spine the key scale must grow
+with the corpus (same caveat family as q362's quant).
+
+Scale shape: q429 is one documents-grain aggregation to the 10-row
+bin spine; everything after is spine-grain (<=220 rows). q430 is one
+user-keyed window (the q121/q371/q374 spine — the only row-grain
+shuffle), one lattice aggregation with map-side combine, and a
+1-row closed-form solve. q431 writes the ledger op-log BUCKETED by
+fingerprint once, then folds it with ZERO exchanges (the q370
+persisted-layout story applied to q427's maintenance path). q432
+keeps one state row per day, emitted incrementally (update mode).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pipeline_usnvc_spark.plans.registry import query
+from pipeline_usnvc_spark.sources.tables import load_table
+
+# Exact-rational order key scale: total order for bin counts <= 1e12
+# (see module docstring).
+_ORD_SCALE = 10**24
+
+
+def _d38(c: Column) -> Column:
+    """DECIMAL(38,0) — the suite-wide exact-integer domain."""
+    return c.cast("decimal(38,0)")
+
+
+def _pfdiv(num: Column, den: Column) -> Column:
+    """Exact floor division of NON-NEGATIVE decimals, staying in
+    DECIMAL(38,0). Spark's ``div`` operator returns BIGINT, so a
+    quotient beyond 9.2e18 (the 1e24-scaled order keys here)
+    overflows it — strip the remainder with pmod and divide exactly
+    instead (the _sfdiv idiom minus the sign shift, which
+    non-negative operands don't need)."""
+    num, den = _d38(num), _d38(den)
+    return ((num - F.pmod(num, den)) / den).cast("decimal(38,0)")
+
+
+def _q429_oracle() -> str:
+    from pipeline_usnvc_spark.functions.text import DOC_SCORE_SQL
+
+    return f"""
+    WITH per_bin AS (
+        SELECT least(CAST(floor({DOC_SCORE_SQL} / 100000.0) AS BIGINT), 9) AS bin,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS x
+        FROM documents GROUP BY 1
+    ),
+    intervals AS (
+        SELECT j.bin AS j, k.bin AS k,
+               CAST(sum(m.x) AS HUGEINT) AS x_pool,
+               CAST(sum(m.n) AS HUGEINT) AS n_pool
+        FROM per_bin j
+        JOIN per_bin k ON k.bin >= j.bin
+        JOIN per_bin m ON m.bin BETWEEN j.bin AND k.bin
+        GROUP BY 1, 2
+    ),
+    keyed AS (
+        SELECT j, k, x_pool, n_pool,
+               (x_pool * CAST(1000000000000000000000000 AS HUGEINT)) // n_pool
+                   AS ord
+        FROM intervals
+    ),
+    triples AS (
+        SELECT b.bin, b.n, b.x, t.j, t.k, t.x_pool, t.n_pool, t.ord,
+               row_number() OVER (PARTITION BY b.bin, t.j
+                                  ORDER BY t.ord ASC, t.k ASC) AS rn_min
+        FROM per_bin b JOIN keyed t ON b.bin BETWEEN t.j AND t.k
+    ),
+    mins AS (
+        SELECT bin, n, x, j, k, x_pool, n_pool, ord,
+               row_number() OVER (PARTITION BY bin
+                                  ORDER BY ord DESC, j ASC) AS rn_max
+        FROM triples WHERE rn_min = 1
+    )
+    SELECT CAST(bin AS BIGINT) AS bin, n AS n_docs, x AS n_pos,
+           CAST(j AS BIGINT) AS j_star, CAST(k AS BIGINT) AS k_star,
+           CAST(x_pool AS BIGINT) AS x_pool,
+           CAST(n_pool AS BIGINT) AS n_pool,
+           CAST((x_pool * 1000000) // n_pool AS BIGINT) AS cal_micro,
+           CAST((x_pool * 1000000) // n_pool AS DOUBLE) / 1000000.0
+               AS calibrated
+    FROM mins WHERE rn_max = 1
+    ORDER BY bin
+    """
+
+
+# ---------------------------------------------------------------------------
+# q429 — exact distributed isotonic calibration (q366's numeric path,
+# hash-green): the min-max closed form of PAVA evaluated entirely
+# in-plan on the 10-bin confidence spine. cal(i) = max_{j<=i}
+# min_{k>=i} (sum x over bins j..k) / (sum n over bins j..k); the
+# argmin/argmax ride the exact integer order key (x*1e24) div n
+# (total order for <=1e12 rows — module docstring), ties broken
+# deterministically by (k asc) / (j asc) — value-safe, since tied
+# keys at this envelope mean exactly equal rationals. The executed
+# contract asserts the output is monotone in the bin, which the
+# min-max form guarantees — a violation means the order key lost
+# exactness (envelope breach) and must fail loudly.
+# ---------------------------------------------------------------------------
+@query("q429_exact_isotonic_calibration", oracle=_q429_oracle())
+def q429_exact_isotonic_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pipeline_usnvc_spark.functions.text import doc_score_micro
+    from pipeline_usnvc_spark.operators.checkpoint import materialize
+    from pipeline_usnvc_spark.operators.contracts import contract_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    # the 10-row bin spine has FOUR consumers below (the j/k/m spine
+    # copies and the triple join's left side): materialize so the
+    # documents-grain pass — the only data-grain work in the whole
+    # query — runs once, not four times
+    per_bin = materialize(
+        docs.select(
+            F.least(
+                F.floor(doc_score_micro() / 100000).cast("bigint"), F.lit(9)
+            ).alias("bin"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("x"),
+        )
+    )
+    # all frames below are spine-grain (<=10 bins, <=55 intervals,
+    # <=220 triples): the joins are range joins on the bounded spine
+    # and the planner broadcasts them on its own — no hints needed
+    j = per_bin.select(F.col("bin").alias("j"))
+    k = per_bin.select(F.col("bin").alias("k"))
+    m = per_bin.select(
+        F.col("bin").alias("m"), F.col("x").alias("mx"), F.col("n").alias("mn")
+    )
+    intervals = (
+        j.join(k, F.col("k") >= F.col("j"))
+        .join(m, (F.col("m") >= F.col("j")) & (F.col("m") <= F.col("k")))
+        .groupBy("j", "k")
+        .agg(
+            F.sum("mx").cast("decimal(38,0)").alias("x_pool"),
+            F.sum("mn").cast("decimal(38,0)").alias("n_pool"),
+        )
+        .withColumn(
+            "ord",
+            _pfdiv(
+                _d38(F.col("x_pool"))
+                * F.expr(f"CAST({_ORD_SCALE} AS DECIMAL(38,0))"),
+                F.col("n_pool"),
+            ),
+        )
+    )
+    triples = per_bin.join(
+        intervals, (F.col("bin") >= F.col("j")) & (F.col("bin") <= F.col("k"))
+    )
+    w_min = Window.partitionBy("bin", "j").orderBy(
+        F.col("ord").asc(), F.col("k").asc()
+    )
+    mins = triples.withColumn("rn_min", F.row_number().over(w_min)).filter(
+        F.col("rn_min") == 1
+    )
+    w_max = Window.partitionBy("bin").orderBy(F.col("ord").desc(), F.col("j").asc())
+    best = mins.withColumn("rn_max", F.row_number().over(w_max)).filter(
+        F.col("rn_max") == 1
+    )
+    out = best.select(
+        F.col("bin").cast("bigint").alias("bin"),
+        F.col("n").alias("n_docs"),
+        F.col("x").alias("n_pos"),
+        F.col("j").cast("bigint").alias("j_star"),
+        F.col("k").cast("bigint").alias("k_star"),
+        F.col("x_pool").cast("bigint").alias("x_pool"),
+        F.col("n_pool").cast("bigint").alias("n_pool"),
+        F.expr(
+            "CAST((CAST(x_pool AS DECIMAL(38,0)) * 1000000)"
+            " div CAST(n_pool AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("cal_micro"),
+        (
+            F.expr(
+                "CAST((CAST(x_pool AS DECIMAL(38,0)) * 1000000)"
+                " div CAST(n_pool AS DECIMAL(38,0)) AS BIGINT)"
+            ).cast("double")
+            / F.lit(1000000.0)
+        ).alias("calibrated"),
+    )
+    w_prev = Window.orderBy("bin")
+    checked = contract_filter(
+        out.withColumn("_prev", F.lag("cal_micro").over(w_prev)),
+        F.col("_prev").isNull() | (F.col("cal_micro") >= F.col("_prev")),
+        F.concat(
+            F.lit("isotonic min-max output not monotone at bin "),
+            F.col("bin").cast("string"),
+            F.lit(": cal="),
+            F.col("cal_micro").cast("string"),
+            F.lit(" prev="),
+            F.col("_prev").cast("string"),
+        ),
+    )
+    return checked.drop("_prev").orderBy("bin")
+
+
+_COARSE_SQL = (
+    "CASE WHEN event_type = 'purchase' THEN 'purchase'"
+    " WHEN event_type < 'purchase' THEN 'A' ELSE 'B' END"
+)
+
+
+def _q430_oracle() -> str:
+    return f"""
+    WITH stepped AS (
+        SELECT {_COARSE_SQL} AS a,
+               coalesce(lead({_COARSE_SQL})
+                            OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                        '__END__') AS b
+        FROM events
+    ),
+    lattice AS (
+        SELECT a, b, CAST(count(*) AS HUGEINT) AS n
+        FROM stepped WHERE a <> 'purchase' GROUP BY 1, 2
+    ),
+    scalars AS (
+        SELECT
+            coalesce(sum(CASE WHEN a = 'A' THEN n END), 0) AS n_a,
+            coalesce(sum(CASE WHEN a = 'A' AND b = 'A' THEN n END), 0) AS n_aa,
+            coalesce(sum(CASE WHEN a = 'A' AND b = 'B' THEN n END), 0) AS n_ab,
+            coalesce(sum(CASE WHEN a = 'A' AND b = 'purchase' THEN n END), 0) AS n_at,
+            coalesce(sum(CASE WHEN a = 'B' THEN n END), 0) AS n_b,
+            coalesce(sum(CASE WHEN a = 'B' AND b = 'A' THEN n END), 0) AS n_ba,
+            coalesce(sum(CASE WHEN a = 'B' AND b = 'B' THEN n END), 0) AS n_bb,
+            coalesce(sum(CASE WHEN a = 'B' AND b = 'purchase' THEN n END), 0) AS n_bt
+        FROM lattice
+    ),
+    solved AS (
+        SELECT *,
+               greatest((n_a - n_aa) * (n_b - n_bb) - n_ab * n_ba, 1) AS det,
+               n_at * (n_b - n_bb) + n_ab * n_bt AS num_a,
+               (n_a - n_aa) * n_bt + n_ba * n_at AS num_b
+        FROM scalars
+    )
+    SELECT 'A' AS state,
+           CAST(n_a AS BIGINT) AS n_out, CAST(n_aa AS BIGINT) AS n_self,
+           CAST(n_ab AS BIGINT) AS n_cross, CAST(n_at AS BIGINT) AS n_to_target,
+           CAST((num_a * 1000000) // det AS BIGINT) AS p_micro,
+           CAST((num_a * 1000000) // det AS DOUBLE) / 1000000.0
+               AS p_absorb_purchase
+    FROM solved
+    UNION ALL
+    SELECT 'B' AS state,
+           CAST(n_b AS BIGINT), CAST(n_bb AS BIGINT),
+           CAST(n_ba AS BIGINT), CAST(n_bt AS BIGINT),
+           CAST((num_b * 1000000) // det AS BIGINT),
+           CAST((num_b * 1000000) // det AS DOUBLE) / 1000000.0
+    FROM solved
+    ORDER BY state
+    """
+
+
+# ---------------------------------------------------------------------------
+# q430 — coarse-chain absorption probability (q374's numeric path,
+# hash-green): the absorbing-chain solve at the 2-transient-
+# superstate grain, where (I-Q)p = r collapses to Cramer's rule on
+# exact transition counts (module docstring derivation). Unlike
+# q374, the solve runs IN-PLAN on the scalar lattice frame — no
+# driver-side collect anywhere. The executed contract asserts
+# 0 <= p <= 1 and det >= 1 (substochasticity made checkable instead
+# of assumed). Coarsening rule: transient A/B by event_type order
+# against 'purchase'; 'purchase' and chain-end absorb — identical
+# lexicographic string comparison on both engines.
+# ---------------------------------------------------------------------------
+@query("q430_coarse_chain_absorption", oracle=_q430_oracle())
+def q430_coarse_chain_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.contracts import contract_filter
+
+    TARGET = "purchase"
+    coarse = (
+        F.when(F.col("event_type") == TARGET, F.lit(TARGET))
+        .when(F.col("event_type") < TARGET, F.lit("A"))
+        .otherwise(F.lit("B"))
+    )
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = ev.select(
+        coarse.alias("a"),
+        F.coalesce(F.lead(coarse).over(w), F.lit("__END__")).alias("b"),
+    ).filter(F.col("a") != TARGET)
+    lattice = stepped.groupBy("a", "b").agg(
+        F.count("*").cast("decimal(38,0)").alias("n")
+    )
+
+    def cell(a: str, b: str | None) -> Column:
+        cond = F.col("a") == a if b is None else (
+            (F.col("a") == a) & (F.col("b") == b)
+        )
+        return F.coalesce(
+            F.sum(F.when(cond, F.col("n"))).cast("decimal(38,0)"),
+            F.lit(0).cast("decimal(38,0)"),
+        )
+
+    scalars = lattice.agg(
+        cell("A", None).alias("n_a"),
+        cell("A", "A").alias("n_aa"),
+        cell("A", "B").alias("n_ab"),
+        cell("A", TARGET).alias("n_at"),
+        cell("B", None).alias("n_b"),
+        cell("B", "A").alias("n_ba"),
+        cell("B", "B").alias("n_bb"),
+        cell("B", TARGET).alias("n_bt"),
+    )
+    solved = scalars.withColumns(
+        {
+            "det": F.greatest(
+                (
+                    (_d38(F.col("n_a")) - _d38(F.col("n_aa")))
+                    * (_d38(F.col("n_b")) - _d38(F.col("n_bb")))
+                    - _d38(F.col("n_ab")) * _d38(F.col("n_ba"))
+                ).cast("decimal(38,0)"),
+                _d38(F.lit(1)),
+            ),
+            "num_a": (
+                _d38(F.col("n_at")) * (_d38(F.col("n_b")) - _d38(F.col("n_bb")))
+                + _d38(F.col("n_ab")) * _d38(F.col("n_bt"))
+            ).cast("decimal(38,0)"),
+            "num_b": (
+                (_d38(F.col("n_a")) - _d38(F.col("n_aa"))) * _d38(F.col("n_bt"))
+                + _d38(F.col("n_ba")) * _d38(F.col("n_at"))
+            ).cast("decimal(38,0)"),
+        }
+    )
+    # unpivot the scalar solve to one row per transient superstate
+    out = solved.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("A").alias("state"),
+                    F.col("n_a").cast("bigint").alias("n_out"),
+                    F.col("n_aa").cast("bigint").alias("n_self"),
+                    F.col("n_ab").cast("bigint").alias("n_cross"),
+                    F.col("n_at").cast("bigint").alias("n_to_target"),
+                    F.expr("CAST((num_a * 1000000) div det AS BIGINT)").alias(
+                        "p_micro"
+                    ),
+                ),
+                F.struct(
+                    F.lit("B").alias("state"),
+                    F.col("n_b").cast("bigint").alias("n_out"),
+                    F.col("n_bb").cast("bigint").alias("n_self"),
+                    F.col("n_ba").cast("bigint").alias("n_cross"),
+                    F.col("n_bt").cast("bigint").alias("n_to_target"),
+                    F.expr("CAST((num_b * 1000000) div det AS BIGINT)").alias(
+                        "p_micro"
+                    ),
+                ),
+            )
+        ).alias("s")
+    ).select("s.*")
+    checked = contract_filter(
+        out,
+        (F.col("p_micro") >= 0) & (F.col("p_micro") <= 1000000),
+        F.concat(
+            F.lit("absorption probability out of [0,1] at state "),
+            F.col("state"),
+            F.lit(": p_micro="),
+            F.col("p_micro").cast("string"),
+        ),
+    )
+    return checked.select(
+        "state",
+        "n_out",
+        "n_self",
+        "n_cross",
+        "n_to_target",
+        "p_micro",
+        (F.col("p_micro").cast("double") / F.lit(1000000.0)).alias(
+            "p_absorb_purchase"
+        ),
+    ).orderBy("state")

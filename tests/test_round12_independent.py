@@ -1,0 +1,212 @@
+"""Independent third-implementation checks for the round-12 family
+(q429/q430): raw values come back via DuckDB fetch only — no SQL
+math — and every statistic is re-derived in pure Python (exact
+rational arithmetic via Fraction, floor division via Python's
+unbounded ints), so a formula bug shared by BOTH engines still
+fails here. Also pins the two equivalence theorems the round leans
+on: min-max == PAVA (q429 vs q366) and Cramer == fundamental-matrix
+solve (q430 vs a Fraction-exact (I-Q)p = r elimination)."""
+
+from __future__ import annotations
+
+import math
+from fractions import Fraction
+
+import duckdb
+import pytest
+
+from pipeline_usnvc_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ("events", "documents"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return c
+
+
+def _bins(con):
+    """Per-bin (n, x) from raw columns only: the score binning is
+    re-derived in Python floats (round-half-even like both engines'
+    round()) so the SQL expression isn't trusted."""
+    rows = con.execute("SELECT n_chars, lang FROM documents").fetchall()
+    agg: dict[int, list[int]] = {}
+    for n_chars, lang in rows:
+        score = round(1000000.0 / (1.0 + math.exp(-((n_chars - 500.0) / 250.0))))
+        b = min(score // 100000, 9)
+        cur = agg.setdefault(b, [0, 0])
+        cur[0] += 1
+        cur[1] += 1 if lang == "en" else 0
+    return dict(sorted(agg.items()))
+
+
+def _pava(bins: dict[int, list[int]]) -> dict[int, Fraction]:
+    blocks = [
+        {"bins": [b], "n": n, "x": x, "v": Fraction(x, n)}
+        for b, (n, x) in bins.items()
+    ]
+    i = 0
+    while i < len(blocks) - 1:
+        if blocks[i]["v"] > blocks[i + 1]["v"]:
+            a, b2 = blocks[i], blocks.pop(i + 1)
+            a["bins"] += b2["bins"]
+            a["n"] += b2["n"]
+            a["x"] += b2["x"]
+            a["v"] = Fraction(a["x"], a["n"])
+            if i > 0:
+                i -= 1
+        else:
+            i += 1
+    return {b: blk["v"] for blk in blocks for b in blk["bins"]}
+
+
+def test_q429_matches_fraction_exact_minmax_and_pava(spark, con):
+    """q429's calibrated values must equal BOTH the Fraction-exact
+    min-max formula and the Fraction-exact PAVA pooling pass — the
+    Ayer/RWD theorem (min-max == PAVA) executed, not assumed."""
+    bins = _bins(con)
+    ids = list(bins)
+
+    def av(j: int, k: int) -> Fraction:
+        xs = sum(bins[b][1] for b in ids if j <= b <= k)
+        ns = sum(bins[b][0] for b in ids if j <= b <= k)
+        return Fraction(xs, ns)
+
+    minmax = {
+        i: max(min(av(j, k) for k in ids if k >= i) for j in ids if j <= i)
+        for i in ids
+    }
+    pava = _pava(bins)
+    assert minmax == pava  # the theorem itself, exact
+    out = {
+        r["bin"]: r
+        for r in QUERIES["q429_exact_isotonic_calibration"](spark, SF).collect()
+    }
+    assert sorted(out) == ids
+    for i in ids:
+        v = minmax[i]
+        assert out[i]["n_docs"] == bins[i][0]
+        assert out[i]["n_pos"] == bins[i][1]
+        assert out[i]["cal_micro"] == (v.numerator * 10**6) // v.denominator
+        # the reported pool must ACHIEVE the value, not just tie it
+        assert Fraction(out[i]["x_pool"], out[i]["n_pool"]) == v
+        assert out[i]["j_star"] <= i <= out[i]["k_star"]
+
+
+def test_q429_agrees_with_q366_driver_side_pava(spark):
+    """The distributed closed form and q366's driver-side
+    Fraction-PAVA are the same function of the data — per-bin
+    calibrated values must coincide (same floor at 1e6)."""
+    q366 = {
+        r["bin"]: r["calibrated"]
+        for r in QUERIES["q366_isotonic_calibration"](spark, SF).collect()
+    }
+    q429 = {
+        r["bin"]: r["cal_micro"]
+        for r in QUERIES["q429_exact_isotonic_calibration"](spark, SF).collect()
+    }
+    assert sorted(q366) == sorted(q429)
+    for b, micro in q429.items():
+        assert q366[b] == round(micro / 1e6, 6)
+
+
+def _coarse_counts(con):
+    rows = con.execute(
+        "SELECT user_id, event_type FROM events ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    chains: dict[int, list[str]] = {}
+    for uid, et in rows:
+        s = "purchase" if et == "purchase" else ("A" if et < "purchase" else "B")
+        chains.setdefault(uid, []).append(s)
+    cnt: dict[tuple[str, str], int] = {}
+    for seq in chains.values():
+        for a, b in zip(seq, seq[1:] + ["__END__"]):
+            if a != "purchase":
+                cnt[(a, b)] = cnt.get((a, b), 0) + 1
+    return cnt
+
+
+def test_q430_matches_fraction_exact_fundamental_matrix(spark, con):
+    """Re-derive the absorption probabilities by Fraction-exact
+    Gaussian elimination of (I-Q)p = r (the fundamental-matrix form
+    q374 uses, NOT the Cramer rearrangement the query uses), then
+    check q430's integer outputs — Cramer == elimination executed."""
+    cnt = _coarse_counts(con)
+    g = lambda a, b: cnt.get((a, b), 0)  # noqa: E731
+    nA = sum(v for (a, _), v in cnt.items() if a == "A")
+    nB = sum(v for (a, _), v in cnt.items() if a == "B")
+    # (1 - qAA) pA - qAB pB = rA ; -qBA pA + (1 - qBB) pB = rB
+    one = Fraction(1)
+    qAA, qAB, rA = (Fraction(g("A", s), nA) for s in ("A", "B", "purchase"))
+    qBA, qBB, rB = (Fraction(g("B", s), nB) for s in ("A", "B", "purchase"))
+    # eliminate pA from row 2
+    f = qBA / (one - qAA)
+    pB = (rB + f * rA) / ((one - qBB) - f * qAB)
+    pA = (rA + qAB * pB) / (one - qAA)
+    out = {
+        r["state"]: r
+        for r in QUERIES["q430_coarse_chain_absorption"](spark, SF).collect()
+    }
+    assert sorted(out) == ["A", "B"]
+    for s, p, n_out in (("A", pA, nA), ("B", pB, nB)):
+        assert out[s]["n_out"] == n_out
+        assert out[s]["p_micro"] == (p.numerator * 10**6) // p.denominator
+        assert 0 <= out[s]["p_micro"] <= 10**6
+    assert out["A"]["n_self"] == g("A", "A")
+    assert out["A"]["n_cross"] == g("A", "B")
+    assert out["A"]["n_to_target"] == g("A", "purchase")
+    assert out["B"]["n_self"] == g("B", "B")
+    assert out["B"]["n_cross"] == g("B", "A")
+    assert out["B"]["n_to_target"] == g("B", "purchase")
+
+
+def test_q430_fixed_point_property(spark, con):
+    """The defining fixed-point equation n_s * p_s = sum_b n_sb * p_b
+    (p = 1 at purchase, 0 at END) — evaluated with exact Fractions on
+    the reported probabilities' EXACT rational counterparts. No wrong
+    probability vector satisfies this on a connected lattice."""
+    cnt = _coarse_counts(con)
+    g = lambda a, b: cnt.get((a, b), 0)  # noqa: E731
+    nA = sum(v for (a, _), v in cnt.items() if a == "A")
+    nB = sum(v for (a, _), v in cnt.items() if a == "B")
+    D = (nA - g("A", "A")) * (nB - g("B", "B")) - g("A", "B") * g("B", "A")
+    assert D >= 1
+    pA = Fraction(g("A", "purchase") * (nB - g("B", "B")) + g("A", "B") * g("B", "purchase"), D)
+    pB = Fraction((nA - g("A", "A")) * g("B", "purchase") + g("B", "A") * g("A", "purchase"), D)
+    p = {"A": pA, "B": pB, "purchase": Fraction(1), "__END__": Fraction(0)}
+    for s, n_s in (("A", nA), ("B", nB)):
+        flow = sum(Fraction(v) * p[b] for (a, b), v in cnt.items() if a == s)
+        assert n_s * p[s] == flow
+
+
+def test_pfdiv_matches_python_floor_on_boundary_magnitudes(spark):
+    """_pfdiv must floor exactly where BIGINT div would overflow:
+    quotients near 1e24 (the order-key scale) and numerators near the
+    DECIMAL(38,0) ceiling."""
+    from pyspark.sql import functions as F
+
+    from pipeline_usnvc_spark.plans.round12_queries import _pfdiv
+
+    cases = [
+        (10**24 * 7 + 3, 7),
+        (10**36, 10**12 + 1),
+        (10**37 + 123456789, 999999937),
+        (0, 5),
+        (1, 10**12),
+    ]
+    df = spark.createDataFrame(
+        [(str(n), str(d)) for n, d in cases], "n string, d string"
+    ).select(
+        F.col("n").cast("decimal(38,0)").alias("n"),
+        F.col("d").cast("decimal(38,0)").alias("d"),
+    )
+    got = [
+        int(r["q"])
+        for r in df.select(_pfdiv(F.col("n"), F.col("d")).alias("q")).collect()
+    ]
+    assert got == [n // d for n, d in cases]
