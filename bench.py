@@ -92,6 +92,9 @@ EXTENDED = [
     # MERGE ledger (union + fp-grain fold + batch spine)
     "q426_block_decorrelate",
     "q427_merge_ledger_compaction",
+    # round-12: the bucketed-ledger twin tracked side-by-side with
+    # q427 (same output, persisted-layout path incl. its table write)
+    "q431_bucketed_ledger_compaction",
 ]
 
 

@@ -137,7 +137,32 @@ def _sfdiv_sql(num: str, den: str, shift: int) -> str:
 # state is audited row-for-row against the batch recompute — a
 # missing day, a phantom day, or any stat divergence EXISTS as an
 # audit row and the executed in-plan contract evaluates on it.
+# OUTPUT-MODE DECISION (VERDICT r11 item 3): q424 keeps COMPLETE
+# mode deliberately — at day grain the full state is one row per day
+# and re-emitting it is cheaper than a downstream merge. The
+# production shape at fine partition grain (emission cost grows with
+# total state) is UPDATE mode + downstream last-write-wins merge;
+# that path is q432 (round12_queries), which exercises genuine
+# multi-batch re-emission and carries the same full-outer
+# batch-equivalence contract.
 # ---------------------------------------------------------------------------
+def day_liveness(ev: DataFrame) -> DataFrame:
+    """Day-partition liveness stats (shared by q424 complete-mode and
+    q432 update-mode): the deletion predicate mirrors q423's
+    synthetic delete set (key % 10 == 0); min/max/count/sum are all
+    mergeable, so streaming state is one row per day partition."""
+    return ev.groupBy(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("zone_day")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("user_id") % 10 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dead"),
+        F.min(F.unix_micros("ts")).cast("bigint").alias("min_t"),
+        F.max(F.unix_micros("ts")).cast("bigint").alias("max_t"),
+    )
+
+
 @query("q424_streaming_staleness_maintenance")
 def q424_streaming_staleness_maintenance(
     spark: SparkSession, sf_dir: str
@@ -147,21 +172,6 @@ def q424_streaming_staleness_maintenance(
         read_event_stream,
         run_stream_to_memory,
     )
-
-    def day_liveness(ev: DataFrame) -> DataFrame:
-        # deletion predicate mirrors q423's synthetic delete set
-        # (key % 10 == 0); min/max/count/sum are all mergeable, so
-        # complete-mode state is one row per day partition
-        return ev.groupBy(
-            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("zone_day")
-        ).agg(
-            F.count("*").cast("bigint").alias("n_rows"),
-            F.sum(F.when(F.col("user_id") % 10 == 0, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_dead"),
-            F.min(F.unix_micros("ts")).cast("bigint").alias("min_t"),
-            F.max(F.unix_micros("ts")).cast("bigint").alias("max_t"),
-        )
 
     streamed = run_stream_to_memory(
         day_liveness(read_event_stream(spark, sf_dir)),
@@ -839,23 +849,38 @@ def _q427_oracle() -> str:
 # ---------------------------------------------------------------------------
 @query("q427_merge_ledger_compaction", oracle=_q427_oracle())
 def q427_merge_ledger_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return compaction_summary(_ledger_oplog(spark, sf_dir))
+
+
+def compaction_summary(
+    oplog: DataFrame, materialize_fold: bool = True
+) -> DataFrame:
+    """q427's compaction fold over an (fp, doc_id, batch) op log —
+    shared with q431, which feeds it the SAME log read back from a
+    fingerprint-bucketed table so the fp-grain stages run
+    exchange-free (the q370 persisted-layout story applied to the
+    maintenance path). ``materialize_fold=False`` keeps the per-key
+    fold lineage-backed: on a bucketed source its three consumers
+    each re-fold bucket-locally (zero exchanges) instead of
+    checkpointing a key-grain frame — and a checkpoint would ERASE
+    the scan's bucket partitioning, forcing the ops join to
+    re-shuffle."""
     from pyspark.sql import Window
 
     from pipeline_usnvc_spark.operators.checkpoint import materialize
 
-    oplog = _ledger_oplog(spark, sf_dir)
     # fp-grain fold consumed three times below: materialize once.
     # n_batches rides the same fold so the log/snapshot summary never
     # needs a second data pass (log rows = sum of per-key distinct
     # batches).
-    per_key = materialize(
-        oplog.groupBy("fp").agg(
-            F.min("batch").alias("first_batch"),
-            F.min("doc_id").alias("canonical"),
-            F.count("*").cast("bigint").alias("n_docs"),
-            F.countDistinct("batch").cast("bigint").alias("n_batches"),
-        )
+    per_key = oplog.groupBy("fp").agg(
+        F.min("batch").alias("first_batch"),
+        F.min("doc_id").alias("canonical"),
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("batch").cast("bigint").alias("n_batches"),
     )
+    if materialize_fold:
+        per_key = materialize(per_key)
     ops = (
         oplog.join(per_key.select("fp", "first_batch"), "fp")
         .groupBy("batch")

@@ -437,3 +437,199 @@ def q430_coarse_chain_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_absorb_purchase"
         ),
     ).orderBy("state")
+
+
+def _q431_oracle() -> str:
+    # layout-independent results: the bucketed path must produce
+    # EXACTLY q427's compaction summary, so it shares q427's oracle —
+    # correctness certifies the persisted-layout path end-to-end.
+    from pipeline_usnvc_spark.plans.round11_queries import _q427_oracle
+
+    return _q427_oracle()
+
+
+# ---------------------------------------------------------------------------
+# q431 — bucketed-ledger compaction (VERDICT r11 item 4): the q427
+# MERGE-ledger fold with the op log STORED bucketed by fingerprint
+# (8 buckets, the q370 persisted-layout machinery). The 100x stress
+# showed the fp-grain digest shuffle is the entire compaction cost
+# (SCALE.md r11: 43.2 s on the 5M-doc ledger); a ledger bucketed at
+# write time pays that exchange once, and every subsequent
+# compaction / snapshot fold rides the stored layout exchange-free —
+# the real lakehouse shape for a maintenance log that is folded far
+# more often than it is written. The fold itself is byte-identical
+# to q427 (shared compaction_summary, fed the bucketed read-back
+# with materialize_fold=False so per-key recomputes stay
+# bucket-local instead of checkpointing a key-grain frame), and the
+# oracle is q427's — a hash-green row certifies the bucketed path
+# produces the exact shuffled-path result. Plan-audited in
+# tests/test_plans.py: ZERO fp-grain exchanges below the fold.
+# ---------------------------------------------------------------------------
+@query("q431_bucketed_ledger_compaction", oracle=_q431_oracle())
+def q431_bucketed_ledger_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+
+    from pipeline_usnvc_spark.plans.round11_queries import (
+        _ledger_oplog,
+        compaction_summary,
+    )
+
+    # external table under an explicit session-scoped /tmp location —
+    # the q370 pattern (read-only CWD safety, concurrent-session
+    # isolation via applicationId, atexit reap because the returned
+    # DataFrame reads the table lazily)
+    spark.sql(
+        "CREATE DATABASE IF NOT EXISTS bucketed_demo "
+        "LOCATION '/tmp/pipeline_usnvc_spark_bucketed_demo_db'"
+    )
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    base = f"/tmp/pipeline_usnvc_spark_ledger_bkt_{app}"
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    name = f"bucketed_demo.ledger_bkt_{app}"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    loc = f"{base}/oplog"
+    shutil.rmtree(loc, ignore_errors=True)
+    (
+        _ledger_oplog(spark, sf_dir)
+        .repartition(8, "fp")  # the write-time exchange, paid ONCE
+        .write.bucketBy(8, "fp")
+        .sortBy("fp")
+        .option("path", loc)
+        .mode("overwrite")
+        .saveAsTable(name)
+    )
+    return compaction_summary(spark.table(name), materialize_fold=False)
+
+
+# ---------------------------------------------------------------------------
+# q432 — update-mode staleness maintenance (VERDICT r11 item 3,
+# q424's production shape): complete mode re-emits the ENTIRE state
+# every micro-batch — fine at day grain, but at a production
+# partition grain (hour x source over years) the emission cost grows
+# with total state. The lakehouse shape is UPDATE mode — each batch
+# emits only the day rows that changed — merged downstream into the
+# stats table (modeled here as last-write-wins by the monotone row
+# count: a day's count strictly increases on every re-emission, so
+# max_by(state, n_rows) IS the ledger's final state). The event
+# source is split into four deterministic files streamed one per
+# trigger, so days genuinely span micro-batches and the re-emission
+# path is exercised (the executed contract asserts at least one day
+# emitted more than once). The merged state is audited row-for-row
+# against the batch recompute via the same full-outer equivalence
+# contract as q424, then feeds the same vacuum decision. Rows-only:
+# stateful streaming has no SQL oracle; n_emissions is additionally
+# pinned against a pure-Python slice recompute in
+# tests/test_round12_independent.py.
+# ---------------------------------------------------------------------------
+@query("q432_update_mode_staleness")
+def q432_update_mode_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pipeline_usnvc_spark.operators.contracts import contract_filter
+    from pipeline_usnvc_spark.plans.round11_queries import (
+        _VACUUM_DEAD_MICRO,
+        day_liveness,
+    )
+    from pipeline_usnvc_spark.streaming.pipeline import run_stream_to_memory
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    # four deterministic slices -> four micro-batches (one file per
+    # trigger, the q82 pattern); event ids interleave days across
+    # slices, so most days update in several batches
+    tmp = tempfile.mkdtemp(prefix="q432_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    src = f"{tmp}/src"
+    os.makedirs(src)
+    for i in range(4):
+        slice_dir = f"{tmp}/slice{i}"
+        events.filter(F.col("event_id") % 4 == i).coalesce(1).write.parquet(
+            slice_dir
+        )
+        part = glob.glob(f"{slice_dir}/part-*.parquet")[0]
+        os.rename(part, f"{src}/slice{i}.parquet")
+        shutil.rmtree(slice_dir)
+    stream = (
+        spark.readStream.schema("event_id bigint, user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    updates = run_stream_to_memory(
+        day_liveness(stream), "q432_staleness_updates", output_mode="update"
+    )
+    # downstream MERGE into the stats table: per day, the emission
+    # with the largest n_rows is the final state (counts are strictly
+    # monotone across a day's re-emissions — update mode only emits a
+    # day when new rows arrived for it)
+    merged = updates.groupBy("zone_day").agg(
+        F.max_by(
+            F.struct("n_rows", "n_dead", "min_t", "max_t"), F.col("n_rows")
+        ).alias("s"),
+        F.count("*").cast("bigint").alias("n_emissions"),
+    ).select("zone_day", "s.*", "n_emissions")
+    # the update path must have been exercised: with four batches and
+    # multi-event days, SOME day re-emitted (a single-emission world
+    # means the source collapsed to one batch — fail loudly)
+    multi = merged.agg(
+        F.max("n_emissions").cast("bigint").alias("max_emissions")
+    )
+    batch = day_liveness(events).select(
+        F.col("zone_day").alias("b_day"),
+        F.col("n_rows").alias("b_n"),
+        F.col("n_dead").alias("b_dead"),
+        F.col("min_t").alias("b_min_t"),
+        F.col("max_t").alias("b_max_t"),
+    )
+    audit = merged.join(batch, merged["zone_day"] == batch["b_day"], "full_outer")
+    ok = (
+        F.col("zone_day").isNotNull()
+        & F.col("b_day").isNotNull()
+        & (F.col("n_rows") == F.col("b_n"))
+        & (F.col("n_dead") == F.col("b_dead"))
+        & (F.col("min_t") == F.col("b_min_t"))
+        & (F.col("max_t") == F.col("b_max_t"))
+    )
+    checked = contract_filter(
+        audit,
+        ok,
+        F.concat(
+            F.lit("update-mode staleness divergence for day "),
+            F.coalesce(F.col("zone_day"), F.col("b_day")),
+        ),
+    ).select("zone_day", "n_rows", "n_dead", "min_t", "max_t", "n_emissions")
+    checked = contract_filter(
+        checked.crossJoin(F.broadcast(multi)),
+        F.col("max_emissions") >= 2,
+        F.lit("update mode never re-emitted: source collapsed to one batch"),
+    ).drop("max_emissions")
+    table = checked.agg(
+        F.expr("(1000000 * sum(n_dead)) div sum(n_rows)")
+        .cast("bigint")
+        .alias("table_dead_fraction_micro")
+    )
+    return (
+        checked.crossJoin(F.broadcast(table))
+        .select(
+            "zone_day",
+            "n_rows",
+            "n_dead",
+            F.expr("(1000000 * n_dead) div n_rows")
+            .cast("bigint")
+            .alias("dead_fraction_micro"),
+            (
+                F.expr("(1000000 * n_dead) div n_rows")
+                >= F.lit(_VACUUM_DEAD_MICRO)
+            ).alias("recommend_vacuum"),
+            "n_emissions",
+            "table_dead_fraction_micro",
+            "min_t",
+            "max_t",
+        )
+        .orderBy("zone_day")
+    )

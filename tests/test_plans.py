@@ -1446,3 +1446,20 @@ def test_round12_plan_shapes(spark, sf_dir, monkeypatch):
     row_grain = final.count("Exchange hashpartitioning(user_id")
     assert row_grain == 1, final[:1500]
     assert "partial_count" in final  # lattice combines map-side
+
+
+def test_bucketed_ledger_compaction_no_fp_exchange(spark, sf_dir):
+    """q431: the whole point of the bucketed ledger — after the
+    write-time exchange (paid once, inside saveAsTable), the
+    compaction fold has ZERO fingerprint-grain exchanges: every
+    per-key consumer folds bucket-locally from the stored layout,
+    and the surviving exchanges are the 4-row batch spine, scalar
+    summaries, and broadcasts."""
+    df = QUERIES["q431_bucketed_ledger_compaction"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning(fp") == 0, final[:2000]
+    assert "Bucketed: true" in final
+    assert "CartesianProduct" not in final
+    assert "EvalPython" not in final and "MapInPandas" not in final

@@ -210,3 +210,47 @@ def test_pfdiv_matches_python_floor_on_boundary_magnitudes(spark):
         for r in df.select(_pfdiv(F.col("n"), F.col("d")).alias("q")).collect()
     ]
     assert got == [n // d for n, d in cases]
+
+
+def test_q432_update_mode_merge_matches_slice_recompute(spark, con):
+    """Recompute q432's merged state AND its emission counts with a
+    literal per-event Python walk over the same deterministic
+    event_id%4 slicing: a day's final stats are slice-independent,
+    and its emission count equals the number of slices that contain
+    at least one of its events (update mode emits a day exactly when
+    a batch changed it)."""
+    rows = con.execute(
+        "SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d'), event_id, user_id,"
+        " epoch_us(ts) FROM events"
+    ).fetchall()
+    days: dict[str, dict] = {}
+    for day, eid, uid, t in rows:
+        d = days.setdefault(
+            day,
+            {"n": 0, "dead": 0, "min_t": t, "max_t": t, "slices": set()},
+        )
+        d["n"] += 1
+        d["dead"] += 1 if uid % 10 == 0 else 0
+        d["min_t"] = min(d["min_t"], t)
+        d["max_t"] = max(d["max_t"], t)
+        d["slices"].add(eid % 4)
+    total_n = sum(d["n"] for d in days.values())
+    total_dead = sum(d["dead"] for d in days.values())
+    out = {
+        r["zone_day"]: r
+        for r in QUERIES["q432_update_mode_staleness"](spark, SF).collect()
+    }
+    assert sorted(out) == sorted(days)
+    assert any(len(d["slices"]) >= 2 for d in days.values())
+    for day, d in days.items():
+        r = out[day]
+        assert r["n_rows"] == d["n"]
+        assert r["n_dead"] == d["dead"]
+        assert r["min_t"] == d["min_t"]
+        assert r["max_t"] == d["max_t"]
+        assert r["n_emissions"] == len(d["slices"])
+        assert r["dead_fraction_micro"] == (10**6 * d["dead"]) // d["n"]
+        assert r["recommend_vacuum"] == (
+            (10**6 * d["dead"]) // d["n"] >= 100_000
+        )
+        assert r["table_dead_fraction_micro"] == (10**6 * total_dead) // total_n
