@@ -18,6 +18,9 @@ import tempfile
 from pathlib import Path
 
 import pytest
+
+# Deep-stress tier: depth-12 / hot-parent closure stress (full gate only; inner loop runs the default-depth hierarchy suites).
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))

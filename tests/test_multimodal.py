@@ -211,6 +211,7 @@ def test_lsh_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.7, f"LSH default-config recall {recall} too low"
 
 
+@pytest.mark.slow  # recall stress
 def test_multiprobe_beats_single_probe(spark, sf_dir):
     from pipeline_usnvc_spark.operators.similarity import (
         brute_force_topk,
@@ -240,6 +241,7 @@ def test_multiprobe_beats_single_probe(spark, sf_dir):
     assert r_multi >= 0.4, f"multi-probe recall {r_multi} too low"
 
 
+@pytest.mark.slow  # recall stress (~50 s)
 def test_pq_recall_vs_exact_l2(spark, sf_dir):
     from pipeline_usnvc_spark.operators.similarity import brute_force_topk, pq_topk
     from pipeline_usnvc_spark.sources.tables import load_table
@@ -271,6 +273,7 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.5, f"IVF recall {recall} too low"
 
 
+@pytest.mark.slow  # recall stress
 def test_embedding_near_dup_lsh_recall(spark, sf_dir):
     # Exact truth: all-pairs cosine >= 0.4 — the synthetic corpus's
     # near-dup band; its max pairwise sim is ~0.5, so 0.9 would match

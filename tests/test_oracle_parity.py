@@ -108,6 +108,7 @@ def test_no_oracle_emits_nested_types(sf_dir):
     assert not offenders, f"oracles emitting nested columns: {offenders}"
 
 
+@pytest.mark.slow  # bulk sweep: executes all 400 queries for schema audit (~90 s)
 def test_no_spark_query_emits_nested_types(spark, sf_dir):
     """Spark-side twin of the nested-type sweep: every oracle-paired
     query's *Spark* schema must also be scalar-only (schema check

@@ -927,6 +927,10 @@ _BROADCAST_ALLOWLIST = {
         "summary",  # q427 1-row log/snapshot totals
         "table",  # q424 1-row table-level dead fraction
     },
+    "round12_queries.py": {
+        "multi",  # q432 1-row max-emissions scalar (re-emission proof)
+        "table",  # q432 1-row table-level dead fraction (q424's shape)
+    },
 }
 
 

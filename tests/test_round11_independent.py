@@ -349,6 +349,7 @@ def test_snapshot_diff(spark, doc_con):
     assert all(want[s][0] > 0 for s in ("added", "repointed", "unchanged"))
 
 
+@pytest.mark.slow  # envelope stress: maximal-corpus end-to-end run (~10 s)
 def test_block_ridge_probe_envelope_boundary(spark, tmp_path):
     """Regression lock on the q425 envelope: the binding constraint
     is the driver-facing BIGINT stats columns (g_aa = sum of q^2 must

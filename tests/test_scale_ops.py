@@ -2,6 +2,11 @@
 
 from __future__ import annotations
 
+import pytest
+
+# Scale-stress tier: self-union / degenerate-input stress (full gate only; the oracle replay covers the same operators at sf0.001).
+pytestmark = pytest.mark.slow
+
 from pyspark.sql import functions as F
 
 from pipeline_usnvc_spark.operators.skew import salted_count, salted_join

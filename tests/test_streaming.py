@@ -5,6 +5,9 @@ against the batch sessionization on the same data."""
 from __future__ import annotations
 
 import pytest
+
+# Streaming tier: multi-batch / checkpoint-recovery stress (full gate only; the registry rows-only replay still runs every streaming query in the inner loop).
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 

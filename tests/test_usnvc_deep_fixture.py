@@ -20,6 +20,9 @@ from pathlib import Path
 
 import pytest
 
+# Deep-fixture tier: the ~10x-extended synthetic export (full gate only; the standard fixture parity suites stay in the inner loop).
+pytestmark = pytest.mark.slow
+
 from tests.usnvc_fixture import write_fixture
 
 DEPTH = 18  # chain grafted under unit 114 (itself at depth 6)
