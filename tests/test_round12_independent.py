@@ -254,3 +254,138 @@ def test_q432_update_mode_merge_matches_slice_recompute(spark, con):
             (10**6 * d["dead"]) // d["n"] >= 100_000
         )
         assert r["table_dead_fraction_micro"] == (10**6 * total_dead) // total_n
+
+
+# ---------------------------------------------------------------------------
+# Crafted-fixture edge tests: the synthetic tables can't produce exact
+# interval ties (q429) or boundary/degenerate chains (q430), so these
+# build tiny parquet corpora that do, and run BOTH engines on them —
+# the tie/boundary paths are executed, not argued about. The other
+# eight tables are symlinked from the standard fixture dir so the
+# oracle runner's view registration binds.
+# ---------------------------------------------------------------------------
+
+
+def _crafted_dir(tmp_path, **tables):
+    import os
+
+    d = tmp_path / "sf_crafted"
+    d.mkdir()
+    for t in (
+        "region nation customer supplier part orders lineitem events"
+        " documents embeddings".split()
+    ):
+        if t not in tables:
+            os.symlink(f"{SF}/{t}.parquet", d / f"{t}.parquet")
+    import pyarrow.parquet as pq
+
+    for t, tbl in tables.items():
+        pq.write_table(tbl, d / f"{t}.parquet")
+    return str(d)
+
+
+def _docs_table(rows):
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _events_table(rows):
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([0.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+
+
+def _nchars_for_bin(target: int) -> int:
+    for n in range(0, 5000):
+        score = round(1000000.0 / (1.0 + math.exp(-((n - 500.0) / 250.0))))
+        if min(score // 100000, 9) == target:
+            return n
+    raise AssertionError(f"no n_chars reaches bin {target}")
+
+
+def test_q429_exact_tie_determinism(spark, tmp_path):
+    """Corpus crafted so MANY intervals share exactly the same
+    rational average (0.6, 0.2, 0.4, 0.4 over four adjacent bins →
+    PAVA pools everything to exactly 2/5): the argmin/argmax order
+    keys TIE, and both engines must resolve them to the same reported
+    pool via the deterministic (ord, k)/(ord, j) tiebreaks — and the
+    value must be exactly 400000 micro for every bin regardless."""
+    from oracle_compare import assert_frames_match, run_oracle
+
+    from pipeline_usnvc_spark.plans import ORACLES, QUERIES
+
+    spec = {1: (10, 6), 2: (10, 2), 3: (10, 4), 4: (10, 4)}
+    rows, did = [], 0
+    for b, (n, x) in spec.items():
+        nc = _nchars_for_bin(b)
+        for i in range(n):
+            did += 1
+            rows.append((did, "w", "en" if i < x else "de", "s", nc))
+    d = _crafted_dir(tmp_path, documents=_docs_table(rows))
+    name = "q429_exact_isotonic_calibration"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert_frames_match(sdf, run_oracle(ORACLES[name], d), name)
+    assert list(sdf["bin"]) == [1, 2, 3, 4]
+    assert all(sdf["cal_micro"] == 400000)
+    # the reported pools must all ACHIEVE exactly 2/5
+    for _, r in sdf.iterrows():
+        assert Fraction(int(r["x_pool"]), int(r["n_pool"])) == Fraction(2, 5)
+
+
+def test_q430_boundary_and_degenerate_chains(spark, tmp_path):
+    """Three crafted event logs: (a) no purchases anywhere -> p = 0
+    for both superstates; (b) every chain one hop into purchase ->
+    p = 1 exactly (the contract boundary p_micro == 1e6); (c) an
+    EMPTY log -> the scalar solve degrades to zeros with det
+    guarded to 1, still emitting both state rows. Each case runs both
+    engines and hash-compares."""
+    from datetime import datetime, timedelta
+
+    from oracle_compare import assert_frames_match, run_oracle
+
+    from pipeline_usnvc_spark.plans import ORACLES, QUERIES
+
+    name = "q430_coarse_chain_absorption"
+    t0 = datetime(2024, 1, 1)
+
+    def ev(i, uid, et):
+        return (i, t0 + timedelta(seconds=i), uid, et)
+
+    cases = {
+        "no_purchase": (
+            [ev(1, 1, "click"), ev(2, 1, "view"), ev(3, 2, "error"), ev(4, 2, "signup")],
+            {"A": 0, "B": 0},
+        ),
+        "all_absorb": (
+            [ev(1, 1, "click"), ev(2, 1, "purchase"), ev(3, 2, "view"), ev(4, 2, "purchase")],
+            {"A": 10**6, "B": 10**6},
+        ),
+        "empty": ([], {"A": 0, "B": 0}),
+    }
+    for label, (events, want) in cases.items():
+        # tmp_path is a single dir per test: nest per case
+        case_dir = tmp_path / label
+        case_dir.mkdir()
+        d = _crafted_dir(case_dir, events=_events_table(events))
+        sdf = QUERIES[name](spark, d).toPandas()
+        assert_frames_match(sdf, run_oracle(ORACLES[name], d), f"{name}:{label}")
+        got = dict(zip(sdf["state"], sdf["p_micro"]))
+        assert got == want, (label, got)
