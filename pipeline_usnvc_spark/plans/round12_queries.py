@@ -520,7 +520,12 @@ def q431_bucketed_ledger_compaction(spark: SparkSession, sf_dir: str) -> DataFra
 # contract as q424, then feeds the same vacuum decision. Rows-only:
 # stateful streaming has no SQL oracle; n_emissions is additionally
 # pinned against a pure-Python slice recompute in
-# tests/test_round12_independent.py.
+# tests/test_round12_independent.py. State bound: like q424, the
+# replay aggregates without a watermark (the day spine is
+# calendar-bounded and the source finite); a production deployment
+# over an unbounded stream adds withWatermark("ts", ...) so closed
+# days age out of the state store — counts/min/max stay mergeable
+# under it and the downstream merge is unchanged.
 # ---------------------------------------------------------------------------
 @query("q432_update_mode_staleness")
 def q432_update_mode_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
