@@ -389,3 +389,62 @@ def test_q430_boundary_and_degenerate_chains(spark, tmp_path):
         assert_frames_match(sdf, run_oracle(ORACLES[name], d), f"{name}:{label}")
         got = dict(zip(sdf["state"], sdf["p_micro"]))
         assert got == want, (label, got)
+
+
+def test_q429_full_spine_zigzag(spark, tmp_path):
+    """The synthetic corpus only reaches bins 1-5; this crafts all
+    nine reachable bins (n_chars >= 0 cannot reach bin 0) with a
+    zigzag rate pattern forcing MULTIPLE distinct PAVA pools, and
+    checks both engines against the Fraction-exact PAVA pooling."""
+    from oracle_compare import assert_frames_match, run_oracle
+
+    from pipeline_usnvc_spark.plans import ORACLES, QUERIES
+
+    # rates zigzag: .9 .1 .5 .3 .8 .2 .6 .4 .7 over bins 1..9
+    xs = [9, 1, 5, 3, 8, 2, 6, 4, 7]
+    rows, did = [], 0
+    spec = {}
+    for b, x in zip(range(1, 10), xs):
+        spec[b] = (10, x)
+        nc = _nchars_for_bin(b)
+        for i in range(10):
+            did += 1
+            rows.append((did, "w", "en" if i < x else "de", "s", nc))
+    d = _crafted_dir(tmp_path, documents=_docs_table(rows))
+    name = "q429_exact_isotonic_calibration"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert_frames_match(sdf, run_oracle(ORACLES[name], d), name)
+    pava = _pava({b: list(nx) for b, nx in spec.items()})
+    assert len({pava[b] for b in pava}) >= 3  # genuinely multi-pool
+    for _, r in sdf.iterrows():
+        v = pava[int(r["bin"])]
+        assert int(r["cal_micro"]) == (v.numerator * 10**6) // v.denominator
+
+
+def test_q430_disconnected_superstates(spark, tmp_path):
+    """Chains that never cross between A and B (n_AB = n_BA = 0): the
+    system is diagonal, p_s = r_s / (1 - q_ss) exactly. Crafted:
+    A-chains click,click,purchase (p_A = 1); B-chains view,view,END
+    (p_B = 0). Both engines hash-compared and pinned to the exact
+    diagonal solution."""
+    from datetime import datetime, timedelta
+
+    from oracle_compare import assert_frames_match, run_oracle
+
+    from pipeline_usnvc_spark.plans import ORACLES, QUERIES
+
+    t0 = datetime(2024, 1, 1)
+    rows, i = [], 0
+    for uid, seq in ((1, ["click", "click", "purchase"]), (2, ["view", "view"])):
+        for et in seq:
+            i += 1
+            rows.append((i, t0 + timedelta(seconds=i), uid, et))
+    d = _crafted_dir(tmp_path, events=_events_table(rows))
+    name = "q430_coarse_chain_absorption"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert_frames_match(sdf, run_oracle(ORACLES[name], d), name)
+    got = {r["state"]: r for _, r in sdf.iterrows()}
+    assert got["A"]["n_cross"] == 0 and got["B"]["n_cross"] == 0
+    # diagonal: p_A = r_A/(1-q_AA) = (1/2)/(1-1/2) = 1; p_B = 0
+    assert got["A"]["p_micro"] == 10**6
+    assert got["B"]["p_micro"] == 0
