@@ -475,18 +475,25 @@ def q431_bucketed_ledger_compaction(spark: SparkSession, sf_dir: str) -> DataFra
         compaction_summary,
     )
 
+    import re
+
     # external table under an explicit session-scoped /tmp location —
     # the q370 pattern (read-only CWD safety, concurrent-session
     # isolation via applicationId, atexit reap because the returned
-    # DataFrame reads the table lazily)
+    # DataFrame reads the table lazily). The name is ALSO salted by
+    # sf_dir (round-12 review finding): with an app-only key, a
+    # second same-session invocation at a different SF would drop and
+    # rewrite the table an earlier returned (uncollected) q431
+    # DataFrame still lazily reads — silently swapping its data.
     spark.sql(
         "CREATE DATABASE IF NOT EXISTS bucketed_demo "
         "LOCATION '/tmp/pipeline_usnvc_spark_bucketed_demo_db'"
     )
     app = spark.sparkContext.applicationId.replace("-", "_")
-    base = f"/tmp/pipeline_usnvc_spark_ledger_bkt_{app}"
+    tag = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.strip("/"))[-40:]
+    base = f"/tmp/pipeline_usnvc_spark_ledger_bkt_{app}_{tag}"
     atexit.register(shutil.rmtree, base, ignore_errors=True)
-    name = f"bucketed_demo.ledger_bkt_{app}"
+    name = f"bucketed_demo.ledger_bkt_{app}_{tag}"
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     loc = f"{base}/oplog"
     shutil.rmtree(loc, ignore_errors=True)
@@ -547,19 +554,27 @@ def q432_update_mode_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # four deterministic slices -> four micro-batches (one file per
     # trigger, the q82 pattern); event ids interleave days across
-    # slices, so most days update in several batches
+    # slices, so most days update in several batches. ONE events
+    # pass builds all four (round-12 review finding: the first cut
+    # ran four filtered scan+write jobs): partitionBy splits by the
+    # slice value, and repartition(4, slice) keeps each value in one
+    # task, so every slice=i directory holds exactly one part file.
     tmp = tempfile.mkdtemp(prefix="q432_")
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     src = f"{tmp}/src"
     os.makedirs(src)
+    parts = f"{tmp}/parts"
+    (
+        events.withColumn("slice", (F.col("event_id") % 4).cast("int"))
+        .repartition(4, "slice")
+        .write.partitionBy("slice")
+        .parquet(parts)
+    )
     for i in range(4):
-        slice_dir = f"{tmp}/slice{i}"
-        events.filter(F.col("event_id") % 4 == i).coalesce(1).write.parquet(
-            slice_dir
-        )
-        part = glob.glob(f"{slice_dir}/part-*.parquet")[0]
-        os.rename(part, f"{src}/slice{i}.parquet")
-        shutil.rmtree(slice_dir)
+        found = glob.glob(f"{parts}/slice={i}/part-*.parquet")
+        assert len(found) == 1, f"slice {i}: expected one file, got {found}"
+        os.rename(found[0], f"{src}/slice{i}.parquet")
+    shutil.rmtree(parts)
     stream = (
         spark.readStream.schema("event_id bigint, user_id bigint, ts timestamp")
         .option("maxFilesPerTrigger", 1)

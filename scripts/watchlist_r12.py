@@ -20,13 +20,14 @@ os.chdir(REPO)
 sys.path.insert(0, str(REPO))
 
 SF = "/root/testdata/sf0.1"
-WATCH = {
-    # name -> prior idle-box local reading (BENCH_LOCAL_r11.json)
-    "q53_simhash": None,
-    "q99_int_shingle_jaccard": None,
-    "q410_capped_episode_mining": None,
-    "q421_mannwhitney_randomization": None,
-}
+# Watch-list query names; their priors are read from
+# BENCH_LOCAL_r11.json at runtime (NOT pinned here).
+WATCH = (
+    "q53_simhash",
+    "q99_int_shingle_jaccard",
+    "q410_capped_episode_mining",
+    "q421_mannwhitney_randomization",
+)
 
 
 def main() -> None:

@@ -328,7 +328,7 @@ def test_q429_exact_tie_determinism(spark, tmp_path):
     keys TIE, and both engines must resolve them to the same reported
     pool via the deterministic (ord, k)/(ord, j) tiebreaks — and the
     value must be exactly 400000 micro for every bin regardless."""
-    from oracle_compare import assert_frames_match, run_oracle
+    from tests.oracle_compare import assert_frames_match, run_oracle
 
     from pipeline_usnvc_spark.plans import ORACLES, QUERIES
 
@@ -359,7 +359,7 @@ def test_q430_boundary_and_degenerate_chains(spark, tmp_path):
     engines and hash-compares."""
     from datetime import datetime, timedelta
 
-    from oracle_compare import assert_frames_match, run_oracle
+    from tests.oracle_compare import assert_frames_match, run_oracle
 
     from pipeline_usnvc_spark.plans import ORACLES, QUERIES
 
@@ -396,7 +396,7 @@ def test_q429_full_spine_zigzag(spark, tmp_path):
     nine reachable bins (n_chars >= 0 cannot reach bin 0) with a
     zigzag rate pattern forcing MULTIPLE distinct PAVA pools, and
     checks both engines against the Fraction-exact PAVA pooling."""
-    from oracle_compare import assert_frames_match, run_oracle
+    from tests.oracle_compare import assert_frames_match, run_oracle
 
     from pipeline_usnvc_spark.plans import ORACLES, QUERIES
 
@@ -429,7 +429,7 @@ def test_q430_disconnected_superstates(spark, tmp_path):
     diagonal solution."""
     from datetime import datetime, timedelta
 
-    from oracle_compare import assert_frames_match, run_oracle
+    from tests.oracle_compare import assert_frames_match, run_oracle
 
     from pipeline_usnvc_spark.plans import ORACLES, QUERIES
 
