@@ -36,6 +36,32 @@ sys.path.insert(0, str(REPO))
 SF = "/root/testdata/sf0.1"
 
 
+def snapshot_diff_fold(oplog):
+    """q428's snapshot-isolation diff fold (inlined so the head-to-head
+    can feed it either the raw or the bucketed op log)."""
+    from pyspark.sql import functions as F
+
+    per_key = oplog.groupBy("fp").agg(
+        F.min("doc_id").alias("canonical"),
+        F.min(F.when(F.col("batch") <= 1, F.col("doc_id"))).alias("canonical_v1"),
+        F.count("*").cast("bigint").alias("n_docs"),
+    )
+    status = (
+        F.when(F.col("canonical_v1").isNull(), F.lit("added"))
+        .when(F.col("canonical") != F.col("canonical_v1"), F.lit("repointed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        per_key.select(status.alias("status"), "n_docs")
+        .groupBy("status")
+        .agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+        )
+        .orderBy("status")
+    )
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -109,6 +135,13 @@ def main() -> None:
         t_fold = timed(
             lambda: compaction_summary(spark.table(name), materialize_fold=False)
         )
+        t_diff_shuffled = timed(
+            lambda: snapshot_diff_fold(_ledger_oplog(spark, sf_dir))
+        )
+        t_diff_bkt = timed(lambda: snapshot_diff_fold(spark.table(name)))
+        da = sorted(map(tuple, snapshot_diff_fold(_ledger_oplog(spark, sf_dir)).collect()))
+        db = sorted(map(tuple, snapshot_diff_fold(spark.table(name)).collect()))
+        assert da == db, f"bucketed diff diverged at x{mult}"
 
         a = sorted(map(tuple, QUERIES["q427_merge_ledger_compaction"](spark, sf_dir).collect()))
         b = sorted(map(tuple, compaction_summary(spark.table(name), materialize_fold=False).collect()))
@@ -119,6 +152,8 @@ def main() -> None:
             f"x{mult}: ledger {n_log} rows | shuffled fold {t_shuffled:.2f}s"
             f" | bucketed write {t_write:.2f}s + fold {t_fold:.2f}s"
             f" | fold speedup {t_shuffled / t_fold:.1f}x"
+            f" | diff shuffled {t_diff_shuffled:.2f}s vs bucketed"
+            f" {t_diff_bkt:.2f}s ({t_diff_shuffled / t_diff_bkt:.1f}x)"
         )
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         shutil.rmtree(loc, ignore_errors=True)
