@@ -190,6 +190,13 @@ def main() -> None:
 
             blob = str(raw.get("tail", ""))
             spr = blob.find('"spread"')
+            # The 10 ms plausibility floor guards ONLY the truncated-
+            # old-format salvage below, where surviving bare pairs may
+            # be spread RATIOS; a well-formed artifact whose spread map
+            # was cleanly excised holds genuine timings, and silently
+            # dropping a sub-10ms one would blind regression flagging
+            # for that query (ADVICE r12).
+            floor = 0.0
             if spr >= 0:
                 end = blob.find("}", spr)
                 blob = blob[:spr] + (blob[end + 1 :] if end >= 0 else "")
@@ -206,14 +213,21 @@ def main() -> None:
                 # else nothing.
                 q_idx = blob.find('"queries')
                 blob = blob[q_idx:] if q_idx >= 0 else ""
+                # no real query times under 10 ms on this box;
+                # sub-floor values here are spread ratios that leaked
+                # past the region cut
+                floor = 0.01
             for m in re.finditer(
                 r'"((?:q\d+_|flagship_)\w+)":\s*(\d+(?:\.\d+)?)', blob
             ):
-                # Plausibility floor: no real query times under 10 ms
-                # on this box; sub-floor values are spread ratios that
-                # leaked past the region cut.
-                if float(m.group(2)) >= 0.01:
+                if float(m.group(2)) >= floor:
                     prior.setdefault(m.group(1), float(m.group(2)))
+                else:
+                    print(
+                        f"# prior discarded as implausible: {m.group(1)}="
+                        f"{m.group(2)} (old-format spread-region salvage)",
+                        file=sys.stderr,
+                    )
             break
 
     def timed(build, old: float | None) -> tuple[float, float]:

@@ -489,11 +489,33 @@ def q431_bucketed_ledger_compaction(spark: SparkSession, sf_dir: str) -> DataFra
         "CREATE DATABASE IF NOT EXISTS bucketed_demo "
         "LOCATION '/tmp/pipeline_usnvc_spark_bucketed_demo_db'"
     )
+    import hashlib
+
     app = spark.sparkContext.applicationId.replace("-", "_")
-    tag = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.strip("/"))[-40:]
+    # readable suffix + md5 prefix of the FULL path: a 40-char suffix
+    # alone would collide for two fixture dirs sharing it in one
+    # session, reintroducing the drop-and-rewrite race the salt
+    # prevents (ADVICE r12)
+    tag = (
+        re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.strip("/"))[-40:]
+        + "_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    )
     base = f"/tmp/pipeline_usnvc_spark_ledger_bkt_{app}_{tag}"
     atexit.register(shutil.rmtree, base, ignore_errors=True)
     name = f"bucketed_demo.ledger_bkt_{app}_{tag}"
+
+    def _drop_table() -> None:
+        # best-effort metastore cleanup: without it the external-table
+        # registration dangles at a deleted /tmp path (ADVICE r12 —
+        # benign with the in-memory catalog, stale-table errors with a
+        # persistent one); the session may already be gone at exit
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+        except Exception:
+            pass
+
+    atexit.register(_drop_table)
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     loc = f"{base}/oplog"
     shutil.rmtree(loc, ignore_errors=True)
@@ -572,7 +594,12 @@ def q432_update_mode_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for i in range(4):
         found = glob.glob(f"{parts}/slice={i}/part-*.parquet")
-        assert len(found) == 1, f"slice {i}: expected one file, got {found}"
+        if len(found) != 1:
+            # explicit raise, not assert: under `python -O` a stripped
+            # assert would silently leave a multi-file slice's extra
+            # events out of the stream source, corrupting the
+            # batch-equivalence audit inputs (ADVICE r12)
+            raise RuntimeError(f"slice {i}: expected one file, got {found}")
         os.rename(found[0], f"{src}/slice{i}.parquet")
     shutil.rmtree(parts)
     stream = (
