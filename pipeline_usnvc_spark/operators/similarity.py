@@ -428,20 +428,70 @@ def pq_topk(
 
 
 def _multitable_planes(n_tables: int, n_planes: int, dim: int):
-    """(n_tables*n_planes, dim) float64 matrix of deterministic
-    hyperplanes — component (t, p, d) from md5(f"{t}:{p}:{d}") mapped
-    into [-1, 1). Pure function of the indices, no RNG."""
+    """(n_tables*n_planes, dim) int64 matrix of deterministic
+    hyperplanes — component (t, p, d) is 2*h16 - 65535 where h16 is
+    the first 16 bits of md5(f"{t}:{p}:{d}"): an odd integer in
+    [-65535, 65535]. Pure function of the indices, no RNG.
+
+    INTEGER planes (round 13, VERDICT r12 item 1): with the vector
+    quantized to q_d = floor(x_d * 1e7) (the suite-wide 1e7 fixed-
+    point discipline), each sign bit is sign(Σ q_d * c_d) — an exact
+    integer predicate any engine reproduces bit-for-bit, which is
+    what lets q62/q164 carry full DuckDB hash oracles instead of
+    rows-only recall contracts. 16-bit plane resolution is
+    statistically indistinguishable from float hyperplanes for LSH
+    (the direction grid is ~2e-5 radians coarse), and the int64
+    accumulator is overflow-safe to |x| <= 2e3 per component
+    (64 * 2e10 * 65535 < 2^63)."""
     import hashlib
 
     import numpy as np
 
-    P = np.empty((n_tables * n_planes, dim), dtype=np.float64)
+    P = np.empty((n_tables * n_planes, dim), dtype=np.int64)
     for t in range(n_tables):
         for p in range(n_planes):
             for d in range(dim):
-                h = int(hashlib.md5(f"{t}:{p}:{d}".encode()).hexdigest()[:8], 16)
-                P[t * n_planes + p, d] = (h / float(0xFFFFFFFF)) * 2.0 - 1.0
+                h = int(hashlib.md5(f"{t}:{p}:{d}".encode()).hexdigest()[:4], 16)
+                P[t * n_planes + p, d] = 2 * h - 65535
     return P
+
+
+def lsh_buckets_sql(
+    n_tables: int, n_planes: int, dim: int = 64, rel: str = "embeddings"
+) -> str:
+    """DuckDB CTE block (``planes``/``comps``/``plane_sums``/
+    ``buckets``) reproducing ``_table_bucket_ids`` bit-for-bit: the
+    md5-derived integer planes, the 1e7 fixed-point quantization, the
+    exact integer sign predicate, and the power-of-two bucket packing
+    are all integer arithmetic, so the (vec_id, t, b) bucket table is
+    engine-identical by construction."""
+    return f"""
+    planes AS (
+        SELECT t, p, d,
+               2 * CAST('0x' || substr(md5(CAST(t AS VARCHAR) || ':'
+                        || CAST(p AS VARCHAR) || ':'
+                        || CAST(d AS VARCHAR)), 1, 4) AS BIGINT)
+                 - 65535 AS c
+        FROM range({n_tables}) r1(t), range({n_planes}) r2(p), range({dim}) r3(d)
+    ),
+    comps AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS d,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000000)
+                    AS BIGINT) AS q
+        FROM {rel}
+    ),
+    plane_sums AS (
+        SELECT c.vec_id, pl.t, pl.p, sum(c.q * pl.c) AS s
+        FROM comps c JOIN planes pl USING (d)
+        GROUP BY 1, 2, 3
+    ),
+    buckets AS (
+        SELECT vec_id, t,
+               CAST(sum(CASE WHEN s > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS b
+        FROM plane_sums GROUP BY 1, 2
+    )
+    """
 
 
 def _table_bucket_ids(
@@ -453,20 +503,27 @@ def _table_bucket_ids(
     vec_col: str,
 ) -> DataFrame:
     """(id, tb=(table, bucket)) exploded across ``n_tables``
-    independent hash tables, computed as ONE ``V @ P.T`` matmul per
-    Arrow batch inside mapInPandas. SLIM by design — only the id and
-    a 2-int struct ride the ×n_tables explode; vectors are joined
-    back after candidate dedup.
+    independent hash tables, computed as ONE ``Q @ C.T`` integer
+    matmul per Arrow batch inside mapInPandas. SLIM by design — only
+    the id and a 2-int struct ride the ×n_tables explode; vectors are
+    joined back after candidate dedup.
 
     The earlier native formulation (n_tables·n_planes literal-array
     fold expressions) spent ~10 s on 500 rows at 24×4 — Catalyst
     interprets higher-order lambdas per element, so 96 folds × 64
     dims of plan-literal arithmetic dominated. The BLAS batch is
     milliseconds for the same rows and keeps the operator map-side
-    (no shuffle; same q66 Arrow-scale-path discipline). Sign
-    boundaries may differ from a sequential fold in the last ulp —
-    irrelevant for an approximate bucketing whose recall is measured
-    downstream.
+    (no shuffle; same q66 Arrow-scale-path discipline).
+
+    EXACT bucketing (round 13): components quantize to
+    floor(x * 1e7) int64 (the multiply and floor are single IEEE-754
+    double ops, identical in numpy and any SQL engine), planes are
+    md5-derived odd int64s (``_multitable_planes``), and the sign
+    predicate is an exact integer comparison — so the bucket table is
+    bit-reproducible across engines (``lsh_buckets_sql`` is the
+    DuckDB twin) and q62/q164 can be hash-oracled end-to-end.
+    Overflow headroom: |x| <= 2e3 per component (module constant
+    below); synthetic and unit-normalized embeddings sit at |x| <= 1.
     """
     import numpy as np
     import pandas as pd
@@ -479,7 +536,8 @@ def _table_bucket_ids(
             if len(pdf) == 0:
                 continue
             V = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
-            bits = (V @ planes_T) > 0  # (n, n_tables*n_planes)
+            Q = np.floor(V * 1e7).astype(np.int64)
+            bits = (Q @ planes_T) > 0  # (n, n_tables*n_planes)
             B = bits.reshape(len(pdf), n_tables, n_planes) @ pows  # (n, n_tables)
             n = len(pdf)
             yield pd.DataFrame(
@@ -601,10 +659,19 @@ def embedding_near_dup_lsh(
     vb = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
     paired = cand.join(va, "id_a").join(vb, "id_b")
 
-    # Verify in Arrow batches: one vectorized cosine per batch instead
-    # of an interpreted 64-dim fold per pair (the fold formulation
-    # dominated q164's runtime once buckets went BLAS).
-    def score(it):
+    # BLAS pre-filters, the JVM fold certifies (the q66 discipline,
+    # extended here in round 13 so q164 is hash-oracle-able): one
+    # vectorized cosine per Arrow batch discards the candidate bulk
+    # at (threshold - 1e-9) — numpy's pairwise summation and the
+    # sequential fold agree to ~1e-13 on 64-dim vectors, so the
+    # margin can never drop a fold-passing pair — then the survivors
+    # (near-dup grain, tiny) are re-scored with the deterministic
+    # JVM-side sequential fold and the EXACT threshold applies to the
+    # fold value: the emitted (pair, sim) set is the same IEEE
+    # sequence a SQL engine computes.
+    pre = threshold - 1e-9
+
+    def prefilter(it):
         for pdf in it:
             if len(pdf) == 0:
                 continue
@@ -613,17 +680,26 @@ def embedding_near_dup_lsh(
             sims = (A * B).sum(axis=1) / (
                 np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
             )
-            keep = sims >= threshold
+            keep = sims >= pre
             yield pd.DataFrame(
                 {
                     "id_a": pdf["id_a"].to_numpy()[keep],
                     "id_b": pdf["id_b"].to_numpy()[keep],
-                    "sim": sims[keep],
                 }
             )
 
-    return paired.mapInPandas(
-        score, schema=f"id_a {id_type}, id_b {id_type}, sim double"
+    survivors = paired.mapInPandas(
+        prefilter, schema=f"id_a {id_type}, id_b {id_type}"
+    )
+    return (
+        survivors.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            cosine_similarity(F.col("va"), F.col("vb")).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
     )
 
 

@@ -3,9 +3,15 @@
 The brute-force baseline and the within-label near-dup sweep have
 exact DuckDB oracles: both engines compute the identical IEEE
 double sequence (cast-to-double, sequential left-fold), so cosine
-values hash-match without tolerance. The LSH variant is the scale
-path — approximate by design, so it's a rows-only check here and its
-recall is asserted against brute force in tests/test_similarity.py.
+values hash-match without tolerance. Since round 13 the SINGLE-PROBE
+LSH paths (q62 top-k, q164 near-dup) are hash-oracled too: their
+bucket bits are exact integer predicates (floor(x*1e7) components ×
+md5-derived integer planes — operators/similarity.lsh_buckets_sql is
+the DuckDB twin) and their verify/rank stages ride the sequential
+fold, so candidate sets AND measured recall certify end-to-end.
+The remaining approximate variants (multi-probe q64, IVF q63, PQ
+q65) stay rows-only with executed recall contracts; their recall is
+additionally asserted against brute force in tests/test_multimodal.py.
 """
 
 from __future__ import annotations
@@ -136,18 +142,42 @@ def _attach_recall_contract(
         .agg(F.count("*").alias("n_hits"))
     )
     spine = queries.select(F.col("vec_id").alias("query_id"))
-    per_q = (
+    # query-grain base frame, materialized: the ANN + brute-force
+    # upstream runs once though two consumers (per-query rows and the
+    # recall totals) read it below
+    from pipeline_usnvc_spark.operators.checkpoint import materialize
+
+    per_q0 = materialize(
         spine.join(F.broadcast(per_q_ann), "query_id", "left")
         .join(F.broadcast(hits), "query_id", "left")
         .select(
             "query_id",
             F.coalesce("n_results", F.lit(0)).cast("bigint").alias("n_results"),
             F.coalesce("neighbors", F.lit("")).alias("neighbors"),
-            (F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.lit(float(k))).alias(
-                "recall"
-            ),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("_n_hits"),
         )
-        .withColumn("mean_recall", F.avg("recall").over(Window.partitionBy(F.lit(1))))
+    )
+    # mean recall as ONE integer-exact division (round 13, so q62 can
+    # be hash-oracled): hit counts sum exactly as bigints and the
+    # final tot/(k*n_q) is a single IEEE division both engines
+    # reproduce — the old avg() window summed per-query doubles in
+    # engine-dependent order, which is not hashable cross-engine
+    totals = per_q0.agg(
+        F.sum("_n_hits").cast("bigint").alias("_th"),
+        F.count("*").cast("bigint").alias("_nq"),
+    )
+    per_q = (
+        per_q0.crossJoin(F.broadcast(totals))
+        .select(
+            "query_id",
+            "n_results",
+            "neighbors",
+            (F.col("_n_hits").cast("double") / F.lit(float(k))).alias("recall"),
+            (
+                F.col("_th").cast("double")
+                / (F.col("_nq") * F.lit(k)).cast("double")
+            ).alias("mean_recall"),
+        )
     )
     return contract_filter(
         per_q,
@@ -156,15 +186,88 @@ def _attach_recall_contract(
     )
 
 
+def _q62_oracle() -> str:
+    from pipeline_usnvc_spark.operators.similarity import lsh_buckets_sql
+
+    return f"""
+    WITH {lsh_buckets_sql(16, 4)},
+    v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, ve AS qe FROM v WHERE vec_id % 100 = 0),
+    cand AS (
+        SELECT DISTINCT qb.vec_id AS query_id, vb.vec_id AS neighbor_id
+        FROM buckets qb JOIN buckets vb ON vb.t = qb.t AND vb.b = qb.b
+        WHERE qb.vec_id % 100 = 0 AND vb.vec_id <> qb.vec_id
+    ),
+    scored AS (
+        SELECT c.query_id, c.neighbor_id, {_COS} AS sim
+        FROM cand c JOIN q ON q.query_id = c.query_id
+        JOIN v ON v.vec_id = c.neighbor_id
+    ),
+    ann AS (
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY sim DESC, neighbor_id) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, v.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                                      ORDER BY {_COS} DESC, v.vec_id) AS rank
+            FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id
+        ) WHERE rank <= 5
+    ),
+    hits AS (
+        SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_hits
+        FROM ann a JOIN exact e ON e.query_id = a.query_id
+                               AND e.neighbor_id = a.neighbor_id
+        GROUP BY 1
+    ),
+    agg AS (
+        SELECT query_id, CAST(count(*) AS BIGINT) AS n_results,
+               string_agg(CAST(neighbor_id AS VARCHAR), ',' ORDER BY rank)
+                   AS neighbors
+        FROM ann GROUP BY 1
+    ),
+    per_q AS (
+        SELECT q.query_id,
+               CAST(coalesce(g.n_results, 0) AS BIGINT) AS n_results,
+               coalesce(g.neighbors, '') AS neighbors,
+               CAST(coalesce(h.n_hits, 0) AS BIGINT) AS nh
+        FROM q LEFT JOIN agg g ON g.query_id = q.query_id
+        LEFT JOIN hits h ON h.query_id = q.query_id
+    ),
+    tot AS (
+        SELECT CAST(sum(nh) AS BIGINT) AS th, CAST(count(*) AS BIGINT) AS nq
+        FROM per_q
+    )
+    SELECT query_id, n_results, neighbors,
+           CAST(nh AS DOUBLE) / 5.0 AS recall,
+           CAST(th AS DOUBLE) / CAST(nq * 5 AS DOUBLE) AS mean_recall
+    FROM per_q CROSS JOIN tot
+    """
+
+
 # ---------------------------------------------------------------------------
-# q62 — multi-table LSH approximate top-k (rows-only: approximate by
-# design). Default 16 tables × 4 planes: measured recall@5 = 1.00 at
-# sf0.001 / 0.84 at sf0.01 vs brute force, asserted ≥ 0.7 in
-# tests/test_multimodal.py (VERDICT r1: single-table default retired
-# for weak recall ~0.2) and re-asserted at runtime by the embedded
-# recall contract so even a rows-only driver row certifies accuracy.
+# q62 — multi-table LSH approximate top-k, HASH-GREEN since round 13
+# (VERDICT r12 item 1): the bucket bits are exact integer predicates
+# (floor(x*1e7) components × md5-derived integer planes —
+# operators/similarity.lsh_buckets_sql is the DuckDB twin, asserted
+# bit-identical in tests), candidate scoring is the deterministic
+# sequential fold, and the recall-contract reshape (per-query
+# neighbors csv, recall vs brute force, integer-exact mean recall) is
+# plain SQL — so the oracle certifies bucketing, candidate set,
+# ranking, AND the measured recall end-to-end. Default 16 tables × 4
+# planes: measured recall@5 = 1.00 at sf0.001 / 0.84 at sf0.01 vs
+# brute force, asserted ≥ 0.7 in tests/test_multimodal.py (VERDICT
+# r1: single-table default retired for weak recall ~0.2) and
+# re-asserted at runtime by the embedded recall contract.
 # ---------------------------------------------------------------------------
-@query("q62_lsh_topk")
+@query("q62_lsh_topk", oracle=_q62_oracle())
 def q62_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
@@ -364,17 +467,88 @@ def q135_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q164_oracle() -> str:
+    from pipeline_usnvc_spark.operators.similarity import lsh_buckets_sql
+
+    cos_ab = (
+        f"{_DOT.format(a='a.ve', b='b.ve')}"
+        f" / ({_NORM.format(v='a.ve')} * {_NORM.format(v='b.ve')})"
+    )
+    return f"""
+    WITH {lsh_buckets_sql(24, 4)},
+    v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        FROM embeddings
+    ),
+    cand AS (
+        SELECT DISTINCT ba.vec_id AS id_a, bb.vec_id AS id_b
+        FROM buckets ba JOIN buckets bb
+          ON bb.t = ba.t AND bb.b = ba.b AND ba.vec_id < bb.vec_id
+    ),
+    found AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c JOIN v a ON a.vec_id = c.id_a JOIN v b ON b.vec_id = c.id_b
+        WHERE {cos_ab} >= 0.4
+    ),
+    exact AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE {cos_ab} >= 0.4
+    ),
+    tagged AS (
+        SELECT coalesce(f.id_a, e.id_a) AS id_a,
+               coalesce(f.id_b, e.id_b) AS id_b,
+               (f.id_a IS NOT NULL) AS in_found,
+               (e.id_a IS NOT NULL) AS in_exact
+        FROM found f FULL OUTER JOIN exact e
+          ON e.id_a = f.id_a AND e.id_b = f.id_b
+    ),
+    endpoints AS (
+        SELECT id_a AS vec_id, in_found, in_exact FROM tagged
+        UNION ALL
+        SELECT id_b AS vec_id, in_found, in_exact FROM tagged
+    ),
+    per_vec AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN in_found THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_found_partners,
+               CAST(sum(CASE WHEN in_exact THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_exact_partners,
+               CAST(sum(CASE WHEN in_found AND in_exact THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hit_partners
+        FROM endpoints GROUP BY vec_id
+    ),
+    tot AS (
+        SELECT CAST(coalesce(sum(n_exact_partners), 0) AS BIGINT) AS tot_exact,
+               CAST(coalesce(sum(n_hit_partners), 0) AS BIGINT) AS tot_hit
+        FROM per_vec
+    )
+    SELECT e.vec_id, e.label,
+           CAST(coalesce(p.n_found_partners, 0) AS BIGINT) AS n_found_partners,
+           CAST(coalesce(p.n_exact_partners, 0) AS BIGINT) AS n_exact_partners,
+           CASE WHEN t.tot_exact = 0 THEN 1.0
+                ELSE CAST(t.tot_hit AS DOUBLE) / CAST(t.tot_exact AS DOUBLE)
+           END AS pair_recall
+    FROM embeddings e LEFT JOIN per_vec p USING (vec_id) CROSS JOIN tot t
+    """
+
+
 # ---------------------------------------------------------------------------
 # q164 — embedding near-duplicates WITHOUT a blocking key: multi-table
-# LSH candidate blocking + exact cosine verify (rows-only: the
-# candidate set is approximate by design). Threshold 0.4 is the
-# synthetic corpus's near-dup band (its max pairwise sim is ~0.5);
-# measured recall 1.00 at 24 tables vs the exact all-pairs sweep,
-# zero false positives, asserted ≥ 0.95 in tests/test_multimodal.py.
-# q61 is the exact variant when a blocking key exists; this is the
-# 100 TB path when it doesn't.
+# LSH candidate blocking + exact cosine verify. HASH-GREEN since round
+# 13 (VERDICT r12 item 1): the integer-exact bucket bits
+# (lsh_buckets_sql twin), the fold-certified verify (BLAS pre-filters
+# at threshold-1e-9, the JVM sequential fold decides — the q66
+# discipline), and the vector-grain audit reshape are all
+# SQL-expressible, so the DuckDB oracle certifies the candidate set,
+# the verified pairs, AND the measured pair recall end-to-end.
+# Threshold 0.4 is the synthetic corpus's near-dup band (its max
+# pairwise sim is ~0.5); measured recall 1.00 at 24 tables vs the
+# exact all-pairs sweep, zero false positives, asserted ≥ 0.95 in
+# tests/test_multimodal.py. q61 is the exact variant when a blocking
+# key exists; this is the 100 TB path when it doesn't.
 # ---------------------------------------------------------------------------
-@query("q164_embedding_near_dup_lsh")
+@query("q164_embedding_near_dup_lsh", oracle=_q164_oracle())
 def q164_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_usnvc_spark.operators.similarity import embedding_near_dup_lsh
 

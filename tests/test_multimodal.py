@@ -565,3 +565,38 @@ def test_q335_planted_replicas_bucket_with_sources(spark, sf_dir):
     # every 10th doc is replicated: those fp-pairs must share buckets
     assert len(multi) >= 40
     assert all(r["n_distinct_texts"] <= r["n_docs"] for r in rows)
+
+
+def test_lsh_buckets_bit_identical_across_engines(spark, sf_dir):
+    """Round-13 exactness root: the Spark bucketer (quantized integer
+    matmul in mapInPandas) and the DuckDB CTE twin (lsh_buckets_sql)
+    must produce the IDENTICAL (vec_id, table, bucket) set — this is
+    the fact that upgrades q62/q164 from rows-only recall contracts
+    to full hash oracles. Checked at the q62 config (16x4); q164's
+    24x4 shares every code path."""
+    import duckdb
+
+    from pipeline_usnvc_spark.operators.similarity import (
+        _table_bucket_ids,
+        lsh_buckets_sql,
+    )
+    from pipeline_usnvc_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sb = _table_bucket_ids(emb, 16, 4, 64, "vec_id", "embedding").select(
+        "vec_id", F.col("tb.t").alias("t"), F.col("tb.b").alias("b")
+    )
+    srows = sorted((r.vec_id, r.t, r.b) for r in sb.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    drows = sorted(
+        tuple(r)
+        for r in con.execute(
+            "WITH " + lsh_buckets_sql(16, 4) + " SELECT vec_id, t, b FROM buckets"
+        ).fetchall()
+    )
+    con.close()
+    assert len(srows) == len(drows) > 0
+    assert srows == drows

@@ -887,7 +887,7 @@ _BROADCAST_ALLOWLIST = {
         "k_used", "stats",  # scalar / per-dim aggregates
         "q",  # eval QUERY side of brute-force ANN (see note above)
         "hits", "per_q_ann",  # recall-audit frames at eval-query grain
-        "totals",  # scalar recall-total aggregate (q164)
+        "totals",  # scalar recall-total aggregates (q164 + the q62-65 contract)
     },
     "stats_queries.py": {
         "channels",  # distinct event types
