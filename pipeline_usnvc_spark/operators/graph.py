@@ -148,6 +148,9 @@ def _local_components(sym: DataFrame, rows) -> DataFrame:
     return sym.sparkSession.createDataFrame(rows, schema)
 
 
+PAGERANK_SCALE = 10**9  # fixed-point unit: nano-ranks
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -167,10 +170,28 @@ def pagerank(
 
         rank(v) = (1 - d) + d * sum(rank(u) / out_deg(u), u -> v)
 
-    Ranks are doubles; cross-partition sum order makes low bits
-    run-dependent, so this is a rows-only/property-tested operator
-    (no bit-exact SQL oracle).
+    EXACT fixed-point semantics (round 13, VERDICT r12 item 2): ranks
+    are BIGINT nano-units (``PAGERANK_SCALE`` = 1e9); each round is
+
+        contrib(u -> v) = r_u div deg_u                 (integer floor)
+        r_v' = (1-d)*SCALE + (d_num * Σ contrib) div d_den
+
+    with damping the exact rational d_num/d_den (85/100 by default).
+    Every sum is an integer sum — commutative and exact, so the
+    iterates are BIT-REPRODUCIBLE on any engine and in any partition
+    order, which is what lets q101 carry a chained-CTE DuckDB hash
+    oracle (the float formulation's cross-partition double sums made
+    it rows-only through round 12). Truncation only SHEDS mass (the
+    classic invariants survive: rank >= (1-d) exactly, total <= n),
+    and the per-round error is < 1/SCALE per edge — 1e-9-grain noise
+    on O(1) ranks. The emitted ``rank`` is one r/SCALE IEEE division.
+    Overflow headroom: per-node inflow·d_num < n·SCALE·100, in-int64
+    for n up to ~9e7 nodes; beyond that raise to DECIMAL(38,0) grain
+    (the q429 discipline) or drop SCALE a decade.
     """
+    d_num = int(round(damping * 100))
+    d_den = 100
+    teleport = PAGERANK_SCALE * (d_den - d_num) // d_den
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
     nodes = (
         e.select(F.col("u").alias("node"))
@@ -178,29 +199,31 @@ def pagerank(
         .distinct()
         .transform(materialize)
     )
-    out_deg = e.groupBy("u").agg(F.count("*").alias("deg"))
+    out_deg = e.groupBy("u").agg(F.count("*").cast("bigint").alias("deg"))
     # (u, v, deg) — static per run; materialized once, joined per round.
     adj = e.join(out_deg, "u").transform(materialize)
-    ranks = nodes.withColumn("rank", F.lit(1.0))
+    ranks = nodes.withColumn("r", F.lit(PAGERANK_SCALE).cast("bigint"))
     for _ in range(iterations):
         contribs = (
             adj.join(ranks.withColumnRenamed("node", "u"), "u")
-            .select(F.col("v").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .select(F.col("v").alias("node"), F.expr("r div deg").alias("c"))
             .groupBy("node")
-            .agg(F.sum("c").alias("inflow"))
+            .agg(F.sum("c").cast("bigint").alias("inflow"))
         )
         ranks = (
             nodes.join(contribs, "node", "left")
             .select(
                 "node",
                 (
-                    F.lit(1.0 - damping)
-                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
-                ).alias("rank"),
+                    F.lit(teleport)
+                    + F.expr(f"({d_num} * coalesce(inflow, 0L)) div {d_den}")
+                ).cast("bigint").alias("r"),
             )
             .transform(materialize)
         )
-    return ranks
+    return ranks.select(
+        "node", (F.col("r").cast("double") / F.lit(float(PAGERANK_SCALE))).alias("rank")
+    )
 
 
 def label_propagation(

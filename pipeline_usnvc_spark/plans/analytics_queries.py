@@ -283,13 +283,54 @@ def q100_hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attach_error_contract(est, "approx_users", "exact_users", 0.05, "HLL sketch")
 
 
+def _q101_oracle(iterations: int = 10) -> str:
+    """Chained-CTE unrolling of the exact fixed-point PageRank
+    (VERDICT r12 item 2): a FIXED iteration count sidesteps DuckDB's
+    no-aggregates-in-recursive-CTE limit (the q420 blocker) — each
+    round is one non-recursive CTE joining the previous iterate to
+    the adjacency list. Integer floor division and integer sums make
+    every iterate engine-identical; the final rank is one
+    CAST/divide."""
+    from pipeline_usnvc_spark.operators.graph import PAGERANK_SCALE
+
+    teleport = PAGERANK_SCALE * 15 // 100
+    ctes = [
+        f"r0 AS (SELECT node, CAST({PAGERANK_SCALE} AS BIGINT) AS r FROM nodes)"
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""r{i} AS (
+        SELECT n.node,
+               CAST({teleport} + (85 * coalesce(s.inflow, 0)) // 100
+                    AS BIGINT) AS r
+        FROM nodes n LEFT JOIN (
+            SELECT a.v AS node, sum(r.r // a.deg) AS inflow
+            FROM adj a JOIN r{i - 1} r ON r.node = a.u
+            GROUP BY a.v
+        ) s ON s.node = n.node
+    )"""
+        )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH e AS (SELECT DISTINCT l_suppkey AS u, l_partkey AS v FROM lineitem),
+    nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY u),
+    adj AS (SELECT e.u, e.v, d.deg FROM e JOIN deg d ON d.u = e.u),
+    {joined}
+    SELECT node, CAST(r AS DOUBLE) / {float(PAGERANK_SCALE)} AS rank
+    FROM r{iterations}
+    """
+
+
 # ---------------------------------------------------------------------------
 # q101 — PageRank over the supplier→part supply graph (10 damped
-# rounds; operators/graph.pagerank). Float contribution sums are
-# partition-order dependent → rows-only; the pytest property checks
-# mass conservation and hub ordering.
+# rounds; operators/graph.pagerank). HASH-GREEN since round 13: the
+# fixed-point integer recurrence makes every iterate bit-reproducible
+# (see the operator docstring), and the oracle unrolls the 10 rounds
+# as chained non-recursive CTEs. The pytest property checks mass
+# conservation and hub ordering independently.
 # ---------------------------------------------------------------------------
-@query("q101_pagerank")
+@query("q101_pagerank", oracle=_q101_oracle())
 def q101_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_usnvc_spark.operators.graph import pagerank
 

@@ -1027,15 +1027,101 @@ def q177_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q178 — semi-supervised label propagation (rows-only: iterative).
-# A 10%-seed audited label set (source of every doc_id % 10 == 0)
-# spreads over the shingle near-dup graph — the "label the corpus
-# from a small audited sample" primitive. Each round is one
-# join+agg with per-round checkpoints (connected-components scale
-# shape); properties (clamped seeds, majority adoption, deterministic
-# ties, unreached isolation) are asserted in tests/test_properties.
+# q178 — semi-supervised label propagation. HASH-GREEN since round 13
+# (VERDICT r12 item 2): the vote rule is pure integer/string
+# arithmetic, so the bounded iteration unrolls to chained MATERIALIZED
+# CTEs (_q178_oracle; q101's trick — MATERIALIZED because each stage
+# reads its predecessor twice, and an inlining planner would expand
+# the chain exponentially). A 10%-seed audited label set (source of
+# every doc_id % 10 == 0) spreads over the shingle near-dup graph —
+# the "label the corpus from a small audited sample" primitive. Each
+# round is one join+agg with per-round checkpoints
+# (connected-components scale shape); properties (clamped seeds,
+# majority adoption, deterministic ties, unreached isolation) are
+# asserted in tests/test_properties.
 # ---------------------------------------------------------------------------
-@query("q178_label_propagation")
+def _q178_oracle(max_iter: int = 10) -> str:
+    """Chained-CTE unrolling of semi-supervised label propagation
+    (VERDICT r12 item 2, the q101 trick): the operator's majority
+    vote is pure integer/string arithmetic — counts, a (n DESC,
+    label ASC) argmax, seed clamping — so a fixed unroll to
+    ``max_iter`` stages is engine-exact. Early convergence needs no
+    special-casing: a converged round recomputes the identical state
+    (the vote rule is idempotent at fixpoint), so stage N equals the
+    operator's early-stopped state. Edges are q99's exact int-shingle
+    Jaccard pairs at threshold 0.2 (hash-green since r04)."""
+    stages = []
+    for i in range(1, max_iter + 1):
+        stages.append(
+            f"""s{i} AS MATERIALIZED (
+        SELECT s.node,
+               CASE WHEN s.is_seed THEN s.label
+                    ELSE coalesce(b.new_label, s.label) END AS label,
+               s.is_seed
+        FROM s{i - 1} s LEFT JOIN (
+            SELECT node, new_label FROM (
+                SELECT sym.b AS node, st.label AS new_label,
+                       row_number() OVER (PARTITION BY sym.b
+                                          ORDER BY count(*) DESC, st.label)
+                           AS rn
+                FROM sym JOIN s{i - 1} st
+                  ON st.node = sym.a AND st.label IS NOT NULL
+                GROUP BY sym.b, st.label
+            ) WHERE rn = 1
+        ) b ON b.node = s.node
+    )"""
+        )
+    joined = ",\n    ".join(stages)
+    return f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id,
+               CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS shingle
+        FROM ({_SHINGLES_SQL})
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    edges AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON inter.id_a = sa.doc_id
+        JOIN sizes sb ON inter.id_b = sb.doc_id
+        WHERE CAST(n_inter AS DOUBLE)
+                / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.2
+    ),
+    sym AS (
+        SELECT id_a AS a, id_b AS b FROM edges
+        UNION
+        SELECT id_b AS a, id_a AS b FROM edges
+    ),
+    s0 AS (
+        SELECT doc_id AS node,
+               CASE WHEN doc_id % 10 = 0 THEN source END AS label,
+               (doc_id % 10 = 0) AS is_seed
+        FROM documents
+    ),
+    {joined},
+    clamp AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_seeds,
+               CAST(coalesce(sum(CASE WHEN s.label IS NULL
+                                        OR s.label <> d.source
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS n_seed_violations
+        FROM documents d JOIN s{max_iter} s ON s.node = d.doc_id
+        WHERE d.doc_id % 10 = 0
+    )
+    SELECT s.node, s.label,
+           CASE WHEN s.is_seed THEN 'seed'
+                WHEN s.label IS NOT NULL THEN 'propagated'
+                ELSE 'unreached' END AS origin,
+           c.n_seeds, c.n_seed_violations
+    FROM s{max_iter} s CROSS JOIN clamp c
+    """
+
+
+@query("q178_label_propagation", oracle=_q178_oracle())
 def q178_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_usnvc_spark.operators.dedup import ngram_jaccard_pairs
     from pipeline_usnvc_spark.operators.graph import label_propagation
