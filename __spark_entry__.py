@@ -313,28 +313,45 @@ _R11_VERIFIED = frozenset(
     }
 )
 
+# Green rows from CORRECTNESS_r12.json: 45/45 sampled oracle rows
+# hash-green and 5/5 rows-only entries executed clean (q432 new, plus
+# the q70/q71/q81/q83 rotated backlog re-checks). New names here: the
+# four round-12 additions; everything else in the r12 sample was
+# already in an earlier round's set.
+_R12_VERIFIED = frozenset(
+    {
+        "q429_exact_isotonic_calibration", "q430_coarse_chain_absorption",
+        "q431_bucketed_ledger_compaction", "q432_update_mode_staleness",
+    }
+)
+
 _DRIVER_VERIFIED = (
     _R01_VERIFIED | _R02_VERIFIED | _R03_VERIFIED | _R04_VERIFIED
     | _R05_VERIFIED | _R06_VERIFIED | _R07_VERIFIED | _R08_VERIFIED
-    | _R09_VERIFIED | _R10_VERIFIED | _R11_VERIFIED
+    | _R09_VERIFIED | _R10_VERIFIED | _R11_VERIFIED | _R12_VERIFIED
 )
 
 
 # Round index driving the verified-backlog rotation (bump per round).
-_ROUND = 12
+_ROUND = 13
 
-# Round 12 sample head: the three queries whose PLANS changed while
-# closing ADVICE r11 — q425 (inner-shift headroom raise on both
-# engine sides), q426 (executed beta-envelope contract), q252
-# (NULL-safe doc_fingerprint keying) — are re-pinned for fresh
-# driver rows. The round-12 additions (q429 exact isotonic, q430
-# coarse-chain absorption, q431 bucketed-ledger compaction, q432
-# update-mode staleness) are not in _DRIVER_VERIFIED and enter the
-# sample automatically as fresh entries.
-_R12_HEAD: tuple[str, ...] = (
-    "q425_block_ridge_probe",
-    "q426_block_decorrelate",
-    "q252_dedup_survivorship",
+# Round 13 sample head: the queries whose PLANS (and in four cases
+# ORACLES) changed this round — q62/q164 flipped from rows-only to
+# hash oracles on the integer-exact LSH bucketing, q101/q178 flipped
+# on the fixed-point / CTE-chain rewrites, and q63/q64/q65 share the
+# rewritten recall-contract reshape (integer-exact mean recall) — are
+# re-pinned for fresh driver rows. The round-13 additions (q433
+# closed-form whitening probe, q434 update-mode bucketed ledger) are
+# not in _DRIVER_VERIFIED and enter the sample automatically as fresh
+# entries.
+_R13_HEAD: tuple[str, ...] = (
+    "q62_lsh_topk",
+    "q164_embedding_near_dup_lsh",
+    "q101_pagerank",
+    "q178_label_propagation",
+    "q63_ivf_topk",
+    "q64_multiprobe_lsh_topk",
+    "q65_pq_topk",
 )
 
 
@@ -364,7 +381,7 @@ def _ordered_names() -> list[str]:
     # query (oracle-paired before rows-only, registration order — new
     # round-9 additions fill the rest of the 50-slot sample), then the
     # verified backlog rotated by round index (regression monitor).
-    head = [n for n in _R12_HEAD if n in names]
+    head = [n for n in _R13_HEAD if n in names]
     pinned = set(head)
     fresh_oracle = [
         n

@@ -31,5 +31,6 @@ from pipeline_usnvc_spark.plans import round9_queries  # noqa: F401
 from pipeline_usnvc_spark.plans import round10_queries  # noqa: F401
 from pipeline_usnvc_spark.plans import round11_queries  # noqa: F401
 from pipeline_usnvc_spark.plans import round12_queries  # noqa: F401
+from pipeline_usnvc_spark.plans import round13_queries  # noqa: F401
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -1,0 +1,599 @@
+"""Round-13 query family: the closed-form whitening companion
+(VERDICT r12 item 3) and the update-mode twin of the bucketed dedup
+ledger (item 7).
+
+- q433 blockwise whitening probe: q373's covariance -> Cholesky
+  whitening -> distributed re-verify path certified hash-green at the
+  2x2 block grain, where the inverse square root HAS a closed form.
+  Per block (dims 2k-1, 2k), the 2x2 Cholesky whitening factors into
+  two scalars both engines reproduce exactly:
+
+      z_a = x_a / sqrt(var_a)                (L11 inverse)
+      z_b = (x_b - beta x_a) / sqrt(schur)   (Gram-Schmidt + L22 inv)
+
+  with beta = cov_ab/var_a from EXACT integer covariance statistics
+  (q426's fit), var_a and the Schur complement micro-rounded by exact
+  sign-correct floor division, the eps ridge expressed as +1 micro
+  unit (exactly q373's 1e-6), and each whitening scale ONE
+  1/sqrt(int/1e6) expression — IEEE sqrt is correctly rounded, so
+  identical integer inputs give identical doubles on both engines.
+  The whitened covariance is then re-aggregated from quantized z
+  components and reported as exact integers; the executed contract
+  pins the whitened block to the identity within 2% (q373's 0.02
+  tolerance at micro grain). A pytest additionally pins q433's
+  sufficient statistics to the SAME gram-kernel cells q373 consumes
+  and recomputes the whole chain in pure Python.
+
+- q434 update-mode ledger maintenance: q427/q431's MERGE-ledger fold
+  as a STREAM — the four ledger batches arrive one per micro-batch,
+  the per-fingerprint fold (first_batch, canonical, n_docs) runs as a
+  streaming aggregation in UPDATE mode (each trigger emits only the
+  fingerprints that changed), and the downstream merge is
+  last-write-wins by the strictly monotone n_docs (a fingerprint only
+  re-emits when new ops arrived for it). The update log is then
+  WRITTEN BUCKETED by fingerprint (q431's persisted layout), so the
+  merge fold and the batch-equivalence audit run with ZERO
+  fingerprint-grain exchanges below the bucketed scan (plan-audited
+  in tests/test_plans.py) — the streaming story now certifies the
+  same layout the batch fold certifies. The merged state is audited
+  key-for-key against q427's batch per-key fold via the full-outer
+  equivalence contract (both directions: a phantom, missing, or
+  divergent fingerprint EXISTS as an audit row), re-emission is
+  proven (contract: some fingerprint emitted >= 2 times), and the
+  output is the 4-row first-batch-grain compaction rollup. Rows-only:
+  stateful streaming has no SQL oracle; n_emissions and the rollup
+  are pinned by an independent recompute in
+  tests/test_round13_independent.py.
+
+Reference scope note: the reference pipeline (usnvc/usnvc.py) has no
+numeric-probe or streaming-ledger tooling — both queries belong to
+the mandated LLM-pipeline extension surface (q425/q426/q429/q430 and
+q427/q431/q432 are their prior members).
+
+Magnitude headroom (q433, quant 1e7, n <= ~1e5 vectors): raw gram
+cells <= n*q^2 ~ 1e5*1e16 = 1e21; centered cells n*g <= 1e26; the
+largest shifted numerator is the whitened-covariance micro division
+(|num|*1e6 + 1e7*n^2*1e14 ~ 1e33 at n=1e5) — inside DECIMAL(38,0)
+and HUGEINT. Whitened components are O(sigma^-1 * x) ~ O(10), so
+their quantized gram cells stay below the raw-cell bound. The
+q425-proven envelope (sum-of-q^2 fits BIGINT stats columns) binds
+first, as before.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipeline_usnvc_spark.plans.registry import query
+from pipeline_usnvc_spark.plans.round11_queries import (
+    _d38,
+    _ORACLE_PAIRS,
+    _Q,
+    _sfdiv,
+    _sfdiv_sql,
+)
+from pipeline_usnvc_spark.sources.tables import load_table
+
+# whitened-identity tolerance: 2% at micro grain (q373's 0.02)
+_IDENT_TOL_MICRO = 20_000
+
+
+def _cov_micro_sql(num: str, n: str) -> str:
+    """Micro-rounded covariance from centered integer stats — the
+    q426 oracle idiom: floor(num * 1e6 / (n^2 * 1e14)), sign-correct."""
+    return _sfdiv_sql(
+        f"({num}) * 1000000", f"({n}) * ({n}) * 100000000000000", 10**7
+    )
+
+
+def _cov_micro(num: Column, n: Column) -> Column:
+    """Spark half of _cov_micro_sql (DECIMAL(38,0) domain)."""
+    return _sfdiv(
+        num * _d38(F.lit(10**6)),
+        (_d38(n) * _d38(n) * F.expr("CAST(100000000000000 AS DECIMAL(38,0))"))
+        .cast("decimal(38,0)"),
+        10**7,
+    )
+
+
+def _q433_oracle() -> str:
+    beta = _sfdiv_sql("cab * 1000000000", "greatest(caa, 1)", 10**13)
+    return f"""
+    WITH {_ORACLE_PAIRS},
+    raw AS (
+        SELECT blk,
+               CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(qa) AS HUGEINT) AS sa,
+               CAST(sum(qb) AS HUGEINT) AS sb,
+               CAST(sum(CAST(qa AS HUGEINT) * qa) AS HUGEINT) AS gaa,
+               CAST(sum(CAST(qa AS HUGEINT) * qb) AS HUGEINT) AS gab,
+               CAST(sum(CAST(qb AS HUGEINT) * qb) AS HUGEINT) AS gbb
+        FROM pairs GROUP BY blk
+    ),
+    betas AS (
+        SELECT blk, n,
+               n * gab - sa * sb AS cab,
+               n * gaa - sa * sa AS caa,
+               n * gbb - sb * sb AS cbb
+        FROM raw
+    ),
+    solved AS (
+        SELECT blk, n, cab, caa, cbb,
+               CAST({beta} AS HUGEINT) AS beta_nano,
+               CAST({_cov_micro_sql('caa', 'n')} AS HUGEINT) AS var_a_micro
+        FROM betas
+    ),
+    scal1 AS (
+        SELECT blk, n, beta_nano, var_a_micro,
+               CAST(beta_nano AS DOUBLE) / 1000000000.0 AS beta,
+               1.0 / sqrt(CAST(var_a_micro + 1 AS DOUBLE) / 1000000.0) AS wa
+        FROM solved
+    ),
+    dec AS (
+        SELECT p.blk,
+               CAST(floor((p.xb - s.beta * p.xa) * 10000000) AS BIGINT) AS qzb
+        FROM pairs p JOIN scal1 s ON s.blk = p.blk
+    ),
+    dstats AS (
+        SELECT blk, CAST(count(*) AS HUGEINT) AS dn,
+               CAST(sum(qzb) AS HUGEINT) AS szb,
+               CAST(sum(CAST(qzb AS HUGEINT) * qzb) AS HUGEINT) AS gzbb
+        FROM dec GROUP BY blk
+    ),
+    schur AS (
+        SELECT blk,
+               CAST({_cov_micro_sql('dn * gzbb - szb * szb', 'dn')} AS HUGEINT)
+                   AS var_zb_micro
+        FROM dstats
+    ),
+    scal2 AS (
+        SELECT s.blk, s.n, s.beta_nano, s.var_a_micro, s.beta, s.wa,
+               h.var_zb_micro,
+               1.0 / sqrt(CAST(h.var_zb_micro + 1 AS DOUBLE) / 1000000.0) AS wb
+        FROM scal1 s JOIN schur h ON h.blk = s.blk
+    ),
+    wrows AS (
+        SELECT p.blk,
+               CAST(floor((p.xa * s.wa) * 10000000) AS BIGINT) AS qwa,
+               CAST(floor(((p.xb - s.beta * p.xa) * s.wb) * 10000000)
+                    AS BIGINT) AS qwb
+        FROM pairs p JOIN scal2 s ON s.blk = p.blk
+    ),
+    wstats AS (
+        SELECT blk, CAST(count(*) AS HUGEINT) AS wn,
+               CAST(sum(qwa) AS HUGEINT) AS swa,
+               CAST(sum(qwb) AS HUGEINT) AS swb,
+               CAST(sum(CAST(qwa AS HUGEINT) * qwa) AS HUGEINT) AS gwaa,
+               CAST(sum(CAST(qwa AS HUGEINT) * qwb) AS HUGEINT) AS gwab,
+               CAST(sum(CAST(qwb AS HUGEINT) * qwb) AS HUGEINT) AS gwbb
+        FROM wrows GROUP BY blk
+    )
+    SELECT CAST(s.blk AS BIGINT) AS blk,
+           CAST(2 * s.blk - 1 AS BIGINT) AS dim_a,
+           CAST(2 * s.blk AS BIGINT) AS dim_b,
+           CAST(s.n AS BIGINT) AS n_vectors,
+           CAST(s.beta_nano AS BIGINT) AS beta_nano,
+           CAST(s.var_a_micro AS BIGINT) AS var_a_micro,
+           CAST(s.var_zb_micro AS BIGINT) AS var_zb_micro,
+           s.wa AS w_scale_a,
+           s.wb AS w_scale_b,
+           CAST({_cov_micro_sql('w.wn * w.gwaa - w.swa * w.swa', 'w.wn')}
+                AS BIGINT) AS var_wa_micro,
+           CAST({_cov_micro_sql('w.wn * w.gwab - w.swa * w.swb', 'w.wn')}
+                AS BIGINT) AS cov_w_micro,
+           CAST({_cov_micro_sql('w.wn * w.gwbb - w.swb * w.swb', 'w.wn')}
+                AS BIGINT) AS var_wb_micro
+    FROM scal2 s JOIN wstats w ON w.blk = s.blk
+    ORDER BY blk
+    """
+
+
+# ---------------------------------------------------------------------------
+# q433 — blockwise whitening probe (q373's numeric path, hash-green;
+# module docstring derivation). Scale shape: three map-side in-row
+# block explodes over the corpus (no Python anywhere), three 32-group
+# aggregations with map-side partial combine, two 32-row broadcast
+# scalar frames; the solve is closed-form column arithmetic on the
+# 32-row fit frame. The executed contract pins the whitened block to
+# the identity (|var - 1e6| and |cov| <= 2% micro) — on a degenerate
+# corpus (a block variance below the 1e-6 ridge grain) it fails
+# loudly rather than certifying a non-whitening transform.
+# ---------------------------------------------------------------------------
+@query("q433_block_whitening_probe", oracle=_q433_oracle())
+def q433_block_whitening_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.checkpoint import materialize
+    from pipeline_usnvc_spark.operators.contracts import contract_filter
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    # in-row block explode: zero shuffle to reach (blk, xa, xb) — the
+    # q426 shape; re-scanned per pass (map-only) instead of
+    # checkpointed (a checkpoint would materialize corpus-grain rows
+    # to disk for a verification query)
+    pairs = emb.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, CAST(size(embedding) / 2 AS INT)),"
+                " k -> struct(CAST(k AS BIGINT) AS blk,"
+                " CAST(element_at(embedding, 2*k - 1) AS DOUBLE) AS xa,"
+                " CAST(element_at(embedding, 2*k) AS DOUBLE) AS xb))"
+            )
+        ).alias("p")
+    ).select("p.blk", "p.xa", "p.xb")
+    qa = F.floor(F.col("xa") * F.lit(float(_Q))).cast("bigint")
+    qb = F.floor(F.col("xb") * F.lit(float(_Q))).cast("bigint")
+    raw = pairs.groupBy("blk").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum(_d38(qa)).cast("decimal(38,0)").alias("sa"),
+        F.sum(_d38(qb)).cast("decimal(38,0)").alias("sb"),
+        F.sum(_d38(qa) * _d38(qa)).cast("decimal(38,0)").alias("gaa"),
+        F.sum(_d38(qa) * _d38(qb)).cast("decimal(38,0)").alias("gab"),
+        F.sum(_d38(qb) * _d38(qb)).cast("decimal(38,0)").alias("gbb"),
+    )
+    fit = raw.select(
+        "blk",
+        "n",
+        (_d38(F.col("n")) * _d38(F.col("gab")) - _d38(F.col("sa")) * _d38(F.col("sb")))
+        .cast("decimal(38,0)")
+        .alias("cab"),
+        (_d38(F.col("n")) * _d38(F.col("gaa")) - _d38(F.col("sa")) * _d38(F.col("sa")))
+        .cast("decimal(38,0)")
+        .alias("caa"),
+        (_d38(F.col("n")) * _d38(F.col("gbb")) - _d38(F.col("sb")) * _d38(F.col("sb")))
+        .cast("decimal(38,0)")
+        .alias("cbb"),
+    )
+    # the q426 beta-shift envelope, executed in-plan: _sfdiv's 1e13
+    # shift over greatest(caa, 1) requires |beta| < 1e4
+    fit = contract_filter(
+        fit,
+        F.abs(F.col("cab"))
+        < F.greatest(F.col("caa"), _d38(F.lit(1))) * _d38(F.lit(10**4)),
+        F.concat(
+            F.lit("q433 beta envelope |beta| < 1e4 violated at blk "),
+            F.col("blk").cast("string"),
+        ),
+    )
+    # 32-row fit frame, three consumers (dec pass, w pass, final):
+    # materialize so the raw aggregation runs once
+    solved = materialize(
+        fit.withColumns(
+            {
+                "beta_nano": _sfdiv(
+                    F.col("cab") * _d38(F.lit(10**9)),
+                    F.greatest(F.col("caa"), _d38(F.lit(1))),
+                    10**13,
+                ),
+                "var_a_micro": _cov_micro(F.col("caa"), F.col("n")),
+            }
+        )
+    )
+    beta = (F.col("beta_nano").cast("double") / F.lit(1000000000.0)).alias("beta")
+    wa = (
+        F.lit(1.0)
+        / F.sqrt(
+            (F.col("var_a_micro") + _d38(F.lit(1))).cast("double")
+            / F.lit(1000000.0)
+        )
+    ).alias("wa")
+    scal1 = F.broadcast(solved.select("blk", beta, wa))
+    dec = pairs.join(scal1, "blk").select(
+        "blk",
+        F.floor((F.col("xb") - F.col("beta") * F.col("xa")) * F.lit(float(_Q)))
+        .cast("bigint")
+        .alias("qzb"),
+    )
+    dstats = dec.groupBy("blk").agg(
+        F.count("*").cast("decimal(38,0)").alias("dn"),
+        F.sum(_d38(F.col("qzb"))).cast("decimal(38,0)").alias("szb"),
+        F.sum(_d38(F.col("qzb")) * _d38(F.col("qzb")))
+        .cast("decimal(38,0)")
+        .alias("gzbb"),
+    )
+    # 32-row Schur frame, two consumers (w pass, final): materialize
+    # so the dec pass runs once
+    schur = materialize(
+        dstats.select(
+            "blk",
+            _cov_micro(
+                _d38(F.col("dn")) * _d38(F.col("gzbb"))
+                - _d38(F.col("szb")) * _d38(F.col("szb")),
+                F.col("dn"),
+            ).alias("var_zb_micro"),
+        )
+    )
+    wb = (
+        F.lit(1.0)
+        / F.sqrt(
+            (F.col("var_zb_micro") + _d38(F.lit(1))).cast("double")
+            / F.lit(1000000.0)
+        )
+    ).alias("wb")
+    scal2 = F.broadcast(
+        solved.select("blk", beta, wa).join(schur.select("blk", wb), "blk")
+    )
+    wrows = pairs.join(scal2, "blk").select(
+        "blk",
+        F.floor((F.col("xa") * F.col("wa")) * F.lit(float(_Q)))
+        .cast("bigint")
+        .alias("qwa"),
+        F.floor(
+            ((F.col("xb") - F.col("beta") * F.col("xa")) * F.col("wb"))
+            * F.lit(float(_Q))
+        )
+        .cast("bigint")
+        .alias("qwb"),
+    )
+    wstats = wrows.groupBy("blk").agg(
+        F.count("*").cast("decimal(38,0)").alias("wn"),
+        F.sum(_d38(F.col("qwa"))).cast("decimal(38,0)").alias("swa"),
+        F.sum(_d38(F.col("qwb"))).cast("decimal(38,0)").alias("swb"),
+        F.sum(_d38(F.col("qwa")) * _d38(F.col("qwa")))
+        .cast("decimal(38,0)")
+        .alias("gwaa"),
+        F.sum(_d38(F.col("qwa")) * _d38(F.col("qwb")))
+        .cast("decimal(38,0)")
+        .alias("gwab"),
+        F.sum(_d38(F.col("qwb")) * _d38(F.col("qwb")))
+        .cast("decimal(38,0)")
+        .alias("gwbb"),
+    )
+    out = (
+        solved.join(schur, "blk")
+        .join(wstats, "blk")
+        .select(
+            F.col("blk").cast("bigint").alias("blk"),
+            (F.lit(2) * F.col("blk") - 1).cast("bigint").alias("dim_a"),
+            (F.lit(2) * F.col("blk")).cast("bigint").alias("dim_b"),
+            F.col("n").cast("bigint").alias("n_vectors"),
+            F.col("beta_nano").cast("bigint").alias("beta_nano"),
+            F.col("var_a_micro").cast("bigint").alias("var_a_micro"),
+            F.col("var_zb_micro").cast("bigint").alias("var_zb_micro"),
+            (
+                F.lit(1.0)
+                / F.sqrt(
+                    (F.col("var_a_micro") + _d38(F.lit(1))).cast("double")
+                    / F.lit(1000000.0)
+                )
+            ).alias("w_scale_a"),
+            (
+                F.lit(1.0)
+                / F.sqrt(
+                    (F.col("var_zb_micro") + _d38(F.lit(1))).cast("double")
+                    / F.lit(1000000.0)
+                )
+            ).alias("w_scale_b"),
+            _cov_micro(
+                _d38(F.col("wn")) * _d38(F.col("gwaa"))
+                - _d38(F.col("swa")) * _d38(F.col("swa")),
+                F.col("wn"),
+            )
+            .cast("bigint")
+            .alias("var_wa_micro"),
+            _cov_micro(
+                _d38(F.col("wn")) * _d38(F.col("gwab"))
+                - _d38(F.col("swa")) * _d38(F.col("swb")),
+                F.col("wn"),
+            )
+            .cast("bigint")
+            .alias("cov_w_micro"),
+            _cov_micro(
+                _d38(F.col("wn")) * _d38(F.col("gwbb"))
+                - _d38(F.col("swb")) * _d38(F.col("swb")),
+                F.col("wn"),
+            )
+            .cast("bigint")
+            .alias("var_wb_micro"),
+        )
+    )
+    # whitened-identity contract (q373's 0.02, executed in-plan)
+    checked = contract_filter(
+        out,
+        (F.abs(F.col("var_wa_micro") - F.lit(1000000)) <= F.lit(_IDENT_TOL_MICRO))
+        & (F.abs(F.col("var_wb_micro") - F.lit(1000000)) <= F.lit(_IDENT_TOL_MICRO))
+        & (F.abs(F.col("cov_w_micro")) <= F.lit(_IDENT_TOL_MICRO)),
+        F.concat(
+            F.lit("q433 whitened block off identity at blk "),
+            F.col("blk").cast("string"),
+            F.lit(": var_a="),
+            F.col("var_wa_micro").cast("string"),
+            F.lit(" var_b="),
+            F.col("var_wb_micro").cast("string"),
+            F.lit(" cov="),
+            F.col("cov_w_micro").cast("string"),
+        ),
+    )
+    return checked.orderBy("blk")
+
+
+# ---------------------------------------------------------------------------
+# q434 — update-mode ledger maintenance over the bucketed layout
+# (VERDICT r12 item 7; design in the module docstring). Rows-only:
+# stateful streaming has no SQL oracle; verification is (1) the
+# full-outer key-for-key batch-equivalence contract, executed
+# in-plan, (2) the re-emission contract (some fingerprint folded
+# across >= 2 micro-batches), (3) the zero-fp-exchange plan audit in
+# tests/test_plans.py (BOTH the streamed update log and the batch
+# op log are read back fingerprint-bucketed, so the merge fold, the
+# batch fold, and the audit join are all bucket-local), and (4) the
+# pure-Python replay in tests/test_round13_independent.py.
+# ---------------------------------------------------------------------------
+@query("q434_update_mode_ledger")
+def q434_update_mode_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import glob
+    import hashlib
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from pipeline_usnvc_spark.operators.contracts import contract_filter
+    from pipeline_usnvc_spark.plans.round11_queries import _ledger_oplog
+    from pipeline_usnvc_spark.streaming.pipeline import run_stream_to_memory
+
+    oplog = _ledger_oplog(spark, sf_dir)  # (doc_id, batch, fp)
+    # four deterministic slices, one per ledger batch -> four
+    # micro-batches (the q432 one-pass partitionBy split; explicit
+    # raise per ADVICE r12)
+    tmp = tempfile.mkdtemp(prefix="q434_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    src = f"{tmp}/src"
+    os.makedirs(src)
+    parts = f"{tmp}/parts"
+    (
+        oplog.withColumn("slice", F.col("batch").cast("int"))
+        .repartition(4, "slice")
+        .write.partitionBy("slice")
+        .parquet(parts)
+    )
+    for i in range(4):
+        found = glob.glob(f"{parts}/slice={i}/part-*.parquet")
+        if len(found) != 1:
+            raise RuntimeError(f"slice {i}: expected one file, got {found}")
+        os.rename(found[0], f"{src}/batch{i}.parquet")
+    shutil.rmtree(parts)
+    stream = (
+        spark.readStream.schema("doc_id bigint, batch bigint, fp string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    # the per-fingerprint MERGE fold as a streaming aggregation —
+    # min/count are mergeable, update mode emits only changed keys
+    fold = stream.groupBy("fp").agg(
+        F.min("batch").alias("first_batch"),
+        F.min("doc_id").alias("canonical"),
+        F.count("*").cast("bigint").alias("n_docs"),
+    )
+    updates = run_stream_to_memory(
+        fold, "q434_ledger_updates", output_mode="update"
+    )
+    # persist BOTH the update log and the batch op log bucketed by
+    # fingerprint (q431's external-table machinery, including the
+    # sf_dir salt + metastore drop from ADVICE r12): every fp-grain
+    # stage below reads the stored layout exchange-free
+    spark.sql(
+        "CREATE DATABASE IF NOT EXISTS bucketed_demo "
+        "LOCATION '/tmp/pipeline_usnvc_spark_bucketed_demo_db'"
+    )
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    tag = (
+        re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.strip("/"))[-40:]
+        + "_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    )
+    base = f"/tmp/pipeline_usnvc_spark_ledger_upd_{app}_{tag}"
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    tables = {}
+    for key, frame in (("upd", updates), ("ops", oplog)):
+        name = f"bucketed_demo.ledger_{key}_{app}_{tag}"
+
+        def _drop_table(n=name) -> None:
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {n}")
+            except Exception:
+                pass
+
+        atexit.register(_drop_table)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            frame.repartition(8, "fp")  # the write-time exchange, paid once
+            .write.bucketBy(8, "fp")
+            .sortBy("fp")
+            .option("path", f"{base}/{key}")
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+        tables[key] = spark.table(name)
+    # downstream MERGE: per fingerprint, the emission with the largest
+    # n_docs is the final state (counts strictly increase across a
+    # key's re-emissions — update mode only emits a key when new ops
+    # arrived for it), and the emission count IS the key's distinct
+    # batch count (one trigger = one ledger batch)
+    merged = (
+        tables["upd"]
+        .groupBy("fp")
+        .agg(
+            F.max_by(
+                F.struct("first_batch", "canonical"), F.col("n_docs")
+            ).alias("s"),
+            F.max("n_docs").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_emissions"),
+        )
+        .select("fp", "s.*", "n_docs", "n_emissions")
+    )
+    batch_fold = (
+        tables["ops"]
+        .groupBy("fp")
+        .agg(
+            F.min("batch").alias("b_first"),
+            F.min("doc_id").alias("b_canonical"),
+            F.count("*").cast("bigint").alias("b_n_docs"),
+        )
+        .withColumnRenamed("fp", "b_fp")
+    )
+    audit = merged.join(
+        batch_fold, merged["fp"] == batch_fold["b_fp"], "full_outer"
+    )
+    ok = (
+        F.col("fp").isNotNull()
+        & F.col("b_fp").isNotNull()
+        & (F.col("first_batch") == F.col("b_first"))
+        & (F.col("canonical") == F.col("b_canonical"))
+        & (F.col("n_docs") == F.col("b_n_docs"))
+    )
+    checked = contract_filter(
+        audit,
+        ok,
+        F.concat(
+            F.lit("update-mode ledger divergence for fp "),
+            F.coalesce(F.col("fp"), F.col("b_fp")),
+        ),
+    ).select("fp", "first_batch", "canonical", "n_docs", "n_emissions")
+    multi = checked.agg(
+        F.max("n_emissions").cast("bigint").alias("max_emissions")
+    )
+    checked = contract_filter(
+        checked.crossJoin(F.broadcast(multi)),
+        F.col("max_emissions") >= 2,
+        F.lit("update mode never re-emitted: source collapsed to one batch"),
+    ).drop("max_emissions")
+    # first-batch-grain compaction rollup (q427's summary shape):
+    # n_emissions == per-key distinct batches, so the log/snapshot
+    # reclaim reads directly off the merged state
+    per_batch = checked.groupBy(F.col("first_batch").alias("batch")).agg(
+        F.count("*").cast("bigint").alias("new_keys"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("n_emissions") >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_multi_emit_keys"),
+        F.sum("n_emissions").cast("bigint").alias("n_emissions"),
+    )
+    summary = checked.agg(
+        F.sum("n_emissions").cast("bigint").alias("log_rows_total"),
+        F.count("*").cast("bigint").alias("snapshot_rows"),
+    )
+    w = Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_batch.withColumn(
+            "cum_keys", F.sum("new_keys").over(w).cast("bigint")
+        )
+        .crossJoin(F.broadcast(summary))
+        .select(
+            "batch",
+            "new_keys",
+            "n_docs",
+            "n_multi_emit_keys",
+            "n_emissions",
+            "cum_keys",
+            "log_rows_total",
+            "snapshot_rows",
+            F.expr(
+                "CAST((1000000 * (log_rows_total - snapshot_rows))"
+                " div log_rows_total AS BIGINT)"
+            ).alias("reclaim_micro"),
+        )
+        .orderBy("batch")
+    )

@@ -1467,3 +1467,24 @@ def test_bucketed_ledger_compaction_no_fp_exchange(spark, sf_dir):
     assert "Bucketed: true" in final
     assert "CartesianProduct" not in final
     assert "EvalPython" not in final and "MapInPandas" not in final
+
+
+def test_update_mode_ledger_no_fp_exchange(spark, sf_dir):
+    """q434: both the streamed update log and the batch op log are
+    read back fingerprint-bucketed, so EVERYTHING fp-grain below the
+    two bucketed scans — the last-write-wins merge fold, the batch
+    per-key fold, and the full-outer audit join — runs bucket-local:
+    zero fp-grain exchanges in the final plan (q431's assertion,
+    extended to the streaming maintenance path). Surviving exchanges
+    are the 4-row batch spine, scalar summaries, and broadcasts."""
+    df = QUERIES["q434_update_mode_ledger"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning(fp") == 0, final[:2000]
+    assert final.count("Exchange hashpartitioning(b_fp") == 0, final[:2000]
+    # >= 2: the update-log and op-log tables both scan bucketed; the
+    # summary/contract consumers re-scan the same tables bucket-locally
+    assert final.count("Bucketed: true") >= 2, final[:2000]
+    assert "CartesianProduct" not in final
+    assert "EvalPython" not in final and "MapInPandas" not in final
