@@ -349,6 +349,7 @@ _R13_HEAD: tuple[str, ...] = (
     "q164_embedding_near_dup_lsh",
     "q101_pagerank",
     "q178_label_propagation",
+    "q171_bpe_merge_train",
     "q63_ivf_topk",
     "q64_multiprobe_lsh_topk",
     "q65_pq_topk",

@@ -639,18 +639,112 @@ def q172_neardup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q171_oracle(n_merges: int = 5, min_pair_count: int = 2) -> str:
+    """Chained-CTE unrolling of BPE merge training (VERDICT r12 item
+    2's stretch case — feasible after all): every quantity in the
+    loop is an integer or a string, so each round is SQL — weighted
+    adjacent-pair counts, the (n DESC, pair ASC) argmax, and the
+    greedy leftmost non-overlapping merge expressed as a list_reduce
+    STRING fold (DuckDB 1.0's accumulator must be scalar, so the
+    operator's (out[], carry) struct is encoded as
+    'out-joined-by-chr(1)' || chr(2) || carry — symbols are
+    alphanumeric, so the control chars are unambiguous). The argmax
+    tie-break compares pair strings joined by a control separator on
+    both engines (chr(0) in Spark, chr(1) here); any separator below
+    the symbol alphabet induces the SAME total order, so ties break
+    identically. A round whose best count drops below
+    ``min_pair_count`` yields an empty m-CTE, emptying every later
+    round — exactly the operator's early break. MATERIALIZED because
+    each stage reads its predecessor several times (the q178 rule)."""
+    from pipeline_usnvc_spark.functions.text import TOKENIZE_SQL
+
+    out = "split_part(acc, chr(2), 1)"
+    carry = "split_part(acc, chr(2), 2)"
+    flush = (
+        f"(CASE WHEN {carry} = '' THEN {out} "
+        f"WHEN {out} = '' THEN {carry} "
+        f"ELSE {out} || chr(1) || {carry} END)"
+    )
+    step = (
+        f"CASE WHEN {carry} = m.l AND s = m.r "
+        f"THEN (CASE WHEN {out} = '' THEN m.l || m.r "
+        f"ELSE {out} || chr(1) || (m.l || m.r) END) || chr(2) "
+        f"ELSE {flush} || chr(2) || s END"
+    )
+    fin = (
+        "CASE WHEN split_part(folded, chr(2), 2) = ''"
+        " THEN split_part(folded, chr(2), 1)"
+        " WHEN split_part(folded, chr(2), 1) = ''"
+        " THEN split_part(folded, chr(2), 2)"
+        " ELSE split_part(folded, chr(2), 1) || chr(1)"
+        " || split_part(folded, chr(2), 2) END"
+    )
+    pairs = (
+        "unnest(list_transform(range(1, greatest(len(syms) - 1, 0) + 1),"
+        " j -> syms[CAST(j AS INT)] || chr(1) || syms[CAST(j + 1 AS INT)]))"
+    )
+    stages = []
+    for i in range(1, n_merges + 1):
+        stages.append(
+            f"""m{i} AS MATERIALIZED (
+        SELECT split_part(pair, chr(1), 1) AS l,
+               split_part(pair, chr(1), 2) AS r, n
+        FROM (
+            SELECT pair, CAST(sum(cnt) AS BIGINT) AS n
+            FROM (SELECT {pairs} AS pair, cnt FROM s{i - 1})
+            GROUP BY pair
+        ) WHERE n >= {min_pair_count}
+        ORDER BY n DESC, pair ASC LIMIT 1
+    )"""
+        )
+        stages.append(
+            f"""s{i} AS MATERIALIZED (
+        SELECT string_split({fin}, chr(1)) AS syms, cnt
+        FROM (
+            SELECT list_reduce(list_prepend(chr(2), syms),
+                               (acc, s) -> {step}) AS folded, cnt
+            FROM s{i - 1} CROSS JOIN m{i} AS m
+        )
+    )"""
+        )
+    joined = ",\n    ".join(stages)
+    rounds = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS merge_round, l AS \"left\","
+        f" r AS \"right\", l || r AS merged, n AS pair_count FROM m{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return f"""
+    WITH s0 AS MATERIALIZED (
+        SELECT list_transform(range(1, length(word) + 1),
+                              i -> substr(word, CAST(i AS INT), 1)) AS syms,
+               CAST(cnt AS BIGINT) AS cnt
+        FROM (
+            SELECT word, count(*) AS cnt
+            FROM (SELECT unnest({TOKENIZE_SQL}) AS word FROM documents)
+            GROUP BY word
+        )
+    ),
+    {joined}
+    SELECT * FROM ({rounds}) ORDER BY merge_round
+    """
+
+
 # ---------------------------------------------------------------------------
-# q171 — BPE merge training (rows-only: iterative, not SQL-
-# expressible). Learns the top-5 corpus merges from the word-frequency
-# table (operators/bpe.py) — the tokenizer-training step of an LLM
-# data pipeline. Driver traffic is 1 row per round; each round is one
-# exchange over the vocabulary table (≪ corpus by Heaps' law).
-# Verified in tests/test_bpe.py: round-1 argmax equals the DuckDB
-# weighted pair count, the greedy fold matches hand-computed merges
-# (including overlapping runs), replayed merges reconcile the total
-# symbol-count decrease, and training is deterministic.
+# q171 — BPE merge training. HASH-GREEN since round 13: the training
+# loop is pure integer/string arithmetic, so the bounded merge count
+# unrolls to chained MATERIALIZED CTEs with the greedy merge as a
+# string-accumulator list_reduce fold (_q171_oracle — the q101/q178
+# trick extended to sequence rewriting). Learns the top-5 corpus
+# merges from the word-frequency table (operators/bpe.py) — the
+# tokenizer-training step of an LLM data pipeline. Driver traffic is
+# 1 row per round; each round is one exchange over the vocabulary
+# table (≪ corpus by Heaps' law). Independently verified in
+# tests/test_bpe.py: round-1 argmax equals the DuckDB weighted pair
+# count, the greedy fold matches hand-computed merges (including
+# overlapping runs), replayed merges reconcile the total symbol-count
+# decrease, and training is deterministic.
 # ---------------------------------------------------------------------------
-@query("q171_bpe_merge_train")
+@query("q171_bpe_merge_train", oracle=_q171_oracle())
 def q171_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_usnvc_spark.operators.bpe import (
         MIN_PAIR_COUNT_DEFAULT,
