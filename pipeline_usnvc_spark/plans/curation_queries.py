@@ -639,23 +639,29 @@ def q172_neardup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q171_oracle(n_merges: int = 5, min_pair_count: int = 2) -> str:
-    """Chained-CTE unrolling of BPE merge training (VERDICT r12 item
-    2's stretch case — feasible after all): every quantity in the
-    loop is an integer or a string, so each round is SQL — weighted
-    adjacent-pair counts, the (n DESC, pair ASC) argmax, and the
-    greedy leftmost non-overlapping merge expressed as a list_reduce
-    STRING fold (DuckDB 1.0's accumulator must be scalar, so the
-    operator's (out[], carry) struct is encoded as
-    'out-joined-by-chr(1)' || chr(2) || carry — symbols are
-    alphanumeric, so the control chars are unambiguous). The argmax
-    tie-break compares pair strings joined by a control separator on
-    both engines (chr(0) in Spark, chr(1) here); any separator below
-    the symbol alphabet induces the SAME total order, so ties break
-    identically. A round whose best count drops below
-    ``min_pair_count`` yields an empty m-CTE, emptying every later
-    round — exactly the operator's early break. MATERIALIZED because
-    each stage reads its predecessor several times (the q178 rule)."""
+def _bpe_cte_chain(n_merges: int = 5, min_pair_count: int = 2) -> str:
+    """Shared WITH-prefix for the BPE oracles (q171 train, q219
+    encode): s0 (word/syms/cnt vocabulary), then alternating
+    m{i} (merge-rule argmax) and s{i} (corpus after applying merge i)
+    chained CTEs. Every quantity in the loop is an integer or a
+    string, so each round is SQL — weighted adjacent-pair counts, the
+    (n DESC, pair ASC) argmax, and the greedy leftmost
+    non-overlapping merge expressed as a list_reduce STRING fold
+    (DuckDB 1.0's accumulator must be scalar, so the operator's
+    (out[], carry) struct is encoded as 'out-joined-by-chr(1)' ||
+    chr(2) || carry — symbols are alphanumeric, so the control chars
+    are unambiguous). The argmax tie-break compares pair strings
+    joined by a control separator on both engines (chr(0) in Spark,
+    chr(1) here); any separator below the symbol alphabet induces the
+    SAME total order, so ties break identically. A round whose best
+    count drops below ``min_pair_count`` yields an empty m-CTE; the
+    s-stage LEFT JOINs its merge rule, and a NULL rule never matches
+    the fold's carry, so the fold degenerates to identity and later
+    rounds see the unchanged corpus — they recompute the same
+    below-threshold argmax and stay empty, exactly the operator's
+    early break, while the encode path keeps every word. MATERIALIZED
+    because each stage reads its predecessor several times (the q178
+    rule)."""
     from pipeline_usnvc_spark.functions.text import TOKENIZE_SQL
 
     out = "split_part(acc, chr(2), 1)"
@@ -699,23 +705,19 @@ def _q171_oracle(n_merges: int = 5, min_pair_count: int = 2) -> str:
         )
         stages.append(
             f"""s{i} AS MATERIALIZED (
-        SELECT string_split({fin}, chr(1)) AS syms, cnt
+        SELECT word, string_split({fin}, chr(1)) AS syms, cnt
         FROM (
-            SELECT list_reduce(list_prepend(chr(2), syms),
+            SELECT word, list_reduce(list_prepend(chr(2), syms),
                                (acc, s) -> {step}) AS folded, cnt
-            FROM s{i - 1} CROSS JOIN m{i} AS m
+            FROM s{i - 1} LEFT JOIN m{i} AS m ON TRUE
         )
     )"""
         )
     joined = ",\n    ".join(stages)
-    rounds = "\n    UNION ALL ".join(
-        f"SELECT CAST({i} AS BIGINT) AS merge_round, l AS \"left\","
-        f" r AS \"right\", l || r AS merged, n AS pair_count FROM m{i}"
-        for i in range(1, n_merges + 1)
-    )
     return f"""
     WITH s0 AS MATERIALIZED (
-        SELECT list_transform(range(1, length(word) + 1),
+        SELECT word,
+               list_transform(range(1, length(word) + 1),
                               i -> substr(word, CAST(i AS INT), 1)) AS syms,
                CAST(cnt AS BIGINT) AS cnt
         FROM (
@@ -725,7 +727,48 @@ def _q171_oracle(n_merges: int = 5, min_pair_count: int = 2) -> str:
         )
     ),
     {joined}
+    """
+
+
+def _q171_oracle(n_merges: int = 5, min_pair_count: int = 2) -> str:
+    """BPE merge-training oracle: the shared chain's m{i} rows,
+    unioned in round order (see ``_bpe_cte_chain``)."""
+    rounds = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS merge_round, l AS \"left\","
+        f" r AS \"right\", l || r AS merged, n AS pair_count FROM m{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return f"""
+    {_bpe_cte_chain(n_merges, min_pair_count)}
     SELECT * FROM ({rounds}) ORDER BY merge_round
+    """
+
+
+def _q219_oracle(n_merges: int = 5, min_pair_count: int = 2) -> str:
+    """BPE encode oracle: the shared chain's FINAL corpus state
+    s{n_merges} IS the encoded vocabulary — every word's symbol list
+    after all learned merges. The reshape (top-20 by frequency,
+    round-trip flag, cnt-weighted corpus totals) is plain SQL."""
+    n = n_merges
+    return f"""
+    {_bpe_cte_chain(n_merges, min_pair_count)},
+    enc AS MATERIALIZED (
+        SELECT word, cnt,
+               CAST(length(word) AS BIGINT) AS n_chars_sym,
+               CAST(len(syms) AS BIGINT) AS n_tokens,
+               array_to_string(syms, ' ') AS encoding,
+               array_to_string(syms, '') = word AS roundtrip_ok
+        FROM s{n}
+    ),
+    tot AS (
+        SELECT CAST(sum(cnt * n_chars_sym) AS BIGINT) AS corpus_chars,
+               CAST(sum(cnt * n_tokens) AS BIGINT) AS corpus_tokens,
+               CAST(count(*) AS BIGINT) AS vocab_size
+        FROM enc
+    )
+    SELECT e.*, t.*
+    FROM (SELECT * FROM enc ORDER BY cnt DESC, word LIMIT 20) e
+    CROSS JOIN tot t
     """
 
 
@@ -1993,12 +2036,14 @@ def q218_gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q219 — BPE ENCODE: apply the merges learned by q171's trainer to
 # tokenize the corpus — the missing half of the tokenizer story
-# (train → apply). Rows-only (greedy leftmost merging is a fold, not
-# SQL), but SELF-CERTIFYING: every word carries a round-trip contract
-# (concat(encoded symbols) == word) asserted in-plan via assert_true,
-# so a driver rows-only row certifies the codec, and pytest
-# (tests/test_bpe.py) checks encodings against a reference Python
-# merge loop.
+# (train → apply). HASH-GREEN since round 13: the shared chained-CTE
+# oracle (_bpe_cte_chain) already materializes the post-merge corpus
+# state s5, which IS the encoding of every vocabulary word —
+# _q219_oracle just reshapes it (top-20 by frequency + cnt-weighted
+# corpus totals). Also SELF-CERTIFYING: every word carries a
+# round-trip contract (concat(encoded symbols) == word) asserted
+# in-plan via assert_true, and pytest (tests/test_bpe.py) checks
+# encodings against a reference Python merge loop.
 #
 # Scale shape: encoding runs at VOCABULARY grain (distinct words —
 # ≪ corpus by Heaps' law), as 5 chained native folds (merge_pair —
@@ -2008,7 +2053,7 @@ def q218_gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # traffic as training). Output is word-grain top-20 by frequency plus
 # the corpus totals on every row, all scalar columns.
 # ---------------------------------------------------------------------------
-@query("q219_bpe_encode")
+@query("q219_bpe_encode", oracle=_q219_oracle())
 def q219_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_usnvc_spark.operators.bpe import merge_pair, train_bpe, word_symbol_table
 

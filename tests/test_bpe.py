@@ -195,3 +195,36 @@ def test_q171_contract_fires_on_wrong_first_merge(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(bpe, "train_bpe", tampered)
     with pytest.raises(Exception, match="merge-table contract breach"):
         QUERIES["q171_bpe_merge_train"](spark, sf_dir).count()
+
+
+def test_oracle_chain_early_break_passthrough():
+    """The shared chained-CTE oracle's early-break semantics, pinned
+    on a crafted corpus where training dries up after ONE merge:
+    later m-CTEs must be empty (q171 emits exactly one round) while
+    the s-CTEs pass every word through UNCHANGED (q219 keeps the full
+    vocabulary with only the learned merge applied) — the LEFT JOIN
+    identity-fold path, which a CROSS JOIN would silently empty."""
+    import duckdb
+
+    from pipeline_usnvc_spark.plans.curation_queries import (
+        _q171_oracle,
+        _q219_oracle,
+    )
+
+    con = duckdb.connect()
+    # 'ab' x2 is the only pair reaching min_pair_count=2; after merging
+    # it, every remaining adjacent pair is unique -> rounds 2..5 empty.
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES"
+        " (1, 'abcx'), (2, 'abdy'), (3, 'z')) t(doc_id, text)"
+    )
+    merges = con.execute(_q171_oracle()).fetchall()
+    assert [(r[0], r[1], r[2]) for r in merges] == [(1, "a", "b")]
+
+    enc = {
+        r[0]: r[4]
+        for r in con.execute(_q219_oracle()).fetchall()
+    }
+    assert enc == {"abcx": "ab c x", "abdy": "ab d y", "z": "z"}
+    vocab_sizes = {r[8] for r in con.execute(_q219_oracle()).fetchall()}
+    assert vocab_sizes == {3}
