@@ -229,37 +229,54 @@ def ivf_topk(
     )
 
 
-def _bucket_and_margins(
+def _exact_probe_buckets(
     df: DataFrame,
-    planes: list[list[float]],
+    n_planes: int,
+    nprobe: int,
+    dim: int,
     id_col: str,
     vec_col: str,
 ) -> DataFrame:
-    """(id, v, bucket, margins) — sign-bit bucket plus the signed
-    distance to every hyperplane. ``margins[p]`` near zero means the
-    vector sits close to plane p's boundary, i.e. flipping bit p is the
-    most promising extra probe (classic multi-probe LSH, Lv et al.
-    VLDB'07)."""
-    v = df.select(F.col(id_col), to_double_array(vec_col).alias("v"))
-    bucket = F.lit(0).cast("bigint")
-    margin_cols = []
-    for p, plane in enumerate(planes):
-        plane_col = F.array(*[F.lit(x) for x in plane])
-        d = F.aggregate(
-            F.zip_with(F.col("v"), plane_col, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(d > 0, F.lit(2**p).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        margin_cols.append(d)
-    return v.select(
-        id_col,
-        "v",
-        bucket.alias("bucket"),
-        F.array(*margin_cols).alias("margins"),
-    )
+    """(id, bucket) exploded to ``nprobe`` probe buckets per vector:
+    its own sign-bit bucket plus XOR-flips of the ``nprobe - 1``
+    planes with the smallest |margin| (classic multi-probe LSH, Lv et
+    al. VLDB'07). EXACT arithmetic throughout (the q62 discipline):
+    components quantize to floor(x*1e7) int64, planes are the
+    md5-derived int64s of ``_multitable_planes(1, ...)`` (table 0 —
+    the same constants as ``lsh_buckets_sql(1, n_planes)``), margins
+    are the integer plane dots themselves, and the flip ranking is
+    (|margin| asc, plane idx asc) via a stable argsort — so the probe
+    set, and with it q64's full candidate set, is bit-reproducible in
+    SQL and hash-oracle-able."""
+    import numpy as np
+    import pandas as pd
+
+    planes_T = _multitable_planes(1, n_planes, dim).T.copy()
+    pows = np.power(2, np.arange(n_planes), dtype=np.int64)
+    n_flips = min(max(nprobe - 1, 0), n_planes)
+
+    def batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            S = np.floor(V * 1e7).astype(np.int64) @ planes_T  # (n, n_planes)
+            b = (S > 0) @ pows  # (n,)
+            # stable argsort on |margin| == (|margin| asc, p asc)
+            closest = np.argsort(np.abs(S), axis=1, kind="stable")[:, :n_flips]
+            probes = np.concatenate(
+                [b[:, None], b[:, None] ^ pows[closest]], axis=1
+            )  # (n, 1 + n_flips)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), 1 + n_flips),
+                    "bucket": probes.reshape(-1),
+                }
+            )
+
+    flat = df.select(F.col(id_col), to_double_array(vec_col).alias("_v"))
+    id_type = flat.schema[id_col].dataType.simpleString()
+    return flat.mapInPandas(batches, schema=f"{id_col} {id_type}, bucket bigint")
 
 
 def multiprobe_lsh_topk(
@@ -279,55 +296,47 @@ def multiprobe_lsh_topk(
     the candidate join stays an equi-join on bucket id, with candidate
     volume multiplied by nprobe instead of the corpus being re-hashed.
 
+    EXACT bucketing since round 13 (``_exact_probe_buckets``): the
+    corpus buckets are ``_table_bucket_ids``' single-table integer
+    buckets and the probe expansion ranks integer margins, so the
+    candidate set is engine-portable and q64 carries a full DuckDB
+    hash oracle. Scored sims use the JVM sequential fold — the same
+    IEEE sequence as the oracle's ``_COS``.
+
     At 100 TB: the corpus-side bucket table is computed once (and can
     be bucketed-by on write); only the tiny query side explodes
-    nprobe ways before the join.
+    nprobe ways before the join, and both bucket frames are SLIM
+    (id + bigint) — vectors join back after candidate dedup.
     """
     # dim must match the embedding width (like the sibling LSH/PQ
-    # entry points): zip_with null-pads a mismatch, every plane dot
-    # goes NULL, and all vectors collapse into one bucket — turning
-    # the equi-join into the full cross product this operator exists
-    # to avoid.
-    planes = _hyperplane(n_planes, dim)
-    vb = _bucket_and_margins(vectors, planes, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), "bucket", F.col("v").alias("v_vec")
+    # entry points): a mismatch would quantize garbage or collapse
+    # buckets, turning the equi-join into a near-cross-product.
+    vb = _table_bucket_ids(vectors, 1, n_planes, dim, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("tb")["b"].alias("bucket")
     )
-    qb = _bucket_and_margins(queries, planes, id_col, vec_col).select(
-        F.col(id_col).alias("query_id"), "bucket", "margins", F.col("v").alias("q_vec")
+    qp = _exact_probe_buckets(queries, n_planes, nprobe, dim, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), "bucket"
     )
-    # Rank planes by |margin| ascending; probe buckets = self + flips of
-    # the (nprobe-1) closest planes. All plan-literal expressions.
-    ranked_flips = F.transform(
-        F.array_sort(
-            F.transform(
-                F.col("margins"),
-                lambda m, i: F.struct(
-                    F.abs(m).alias("am"),
-                    F.pow(F.lit(2.0), i.cast("double")).cast("bigint").alias("mask"),
-                ),
-            )
-        ),
-        lambda s: s["mask"],
+    cand = (
+        qp.join(vb, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
-    probe_buckets = F.concat(
-        F.array(F.col("bucket")),
-        F.transform(
-            F.slice(ranked_flips, 1, nprobe - 1),
-            lambda mask: F.col("bucket").bitwiseXOR(mask),
-        ),
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("v_vec")
     )
-    q_probes = qb.select(
-        "query_id", "q_vec", F.explode(probe_buckets).alias("bucket")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("q_vec")
     )
     scored = (
-        q_probes.join(vb, "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        cand.join(F.broadcast(q), "query_id")
+        .join(v, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
             cosine_similarity(F.col("q_vec"), F.col("v_vec")).alias("sim"),
         )
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (

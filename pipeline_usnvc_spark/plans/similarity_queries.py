@@ -186,20 +186,21 @@ def _attach_recall_contract(
     )
 
 
-def _q62_oracle() -> str:
-    from pipeline_usnvc_spark.operators.similarity import lsh_buckets_sql
-
+def _ann_recall_oracle(bucket_prefix: str, cand_sql: str, k: int = 5) -> str:
+    """Shared DuckDB twin of ``_attach_recall_contract``'s reshape for
+    the hash-oracled ANN queries (q62 multi-table LSH, q64 multi-probe
+    LSH): ``bucket_prefix`` supplies the engine-exact bucket CTEs,
+    ``cand_sql`` the candidate-pair SELECT (over those CTEs); the tail
+    — sequential-fold scoring, top-k ranking, brute-force reference,
+    per-query recall and the integer-exact mean — is identical."""
     return f"""
-    WITH {lsh_buckets_sql(16, 4)},
+    WITH {bucket_prefix},
     v AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
         FROM embeddings
     ),
     q AS (SELECT vec_id AS query_id, ve AS qe FROM v WHERE vec_id % 100 = 0),
-    cand AS (
-        SELECT DISTINCT qb.vec_id AS query_id, vb.vec_id AS neighbor_id
-        FROM buckets qb JOIN buckets vb ON vb.t = qb.t AND vb.b = qb.b
-        WHERE qb.vec_id % 100 = 0 AND vb.vec_id <> qb.vec_id
+    cand AS ({cand_sql}
     ),
     scored AS (
         SELECT c.query_id, c.neighbor_id, {_COS} AS sim
@@ -211,7 +212,7 @@ def _q62_oracle() -> str:
             SELECT *, row_number() OVER (PARTITION BY query_id
                                          ORDER BY sim DESC, neighbor_id) AS rank
             FROM scored
-        ) WHERE rank <= 5
+        ) WHERE rank <= {k}
     ),
     exact AS (
         SELECT query_id, neighbor_id FROM (
@@ -219,7 +220,7 @@ def _q62_oracle() -> str:
                    row_number() OVER (PARTITION BY q.query_id
                                       ORDER BY {_COS} DESC, v.vec_id) AS rank
             FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id
-        ) WHERE rank <= 5
+        ) WHERE rank <= {k}
     ),
     hits AS (
         SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_hits
@@ -246,10 +247,54 @@ def _q62_oracle() -> str:
         FROM per_q
     )
     SELECT query_id, n_results, neighbors,
-           CAST(nh AS DOUBLE) / 5.0 AS recall,
-           CAST(th AS DOUBLE) / CAST(nq * 5 AS DOUBLE) AS mean_recall
+           CAST(nh AS DOUBLE) / {float(k)} AS recall,
+           CAST(th AS DOUBLE) / CAST(nq * {k} AS DOUBLE) AS mean_recall
     FROM per_q CROSS JOIN tot
     """
+
+
+def _q62_oracle() -> str:
+    from pipeline_usnvc_spark.operators.similarity import lsh_buckets_sql
+
+    return _ann_recall_oracle(
+        lsh_buckets_sql(16, 4),
+        """
+        SELECT DISTINCT qb.vec_id AS query_id, vb.vec_id AS neighbor_id
+        FROM buckets qb JOIN buckets vb ON vb.t = qb.t AND vb.b = qb.b
+        WHERE qb.vec_id % 100 = 0 AND vb.vec_id <> qb.vec_id""",
+    )
+
+
+def _q64_oracle(n_planes: int = 4, nprobe: int = 5) -> str:
+    """Multi-probe candidate CTEs over the single-table exact buckets:
+    ``plane_sums`` already carries the integer margins, so the probe
+    ranking (|margin| asc, plane asc — `_exact_probe_buckets`'s stable
+    argsort) and the XOR flips are plain integer SQL."""
+    from pipeline_usnvc_spark.operators.similarity import lsh_buckets_sql
+
+    prefix = f"""{lsh_buckets_sql(1, n_planes)},
+    flips AS (
+        SELECT vec_id, CAST(1 << p AS BIGINT) AS mask
+        FROM (
+            SELECT vec_id, p,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY abs(s), p) AS rn
+            FROM plane_sums WHERE vec_id % 100 = 0
+        ) WHERE rn <= {nprobe - 1}
+    ),
+    probes AS (
+        SELECT vec_id, b AS pb FROM buckets WHERE vec_id % 100 = 0
+        UNION ALL
+        SELECT b.vec_id, xor(b.b, f.mask) AS pb
+        FROM buckets b JOIN flips f USING (vec_id)
+    )"""
+    return _ann_recall_oracle(
+        prefix,
+        """
+        SELECT DISTINCT p.vec_id AS query_id, vb.vec_id AS neighbor_id
+        FROM probes p JOIN buckets vb ON vb.b = p.pb
+        WHERE vb.vec_id <> p.vec_id""",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -294,11 +339,17 @@ def q63_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q64 — multi-probe LSH top-k: probe own bucket plus flips of the
-# closest hyperplanes (rows-only; recall vs single-probe asserted in
-# tests/test_multimodal.py).
+# q64 — multi-probe LSH top-k: probe own bucket plus XOR-flips of the
+# closest hyperplanes (smallest |margin|). HASH-GREEN since round 13:
+# the operator moved to the q62 exact-integer bucket discipline
+# (floor(x*1e7) components x md5 integer planes), where the margins
+# ARE the integer plane dots — so the probe ranking, candidate set,
+# sequential-fold scores, and the recall contract reshape all have a
+# DuckDB twin (_q64_oracle). Recall vs single-probe asserted in
+# tests/test_multimodal.py; mean recall >= 0.4 vs brute force
+# enforced in-plan AND re-computed by the oracle.
 # ---------------------------------------------------------------------------
-@query("q64_multiprobe_lsh_topk")
+@query("q64_multiprobe_lsh_topk", oracle=_q64_oracle())
 def q64_multiprobe_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_usnvc_spark.operators.similarity import multiprobe_lsh_topk
 
