@@ -350,6 +350,9 @@ _R13_HEAD: tuple[str, ...] = (
     "q101_pagerank",
     "q178_label_propagation",
     "q171_bpe_merge_train",
+    "q219_bpe_encode",
+    "q435_portable_hll_merge",
+    "q436_portable_rolling_hll",
     "q63_ivf_topk",
     "q64_multiprobe_lsh_topk",
     "q65_pq_topk",

@@ -45,6 +45,10 @@ ledger (item 7).
   are pinned by an independent recompute in
   tests/test_round13_independent.py.
 
+Also in this family (added later in round 13): q435/q436, the
+portable-HLL companions of the Datasketches sketch queries — see the
+family comment above their definitions.
+
 Reference scope note: the reference pipeline (usnvc/usnvc.py) has no
 numeric-probe or streaming-ledger tooling — both queries belong to
 the mandated LLM-pipeline extension surface (q425/q426/q429/q430 and
@@ -62,7 +66,7 @@ first, as before.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pipeline_usnvc_spark.plans.registry import query
@@ -597,3 +601,322 @@ def q434_update_mode_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("batch")
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable HLL (q435/q436): the engine-exact companion of the
+# Datasketches sketch family (q100/q212/q71/q372), the q433 pattern
+# applied to cardinality sketching. Spark's hll_sketch_agg is a
+# black-box binary whose estimate no other engine reproduces, so
+# those queries are rows-only; THIS register machinery is pure
+# integer arithmetic on md5 bits — register index = low 6 bits of a
+# 60-bit md5 prefix, rho = leading-zero rank of the remaining 54-bit
+# window, registers fold by MAX (associative/commutative — the
+# mergeability that makes sketches the 100 TB answer), the harmonic
+# sum folds EXACTLY as dyadic rationals scaled by 2^55 into a BIGINT
+# (max 64 * 2^55 = 2^61), and the raw HLL estimate is ONE literal /
+# CAST(S AS DOUBLE) division per engine. Everything hash-oracles.
+# Flajolet et al. (AofA 2007) small-range correction needs ln() —
+# NOT correctly rounded, engine-divergent — so the estimate stays in
+# the raw regime by contract: the 3*rsd accuracy bound is enforced
+# only where exact > 5*m (the raw-regime floor), explicit in the
+# in_raw_regime column.
+# ---------------------------------------------------------------------------
+_HLL_M = 64  # registers (6 index bits); rsd = 1.04/8 = 13%
+_HLL_SHIFT = 55  # dyadic scale: rho in [1..55], empty register M=0
+_HLL_ALPHA_NUM = (0.7213 / (1.0 + 1.079 / _HLL_M)) * float(_HLL_M * _HLL_M) * float(
+    2**_HLL_SHIFT
+)  # one double literal, computed once here, embedded in BOTH plans
+_HLL_RAW_FLOOR = 5 * _HLL_M  # exact > 320 => raw-regime accuracy applies
+_HLL_3RSD = 3.0 * 1.04 / 8.0
+
+
+def _hll_reg_spark(df: DataFrame) -> DataFrame:
+    """(event_type, day, idx, rho) — one register observation per
+    event row, exact integer arithmetic (see family comment)."""
+    return df.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.expr(
+            "cast(conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10)"
+            " as bigint)"
+        ).alias("h"),
+    ).select(
+        "event_type",
+        "day",
+        F.expr("h % 64").alias("idx"),
+        F.expr(
+            "cast(case when h div 64 = 0 then 55"
+            " else 55 - length(conv(cast(h div 64 as string), 10, 2))"
+            " end as bigint)"
+        ).alias("rho"),
+    )
+
+
+_HLL_REG_SQL = """
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               h % 64 AS idx,
+               CAST(CASE WHEN h // 64 = 0 THEN 55
+                    ELSE 55 - length(bin(h // 64)) END AS BIGINT) AS rho
+        FROM (
+            SELECT event_type, ts,
+                   CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                        AS BIGINT) AS h
+            FROM events
+        )
+"""
+
+
+def _q435_oracle() -> str:
+    return f"""
+    WITH reg AS MATERIALIZED ({_HLL_REG_SQL}),
+    direct AS (
+        SELECT event_type, idx, max(rho) AS m FROM reg GROUP BY 1, 2
+    ),
+    daily AS (
+        SELECT event_type, day, idx, max(rho) AS md FROM reg GROUP BY 1, 2, 3
+    ),
+    merged AS (
+        SELECT event_type, idx, max(md) AS m FROM daily GROUP BY 1, 2
+    ),
+    mism AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_merge_mismatch
+        FROM direct d FULL JOIN merged g USING (event_type, idx)
+        WHERE d.m IS DISTINCT FROM g.m
+    ),
+    spine AS (
+        SELECT t.event_type, r.range AS idx
+        FROM (SELECT DISTINCT event_type FROM events) t, range(64) r
+    ),
+    dense AS (
+        SELECT s.event_type, s.idx, coalesce(d.m, 0) AS m
+        FROM spine s LEFT JOIN direct d
+          ON d.event_type = s.event_type AND d.idx = s.idx
+    ),
+    harm AS (
+        SELECT event_type,
+               CAST(sum(CAST(1 AS BIGINT) << CAST(55 - m AS INT)) AS BIGINT)
+                   AS s_dyadic,
+               CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_zero_registers
+        FROM dense GROUP BY 1
+    ),
+    base AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+        FROM events GROUP BY 1
+    )
+    SELECT b.event_type, b.n_events, b.exact_users,
+           {_HLL_ALPHA_NUM!r} / CAST(h.s_dyadic AS DOUBLE) AS hll_estimate,
+           h.s_dyadic, h.n_zero_registers,
+           b.exact_users > {_HLL_RAW_FLOOR} AS in_raw_regime,
+           m.n_merge_mismatch
+    FROM base b
+    JOIN harm h ON h.event_type = b.event_type
+    CROSS JOIN mism m
+    ORDER BY b.event_type
+    """
+
+
+# ---------------------------------------------------------------------------
+# q435 — portable-HLL mergeable distinct (the q100 companion): the
+# same per-type sketch, rebuilt from engine-portable registers, with
+# the MERGE path certified exactly — per-day sketches fold by
+# register-wise max and the contract asserts the merged register
+# table is IDENTICAL to the direct one (integer equality, not an
+# error bound), plus the conditional raw-regime accuracy bound
+# (exact > 5m => |est/exact - 1| <= 3*rsd). Hash-green at 3 SFs —
+# the estimate itself is compared bit-for-bit across engines.
+# ---------------------------------------------------------------------------
+@query("q435_portable_hll_merge", oracle=_q435_oracle())
+def q435_portable_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.contracts import contract_filter
+
+    ev = load_table(spark, sf_dir, "events")
+    reg = _hll_reg_spark(ev)
+    direct = reg.groupBy("event_type", "idx").agg(F.max("rho").alias("m"))
+    daily = reg.groupBy("event_type", "day", "idx").agg(F.max("rho").alias("md"))
+    merged = daily.groupBy("event_type", "idx").agg(F.max("md").alias("m2"))
+    mism = (
+        direct.join(merged, ["event_type", "idx"], "full_outer")
+        .filter(~F.col("m").eqNullSafe(F.col("m2")))
+        .agg(F.count("*").cast("bigint").alias("n_merge_mismatch"))
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .select("event_type", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("_i"))
+        .select("event_type", F.col("_i").cast("bigint").alias("idx"))
+    )
+    dense = spine.join(direct, ["event_type", "idx"], "left").select(
+        "event_type", "idx", F.coalesce("m", F.lit(0)).cast("bigint").alias("m")
+    )
+    harm = dense.groupBy("event_type").agg(
+        F.expr(
+            "cast(sum(shiftleft(cast(1 as bigint), cast(55 - m as int))) as bigint)"
+        ).alias("s_dyadic"),
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero_registers"),
+    )
+    base = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("exact_users"),
+    )
+    out = (
+        base.join(harm, "event_type")
+        .crossJoin(F.broadcast(mism))
+        .select(
+            "event_type",
+            "n_events",
+            "exact_users",
+            (F.lit(_HLL_ALPHA_NUM) / F.col("s_dyadic").cast("double")).alias(
+                "hll_estimate"
+            ),
+            "s_dyadic",
+            "n_zero_registers",
+            (F.col("exact_users") > F.lit(_HLL_RAW_FLOOR)).alias("in_raw_regime"),
+            "n_merge_mismatch",
+        )
+    )
+    checked = contract_filter(
+        out,
+        (F.col("n_merge_mismatch") == 0)
+        & (
+            ~F.col("in_raw_regime")
+            | (
+                F.abs(
+                    F.col("hll_estimate") / F.col("exact_users").cast("double")
+                    - F.lit(1.0)
+                )
+                <= F.lit(_HLL_3RSD)
+            )
+        ),
+        F.concat(
+            F.lit("portable-HLL contract violated for type "), F.col("event_type")
+        ),
+    )
+    return checked.orderBy("event_type")
+
+def _q436_oracle() -> str:
+    return f"""
+    WITH reg AS MATERIALIZED ({_HLL_REG_SQL}),
+    daily AS (
+        SELECT day, idx, max(rho) AS md FROM reg GROUP BY 1, 2
+    ),
+    days AS (SELECT DISTINCT day FROM daily),
+    spine AS (
+        SELECT d.day, d.day - DATE '1970-01-01' AS day_num, r.range AS idx
+        FROM days d, range(64) r
+    ),
+    dense AS (
+        SELECT s.day, s.day_num, s.idx, coalesce(dl.md, 0) AS md
+        FROM spine s LEFT JOIN daily dl ON dl.day = s.day AND dl.idx = s.idx
+    ),
+    rolled AS (
+        SELECT day, day_num, idx,
+               max(md) OVER (PARTITION BY idx ORDER BY day_num
+                             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS m
+        FROM dense
+    ),
+    harm AS (
+        SELECT day,
+               CAST(sum(CAST(1 AS BIGINT) << CAST(55 - m AS INT)) AS BIGINT)
+                   AS s_dyadic,
+               CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_zero_registers
+        FROM rolled GROUP BY 1
+    ),
+    exact AS (
+        SELECT d.day, CAST(count(DISTINCT e.user_id) AS BIGINT) AS wau_exact
+        FROM days d JOIN (SELECT user_id, CAST(ts AS DATE) AS day FROM events) e
+          ON e.day BETWEEN d.day - 6 AND d.day
+        GROUP BY 1
+    )
+    SELECT CAST(h.day AS VARCHAR) AS day, x.wau_exact,
+           {_HLL_ALPHA_NUM!r} / CAST(h.s_dyadic AS DOUBLE) AS wau_hll,
+           h.s_dyadic, h.n_zero_registers,
+           x.wau_exact > {_HLL_RAW_FLOOR} AS in_raw_regime
+    FROM harm h JOIN exact x ON x.day = h.day
+    ORDER BY h.day
+    """
+
+
+# ---------------------------------------------------------------------------
+# q436 — portable-HLL rolling 7-day actives (the q212 companion, on
+# q205's exact-WAU shape): per-day register sketches (64 BIGINTs per
+# day — the KB-sized state that replaces re-scanning a week of raw
+# events at 100 TB), rolling union = register-wise max over a RANGE
+# window on the dense (day x register) spine, then the same exact
+# dyadic harmonic fold and single-division estimate as q435.
+# Hash-green at 3 SFs; the conditional raw-regime accuracy contract
+# (3*rsd vs the exact windowed count-distinct) executes in-plan.
+# ---------------------------------------------------------------------------
+@query("q436_portable_rolling_hll", oracle=_q436_oracle())
+def q436_portable_rolling_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.contracts import contract_filter
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        _hll_reg_spark(ev)
+        .groupBy("day", "idx")
+        .agg(F.max("rho").alias("md"))
+    )
+    days = daily.select("day").distinct()
+    spine = (
+        days.select("day", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("_i"))
+        .select(
+            "day",
+            F.datediff("day", F.lit("1970-01-01").cast("date")).cast("bigint").alias(
+                "day_num"
+            ),
+            F.col("_i").cast("bigint").alias("idx"),
+        )
+    )
+    dense = spine.join(daily, ["day", "idx"], "left").select(
+        "day", "day_num", "idx", F.coalesce("md", F.lit(0)).cast("bigint").alias("md")
+    )
+    w = (
+        Window.partitionBy("idx")
+        .orderBy("day_num")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    rolled = dense.select("day", "idx", F.max("md").over(w).alias("m"))
+    harm = rolled.groupBy("day").agg(
+        F.expr(
+            "cast(sum(shiftleft(cast(1 as bigint), cast(55 - m as int))) as bigint)"
+        ).alias("s_dyadic"),
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero_registers"),
+    )
+    # exact 7-day actives: day-spine range join (q205's exact shape) —
+    # verification-only cost, the production path is the sketch fold
+    e_day = ev.select("user_id", F.to_date("ts").alias("e_day"))
+    exact = (
+        days.join(
+            e_day,
+            (F.col("e_day") >= F.date_sub(F.col("day"), 6))
+            & (F.col("e_day") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau_exact"))
+    )
+    out = harm.join(exact, "day").select(
+        F.col("day").cast("string").alias("day"),
+        "wau_exact",
+        (F.lit(_HLL_ALPHA_NUM) / F.col("s_dyadic").cast("double")).alias("wau_hll"),
+        "s_dyadic",
+        "n_zero_registers",
+        (F.col("wau_exact") > F.lit(_HLL_RAW_FLOOR)).alias("in_raw_regime"),
+    )
+    checked = contract_filter(
+        out,
+        ~F.col("in_raw_regime")
+        | (
+            F.abs(F.col("wau_hll") / F.col("wau_exact").cast("double") - F.lit(1.0))
+            <= F.lit(_HLL_3RSD)
+        ),
+        F.concat(F.lit("portable rolling-HLL contract violated on "), F.col("day")),
+    )
+    return checked.orderBy("day")

@@ -212,3 +212,68 @@ def test_q434_matches_pure_python_replay(spark):
         assert r["reclaim_micro"] == (1000000 * (log_rows - snap)) // log_rows
     # the re-emission contract is genuinely exercised on this corpus
     assert any(e["multi"] > 0 for e in rollup.values())
+
+
+# --- q435/q436 portable HLL ------------------------------------------------
+
+
+def _py_hll_registers(user_ids):
+    """Reference register table: md5 60-bit prefix, low-6-bit index,
+    rho = leading-zero rank of the remaining 54-bit window (capped at
+    55 when the window is all zeros)."""
+    import hashlib
+
+    regs = {}
+    for u in user_ids:
+        h = int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+        idx, w = h % 64, h // 64
+        rho = 55 if w == 0 else 55 - w.bit_length()
+        regs[idx] = max(regs.get(idx, 0), rho)
+    return regs
+
+
+def _py_hll_estimate(regs):
+    from pipeline_usnvc_spark.plans.round13_queries import _HLL_ALPHA_NUM
+
+    s = sum(1 << (55 - regs.get(i, 0)) for i in range(64))
+    return _HLL_ALPHA_NUM / float(s), s
+
+
+def test_q435_matches_pure_python_hll(spark):
+    con = duckdb.connect()
+    by_type = dict(
+        con.execute(
+            f"SELECT event_type, list(DISTINCT user_id)"
+            f" FROM read_parquet('{SF}/events.parquet') GROUP BY 1"
+        ).fetchall()
+    )
+    con.close()
+    rows = QUERIES["q435_portable_hll_merge"](spark, SF).collect()
+    assert len(rows) == len(by_type) == 5
+    for r in rows:
+        est, s = _py_hll_estimate(_py_hll_registers(by_type[r["event_type"]]))
+        assert r["s_dyadic"] == s
+        assert r["hll_estimate"] == est  # bit-exact: same literal / same int
+        assert r["exact_users"] == len(set(by_type[r["event_type"]]))
+        assert r["n_merge_mismatch"] == 0
+
+
+def test_q436_matches_pure_python_hll(spark):
+    import datetime as dt
+
+    con = duckdb.connect()
+    pairs = con.execute(
+        f"SELECT DISTINCT CAST(ts AS DATE), user_id"
+        f" FROM read_parquet('{SF}/events.parquet')"
+    ).fetchall()
+    con.close()
+    days = sorted({p[0] for p in pairs})
+    rows = {r["day"]: r for r in QUERIES["q436_portable_rolling_hll"](spark, SF).collect()}
+    assert len(rows) == len(days) == 30
+    for d in days:
+        window_users = [u for (dd, u) in pairs if 0 <= (d - dd).days <= 6]
+        est, s = _py_hll_estimate(_py_hll_registers(window_users))
+        r = rows[str(d)]
+        assert r["s_dyadic"] == s
+        assert r["wau_hll"] == est
+        assert r["wau_exact"] == len(set(window_users))
