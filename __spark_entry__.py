@@ -353,6 +353,7 @@ _R13_HEAD: tuple[str, ...] = (
     "q219_bpe_encode",
     "q435_portable_hll_merge",
     "q436_portable_rolling_hll",
+    "q420_kcore_decomposition",
     "q63_ivf_topk",
     "q64_multiprobe_lsh_topk",
     "q65_pq_topk",

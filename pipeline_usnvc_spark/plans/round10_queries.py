@@ -1468,8 +1468,56 @@ def q419_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KCORE_K = 2
 
 
+def _q420_oracle(rounds: int = 10) -> str:
+    """Chained-CTE unrolling of the k-core peel (the q101/q178/q171
+    fixed-iteration trick, VERDICT r12 item 2 applied one family
+    further): each peel round is one HAVING-filtered degree aggregate
+    plus two endpoint semi-joins — plain SQL — and a converged round
+    is a no-op (every node already has degree >= k, the keep set is
+    total), so unrolling MORE rounds than the fixed point needs is
+    exact, not approximate. Measured peel rounds on the synthetic
+    graph: 0 (sf0.001) / 3 (sf0.01) / 5 (sf0.1); ``rounds``=10 gives
+    2x margin, and a hypothetical future corpus needing more rounds
+    fails LOUDLY as a hash mismatch (the oracle would return a
+    superset while the operator runs to its true fixed point).
+    Shares the edge CTE verbatim with the q97/q277 oracles
+    (``_copurchase_edges_sql``)."""
+    from pipeline_usnvc_spark.plans.analytics_queries import _copurchase_edges_sql
+
+    k = _KCORE_K
+    stages = [
+        """s0 AS MATERIALIZED (
+        SELECT pa AS u, pb AS v FROM edges WHERE pa <> pb
+        UNION
+        SELECT pb AS u, pa AS v FROM edges WHERE pa <> pb
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        stages.append(
+            f"""k{i} AS MATERIALIZED (
+        SELECT u FROM s{i - 1} GROUP BY u HAVING count(*) >= {k}
+    )"""
+        )
+        stages.append(
+            f"""s{i} AS MATERIALIZED (
+        SELECT s.u, s.v FROM s{i - 1} s
+        JOIN k{i} a ON a.u = s.u
+        JOIN k{i} b ON b.u = s.v
+    )"""
+        )
+    joined = ",\n    ".join(stages)
+    return f"""
+    WITH {_copurchase_edges_sql(2)},
+    {joined}
+    SELECT u AS node, CAST(count(*) AS BIGINT) AS core_degree,
+           CAST({k} AS BIGINT) AS k
+    FROM s{rounds} GROUP BY u ORDER BY node
+    """
+
+
 # ---------------------------------------------------------------------------
-# q420 — k-core decomposition (rows-only: iterative fixed point) of
+# q420 — k-core decomposition (HASH-GREEN since round 13: the peel
+# unrolls to chained CTEs, see _q420_oracle) of
 # q97's support-filtered co-purchase graph: the unique maximal
 # subgraph where every part keeps >= 2 repeat co-purchase partners.
 # k=2 is the measured sweet spot across SFs — the graph thins
@@ -1495,7 +1543,7 @@ _KCORE_K = 2
 # alone cannot see (a strict subgraph of the k-core can also satisfy
 # degree >= k).
 # ---------------------------------------------------------------------------
-@query("q420_kcore_decomposition")
+@query("q420_kcore_decomposition", oracle=_q420_oracle())
 def q420_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_usnvc_spark.operators.contracts import contract_filter
     from pipeline_usnvc_spark.operators.graph import k_core
