@@ -354,6 +354,7 @@ _R13_HEAD: tuple[str, ...] = (
     "q435_portable_hll_merge",
     "q436_portable_rolling_hll",
     "q420_kcore_decomposition",
+    "q437_integer_kmeans_probe",
     "q63_ivf_topk",
     "q64_multiprobe_lsh_topk",
     "q65_pq_topk",

@@ -920,3 +920,194 @@ def q436_portable_rolling_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("portable rolling-HLL contract violated on "), F.col("day")),
     )
     return checked.orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# q437 — integer-exact Lloyd k-means probe: the q433 pattern applied
+# to the clustering family (q63 IVF / q132 k-means / q65 PQ stay
+# rows-only because their centroid UPDATE is a distributed float mean
+# — order-dependent summation no other engine replays). This
+# companion certifies the SAME numeric path — seed, assign by
+# squared-L2 argmin, update, re-assign — at a grain where every step
+# is exact: components quantize to floor(x*1e7) int64 (the suite
+# discipline), distances are integer sums (|q|<=6e6, 64 dims ->
+# <=9e15, inside BIGINT), the argmin tie-breaks on (dist, cluster),
+# and the updated centroid is the sign-correct floor-quantized mean
+# floor(sum(q)/n) via _sfdiv — so two full Lloyd iterations unroll as
+# chained CTEs and hash-oracle end-to-end. Output is cluster-grain
+# (sizes, inertia vs the iter-1 centroids, id range, centroid
+# checksum) with a partition-completeness contract (every vector
+# assigned exactly once) executed in-plan.
+#
+# Scale shape: the centroid frame is k x 64 rows (broadcast); the
+# corpus-side work per iteration is one equi-join on dim + one
+# groupBy(vec, cluster) + one argmin window — never an all-pairs.
+# ---------------------------------------------------------------------------
+_KM_K = 8
+_KM_SHIFT = 10**8  # > |sum(q)|/n <= max|q| ~ 6e6
+
+
+def _q437_oracle() -> str:
+    upd = _sfdiv_sql("sum(m.q)", "count(*)", _KM_SHIFT)
+    return f"""
+    WITH comps AS MATERIALIZED (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000000)
+                    AS BIGINT) AS q
+        FROM embeddings
+    ),
+    seeds AS (
+        SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS c
+        FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT {_KM_K})
+    ),
+    c0 AS MATERIALIZED (
+        SELECT s.c, m.d, m.q AS cd FROM seeds s JOIN comps m USING (vec_id)
+    ),
+    d1 AS MATERIALIZED (
+        SELECT m.vec_id, c.c,
+               CAST(sum((m.q - c.cd) * (m.q - c.cd)) AS BIGINT) AS dist
+        FROM comps m JOIN c0 c USING (d) GROUP BY 1, 2
+    ),
+    a1 AS MATERIALIZED (
+        SELECT vec_id, c, dist FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, c) AS rn
+            FROM d1
+        ) WHERE rn = 1
+    ),
+    c1 AS MATERIALIZED (
+        SELECT a.c, m.d, CAST({upd} AS BIGINT) AS cd
+        FROM a1 a JOIN comps m USING (vec_id) GROUP BY a.c, m.d
+    ),
+    d2 AS MATERIALIZED (
+        SELECT m.vec_id, c.c,
+               CAST(sum((m.q - c.cd) * (m.q - c.cd)) AS BIGINT) AS dist
+        FROM comps m JOIN c1 c USING (d) GROUP BY 1, 2
+    ),
+    a2 AS MATERIALIZED (
+        SELECT vec_id, c, dist FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, c) AS rn
+            FROM d2
+        ) WHERE rn = 1
+    ),
+    c2 AS MATERIALIZED (
+        SELECT a.c, m.d, CAST({upd} AS BIGINT) AS cd
+        FROM a2 a JOIN comps m USING (vec_id) GROUP BY a.c, m.d
+    ),
+    per AS (
+        SELECT c, CAST(count(*) AS BIGINT) AS n_members,
+               CAST(sum(dist) AS BIGINT) AS inertia,
+               min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id
+        FROM a2 GROUP BY 1
+    ),
+    chk AS (
+        SELECT c, CAST(sum(cd * (d + 1)) AS BIGINT) AS centroid_checksum
+        FROM c2 GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vectors,
+               CAST((SELECT count(*) FROM a2) AS BIGINT) AS n_assigned
+        FROM embeddings
+    )
+    SELECT CAST(p.c AS BIGINT) AS c, p.n_members, p.inertia,
+           p.min_vec_id, p.max_vec_id, k.centroid_checksum,
+           t.n_vectors, t.n_assigned
+    FROM per p JOIN chk k USING (c) CROSS JOIN tot t
+    ORDER BY p.c
+    """
+
+
+@query("q437_integer_kmeans_probe", oracle=_q437_oracle())
+def q437_integer_kmeans_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.functions.vectors import to_double_array
+    from pipeline_usnvc_spark.operators.checkpoint import materialize
+    from pipeline_usnvc_spark.operators.contracts import contract_filter
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = materialize(
+        emb.select(
+            "vec_id", F.posexplode(to_double_array("embedding")).alias("d", "x")
+        ).select(
+            "vec_id",
+            "d",
+            F.floor(F.col("x") * F.lit(10000000.0)).cast("bigint").alias("q"),
+        )
+    )
+    # k seed rows: window over an 8-row frame, not the corpus
+    seeds = (
+        emb.select("vec_id")
+        .orderBy("vec_id")
+        .limit(_KM_K)
+        .select(
+            "vec_id",
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("c"),
+        )
+    )
+    cents = (
+        comps.join(F.broadcast(seeds), "vec_id")
+        .select("c", "d", F.col("q").alias("cd"))
+    )
+
+    def lloyd_step(cents: DataFrame) -> tuple[DataFrame, DataFrame]:
+        dist = (
+            comps.join(F.broadcast(cents), "d")
+            .groupBy("vec_id", "c")
+            .agg(
+                F.sum((F.col("q") - F.col("cd")) * (F.col("q") - F.col("cd")))
+                .cast("bigint")
+                .alias("dist")
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "c")
+        assign = materialize(
+            dist.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "c", "dist")
+        )
+        new_cents = (
+            assign.join(comps, "vec_id")
+            .groupBy("c", "d")
+            .agg(
+                _sfdiv(F.sum("q"), F.count("*"), _KM_SHIFT)
+                .cast("bigint")
+                .alias("cd")
+            )
+        )
+        return assign, new_cents
+
+    _, c1 = lloyd_step(cents)
+    a2, c2 = lloyd_step(c1)
+    per = a2.groupBy("c").agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.sum("dist").cast("bigint").alias("inertia"),
+        F.min("vec_id").alias("min_vec_id"),
+        F.max("vec_id").alias("max_vec_id"),
+    )
+    chk = c2.groupBy("c").agg(
+        F.sum(F.col("cd") * (F.col("d") + 1)).cast("bigint").alias("centroid_checksum")
+    )
+    tot = emb.agg(
+        F.countDistinct("vec_id").cast("bigint").alias("n_vectors")
+    ).crossJoin(
+        F.broadcast(a2.agg(F.count("*").cast("bigint").alias("n_assigned")))
+    )
+    out = (
+        per.join(chk, "c")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("c").cast("bigint").alias("c"),
+            "n_members",
+            "inertia",
+            "min_vec_id",
+            "max_vec_id",
+            "centroid_checksum",
+            "n_vectors",
+            "n_assigned",
+        )
+    )
+    return contract_filter(
+        out,
+        F.col("n_assigned") == F.col("n_vectors"),
+        F.lit("k-means partition incomplete: a vector is unassigned or double-assigned"),
+    ).orderBy("c")

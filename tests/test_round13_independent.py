@@ -277,3 +277,62 @@ def test_q436_matches_pure_python_hll(spark):
         assert r["s_dyadic"] == s
         assert r["wau_hll"] == est
         assert r["wau_exact"] == len(set(window_users))
+
+
+# --- q437 integer k-means --------------------------------------------------
+
+
+def test_q437_matches_pure_python_lloyd(spark, embeddings):
+    """Two Lloyd iterations recomputed in pure Python integers:
+    floor(x*1e7) quantization, squared-L2 argmin with (dist, cluster)
+    tie-break, floor-quantized mean update — pinned cluster-for-
+    cluster against the Spark/oracle output."""
+    import math
+
+    vecs = {i: [math.floor(x * 1e7) for x in v] for i, v in enumerate(embeddings)}
+    # NOTE: embeddings fixture is ordered by vec_id and vec_ids are
+    # 0..n-1 on the synthetic table; assert that before relying on it
+    con = duckdb.connect()
+    ids = [r[0] for r in con.execute(
+        f"SELECT vec_id FROM read_parquet('{SF}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()]
+    con.close()
+    assert ids == list(range(len(embeddings)))
+
+    cents = {c: list(vecs[ids[c]]) for c in range(8)}
+
+    def assign(cents):
+        out = {}
+        for i, q in vecs.items():
+            best = min(
+                (sum((qa - ca) ** 2 for qa, ca in zip(q, cv)), c)
+                for c, cv in cents.items()
+            )
+            out[i] = (best[1], best[0])
+        return out
+
+    def update(a):
+        groups = {}
+        for i, (c, _) in a.items():
+            groups.setdefault(c, []).append(vecs[i])
+        return {
+            c: [sum(col) // len(g) for col in zip(*g)] for c, g in groups.items()
+        }
+
+    a1 = assign(cents)
+    c1 = update(a1)
+    a2 = assign(c1)
+    c2 = update(a2)
+
+    rows = {r["c"]: r for r in QUERIES["q437_integer_kmeans_probe"](spark, SF).collect()}
+    assert set(rows) == set(c2)
+    for c, r in rows.items():
+        members = [i for i, (cc, _) in a2.items() if cc == c]
+        assert r["n_members"] == len(members)
+        assert r["inertia"] == sum(d for i, (cc, d) in a2.items() if cc == c)
+        assert r["min_vec_id"] == min(members)
+        assert r["max_vec_id"] == max(members)
+        assert r["centroid_checksum"] == sum(
+            cd * (d + 1) for d, cd in enumerate(c2[c])
+        )
+        assert r["n_vectors"] == len(vecs) == r["n_assigned"]
