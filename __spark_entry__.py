@@ -355,6 +355,7 @@ _R13_HEAD: tuple[str, ...] = (
     "q436_portable_rolling_hll",
     "q420_kcore_decomposition",
     "q437_integer_kmeans_probe",
+    "q438_portable_hll_setops",
     "q63_ivf_topk",
     "q64_multiprobe_lsh_topk",
     "q65_pq_topk",

@@ -1111,3 +1111,158 @@ def q437_integer_kmeans_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_assigned") == F.col("n_vectors"),
         F.lit("k-means partition incomplete: a vector is unassigned or double-assigned"),
     ).orderBy("c")
+
+
+def _q438_oracle() -> str:
+    est = f"{_HLL_ALPHA_NUM!r} / CAST({{}} AS DOUBLE)"
+    return f"""
+    WITH reg AS MATERIALIZED ({_HLL_REG_SQL}),
+    direct AS (
+        SELECT event_type, idx, max(rho) AS m FROM reg GROUP BY 1, 2
+    ),
+    spine AS (
+        SELECT t.event_type, r.range AS idx
+        FROM (SELECT DISTINCT event_type FROM events) t, range(64) r
+    ),
+    dense AS (
+        SELECT s.event_type, s.idx, coalesce(d.m, 0) AS m
+        FROM spine s LEFT JOIN direct d
+          ON d.event_type = s.event_type AND d.idx = s.idx
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b, a.idx,
+               a.m AS ma, b.m AS mb, greatest(a.m, b.m) AS mu
+        FROM dense a JOIN dense b
+          ON a.idx = b.idx AND a.event_type < b.event_type
+    ),
+    harm AS (
+        SELECT type_a, type_b,
+               CAST(sum(CAST(1 AS BIGINT) << CAST(55 - ma AS INT)) AS BIGINT)
+                   AS s_a,
+               CAST(sum(CAST(1 AS BIGINT) << CAST(55 - mb AS INT)) AS BIGINT)
+                   AS s_b,
+               CAST(sum(CAST(1 AS BIGINT) << CAST(55 - mu AS INT)) AS BIGINT)
+                   AS s_union
+        FROM pairs GROUP BY 1, 2
+    ),
+    users AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ),
+    exact AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(DISTINCT a.user_id) AS BIGINT) AS exact_intersection
+        FROM users a JOIN users b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    ),
+    eu AS (
+        SELECT a.type_a, a.type_b,
+               CAST(count(DISTINCT u.user_id) AS BIGINT) AS exact_union
+        FROM (SELECT DISTINCT type_a, type_b FROM harm) a
+        JOIN users u ON u.event_type IN (a.type_a, a.type_b)
+        GROUP BY 1, 2
+    )
+    SELECT h.type_a, h.type_b, h.s_union,
+           {est.format("h.s_a")} AS est_a,
+           {est.format("h.s_b")} AS est_b,
+           {est.format("h.s_union")} AS est_union,
+           {est.format("h.s_a")} + {est.format("h.s_b")}
+               - {est.format("h.s_union")} AS est_intersection,
+           x.exact_intersection, u.exact_union,
+           u.exact_union > {_HLL_RAW_FLOOR} AS in_raw_regime
+    FROM harm h
+    JOIN exact x ON x.type_a = h.type_a AND x.type_b = h.type_b
+    JOIN eu u ON u.type_a = h.type_a AND u.type_b = h.type_b
+    ORDER BY h.type_a, h.type_b
+    """
+
+
+# ---------------------------------------------------------------------------
+# q438 — portable-HLL set algebra (the q372 companion): pairwise
+# union/intersection estimates over the per-type register sketches by
+# register-wise max + inclusion-exclusion (est_A + est_B - est_AB),
+# exactly q372's sketch algebra but on the engine-portable registers,
+# so every estimate — including the composed intersection — is
+# bit-identical across engines and hash-oracles. Exact intersection /
+# union counts ride along (verification-only user-grain joins); the
+# conditional raw-regime accuracy contract bounds the UNION estimate
+# (the only directly-sketched quantity — inclusion-exclusion error
+# compounds, as q372's three-estimate budget documents).
+# ---------------------------------------------------------------------------
+@query("q438_portable_hll_setops", oracle=_q438_oracle())
+def q438_portable_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.operators.contracts import contract_filter
+
+    ev = load_table(spark, sf_dir, "events")
+    reg = _hll_reg_spark(ev)
+    direct = reg.groupBy("event_type", "idx").agg(F.max("rho").alias("m"))
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .select("event_type", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("_i"))
+        .select("event_type", F.col("_i").cast("bigint").alias("idx"))
+    )
+    dense = spine.join(direct, ["event_type", "idx"], "left").select(
+        "event_type", "idx", F.coalesce("m", F.lit(0)).cast("bigint").alias("m")
+    )
+    a = dense.select(
+        F.col("event_type").alias("type_a"), "idx", F.col("m").alias("ma")
+    )
+    b = dense.select(
+        F.col("event_type").alias("type_b"), "idx", F.col("m").alias("mb")
+    )
+    pairs = a.join(b, "idx").filter(F.col("type_a") < F.col("type_b"))
+    dy = lambda m: F.expr(
+        f"cast(sum(shiftleft(cast(1 as bigint), cast(55 - {m} as int))) as bigint)"
+    )
+    harm = pairs.withColumn("mu", F.greatest("ma", "mb")).groupBy(
+        "type_a", "type_b"
+    ).agg(dy("ma").alias("s_a"), dy("mb").alias("s_b"), dy("mu").alias("s_union"))
+    users = ev.select("event_type", "user_id").distinct()
+    ua = users.select(F.col("event_type").alias("type_a"), "user_id")
+    ub = users.select(F.col("event_type").alias("type_b"), "user_id")
+    exact = (
+        ua.join(ub, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("exact_intersection"))
+    )
+    tpairs = harm.select("type_a", "type_b")
+    eu = (
+        tpairs.join(
+            users,
+            (F.col("event_type") == F.col("type_a"))
+            | (F.col("event_type") == F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("exact_union"))
+    )
+    est = lambda s: F.lit(_HLL_ALPHA_NUM) / F.col(s).cast("double")
+    out = (
+        harm.join(exact, ["type_a", "type_b"])
+        .join(eu, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            "s_union",
+            est("s_a").alias("est_a"),
+            est("s_b").alias("est_b"),
+            est("s_union").alias("est_union"),
+            (est("s_a") + est("s_b") - est("s_union")).alias("est_intersection"),
+            "exact_intersection",
+            "exact_union",
+            (F.col("exact_union") > F.lit(_HLL_RAW_FLOOR)).alias("in_raw_regime"),
+        )
+    )
+    return contract_filter(
+        out,
+        ~F.col("in_raw_regime")
+        | (
+            F.abs(F.col("est_union") / F.col("exact_union").cast("double") - F.lit(1.0))
+            <= F.lit(_HLL_3RSD)
+        ),
+        F.concat(
+            F.lit("portable-HLL union estimate out of bound for pair "),
+            F.col("type_a"), F.lit("/"), F.col("type_b")
+        ),
+    ).orderBy("type_a", "type_b")

@@ -336,3 +336,29 @@ def test_q437_matches_pure_python_lloyd(spark, embeddings):
             cd * (d + 1) for d, cd in enumerate(c2[c])
         )
         assert r["n_vectors"] == len(vecs) == r["n_assigned"]
+
+
+def test_q438_matches_pure_python_setops(spark):
+    con = duckdb.connect()
+    by_type = dict(
+        con.execute(
+            f"SELECT event_type, list(DISTINCT user_id)"
+            f" FROM read_parquet('{SF}/events.parquet') GROUP BY 1"
+        ).fetchall()
+    )
+    con.close()
+    rows = QUERIES["q438_portable_hll_setops"](spark, SF).collect()
+    assert len(rows) == 10  # C(5,2)
+    for r in rows:
+        ra = _py_hll_registers(by_type[r["type_a"]])
+        rb = _py_hll_registers(by_type[r["type_b"]])
+        ru = {i: max(ra.get(i, 0), rb.get(i, 0)) for i in set(ra) | set(rb)}
+        ea, _ = _py_hll_estimate(ra)
+        eb, _ = _py_hll_estimate(rb)
+        eu, su = _py_hll_estimate(ru)
+        assert r["s_union"] == su
+        assert r["est_a"] == ea and r["est_b"] == eb and r["est_union"] == eu
+        assert r["est_intersection"] == (ea + eb) - eu
+        sa, sb = set(by_type[r["type_a"]]), set(by_type[r["type_b"]])
+        assert r["exact_intersection"] == len(sa & sb)
+        assert r["exact_union"] == len(sa | sb)
