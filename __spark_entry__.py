@@ -356,6 +356,7 @@ _R13_HEAD: tuple[str, ...] = (
     "q420_kcore_decomposition",
     "q437_integer_kmeans_probe",
     "q438_portable_hll_setops",
+    "q400_bloom_filter_audit",
     "q63_ivf_topk",
     "q64_multiprobe_lsh_topk",
     "q65_pq_topk",

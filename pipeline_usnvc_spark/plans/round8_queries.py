@@ -2381,48 +2381,136 @@ def q399_fd_violation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q400 — Bloom-filter membership audit (rows-only: the filter is a
-# probabilistic structure with no DuckDB twin): build a ~10-bits/key
-# 5-hash Bloom filter over the first half-window's users as a SPARSE
-# OCCUPIED-BIT SET (xxhash64 with 5 seeds — Spark's internal
+# q400 — Bloom-filter membership audit. HASH-GREEN since round 13:
+# the filter was always deterministic — it was rows-only only
+# because xxhash64 is Spark-internal. The positions now come from
+# the suite's engine-portable md5 idiom (60-bit prefix of
+# md5("user:seed") mod M), M is sized IN-PLAN by the integer
+# next-power-of-two rule 1 << bit_length(max(10n, 65536) - 1) (this
+# also removes the old driver-side .count()), and the rates moved to
+# exact micro integers (pfdiv floor division) — pow()/round() on
+# doubles are not cross-engine reproducible, micro ints are. The
+# filter itself stays a SPARSE OCCUPIED-BIT SET (Spark's internal
 # bloom_filter_agg is not in the public registry, and the sparse-set
 # formulation keeps every step a plain distinct/join, exactly how a
-# 100 TB join-pruning filter ships between stages), probe the second
-# half's users, and measure FPR against the EXACT membership join.
-# M is sized from the early keyset (next power of two of 10 bits/key,
-# floor 2^16) so the filter never saturates as SF grows — a fixed
-# 65536-bit filter would hit fill→1 past ~20k keys and abort (round-8
-# advisor finding). Two executed in-plan contracts: (1) ZERO false
+# 100 TB join-pruning filter ships between stages): build over the
+# first half-window's users, probe the second half, measure FPR
+# against the EXACT membership join. M sized at 10 bits/key (floor
+# 2^16) so the filter never saturates as SF grows (round-8 advisor
+# finding). Two executed in-plan contracts: (1) ZERO false
 # negatives — the Bloom guarantee, any miss is a bug, not noise;
 # (2) measured FPR within a budget derived IN-PLAN from the observed
-# fill, 3*(n_occ/M)^K + small-sample slack, not a scale-fragile
-# constant.
+# fill, 3*(n_occ/M)^5 + small-sample slack (all micro-integer
+# arithmetic), not a scale-fragile constant.
 # ---------------------------------------------------------------------------
-@query("q400_bloom_filter_audit")
+_Q400_K = 5
+
+
+def _q400_oracle() -> str:
+    h = (
+        "CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':'"
+        " || CAST(seed AS VARCHAR)), 1, 15) AS BIGINT)"
+    )
+    return f"""
+    WITH early AS MATERIALIZED (
+        SELECT DISTINCT user_id FROM events
+        WHERE ts < TIMESTAMP '2024-01-16'
+    ),
+    late AS MATERIALIZED (
+        SELECT DISTINCT user_id FROM events
+        WHERE ts >= TIMESTAMP '2024-01-16'
+    ),
+    mframe AS (
+        SELECT CAST(CAST(1 AS BIGINT)
+               << length(bin(greatest(10 * count(*), 65536) - 1))
+               AS BIGINT) AS m_bits
+        FROM early
+    ),
+    seeds AS (SELECT unnest(range(1, {_Q400_K + 1})) AS seed),
+    epos AS MATERIALIZED (
+        SELECT DISTINCT ({h} % m.m_bits) AS pos
+        FROM early, seeds, mframe m
+    ),
+    ppos AS (
+        SELECT user_id, ({h} % m.m_bits) AS pos
+        FROM late, seeds, mframe m
+    ),
+    hits AS (
+        SELECT p.user_id, (count(o.pos) = {_Q400_K}) AS bloom_hit
+        FROM ppos p LEFT JOIN epos o ON o.pos = p.pos
+        GROUP BY p.user_id
+    ),
+    exact AS (
+        SELECT l.user_id, (e.user_id IS NOT NULL) AS truly_member
+        FROM late l LEFT JOIN early e ON e.user_id = l.user_id
+    ),
+    audit AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_probes,
+               CAST(sum(CASE WHEN x.truly_member THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_members,
+               CAST(sum(CASE WHEN x.truly_member AND NOT h.bloom_hit
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS false_negatives,
+               CAST(sum(CASE WHEN NOT x.truly_member AND h.bloom_hit
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS false_positives
+        FROM hits h JOIN exact x ON x.user_id = h.user_id
+    ),
+    occ AS (SELECT CAST(count(*) AS BIGINT) AS n_occ FROM epos)
+    SELECT a.n_probes, a.n_members, a.false_negatives, a.false_positives,
+           CAST(CASE WHEN a.n_probes > a.n_members
+                THEN (1000000 * a.false_positives)
+                     // (a.n_probes - a.n_members)
+                ELSE 0 END AS BIGINT) AS fpr_micro,
+           CAST((CAST(o.n_occ AS HUGEINT) * o.n_occ * o.n_occ * o.n_occ
+                 * o.n_occ * 1000000)
+                // (CAST(m.m_bits AS HUGEINT) * m.m_bits * m.m_bits
+                    * m.m_bits * m.m_bits) AS BIGINT)
+               AS fpp_theory_micro,
+           o.n_occ, m.m_bits
+    FROM audit a CROSS JOIN occ o CROSS JOIN mframe m
+    """
+
+
+@query("q400_bloom_filter_audit", oracle=_q400_oracle())
 def q400_bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pipeline_usnvc_spark.operators.contracts import contract_filter
+    from pipeline_usnvc_spark.plans.round12_queries import _pfdiv
 
-    K = 5
+    K = _Q400_K
     ev = load_table(spark, sf_dir, "events")
     split = F.lit("2024-01-16").cast("timestamp")
     early = ev.filter(F.col("ts") < split).select("user_id").distinct()
     late = ev.filter(F.col("ts") >= split).select("user_id").distinct()
-    # scalar count (bounded driver value) sizes the bit domain; at 10
-    # bits/key the theoretical fpp = (1-exp(-K*n/M))^K stays under ~1%
-    n_early = early.count()
-    M_BITS = 1 << max(16, math.ceil(math.log2(max(10 * n_early, 2))))
+    # in-plan sizing (bounded 1-row frame, broadcast): next power of
+    # two of 10 bits/key, floor 2^16 — integer bit_length, no log2
+    m_frame = early.agg(F.count("*").alias("_n")).select(
+        F.expr(
+            "cast(shiftleft(cast(1 as bigint),"
+            " cast(length(conv(cast(greatest(10 * _n, 65536) - 1 as string),"
+            " 10, 2)) as int)) as bigint)"
+        ).alias("m_bits")
+    )
     seeds = F.broadcast(
         spark.range(1, K + 1).select(F.col("id").cast("int").alias("seed"))
     )
 
     def positions(df):
-        return df.crossJoin(seeds).select(
-            "user_id",
-            "seed",
-            F.pmod(
-                F.xxhash64(F.col("user_id"), F.col("seed")), F.lit(M_BITS)
-            ).alias("pos"),
+        return (
+            df.crossJoin(F.broadcast(m_frame))
+            .crossJoin(seeds)
+            .select(
+                "user_id",
+                "seed",
+                (
+                    F.expr(
+                        "cast(conv(substring(md5(concat(cast(user_id as string),"
+                        " ':', cast(seed as string))), 1, 15), 16, 10) as bigint)"
+                    )
+                    % F.col("m_bits")
+                ).alias("pos"),
+            )
         )
 
     occupied = positions(early).select("pos").distinct()
@@ -2461,25 +2549,39 @@ def q400_bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("false_positives"),
     )
     occ_count = occupied.agg(F.count("*").cast("bigint").alias("n_occ"))
-    with_rate = audit.crossJoin(F.broadcast(occ_count)).select(
-        "n_probes",
-        "n_members",
-        "false_negatives",
-        "false_positives",
-        F.round(
+    d38 = lambda c: c.cast("decimal(38,0)")
+    with_rate = (
+        audit.crossJoin(F.broadcast(occ_count))
+        .crossJoin(F.broadcast(m_frame))
+        .select(
+            "n_probes",
+            "n_members",
+            "false_negatives",
+            "false_positives",
             F.when(
                 F.col("n_probes") > F.col("n_members"),
-                F.col("false_positives").cast("double")
-                / (F.col("n_probes") - F.col("n_members")).cast("double"),
-            ).otherwise(F.lit(0.0)),
-            6,
-        ).alias("fpr"),
-        F.round(
-            F.pow(
-                F.col("n_occ").cast("double") / F.lit(float(M_BITS)), F.lit(K)
-            ),
-            6,
-        ).alias("fpp_theory"),
+                _pfdiv(
+                    F.lit(1000000) * F.col("false_positives"),
+                    F.col("n_probes") - F.col("n_members"),
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("fpr_micro"),
+            # (n_occ/M)^5 in micro units, exact: n_occ^5 * 1e6 // M^5
+            # (n_occ <= M <= ~2^20 -> numerator <= 1e36, inside D38)
+            _pfdiv(
+                d38(F.col("n_occ")) * d38(F.col("n_occ")) * d38(F.col("n_occ"))
+                * d38(F.col("n_occ")) * d38(F.col("n_occ"))
+                * d38(F.lit(1000000)),
+                d38(F.col("m_bits")) * d38(F.col("m_bits")) * d38(F.col("m_bits"))
+                * d38(F.col("m_bits")) * d38(F.col("m_bits")),
+            )
+            .cast("bigint")
+            .alias("fpp_theory_micro"),
+            "n_occ",
+            "m_bits",
+        )
     )
     checked = contract_filter(
         with_rate,
@@ -2497,13 +2599,15 @@ def q400_bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tight at every SF instead of a constant that saturates or gapes
     return contract_filter(
         checked,
-        F.col("fpr")
-        <= F.lit(3.0) * F.col("fpp_theory")
-        + F.lit(10.0)
-        / F.greatest(
-            (F.col("n_probes") - F.col("n_members")).cast("double"), F.lit(1.0)
+        F.col("fpr_micro")
+        <= F.lit(3) * F.col("fpp_theory_micro")
+        + _pfdiv(
+            F.lit(10_000_000),
+            F.greatest(F.col("n_probes") - F.col("n_members"), F.lit(1)),
+        ).cast("bigint"),
+        F.concat(
+            F.lit("bloom FPR out of budget: "), F.col("fpr_micro").cast("string")
         ),
-        F.concat(F.lit("bloom FPR out of budget: "), F.col("fpr").cast("string")),
     )
 
 

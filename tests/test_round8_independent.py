@@ -704,10 +704,13 @@ def test_fd_violation_profile(spark, con):
 
 
 def test_bloom_filter_audit(spark, con):
-    """The Bloom bit positions ride Spark's xxhash64 (no pure-Python
-    twin here), so the independent check verifies every EXACT count
-    and the internal consistency of the reported rates; the
-    zero-false-negative and FPR-budget contracts execute in-plan."""
+    """Full pure-Python replay of the portable Bloom audit (round 13
+    moved the positions from xxhash64 to the engine-portable md5
+    idiom, so a reference build exists): rebuild the occupied-bit set
+    and every probe's membership verdict in Python, pin all counts
+    and both micro rates bit-for-bit."""
+    import hashlib
+
     early = {
         u
         for (u,) in con.execute(
@@ -720,18 +723,42 @@ def test_bloom_filter_audit(spark, con):
             "SELECT DISTINCT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-16'"
         ).fetchall()
     }
+    m_bits = 1 << max(10 * len(early), 65536).__sub__(1).bit_length()
+
+    def pos(u, s):
+        return int(hashlib.md5(f"{u}:{s}".encode()).hexdigest()[:15], 16) % m_bits
+
+    occupied = {pos(u, s) for u in early for s in range(1, 6)}
+    fp = sum(
+        1
+        for u in late - early
+        if all(pos(u, s) in occupied for s in range(1, 6))
+    )
+    fn = sum(
+        1
+        for u in late & early
+        if not all(pos(u, s) in occupied for s in range(1, 6))
+    )
     r = QUERIES["q400_bloom_filter_audit"](spark, SF).collect()[0]
+    assert r["m_bits"] == m_bits
+    assert r["n_occ"] == len(occupied)
     assert r["n_probes"] == len(late)
     assert r["n_members"] == len(late & early)
-    assert r["false_negatives"] == 0
+    assert r["false_negatives"] == fn == 0
+    assert r["false_positives"] == fp
     non_members = len(late) - len(late & early)
-    if non_members > 0:
-        assert abs(r["fpr"] - round(r["false_positives"] / non_members, 6)) <= 1e-9
-    assert 0 <= r["false_positives"] <= non_members
+    assert r["fpr_micro"] == (
+        (1000000 * fp) // non_members if non_members > 0 else 0
+    )
+    assert r["fpp_theory_micro"] == (
+        len(occupied) ** 5 * 1000000 // m_bits**5
+    )
     # the fill-derived budget must be non-degenerate (filter sized from
     # the keyset, so fill stays well below saturation at every SF)
-    assert 0.0 <= r["fpp_theory"] < 0.5
-    assert r["fpr"] <= 3.0 * r["fpp_theory"] + 10.0 / max(non_members, 1)
+    assert 0 <= r["fpp_theory_micro"] < 500000
+    assert r["fpr_micro"] <= 3 * r["fpp_theory_micro"] + 10_000_000 // max(
+        non_members, 1
+    )
 
 
 def test_hill_tail_index(spark, con):
