@@ -95,6 +95,13 @@ EXTENDED = [
     # round-12: the bucketed-ledger twin tracked side-by-side with
     # q427 (same output, persisted-layout path incl. its table write)
     "q431_bucketed_ledger_compaction",
+    # round-13: the heaviest new surfaces — the two-iteration Lloyd
+    # chain (dim-join x2 + argmin windows), the chained-CTE BPE
+    # encode (vocab-grain fold x5), and the register-window rolling
+    # sketch (dense day x register spine)
+    "q437_integer_kmeans_probe",
+    "q219_bpe_encode",
+    "q436_portable_rolling_hll",
 ]
 
 
