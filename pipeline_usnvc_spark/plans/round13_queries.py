@@ -1025,6 +1025,11 @@ def q437_integer_kmeans_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_usnvc_spark.operators.contracts import contract_filter
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # materialized ONCE: the (vec, dim) component table feeds FIVE
+    # consumers (seed join, two distance passes, two centroid
+    # updates) — without the checkpoint each re-executes the explode
+    # and quantization. n x 64 slim integer rows; at 100 TB this is
+    # the persisted feature table an IVF build would read anyway.
     comps = materialize(
         emb.select(
             "vec_id", F.posexplode(to_double_array("embedding")).alias("d", "x")
