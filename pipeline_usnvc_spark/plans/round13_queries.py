@@ -732,8 +732,15 @@ def _q435_oracle() -> str:
 def q435_portable_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_usnvc_spark.operators.contracts import contract_filter
 
+    from pipeline_usnvc_spark.operators.checkpoint import materialize
+
     ev = load_table(spark, sf_dir, "events")
-    reg = _hll_reg_spark(ev)
+    # register observations checkpointed ONCE: direct/daily/merged all
+    # fold the same slim (type, day, idx, rho) frame — without this
+    # the raw events scan runs once per consumer (plan audit found 10
+    # scans; at 100 TB the register extraction is the one pass that
+    # should ever touch raw events)
+    reg = materialize(_hll_reg_spark(ev))
     direct = reg.groupBy("event_type", "idx").agg(F.max("rho").alias("m"))
     daily = reg.groupBy("event_type", "day", "idx").agg(F.max("rho").alias("md"))
     merged = daily.groupBy("event_type", "idx").agg(F.max("md").alias("m2"))
@@ -743,7 +750,7 @@ def q435_portable_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_merge_mismatch"))
     )
     spine = (
-        ev.select("event_type")
+        reg.select("event_type")
         .distinct()
         .select("event_type", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("_i"))
         .select("event_type", F.col("_i").cast("bigint").alias("idx"))
@@ -856,8 +863,13 @@ def _q436_oracle() -> str:
 def q436_portable_rolling_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_usnvc_spark.operators.contracts import contract_filter
 
+    from pipeline_usnvc_spark.operators.checkpoint import materialize
+
     ev = load_table(spark, sf_dir, "events")
-    daily = (
+    # day-grain registers checkpointed (30 days x 64 slim rows): the
+    # spine, dense join and exact-WAU reference otherwise each
+    # re-derive them from a fresh raw-events scan
+    daily = materialize(
         _hll_reg_spark(ev)
         .groupBy("day", "idx")
         .agg(F.max("rho").alias("md"))
@@ -1198,11 +1210,13 @@ def _q438_oracle() -> str:
 def q438_portable_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_usnvc_spark.operators.contracts import contract_filter
 
+    from pipeline_usnvc_spark.operators.checkpoint import materialize
+
     ev = load_table(spark, sf_dir, "events")
-    reg = _hll_reg_spark(ev)
+    reg = materialize(_hll_reg_spark(ev))
     direct = reg.groupBy("event_type", "idx").agg(F.max("rho").alias("m"))
     spine = (
-        ev.select("event_type")
+        reg.select("event_type")
         .distinct()
         .select("event_type", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("_i"))
         .select("event_type", F.col("_i").cast("bigint").alias("idx"))
@@ -1223,7 +1237,10 @@ def q438_portable_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     harm = pairs.withColumn("mu", F.greatest("ma", "mb")).groupBy(
         "type_a", "type_b"
     ).agg(dy("ma").alias("s_a"), dy("mb").alias("s_b"), dy("mu").alias("s_union"))
-    users = ev.select("event_type", "user_id").distinct()
+    # user-grain distinct checkpointed: three consumers (both sides
+    # of the intersection join and the union reference) — slim rows,
+    # one raw-events pass
+    users = materialize(ev.select("event_type", "user_id").distinct())
     ua = users.select(F.col("event_type").alias("type_a"), "user_id")
     ub = users.select(F.col("event_type").alias("type_b"), "user_id")
     exact = (

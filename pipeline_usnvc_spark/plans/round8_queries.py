@@ -2479,10 +2479,16 @@ def q400_bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_usnvc_spark.plans.round12_queries import _pfdiv
 
     K = _Q400_K
+    from pipeline_usnvc_spark.operators.checkpoint import materialize
+
     ev = load_table(spark, sf_dir, "events")
     split = F.lit("2024-01-16").cast("timestamp")
-    early = ev.filter(F.col("ts") < split).select("user_id").distinct()
-    late = ev.filter(F.col("ts") >= split).select("user_id").distinct()
+    # user-grain distincts checkpointed ONCE: sizing, positions,
+    # occupancy and the exact-membership join otherwise each re-scan
+    # raw events (plan audit found 18 scans; the slim key sets are
+    # exactly what a 100 TB join-pruning build would persist)
+    early = materialize(ev.filter(F.col("ts") < split).select("user_id").distinct())
+    late = materialize(ev.filter(F.col("ts") >= split).select("user_id").distinct())
     # in-plan sizing (bounded 1-row frame, broadcast): next power of
     # two of 10 bits/key, floor 2^16 — integer bit_length, no log2
     m_frame = early.agg(F.count("*").alias("_n")).select(
