@@ -160,14 +160,14 @@ def test_driver_sample_prefix_contains_rechecks():
 
     names = list(e.queries())
     # the round's head is pinned verbatim
-    assert names[: len(e._R12_HEAD)] == list(e._R12_HEAD)
+    assert names[: len(e._R13_HEAD)] == list(e._R13_HEAD)
     # every never-driver-verified query sorts before every verified one
     # (head pins are verified-but-re-pinned, so they don't count)
     first_seen = min(
         (
             names.index(n)
             for n in e._DRIVER_VERIFIED
-            if n in names and n not in e._R12_HEAD
+            if n in names and n not in e._R13_HEAD
         ),
         default=len(names),
     )
@@ -181,14 +181,14 @@ def test_driver_sample_prefix_contains_rechecks():
     backlog = [
         n
         for n in names
-        if n in e._DRIVER_VERIFIED and n not in e._R12_HEAD
+        if n in e._DRIVER_VERIFIED and n not in e._R13_HEAD
     ]
     from pipeline_usnvc_spark.plans import QUERIES
 
     registry_order = [
         n
         for n in QUERIES
-        if n in e._DRIVER_VERIFIED and n not in e._R12_HEAD
+        if n in e._DRIVER_VERIFIED and n not in e._R13_HEAD
     ]
     assert sorted(backlog) == sorted(registry_order)
     expected_off = (17 + (e._ROUND - 9) * 37) % len(registry_order)
@@ -201,7 +201,7 @@ def test_driver_sample_prefix_contains_rechecks():
     free = [
         n
         for n in names
-        if n not in e._DRIVER_VERIFIED and n not in e._R12_HEAD
+        if n not in e._DRIVER_VERIFIED and n not in e._R13_HEAD
     ]
     seen_rows_only = False
     for n in free:

@@ -850,6 +850,8 @@ _BROADCAST_ALLOWLIST = {
     "round8_queries.py": {
         "bounds", "horizon", "n", "n_days", "n_tot", "den", "tot",
         "occ_count", "thresh", "lim", "conf",  # scalar aggregates
+        "m_frame",  # q400 1-row in-plan filter sizing (replaced the
+                    # driver-side count in round 13)
         "cells", "margins_b", "maj", "inter", "crossing",  # class/type lattices
         "ref",  # reference-source ECDF slice (one source)
         "resid",  # resid.sparkSession.range(1, 8) — 7-row lag spine
@@ -930,6 +932,16 @@ _BROADCAST_ALLOWLIST = {
     "round12_queries.py": {
         "multi",  # q432 1-row max-emissions scalar (re-emission proof)
         "table",  # q432 1-row table-level dead fraction (q424's shape)
+    },
+    "round13_queries.py": {
+        "solved",  # q433 32-row per-block whitening scalars (q426's shape)
+        "multi",  # q434 1-row max-emissions scalar (q432's shape)
+        "summary",  # q434 1-row log/snapshot totals (q427's shape)
+        "mism",  # q435 1-row register-merge-mismatch count
+        "seeds",  # q437 k-row (8) seed frame
+        "cents",  # q437 k x 64-row centroid frame (the coarse quantizer)
+        "a2",  # q437 1-row assignment-count agg (broadcast wraps a2.agg)
+        "tot",  # q435/q437 1-row totals
     },
 }
 
