@@ -81,10 +81,25 @@ def main() -> None:
         except Exception as ex:  # noqa: BLE001 — report and continue
             return name, str(ex)[:500]
 
-    ok = 0
+    # Storage hygiene for the long-lived default-heap session:
+    # localCheckpoint blocks are only unpersisted when the
+    # ContextCleaner sees their py4j refs die, and Python's GC lags —
+    # 400+ queries of retained checkpoint blocks squeezed the 1 GB
+    # heap until q101's 10-round broadcast loop could no longer build
+    # (observed: green in a fresh process, OOM at slot 406 of the
+    # shared session). A periodic gc pass from THIS consumer thread
+    # keeps the cleaner ahead of the leak; per-query collect()s from
+    # all submitter threads at once instead crashed the JVM with
+    # GCLocker contention against Arrow's JNI critical regions.
+    import gc
+
+    ok = done = 0
     suspects: list[tuple[str, str]] = []
     with ThreadPoolExecutor(max_workers=threads) as pool:
         for name, err in pool.map(check, QUERIES):
+            done += 1
+            if done % 25 == 0:
+                gc.collect()
             if err is None:
                 ok += 1
             else:
