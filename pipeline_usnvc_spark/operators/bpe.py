@@ -48,16 +48,21 @@ MERGE_SCHEMA = StructType(
 _SEP = "\x00"
 
 
-def word_symbol_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def word_symbol_table(
+    docs: DataFrame, text_col: str = "text", keep_word: bool = False
+) -> DataFrame:
     """(syms: array<string>, cnt) — the word-frequency table with each
-    distinct word exploded into single-character symbols."""
+    distinct word exploded into single-character symbols.
+    ``keep_word`` carries the word itself through (q219's encode path
+    reads the trained state back at word grain)."""
     words = (
         docs.select(F.explode(tokens(text_col)).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
     )
     chars = F.filter(F.split("word", "(?!^)"), lambda s: s != F.lit(""))
-    return words.select(chars.alias("syms"), "cnt")
+    cols = (["word"] if keep_word else []) + [chars.alias("syms"), "cnt"]
+    return words.select(*cols)
 
 
 def adjacent_pair_counts(syms_df: DataFrame) -> DataFrame:
@@ -126,15 +131,20 @@ def train_bpe(
     n_merges: int = 5,
     text_col: str = "text",
     min_pair_count: int = MIN_PAIR_COUNT_DEFAULT,
-) -> DataFrame:
+    return_state: bool = False,
+):
     """Learn the top-``n_merges`` BPE merges; returns the merge table
-    (merge_round, left, right, merged, pair_count) in training order.
+    (merge_round, left, right, merged, pair_count) in training order —
+    or, with ``return_state``, the tuple (merge table, final
+    word-grain symbol state): training already folds every merge into
+    the vocabulary, so the final state IS the corpus encoding and the
+    encode path (q219) must not pay the five folds twice.
 
     Driver traffic is exactly one row per round; all heavy lifting is
     the pair-count exchange over the vocabulary table.
     """
     spark: SparkSession = docs.sparkSession
-    syms_df = materialize(word_symbol_table(docs, text_col))
+    syms_df = materialize(word_symbol_table(docs, text_col, keep_word=return_state))
     merges: list[tuple] = []
     for r in range(1, n_merges + 1):
         # bounded: top-1 pair slice per merge round
@@ -150,6 +160,11 @@ def train_bpe(
         left, right = pair.split(_SEP, 1)
         merges.append((r, left, right, left + right, n))
         syms_df = materialize(
-            syms_df.select(merge_pair(F.col("syms"), left, right).alias("syms"), "cnt")
+            syms_df.select(
+                *(["word"] if return_state else []),
+                merge_pair(F.col("syms"), left, right).alias("syms"),
+                "cnt",
+            )
         )
-    return spark.createDataFrame(merges, MERGE_SCHEMA)
+    merge_df = spark.createDataFrame(merges, MERGE_SCHEMA)
+    return (merge_df, syms_df) if return_state else merge_df
