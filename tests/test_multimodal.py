@@ -88,12 +88,37 @@ def test_ppm_synthesis_roundtrip(spark):
         assert img.tobytes() == expect, f"doc {did}: raster != cycled text bytes"
 
 
+def _expect_metadata_breach(df):
+    """Collect ``df`` expecting the fail-fast 'metadata breach' error.
+
+    Local-mode artifact this must tolerate: a prior intentional job
+    abort can kill the shared Python daemon mid-handshake, so the NEXT
+    action occasionally dies with ClosedChannelException / 'Python
+    worker exited' BEFORE the UDF runs (observed r13 full-suite run).
+    That infra signature gets ONE retry; the contract itself — the
+    breach message must surface — stays strict.
+    """
+    for attempt in (0, 1):
+        try:
+            df.collect()
+        except Exception as e:  # noqa: BLE001 — Py4JJavaError or wrapped
+            msg = str(e)
+            if "metadata breach" in msg:
+                return
+            if attempt == 0 and (
+                "ClosedChannelException" in msg or "Python worker" in msg
+            ):
+                continue
+            raise
+        else:
+            pytest.fail("expected a 'metadata breach' failure, got rows")
+    pytest.fail("worker-crash retry also failed without 'metadata breach'")
+
+
 def test_multimodal_rejects_malformed_metadata(spark):
     # Adversarial contract test: the plumbing must FAIL FAST on
     # metadata that lies (bad dims / byte-count mismatch), not emit
     # garbage features (VERDICT r1 item 3).
-    from py4j.protocol import Py4JJavaError
-
     from pipeline_usnvc_spark.operators.multimodal import extract_features
 
     base = spark.createDataFrame(
@@ -109,8 +134,7 @@ def test_multimodal_rejects_malformed_metadata(spark):
             F.lit(7).cast("bigint").alias("n_bytes"),
         ),
     )
-    with pytest.raises((Py4JJavaError, Exception), match="metadata breach"):
-        extract_features(bad_dims).collect()
+    _expect_metadata_breach(extract_features(bad_dims))
 
     lying_n_bytes = base.withColumn(
         "media_meta",
@@ -121,8 +145,7 @@ def test_multimodal_rejects_malformed_metadata(spark):
             F.lit(999).cast("bigint").alias("n_bytes"),
         ),
     )
-    with pytest.raises((Py4JJavaError, Exception), match="metadata breach"):
-        extract_features(lying_n_bytes).collect()
+    _expect_metadata_breach(extract_features(lying_n_bytes))
 
 
 def test_thumbnail_resize_correctness(spark):
