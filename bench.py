@@ -266,6 +266,16 @@ def main() -> None:
         # slow sample trio can't exceed a clean earlier measurement.
         med = min(med, warm)
         spread = (samples[-1] - samples[0]) / med if med > 0 else 0.0
+        # Post-query hygiene, OUTSIDE any timed region: each build()
+        # pins fresh localCheckpoint blocks that the ContextCleaner
+        # can only drop once Python's gc releases the py4j refs (the
+        # same accumulation OOMed the threaded replay gate at slot
+        # 406 — see scripts/replay_full.py). Without this, block/heap
+        # pressure from query N inflates query N+k's timings (r13:
+        # flagship read 11.8 s mid-suite vs 1.3 s isolated).
+        import gc
+
+        gc.collect()
         return round(med, 3), round(spread, 3)
 
     timings: dict[str, float] = {}

@@ -128,13 +128,27 @@ def word_shingles(toks: Column, n: int = 3, sep: str = "_") -> Column:
     per row, and arrays shorter than n yield empty slices (no guard
     needed). Semantics identical to the 1-indexed formulation mirrored
     in the DuckDB oracle SQL.
+
+    The input expression is bound ONCE as a lambda variable
+    (``element_at(transform(array(toks), tk -> <shingles of tk>), 1)``)
+    before the slices: the n+1 structural references below would
+    otherwise each re-evaluate an inline ``tokens(text)`` argument per
+    ROW — HOF trees are interpreted (CodegenFallback), so no common-
+    subexpression elimination saves the caller. Measured r13: the
+    shingle build over inline tokens drops 1.6 s -> 0.6 s at sf0.1
+    (byte-identical output, null-in-null-out unchanged: a null token
+    array rides through transform/element_at as null).
     """
-    length = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    slices = [F.slice(toks, k + 1, length) for k in range(n)]
-    acc = slices[-1]
-    for k in range(n - 2, -1, -1):
-        acc = F.zip_with(slices[k], acc, lambda a, b: F.concat_ws(sep, a, b))
-    return acc
+
+    def _shingles(tk: Column) -> Column:
+        length = F.greatest(F.size(tk) - F.lit(n - 1), F.lit(0))
+        slices = [F.slice(tk, k + 1, length) for k in range(n)]
+        acc = slices[-1]
+        for k in range(n - 2, -1, -1):
+            acc = F.zip_with(slices[k], acc, lambda a, b: F.concat_ws(sep, a, b))
+        return acc
+
+    return F.element_at(F.transform(F.array(toks), _shingles), 1)
 
 
 def doc_fingerprint(c: Column | str) -> Column:

@@ -52,6 +52,20 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Shuffle-file consolidation path. Both shuffle writers merge
+        # their per-reducer spill/partition files with NIO
+        # transferTo/mmap by default; on this virtualized 32-vCPU box
+        # the mmap/munmap cycle triggers TLB-shootdown storms that
+        # serialize every concurrent merge (thread dumps show tasks
+        # parked in copyFileStreamNIO/munmap; q56 21.3 s -> 4.4 s with
+        # the buffered-copy path, measured r13). Plain buffered copy
+        # is within noise of transferTo on real disks, so the safe
+        # default here is off; flip via env on hosts where zero-copy
+        # is known good.
+        .config(
+            "spark.file.transferTo",
+            os.environ.get("SPARK_GRAFT_TRANSFERTO", "false"),
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():
