@@ -41,7 +41,14 @@ def dedup_corpus(
     to chase the chain (depth ≤ 2 by construction: component minima
     are always kept) so survivor_id always lands on a kept doc —
     what a consumer joining against the kept set wants."""
-    fp = docs.select(F.col(id_col), doc_fingerprint(text_col).alias("fp"))
+    # Materialized (r13): fp feeds BOTH the keeper aggregation and the
+    # join side below, whose exchanges are different subtrees (one
+    # partially aggregates first), so without the cut the
+    # tokenize+normalize+md5 over the FULL text ran twice. The frame
+    # is (id, 16-byte digest) — the cheapest possible thing to cache.
+    fp = materialize(
+        docs.select(F.col(id_col), doc_fingerprint(text_col).alias("fp"))
+    )
     keeper_per_fp = fp.groupBy("fp").agg(F.min(id_col).alias("exact_keeper"))
     # Materialized once: both the survivor filter (feeding the near
     # stage) and the final verdict consume this, and the fingerprint

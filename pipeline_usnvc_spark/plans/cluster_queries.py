@@ -168,7 +168,12 @@ def q35_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = docs.agg(F.count("*").cast("double").alias("n_docs"))
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # df derived FROM tf (one row per (doc, term) => count == distinct
+    # docs per term) instead of a second aggregation over tok: both
+    # consumers now share the same (doc_id, term) exchange (AQE stage
+    # reuse), so the tokenize+explode map pass runs once, not twice,
+    # and the countDistinct's two-phase expansion disappears.
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = (
         tf.join(df, "term")
         .crossJoin(F.broadcast(n))

@@ -1814,15 +1814,29 @@ def q217_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.conv(F.substring(F.md5("bg"), 1, 8), 16, 10).cast("bigint") % _DSIR_B
         ).alias("b"),
     )
-    raw = bucketed.groupBy("b").agg(F.count("*").cast("bigint").alias("cr"))
-    tgt = (
-        bucketed.filter(F.col("lang") == "en")
-        .groupBy("b")
-        .agg(F.count("*").cast("bigint").alias("ct"))
+    # ONE data-grain exchange shared by all four consumers (r13): the
+    # bigram explode + md5 previously re-executed for raw, tgt, tot
+    # AND scored (four full map passes — no common exchange existed).
+    # Aggregating to (doc_id, lang, b) grain first gives every
+    # consumer the same shuffle stage (AQE stage reuse executes the
+    # map side once), and map-side combine collapses repeated buckets
+    # before the exchange. All downstream sums are exact integer
+    # re-aggregations of the grain counts, so every reported value is
+    # the identical integer.
+    grain = bucketed.groupBy("doc_id", "lang", "b").agg(
+        F.count("*").cast("bigint").alias("n")
     )
-    tot = bucketed.agg(
-        F.count("*").cast("bigint").alias("n_raw"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("bigint").alias("n_tgt"),
+    raw = grain.groupBy("b").agg(F.sum("n").cast("bigint").alias("cr"))
+    tgt = (
+        grain.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.sum("n").cast("bigint").alias("ct"))
+    )
+    tot = grain.agg(
+        F.sum("n").cast("bigint").alias("n_raw"),
+        F.sum(F.when(F.col("lang") == "en", F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_tgt"),
     )
     llr = (
         raw.join(tgt, "b", "left")
@@ -1843,11 +1857,13 @@ def q217_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = (
-        bucketed.join(F.broadcast(llr), "b")
+        grain.join(F.broadcast(llr), "b")
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("bigint").alias("n_bigrams"),
-            F.sum("llr_micro").cast("bigint").alias("log_w_micro"),
+            # sum of grain counts == bigram count; sum(llr*n) == the
+            # per-bigram llr sum — identical integers on the same grain
+            F.sum("n").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("llr_micro") * F.col("n")).cast("bigint").alias("log_w_micro"),
         )
     )
     # Quartile selection via the two-phase range-exchange rank (no

@@ -1940,7 +1940,15 @@ def q394_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     term_first = toks.groupBy("term").agg(F.min("doc_id").alias("first_id"))
-    doc_tokens = toks.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("nt"))
+    # nt from array size, map-side (r13): the exploded-count groupBy
+    # re-executed the tokenize+explode map pass (term_first's subtree
+    # shares no exchange with it) AND paid a doc-keyed shuffle.
+    # size(tokens) per row is the same integer; zero-token docs now
+    # carry nt=0 rows where the explode produced none — they add 0 to
+    # every prefix sum, so n_per is unchanged.
+    doc_tokens = docs.select(
+        "doc_id", F.size(tokens("text")).cast("bigint").alias("nt")
+    )
     v_per = (
         term_first.crossJoin(F.broadcast(spine))
         .filter(F.col("first_id") <= F.col("id_bound"))

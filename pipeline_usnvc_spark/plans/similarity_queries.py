@@ -89,9 +89,16 @@ def q60_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q61_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.functions.vectors import dot, l2_norm
+
+    # Per-row norm bound BEFORE the self-join: the per-pair cosine
+    # re-evaluated both norm folds for every within-label pair (3
+    # interpreted HOF folds per pair); binding each side's norm once
+    # per row leaves only the dot per pair. Bit-identical: same
+    # sequential fold, same dot/(na*nb) tree.
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", to_double_array("embedding").alias("ve")
-    )
+    ).withColumn("nrm", l2_norm(F.col("ve")))
     a = emb.alias("a")
     b = emb.alias("b")
     return (
@@ -99,7 +106,10 @@ def q61_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
-            cosine_similarity(F.col("a.ve"), F.col("b.ve")).alias("sim"),
+            (
+                dot(F.col("a.ve"), F.col("b.ve"))
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("sim"),
         )
         .filter(F.col("sim") >= 0.4)
     )
@@ -999,19 +1009,24 @@ def q186_filtered_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q195_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_usnvc_spark.functions.vectors import dot, l2_norm
+
+    # norms bound once per row, not re-folded per (query, corpus) pair
+    # — same IEEE tree, 3 interpreted folds per pair down to 1 (r13)
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", to_double_array("embedding").alias("ve")
-    )
+    ).withColumn("nrm", l2_norm(F.col("ve")))
     q = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("qlabel"),
         F.col("ve").alias("qe"),
+        F.col("nrm").alias("qn"),
     )
     scored = emb.join(F.broadcast(q), F.col("label") != F.col("qlabel")).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("neighbor_label"),
-        cosine_similarity(F.col("qe"), F.col("ve")).alias("sim"),
+        (dot(F.col("qe"), F.col("ve")) / (F.col("qn") * F.col("nrm"))).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -1084,27 +1099,31 @@ def q195_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q196_dim_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    comps = emb.select(
-        "vec_id", F.posexplode(to_double_array("embedding")).alias("pos", "x")
-    ).select(
-        "vec_id",
-        (F.col("pos") + 1).alias("dim"),
-        F.floor(F.col("x") * 10000000).alias("q"),
+    # The shared Arrow gram kernel in dim-sums mode (r13 — formerly
+    # the explode-self-join formulation this kernel was built to
+    # replace, already its documented "scale path for large d"): ONE
+    # mapInPandas pass accumulates the exact quantized X^T X per
+    # chunk, and the (i,j)/(i,-1)/(-3,-3) sentinel cells carry pair
+    # sums, per-dim sums and the row count — every integer identical
+    # to the relational form (asserted bit-for-bit in
+    # tests/test_scale_ops.py), so the Pearson doubles are unchanged.
+    # Plan: the N x 64 comps exchange + pair self-join + three
+    # aggregations collapse into kernel + one cell-grain groupBy.
+    from pipeline_usnvc_spark.operators.similarity import gram_matrix_quantized
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    cells = gram_matrix_quantized(emb, with_dim_sums=True)
+    pair_stats = cells.filter(
+        (F.col("dim_i") > 0) & (F.col("dim_j") > 0) & (F.col("dim_i") < F.col("dim_j"))
+    ).select(F.col("dim_i").alias("di"), F.col("dim_j").alias("dj"), "sxy")
+    diag = cells.filter(
+        (F.col("dim_i") > 0) & (F.col("dim_i") == F.col("dim_j"))
+    ).select(F.col("dim_i").alias("dim"), F.col("sxy").alias("ss"))
+    margins = cells.filter(F.col("dim_j") == -1).select(
+        F.col("dim_i").alias("dim"), F.col("sxy").alias("s")
     )
-    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
-    dim_stats = comps.groupBy("dim").agg(
-        F.count("*").alias("n"),
-        F.sum(F.col("q").cast("decimal(38,0)")).alias("s"),
-        F.sum(d19("q") * d19("q")).alias("ss"),
-    )
-    a = comps.alias("a")
-    b = comps.alias("b")
-    pair_stats = (
-        a.join(b, (F.col("a.vec_id") == F.col("b.vec_id")) & (F.col("a.dim") < F.col("b.dim")))
-        .groupBy(F.col("a.dim").alias("di"), F.col("b.dim").alias("dj"))
-        .agg(F.sum(F.col("a.q").cast("decimal(19,0)") * F.col("b.q").cast("decimal(19,0)")).alias("sxy"))
-    )
+    nrow = cells.filter(F.col("dim_i") == -3).select(F.col("sxy").alias("n"))
+    dim_stats = diag.join(margins, "dim").crossJoin(F.broadcast(nrow))
     i = dim_stats.alias("i")
     j = dim_stats.alias("j")
     joined = (
@@ -1179,21 +1198,82 @@ def q196_dim_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q221_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from pipeline_usnvc_spark.functions.vectors import dot, l2_norm
+
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", to_double_array("embedding").alias("ve")
     )
-    a, b = emb.alias("a"), emb.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+    # BLAS pre-filters, the JVM fold certifies (the q66/q164
+    # discipline, applied r13 — the within-label pair sweep previously
+    # evaluated 3 interpreted HOF folds PER PAIR in the join filter,
+    # ~200k pairs x 192 lambda steps at sf0.1): each label group is
+    # scored in ONE blocked matmul (block x |group| sims at a time, so
+    # memory stays bounded on a hot cluster) at threshold - 1e-9 —
+    # numpy pairwise summation and the sequential fold agree to ~1e-13
+    # on 64-dim vectors, so the margin can never drop a fold-passing
+    # pair — and the surviving candidates (near-dup grain, tiny) are
+    # re-scored with the deterministic JVM-side sequential fold with
+    # the EXACT threshold on the fold value: the emitted pair set is
+    # the same IEEE sequence the SQL oracle computes. Group shuffle
+    # moves each vector ONCE (vs twice for the former self-join).
+    # Null labels pair with nothing (the join-on-equality semantics),
+    # so they are filtered before the grouping.
+    pre = 0.4 - 1e-9
+    id_type = emb.schema["vec_id"].dataType.simpleString()
+
+    def group_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        M = np.stack(pdf["ve"].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(M, axis=1)
+        out_a: list = []
+        out_b: list = []
+        blk = 1024
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for lo in range(0, len(ids), blk):
+                s = (M[lo : lo + blk] @ M.T) / (
+                    nrm[lo : lo + blk, None] * nrm[None, :]
+                )
+                ia, ib = np.nonzero(s >= pre)
+                # strict upper triangle in vec_id order (ids sorted, so
+                # position order IS id order) = the a.vec_id < b.vec_id
+                # candidate discipline; diagonal self-pairs drop here
+                keep = (ia + lo) < ib
+                out_a.append(ids[ia[keep] + lo])
+                out_b.append(ids[ib[keep]])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+            }
         )
-        .filter(cosine_similarity(F.col("a.ve"), F.col("b.ve")) >= 0.4)
-        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+
+    cand = (
+        emb.filter(F.col("label").isNotNull())
+        .groupBy("label")
+        .applyInPandas(group_pairs, f"id_a {id_type}, id_b {id_type}")
+    )
+    nemb = emb.withColumn("nrm", l2_norm(F.col("ve")))
+    va = nemb.select(
+        F.col("vec_id").alias("id_a"), F.col("ve").alias("va"), F.col("nrm").alias("na")
+    )
+    vb = nemb.select(
+        F.col("vec_id").alias("id_b"), F.col("ve").alias("vb"), F.col("nrm").alias("nb")
+    )
+    pairs = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        # per-row norms bound once; dot/(na*nb) is the identical IEEE
+        # tree cosine_similarity built per pair
+        .withColumn("sim", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        .filter(F.col("sim") >= 0.4)
+        .select("id_a", "id_b")
     )
     # pairs feeds BOTH audit frames below — materialize once or the
-    # label-partitioned cosine join (the expensive stage) runs twice.
+    # label-partitioned scoring (the expensive stage) runs twice.
     from pipeline_usnvc_spark.operators.checkpoint import materialize
 
     pairs = materialize(pairs)
