@@ -287,8 +287,17 @@ def q411_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", F.to_date("o_orderdate").alias("od")
     )
-    blocks = _order_blocks(o, "natural_orderkey", "o_orderkey").unionByName(
-        _order_blocks(o, "clustered_by_date", "od", "o_orderkey")
+    from pipeline_usnvc_spark.operators.checkpoint import materialize
+
+    # block-grain (rows/512 — tiny) and consumed by scans + sizes:
+    # materialize so the two global range exchanges run once (the
+    # q422/q416 pattern; without the cut each consumer re-aggregated
+    # the full rank output — plan showed the nb subtree twice, zero
+    # ReusedExchange)
+    blocks = materialize(
+        _order_blocks(o, "natural_orderkey", "o_orderkey").unionByName(
+            _order_blocks(o, "clustered_by_date", "od", "o_orderkey")
+        )
     )
     # calendar-bounded month spine (~84 rows) — the one broadcast here
     months = _month_spine(o)
@@ -697,10 +706,19 @@ def q415_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = o.withColumn(
         "z", F.expr(_z_expr("d", "c", _Z_BITS, duck=False)).cast("bigint")
     )
-    nb = _two_dim_blocks(
-        keyed, ["od", "o_orderkey"], "clustered_by_date"
-    ).unionByName(
-        _two_dim_blocks(keyed, ["z", "o_orderkey"], "zorder_date_custkey")
+    from pipeline_usnvc_spark.operators.checkpoint import materialize
+
+    # block-grain (rows/512 — tiny) and consumed by month_scans +
+    # slice_scans + sizes: materialize so the two global range
+    # exchanges run once (the q422/q416 pattern; the before-plan
+    # showed the nb subtree re-aggregated per consumer, zero
+    # ReusedExchange)
+    nb = materialize(
+        _two_dim_blocks(
+            keyed, ["od", "o_orderkey"], "clustered_by_date"
+        ).unionByName(
+            _two_dim_blocks(keyed, ["z", "o_orderkey"], "zorder_date_custkey")
+        )
     )
     # calendar-bounded month spine + fixed 16-slice residue spine —
     # the only broadcasts here
@@ -1049,7 +1067,13 @@ def q417_manifest_cascade_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", F.to_date("o_orderdate").alias("od")
     )
-    nb = (
+    from pipeline_usnvc_spark.operators.checkpoint import materialize
+
+    # block-grain (rows/512 — tiny) and consumed by nf + bscan +
+    # sizes: materialize so the two global range exchanges run once
+    # (the q422/q416 pattern; the before-plan showed the nb subtree
+    # re-aggregated per consumer, zero ReusedExchange)
+    nb = materialize(
         _order_blocks(o, "natural_orderkey", "o_orderkey")
         .unionByName(_order_blocks(o, "clustered_by_date", "od", "o_orderkey"))
         .select(

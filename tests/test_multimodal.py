@@ -93,10 +93,14 @@ def _expect_metadata_breach(df):
 
     Local-mode artifact this must tolerate: a prior intentional job
     abort can kill the shared Python daemon mid-handshake, so the NEXT
-    action occasionally dies with ClosedChannelException / 'Python
-    worker exited' BEFORE the UDF runs (observed r13 full-suite run).
-    That infra signature gets ONE retry; the contract itself — the
-    breach message must surface — stays strict.
+    action occasionally dies with ClosedChannelException /
+    CancelledKeyException / 'Python worker exited' BEFORE the UDF runs
+    (observed r13 full-suite runs; the breach ValueError still shows in
+    executor stderr, but the job-abort reason records the racing infra
+    failure from another task). The caller shrinks the frame to ONE
+    task to remove most of that race surface; the residual infra
+    signature gets ONE retry; the contract itself — the breach message
+    must surface — stays strict.
     """
     for attempt in (0, 1):
         try:
@@ -106,7 +110,9 @@ def _expect_metadata_breach(df):
             if "metadata breach" in msg:
                 return
             if attempt == 0 and (
-                "ClosedChannelException" in msg or "Python worker" in msg
+                "ClosedChannelException" in msg
+                or "CancelledKeyException" in msg
+                or "Python worker" in msg
             ):
                 continue
             raise
@@ -121,9 +127,14 @@ def test_multimodal_rejects_malformed_metadata(spark):
     # garbage features (VERDICT r1 item 3).
     from pipeline_usnvc_spark.operators.multimodal import extract_features
 
+    # ONE partition → one task: with default parallelism this 1-row
+    # frame spreads over 32 mostly-empty tasks, and when the breach
+    # task aborts the stage a concurrently-dying empty task's infra
+    # error (CancelledKeyException) can be recorded as the job-abort
+    # reason instead of the breach (observed r13).
     base = spark.createDataFrame(
         [(1, b"payload")], "doc_id bigint, media binary"
-    )
+    ).coalesce(1)
 
     bad_dims = base.withColumn(
         "media_meta",

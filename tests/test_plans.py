@@ -890,6 +890,7 @@ _BROADCAST_ALLOWLIST = {
         "q",  # eval QUERY side of brute-force ANN (see note above)
         "hits", "per_q_ann",  # recall-audit frames at eval-query grain
         "totals",  # scalar recall-total aggregates (q164 + the q62-65 contract)
+        "nrow",  # q196 1-row count sentinel from the gram kernel (r13)
     },
     "stats_queries.py": {
         "channels",  # distinct event types
