@@ -175,7 +175,13 @@ def curate(
     # (most tokens, tie lowest id) — skew-immune: a cluster holding
     # 90% of the corpus reduces map-side instead of hot-spotting a
     # window partition (same reasoning as q157/q160).
-    keepers = (
+    # Materialized (r13): TWO consumers (the s2 join and the final
+    # flags join) and zero ReusedExchange between them — the formatted
+    # plan showed the full scan→tokenize→md5→SortAggregate subtree
+    # twice. The checkpointed frame is fingerprint-grain, 24 B/row
+    # (16-byte digest + id) — ≪ the corpus at any scale, and far
+    # cheaper than re-sorting the staged frame a second time.
+    keepers = materialize(
         staged.filter(~F.col("q_fail"))
         .groupBy("fp")
         .agg(
@@ -190,7 +196,15 @@ def curate(
         .select("doc_id", "source", "text")
     )
     pairs = ngram_jaccard_pairs(s2, threshold=jaccard_threshold, int_hash=True)
-    near_dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    # Materialized (r13): TWO consumers (the s3 anti-join feeding the
+    # quota stage and the final flags join), and without the cut the
+    # whole shingle-explode + inverted-index self-join + pair
+    # aggregation re-executed for each (plan-audited: the subtree
+    # appeared twice, zero ReusedExchange). The frame is the dropped-id
+    # set — 8 B/row, bounded by the near-dup count.
+    near_dropped = materialize(
+        pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    )
     s3 = s2.join(near_dropped, "doc_id", "left_anti").select("doc_id", "source")
     # row_number()<=k windows prune map-side via Spark's
     # WindowGroupLimit rewrite (see q165), so a hot source never
