@@ -2445,9 +2445,16 @@ def q364_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-dim component sums at (i, -1), row count at (-3, -3)
     from pipeline_usnvc_spark.operators.similarity import gram_matrix_quantized
 
+    from pipeline_usnvc_spark.operators.checkpoint import materialize
+
     emb = load_table(spark, sf_dir, "embeddings").select("embedding")
-    cells = gram_matrix_quantized(emb, with_dim_sums=True).withColumnRenamed(
-        "sxy", "s"
+    # Materialized (r13): THREE consumers (gram, margins, nrow) and
+    # the q196 runtime-scan audit showed AQE does not reuse the
+    # kernel exchange across such consumers — without the cut the
+    # X^T X pass runs once per consumer. Dimension-bounded frame
+    # (d(d+1)/2 + d + 1 rows).
+    cells = materialize(
+        gram_matrix_quantized(emb, with_dim_sums=True).withColumnRenamed("sxy", "s")
     )
     gram = cells.filter((F.col("dim_i") > 0) & (F.col("dim_j") > 0)).select(
         F.col("dim_i"), F.col("dim_j"), F.col("s").alias("qsum")

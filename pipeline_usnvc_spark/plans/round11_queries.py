@@ -849,7 +849,17 @@ def _q427_oracle() -> str:
 # ---------------------------------------------------------------------------
 @query("q427_merge_ledger_compaction", oracle=_q427_oracle())
 def q427_merge_ledger_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return compaction_summary(_ledger_oplog(spark, sf_dir))
+    from pipeline_usnvc_spark.operators.checkpoint import materialize
+
+    # Materialized (r13): the oplog (tokenize + md5 fingerprint over
+    # the full text) feeds BOTH the per_key fold and the ops join, and
+    # the runtime scan audit showed the fingerprint map pass executing
+    # once per consumer. The frame is (doc_id, batch, fp) — 32 B/row,
+    # the dedup-ledger slim grain. Materialize HERE, not inside
+    # compaction_summary: q431 feeds the same fold from a
+    # fingerprint-BUCKETED table, and a checkpoint there would erase
+    # the bucket partitioning its zero-exchange plan depends on.
+    return compaction_summary(materialize(_ledger_oplog(spark, sf_dir)))
 
 
 def compaction_summary(

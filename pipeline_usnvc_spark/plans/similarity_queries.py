@@ -1109,10 +1109,16 @@ def q196_dim_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tests/test_scale_ops.py), so the Pearson doubles are unchanged.
     # Plan: the N x 64 comps exchange + pair self-join + three
     # aggregations collapse into kernel + one cell-grain groupBy.
+    from pipeline_usnvc_spark.operators.checkpoint import materialize
     from pipeline_usnvc_spark.operators.similarity import gram_matrix_quantized
 
     emb = load_table(spark, sf_dir, "embeddings").select("embedding")
-    cells = gram_matrix_quantized(emb, with_dim_sums=True)
+    # Materialized (r13): FOUR consumers (pair_stats, diag, margins,
+    # nrow) and runtime scan counts proved AQE does NOT reuse the
+    # kernel exchange across them (4x the embeddings records read,
+    # i.e. the X^T X pass ran four times). The frame is d(d+1)/2 + d
+    # + 1 rows (~2.1k at d=64) — bounded by DIMENSION, not corpus.
+    cells = materialize(gram_matrix_quantized(emb, with_dim_sums=True))
     pair_stats = cells.filter(
         (F.col("dim_i") > 0) & (F.col("dim_j") > 0) & (F.col("dim_i") < F.col("dim_j"))
     ).select(F.col("dim_i").alias("di"), F.col("dim_j").alias("dj"), "sxy")

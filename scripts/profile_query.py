@@ -147,6 +147,12 @@ def main() -> None:
             )
         rows.sort(reverse=True)
         tot_wall = sum(r[0] for r in rows)
+        n_input = sum(1 for sid, si in stage_info.items()
+                      if job_desc.get(stage_job.get(sid)) == f"timed:{name}"
+                      and stage_tasks[sid]["rows_in"] > 0)
+        rows_in_tot = sum(stage_tasks[sid]["rows_in"] for sid in stage_info
+                          if job_desc.get(stage_job.get(sid)) == f"timed:{name}")
+        print(f"  input-reading stages: {n_input}, total records read: {rows_in_tot}")
         print(
             f"{len(rows)} stages, sum stage wall {tot_wall/1000:.2f}s "
             f"(jobs: {len({stage_job[r[1]] for r in rows})})"

@@ -502,10 +502,15 @@ def test_psi_bounds_broadcast_not_recomputed(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan[:2000]
 
 
-def test_dim_correlation_pairs_combine_map_side(spark, sf_dir):
-    # q196: the d(d-1)/2 pair explosion must partially aggregate
-    # map-side — the exchange carries 2016 groups, not 2016 rows per
-    # vector. partial_sum in the plan below the exchange proves it.
+def test_dim_correlation_pairs_combine_map_side(spark, sf_dir, monkeypatch):
+    # q196: the kernel's cell aggregation must partially aggregate
+    # map-side — the exchange carries d(d+1)/2 groups, not per-vector
+    # rows. partial_sum in the plan below the exchange proves it.
+    # materialize stubbed to identity (repo convention): the r13 cells
+    # checkpoint would otherwise hide the kernel subtree from explain.
+    from pipeline_usnvc_spark.operators import checkpoint as ckpt_mod
+
+    monkeypatch.setattr(ckpt_mod, "materialize", lambda df, eager=True: df)
     plan = _plan(spark, "q196_dim_correlation", sf_dir)
     assert "partial_sum" in plan, plan[:3000]
 
