@@ -166,6 +166,16 @@ def q35_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scored frame) — an eager docs.count() here would submit a full
     # scan at plan-construction time and scan documents twice per run
     n = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    # Examined r13, left alone: the tokenize+explode map pass executes
+    # twice (the tf and df subtrees are specialized differently by the
+    # optimizer, so their exchanges never canonicalize equal), but the
+    # two single-task passes run CONCURRENTLY as independent stages, so
+    # the wall cost is ~one pass. A fan_out repartition below the
+    # duplicated subtree shuffles the text twice and measured SLOWER
+    # (interleaved A/B 1.5-1.7 s plain vs 2.1-2.8 s spread); a
+    # (doc, term) checkpoint would be corpus-sized at 100 TB and a
+    # window-on-term df rewrite trades the second scan for a skew-prone
+    # corpus-wide shuffle — all three rejected.
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     # df derived FROM tf (one row per (doc, term) => count == distinct

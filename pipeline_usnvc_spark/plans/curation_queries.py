@@ -1355,6 +1355,14 @@ def q187_decontaminated_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(doc_fingerprint("text")), 1, 8), 16, 10).cast("bigint")
         % 100
     )
+    # Examined r13, left alone: the fingerprint + shingle-explode map
+    # pass executes once per consumer (eval_sh / contaminated subtrees
+    # specialize differently, so no exchange reuse), but the duplicate
+    # single-task stages run concurrently, so a fan_out repartition
+    # below the duplicated subtree doubles the text shuffle and
+    # measured SLOWER (interleaved A/B 1.9-2.2 s plain vs 2.7-2.8 s
+    # spread). A shingle-grain checkpoint is corpus-sized at 100 TB —
+    # the wrong trade (same reasoning as curate's staged frame).
     bucketed = docs.select("doc_id", "text", bucket.alias("bucket"))
     sh = bucketed.select(
         "doc_id",
@@ -1794,6 +1802,10 @@ _DSIR_BUCKET_SQL = "CAST('0x' || substr(md5(bg), 1, 8) AS BIGINT) % 256"
 )
 def q217_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # No fan_out here (r13, examined): the bigram pass still executes
+    # twice (model + scoring), so a repartition below it would shuffle
+    # the text twice — the new_fan variant measured no better than
+    # plain in the interleaved matrix.
     toks = docs.select("doc_id", "lang", tokens("text").alias("toks")).filter(
         F.size("toks") >= 2
     )
@@ -1814,38 +1826,37 @@ def q217_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.conv(F.substring(F.md5("bg"), 1, 8), 16, 10).cast("bigint") % _DSIR_B
         ).alias("b"),
     )
-    # ONE data-grain exchange shared by all four consumers (r13): the
-    # bigram explode + md5 previously re-executed for raw, tgt, tot
-    # AND scored (four full map passes — no common exchange existed).
-    # Aggregating to (doc_id, lang, b) grain first gives every
-    # consumer the same shuffle stage (AQE stage reuse executes the
-    # map side once), and map-side combine collapses repeated buckets
-    # before the exchange. All downstream sums are exact integer
-    # re-aggregations of the grain counts, so every reported value is
-    # the identical integer.
-    grain = bucketed.groupBy("doc_id", "lang", "b").agg(
-        F.count("*").cast("bigint").alias("n")
+    # TWO map passes total (r13, second cut): the previous shape
+    # aggregated to a (doc_id, lang, b) grain hoping AQE stage reuse
+    # would run the bigram map pass once for its four consumers — the
+    # event-log profile showed it executing per consumer anyway (four
+    # single-task passes, 40 000 records read for a 10 000-doc table).
+    # The model only needs BUCKET-grain statistics: one pass reduces
+    # map-side to the 256-row (cr, ct) frame — raw, tgt AND the totals
+    # all derive from those 256 rows, so three of the four passes
+    # disappear without any data-grain checkpoint. The second pass
+    # scores documents against the broadcast 256-row LLR table. All
+    # sums are exact integer re-aggregations of the same per-bigram
+    # counts, so every reported value is the identical integer.
+    from pipeline_usnvc_spark.operators.checkpoint import materialize
+
+    bstats = materialize(
+        bucketed.groupBy("b").agg(
+            F.count("*").cast("bigint").alias("cr"),
+            F.count(F.when(F.col("lang") == "en", True)).cast("bigint").alias("ct"),
+        )
     )
-    raw = grain.groupBy("b").agg(F.sum("n").cast("bigint").alias("cr"))
-    tgt = (
-        grain.filter(F.col("lang") == "en")
-        .groupBy("b")
-        .agg(F.sum("n").cast("bigint").alias("ct"))
-    )
-    tot = grain.agg(
-        F.sum("n").cast("bigint").alias("n_raw"),
-        F.sum(F.when(F.col("lang") == "en", F.col("n")).otherwise(0))
-        .cast("bigint")
-        .alias("n_tgt"),
+    tot = bstats.agg(
+        F.sum("cr").cast("bigint").alias("n_raw"),
+        F.sum("ct").cast("bigint").alias("n_tgt"),
     )
     llr = (
-        raw.join(tgt, "b", "left")
-        .crossJoin(F.broadcast(tot))
+        bstats.crossJoin(F.broadcast(tot))
         .select(
             "b",
             F.round(
                 F.log(
-                    ((F.coalesce("ct", F.lit(0)) + 1).cast("double")
+                    ((F.col("ct") + 1).cast("double")
                      * (F.col("n_raw") + _DSIR_B).cast("double"))
                     / ((F.col("cr") + 1).cast("double")
                        * (F.col("n_tgt") + _DSIR_B).cast("double"))
@@ -1857,13 +1868,13 @@ def q217_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = (
-        grain.join(F.broadcast(llr), "b")
+        bucketed.join(F.broadcast(llr), "b")
         .groupBy("doc_id")
         .agg(
-            # sum of grain counts == bigram count; sum(llr*n) == the
-            # per-bigram llr sum — identical integers on the same grain
-            F.sum("n").cast("bigint").alias("n_bigrams"),
-            F.sum(F.col("llr_micro") * F.col("n")).cast("bigint").alias("log_w_micro"),
+            # count == bigram count; sum(llr_micro) == the per-bigram
+            # llr sum — identical integers on the same per-bigram rows
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum("llr_micro").cast("bigint").alias("log_w_micro"),
         )
     )
     # Quartile selection via the two-phase range-exchange rank (no

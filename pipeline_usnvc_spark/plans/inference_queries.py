@@ -611,10 +611,14 @@ def q345_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q346_dedup_scaling_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_usnvc_spark.functions.text import tokens, word_shingles
+    from pipeline_usnvc_spark.operators.checkpoint import fan_out, materialize
 
     docs = load_table(spark, sf_dir, "documents")
     nn = docs.agg(F.count("*").cast("bigint").alias("n_docs"))
-    sh = docs.select(
+    # fan_out (r13): the shingle explode is this query's whole map cost
+    # and a single-row-group parquet file scans as ONE task (profiled:
+    # two 1.1-1.3 s single-task stages on an idle 32-core box).
+    sh = fan_out(docs).select(
         "doc_id", F.explode(word_shingles(tokens("text"), 3)).alias("shingle")
     )
     bucketed = sh.crossJoin(F.broadcast(nn)).select(
@@ -623,10 +627,20 @@ def q346_dedup_scaling_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bucket"),
         "shingle",
     )
-    # the single data-grain exchange: (shingle, bucket) counts with
-    # map-side combine; localCheckpoint-free reuse via one shuffle
-    grain = bucketed.groupBy("shingle", "bucket").agg(
-        F.count("*").cast("bigint").alias("n")
+    # The single data-grain exchange: (shingle, bucket) counts with
+    # map-side combine. Materialized (r13): its two consumers
+    # (first_seen and inst_per_bucket) aggregate differently, so the
+    # optimizer specializes each copy of the subtree and the exchanges
+    # are never canonically equal — the event-log profile showed the
+    # scan + shingle explode executing twice, zero ReusedExchange. The
+    # checkpointed frame is (distinct shingle x bucket) — VOCABULARY
+    # grain (Heaps' law: ≪ the instance stream this aggregates), not
+    # corpus grain, so the cut is cheap at any scale while the saved
+    # pass is the full shingle explode.
+    grain = materialize(
+        bucketed.groupBy("shingle", "bucket").agg(
+            F.count("*").cast("bigint").alias("n")
+        )
     )
     first_seen = grain.groupBy("shingle").agg(
         F.min("bucket").cast("bigint").alias("fb")
@@ -858,10 +872,21 @@ def _source_pair_value_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins on purpose — its grain is (source x distinct value), bounded
     here, but hinting a broadcast hard-commits the plan at any scale;
     left to AQE, Spark broadcasts when the runtime size is small and
-    shuffles otherwise (VERDICT r07 item 4)."""
+    shuffles otherwise (VERDICT r07 item 4).
+
+    ``cnt`` is materialized (r13): it feeds FOUR consumers (the source
+    lattice, the value spine and both padded-count joins), each of
+    which the optimizer specializes differently, so their exchanges
+    never canonicalize equal and the documents scan + groupBy re-ran
+    per consumer. The frame is (source x distinct length) —
+    value-domain bounded, KBs at any corpus size."""
+    from pipeline_usnvc_spark.operators.checkpoint import materialize
+
     docs = load_table(spark, sf_dir, "documents")
-    cnt = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
-        F.count("*").cast("bigint").alias("c")
+    cnt = materialize(
+        docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+            F.count("*").cast("bigint").alias("c")
+        )
     )
     srcs = cnt.select("source").distinct()
     pairs = srcs.select(F.col("source").alias("sa")).join(

@@ -1670,9 +1670,18 @@ def banded_wasserstein(
     contribution |F_a - F_ref| * (v_next - v) is an exact integer
     rational floored to micro.
     """
+    from pipeline_usnvc_spark.operators.checkpoint import materialize
+
     docs = load_table(spark, sf_dir, "documents")
-    cnt = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
-        F.count("*").cast("bigint").alias("c")
+    # Materialized (r13): five consumers (ref, the source list, the
+    # value spine, both padded-count joins) each re-ran the documents
+    # scan + groupBy — the optimizer specializes every copy, so the
+    # exchanges never canonicalize equal. (source x distinct length)
+    # is value-domain bounded: KBs at any corpus size.
+    cnt = materialize(
+        docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+            F.count("*").cast("bigint").alias("c")
+        )
     )
     if reference_source is None:
         ref = cnt.agg(F.min("source").alias("ref"))

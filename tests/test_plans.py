@@ -709,12 +709,17 @@ def test_spearman_windows_run_on_value_grain(spark, sf_dir):
         )
 
 
-def test_dedup_scaling_curve_windows_spine_not_corpus(spark, sf_dir):
+def test_dedup_scaling_curve_windows_spine_not_corpus(spark, sf_dir, monkeypatch):
     # q346: the cumulative-novelty window runs over the 10-row bucket
     # spine, never the exploded shingle stream — in the top-down tree
     # every Window must sit above an Aggregate that sits above the
     # Generate (explode). Bucket assignment is a pure doc_id
     # expression: no ntile / data-grain global sort anywhere.
+    # materialize stubbed to identity (repo convention): the r13 grain
+    # checkpoint would otherwise hide the Generate behind ExistingRDD.
+    import pipeline_usnvc_spark.operators.checkpoint as ckpt_mod
+
+    monkeypatch.setattr(ckpt_mod, "materialize", lambda df, eager=True: df)
     plan = (
         QUERIES["q346_dedup_scaling_curve"](spark, sf_dir)
         ._jdf.queryExecution()
