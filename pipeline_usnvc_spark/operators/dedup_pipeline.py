@@ -138,12 +138,18 @@ def curate(
     Deterministic end-to-end (md5-derived orders, integer
     arithmetic): SQL-expressible, hence oracle-exact in q174.
 
-    The stage-1 frame feeds several consumers and is deliberately NOT
-    checkpointed: the re-executed work is map-side projection
-    (tokenize + md5) with no extra shuffle, and measured no slower
-    warm (4.9 s vs 5.1 s at sf0.1) than a localCheckpoint of the
-    corpus — at 100 TB, re-scanning columnar text beats writing a
-    corpus-sized checkpoint.
+    The metric frame is checkpointed SLIM (r13): ``staged`` used to
+    carry the text column and was deliberately left unmaterialized
+    (a corpus-sized checkpoint loses at 100 TB), which re-ran the
+    tokenize + fingerprint + punct map pass once per consumer (the
+    keeper argmax, the keeper join, the survivor filter, the final
+    flags join — the optimizer specializes each copy, so no exchange
+    is ever reused). Dropping text from the frame makes the
+    checkpoint doc-grain (~40 B/row — cheap at ANY scale), every
+    metadata consumer reads it, and the expensive map pass runs
+    exactly ONCE; only the near-dup stage re-touches raw text (it
+    needs it to build shingles), via a keeper-id semi-join against
+    the original column-pruned parquet scan.
     """
     from pyspark.sql import Window
 
@@ -158,29 +164,27 @@ def curate(
         ).cast("double")
         / F.length(text_col).cast("double"),
     ).otherwise(F.lit(0.0))
-    staged = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(source_col).alias("source"),
-        F.col(text_col).alias("text"),
-        doc_fingerprint(text_col).alias("fp"),
-        F.size(toks).cast("bigint").alias("n_tokens"),
-        punct.alias("punct_ratio"),
-    ).withColumn(
-        "q_fail",
-        (F.col("n_tokens") < min_tokens)
-        | (F.col("n_tokens") > max_tokens)
-        | (F.col("punct_ratio") > max_punct_ratio),
+    staged = materialize(
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(source_col).alias("source"),
+            doc_fingerprint(text_col).alias("fp"),
+            F.size(toks).cast("bigint").alias("n_tokens"),
+            punct.alias("punct_ratio"),
+        ).withColumn(
+            "q_fail",
+            (F.col("n_tokens") < min_tokens)
+            | (F.col("n_tokens") > max_tokens)
+            | (F.col("punct_ratio") > max_punct_ratio),
+        )
     )
     # Keeper per fingerprint as a partial-aggregating struct-argmax
     # (most tokens, tie lowest id) — skew-immune: a cluster holding
     # 90% of the corpus reduces map-side instead of hot-spotting a
     # window partition (same reasoning as q157/q160).
-    # Materialized (r13): TWO consumers (the s2 join and the final
-    # flags join) and zero ReusedExchange between them — the formatted
-    # plan showed the full scan→tokenize→md5→SortAggregate subtree
-    # twice. The checkpointed frame is fingerprint-grain, 24 B/row
-    # (16-byte digest + id) — ≪ the corpus at any scale, and far
-    # cheaper than re-sorting the staged frame a second time.
+    # Materialized (r13): TWO consumers (the survivor semi-join and
+    # the final flags join). The checkpointed frame is
+    # fingerprint-grain, 24 B/row (16-byte digest + id).
     keepers = materialize(
         staged.filter(~F.col("q_fail"))
         .groupBy("fp")
@@ -190,10 +194,16 @@ def curate(
         )
         .select("fp", (-F.col("top.neg_id")).alias("keeper_id"))
     )
-    s2 = (
-        staged.join(keepers, "fp")
-        .filter(F.col("doc_id") == F.col("keeper_id"))
-        .select("doc_id", "source", "text")
+    # The stage-2 survivors ARE the keeper ids (keeper_id is chosen
+    # among the quality survivors of its fingerprint group), so the
+    # text-carrying frame is one doc_id semi-join against the raw
+    # scan — no fp join, no second fingerprint pass.
+    s2 = docs.join(
+        keepers.select(F.col("keeper_id").alias(id_col)), id_col, "left_semi"
+    ).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        F.col(text_col).alias("text"),
     )
     pairs = ngram_jaccard_pairs(s2, threshold=jaccard_threshold, int_hash=True)
     # Materialized (r13): TWO consumers (the s3 anti-join feeding the
@@ -205,7 +215,16 @@ def curate(
     near_dropped = materialize(
         pairs.select(F.col("id_b").alias("doc_id")).distinct()
     )
-    s3 = s2.join(near_dropped, "doc_id", "left_anti").select("doc_id", "source")
+    # s3 needs only (doc_id, source): derive it from the slim
+    # checkpoint instead of s2 so the raw text column is not
+    # re-scanned for a metadata-only consumer.
+    s3 = (
+        staged.join(
+            keepers.select(F.col("keeper_id").alias("doc_id")), "doc_id", "left_semi"
+        )
+        .join(near_dropped, "doc_id", "left_anti")
+        .select("doc_id", "source")
+    )
     # row_number()<=k windows prune map-side via Spark's
     # WindowGroupLimit rewrite (see q165), so a hot source never
     # floods one partition here either.

@@ -49,9 +49,16 @@ def main() -> None:
     for t in ("lineitem", "orders", "customer", "documents", "embeddings"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
 
+    def _builder(name):
+        if name == "flagship_documents":
+            from pipeline_usnvc_spark.plans.flagship import customer_documents
+
+            return lambda: customer_documents(spark, sf_dir)
+        return lambda: QUERIES[name](spark, sf_dir)
+
     marks = {}
     for name in names:
-        build = lambda: QUERIES[name](spark, sf_dir)  # noqa: E731
+        build = _builder(name)
         sc.setJobDescription(f"warm:{name}")
         build().write.format("noop").mode("overwrite").save()
         gc.collect()
