@@ -141,8 +141,12 @@ def main() -> None:
 
     # Prior-round per-query baselines (for adaptive retry below).
     prior: dict[str, float] = {}
+    # Only plain-round artifacts: the driver also records variant runs
+    # like BENCH_r13_c8.json (the low-core scaling probe), whose stem
+    # suffix is not an int — those are not prior-round baselines.
     baselines = sorted(
-        REPO.glob("BENCH_r*.json"), key=lambda p: int(p.stem.split("_r")[-1])
+        (p for p in REPO.glob("BENCH_r*.json") if p.stem.split("_r")[-1].isdigit()),
+        key=lambda p: int(p.stem.split("_r")[-1]),
     )
     baseline_round = None
     # Newest artifact first; fall back through older rounds. A driver

@@ -144,7 +144,21 @@ def train_bpe(
     the pair-count exchange over the vocabulary table.
     """
     spark: SparkSession = docs.sparkSession
-    syms_df = materialize(word_symbol_table(docs, text_col, keep_word=return_state))
+    # NON-eager checkpoints (r14, guide §7 driver-side cost): BPE is
+    # inherently sequential (each round's argmax depends on the last
+    # merge), so eager materialization ran TWO driver-blocking jobs
+    # per round (checkpoint, then top-1 collect) — profiled 2.9 s of
+    # between-job gaps vs 1.5 s inside jobs at sf0.1. The lazy
+    # checkpoint folds them: the next round's top-1 collect computes
+    # THROUGH the pending checkpoint (TakeOrdered touches every
+    # partition, so the state is fully persisted by that one job) and
+    # every later consumer reads the persisted blocks. Consumers are
+    # strictly sequential here, so the duplicated-concurrent-compute
+    # hazard that made the lazy variant slower on the q349 spine
+    # cannot occur.
+    syms_df = materialize(
+        word_symbol_table(docs, text_col, keep_word=return_state), eager=False
+    )
     merges: list[tuple] = []
     for r in range(1, n_merges + 1):
         # bounded: top-1 pair slice per merge round
@@ -164,7 +178,16 @@ def train_bpe(
                 *(["word"] if return_state else []),
                 merge_pair(F.col("syms"), left, right).alias("syms"),
                 "cnt",
-            )
+            ),
+            eager=False,
         )
     merge_df = spark.createDataFrame(merges, MERGE_SCHEMA)
+    if return_state:
+        # The final state leaves this function with its checkpoint
+        # still pending and MULTIPLE downstream consumers (q219's
+        # totals agg + top-k) — force it now so concurrent consumers
+        # read persisted blocks instead of racing to compute the last
+        # fold twice. Intermediate rounds stay lazy: their single
+        # sequential consumer (the next argmax) is the materializer.
+        syms_df.count()
     return (merge_df, syms_df) if return_state else merge_df

@@ -293,8 +293,25 @@ def ngram_jaccard_pairs(
             F.explode("_shs").alias("shingle"),
         )
         a, b = sh.alias("a"), sh.alias("b")
+        # Size-ratio candidate prune (r14, guide §2.3 — shuffle fewer
+        # bytes): J(A,B) >= t forces min(|A|,|B|) >= t*max(|A|,|B|)
+        # (inter <= min, union >= max), so pairs failing the size test
+        # can NEVER pass the threshold filter below — dropping them in
+        # the join condition shrinks the pair-aggregation exchange
+        # without changing one output row. Same float hygiene as
+        # prefix_filter_jaccard_pairs: the 1e-9 slack means binary
+        # rounding of t*max can only KEEP extra pairs (which the exact
+        # jaccard filter then rejects), never drop a passing one.
+        cond = (F.col("a.shingle") == F.col("b.shingle")) & (
+            F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        )
+        if threshold > 0:
+            cond = cond & (
+                F.least("a.sz", "b.sz").cast("double")
+                >= F.lit(threshold) * F.greatest("a.sz", "b.sz") - F.lit(1e-9)
+            )
         inter = (
-            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            a.join(b, cond)
             .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
             .agg(
                 F.count("*").alias("inter"),

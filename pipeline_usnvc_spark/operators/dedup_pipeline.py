@@ -164,6 +164,11 @@ def curate(
         ).cast("double")
         / F.length(text_col).cast("double"),
     ).otherwise(F.lit(0.0))
+    # (fan_out on the staged map pass was tried r14 and measured
+    # +1.6 s SLOWER in 4/4 interleaved pairs despite parallelizing the
+    # single-task tokenize+fingerprint stage — the keyless repartition
+    # of raw text plus the extra exchange cost more than the 0.3 s
+    # single-task pass; at scale the input arrives split anyway.)
     staged = materialize(
         docs.select(
             F.col(id_col).alias("doc_id"),

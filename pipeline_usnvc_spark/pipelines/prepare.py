@@ -42,15 +42,27 @@ def decontaminated_split(
     text_col: str = "text",
     eval_pct: int = 20,
     shingle_n: int = 3,
+    bucket_col: str | None = None,
 ) -> DataFrame:
     """(id, split) with split ∈ train | eval | dropped_contaminated:
     deterministic md5 bucket split, then drop any train document
     sharing ≥1 distinct n-gram shingle with the eval set (the q187
     transform as a reusable operator — one shingle-keyed semi-join,
-    no pairwise work). Production uses n=13; the plan is identical."""
+    no pairwise work). Production uses n=13; the plan is identical.
+
+    ``bucket_col`` names a PRECOMPUTED md5-fingerprint bucket column
+    (the exact expression below) — callers that already paid the
+    tokenize + fingerprint map pass (label_and_shard's kept frame)
+    pass it so the split does not re-run it over the full text."""
     bucket = (
-        F.conv(F.substring(F.md5(doc_fingerprint(text_col)), 1, 8), 16, 10).cast("bigint")
-        % 100
+        F.col(bucket_col)
+        if bucket_col
+        else (
+            F.conv(
+                F.substring(F.md5(doc_fingerprint(text_col)), 1, 8), 16, 10
+            ).cast("bigint")
+            % 100
+        )
     )
     bucketed = docs.select(F.col(id_col), F.col(text_col), bucket.alias("bucket"))
     sh = bucketed.select(
@@ -87,6 +99,7 @@ def label_and_shard(
     n_shards: int = 8,
     eval_pct: int = 20,
     audit: DataFrame | None = None,
+    include_text: bool = True,
     **curate_kwargs,
 ) -> DataFrame:
     """The pipeline's logical plan without the writer: every KEPT
@@ -95,7 +108,20 @@ def label_and_shard(
     via the two-phase global rank), null for eval/contaminated.
     SQL-expressible end-to-end, so q206 oracle-verifies this exact
     composition. Pass a precomputed ``audit`` to avoid re-running the
-    curation gate when the caller already has it."""
+    curation gate when the caller already has it.
+
+    ``include_text=False`` drops the text column from the output (same
+    rows, same remaining columns): metadata-only consumers (q206, the
+    manifest stats) skip the final text re-attachment join entirely.
+
+    r14 reshape (guide §2.3 — shuffle keys and metadata, not
+    payloads): the rank/union spine runs on a ~40 B/row doc-grain
+    frame. Previously ``labelled`` and the rank checkpoint BOTH stored
+    the full text column and the range exchange shuffled it — three
+    corpus-sized text copies where the shard decision only needs
+    (doc_id, n_tokens). Text is now stored once (kept) and re-attached
+    to the decided rows by ONE doc_id join (doc_id is the established
+    PK of documents — the join is row-preserving)."""
     if audit is None:
         audit = curate(docs, **curate_kwargs)
     # NOTE (ADVICE r05): materialize() is an EAGER localCheckpoint, so
@@ -108,20 +134,38 @@ def label_and_shard(
     # identity (see tests/test_plans.py), paying zero execution.
     from pipeline_usnvc_spark.operators.checkpoint import materialize
 
-    # kept feeds the decontamination split (shingle explode) AND the
-    # labelled join below: one checkpoint stops the multi-stage
-    # curation gate from re-executing for each consumer.
+    # kept feeds the decontamination split (shingle explode), the slim
+    # metadata spine, and the final text join: one checkpoint stops
+    # the multi-stage curation gate from re-executing for each
+    # consumer. The split bucket (md5 of the doc fingerprint) is
+    # computed HERE, in the same map pass that already tokenizes for
+    # n_tokens — decontaminated_split reads it instead of re-running
+    # tokenize + fingerprint over the full text.
+    bucket = (
+        F.conv(F.substring(F.md5(doc_fingerprint("text")), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+        % 100
+    )
     kept = materialize(
         docs.join(audit.select("doc_id", "drop_stage"), "doc_id")
         .filter(F.col("drop_stage") == "kept")
-        .select("doc_id", "text", "source", token_count("text").alias("n_tokens"))
+        .select(
+            "doc_id",
+            "text",
+            "source",
+            token_count("text").alias("n_tokens"),
+            bucket.alias("_bucket"),
+        )
     )
-    split = decontaminated_split(kept, eval_pct=eval_pct)
+    split = decontaminated_split(kept, eval_pct=eval_pct, bucket_col="_bucket")
     # labelled feeds BOTH the train branch (rank + shard) and the rest
     # branch of the union: materialize once, or the split join
     # executes twice (measured: 20 parquet scans, zero ReusedExchange,
     # before these two cuts; 11.2 s -> 7.4 s at sf0.1).
-    labelled = materialize(kept.join(split, "doc_id"))
+    labelled = materialize(
+        kept.select("doc_id", "source", "n_tokens").join(split, "doc_id")
+    )
     train = labelled.filter(F.col("split") == "train")
     ranked = with_global_rank(train, F.desc("n_tokens"), "doc_id", rank_col="_rn")
     sharded = ranked.withColumn(
@@ -130,7 +174,12 @@ def label_and_shard(
     rest = labelled.filter(F.col("split") != "train").withColumn(
         "shard", F.lit(None).cast("int")
     )
-    return sharded.unionByName(rest)
+    decided = sharded.unionByName(rest)
+    if not include_text:
+        return decided
+    return decided.join(kept.select("doc_id", "text"), "doc_id").select(
+        "doc_id", "text", "source", "n_tokens", "split", "shard"
+    )
 
 
 def prepare_training_data(

@@ -1646,6 +1646,7 @@ def q206_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs,
         n_shards=4,
         eval_pct=20,
+        include_text=False,  # metadata-only output: skip the text join
         jaccard_threshold=_CURATE_JACCARD,
         quota=_CURATE_QUOTA,
     ).select("doc_id", "split", "n_tokens", "shard")

@@ -1037,81 +1037,161 @@ def q437_integer_kmeans_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_usnvc_spark.operators.contracts import contract_filter
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # materialized ONCE: the (vec, dim) component table feeds FIVE
-    # consumers (seed join, two distance passes, two centroid
-    # updates) — without the checkpoint each re-executes the explode
-    # and quantization. n x 64 slim integer rows; at 100 TB this is
-    # the persisted feature table an IVF build would read anyway.
-    comps = materialize(
+    # r14 reshape (guide §2.3/§2.4): the old (vec, dim) exploded
+    # component table paid, per Lloyd step, one n x k exchange for the
+    # distance groupBy plus a second exchange + sort for the
+    # window-argmin, with an eager checkpoint barrier between the two
+    # steps (26 jobs, every stage < 0.2 s — pure orchestration).
+    # Vector-ARRAY form instead: the assignment is entirely map-side
+    # (argmin over a broadcast k x d centroid row via array_min of
+    # (dist, c) structs — lexicographic struct order IS the
+    # (dist, c) tie-break), and the only exchanges left are the
+    # (c, d)-grain centroid updates, which partial-aggregate map-side
+    # to <= k*d rows per task. Same integers end-to-end: floor(x*1e7)
+    # quantization, bigint squared-L2, _sfdiv floor mean.
+    # (fan_out on the one-row-group local scan was tried and measured
+    # SLOWER — 32 tasks of ~60 rows pay more scheduling than the 0.2 s
+    # single-task interpreted pass costs; at scale real inputs arrive
+    # split and the passes parallelize by themselves.)
+    qarr = materialize(
         emb.select(
-            "vec_id", F.posexplode(to_double_array("embedding")).alias("d", "x")
-        ).select(
             "vec_id",
-            "d",
-            F.floor(F.col("x") * F.lit(10000000.0)).cast("bigint").alias("q"),
+            F.transform(
+                to_double_array("embedding"),
+                lambda x: F.floor(x * F.lit(10000000.0)).cast("bigint"),
+            ).alias("q"),
         )
     )
-    # k seed rows: window over an 8-row frame, not the corpus
-    seeds = (
-        emb.select("vec_id")
-        .orderBy("vec_id")
-        .limit(_KM_K)
-        .select(
-            "vec_id",
-            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("c"),
-        )
-    )
-    cents = (
-        comps.join(F.broadcast(seeds), "vec_id")
-        .select("c", "d", F.col("q").alias("cd"))
-    )
+    # Centroids cross the driver as plain Python integers: k*d = 512
+    # values per Lloyd step — bounded by (clusters x dimension), never
+    # by the corpus (the bounded-collect discipline of the BPE top-1
+    # and the q363 kernel scalars). The broadcast-frame formulation
+    # paid four extra exchanges per step (repack aggregations + the
+    # broadcast), each a single-task AQE stage-job of pure latency.
+    def lloyd_pass(cents: list[tuple[int, list[int]]]) -> DataFrame:
+        """One assign+update pass as an Arrow kernel with in-kernel
+        map-side combine (the q196 gram-kernel shape, guide §4.2):
+        per task, numpy computes the exact int64 squared-L2 argmin
+        (|q|^2 - 2 q·c + |c|^2 — the expanded form is the same int64
+        value as the per-dim fold) and emits one (c, d)-grain partial
+        row block, so the shuffle is k*d rows per task at any corpus
+        size. argmin ties resolve to the FIRST index = lowest c
+        (cents sorted ascending) — the ORDER BY dist, c contract.
+        The interpreted-HOF fold this replaces cost ~0.2 s per pass
+        at sf0.1 (Catalyst evaluates array lambdas per element)."""
+        import numpy as np
+        import pandas as pd
 
-    def lloyd_step(cents: DataFrame) -> tuple[DataFrame, DataFrame]:
-        dist = (
-            comps.join(F.broadcast(cents), "d")
-            .groupBy("vec_id", "c")
-            .agg(
-                F.sum((F.col("q") - F.col("cd")) * (F.col("q") - F.col("cd")))
-                .cast("bigint")
-                .alias("dist")
+        cents = sorted(cents)
+        cidx = [int(c) for c, _ in cents]
+        C = np.array([cd for _, cd in cents], dtype=np.int64)  # (k, d)
+        cn2 = (C * C).sum(axis=1)
+
+        def batches(it):
+            acc: dict[int, list] = {}
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                Q = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+                ids = pdf["vec_id"].to_numpy()
+                qn2 = (Q * Q).sum(axis=1)
+                dists = qn2[:, None] - 2 * (Q @ C.T) + cn2[None, :]
+                a = dists.argmin(axis=1)
+                dmin = dists[np.arange(len(Q)), a]
+                for j, c in enumerate(cidx):
+                    m = a == j
+                    if not m.any():
+                        continue
+                    part = [
+                        Q[m].sum(axis=0),
+                        int(m.sum()),
+                        int(dmin[m].sum()),
+                        int(ids[m].min()),
+                        int(ids[m].max()),
+                    ]
+                    st = acc.get(c)
+                    if st is None:
+                        acc[c] = part
+                    else:
+                        st[0] = st[0] + part[0]
+                        st[1] += part[1]
+                        st[2] += part[2]
+                        st[3] = min(st[3], part[3])
+                        st[4] = max(st[4], part[4])
+            if acc:
+                dim = C.shape[1]
+                yield pd.DataFrame(
+                    {
+                        "c": np.repeat(list(acc), dim).astype("int64"),
+                        "d": np.tile(np.arange(dim, dtype="int64"), len(acc)),
+                        "sq": np.concatenate([st[0] for st in acc.values()]),
+                        "n": np.repeat([st[1] for st in acc.values()], dim).astype("int64"),
+                        "sdist": np.repeat([st[2] for st in acc.values()], dim).astype("int64"),
+                        "mnv": np.repeat([st[3] for st in acc.values()], dim).astype("int64"),
+                        "mxv": np.repeat([st[4] for st in acc.values()], dim).astype("int64"),
+                    }
+                )
+
+        return qarr.mapInPandas(
+            batches,
+            schema="c long, d long, sq long, n long, sdist long, mnv long, mxv long",
+        )
+
+    def final_agg(partials: DataFrame) -> DataFrame:
+        """(c, d)-grain reduction of the kernel partials: the floor
+        mean (_sfdiv — identical to the per-row formulation because
+        sum-of-partial-sums is the same bigint) plus the per-cluster
+        scalars, which repeat across a cluster's d rows."""
+        return partials.groupBy("c", "d").agg(
+            _sfdiv(F.sum("sq"), F.sum("n"), _KM_SHIFT).cast("bigint").alias("cd"),
+            F.sum("n").cast("bigint").alias("n_members"),
+            F.sum("sdist").cast("bigint").alias("inertia"),
+            F.min("mnv").alias("min_vec_id"),
+            F.max("mxv").alias("max_vec_id"),
+        )
+
+    # k seed centroids = the k lowest vec_ids' vectors (bounded: k rows)
+    c0 = [
+        (i, list(r["q"]))
+        for i, r in enumerate(
+            sorted(
+                qarr.orderBy("vec_id").limit(_KM_K).collect(),
+                key=lambda r: r["vec_id"],
             )
         )
-        w = Window.partitionBy("vec_id").orderBy("dist", "c")
-        assign = materialize(
-            dist.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "c", "dist")
-        )
-        new_cents = (
-            assign.join(comps, "vec_id")
-            .groupBy("c", "d")
-            .agg(
-                _sfdiv(F.sum("q"), F.count("*"), _KM_SHIFT)
-                .cast("bigint")
-                .alias("cd")
-            )
-        )
-        return assign, new_cents
-
-    _, c1 = lloyd_step(cents)
-    a2, c2 = lloyd_step(c1)
-    per = a2.groupBy("c").agg(
-        F.count("*").cast("bigint").alias("n_members"),
-        F.sum("dist").cast("bigint").alias("inertia"),
-        F.min("vec_id").alias("min_vec_id"),
-        F.max("vec_id").alias("max_vec_id"),
+    ]
+    # Lloyd step 1: one kernel pass; the k*d update comes back to the
+    # driver as the next step's centroid list.
+    by_c: dict[int, dict[int, int]] = {}
+    for r in final_agg(lloyd_pass(c0)).collect():  # bounded: k*d rows
+        by_c.setdefault(r["c"], {})[r["d"]] = r["cd"]
+    c1 = [(c, [ds[d] for d in sorted(ds)]) for c, ds in by_c.items()]
+    # Lloyd step 2: ONE combined (c, d)-grain stats pass feeds every
+    # final consumer (per-cluster stats, centroid checksum, totals).
+    # Materialized: k*d rows, three consumers below.
+    stats = materialize(final_agg(lloyd_pass(c1)))
+    # ONE aggregation produces both the per-cluster scalars (constant
+    # across a cluster's d rows — min() reads them off) and the
+    # checksum: no per-x-chk join, one exchange over the k*d checkpoint.
+    per = stats.groupBy("c").agg(
+        F.min("n_members").alias("n_members"),
+        F.min("inertia").alias("inertia"),
+        F.min("min_vec_id").alias("min_vec_id"),
+        F.max("max_vec_id").alias("max_vec_id"),
+        F.sum(F.col("cd") * (F.col("d") + 1))
+        .cast("bigint")
+        .alias("centroid_checksum"),
     )
-    chk = c2.groupBy("c").agg(
-        F.sum(F.col("cd") * (F.col("d") + 1)).cast("bigint").alias("centroid_checksum")
-    )
-    tot = emb.agg(
+    tot = qarr.agg(
         F.countDistinct("vec_id").cast("bigint").alias("n_vectors")
     ).crossJoin(
-        F.broadcast(a2.agg(F.count("*").cast("bigint").alias("n_assigned")))
+        F.broadcast(
+            stats.filter(F.col("d") == 0)
+            .agg(F.sum("n_members").cast("bigint").alias("n_assigned"))
+        )
     )
     out = (
-        per.join(chk, "c")
-        .crossJoin(F.broadcast(tot))
+        per.crossJoin(F.broadcast(tot))
         .select(
             F.col("c").cast("bigint").alias("c"),
             "n_members",

@@ -44,7 +44,7 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    outdir = REPO / "plans" / "r13"
+    outdir = REPO / "plans" / os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14")
     outdir.mkdir(parents=True, exist_ok=True)
 
     for name in names:

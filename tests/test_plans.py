@@ -949,9 +949,7 @@ _BROADCAST_ALLOWLIST = {
         "multi",  # q434 1-row max-emissions scalar (q432's shape)
         "summary",  # q434 1-row log/snapshot totals (q427's shape)
         "mism",  # q435 1-row register-merge-mismatch count
-        "seeds",  # q437 k-row (8) seed frame
-        "cents",  # q437 k x 64-row centroid frame (the coarse quantizer)
-        "a2",  # q437 1-row assignment-count agg (broadcast wraps a2.agg)
+        "stats",  # q437 k x d (512-row) Lloyd stats checkpoint (agg to 1 row)
         "tot",  # q435/q437 1-row totals
     },
 }
