@@ -179,11 +179,18 @@ def simhash(
     # per-row CASE WHEN: vote_b = 2*sum(bit_b) - n  (each set bit votes
     # +1, each clear bit -1), so the map side sums the raw bit — the
     # identical integer, branch-free.
-    votes = [F.expr(f"sum(shiftright(h, {b}) & 1)").alias(f"s{b}") for b in range(bits)]
-    per_doc = hashed.groupBy(id_col).agg(F.count("*").alias("n"), *votes)
+    # Aggregate aliases are double-underscore-prefixed (ADVICE r13):
+    # sim_sql references them UNQUALIFIED via F.expr, so a caller's
+    # id_col named 'n' or 's<k>' would otherwise silently win the
+    # resolution and corrupt every vote.
+    votes = [
+        F.expr(f"sum(shiftright(h, {b}) & 1)").alias(f"__sh_s{b}") for b in range(bits)
+    ]
+    per_doc = hashed.groupBy(id_col).agg(F.count("*").alias("__sh_n"), *votes)
     # bit b set where vote > 0  <=>  2*s_b > n
     sim_sql = "cast(" + " + ".join(
-        f"(case when 2 * s{b} > n then {2**b}L else 0L end)" for b in range(bits)
+        f"(case when 2 * __sh_s{b} > __sh_n then {2**b}L else 0L end)"
+        for b in range(bits)
     ) + " as bigint)"
     return per_doc.select(id_col, F.expr(sim_sql).alias("simhash"))
 

@@ -138,6 +138,12 @@ def curate(
     Deterministic end-to-end (md5-derived orders, integer
     arithmetic): SQL-expressible, hence oracle-exact in q174.
 
+    PRECONDITION: ``id_col`` is unique per row (doc_id is the corpus
+    PK). The near-dup stage re-acquires text via a keeper-id semi-join
+    against the raw scan; a duplicated id would pull every duplicate
+    row of a keeper into the shingle stage (ADVICE r13 — the old
+    fp-join formulation selected at most one row per fingerprint).
+
     The metric frame is checkpointed SLIM (r13): ``staged`` used to
     carry the text column and was deliberately left unmaterialized
     (a corpus-sized checkpoint loses at 100 TB), which re-ran the

@@ -27,6 +27,56 @@ from pyspark.sql import functions as F
 from pipeline_usnvc_spark.functions.vectors import cosine_similarity, to_double_array
 
 
+def _cosine_topk_candidates(q, v, id_col: str, k: int):
+    """(query_id, neighbor_id, v_vec) candidate rows for exact cosine
+    top-k: per Arrow batch, a numpy cosine pass keeps every vector
+    within 1e-9 of the batch's (k+1)-th best score per query (+1:
+    the self-pair is dropped downstream). Sound by the q221 margin
+    argument — numpy vs the exact sequential fold differ by ~1e-13,
+    three orders inside the band, so candidates can only be ADDED;
+    the exact fold decides. Non-finite cosines (zero-norm vectors)
+    are kept unconditionally (Spark sorts NaN first under desc)."""
+    import numpy as np
+    import pandas as pd
+
+    # bounded by the operator contract: queries are broadcast-small
+    q_rows = q.select("query_id", "q_vec").collect()
+    id_type = v.schema["neighbor_id"].dataType.simpleString()
+    schema = f"query_id {id_type}, neighbor_id {id_type}, v_vec array<double>"
+    if not q_rows:
+        return v.sparkSession.createDataFrame([], schema)
+    qids = [r["query_id"] for r in q_rows]
+    Qm = np.stack([np.asarray(r["q_vec"], dtype=np.float64) for r in q_rows])
+    qn = np.sqrt((Qm * Qm).sum(axis=1))
+
+    def batches(it):
+        for pdf in it:
+            n = len(pdf)
+            if not n:
+                continue
+            V = np.stack(pdf["v_vec"].to_numpy()).astype(np.float64)
+            vn = np.sqrt((V * V).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = (V @ Qm.T) / (vn[:, None] * qn[None, :])
+            S[~np.isfinite(S)] = np.inf
+            k_eff = min(k + 1, n)
+            nid = pdf["neighbor_id"].to_numpy()
+            vv = pdf["v_vec"].to_numpy()
+            sel_q, sel_n, sel_v = [], [], []
+            for j, qid in enumerate(qids):
+                col = S[:, j]
+                kth = np.partition(col, n - k_eff)[n - k_eff]
+                idx = np.flatnonzero(col >= kth - 1e-9)
+                sel_q.extend([qid] * len(idx))
+                sel_n.extend(nid[idx])
+                sel_v.extend(vv[idx])
+            yield pd.DataFrame(
+                {"query_id": sel_q, "neighbor_id": sel_n, "v_vec": sel_v}
+            )
+
+    return v.select("neighbor_id", "v_vec").mapInPandas(batches, schema=schema)
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -63,7 +113,41 @@ def brute_force_topk(
         F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("v_vec")
     ).withColumn("_vn", l2_norm(F.col("v_vec")))
     if metric == "cosine":
-        score = dot(F.col("q_vec"), F.col("v_vec")) / (F.col("_qn") * F.col("_vn"))
+        # r14 (the q221 pattern, guide §4.2): the all-pairs interpreted
+        # dot fold cost |queries| x |vectors| x dim interpreted ops in
+        # whatever parallelism the scan yields (x10 probe: 24 s, ONE
+        # task). A float64 BLAS pass now nominates per-batch candidates
+        # — every vector whose numpy cosine is within 1e-9 of the
+        # batch's k-th best per query (numpy and the sequential fold
+        # agree to ~1e-13 for 64-dim inputs, so the band can only ADD
+        # candidates; non-finite scores rank as +inf, matching Spark's
+        # NaN-sorts-first-under-desc) — and only the survivors pay the
+        # exact sequential fold, whose value feeds the final rank
+        # exactly as before. Top-k soundness per query: the global
+        # exact top-k is a subset of the union of per-batch exact
+        # top-(k+1) (the +1 absorbs the self-pair dropped below), each
+        # of which is inside its batch's band. Vectors round-trip
+        # Arrow as float64 (bit-exact), so the re-scored fold sees the
+        # identical doubles.
+        candidates = _cosine_topk_candidates(q, v, id_col, k)
+        scored = (
+            candidates.join(F.broadcast(q), "query_id")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                (
+                    dot(F.col("q_vec"), F.col("v_vec"))
+                    / (F.col("_qn") * l2_norm(F.col("v_vec")))
+                ).alias("sim"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "sim")
+        )
     elif metric == "l2":
         score = -F.aggregate(
             F.zip_with(F.col("q_vec"), F.col("v_vec"), lambda a, b: (a - b) * (a - b)),

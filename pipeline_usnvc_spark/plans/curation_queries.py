@@ -1841,41 +1841,45 @@ def q217_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # counts, so every reported value is the identical integer.
     from pipeline_usnvc_spark.operators.checkpoint import materialize
 
-    bstats = materialize(
-        bucketed.groupBy("b").agg(
-            F.count("*").cast("bigint").alias("cr"),
-            F.count(F.when(F.col("lang") == "en", True)).cast("bigint").alias("ct"),
-        )
-    )
-    tot = bstats.agg(
-        F.sum("cr").cast("bigint").alias("n_raw"),
-        F.sum("ct").cast("bigint").alias("n_tgt"),
-    )
-    llr = (
-        bstats.crossJoin(F.broadcast(tot))
-        .select(
-            "b",
-            F.round(
-                F.log(
-                    ((F.col("ct") + 1).cast("double")
-                     * (F.col("n_raw") + _DSIR_B).cast("double"))
-                    / ((F.col("cr") + 1).cast("double")
-                       * (F.col("n_tgt") + _DSIR_B).cast("double"))
+    # r14: the 256-row bucket stats come back to the driver (bounded
+    # by _DSIR_B, never the corpus — the q437/BPE bounded-collect
+    # discipline) and the LLR table rides the scoring plan as a
+    # 256-element LITERAL array whose log() expressions CONSTANT-FOLD
+    # in the JVM (same java.lang.Math.log the runtime path evaluated,
+    # so every llr_micro is the identical integer). This removes the
+    # bstats checkpoint job, the totals aggregate and the broadcast
+    # build — three single-task AQE stage-jobs of pure latency — and
+    # the scoring pass becomes join-free.
+    stats = bucketed.groupBy("b").agg(
+        F.count("*").cast("bigint").alias("cr"),
+        F.count(F.when(F.col("lang") == "en", True)).cast("bigint").alias("ct"),
+    ).collect()  # bounded: <= _DSIR_B rows
+    n_raw = sum(r["cr"] for r in stats)
+    n_tgt = sum(r["ct"] for r in stats)
+    by_b = {r["b"]: r for r in stats}
+    llr_terms = []
+    for b in range(_DSIR_B):
+        r = by_b.get(b)
+        if r is None:
+            llr_terms.append("0L")  # bucket absent from the corpus: never indexed
+        else:
+            llr_terms.append(
+                "cast(round(log(({ct} + 1.0d) * {nr}d / (({cr} + 1.0d) * {nt}d))"
+                " * 1000000.0d) as bigint)".format(
+                    ct=r["ct"], cr=r["cr"], nr=n_raw + _DSIR_B, nt=n_tgt + _DSIR_B
                 )
-                * 1000000.0
             )
-            .cast("bigint")
-            .alias("llr_micro"),
-        )
+    llr_at = F.expr(
+        "element_at(array(" + ", ".join(llr_terms) + "), cast(b + 1 as int))"
     )
     scored = (
-        bucketed.join(F.broadcast(llr), "b")
-        .groupBy("doc_id")
+        bucketed.groupBy("doc_id")
         .agg(
-            # count == bigram count; sum(llr_micro) == the per-bigram
-            # llr sum — identical integers on the same per-bigram rows
+            # count == bigram count; sum over the literal LLR lookup ==
+            # the per-bigram llr sum — identical integers on the same
+            # per-bigram rows
             F.count("*").cast("bigint").alias("n_bigrams"),
-            F.sum("llr_micro").cast("bigint").alias("log_w_micro"),
+            F.sum(llr_at).cast("bigint").alias("log_w_micro"),
         )
     )
     # Quartile selection via the two-phase range-exchange rank (no
@@ -1884,7 +1888,7 @@ def q217_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parity with the oracle's ROW_NUMBER is exact. scored is
     # materialized once: both the rank and the 1-row n_docs aggregate
     # consume it, and the bigram/LLR pipeline should not run twice.
-    from pipeline_usnvc_spark.operators.checkpoint import materialize
+    # (materialize is already imported above for bstats.)
     from pipeline_usnvc_spark.operators.rank import with_global_rank
 
     scored = materialize(scored)

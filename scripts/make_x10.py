@@ -13,7 +13,12 @@ keep their selectivity instead of degenerating. Dimension tables
 
     python scripts/make_x10.py [src_sf_dir] [dst_dir] [mult]
 
-Default: /root/testdata/sf0.1 -> /root/testdata/sfx10, x10.
+Default: /root/testdata/sf0.1 -> /root/sfx10, x10. The destination
+deliberately lives OUTSIDE /root/testdata: the replica's shifted ids
+violate oracle-side invariants that tests assert over every
+/root/testdata/sf* dir (e.g. q141's event_id < 1e7 bound), and this
+data exists only for the bench's core-count scaling probe — it is
+never oracle-compared.
 """
 
 from __future__ import annotations
@@ -42,7 +47,7 @@ COPY = ["region", "nation"]
 
 def main() -> None:
     src = Path(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
-    dst = Path(sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sfx10")
+    dst = Path(sys.argv[2] if len(sys.argv) > 2 else "/root/sfx10")
     mult = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     dst.mkdir(parents=True, exist_ok=True)
     con = duckdb.connect()
@@ -59,12 +64,19 @@ def main() -> None:
                 cols_parts.append(f"{c} + r.r * {OFFSET} AS {c}")
             else:
                 cols_parts.append(c)
+        # Row-group sizing: real at-scale inputs arrive with MANY row
+        # groups (that is where scan parallelism comes from — see
+        # operators/checkpoint.fan_out). Target ~64 groups per table so
+        # the probe measures the ENGINE's scaling, not a single-row-
+        # group artifact of this generator.
+        n_src = pq.read_metadata(src / f"{t}.parquet").num_rows
+        rg = max(1000, (n_src * mult) // 64)
         sql = f"""
         COPY (
             SELECT {", ".join(cols_parts)}
             FROM read_parquet('{src}/{t}.parquet')
             CROSS JOIN (SELECT unnest(range({mult})) AS r) r
-        ) TO '{dst}/{t}.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 262144)
+        ) TO '{dst}/{t}.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE {rg})
         """
         con.execute(sql)
         n = con.execute(f"SELECT count(*) FROM read_parquet('{dst}/{t}.parquet')").fetchone()[0]

@@ -570,19 +570,28 @@ def test_derived_partsupp_tie_free_and_plan(spark):
     assert "Exchange hashpartitioning" not in plan, plan[:1500]
 
 
-def test_dsir_llr_model_broadcasts(spark, sf_dir):
-    """q217's importance model (256 bucket LLRs) must reach the doc
-    scorer as a BROADCAST join — the model is KBs; shuffling the
-    exploded bigram stream against it would be the scale-killer."""
+def test_dsir_llr_model_is_join_free_literal(spark, sf_dir, monkeypatch):
+    """q217's importance model (256 bucket LLRs, bounded by _DSIR_B)
+    must reach the doc scorer WITHOUT any join of the exploded bigram
+    stream: r14 inlines the constant-folded LLR table as a literal
+    array lookup (element_at), which is stronger than the broadcast
+    join it replaces — and shuffling the stream against the model
+    would be the scale-killer either way. materialize stubbed so the
+    scoring stage is visible to explain (repo convention)."""
+    import pipeline_usnvc_spark.operators.checkpoint as ckpt_mod
+    import pipeline_usnvc_spark.operators.rank as rank_mod
+
     from pipeline_usnvc_spark.plans import QUERIES
 
+    monkeypatch.setattr(rank_mod, "materialize", lambda df, eager=True: df)
+    monkeypatch.setattr(ckpt_mod, "materialize", lambda df, eager=True: df)
     plan = (
         QUERIES["q217_dsir_importance"](spark, sf_dir)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert "BroadcastHashJoin" in plan
+    assert "element_at" in plan, plan[:2000]
     assert "SortMergeJoin" not in plan, plan[:2000]
 
 
@@ -715,11 +724,15 @@ def test_dedup_scaling_curve_windows_spine_not_corpus(spark, sf_dir, monkeypatch
     # every Window must sit above an Aggregate that sits above the
     # Generate (explode). Bucket assignment is a pure doc_id
     # expression: no ntile / data-grain global sort anywhere.
-    # materialize stubbed to identity (repo convention): the r13 grain
-    # checkpoint would otherwise hide the Generate behind ExistingRDD.
+    # materialize AND fan_out stubbed to identity (repo convention,
+    # ADVICE r13): the r13 grain checkpoint would otherwise hide the
+    # Generate behind ExistingRDD, and fan_out's local round-robin
+    # Exchange (a no-op at scale) would pollute the scale-shaped plan
+    # the assertions are written against.
     import pipeline_usnvc_spark.operators.checkpoint as ckpt_mod
 
     monkeypatch.setattr(ckpt_mod, "materialize", lambda df, eager=True: df)
+    monkeypatch.setattr(ckpt_mod, "fan_out", lambda df, min_fraction=0.5: df)
     plan = (
         QUERIES["q346_dedup_scaling_curve"](spark, sf_dir)
         ._jdf.queryExecution()

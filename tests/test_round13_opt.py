@@ -16,8 +16,13 @@ q60/q61 (norm-precompute): per-row bound norms must reproduce the
   dot/(na*nb) tree) — asserted via exact equality on the emitted
   sims against a per-pair cosine_similarity recompute.
 
-q217 (shared bigram grain): the (doc, lang, bucket) grain
-  re-aggregation must reproduce the exploded-stream counts exactly.
+q217 (bucket-grain DSIR model): the live query's two-pass shape
+  (256-row bucket stats -> broadcast LLR scoring -> quartile rank)
+  must reproduce an independent per-document recompute from the
+  exploded bigram stream — bstats counts, per-doc bigram counts and
+  LLR sums, and the quartile selection flags all pinned (ADVICE r13:
+  the earlier test rebuilt the removed (doc, lang, bucket) grain
+  independently and passed vacuously).
 """
 
 from __future__ import annotations
@@ -165,7 +170,13 @@ def test_q60_q61_norm_precompute_bit_identical(spark, sf_dir):
     assert old60 and all(isinstance(s, float) for s in old60.values())
 
 
-def test_q217_grain_counts_match_exploded_stream(spark, sf_dir):
+def test_q217_bucket_model_matches_exploded_stream(spark, sf_dir):
+    """Pin the LIVE q217 output against an independent per-document
+    recompute from the exploded bigram stream: bucket stats, per-doc
+    bigram counts / LLR sums, and the quartile selection flags. The
+    LLR table is recomputed through a tiny Spark frame so the log()
+    implementation is the engine's own (a Python math.log could
+    differ by an ulp at the micro-rounding boundary)."""
     from pipeline_usnvc_spark.functions.text import tokens
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -183,15 +194,45 @@ def test_q217_grain_counts_match_exploded_stream(spark, sf_dir):
         "lang",
         (F.conv(F.substring(F.md5("bg"), 1, 8), 16, 10).cast("bigint") % 256).alias("b"),
     )
-    grain = bucketed.groupBy("doc_id", "lang", "b").agg(
-        F.count("*").cast("bigint").alias("n")
-    )
-    # per-bucket totals from the grain == per-bucket totals from the stream
-    from_grain = {
-        r["b"]: r["c"] for r in grain.groupBy("b").agg(F.sum("n").alias("c")).collect()
-    }
-    from_stream = {
-        r["b"]: r["c"]
-        for r in bucketed.groupBy("b").agg(F.count("*").alias("c")).collect()
-    }
-    assert from_grain == from_stream and from_stream
+    rows = bucketed.collect()  # test scale: sf0.001 stream
+    assert rows
+    # independent bucket stats
+    cr: dict[int, int] = {}
+    ct: dict[int, int] = {}
+    for r in rows:
+        cr[r["b"]] = cr.get(r["b"], 0) + 1
+        if r["lang"] == "en":
+            ct[r["b"]] = ct.get(r["b"], 0) + 1
+    n_raw, n_tgt = sum(cr.values()), sum(ct.values())
+    # engine-log LLR table over the independent counts
+    llr_rows = spark.createDataFrame(
+        [(b, cr[b], ct.get(b, 0)) for b in sorted(cr)], "b long, cr long, ct long"
+    ).select(
+        "b",
+        F.round(
+            F.log(
+                ((F.col("ct") + 1).cast("double") * F.lit(float(n_raw + 256)))
+                / ((F.col("cr") + 1).cast("double") * F.lit(float(n_tgt + 256)))
+            )
+            * 1000000.0
+        )
+        .cast("bigint")
+        .alias("llr_micro"),
+    ).collect()
+    llr = {r["b"]: r["llr_micro"] for r in llr_rows}
+    # independent per-doc expectations
+    exp: dict[int, list[int]] = {}
+    for r in rows:
+        st = exp.setdefault(r["doc_id"], [0, 0])
+        st[0] += 1
+        st[1] += llr[r["b"]]
+    out = {r["doc_id"]: r for r in QUERIES["q217_dsir_importance"](spark, sf_dir).collect()}
+    assert set(out) == set(exp)
+    for d, (nb, lw) in exp.items():
+        assert out[d]["n_bigrams"] == nb
+        assert out[d]["log_weight"] == lw / 1000000.0
+    # quartile rule: rank by (avg llr desc, doc_id); selected iff rn*4 <= n
+    order = sorted(exp, key=lambda d: (-(exp[d][1] / exp[d][0]), d))
+    n_docs = len(order)
+    for rn, d in enumerate(order, start=1):
+        assert out[d]["selected"] == (rn * 4 <= n_docs), d
