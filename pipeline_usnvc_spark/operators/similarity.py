@@ -27,15 +27,29 @@ from pyspark.sql import functions as F
 from pipeline_usnvc_spark.functions.vectors import cosine_similarity, to_double_array
 
 
-def _cosine_topk_candidates(q, v, id_col: str, k: int):
+def _cosine_topk_candidates(q, v, k: int):
     """(query_id, neighbor_id, v_vec) candidate rows for exact cosine
     top-k: per Arrow batch, a numpy cosine pass keeps every vector
-    within 1e-9 of the batch's (k+1)-th best score per query (+1:
-    the self-pair is dropped downstream). Sound by the q221 margin
-    argument — numpy vs the exact sequential fold differ by ~1e-13,
-    three orders inside the band, so candidates can only be ADDED;
-    the exact fold decides. Non-finite cosines (zero-norm vectors)
-    are kept unconditionally (Spark sorts NaN first under desc)."""
+    within a margin of the batch's (k+1)-th best score per query (+1:
+    the self-pair is dropped downstream) — candidates can only be
+    ADDED; the exact fold downstream decides. Soundness of the
+    margin (the q221 argument, made dimension-aware per review): both
+    the numpy cosine and the sequential fold equal the true cosine to
+    within ~dim·eps (Cauchy-Schwarz bounds Σ|a_i·b_i| ≤ |a||b|, so
+    the summation error of the dot divided by the norms is at most a
+    small multiple of dim·2.2e-16, whatever the vector magnitudes);
+    the band is max(1e-9, 64·dim·eps), orders above that divergence
+    at any dimension this engine targets. Non-finite cosines
+    (zero-norm vectors) are kept unconditionally (Spark sorts NaN
+    first under desc), and rows the kernel cannot score vectorized —
+    null or wrong-length arrays, whose exact sim is null and ranks
+    LAST — are emitted as candidates for every query so the exact
+    path reproduces the old plan's null handling bit-for-bit.
+
+    NOTE: building this DataFrame collect()s the queries subtree (one
+    Spark job at construction time) — bounded by the operator
+    contract (queries are broadcast-small), the same build-time-action
+    convention as the repo's eager materialize()."""
     import numpy as np
     import pandas as pd
 
@@ -48,28 +62,41 @@ def _cosine_topk_candidates(q, v, id_col: str, k: int):
     qids = [r["query_id"] for r in q_rows]
     Qm = np.stack([np.asarray(r["q_vec"], dtype=np.float64) for r in q_rows])
     qn = np.sqrt((Qm * Qm).sum(axis=1))
+    dim = Qm.shape[1]
+    band = max(1e-9, 64.0 * dim * np.finfo(np.float64).eps)
 
     def batches(it):
         for pdf in it:
-            n = len(pdf)
-            if not n:
+            if not len(pdf):
                 continue
-            V = np.stack(pdf["v_vec"].to_numpy()).astype(np.float64)
-            vn = np.sqrt((V * V).sum(axis=1))
-            with np.errstate(divide="ignore", invalid="ignore"):
-                S = (V @ Qm.T) / (vn[:, None] * qn[None, :])
-            S[~np.isfinite(S)] = np.inf
-            k_eff = min(k + 1, n)
             nid = pdf["neighbor_id"].to_numpy()
             vv = pdf["v_vec"].to_numpy()
+            ok = np.array(
+                [x is not None and np.shape(x) == (dim,) for x in vv], dtype=bool
+            )
+            inv_idx = np.flatnonzero(~ok)
             sel_q, sel_n, sel_v = [], [], []
-            for j, qid in enumerate(qids):
-                col = S[:, j]
-                kth = np.partition(col, n - k_eff)[n - k_eff]
-                idx = np.flatnonzero(col >= kth - 1e-9)
-                sel_q.extend([qid] * len(idx))
-                sel_n.extend(nid[idx])
-                sel_v.extend(vv[idx])
+            val_idx = np.flatnonzero(ok)
+            if len(val_idx):
+                V = np.stack(vv[val_idx]).astype(np.float64)
+                vn = np.sqrt((V * V).sum(axis=1))
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    S = (V @ Qm.T) / (vn[:, None] * qn[None, :])
+                S[~np.isfinite(S)] = np.inf
+                n_ok = len(val_idx)
+                k_eff = min(k + 1, n_ok)
+                for j, qid in enumerate(qids):
+                    col = S[:, j]
+                    kth = np.partition(col, n_ok - k_eff)[n_ok - k_eff]
+                    idx = val_idx[np.flatnonzero(col >= kth - band)]
+                    sel_q.extend([qid] * len(idx))
+                    sel_n.extend(nid[idx])
+                    sel_v.extend(vv[idx])
+            if len(inv_idx):
+                for qid in qids:
+                    sel_q.extend([qid] * len(inv_idx))
+                    sel_n.extend(nid[inv_idx])
+                    sel_v.extend(vv[inv_idx])
             yield pd.DataFrame(
                 {"query_id": sel_q, "neighbor_id": sel_n, "v_vec": sel_v}
             )
@@ -129,7 +156,7 @@ def brute_force_topk(
         # of which is inside its batch's band. Vectors round-trip
         # Arrow as float64 (bit-exact), so the re-scored fold sees the
         # identical doubles.
-        candidates = _cosine_topk_candidates(q, v, id_col, k)
+        candidates = _cosine_topk_candidates(q, v, k)
         scored = (
             candidates.join(F.broadcast(q), "query_id")
             .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -28,6 +28,7 @@ import sys
 from pathlib import Path
 
 import duckdb
+import pyarrow.parquet as pq
 
 OFFSET = 10**9  # > every key in the source tables
 
@@ -56,8 +57,6 @@ def main() -> None:
         print(f"copied {t}")
     for t, keys in SHIFT.items():
         cols_parts = []
-        import pyarrow.parquet as pq
-
         names = [f.name for f in pq.read_schema(src / f"{t}.parquet")]
         for c in names:
             if c in keys:
